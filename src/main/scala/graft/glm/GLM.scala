@@ -1,0 +1,258 @@
+package graft.glm
+
+import breeze.linalg.{DenseVector => BDV}
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.commons.math3.special.Gamma
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.DoubleType
+
+/** Binomial generalized linear model via IRLS / Fisher scoring.
+  *
+  * Re-expression of the reference's `GLM`
+  * (reference: GLM.scala:254-315 `fitSingleBinomial`,
+  * GLM.scala:410-468 `fitMultipleBinomial`, GLM.scala:595-995 `fit`):
+  *
+  *  - the 16 `fit` overloads collapse to one method with default arguments
+  *    (reference: GLM.scala:597-995 — and note only the first overload ever
+  *    dispatched to the distributed path; the rest silently went
+  *    single-partition, GLM.scala:640-642 — a gap, not a semantic, so we
+  *    keep ONE code path for any partitioning);
+  *  - each IRLS iteration is **one** distributed aggregation job: the
+  *    working response z, weights w, μ, η are column expressions with
+  *    literal coefficients (recomputed from β, never materialized), and the
+  *    weighted normal equations AND the deviance sum come back in the same
+  *    `agg` pass over a persisted input (the reference launches 3–4 jobs per
+  *    iteration, GLM.scala:452-462);
+  *  - convergence is on deviance change |ΔD| < tol (default 1e-6), matching
+  *    reference: GLM.scala:281,452;
+  *  - derived statistics follow reference: GLM.scala:59-88 `createObj`:
+  *    dispersion = Pearson/dfResidual, AIC = −2·logLik + 2p.
+  *
+  * Scale: per-iteration driver↔executor traffic is the p²-sized Gram buffer
+  * only; the input DataFrame is persisted once before the loop and each
+  * iteration is a single whole-stage-codegen'd scan over it (probit's Φ/Φ⁻¹
+  * UDFs are the one non-codegen expression, applied per-row once per pass).
+  */
+final class GLMModel(
+    val xnames: Array[String],
+    val yname: String,
+    val intercept: Boolean,
+    val family: String,
+    val link: LinkFn,
+    val coefs: BDV[Double],
+    val stdErr: BDV[Double],
+    val deviance: Double,
+    val nullDeviance: Double,
+    val pearson: Double,
+    val loglik: Double,
+    val n: Long,
+    val iter: Int)
+    extends Serializable {
+
+  def p: Int = coefs.length
+  def dfResidual: Long = n - p
+  def dfNull: Long = n - 1
+  def dispersion: Double = pearson / dfResidual
+  def aic: Double = -2.0 * loglik + 2.0 * p
+
+  def zValues: BDV[Double] = BDV.tabulate(p)(i => coefs(i) / stdErr(i))
+
+  def pValues: BDV[Double] = {
+    val norm = new NormalDistribution(0.0, 1.0)
+    BDV.tabulate(p)(i => 2.0 * (1.0 - norm.cumulativeProbability(math.abs(zValues(i)))))
+  }
+
+  def featureNames: Array[String] = if (intercept) xnames.drop(1) else xnames
+
+  /** η as a literal-coefficient column expression. */
+  def linearPredictor: Column = {
+    val terms = featureNames.zipWithIndex.map { case (nm, i) =>
+      col(nm).cast(DoubleType) * lit(coefs(if (intercept) i + 1 else i))
+    }
+    terms.foldLeft(if (intercept) lit(coefs(0)) else lit(0.0))(_ + _)
+  }
+
+  /** Score: μ on the response scale (probability when m = 1). */
+  def predict(df: DataFrame, outputCol: String = "prediction", mCol: Option[String] = None): DataFrame = {
+    val aligned = ModelMatrix.matchCols(featureNames.toSeq, df)
+    val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    aligned.withColumn(outputCol, link.inverse(linearPredictor, m))
+  }
+
+  def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
+    (if (intercept) "" else " - 1")
+
+  /** R-style summary (reference: GLM.scala:998-1025). */
+  def summary: String = {
+    import NumFormat._
+    val sb = new StringBuilder
+    sb ++= s"Call:\nglm(formula = $formulaString, family = $family(link = ${link.name}))\n\n"
+    sb ++= "Coefficients:\n"
+    sb ++= f"${""}%-20s${"Estimate"}%13s${"Std. Error"}%13s${"z value"}%13s${"Pr(>|z|)"}%13s\n"
+    val zv = zValues; val pv = pValues
+    xnames.indices.foreach { i =>
+      sb ++= f"${xnames(i)}%-20s${cell(coefs(i))}${cell(stdErr(i))}${cell(zv(i))}${cell(pv(i))} ${stars(pv(i))}\n"
+    }
+    sb ++= "---\n"
+    sb ++= s"(Dispersion parameter for $family family taken to be ${sigDigits(dispersion, 6)})\n\n"
+    sb ++= s"    Null deviance: ${sigDigits(nullDeviance, 6)} on $dfNull degrees of freedom\n"
+    sb ++= s"Residual deviance: ${sigDigits(deviance, 6)} on $dfResidual degrees of freedom\n"
+    sb ++= s"AIC: ${sigDigits(aic, 6)}\n\n"
+    sb ++= s"Number of Fisher Scoring iterations: $iter\n"
+    sb.result()
+  }
+}
+
+object GLM {
+
+  /** log C(m, y) via log-gamma, for the binomial log-likelihood
+    * (reference computes per-row `Binomial(m, μ).logProbabilityOf(y)`,
+    * GLM.scala:132-159). Zero for Bernoulli (m = 1).
+    */
+  val logChoose = udf { (m: Double, y: Double) =>
+    Gamma.logGamma(m + 1.0) - Gamma.logGamma(y + 1.0) - Gamma.logGamma(m - y + 1.0)
+  }
+
+  /** Binomial deviance contribution of one row
+    * (reference: GLM.scala:162-170 `devBinomial`).
+    */
+  def devExpr(y: Column, mu: Column, m: Column): Column =
+    (y * log(greatest(y, lit(1.0)) / mu) +
+      (m - y) * log(greatest(m - y, lit(1.0)) / (m - mu))) * 2.0
+
+  /** Binomial variance V(μ) = μ(1 − μ/m) (reference: GLM.scala:125-129). */
+  def varExpr(mu: Column, m: Column): Column = mu * (lit(1.0) - mu / m)
+
+  /** Fit a binomial GLM.
+    *
+    * @param df        input data (features, label, optional m / offset cols)
+    * @param xCols     feature column names (numeric)
+    * @param yCol      response: successes (counts in [0, m]; 0/1 when m = 1)
+    * @param family    only "binomial" (the reference's family dispatch is
+    *                  vacuous — every branch routes to binomial,
+    *                  reference: GLM.scala:95-99,486-490 — so we make the
+    *                  contract explicit instead of copying the dead code)
+    * @param linkName  logit | probit | cloglog
+    * @param mCol      binomial denominator column (defaults to 1)
+    * @param offsetCol known-offset column added to η (defaults to 0)
+    * @param tol       |ΔD| convergence threshold (reference default 1e-6)
+    */
+  def fit(
+      df: DataFrame,
+      xCols: Seq[String],
+      yCol: String,
+      family: String = "binomial",
+      linkName: String = "logit",
+      intercept: Boolean = true,
+      mCol: Option[String] = None,
+      offsetCol: Option[String] = None,
+      tol: Double = 1e-6,
+      maxIter: Int = 50,
+      verbose: Boolean = false): GLMModel = {
+    require(family.toLowerCase == "binomial", s"only the binomial family is implemented (got $family)")
+    val link = LinkFn(linkName)
+
+    // Assemble one flat working DataFrame and persist it: every IRLS pass
+    // re-scans this (and only this).
+    val xs0 = xCols.map(c => col(c).cast(DoubleType))
+    val xsNames = xCols.indices.map(i => s"x$i")
+    val proj =
+      xs0.zip(xsNames).map { case (c, n) => c.as(n) } ++ Seq(
+        col(yCol).cast(DoubleType).as("y"),
+        mCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("m"),
+        offsetCol.map(col(_).cast(DoubleType)).getOrElse(lit(0.0)).as("off"))
+    val work = df.select(proj: _*).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ xsNames.map(col)
+    val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray
+    val y = col("y"); val m = col("m"); val off = col("off")
+    val eps = 1e-10
+
+    def clamp(mu: Column): Column = greatest(least(mu, m * (1.0 - eps)), m * eps)
+
+    try {
+      var beta: BDV[Double] = null
+      var dev = Double.NaN
+      var devOld = Double.NaN
+      var lastGram: Normal = null
+      var iterations = 0
+      var converged = false
+
+      while (iterations < maxIter && !converged) {
+        // η/μ from current β — or the standard GLM starting point
+        // μ₀ = m(y + ½)/(m + 1) on the first pass.
+        val (etaE, muE) =
+          if (beta == null) {
+            val mu0 = clamp(m * (y + 0.5) / (m + 1.0))
+            (link.link(mu0, m) + off, mu0)
+          } else {
+            val eta = xs.zipWithIndex
+              .map { case (c, i) => c * lit(beta(i)) }
+              .reduce(_ + _) + off
+            (eta, clamp(link.inverse(eta, m)))
+          }
+        val lp = link.lprime(muE, m)
+        val z = etaE + (y - muE) * lp - off
+        val w = lit(1.0) / (varExpr(muE, m) * lp * lp)
+
+        // ONE distributed pass: weighted normal equations + deviance.
+        val g = Gram.normal(work, xs, z, w, extras = Seq(sum(devExpr(y, muE, m))))
+        dev = g.extras(0)
+        lastGram = g
+
+        if (iterations > 0 && math.abs(dev - devOld) < tol) converged = true
+        else {
+          devOld = dev
+          beta = LinAlg.solvePD(g.xtx, g.xty)
+        }
+        if (verbose) println(s"[glm] iter=$iterations deviance=$dev")
+        iterations += 1
+      }
+
+      val p = lastGram.p
+      val invD = LinAlg.invDiag(lastGram.xtx)
+      val se = BDV.tabulate(p)(i => math.sqrt(invD(i)))
+
+      // Final statistics: μ at the converged β.
+      val etaF = xs.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }.reduce(_ + _) + off
+      val muF = clamp(link.inverse(etaF, m))
+      val statsRow = work.agg(
+        sum((y - muF) * (y - muF) / varExpr(muF, m)).as("pearson"),
+        sum(logChoose(m, y) + y * log(muF / m) + (m - y) * log(lit(1.0) - muF / m)).as("ll"),
+        sum(y).as("y_sum"),
+        sum(m).as("m_sum"),
+        count(lit(1)).as("n")).head()
+      val pearson = statsRow.getDouble(0)
+      val ll = statsRow.getDouble(1)
+      val pHat = statsRow.getDouble(2) / statsRow.getDouble(3)
+      val n = statsRow.getLong(4)
+
+      // Null deviance: intercept-only binomial MLE is μ/m = Σy/Σm for any
+      // monotone link — closed form, one small extra pass.
+      val muNull = clamp(m * pHat)
+      val nullDev = work.agg(sum(devExpr(y, muNull, m))).head().getDouble(0)
+
+      new GLMModel(names, yCol, intercept, "binomial", link, beta, se,
+        dev, nullDev, pearson, ll, n, iterations)
+    } finally {
+      work.unpersist(blocking = false)
+    }
+  }
+
+  /** Formula front-end (dummy-encodes string columns first). */
+  def fitFormula(
+      df: DataFrame,
+      formula: String,
+      linkName: String = "logit",
+      tol: Double = 1e-6,
+      maxIter: Int = 50): GLMModel = {
+    val f0 = Formula.parse(formula).resolve(df.columns.toSeq)
+    val sel = df.select((f0.response +: f0.terms).map(col): _*)
+    val encoded = ModelMatrix.encode(ModelMatrix.naDrop(sel))
+    val xNames = encoded.columns.filter(_ != f0.response)
+    fit(encoded, xNames.toSeq, f0.response, linkName = linkName,
+      intercept = f0.intercept, tol = tol, maxIter = maxIter)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.glm
+
+import breeze.linalg.{DenseVector => BDV}
+import org.apache.commons.math3.distribution.{FDistribution, TDistribution}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Ordinary / weighted least squares on a single DataFrame.
+  *
+  * Re-expression of the reference's `LM` (reference: LM.scala:241-274 `fit`,
+  * LM.scala:29-61 `predict`, LM.scala:66-137 `SummaryLM`) with the
+  * partition-dependent dual-DataFrame API removed (see SURVEY.md §1): one
+  * DataFrame holds features and label, there is a single code path for any
+  * partitioning, and the entire fit — coefficients, SSE, R², F, std errors —
+  * comes out of **one** distributed aggregation pass:
+  *
+  *   given (XᵀWX, XᵀWy, yᵀWy, Σwy, Σw) from [[Gram.normal]]:
+  *     β    = (XᵀWX)⁻¹ XᵀWy              (driver Cholesky)
+  *     SSE  = yᵀWy − βᵀXᵀWy              (normal-equations identity)
+  *     TSS  = yᵀWy − (Σwy)²/Σw
+  *     R²   = 1 − SSE/TSS,  F = ((TSS−SSE)/(p−1)) / (SSE/(n−p))
+  *     se_j = sqrt(SSE/(n−p) · ((XᵀWX)⁻¹)_jj)
+  *
+  * versus the reference's 2 data passes + 2 `count()` jobs + a ySums collect
+  * (reference: LM.scala:245-252,160-176). Scoring is a pure `withColumn`
+  * projection with literal coefficients — no collect, no zipWithIndex jobs
+  * (reference: LM.scala:39-61 collects single-partition data to the driver
+  * and round-trips it).
+  */
+final class LMModel(
+    val xnames: Array[String],
+    val yname: String,
+    val intercept: Boolean,
+    val coefs: BDV[Double],
+    val stdErr: BDV[Double],
+    val sigma: Double,
+    val r2: Double,
+    val adjR2: Double,
+    val fStat: Double,
+    val n: Long)
+    extends Serializable {
+
+  /** Number of fitted parameters (including intercept). */
+  def p: Int = coefs.length
+  def dfResidual: Long = n - p
+  def dfModel: Int = p - 1
+
+  def tValues: BDV[Double] = BDV.tabulate(p)(i => coefs(i) / stdErr(i))
+
+  def pValues: BDV[Double] = {
+    val t = new TDistribution(dfResidual.toDouble)
+    BDV.tabulate(p)(i => 2.0 * (1.0 - t.cumulativeProbability(math.abs(tValues(i)))))
+  }
+
+  def fPValue: Double =
+    if (dfModel <= 0) Double.NaN
+    else 1.0 - new FDistribution(dfModel.toDouble, dfResidual.toDouble).cumulativeProbability(fStat)
+
+  /** Names of the feature columns expected at scoring time (no intercept). */
+  def featureNames: Array[String] = if (intercept) xnames.drop(1) else xnames
+
+  /** ŷ as a column expression with literal coefficients — codegen-friendly,
+    * usable on batch or streaming DataFrames alike.
+    */
+  def predictionExpr: Column = {
+    val terms = featureNames.zipWithIndex.map { case (nm, i) =>
+      col(nm).cast(DoubleType) * lit(coefs(if (intercept) i + 1 else i))
+    }
+    val linear = terms.foldLeft(if (intercept) lit(coefs(0)) else lit(0.0))(_ + _)
+    linear
+  }
+
+  /** Score `df`: missing training columns are added as 0.0 (matchCols
+    * semantics, reference: utils.scala:21-33), prediction appended as a new
+    * column — the input rows are preserved, unlike the reference's
+    * `(index, value)` output (reference: LM.scala:27,48-49).
+    */
+  def predict(df: DataFrame, outputCol: String = "prediction"): DataFrame =
+    ModelMatrix.matchCols(featureNames.toSeq, df).withColumn(outputCol, predictionExpr)
+
+  def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
+    (if (intercept) "" else " - 1")
+
+  /** R-style printed summary (reference: LM.scala:66-137). */
+  def summary: String = {
+    import NumFormat._
+    val sb = new StringBuilder
+    sb ++= s"Call:\nlm(formula = $formulaString)\n\n"
+    sb ++= "Coefficients:\n"
+    sb ++= f"${""}%-20s${"Estimate"}%13s${"Std. Error"}%13s${"t value"}%13s${"Pr(>|t|)"}%13s\n"
+    val tv = tValues; val pv = pValues
+    xnames.indices.foreach { i =>
+      sb ++= f"${xnames(i)}%-20s${cell(coefs(i))}${cell(stdErr(i))}${cell(tv(i))}${cell(pv(i))} ${stars(pv(i))}\n"
+    }
+    sb ++= "---\n"
+    sb ++= s"Residual standard error: ${sigDigits(sigma, 6)} on $dfResidual degrees of freedom\n"
+    sb ++= s"Multiple R-squared: ${sigDigits(r2, 6)}, Adjusted R-squared: ${sigDigits(adjR2, 6)}\n"
+    sb ++= s"F-statistic: ${sigDigits(fStat, 6)} on $dfModel and $dfResidual DF, p-value: ${sigDigits(fPValue, 6)}\n"
+    sb.result()
+  }
+}
+
+object LM {
+
+  /** Fit y ~ X by (weighted) least squares.
+    *
+    * @param df        input data; feature/label columns must be numeric
+    * @param xCols     feature column names
+    * @param yCol      label column name
+    * @param intercept prepend an all-ones column (named "(Intercept)")
+    * @param weightCol optional observation-weight column (WLS,
+    *                  reference: utils.scala:70-112)
+    */
+  def fit(
+      df: DataFrame,
+      xCols: Seq[String],
+      yCol: String,
+      intercept: Boolean = true,
+      weightCol: Option[String] = None): LMModel = {
+    require(xCols.nonEmpty, "at least one feature column required")
+    val xs: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xCols.map(c => col(c).cast(DoubleType))
+    val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+
+    val g = Gram.normal(df, xs, col(yCol).cast(DoubleType), w)
+    val p = g.p
+    require(g.n > p, s"need more rows (${g.n}) than parameters ($p)")
+
+    val beta = LinAlg.solvePD(g.xtx, g.xty)
+    val sse = math.max(0.0, g.yty - (beta dot g.xty))
+    val tss = if (intercept) g.yty - g.ySum * g.ySum / g.wSum else g.yty
+    val ssm = tss - sse
+    val dfe = (g.n - p).toDouble
+    val sigma2 = sse / dfe
+    val invD = LinAlg.invDiag(g.xtx)
+    val se = BDV.tabulate(p)(i => math.sqrt(sigma2 * invD(i)))
+    val r2 = if (tss > 0) ssm / tss else Double.NaN
+    val adjR2 = 1.0 - (1.0 - r2) * (g.n - (if (intercept) 1 else 0)).toDouble / dfe
+    val f = if (p > 1) (ssm / (p - 1)) / sigma2 else Double.NaN
+
+    new LMModel(names, yCol, intercept, beta, se, math.sqrt(sigma2), r2, adjR2, f, g.n)
+  }
+
+  /** Formula front-end: dummy-encodes string columns via [[ModelMatrix]]
+    * then fits (reference: R/pkg/R/LM.R:24-44 `sparkLM`).
+    */
+  def fitFormula(df: DataFrame, formula: String, weightCol: Option[String] = None): LMModel = {
+    val f0 = Formula.parse(formula).resolve(df.columns.filterNot(weightCol.contains).toSeq)
+    val sel = df.select((f0.response +: (f0.terms ++ weightCol)).map(col): _*)
+    val encoded = ModelMatrix.encode(ModelMatrix.naDrop(sel))
+    val xNames = encoded.columns.filter(c => c != f0.response && !weightCol.contains(c))
+    fit(encoded, xNames.toSeq, f0.response, f0.intercept, weightCol)
+  }
+}

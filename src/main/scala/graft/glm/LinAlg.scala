@@ -1,0 +1,50 @@
+package graft.glm
+
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV, cholesky, inv}
+
+/** Driver-local dense solves for the (small, p×p) normal equations.
+  *
+  * The reference inverts XᵀX explicitly (reference: LM.scala:197,225,
+  * utils.scala:75,108). We solve via Cholesky (XᵀWX is symmetric PD for full
+  * column rank X, positive w) for numerical stability, falling back to a
+  * general LU solve if the factorization fails; the explicit inverse is
+  * computed only once, for the standard-error diagonal.
+  */
+object LinAlg {
+
+  /** Solve a·x = b for symmetric positive-definite `a`. */
+  def solvePD(a: BDM[Double], b: BDV[Double]): BDV[Double] =
+    try {
+      val l = cholesky(a)
+      // forward substitution: l·z = b
+      val p = a.rows
+      val z = BDV.zeros[Double](p)
+      var i = 0
+      while (i < p) {
+        var s = b(i)
+        var j = 0
+        while (j < i) { s -= l(i, j) * z(j); j += 1 }
+        z(i) = s / l(i, i)
+        i += 1
+      }
+      // back substitution: lᵀ·x = z
+      val x = BDV.zeros[Double](p)
+      i = p - 1
+      while (i >= 0) {
+        var s = z(i)
+        var j = i + 1
+        while (j < p) { s -= l(j, i) * x(j); j += 1 }
+        x(i) = s / l(i, i)
+        i -= 1
+      }
+      x
+    } catch {
+      case _: Exception => a \ b
+    }
+
+  /** Diagonal of a⁻¹ for symmetric PD `a` (for coefficient std errors). */
+  def invDiag(a: BDM[Double]): BDV[Double] = {
+    val ia = inv(a)
+    BDV.tabulate(a.rows)(i => ia(i, i))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.glm
+
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Binomial link functions as *column-expression builders*, so each IRLS
+  * quantity is a single codegen'd projection instead of the reference's
+  * Breeze matrix passes (reference: GLM.scala:190-251).
+  *
+  * Each link provides, for mean μ and binomial denominator m:
+  *   link(μ)      = η                           (reference: e.g. GLM.scala:190-194)
+  *   inverse(η)   = μ                           (reference: GLM.scala:200-204)
+  *   lprime(μ)    = dη/dμ                       (reference: GLM.scala:195-199)
+  *
+  * Logit and cloglog are pure `log`/`exp` SQL expressions (whole-stage
+  * codegen). Probit needs Φ and Φ⁻¹, which have no SQL builtin — those two
+  * are scalar UDFs over commons-math3 (reference uses the same Gaussian
+  * icdf approach, GLM.scala:207-234); the Gaussian pdf φ IS expressible
+  * natively.
+  */
+sealed trait LinkFn extends Serializable {
+  def name: String
+  def link(mu: Column, m: Column): Column
+  def inverse(eta: Column, m: Column): Column
+  def lprime(mu: Column, m: Column): Column
+}
+
+object LinkFn {
+
+  def apply(name: String): LinkFn = name.toLowerCase match {
+    case "logit"   => Logit
+    case "probit"  => Probit
+    case "cloglog" => Cloglog
+    case other     => throw new IllegalArgumentException(s"unknown link: $other")
+  }
+
+  /** Φ (standard normal CDF) as a scalar UDF. */
+  val pnorm = udf { (x: Double) =>
+    new NormalDistribution(0.0, 1.0).cumulativeProbability(x)
+  }
+
+  /** Φ⁻¹ (standard normal quantile) as a scalar UDF. */
+  val qnorm = udf { (x: Double) =>
+    new NormalDistribution(0.0, 1.0).inverseCumulativeProbability(x)
+  }
+
+  /** φ (standard normal pdf) — native expression, codegen'd. */
+  def dnorm(x: Column): Column = exp(x * x * -0.5) / math.sqrt(2.0 * math.Pi)
+
+  case object Logit extends LinkFn {
+    val name = "logit"
+    def link(mu: Column, m: Column): Column = log(mu / (m - mu))
+    def inverse(eta: Column, m: Column): Column = m / (exp(-eta) + 1.0)
+    def lprime(mu: Column, m: Column): Column = m / (mu * (m - mu))
+  }
+
+  case object Probit extends LinkFn {
+    val name = "probit"
+    def link(mu: Column, m: Column): Column = qnorm(mu / m)
+    def inverse(eta: Column, m: Column): Column = m * pnorm(eta)
+    def lprime(mu: Column, m: Column): Column = lit(1.0) / (m * dnorm(qnorm(mu / m)))
+  }
+
+  case object Cloglog extends LinkFn {
+    val name = "cloglog"
+    def link(mu: Column, m: Column): Column = log(-log(lit(1.0) - mu / m))
+    def inverse(eta: Column, m: Column): Column = m * (lit(1.0) - exp(-exp(eta)))
+    def lprime(mu: Column, m: Column): Column = lit(1.0) / ((mu - m) * log(lit(1.0) - mu / m))
+  }
+}

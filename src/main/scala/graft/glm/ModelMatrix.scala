@@ -1,0 +1,82 @@
+package graft.glm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Data-prep transforms that turn an arbitrary DataFrame into an all-double
+  * model matrix.
+  *
+  * Semantics follow the reference (reference: modelMatrix.scala:18-85,
+  * utils.scala:21-33, R/pkg/R/utils.R:24-27):
+  *
+  *  - every `StringType` column becomes k−1 dummy 0/1 columns, one per
+  *    distinct level in **lexicographic** order with the first level dropped
+  *    as the baseline, named `{col}_{level}` (reference: modelMatrix.scala:56-58
+  *    sorts levels and drops the head — NOT MLlib's frequency order);
+  *  - all other columns are cast to double, names preserved
+  *    (reference: modelMatrix.scala:79-85 `castAll`);
+  *  - `matchCols` aligns a scoring DataFrame with the training columns by
+  *    adding any missing column as constant 0.0 (reference: utils.scala:21-33),
+  *    and additionally reorders to the training order;
+  *  - `naDrop` drops rows with any null (reference: R/pkg/R/utils.R:24-27).
+  *
+  * Scale notes: level discovery is **one** distributed job for all string
+  * columns at once (`collect_set` per column in a single agg), unlike the
+  * reference's one `distinct().collect()` job per column
+  * (reference: modelMatrix.scala:56-58). Only the level values (small, by the
+  * definition of a categorical column) reach the driver. The encoding itself
+  * is a pure projection — codegen'd, no shuffle, safe at any scale.
+  */
+object ModelMatrix {
+
+  /** Distinct values of each given column, sorted ascending — one Spark job. */
+  def levels(df: DataFrame, cols: Seq[String]): Map[String, Array[String]] = {
+    if (cols.isEmpty) return Map.empty
+    val row = df.agg(
+      collect_set(col(cols.head)).as(cols.head),
+      cols.tail.map(c => collect_set(col(c)).as(c)): _*
+    ).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> row.getSeq[String](i).toArray.sorted
+    }.toMap
+  }
+
+  /** Dummy columns for one string column: k−1 indicator columns, first
+    * (lexicographically smallest) level is the baseline.
+    */
+  def dummyColumns(c: String, lvls: Array[String]): Seq[Column] =
+    lvls.drop(1).toSeq.map { lvl =>
+      when(col(c) === lit(lvl), 1.0).otherwise(0.0).as(s"${c}_$lvl")
+    }
+
+  /** Encode `df` into an all-double model matrix (see object doc). */
+  def encode(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val lv = levels(df, stringCols.toSeq)
+    val out: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
+      if (f.dataType == StringType) dummyColumns(f.name, lv(f.name))
+      else Seq(col(f.name).cast(DoubleType).as(f.name))
+    }
+    df.select(out: _*)
+  }
+
+  /** Cast every column of `df` to double, preserving names. */
+  def castAll(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c => col(c).cast(DoubleType).as(c)): _*)
+
+  /** Align a scoring DataFrame with training columns: add missing columns as
+    * 0.0 and reorder to `xnames`; columns not in `xnames` are kept after.
+    */
+  def matchCols(xnames: Seq[String], df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val aligned = xnames.map { n =>
+      if (present(n)) col(n).cast(DoubleType).as(n) else lit(0.0).as(n)
+    }
+    val rest = df.columns.toSeq.filterNot(xnames.contains).map(col)
+    df.select(aligned ++ rest: _*)
+  }
+
+  /** Drop rows containing any null. */
+  def naDrop(df: DataFrame): DataFrame = df.na.drop("any")
+}

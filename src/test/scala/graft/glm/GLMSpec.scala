@@ -1,0 +1,96 @@
+package graft.glm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic Bernoulli data with known logit coefficients (−1, 0.8, −0.5). */
+  private lazy val bern = {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 2000).map { i =>
+      val x1 = rng.nextDouble() * 4 - 2
+      val x2 = rng.nextDouble() * 2
+      val eta = -1.0 + 0.8 * x1 - 0.5 * x2
+      val p = 1.0 / (1.0 + math.exp(-eta))
+      val y = if (rng.nextDouble() < p) 1.0 else 0.0
+      (i, x1, x2, y)
+    }
+    rows.toDF("id", "x1", "x2", "y")
+  }
+
+  test("intercept-only logit recovers log-odds of the mean exactly") {
+    val m = GLM.fit(bern, Seq.empty[String] :+ "x1", "y") // warm-up is separate; real check below
+    val only = GLM.fit(bern.withColumn("one", lit(1.0)), Seq("one"), "y", intercept = false)
+    val pBar = bern.agg(avg($"y")).head().getDouble(0)
+    val expected = math.log(pBar / (1 - pBar))
+    assert(math.abs(only.coefs(0) - expected) < 1e-7, s"${only.coefs(0)} vs $expected")
+    // null deviance equals residual deviance for the intercept-only model
+    assert(math.abs(only.nullDeviance - only.deviance) < 1e-6)
+    assert(m.iter > 0)
+  }
+
+  test("logit fit recovers the generating coefficients") {
+    val m = GLM.fit(bern, Seq("x1", "x2"), "y")
+    assert(math.abs(m.coefs(0) - (-1.0)) < 0.25, s"b0=${m.coefs(0)}")
+    assert(math.abs(m.coefs(1) - 0.8) < 0.2, s"b1=${m.coefs(1)}")
+    assert(math.abs(m.coefs(2) - (-0.5)) < 0.3, s"b2=${m.coefs(2)}")
+    assert(m.deviance < m.nullDeviance)
+    assert(m.iter >= 3 && m.iter <= 25)
+    assert(m.aic > 0 && m.dispersion > 0)
+  }
+
+  test("fit is invariant to partitioning") {
+    val a = GLM.fit(bern.repartition(1), Seq("x1", "x2"), "y")
+    val b = GLM.fit(bern.repartition(9), Seq("x1", "x2"), "y")
+    (0 until 3).foreach(i => assert(math.abs(a.coefs(i) - b.coefs(i)) < 1e-8))
+    assert(math.abs(a.deviance - b.deviance) < 1e-6)
+  }
+
+  test("grouped binomial (m > 1) equals Bernoulli expansion") {
+    // aggregate to groups over a coarse x grid: y successes out of m trials
+    val grouped = bern
+      .withColumn("xg", round($"x1" * 2) / 2.0)
+      .groupBy("xg").agg(sum($"y").as("succ"), count(lit(1)).cast("double").as("m"))
+    val g = GLM.fit(grouped, Seq("xg"), "succ", mCol = Some("m"))
+    val e = GLM.fit(bern.withColumn("xg", round($"x1" * 2) / 2.0), Seq("xg"), "y")
+    (0 until 2).foreach(i => assert(math.abs(g.coefs(i) - e.coefs(i)) < 1e-6,
+      s"coef $i: ${g.coefs(i)} vs ${e.coefs(i)}"))
+    assert(math.abs(g.loglik) > 0)
+  }
+
+  test("probit and cloglog converge and predict probabilities in (0,1)") {
+    Seq("probit", "cloglog").foreach { ln =>
+      val m = GLM.fit(bern, Seq("x1", "x2"), "y", linkName = ln)
+      assert(m.iter < 30, s"$ln did not converge quickly")
+      assert(m.deviance < m.nullDeviance)
+      val preds = m.predict(bern.limit(100)).select("prediction")
+        .collect().map(_.getDouble(0))
+      assert(preds.forall(p => p > 0 && p < 1), s"$ln prediction out of range")
+    }
+  }
+
+  test("offset shifts the intercept by its value") {
+    val withOff = bern.withColumn("o", lit(0.7))
+    val m0 = GLM.fit(bern, Seq("x1", "x2"), "y")
+    val m1 = GLM.fit(withOff, Seq("x1", "x2"), "y", offsetCol = Some("o"))
+    assert(math.abs((m0.coefs(0) - m1.coefs(0)) - 0.7) < 1e-6)
+    assert(math.abs(m0.coefs(1) - m1.coefs(1)) < 1e-7)
+  }
+
+  test("summary renders") {
+    val m = GLM.fit(bern, Seq("x1", "x2"), "y")
+    val s = m.summary
+    assert(s.contains("Null deviance") && s.contains("AIC") && s.contains("Fisher"))
+  }
+
+  test("fitFormula on real parquet: returnflag ~ quantity + discount") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("is_r", when($"l_returnflag" === "R", 1.0).otherwise(0.0))
+    val m = GLM.fit(li, Seq("l_quantity", "l_discount"), "is_r")
+    assert(m.n == 6000)
+    assert(m.iter < 30)
+    assert(m.deviance <= m.nullDeviance + 1e-9)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.glm
+
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LMSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic data: y = 2 + 3·x1 − 1.5·x2 + noise(seeded). */
+  private lazy val data = {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      val x1 = rng.nextDouble() * 10
+      val x2 = rng.nextDouble() * 4
+      val y = 2.0 + 3.0 * x1 - 1.5 * x2 + rng.nextGaussian() * 0.5
+      (i, x1, x2, y)
+    }
+    rows.toDF("id", "x1", "x2", "y")
+  }
+
+  /** Local reference solve on collected data (straightforward normal eqs). */
+  private def localFit(xs: Array[Array[Double]], y: Array[Double]): BDV[Double] = {
+    val n = xs.length; val p = xs.head.length
+    val x = BDM.tabulate(n, p)((i, j) => xs(i)(j))
+    val yv = BDV(y)
+    (x.t * x) \ (x.t * yv)
+  }
+
+  test("coefficients match a local solve") {
+    val m = LM.fit(data, Seq("x1", "x2"), "y")
+    val local = localFit(
+      data.select($"x1", $"x2").collect().map(r => Array(1.0, r.getDouble(0), r.getDouble(1))),
+      data.select($"y").collect().map(_.getDouble(0)))
+    (0 until 3).foreach(i => assert(math.abs(m.coefs(i) - local(i)) < 1e-8,
+      s"coef $i: ${m.coefs(i)} vs ${local(i)}"))
+    assert(math.abs(m.coefs(0) - 2.0) < 0.2)
+    assert(math.abs(m.coefs(1) - 3.0) < 0.05)
+    assert(math.abs(m.coefs(2) - (-1.5)) < 0.05)
+  }
+
+  test("fit is invariant to partitioning") {
+    val a = LM.fit(data.repartition(1), Seq("x1", "x2"), "y")
+    val b = LM.fit(data.repartition(13), Seq("x1", "x2"), "y")
+    (0 until 3).foreach(i => assert(math.abs(a.coefs(i) - b.coefs(i)) < 1e-9))
+    assert(math.abs(a.r2 - b.r2) < 1e-12)
+  }
+
+  test("perfect fit has r2 = 1 and near-zero sigma") {
+    val exact = data.withColumn("yy", lit(1.0) + col("x1") * 2.0)
+    val m = LM.fit(exact, Seq("x1"), "yy")
+    assert(math.abs(m.r2 - 1.0) < 1e-12)
+    assert(m.sigma < 1e-6)
+    assert(math.abs(m.coefs(0) - 1.0) < 1e-9)
+    assert(math.abs(m.coefs(1) - 2.0) < 1e-9)
+  }
+
+  test("summary statistics are sane") {
+    val m = LM.fit(data, Seq("x1", "x2"), "y")
+    assert(m.r2 > 0.99)
+    assert(m.fStat > 1000)
+    assert(m.pValues(1) < 1e-10)
+    assert(m.summary.contains("R-squared"))
+  }
+
+  test("predict appends prediction and preserves rows; missing cols become 0") {
+    val m = LM.fit(data, Seq("x1", "x2"), "y")
+    val scored = m.predict(data)
+    assert(scored.count() == 500)
+    assert(scored.columns.contains("prediction"))
+    // dropping x2 at scoring time = x2 treated as 0
+    val one = m.predict(data.select($"id", $"x1").limit(1))
+    val r = one.select($"x1", $"prediction").head()
+    val expected = m.coefs(0) + m.coefs(1) * r.getDouble(0)
+    assert(math.abs(r.getDouble(1) - expected) < 1e-12)
+  }
+
+  test("weight 2 is equivalent to row duplication (WLS)") {
+    val w2 = data.withColumn("w", when($"id" % 2 === 0, 2.0).otherwise(1.0))
+    val dup = data.union(data.filter($"id" % 2 === 0))
+    val a = LM.fit(w2, Seq("x1", "x2"), "y", weightCol = Some("w"))
+    val b = LM.fit(dup, Seq("x1", "x2"), "y")
+    (0 until 3).foreach(i => assert(math.abs(a.coefs(i) - b.coefs(i)) < 1e-9))
+  }
+
+  test("fitFormula with categorical dummies on real parquet") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val m = LM.fitFormula(cust, "c_acctbal ~ c_nationkey + c_mktsegment")
+    // 1 intercept + 1 numeric + 4 dummies (5 segments, k-1)
+    assert(m.xnames.length == 6)
+    assert(m.xnames.count(_.startsWith("c_mktsegment_")) == 4)
+    assert(m.n == 150)
+  }
+
+  test("no-intercept fit") {
+    val m = LM.fit(data, Seq("x1"), "y", intercept = false)
+    assert(m.xnames.toSeq == Seq("x1"))
+    // slope absorbs the intercept; just check it solved and r2 is defined
+    assert(m.coefs(0) > 2.5 && m.coefs(0) < 4.0)
+  }
+
+  test("wide-path treeAggregate agrees with expression path") {
+    // force the wide path by exceeding maxExprWidth with dummy features
+    val cols = (1 to 70).map(i => (col("x1") * lit(i * 0.01)).as(s"f$i"))
+    val wide = data.select((Seq($"y", $"x1", $"x2") ++ cols): _*)
+    val gExpr = Gram.normal(wide, Seq(lit(1.0), col("x1"), col("x2")), col("y"))
+    val gWide = Gram.normal(wide, (Seq(lit(1.0), col("x1"), col("x2")) ++
+      (1 to 70).map(i => col(s"f$i"))), col("y"))
+    assert(math.abs(gExpr.xtx(1, 2) - gWide.xtx(1, 2)) < 1e-6)
+    assert(gExpr.n == gWide.n)
+  }
+}
