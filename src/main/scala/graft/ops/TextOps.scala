@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, and document
+  * fingerprinting — all pure column expressions (whole-stage codegen, no
+  * UDFs, no shuffles beyond what the caller aggregates), so they run at
+  * full scan speed over any corpus size.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation count: splits on whitespace AND on
+    * letter/digit/punctuation boundaries, a cheap proxy for a real BPE
+    * tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=\\p{Punct})|(?<=\\p{Punct})"),
+      t => length(t) > 0))
+
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0.0), (acc, w) => acc + length(w)) / greatest(size(t), lit(1))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Fraction of characters that are uppercase. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Fraction of tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(stopwords.map(lit(_)): _*))).cast("double") /
+      greatest(size(t), lit(1))
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with a
+    * healthy stopword ratio and penalizes punctuation-heavy text. Weights
+    * are heuristic but deterministic — a standard pre-training-filter shape.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    (lengthScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2)
+  }
+
+  /** Marker words per language for the n-gram/heuristic language scorer. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "not"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "ne"),
+    "zh" -> Seq("de5", "shi4", "le5", "bu4", "wo3"))
+
+  /** Count of occurrences of `word` as a whole token inside `text`:
+    * tokenize, filter, size. Portable to DuckDB as
+    * `len(list_filter(regexp_split_to_array(text, '\s+'), t -> t = word))`.
+    */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === word)).cast("double")
+
+  /** Per-language marker score: total marker-word occurrences / token count. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(wordOccurrences(text, _)).reduce(_ + _) /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Predicted language: argmax of [[langScore]] over [[langMarkers]],
+    * ties broken by language code order.
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, mk) => (lang, langScore(text, mk)) }
+    // fold to (bestLang, bestScore) with strict > so earlier (lexicographic
+    // smaller) language wins ties
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+  }
+
+  /** OpenRefine-style key-collision fingerprint: lowercase, strip
+    * non-alphanumerics, split, dedupe, sort, re-join. Two documents with the
+    * same fingerprint are permutations/duplications of the same vocabulary.
+    */
+  def fingerprint(text: Column): Column =
+    array_join(
+      array_sort(array_distinct(filter(
+        split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +"),
+        t => length(t) > 0))),
+      " ")
+
+  /** Rolling hash of the token stream — an order-sensitive document
+    * signature, unlike [[fingerprint]]. Chained xxhash64(acc, token) rather
+    * than a polynomial accumulator: same streaming shape, no ANSI-mode
+    * 64-bit multiply overflow.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+}

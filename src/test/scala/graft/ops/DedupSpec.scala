@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // A corpus with planted duplicates: ids 9000001/9000002 duplicate doc 1's
+  // text exactly; 9000003 is a near-dup of doc 2 (one word appended).
+  private lazy val planted = {
+    val base = docs.select($"doc_id", $"text")
+    val d1 = docs.filter($"doc_id" === 1).select($"text").head().getString(0)
+    val d2 = docs.filter($"doc_id" === 2).select($"text").head().getString(0)
+    base.union(Seq(
+      (9000001L, d1), (9000002L, d1), (9000003L, d2 + " zzz")
+    ).toDF("doc_id", "text"))
+  }
+
+  test("exact dedup groups identical texts under the min id") {
+    val groups = Dedup.exact(planted, "doc_id", "text")
+    val g1 = groups.filter($"keep_id" === 1).head()
+    assert(g1.getAs[Long]("n_dups") === 3) // doc 1 + two planted copies
+    // total distinct digests = distinct texts
+    val nDistinctTexts = planted.select("text").distinct().count()
+    assert(groups.count() === nDistinctTexts)
+  }
+
+  test("shingles: n-gram count and contents") {
+    val row = spark.range(1).select(
+      Dedup.shingleExpr(lit("a b c d"), 2).as("sh")).head()
+    val sh = row.getSeq[String](0)
+    assert(sh.toSet === Set("a b", "b c", "c d"))
+  }
+
+  test("jaccard pairs find the planted near-dup and exact dups") {
+    val pairs = Dedup.jaccardPairs(planted, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exact copies have jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 9000001L && b == 9000002L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 9000001L && j == 1.0 })
+    // near-dup of doc 2 at high but < 1 similarity
+    assert(pairs.exists { case (a, b, j) => a == 2L && b == 9000003L && j > 0.8 && j < 1.0 })
+  }
+
+  test("minhash LSH surfaces the same planted pairs as candidates") {
+    val cand = Dedup.minhashPairs(planted, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((9000001L, 9000002L)))
+    assert(cand.contains((1L, 9000001L)))
+    assert(cand.contains((2L, 9000003L)))
+  }
+
+  test("minhash signature of identical docs is identical") {
+    val sig = Dedup.minhashSignatures(planted, "doc_id", "text")
+    val s1 = sig.filter($"id" === 9000001L).drop("id").head().toSeq
+    val s2 = sig.filter($"id" === 9000002L).drop("id").head().toSeq
+    assert(s1 === s2)
+  }
+
+  test("simhash pairs: identical docs at hamming 0, near-dup close") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 9000001L && b == 9000002L && h == 0 })
+    assert(pairs.exists { case (a, b, _) => a == 2L && b == 9000003L })
+  }
+
+  test("doc-frequency capping drops universal shingles") {
+    // every doc shares the shingle "x y"; capped at maxDocFreq=2 it must not
+    // produce O(n^2) pairs from that shingle alone
+    val univ = (1 to 10).map(i => (i.toLong, s"x y unique$i only$i here$i")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(univ, "doc_id", "text", n = 2, threshold = 0.01, maxDocFreq = 2)
+    assert(pairs.count() === 0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).head().getAs[T]("v")
+
+  test("tokenCount counts whitespace-separated tokens") {
+    assert(one[Int](TextOps.tokenCount(lit("the quick  brown\tfox"))) === 4)
+  }
+
+  test("subwordCount splits letter/digit/punct boundaries") {
+    // "ab12,cd" -> ab | 12 | , | cd
+    assert(one[Int](TextOps.subwordCount(lit("ab12,cd"))) === 4)
+  }
+
+  test("avgWordLen") {
+    assert(one[Double](TextOps.avgWordLen(lit("ab abcd"))) === 3.0)
+  }
+
+  test("punct and upper ratios") {
+    assert(one[Double](TextOps.punctRatio(lit("a,b!"))) === 0.5)
+    assert(one[Double](TextOps.upperRatio(lit("aAbB"))) === 0.5)
+  }
+
+  test("stopwordRatio uses the whole-token match") {
+    val r = one[Double](TextOps.stopwordRatio(lit("the cat and theme"), TextOps.defaultStopwords))
+    assert(r === 0.5) // "the", "and" of 4; "theme" must not match
+  }
+
+  test("wordOccurrences counts whole tokens, including repeats") {
+    assert(one[Double](TextOps.wordOccurrences(lit("the the the"), "the")) === 3.0)
+    assert(one[Double](TextOps.wordOccurrences(lit("theme thesis"), "the")) === 0.0)
+  }
+
+  test("langId picks the marker-heavy language") {
+    assert(one[String](TextOps.langId(lit("der hund und die katze nicht"))) === "de")
+    assert(one[String](TextOps.langId(lit("the cat is of the house"))) === "en")
+    assert(one[String](TextOps.langId(lit("el perro y la casa que"))) === "es")
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val a = one[String](TextOps.fingerprint(lit("The cat; sat! cat")))
+    val b = one[String](TextOps.fingerprint(lit("sat CAT the")))
+    assert(a === b && a === "cat sat the")
+  }
+
+  test("rollingHash is order-sensitive") {
+    val a = one[Long](TextOps.rollingHash(lit("a b c")))
+    val b = one[Long](TextOps.rollingHash(lit("c b a")))
+    assert(a !== b)
+    assert(one[Long](TextOps.rollingHash(lit("a b c"))) === a)
+  }
+
+  test("qualityScore is in [0,1] over the real corpus and favors clean text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val stats = docs.select(TextOps.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).head()
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+    val clean = one[Double](TextOps.qualityScore(lit(
+      "the house is large and the garden is green with many trees of note " +
+        "and it is a fine day in the village for a walk to the market")))
+    val junk = one[Double](TextOps.qualityScore(lit("@@@!!! ### $$$ %%%")))
+    assert(clean > junk)
+  }
+
+  test("language distribution on the corpus is plausible") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val byLang = docs.select(TextOps.langId($"text").as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.nonEmpty)
+  }
+}
