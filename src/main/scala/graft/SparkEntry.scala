@@ -1,13 +1,629 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.glm.{GLM, Gram, LM, ModelMatrix}
+import graft.ops.{Dedup, TextOps}
+
+/** Driver contract — the declared query surface checked against the DuckDB
+  * oracle (SURVEY.md §2, §7 step 6).
+  *
+  * Conventions that make the hash-compare deterministic:
+  *  - every aggregate / computed column is aliased identically in the Spark
+  *    code and the oracle SQL (the driver sorts columns by name);
+  *  - floating-point aggregates are rounded (aggregation order differs
+  *    between engines; per-row arithmetic is bit-identical IEEE754 so
+  *    unrounded per-row values are fine);
+  *  - queries with a LIMIT order by a unique key so the selected row set is
+  *    identical in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) which the vectorized parquet
+    * reader rejects; read nanos as long and rebuild a (micro) timestamp.
+    * Truncation uses integer `div` — double division of epoch-nanos would
+    * lose precision (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def r(c: Column, d: Int): Column = round(c, d)
+
+  /** Round driver-side doubles the way SQL round does (half away from zero). */
+  private def rd(v: Double, d: Int): Double =
+    BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Flagship: LM fit + score pipeline on sf0.001 (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val m = LM.fit(li, Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+    m.predict(li).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"), col("prediction"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------- classic relational operators over the TPC-H-ish tables ----------
+
+    // TPC-H Q1 shape: scan → filter → hash agg. Filter + needed-columns-only
+    // should both reach the parquet scan.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r(sum("l_quantity"), 2).as("sum_qty"),
+          r(sum("l_extendedprice"), 2).as("sum_base_price"),
+          // 4 decimals: the terms have exactly 4 decimal digits (2-decimal
+          // price × 2-decimal discount), so the exact sum sits ON the
+          // 4-decimal grid — rounding at 2 would cut into real digits and
+          // flake on half-boundaries between engines.
+          r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          r(avg("l_quantity"), 4).as("avg_qty"),
+          r(avg("l_extendedprice"), 4).as("avg_price"),
+          r(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // selective filter + projection + per-row computed column (no agg — rows
+    // compare bit-identically)
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.08)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"),
+          // no rounding: per-row IEEE754 arithmetic is bit-identical across
+          // engines; rounding would ADD half-boundary flake risk
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // TPC-H Q3 shape: 3-way join, agg, top-10 by revenue (unique-key tiebreak)
+    "q03_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1999-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: snowflake join down to region, broadcast small dims
+    "q04_nation_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val rg = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // window: per-customer top-3 orders by totalprice (unique tiebreak)
+    "q05_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // window: running sum over event time per user (deterministic FP order)
+    "q06_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("running_value", r(sum("value").over(w), 4))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // set operations: symmetric difference of two customer-key sets
+    "q07_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = o.groupBy("o_custkey").agg(sum("o_totalprice").as("tp"))
+        .filter(col("tp") > 3000000.0).select(col("o_custkey").as("custkey"))
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      big.except(building).unionAll(building.except(big))
+        .distinct().orderBy("custkey")
+    }),
+
+    // grouping sets: rollup with grand total
+    "q08_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(r(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // scalar-function projection (string/math built-ins)
+    "q09_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        r(col("p_retailprice") * 1.1, 2).as("inflated"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        (col("p_size") % 7).as("size_mod"),
+        abs(col("p_size") - 25).as("size_dev"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    }),
+
+    // count distinct + having
+    "q10_distinct_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 100)
+        .orderBy("l_returnflag")
+    }),
+
+    // event-time tumbling window (batch): hourly per-type counts
+    "q11_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          r(sum("value"), 4).as("sum_value"),
+          r(avg("value"), 6).as("avg_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // anti join: customers with no orders
+    "q12_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // semi join: suppliers that shipped at least one high-quantity item
+    "q13_semi_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      sup.join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    }),
+
+    // ---------- GLM surface (SURVEY.md §2a) ----------
+
+    // O1-O3 modelMatrix: lexicographic k-1 dummy encoding, all-double cast
+    "q14_model_matrix" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      ModelMatrix.encode(c).orderBy("c_custkey")
+    }),
+
+    // O4 matchCols: align scoring frame to training columns (missing → 0.0)
+    "q15_match_cols" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      ModelMatrix.matchCols(Seq("c_acctbal", "extra_feat"), c)
+        .select("c_custkey", "c_acctbal", "extra_feat").orderBy("c_custkey")
+    }),
+
+    // O5 naDrop (tables are null-free, so this must be the identity row set)
+    "q16_na_drop" -> ((s, dir) => {
+      ModelMatrix.naDrop(t(s, dir, "supplier")).orderBy("s_suppkey")
+    }),
+
+    // O7 Gram/normal-equation aggregation: moment matrix of
+    // (1, l_quantity, l_discount) vs y = l_extendedprice/1000, as averages
+    "q17_gram_moments" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = Gram.normal(li,
+        Seq(lit(1.0), col("l_quantity"), col("l_discount")),
+        col("l_extendedprice") / 1000.0)
+      val n = g.n.toDouble
+      import s.implicits._
+      Seq((rd(g.xtx(0, 1) / n, 6), rd(g.xtx(0, 2) / n, 6), rd(g.xtx(1, 1) / n, 6),
+        rd(g.xtx(1, 2) / n, 6), rd(g.xtx(2, 2) / n, 6),
+        rd(g.xty(0) / n, 6), rd(g.xty(1) / n, 6), rd(g.xty(2) / n, 6),
+        rd(g.yty / n, 6), g.n))
+        .toDF("m_x1", "m_x2", "m_x1x1", "m_x1x2", "m_x2x2",
+          "v_0", "v_1", "v_2", "m_yy", "n_rows")
+    }),
+
+    // O8-O12 LM fit: coefficients + R² (oracle: closed-form 2-regressor
+    // normal equations over the same moments)
+    "q18_lm_coefs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = LM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+      import s.implicits._
+      Seq((rd(m.coefs(0), 3), rd(m.coefs(1), 3), rd(m.coefs(2), 3),
+        rd(m.r2, 6), m.n))
+        .toDF("b_intercept", "b_quantity", "b_discount", "r2", "n_rows")
+    }),
+
+    // O17/O20/O21/O23 link + deviance/Pearson expressions at a FIXED beta
+    // (exercises logit inverse, variance, deviance columns end-to-end)
+    "q19_glm_dev_fixed" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val eta = lit(-0.4) + col("l_quantity") * lit(0.01) + col("l_discount") * lit(-2.0)
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      li.agg(
+        r(avg(GLM.devExpr(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        r(avg((col("y") - mu) * (col("y") - mu) / GLM.varExpr(mu, lit(1.0))), 6).as("avg_pearson"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // O24-O28 full IRLS fit (not SQL-expressible → rows-only check; numeric
+    // parity is covered by the R-golden unit tests)
+    "q20_glm_coefs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("is_r", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val m = GLM.fit(li, Seq("l_quantity", "l_discount"), "is_r")
+      import s.implicits._
+      Seq((rd(m.coefs(0), 4), rd(m.coefs(1), 4), rd(m.coefs(2), 4),
+        rd(m.deviance, 2), m.iter.toLong, m.n))
+        .toDF("b_intercept", "b_quantity", "b_discount", "deviance", "iterations", "n_rows")
+    }),
+
+    // ---------- training-data pipeline operators ----------
+
+    // exact dedup by content digest
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("digest")
+    }),
+
+    // text quality statistics (pure column expressions)
+    "q22_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        r(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        r(TextOps.upperRatio(col("text")), 6).as("upper_ratio"),
+        r(TextOps.avgWordLen(col("text")), 6).as("avg_word_len"),
+        r(TextOps.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // language identification histogram
+    "q23_lang_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")
+    }),
+
+    // key-collision fingerprint (order/duplication-insensitive signature)
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs
+    "q25_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), r(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash-LSH near-dup candidates (xxhash64-based → rows-only check)
+    "q26_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (xxhash64-based → rows-only check)
+    "q27_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_topk" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q06_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q07_setops" ->
+      """WITH big AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  GROUP BY o_custkey HAVING sum(o_totalprice) > 3000000.0),
+        |building AS (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |SELECT custkey FROM (
+        |  (SELECT custkey FROM big EXCEPT SELECT custkey FROM building)
+        |  UNION
+        |  (SELECT custkey FROM building EXCEPT SELECT custkey FROM big)) u
+        |ORDER BY custkey""".stripMargin,
+
+    "q08_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q09_scalar_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  length(p_name) AS name_len,
+        |  round(p_retailprice * 1.1, 2) AS inflated,
+        |  substring(p_type, 1, 5) AS type5,
+        |  p_size % 7 AS size_mod,
+        |  abs(p_size - 25) AS size_dev,
+        |  p_brand || '-' || p_type AS brand_type
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q10_distinct_having" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q14_model_matrix" ->
+      """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey,
+        |  CAST(c_nationkey AS DOUBLE) AS c_nationkey,
+        |  c_acctbal,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS c_mktsegment_BUILDING,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1.0 ELSE 0.0 END AS c_mktsegment_FURNITURE,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1.0 ELSE 0.0 END AS c_mktsegment_HOUSEHOLD,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1.0 ELSE 0.0 END AS c_mktsegment_MACHINERY
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_match_cols" ->
+      """SELECT c_custkey, c_acctbal, 0.0 AS extra_feat
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q16_na_drop" ->
+      """SELECT * FROM supplier
+        |WHERE s_suppkey IS NOT NULL AND s_name IS NOT NULL
+        |  AND s_nationkey IS NOT NULL AND s_acctbal IS NOT NULL
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_gram_moments" ->
+      """SELECT
+        |  round(avg(l_quantity), 6) AS m_x1,
+        |  round(avg(l_discount), 6) AS m_x2,
+        |  round(avg(l_quantity * l_quantity), 6) AS m_x1x1,
+        |  round(avg(l_quantity * l_discount), 6) AS m_x1x2,
+        |  round(avg(l_discount * l_discount), 6) AS m_x2x2,
+        |  round(avg(l_extendedprice / 1000.0), 6) AS v_0,
+        |  round(avg(l_quantity * (l_extendedprice / 1000.0)), 6) AS v_1,
+        |  round(avg(l_discount * (l_extendedprice / 1000.0)), 6) AS v_2,
+        |  round(avg((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)), 6) AS m_yy,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q18_lm_coefs" ->
+      """WITH m AS (
+        |  SELECT avg(l_quantity) AS mx1, avg(l_discount) AS mx2,
+        |    avg(l_extendedprice) AS my,
+        |    avg(l_quantity * l_quantity) AS x11,
+        |    avg(l_quantity * l_discount) AS x12,
+        |    avg(l_discount * l_discount) AS x22,
+        |    avg(l_quantity * l_extendedprice) AS x1y,
+        |    avg(l_discount * l_extendedprice) AS x2y,
+        |    avg(l_extendedprice * l_extendedprice) AS yy,
+        |    count(*) AS n
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n,
+        |    x11 - mx1 * mx1 AS s11, x12 - mx1 * mx2 AS s12,
+        |    x22 - mx2 * mx2 AS s22, x1y - mx1 * my AS s1y,
+        |    x2y - mx2 * my AS s2y, yy - my * my AS syy,
+        |    mx1, mx2, my
+        |  FROM m),
+        |b AS (
+        |  SELECT n, mx1, mx2, my, s1y, s2y, syy,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c)
+        |SELECT round(my - b1 * mx1 - b2 * mx2, 3) AS b_intercept,
+        |  round(b1, 3) AS b_quantity,
+        |  round(b2, 3) AS b_discount,
+        |  round((b1 * s1y + b2 * s2y) / syy, 6) AS r2,
+        |  n AS n_rows
+        |FROM b""".stripMargin,
+
+    "q19_glm_dev_fixed" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 / (1.0 + exp(-(-0.4 + l_quantity * 0.01 + l_discount * -2.0))) AS mu
+        |  FROM lineitem)
+        |SELECT
+        |  round(avg((y * ln(greatest(y, 1.0) / mu)
+        |    + (1.0 - y) * ln(greatest(1.0 - y, 1.0) / (1.0 - mu))) * 2.0), 6) AS avg_dev,
+        |  round(avg((y - mu) * (y - mu) / (mu * (1.0 - mu))), 6) AS avg_pearson,
+        |  count(*) AS n_rows
+        |FROM t""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "q22_text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+        |    / greatest(length(text), 1), 6) AS upper_ratio,
+        |  round(length(array_to_string(regexp_split_to_array(text, '\s+'), ''))
+        |    / greatest(len(regexp_split_to_array(text, '\s+')), 1), 6) AS avg_word_len,
+        |  round(
+        |    least(len(regexp_split_to_array(text, '\s+')) / 50.0, 1.0) * 0.4
+        |    + least((len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t)))
+        |       / greatest(len(regexp_split_to_array(text, '\s+')), 1)) * 5.0, 1.0) * 0.4
+        |    + greatest(1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |       / greatest(length(text), 1)) * 4.0, 0.0) * 0.2, 6) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_lang_hist" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    greatest(len(t), 1) AS nt,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS c_de,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','is','not'], x))) AS c_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','los','que','y'], x))) AS c_es,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','ne'], x))) AS c_fr,
+        |    len(list_filter(t, x -> list_contains(['de5','shi4','le5','bu4','wo3'], x))) AS c_zh
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(c_de AS DOUBLE) / nt AS s_de, CAST(c_en AS DOUBLE) / nt AS s_en,
+        |    CAST(c_es AS DOUBLE) / nt AS s_es, CAST(c_fr AS DOUBLE) / nt AS s_fr,
+        |    CAST(c_zh AS DOUBLE) / nt AS s_zh
+        |  FROM sc),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en > s_de THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM s)
+        |SELECT lang_pred, count(*) AS n_docs FROM p
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list_filter(
+        |    regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +'),
+        |    t -> len(t) > 0))), ' ') AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |pairs0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hot AS (SELECT s FROM pairs0 GROUP BY s HAVING count(*) > 1000),
+        |pairs AS (SELECT doc_id, s FROM pairs0 WHERE s NOT IN (SELECT s FROM hot)),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM pairs a JOIN pairs b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -29,12 +29,16 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles of `textCol` as an array column (distinct). */
+  /** Word n-gram shingles of `textCol` as an array column (distinct).
+    * Documents shorter than `n` tokens yield an empty array (a bare
+    * `sequence(0, size-n)` would descend for negative bounds).
+    */
   def shingleExpr(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
   /** (id, shingle) pairs with document-frequency capping: shingles present
