@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{GLM, Gram, LM, ModelMatrix}
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
   * oracle (SURVEY.md §2, §7 step 6).
@@ -336,6 +337,42 @@ object SparkEntry {
     "q27_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
         .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k over the embedding column (exact ANN baseline)
+    "q28_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+        .orderBy("query_id", "rn")
+    }),
+
+    // LSH-bucketed approximate top-k (recall < 1 by design → rows-only)
+    "q29_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 10,
+          nBits = 32, bands = 8)
+        .orderBy("query_id", "rn")
+    }),
+
+    // multimodal plumbing: binary payload → stub decode → features
+    // (byte-level decode has no DuckDB analog → rows-only)
+    "q30_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, bins = 16)
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("feat_0"),
+          round(element_at(col("features"), 2).cast("double"), 6).as("feat_1"))
+        .orderBy("media_id")
+    }),
+
+    // session windows over event time (batch analog of the streaming op)
+    "q31_sessionize" -> ((s, dir) => {
+      StreamOps.sessionizeBatch(events(s, dir), gapMs = 30 * 60 * 1000L)
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), r(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_idx")
     })
   )
 
@@ -624,6 +661,41 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_ann_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+
+    "q31_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
   )
 }

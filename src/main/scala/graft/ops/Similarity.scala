@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, both pure Spark SQL expressions (no UDFs, codegen-friendly):
+  *
+  *  - [[bruteTopK]] — exact cosine top-k: broadcast the (small) query set,
+  *    one scan over the corpus, per-query top-k. The scored relation is
+  *    |queries| × |corpus| rows but only k per query survive the window;
+  *    at 100 TB this is the baseline you run on a filtered candidate pool.
+  *  - [[lshTopK]] — random-hyperplane LSH: b signature bits per vector from
+  *    deterministic hash-derived hyperplanes, banded into equi-join keys;
+  *    only bucket-colliding pairs get exact cosine scoring. This is the
+  *    scale path: the join is an equi-join on (band, key), so Spark
+  *    shuffles candidates, never the full cross product.
+  *
+  * All arithmetic is done after casting to double (float→double once per
+  * element) so scores are reproducible across engines.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ via zip_with + aggregate — sequential fold, deterministic FP. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * @param corpus  DataFrame with (idCol, vecCol)
+    * @param queries DataFrame with (idCol, vecCol) — small; broadcast
+    * @param k       neighbors per query (self-matches excluded)
+    * @return (query_id, vec_id, cos, rn) — cos rounded to 6 digits BEFORE
+    *         ranking so the selected row set is engine-reproducible;
+    *         ties broken by corpus id
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Random-hyperplane signature: `nBits` sign bits as an array<int>.
+    * Hyperplane component (b, j) is a deterministic pseudo-uniform in
+    * [-1, 1) derived from xxhash64(seed, b, j) — no stored model, any
+    * executor recomputes the same planes.
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long = 42L): Column =
+    transform(sequence(lit(0), lit(nBits - 1)), b => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
+          x.cast("double") *
+            (pmod(xxhash64(lit(seed), b, j), lit(100000L)).cast("double") / 50000.0 - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, 1).otherwise(0)
+    })
+
+  /** LSH-bucketed approximate top-k: vectors sharing any signature band are
+    * candidates; candidates get exact cosine; top-k per query among them.
+    * Returns (query_id, vec_id, cos, rn). Recall < 1 by construction —
+    * verify against [[bruteTopK]] on a sample, not an equality oracle.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val rows = nBits / bands
+    def withBands(df: DataFrame, id: String, vec: String) = {
+      val sig = hyperplaneSignature(col(vec), nBits, seed)
+      df.select(col(id), col(vec), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "bkey")))
+    }
+    val c = withBands(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")),
+      "vec_id", "c_vec")
+    val q = withBands(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec")
+    val cand = c.join(broadcast(q), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "q_vec", "c_vec")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

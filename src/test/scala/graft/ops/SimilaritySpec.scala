@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("cosine of a vector with itself is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(c((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
+    assert(math.abs(c((1L, 2L))) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, descending") {
+    val queries = emb.filter($"vec_id" < 3)
+    val top = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
+    val rows = top.collect()
+    assert(rows.length === 15)
+    (0L to 2L).foreach { q =>
+      val mine = rows.filter(_.getLong(0) == q).sortBy(_.getLong(3))
+      assert(mine.length === 5)
+      assert(!mine.exists(_.getLong(1) == q))
+      val cs = mine.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bruteTopK agrees with a driver-local exact computation") {
+    val all = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val q = all(0L)
+    val expect = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = Similarity.bruteTopK(emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 10)
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+  }
+
+  test("LSH recall against brute force is reasonable and a strict candidate subset scores identically") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        nBits = 32, bands = 8)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+  }
+
+  test("signature is deterministic and length nBits") {
+    val sig = emb.limit(5)
+      .select(Similarity.hyperplaneSignature($"embedding", 16).as("s"))
+      .collect().map(_.getSeq[Int](0))
+    assert(sig.forall(_.length == 16))
+    val sig2 = emb.limit(5)
+      .select(Similarity.hyperplaneSignature($"embedding", 16).as("s"))
+      .collect().map(_.getSeq[Int](0))
+    assert(sig.toSeq == sig2.toSeq)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("windowedCounts over a memory stream: incremental hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.Event]
+    val agg = StreamOps.windowedCounts(in.toDF(), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        StreamOps.Event(1, ts(5), 1, "click", 1.0),
+        StreamOps.Event(2, ts(10), 1, "click", 2.0),
+        StreamOps.Event(3, ts(20), 2, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("wc").collect()
+      assert(out.map(_.getAs[Long]("n_events")).sum === 3)
+      val click = out.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("n_events") === 2)
+      assert(click.getAs[Double]("sum_value") === 3.0)
+      assert(click.getAs[Timestamp]("window_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("windowedCounts works identically on a batch frame") {
+    val batch = Seq(
+      StreamOps.Event(1, ts(5), 1, "click", 1.0),
+      StreamOps.Event(2, ts(10), 1, "click", 2.0)).toDF()
+    val out = StreamOps.windowedCounts(batch).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_events") === 2)
+  }
+
+  test("sessionize emits a session after the inactivity gap passes the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.Event]
+    val sessions = StreamOps.sessionize(in.toDS(), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // burst at 10:00-10:02, then silence; advancing the watermark far past
+      // the gap forces the session closed via timeout
+      in.addData(
+        StreamOps.Event(1, ts(0), 7, "click", 1.0),
+        StreamOps.Event(2, ts(1), 7, "click", 2.0),
+        StreamOps.Event(3, ts(2), 7, "click", 3.0))
+      q.processAllAvailable()
+      in.addData(StreamOps.Event(99, ts(59), 8, "tick", 0.0))
+      q.processAllAvailable()
+      in.addData(StreamOps.Event(100, Timestamp.valueOf("2024-01-01 11:30:00"), 8, "tick", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess").filter($"user_id" === 7).collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("n_events") === 3)
+      assert(out.head.getAs[Double]("total_value") === 6.0)
+      assert(out.head.getAs[Timestamp]("session_start") === ts(0))
+      assert(out.head.getAs[Timestamp]("session_end") === ts(2))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch matches the streaming semantics on real events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val gap = 30 * 60 * 1000L
+    val sess = StreamOps.sessionizeBatch(ev, gap)
+    // invariants: per-user event counts are preserved; sessions don't overlap
+    val perUser = sess.groupBy("user_id").agg(sum("n_events").as("n"))
+      .join(ev.groupBy("user_id").count(), "user_id")
+    assert(perUser.filter($"n" =!= $"count").count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    val overlaps = sess
+      .withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull &&
+        unix_millis($"session_start") - unix_millis($"prev_end") <= gap)
+    assert(overlaps.count() === 0)
+  }
+}
