@@ -83,10 +83,13 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    // hash the (possibly long) shingle string ONCE; the k functions are
+    // cheap long-mixes of that base hash
     val base = df.select(col(idCol).as("id"),
       explode(shingleExpr(col(textCol), shingleN)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
     val sigs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(seed), lit(i), col("sh"))).as(s"sig_$i")
+      min(xxhash64(lit(seed), lit(i), col("h"))).as(s"sig_$i")
     }
     base.groupBy("id").agg(sigs.head, sigs.tail: _*)
   }
@@ -138,8 +141,13 @@ object Dedup {
     * pigeonhole block trick (t+1 equi-joins, no cross join).
     * Returns (id_a, id_b, hamming), id_a < id_b.
     */
+  /** Note on `maxHamming`: block width is 64/(t+1) bits, so high thresholds
+    * mean narrow blocks, tiny bucket keyspaces, and quadratic bucket
+    * blow-up (t=16 → 3-bit blocks → 8 buckets per block). Keep t ≤ 8 and
+    * let `maxBucketSize` cap pathological buckets, same as MinHash LSH.
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, maxBucketSize: Int = 500): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
     val sh = simhash(df, idCol, textCol)
@@ -150,8 +158,11 @@ object Dedup {
     }
     val blocks = sh.select(col("id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.blk"), col("bk.bval"))
-    val l = blocks.select(col("blk"), col("bval"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = blocks.select(col("blk"), col("bval"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    val small = blocks.groupBy("blk", "bval").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("blk", "bval")
+    val pruned = blocks.join(small, Seq("blk", "bval"))
+    val l = pruned.select(col("blk"), col("bval"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = pruned.select(col("blk"), col("bval"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("blk", "bval")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

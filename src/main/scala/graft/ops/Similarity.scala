@@ -54,20 +54,32 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Random-hyperplane signature: `nBits` sign bits as an array<int>.
-    * Hyperplane component (b, j) is a deterministic pseudo-uniform in
-    * [-1, 1) derived from xxhash64(seed, b, j) — no stored model, any
-    * executor recomputes the same planes.
+  /** Deterministic pseudo-uniform in [-1, 1) for plane (b, j): splitmix64
+    * finalizer over (seed, b, j) — computed once on the driver, shipped as a
+    * literal plane matrix (recomputing hashes per row × bit × element cost
+    * ~2000 hash calls per row; the planes are constants).
     */
-  def hyperplaneSignature(vec: Column, nBits: Int, seed: Long = 42L): Column =
+  private def planeComponent(seed: Long, b: Int, j: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (b * 1048576L + j + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (java.lang.Long.remainderUnsigned(z, 100000L).toDouble / 50000.0) - 1.0
+  }
+
+  /** Random-hyperplane signature: `nBits` sign bits as an array<int>.
+    * `dim` is the embedding dimensionality (plane matrix is dim × nBits).
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes: Column = typedlit(
+      (0 until nBits).map(b => (0 until dim).map(j => planeComponent(seed, b, j))))
     transform(sequence(lit(0), lit(nBits - 1)), b => {
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
-          x.cast("double") *
-            (pmod(xxhash64(lit(seed), b, j), lit(100000L)).cast("double") / 50000.0 - 1.0)),
+        zip_with(vec, element_at(planes, b + 1), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, 1).otherwise(0)
     })
+  }
 
   /** LSH-bucketed approximate top-k: vectors sharing any signature band are
     * candidates; candidates get exact cosine; top-k per query among them.
@@ -79,8 +91,9 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rows = nBits / bands
+    val dim = queries.select(size(col(vecCol))).limit(1).head().getInt(0)
     def withBands(df: DataFrame, id: String, vec: String) = {
-      val sig = hyperplaneSignature(col(vec), nBits, seed)
+      val sig = hyperplaneSignature(col(vec), nBits, dim, seed)
       df.select(col(id), col(vec), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "bkey")))

@@ -76,22 +76,54 @@ object TextOps {
   def wordOccurrences(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === word)).cast("double")
 
-  /** Per-language marker score: total marker-word occurrences / token count. */
-  def langScore(text: Column, markers: Seq[String]): Column =
-    markers.map(wordOccurrences(text, _)).reduce(_ + _) /
-      greatest(tokenCount(text), lit(1)).cast("double")
-
-  /** Predicted language: argmax of [[langScore]] over [[langMarkers]],
-    * ties broken by language code order.
+  /** Per-language marker score over an already-tokenized array: fraction of
+    * tokens that are marker words. Token-array form so the (regex) split
+    * runs ONCE per document however many languages are scored.
     */
-  def langId(text: Column): Column = {
-    val scored = langMarkers.map { case (lang, mk) => (lang, langScore(text, mk)) }
+  def langScoreTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreTokens(tokens(text), markers)
+
+  /** Predicted language from a token array: argmax of [[langScoreTokens]]
+    * over [[langMarkers]], ties broken by language code order.
+    */
+  def langIdTokens(toks: Column): Column = {
+    val scored = langMarkers.map { case (lang, mk) => (lang, langScoreTokens(toks, mk)) }
     // fold to (bestLang, bestScore) with strict > so earlier (lexicographic
     // smaller) language wins ties
     scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) =>
         (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }._1
+  }
+
+  def langId(text: Column): Column = langIdTokens(tokens(text))
+
+  /** Staged language-id: tokenize once, score each language into its own
+    * aliased column, then argmax over plain column references.
+    *
+    * The single-expression [[langId]] is correct but its argmax fold
+    * duplicates each score subtree (including the regex split) exponentially
+    * in the number of languages; as multi-referenced non-cheap aliases,
+    * these stay materialized per stage (CollapseProject will not re-inline
+    * them), so the split and each filter run once per row.
+    */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val toks = "__langid_toks"
+    val sCols = langMarkers.indices.map(i => s"__langid_s$i")
+    val staged = langMarkers.zipWithIndex.foldLeft(
+      df.withColumn(toks, tokens(col(textCol)))) {
+      case (d, ((_, mk), i)) => d.withColumn(sCols(i), langScoreTokens(col(toks), mk))
+    }
+    val scored = langMarkers.zipWithIndex.map { case ((lang, _), i) => (lang, col(sCols(i))) }
+    val langExpr = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+    staged.withColumn(outCol, langExpr).drop(toks +: sCols: _*)
   }
 
   /** OpenRefine-style key-collision fingerprint: lowercase, strip

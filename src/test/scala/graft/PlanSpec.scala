@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan assertions: the optimizations we rely on for 100 TB scale
+  * must actually appear in the executed plans — filter/projection pushdown
+  * into the parquet scan, broadcast joins for small dims, partial (map-side)
+  * aggregation, and no cartesian products outside the intentional ANN
+  * broadcast nested loop.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String, execute: Boolean = false): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // with AQE the final plan (incl. codegen stages) exists only after THIS
+    // dataset's own QueryExecution has run (a write would plan separately)
+    if (execute) df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter is pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("GreaterThan(l_quantity"), "quantity filter not pushed")
+  }
+
+  test("q02: scan reads only the needed columns") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q03/q04: dimension joins are broadcast, fact side is not") {
+    val p3 = plan("q03_join_topk")
+    assert(p3.contains("BroadcastHashJoin"), "customer join should broadcast")
+    val p4 = plan("q04_nation_revenue")
+    assert(p4.contains("BroadcastHashJoin"))
+    assert(!p4.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(800))
+  }
+
+  test("q01: whole-stage codegen covers the agg pipeline") {
+    val p = plan("q01_pricing_summary", execute = true)
+    // compact plan strings mark WholeStageCodegen stages as "*(n)"
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(1200))
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*(")),
+      "hash aggregate not inside a codegen stage")
+  }
+
+  test("queries avoid accidental cartesian products") {
+    // the ANN queries intentionally use a broadcast nested-loop against a
+    // 3-row query set; everything else must be equi-joined
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("q28"))
+      .filterNot(_.startsWith("q29")).filterNot(_.startsWith("q30"))
+    names.foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+  }
+}

@@ -66,11 +66,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("signature is deterministic and length nBits") {
     val sig = emb.limit(5)
-      .select(Similarity.hyperplaneSignature($"embedding", 16).as("s"))
+      .select(Similarity.hyperplaneSignature($"embedding", 16, 64).as("s"))
       .collect().map(_.getSeq[Int](0))
     assert(sig.forall(_.length == 16))
     val sig2 = emb.limit(5)
-      .select(Similarity.hyperplaneSignature($"embedding", 16).as("s"))
+      .select(Similarity.hyperplaneSignature($"embedding", 16, 64).as("s"))
       .collect().map(_.getSeq[Int](0))
     assert(sig.toSeq == sig2.toSeq)
   }
