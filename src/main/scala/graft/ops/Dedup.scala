@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -57,15 +58,46 @@ object Dedup {
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Candidate generation uses PPJoin-style **prefix filtering**: under any
+    * global total order on shingles (here: xxhash64 order), two sets with
+    * Jaccard ≥ t MUST share a shingle among each set's first
+    * ⌊(1−t)·|S|⌋+1 shingles — so only the prefix index is self-joined,
+    * never the full posting lists, and the pair-count shuffle runs over the
+    * (small) verified-candidate set instead of every co-shingle pair.
+    * Lossless for the reported threshold: jaccard here uses full set sizes
+    * with hot-shingle-filtered intersections, which lower-bounds the
+    * filtered-set Jaccard the prefix filter is applied to.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxDocFreq: Int = 1000,
+      maxBucketSize: Int = 1000): DataFrame = {
     val sizes = df.select(col(idCol).as("id"),
       size(shingleExpr(col(textCol), n)).as("n_sh"))
-    val sd = shingleDocs(df, idCol, textCol, n, maxDocFreq)
-    val a = sd.select(col("sh"), col("id").as("id_a"))
-    val b = sd.select(col("sh"), col("id").as("id_b"))
-    val inter = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+    val filtered = shingleDocs(df, idCol, textCol, n, maxDocFreq)
+
+    // prefix index: rarest-first is the classic heuristic; hash order is an
+    // equally valid total order and needs no document-frequency join
+    val byDoc = Window.partitionBy("id").orderBy(xxhash64(col("sh")), col("sh"))
+    val withPos = filtered
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n_filt", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = withPos
+      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("n_filt")) + 1)
+      .select("id", "sh")
+    // cap pathological prefix buckets (skew guard, same as the LSH paths)
+    val small = prefix.groupBy("sh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("sh")
+    val prefixOk = prefix.join(small, Seq("sh"))
+    val cand = prefixOk.select(col("sh"), col("id").as("id_a"))
+      .join(prefixOk.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // verify candidates: full (hot-filtered) intersection counts
+    val inter = cand
+      .join(filtered.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(filtered.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sz_a"), Seq("id_a"))
@@ -120,12 +152,18 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands_shared"))
   }
 
-  /** 64-bit SimHash per document: per-token hash bits vote ±1, the sign of
-    * each bit-sum is the signature bit. One explode + one aggregation.
+  /** 64-bit SimHash per document: per-feature hash bits vote ±1, the sign
+    * of each bit-sum is the signature bit. One explode + one aggregation.
+    * `shingleN` > 1 uses word n-gram features instead of unigrams — far
+    * more discriminative on template-heavy corpora (unigram SimHash calls
+    * any two documents sharing vocabulary near-duplicates).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), "\\s+")).as("t"))
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val feat =
+      if (shingleN <= 1) split(col(textCol), "\\s+")
+      else shingleExpr(col(textCol), shingleN)
+    val tok = df.select(col(idCol).as("id"), explode(feat).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val votes = (0 until 64).map { b =>
       sum(when(getbit(col("h"), lit(b)) === 1, 1).otherwise(-1)).as(s"v_$b")
@@ -147,10 +185,11 @@ object Dedup {
     * let `maxBucketSize` cap pathological buckets, same as MinHash LSH.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8, maxBucketSize: Int = 500): DataFrame = {
+      maxHamming: Int = 8, maxBucketSize: Int = 500,
+      shingleN: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks
-    val sh = simhash(df, idCol, textCol)
+    val sh = simhash(df, idCol, textCol, shingleN)
     val blockCols = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), b * width)
