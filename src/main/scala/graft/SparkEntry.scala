@@ -417,6 +417,31 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // embedding-cosine near-dup pairs, exact O(n²) baseline (intentional
+    // broadcast nested-loop; the LSH variant below is the scale path)
+    "q38_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // LSH-bucketed embedding near-dup (recall < 1 → rows-only)
+    "q39_cosine_pairs_lsh" -> ((s, dir) => {
+      Similarity.cosinePairsLSH(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3,
+          nBits = 16, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pivot (explicit value list so the output schema is static)
+    "q37_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    }),
+
     // session windows over event time (batch analog of the streaming op)
     "q31_sessionize" -> ((s, dir) => {
       StreamOps.sessionizeBatch(events(s, dir), gapMs = 30 * 60 * 1000L)
@@ -761,6 +786,19 @@ object SparkEntry {
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q38_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT l_returnflag, round(pv."F", 2) AS qty_f, round(pv."O", 2) AS qty_o
+        |FROM (PIVOT lineitem ON l_linestatus IN ('F', 'O')
+        |      USING sum(l_quantity) GROUP BY l_returnflag) pv
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q31_sessionize" ->
       """WITH flagged AS (

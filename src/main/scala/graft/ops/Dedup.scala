@@ -42,20 +42,6 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
-  /** (id, shingle) pairs with document-frequency capping: shingles present
-    * in more than `maxDocFreq` documents are dropped as "stop shingles"
-    * before pair generation (standard near-dup practice; unbounded hot keys
-    * are what kills shingle joins at scale).
-    */
-  private def shingleDocs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDocFreq: Int): DataFrame = {
-    val pairs = df.select(col(idCol).as("id"),
-      explode(shingleExpr(col(textCol), n)).as("sh"))
-    val hot = pairs.groupBy("sh").agg(count(lit(1)).as("df_"))
-      .filter(col("df_") > maxDocFreq).select("sh")
-    pairs.join(hot, Seq("sh"), "left_anti")
-  }
-
   /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
@@ -72,9 +58,14 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5, maxDocFreq: Int = 1000,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sizes = df.select(col(idCol).as("id"),
-      size(shingleExpr(col(textCol), n)).as("n_sh"))
-    val filtered = shingleDocs(df, idCol, textCol, n, maxDocFreq)
+    // ONE shingle pass: set sizes come from a count over the exploded rows
+    // rather than a second evaluation of the (expensive) shingle expression
+    val pairsAll = df.select(col(idCol).as("id"),
+      explode(shingleExpr(col(textCol), n)).as("sh"))
+    val sizes = pairsAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hot = pairsAll.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxDocFreq).select("sh")
+    val filtered = pairsAll.join(hot, Seq("sh"), "left_anti")
 
     // prefix index: rarest-first is the classic heuristic; hash order is an
     // equally valid total order and needs no document-frequency join

@@ -67,6 +67,53 @@ object Similarity {
     (java.lang.Long.remainderUnsigned(z, 100000L).toDouble / 50000.0) - 1.0
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a, id_b, cos) with
+    * cosine ≥ `threshold`, id_a < id_b — the exact O(n²) baseline, as a
+    * single equi-free join kept cheap by pre-normalizing each vector once
+    * (cosine = dot of unit vectors; no per-pair norms).
+    * At 100 TB scale use [[cosinePairsLSH]]; this exact form is the oracle
+    * for it on samples.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val unit = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as("u"))
+    val a = unit.select(col("id").as("id_a"), col("u").as("ua"))
+    val b = unit.select(col("id").as("id_b"), col("u").as("ub"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Scale path for embedding near-dup: hyperplane-LSH bucketing prunes the
+    * pair space (only band-colliding pairs are scored), then exact cosine
+    * verification. Recall < 1 by construction.
+    */
+  def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val rows = nBits / bands
+    val dim = df.select(size(col(vecCol))).limit(1).head().getInt(0)
+    val unit = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as("u"))
+    val sig = hyperplaneSignature(col("u"), nBits, dim, seed)
+    val banded = unit.select(col("id"), col("u"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(sig, b * rows + 1, lit(rows))))
+      .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("u").as("ua"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("u").as("ub"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Random-hyperplane signature: `nBits` sign bits as an array<int>.
     * `dim` is the embedding dimensionality (plane matrix is dim × nBits).
     */

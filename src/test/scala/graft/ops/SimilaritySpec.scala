@@ -64,6 +64,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
 
+  test("cosinePairs finds planted duplicates; LSH variant is a subset with good recall") {
+    val planted = emb.select($"vec_id", $"embedding").limit(50)
+      .union(emb.filter($"vec_id" === 1).select(lit(9000001L), $"embedding"))
+    val exact = Similarity.cosinePairs(planted, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.exists { case (a, b, c) => a == 1L && b == 9000001L && c > 0.999999 })
+    val approx = Similarity.cosinePairsLSH(planted, "vec_id", "embedding", 0.95,
+        nBits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an identical vector collides in every band — must be found
+    assert(approx.contains((1L, 9000001L)))
+    assert(approx.subsetOf(exact.map(t => (t._1, t._2)).toSet))
+  }
+
   test("signature is deterministic and length nBits") {
     val sig = emb.limit(5)
       .select(Similarity.hyperplaneSignature($"embedding", 16, 64).as("s"))

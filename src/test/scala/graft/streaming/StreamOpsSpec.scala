@@ -67,6 +67,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a fitted LM scores a live stream (prediction is a pure projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val lm = graft.glm.LM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+    case class Item(l_quantity: Double, l_discount: Double)
+    val in = MemoryStream[(Double, Double)]
+    val scored = in.toDF().toDF("l_quantity", "l_discount")
+      .withColumn("prediction", lm.predictionExpr)
+    val q = scored.writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    try {
+      in.addData((10.0, 0.05), (20.0, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("scored").collect()
+      assert(out.length === 2)
+      val expect = lm.coefs(0) + 10.0 * lm.coefs(1) + 0.05 * lm.coefs(2)
+      val got = out.find(_.getDouble(0) == 10.0).get.getAs[Double]("prediction")
+      assert(math.abs(got - expect) < 1e-9)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches the streaming semantics on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
