@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{GLM, Gram, LM, ModelMatrix}
+import graft.glm.{GLM, Gram, GroupedLM, LM, ModelMatrix}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.streaming.StreamOps
 
@@ -417,6 +417,19 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // per-group OLS via the custom Gram Aggregator: one independent fit per
+    // supplier, solved inside the aggregation (no driver involvement)
+    "q40_grouped_lm" -> ((s, dir) => {
+      GroupedLM.fit(t(s, dir, "lineitem"), Seq("l_suppkey"),
+          Seq("l_quantity"), "l_extendedprice")
+        .select(col("l_suppkey"),
+          r(col("b_intercept"), 4).as("b_intercept"),
+          r(col("b_l_quantity"), 4).as("b_quantity"),
+          r(col("r2"), 6).as("r2"),
+          col("n_rows"))
+        .orderBy("l_suppkey")
+    }),
+
     // embedding-cosine near-dup pairs, exact O(n²) baseline (intentional
     // broadcast nested-loop; the LSH variant below is the scale path)
     "q38_cosine_pairs" -> ((s, dir) => {
@@ -427,7 +440,7 @@ object SparkEntry {
     // LSH-bucketed embedding near-dup (recall < 1 → rows-only)
     "q39_cosine_pairs_lsh" -> ((s, dir) => {
       Similarity.cosinePairsLSH(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3,
-          nBits = 16, bands = 8)
+          nBits = 64, bands = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -786,6 +799,14 @@ object SparkEntry {
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q40_grouped_lm" ->
+      """SELECT l_suppkey,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS b_intercept,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS b_quantity,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

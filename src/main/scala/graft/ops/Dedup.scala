@@ -42,6 +42,19 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
+  /** 64-bit hashes of the word n-gram shingles (distinct), built without
+    * materializing shingle strings: xxhash64 over token-array slices. Set
+    * operations on shingles (Jaccard, MinHash) are collision-insensitive at
+    * 64 bits, and the exploded rows carry longs instead of n-word strings.
+    */
+  def shingleHashExpr(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    when(size(toks) < n, array().cast("array<bigint>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(slice(toks, i + 1, lit(n))))))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
@@ -61,7 +74,7 @@ object Dedup {
     // ONE shingle pass: set sizes come from a count over the exploded rows
     // rather than a second evaluation of the (expensive) shingle expression
     val pairsAll = df.select(col(idCol).as("id"),
-      explode(shingleExpr(col(textCol), n)).as("sh"))
+      explode(shingleHashExpr(col(textCol), n)).as("sh"))
     val sizes = pairsAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val hot = pairsAll.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") > maxDocFreq).select("sh")
@@ -69,7 +82,8 @@ object Dedup {
 
     // prefix index: rarest-first is the classic heuristic; hash order is an
     // equally valid total order and needs no document-frequency join
-    val byDoc = Window.partitionBy("id").orderBy(xxhash64(col("sh")), col("sh"))
+    // (shingles are already 64-bit hashes — order by value)
+    val byDoc = Window.partitionBy("id").orderBy(col("sh"))
     val withPos = filtered
       .withColumn("pos", row_number().over(byDoc))
       .withColumn("n_filt", count(lit(1)).over(Window.partitionBy("id")))
@@ -106,11 +120,10 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    // hash the (possibly long) shingle string ONCE; the k functions are
-    // cheap long-mixes of that base hash
+    // shingles arrive as 64-bit hashes (no string materialization); the k
+    // minhash functions are cheap long-mixes of that base hash
     val base = df.select(col(idCol).as("id"),
-      explode(shingleExpr(col(textCol), shingleN)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+      explode(shingleHashExpr(col(textCol), shingleN)).as("h"))
     val sigs = (0 until numHashes).map { i =>
       min(xxhash64(lit(seed), lit(i), col("h"))).as(s"sig_$i")
     }
@@ -151,11 +164,13 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val feat =
-      if (shingleN <= 1) split(col(textCol), "\\s+")
-      else shingleExpr(col(textCol), shingleN)
-    val tok = df.select(col(idCol).as("id"), explode(feat).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    val tok =
+      if (shingleN <= 1)
+        df.select(col(idCol).as("id"), explode(split(col(textCol), "\\s+")).as("t"))
+          .select(col("id"), xxhash64(col("t")).as("h"))
+      else
+        df.select(col(idCol).as("id"),
+          explode(shingleHashExpr(col(textCol), shingleN)).as("h"))
     val votes = (0 until 64).map { b =>
       sum(when(getbit(col("h"), lit(b)) === 1, 1).otherwise(-1)).as(s"v_$b")
     }

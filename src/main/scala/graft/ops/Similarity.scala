@@ -67,24 +67,61 @@ object Similarity {
     (java.lang.Long.remainderUnsigned(z, 100000L).toDouble / 50000.0) - 1.0
   }
 
+  /** Tight primitive-array unit-vector dot as a UDF: higher-order-function
+    * expressions (`zip_with`/`aggregate`) are interpreted per element —
+    * fine for per-row scoring, ~100× too slow inside an O(n²) pair join.
+    */
+  private def unwrap(s: Seq[Double]): Array[Double] = (s: Any) match {
+    case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+    case w: scala.collection.mutable.ArraySeq.ofDouble   => w.array
+    case _ => s.toArray
+  }
+  private val pairCos = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val x = unwrap(a); val y = unwrap(b)
+    var d = 0.0
+    var i = 0
+    while (i < x.length) { d += x(i) * y(i); i += 1 }
+    d
+  }
+
+  /** Unit-normalized double vector (one HOF pass per row — cheap). */
+  private def unitVec(vec: Column): Column =
+    transform(vec, x => x.cast("double") / norm(vec))
+
   /** Embedding-cosine near-duplicate pairs: all (id_a, id_b, cos) with
-    * cosine ≥ `threshold`, id_a < id_b — the exact O(n²) baseline, as a
-    * single equi-free join kept cheap by pre-normalizing each vector once
-    * (cosine = dot of unit vectors; no per-pair norms).
-    * At 100 TB scale use [[cosinePairsLSH]]; this exact form is the oracle
-    * for it on samples.
+    * cosine ≥ `threshold`, id_a < id_b — the exact O(n²) baseline.
+    *
+    * One side is broadcast as primitive arrays and each partition streams
+    * the other side against it in a tight flatMap, emitting ONLY surviving
+    * pairs — a join would materialize n²/2 rows each carrying two vectors
+    * (the row-copy cost dwarfs the arithmetic). Requires the corpus to fit
+    * in a broadcast (fine into the millions of vectors); beyond that use
+    * [[cosinePairsLSH]], which never forms the quadratic pair space.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val unit = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as("u"))
-    val a = unit.select(col("id").as("id_a"), col("u").as("ua"))
-    val b = unit.select(col("id").as("id_b"), col("u").as("ub"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = df.select(col(idCol).cast("long").as("id"), unitVec(col(vecCol)).as("u"))
+      .as[(Long, Seq[Double])]
+    val local = unit.collect().map { case (id, u) => (id, unwrap(u)) }
+    val bc = spark.sparkContext.broadcast(local)
+    unit.mapPartitions { it =>
+      val corpus = bc.value
+      it.flatMap { case (ida, uaSeq) =>
+        val ua = unwrap(uaSeq)
+        corpus.iterator.flatMap { case (idb, ub) =>
+          if (idb <= ida) None
+          else {
+            var d = 0.0
+            var i = 0
+            while (i < ua.length) { d += ua(i) * ub(i); i += 1 }
+            val c = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c >= threshold) Some((ida, idb, c)) else None
+          }
+        }
+      }
+    }.toDF("id_a", "id_b", "cos").orderBy("id_a", "id_b")
   }
 
   /** Scale path for embedding near-dup: hyperplane-LSH bucketing prunes the
@@ -92,13 +129,14 @@ object Similarity {
     * verification. Recall < 1 by construction.
     */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 16, bands: Int = 4,
+      threshold: Double, nBits: Int = 64, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    // band keys need enough bits to discriminate: nBits/bands is the key
+    // width, so 64/8 → 8-bit keys (256 buckets per band)
     val rows = nBits / bands
     val dim = df.select(size(col(vecCol))).limit(1).head().getInt(0)
-    val unit = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as("u"))
+    val unit = df.select(col(idCol).as("id"), unitVec(col(vecCol)).as("u"))
     val sig = hyperplaneSignature(col("u"), nBits, dim, seed)
     val banded = unit.select(col("id"), col("u"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -106,10 +144,12 @@ object Similarity {
       .as(Seq("band", "bkey")))
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("u").as("ua"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("u").as("ub"))
+    // score BEFORE dedup so the distinct shuffles slim (id, id, cos) rows,
+    // not pair rows carrying two vectors; the dot is deterministic so
+    // band-duplicate pairs dedup exactly
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v), 6).as("cos"))
+        round(pairCos(col("ua"), col("ub")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

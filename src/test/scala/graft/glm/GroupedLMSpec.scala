@@ -1,0 +1,60 @@
+package graft.glm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GroupedLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("per-group fit equals an independent LM.fit per group") {
+    val grouped = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    grouped.keys.foreach { flag =>
+      val single = LM.fit(li.filter($"l_returnflag" === flag),
+        Seq("l_quantity"), "l_extendedprice")
+      val (b0, b1, r2, n) = grouped(flag)
+      assert(math.abs(b0 - single.coefs(0)) < 1e-6 * math.max(1, math.abs(b0)), s"$flag b0")
+      assert(math.abs(b1 - single.coefs(1)) < 1e-8 * math.max(1, math.abs(b1)), s"$flag b1")
+      assert(math.abs(r2 - single.r2) < 1e-9, s"$flag r2")
+      assert(n === single.n)
+    }
+  }
+
+  test("multi-regressor grouped fit matches per-group LM") {
+    val g = GroupedLM.fit(li, Seq("l_linestatus"), Seq("l_quantity", "l_discount"),
+      "l_extendedprice").collect()
+    g.foreach { r =>
+      val flag = r.getString(0)
+      val single = LM.fit(li.filter($"l_linestatus" === flag),
+        Seq("l_quantity", "l_discount"), "l_extendedprice")
+      (0 until 3).foreach { i =>
+        assert(math.abs(r.getDouble(1 + i) - single.coefs(i)) <
+          1e-6 * math.max(1, math.abs(single.coefs(i))), s"$flag coef $i")
+      }
+    }
+  }
+
+  test("underdetermined groups produce NaN coefficients, not failures") {
+    val tiny = Seq((1L, "a", 1.0, 2.0), (2L, "a", 2.0, 4.0), (3L, "b", 1.0, 1.0))
+      .toDF("id", "g", "x", "y")
+    val out = GroupedLM.fit(tiny, Seq("g"), Seq("x"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("b").isNaN) // 1 row < 2 params
+  }
+
+  test("weighted grouped fit honors the weight column") {
+    val w2 = li.withColumn("w", lit(2.0))
+    val a = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice")
+    val b = GroupedLM.fit(w2, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice",
+      weightCol = Some("w"))
+    val ja = a.select($"l_returnflag", $"b_l_quantity".as("ba")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    b.select($"l_returnflag", $"b_l_quantity").collect().foreach { r =>
+      // constant weights don't change the solution
+      assert(math.abs(r.getDouble(1) - ja(r.getString(0))) < 1e-9)
+    }
+  }
+}
