@@ -155,17 +155,24 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `nBits` sign bits as an array<int>.
-    * `dim` is the embedding dimensionality (plane matrix is dim × nBits).
+    * `dim` is the embedding dimensionality (plane matrix is nBits × dim).
+    * Implemented as a closure UDF over the precomputed plane matrix: the
+    * equivalent higher-order-function expression is interpreted per element
+    * AND re-evaluated per downstream reference (e.g. once per band).
     */
   def hyperplaneSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes: Column = typedlit(
-      (0 until nBits).map(b => (0 until dim).map(j => planeComponent(seed, b, j))))
-    transform(sequence(lit(0), lit(nBits - 1)), b => {
-      val proj = aggregate(
-        zip_with(vec, element_at(planes, b + 1), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, 1).otherwise(0)
-    })
+    val planes = Array.tabulate(nBits, dim)((b, j) => planeComponent(seed, b, j))
+    val f = udf { (v: Seq[Double]) =>
+      val x = unwrap(v)
+      Array.tabulate(nBits) { b =>
+        val w = planes(b)
+        var s = 0.0
+        var i = 0
+        while (i < x.length && i < w.length) { s += x(i) * w(i); i += 1 }
+        if (s >= 0) 1 else 0
+      }
+    }
+    f(vec.cast("array<double>"))
   }
 
   /** LSH-bucketed approximate top-k: vectors sharing any signature band are
