@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{GLM, Gram, GroupedLM, LM, ModelMatrix}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -417,6 +417,34 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // TF-IDF over the corpus (explode → two shuffled aggregations on term keys)
+    "q41_tfidf" -> ((s, dir) => {
+      TextOps.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("term"), col("tf"), col("df"),
+          r(col("tfidf"), 6).as("tfidf"))
+        .orderBy("id", "term")
+    }),
+
+    // salted two-stage aggregation — must equal the plain GROUP BY (the
+    // oracle IS the unsalted query: salting is semantically transparent)
+    "q42_salted_agg" -> ((s, dir) => {
+      Skew.saltedSumCount(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"), r(col("sum_value"), 2).as("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // cloglog link at a fixed beta (O19 oracle coverage; probit's Φ has no
+    // SQL analog, logit is covered by q19)
+    "q43_cloglog_dev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val eta = lit(-0.4) + col("l_quantity") * lit(0.01) + col("l_discount") * lit(-2.0)
+      val mu = graft.glm.LinkFn.Cloglog.inverse(eta, lit(1.0))
+      li.agg(
+        r(avg(GLM.devExpr(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     // per-group OLS via the custom Gram Aggregator: one independent fit per
     // supplier, solved inside the aggregation (no driver involvement)
     "q40_grouped_lm" -> ((s, dir) => {
@@ -799,6 +827,34 @@ object SparkEntry {
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q41_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.id, tf.term, tf.tf, dfq.df,
+        |  round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfq USING (term), n
+        |ORDER BY id, term""".stripMargin,
+
+    "q42_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_cloglog_dev" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 - exp(-exp(-0.4 + l_quantity * 0.01 + l_discount * -2.0)) AS mu
+        |  FROM lineitem)
+        |SELECT
+        |  round(avg((y * ln(greatest(y, 1.0) / mu)
+        |    + (1.0 - y) * ln(greatest(1.0 - y, 1.0) / (1.0 - mu))) * 2.0), 6) AS avg_dev,
+        |  count(*) AS n_rows
+        |FROM t""".stripMargin,
 
     "q40_grouped_lm" ->
       """SELECT l_suppkey,

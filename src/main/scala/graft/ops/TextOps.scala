@@ -126,6 +126,24 @@ object TextOps {
     staged.withColumn(outCol, langExpr).drop(toks +: sCols: _*)
   }
 
+  /** TF-IDF over a tokenized corpus: one explode pass, document
+    * frequencies from a term-level aggregation (map-side partials), idf =
+    * ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), score = tf · idf.
+    * Returns (id, term, tf, df, tfidf) — downstream callers rank or pivot
+    * as needed. Both aggregations shuffle (term) or (id, term) keys only.
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+      .select("id", "term", "tf", "df", "tfidf")
+  }
+
   /** OpenRefine-style key-collision fingerprint: lowercase, strip
     * non-alphanumerics, split, dedupe, sort, re-join. Two documents with the
     * same fingerprint are permutations/duplications of the same vocabulary.
