@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ via zip_with + aggregate — sequential fold, deterministic FP. */
+  /** Σ aᵢbᵢ via zip_with + aggregate — sequential fold, deterministic FP.
+    * Session-independent but interpreted; hot paths use the native
+    * [[graft.functions.ArrayDot]] expression instead (identical results —
+    * same left-to-right summation).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -32,6 +36,15 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd dot via the injected `array_dot` expression
+    * ([[graft.plans.GraftExtensions]] must be registered on the session).
+    */
+  private def nativeDot(a: Column, b: Column): Column =
+    call_function("array_dot", a.cast("array<double>"), b.cast("array<double>"))
+
+  private def nativeCosine(a: Column, b: Column): Column =
+    nativeDot(a, b) / (sqrt(nativeDot(a, a)) * sqrt(nativeDot(b, b)))
 
   /** Exact cosine top-k neighbors for each query vector.
     *
@@ -44,11 +57,12 @@ object Similarity {
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+        round(nativeCosine(col("q_vec"), col("c_vec")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -76,14 +90,6 @@ object Similarity {
     case w: scala.collection.mutable.ArraySeq.ofDouble   => w.array
     case _ => s.toArray
   }
-  private val pairCos = udf { (a: Seq[Double], b: Seq[Double]) =>
-    val x = unwrap(a); val y = unwrap(b)
-    var d = 0.0
-    var i = 0
-    while (i < x.length) { d += x(i) * y(i); i += 1 }
-    d
-  }
-
   /** Unit-normalized double vector (one HOF pass per row — cheap). */
   private def unitVec(vec: Column): Column =
     transform(vec, x => x.cast("double") / norm(vec))
@@ -132,6 +138,7 @@ object Similarity {
       threshold: Double, nBits: Int = 64, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     // band keys need enough bits to discriminate: nBits/bands is the key
     // width, so 64/8 → 8-bit keys (256 buckets per band)
     val rows = nBits / bands
@@ -146,10 +153,10 @@ object Similarity {
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("u").as("ub"))
     // score BEFORE dedup so the distinct shuffles slim (id, id, cos) rows,
     // not pair rows carrying two vectors; the dot is deterministic so
-    // band-duplicate pairs dedup exactly
+    // band-duplicate pairs dedup exactly (unit vectors: dot = cosine)
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(pairCos(col("ua"), col("ub")), 6).as("cos"))
+        round(nativeDot(col("ua"), col("ub")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
