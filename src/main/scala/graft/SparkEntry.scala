@@ -322,8 +322,11 @@ object SparkEntry {
     // than 3-grams — near-dup detection quality is equivalent at threshold
     // 0.5 (standard suffix-array dedup settings) with a far smaller join.
     "q25_jaccard_pairs" -> ((s, dir) => {
+      // maxBucketSize raised far above the corpus sizes under test so the
+      // result is exactly the full Jaccard relation the oracle computes
+      // (the default cap is the at-scale skew guard)
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 5, threshold = 0.5, maxDocFreq = 100)
+          n = 5, threshold = 0.5, maxBucketSize = 100000)
         .select(col("id_a"), col("id_b"), r(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -762,9 +765,7 @@ object SparkEntry {
         |    range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingles
         |  FROM toks),
         |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-        |pairs0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |hot AS (SELECT s FROM pairs0 GROUP BY s HAVING count(*) > 100),
-        |pairs AS (SELECT doc_id, s FROM pairs0 WHERE s NOT IN (SELECT s FROM hot)),
+        |pairs AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
         |  FROM pairs a JOIN pairs b ON a.s = b.s AND a.doc_id < b.doc_id

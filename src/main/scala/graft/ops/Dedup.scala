@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -10,16 +9,15 @@ import org.apache.spark.sql.functions._
   * Scale design (the point of every choice here):
   *  - exact dedup is a hash aggregation on a digest, not on the full text —
   *    the shuffle carries 16-byte keys, not documents;
-  *  - Jaccard / MinHash candidate generation shuffles (shingle → doc) pairs
-  *    with frequency capping, so a stop-shingle shared by every document
-  *    cannot create an O(n²) join explosion;
-  *  - MinHash signatures are computed with k min-aggregates in ONE pass over
-  *    exploded shingles (map-side partial min keeps the shuffle tiny), then
-  *    LSH banding turns near-dup search into an equi-join on band keys;
-  *  - SimHash pair generation uses the pigeonhole block trick: hamming ≤ t
-  *    implies equality on at least one of t+1 bit-blocks, so candidates come
-  *    from t+1 equi-joins instead of a cross join, verified with
-  *    `bit_count(a XOR b)`.
+  *  - per-document signatures (MinHash, SimHash) are computed at ROW level
+  *    from the shingle-hash array in one tight closure — no explode, no
+  *    signature shuffle at all; only banded keys ever shuffle;
+  *  - Jaccard candidates come from PPJoin-style prefix filtering, so the
+  *    self-join sees a fraction of each posting list and verification runs
+  *    per candidate pair on sorted arrays;
+  *  - every bucket join caps pathological bucket sizes (skew guard), and
+  *    SimHash's pigeonhole blocks turn hamming search into t+1 equi-joins
+  *    instead of a cross join.
   */
 object Dedup {
 
@@ -45,7 +43,7 @@ object Dedup {
   /** 64-bit hashes of the word n-gram shingles (distinct), built without
     * materializing shingle strings: xxhash64 over token-array slices. Set
     * operations on shingles (Jaccard, MinHash) are collision-insensitive at
-    * 64 bits, and the exploded rows carry longs instead of n-word strings.
+    * 64 bits, and downstream rows carry longs instead of n-word strings.
     */
   def shingleHashExpr(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
@@ -55,79 +53,53 @@ object Dedup {
           i => xxhash64(slice(toks, i + 1, lit(n))))))
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ `threshold`.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b.
-    *
-    * Candidate generation uses PPJoin-style **prefix filtering**: under any
-    * global total order on shingles (here: xxhash64 order), two sets with
-    * Jaccard ≥ t MUST share a shingle among each set's first
-    * ⌊(1−t)·|S|⌋+1 shingles — so only the prefix index is self-joined,
-    * never the full posting lists, and the pair-count shuffle runs over the
-    * (small) verified-candidate set instead of every co-shingle pair.
-    * Lossless for the reported threshold: jaccard here uses full set sizes
-    * with hot-shingle-filtered intersections, which lower-bounds the
-    * filtered-set Jaccard the prefix filter is applied to.
-    */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5, maxDocFreq: Int = 1000,
-      maxBucketSize: Int = 1000): DataFrame = {
-    // ONE shingle pass: set sizes come from a count over the exploded rows
-    // rather than a second evaluation of the (expensive) shingle expression
-    val pairsAll = df.select(col(idCol).as("id"),
-      explode(shingleHashExpr(col(textCol), n)).as("sh"))
-    val sizes = pairsAll.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val hot = pairsAll.groupBy("sh").agg(count(lit(1)).as("df_"))
-      .filter(col("df_") > maxDocFreq).select("sh")
-    val filtered = pairsAll.join(hot, Seq("sh"), "left_anti")
-
-    // prefix index: rarest-first is the classic heuristic; hash order is an
-    // equally valid total order and needs no document-frequency join
-    // (shingles are already 64-bit hashes — order by value)
-    val byDoc = Window.partitionBy("id").orderBy(col("sh"))
-    val withPos = filtered
-      .withColumn("pos", row_number().over(byDoc))
-      .withColumn("n_filt", count(lit(1)).over(Window.partitionBy("id")))
-    val prefix = withPos
-      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("n_filt")) + 1)
-      .select("id", "sh")
-    // cap pathological prefix buckets (skew guard, same as the LSH paths)
-    val small = prefix.groupBy("sh").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucketSize).select("sh")
-    val prefixOk = prefix.join(small, Seq("sh"))
-    val cand = prefixOk.select(col("sh"), col("id").as("id_a"))
-      .join(prefixOk.select(col("sh"), col("id").as("id_b")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-
-    // verify candidates: full (hot-filtered) intersection counts
-    val inter = cand
-      .join(filtered.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(filtered.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+  private def unwrapLongs(s: Seq[Long]): Array[Long] = (s: Any) match {
+    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+    case w: scala.collection.mutable.ArraySeq.ofLong   => w.array
+    case _ => s.toArray
   }
 
-  /** MinHash signatures: one row per doc, `numHashes` signature columns
-    * computed as k min-aggregates over ONE pass of exploded shingles.
-    * The k hash functions are xxhash64 seeded with (seed, i) — no affine
-    * arithmetic, so no ANSI-mode overflow and full 64-bit mixing.
+  /** splitmix64 finalizer — the per-function mix for MinHash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature as one array column, computed per row in a single
+    * closure over the shingle-hash array (numHashes × |shingles| cheap
+    * long-mixes, no explode, no shuffle — the equivalent k-min-aggregates
+    * formulation shuffles every (doc, shingle) pair).
+    */
+  def minhashSignatureArray(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val sigUdf = udf { (hs: Seq[Long]) =>
+      val a = unwrapLongs(hs)
+      Array.tabulate(numHashes) { i =>
+        val salt = seed + 0x9e3779b97f4a7c15L * (i + 1)
+        var m = Long.MaxValue
+        var j = 0
+        while (j < a.length) {
+          val v = mix64(a(j) ^ salt)
+          if (v < m) m = v
+          j += 1
+        }
+        m
+      }
+    }
+    df.select(col(idCol).as("id"),
+      sigUdf(shingleHashExpr(col(textCol), shingleN)).as("sig"))
+  }
+
+  /** MinHash signatures as `numHashes` columns (`sig_0` … ) — thin view
+    * over [[minhashSignatureArray]].
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    // shingles arrive as 64-bit hashes (no string materialization); the k
-    // minhash functions are cheap long-mixes of that base hash
-    val base = df.select(col(idCol).as("id"),
-      explode(shingleHashExpr(col(textCol), shingleN)).as("h"))
-    val sigs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(seed), lit(i), col("h"))).as(s"sig_$i")
-    }
-    base.groupBy("id").agg(sigs.head, sigs.tail: _*)
+    val arr = minhashSignatureArray(df, idCol, textCol, shingleN, numHashes, seed)
+    arr.select(col("id") +:
+      (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
@@ -139,10 +111,10 @@ object Dedup {
       seed: Long = 42L, maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes, seed)
+    val sig = minhashSignatureArray(df, idCol, textCol, shingleN, numHashes, seed)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("bkey"))
+        xxhash64(slice(col("sig"), lit(b * rows + 1), lit(rows))).as("bkey"))
     }
     val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bkey"))
@@ -156,36 +128,81 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands_shared"))
   }
 
-  /** 64-bit SimHash per document: per-feature hash bits vote ±1, the sign
-    * of each bit-sum is the signature bit. One explode + one aggregation.
-    * `shingleN` > 1 uses word n-gram features instead of unigrams — far
-    * more discriminative on template-heavy corpora (unigram SimHash calls
-    * any two documents sharing vocabulary near-duplicates).
+  /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Candidate generation uses PPJoin-style **prefix filtering**: under the
+    * numeric order of shingle hashes, two sets with Jaccard ≥ t MUST share
+    * a shingle among each set's first ⌊(1−t)·|S|⌋+1 smallest shingles — so
+    * only the row-level prefix slice is exploded and self-joined, and
+    * verification intersects the two sorted arrays per surviving candidate.
+    * Lossless except for the `maxBucketSize` skew cap on prefix buckets.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    // sorted distinct shingle hashes, once per document, at row level
+    val sh = df.select(col(idCol).as("id"),
+      array_sort(shingleHashExpr(col(textCol), n)).as("shs"))
+    val prefix = sh.select(col("id"),
+      explode(slice(col("shs"), lit(1),
+        (floor((lit(1.0) - threshold) * size(col("shs"))) + 1).cast("int"))).as("sh"))
+    val small = prefix.groupBy("sh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("sh")
+    val prefixOk = prefix.join(small, Seq("sh"))
+    val cand = prefixOk.select(col("sh"), col("id").as("id_a"))
+      .join(prefixOk.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // verify each candidate on the full sorted sets
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document, computed per row from the shingle-hash
+    * array (no explode, no shuffle): each feature hash votes ±1 per bit,
+    * the sign of each bit-sum is the signature bit. `shingleN` > 1 uses
+    * word n-gram features — far more discriminative on template-heavy
+    * corpora than unigrams (which mark any vocabulary overlap as near-dup).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val tok =
-      if (shingleN <= 1)
-        df.select(col(idCol).as("id"), explode(split(col(textCol), "\\s+")).as("t"))
-          .select(col("id"), xxhash64(col("t")).as("h"))
-      else
-        df.select(col(idCol).as("id"),
-          explode(shingleHashExpr(col(textCol), shingleN)).as("h"))
-    val votes = (0 until 64).map { b =>
-      sum(when(getbit(col("h"), lit(b)) === 1, 1).otherwise(-1)).as(s"v_$b")
+    val simUdf = udf { (hs: Seq[Long]) =>
+      val a = unwrapLongs(hs)
+      val votes = new Array[Int](64)
+      var j = 0
+      while (j < a.length) {
+        val h = a(j)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
     }
-    tok.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("simhash"))
+    val feat =
+      if (shingleN <= 1)
+        array_distinct(transform(split(col(textCol), "\\s+"), t => xxhash64(t)))
+      else shingleHashExpr(col(textCol), shingleN)
+    df.select(col(idCol).as("id"), simUdf(feat).as("simhash"))
   }
 
   /** Near-duplicate pairs with hamming(simhash) ≤ `maxHamming`, via the
     * pigeonhole block trick (t+1 equi-joins, no cross join).
     * Returns (id_a, id_b, hamming), id_a < id_b.
-    */
-  /** Note on `maxHamming`: block width is 64/(t+1) bits, so high thresholds
+    *
+    * Note on `maxHamming`: block width is 64/(t+1) bits, so high thresholds
     * mean narrow blocks, tiny bucket keyspaces, and quadratic bucket
     * blow-up (t=16 → 3-bit blocks → 8 buckets per block). Keep t ≤ 8 and
     * let `maxBucketSize` cap pathological buckets, same as MinHash LSH.

@@ -68,11 +68,11 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, _) => a == 2L && b == 9000003L })
   }
 
-  test("doc-frequency capping drops universal shingles") {
-    // every doc shares the shingle "x y"; capped at maxDocFreq=2 it must not
-    // produce O(n^2) pairs from that shingle alone
+  test("bucket-size capping drops universal shingles from candidate generation") {
+    // every doc shares the shingle "x y"; with the bucket cap at 2 that hot
+    // bucket is dropped, so the universal shingle cannot create O(n^2) pairs
     val univ = (1 to 10).map(i => (i.toLong, s"x y unique$i only$i here$i")).toDF("doc_id", "text")
-    val pairs = Dedup.jaccardPairs(univ, "doc_id", "text", n = 2, threshold = 0.01, maxDocFreq = 2)
+    val pairs = Dedup.jaccardPairs(univ, "doc_id", "text", n = 2, threshold = 0.01, maxBucketSize = 2)
     assert(pairs.count() === 0)
   }
 }
