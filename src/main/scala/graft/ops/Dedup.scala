@@ -53,12 +53,6 @@ object Dedup {
           i => xxhash64(slice(toks, i + 1, lit(n))))))
   }
 
-  private def unwrapLongs(s: Seq[Long]): Array[Long] = (s: Any) match {
-    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
-    case w: scala.collection.mutable.ArraySeq.ofLong   => w.array
-    case _ => s.toArray
-  }
-
   /** splitmix64 finalizer — the per-function mix for MinHash. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0
@@ -67,15 +61,49 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** FNV-1a 64-bit over the chars of a string. */
+  @inline private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct 64-bit n-gram hashes of a token sequence, computed entirely
+    * in the JVM: one string hash per token, then an order-sensitive mix
+    * chain per n-gram. The expression-tree equivalent re-hashes every token
+    * n times through interpreted slices — this is the hot inner loop of
+    * every near-dup signature, so it runs as plain Scala.
+    */
+  private def shingleHashes(toks: Seq[String], n: Int): Array[Long] = {
+    val m = toks.size
+    if (m < n) return Array.emptyLongArray
+    val th = new Array[Long](m)
+    var i = 0
+    toks.foreach { t => th(i) = fnv64(t); i += 1 }
+    val set = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    i = 0
+    while (i <= m - n) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { h = mix64(h ^ th(i + j)); j += 1 }
+      if (set.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
   /** MinHash signature as one array column, computed per row in a single
-    * closure over the shingle-hash array (numHashes × |shingles| cheap
-    * long-mixes, no explode, no shuffle — the equivalent k-min-aggregates
-    * formulation shuffles every (doc, shingle) pair).
+    * closure (tokenize → shingle-hash → numHashes × |shingles| long-mixes),
+    * no explode, no shuffle — the equivalent k-min-aggregates formulation
+    * shuffles every (doc, shingle) pair.
     */
   def minhashSignatureArray(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    val sigUdf = udf { (hs: Seq[Long]) =>
-      val a = unwrapLongs(hs)
+    val sigUdf = udf { (toks: Seq[String]) =>
+      val a = shingleHashes(toks, shingleN)
       Array.tabulate(numHashes) { i =>
         val salt = seed + 0x9e3779b97f4a7c15L * (i + 1)
         var m = Long.MaxValue
@@ -89,7 +117,7 @@ object Dedup {
       }
     }
     df.select(col(idCol).as("id"),
-      sigUdf(shingleHashExpr(col(textCol), shingleN)).as("sig"))
+      sigUdf(split(col(textCol), "\\s+")).as("sig"))
   }
 
   /** MinHash signatures as `numHashes` columns (`sig_0` … ) — thin view
@@ -141,8 +169,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     // sorted distinct shingle hashes, once per document, at row level
+    val shUdf = udf { (toks: Seq[String]) =>
+      val a = shingleHashes(toks, n)
+      java.util.Arrays.sort(a)
+      a
+    }
     val sh = df.select(col(idCol).as("id"),
-      array_sort(shingleHashExpr(col(textCol), n)).as("shs"))
+      shUdf(split(col(textCol), "\\s+")).as("shs"))
     val prefix = sh.select(col("id"),
       explode(slice(col("shs"), lit(1),
         (floor((lit(1.0) - threshold) * size(col("shs"))) + 1).cast("int"))).as("sh"))
@@ -173,8 +206,12 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val simUdf = udf { (hs: Seq[Long]) =>
-      val a = unwrapLongs(hs)
+    val simUdf = udf { (toks: Seq[String]) =>
+      val a =
+        if (shingleN <= 1) {
+          val set = new java.util.HashSet[java.lang.Long](toks.size * 2)
+          toks.iterator.map(fnv64).filter(set.add(_)).toArray
+        } else shingleHashes(toks, shingleN)
       val votes = new Array[Int](64)
       var j = 0
       while (j < a.length) {
@@ -191,11 +228,8 @@ object Dedup {
       while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
       out
     }
-    val feat =
-      if (shingleN <= 1)
-        array_distinct(transform(split(col(textCol), "\\s+"), t => xxhash64(t)))
-      else shingleHashExpr(col(textCol), shingleN)
-    df.select(col(idCol).as("id"), simUdf(feat).as("simhash"))
+    df.select(col(idCol).as("id"),
+      simUdf(split(col(textCol), "\\s+")).as("simhash"))
   }
 
   /** Near-duplicate pairs with hamming(simhash) ≤ `maxHamming`, via the
