@@ -448,6 +448,17 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    // Poisson deviance at a fixed beta over the log link (extension family;
+    // same IRLS machinery as binomial — SQL-expressible, so oracle-checked)
+    "q44_poisson_dev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("y", col("l_linenumber").cast("double"))
+      val eta = lit(0.2) + col("l_quantity") * lit(0.01)
+      val mu = exp(eta)
+      li.agg(
+        r(avg(graft.glm.Family.PoissonFamily.deviance(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     // per-group OLS via the custom Gram Aggregator: one independent fit per
     // supplier, solved inside the aggregation (no driver involvement)
     "q40_grouped_lm" -> ((s, dir) => {
@@ -864,6 +875,17 @@ object SparkEntry {
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q44_poisson_dev" ->
+      """WITH t AS (
+        |  SELECT CAST(l_linenumber AS DOUBLE) AS y,
+        |    exp(0.2 + l_quantity * 0.01) AS mu
+        |  FROM lineitem)
+        |SELECT
+        |  round(avg((CASE WHEN y > 0 THEN y * ln(y / mu) ELSE 0.0 END
+        |    - (y - mu)) * 2.0), 6) AS avg_dev,
+        |  count(*) AS n_rows
+        |FROM t""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,64 @@
+package graft.glm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exponential-family definitions for the IRLS fitter: variance function,
+  * unit deviance, log-likelihood, starting values and mean clamping, each
+  * as codegen-friendly column expressions.
+  *
+  * The reference implements binomial only (its family dispatch is vacuous —
+  * reference: GLM.scala:95-99,486-490); Poisson is an extension the same
+  * IRLS machinery supports with just these five expressions swapped.
+  */
+sealed trait Family extends Serializable {
+  def name: String
+  def defaultLink: String
+  def variance(mu: Column, m: Column): Column
+  def deviance(y: Column, mu: Column, m: Column): Column
+  def logLik(y: Column, mu: Column, m: Column): Column
+  def initMu(y: Column, m: Column): Column
+  def clampMu(mu: Column, m: Column): Column
+}
+
+object Family {
+  def apply(name: String): Family = name.toLowerCase match {
+    case "binomial" => BinomialFamily
+    case "poisson"  => PoissonFamily
+    case other => throw new IllegalArgumentException(
+      s"unknown family: $other (binomial | poisson)")
+  }
+
+  private val eps = 1e-10
+
+  case object BinomialFamily extends Family {
+    val name = "binomial"
+    val defaultLink = "logit"
+    def variance(mu: Column, m: Column): Column = mu * (lit(1.0) - mu / m)
+    def deviance(y: Column, mu: Column, m: Column): Column =
+      (y * log(greatest(y, lit(1.0)) / mu) +
+        (m - y) * log(greatest(m - y, lit(1.0)) / (m - mu))) * 2.0
+    def logLik(y: Column, mu: Column, m: Column): Column =
+      GLM.logChoose(m, y) + y * log(mu / m) + (m - y) * log(lit(1.0) - mu / m)
+    def initMu(y: Column, m: Column): Column = m * (y + 0.5) / (m + 1.0)
+    def clampMu(mu: Column, m: Column): Column =
+      greatest(least(mu, m * (1.0 - eps)), m * eps)
+  }
+
+  case object PoissonFamily extends Family {
+    val name = "poisson"
+    val defaultLink = "log"
+    def variance(mu: Column, m: Column): Column = mu
+    // 2·Σ[y·ln(y/μ) − (y−μ)], with the y = 0 term's y·ln(y/μ) → 0
+    def deviance(y: Column, mu: Column, m: Column): Column =
+      (when(y > 0, y * log(y / mu)).otherwise(lit(0.0)) - (y - mu)) * 2.0
+    // y·ln μ − μ − ln y!
+    def logLik(y: Column, mu: Column, m: Column): Column =
+      y * log(mu) - mu - GLM.logFactorial(y)
+    def initMu(y: Column, m: Column): Column = y + 0.1
+    // lower bound keeps log/1/μ finite; upper bound keeps exp(η) from
+    // overflowing during early IRLS steps on extreme starts
+    def clampMu(mu: Column, m: Column): Column =
+      greatest(least(mu, lit(1e15)), lit(eps))
+  }
+}

@@ -115,26 +115,29 @@ object GLM {
     Gamma.logGamma(m + 1.0) - Gamma.logGamma(y + 1.0) - Gamma.logGamma(m - y + 1.0)
   }
 
+  /** ln y! via log-gamma (Poisson log-likelihood). */
+  val logFactorial = udf { (y: Double) => Gamma.logGamma(y + 1.0) }
+
   /** Binomial deviance contribution of one row
     * (reference: GLM.scala:162-170 `devBinomial`).
     */
   def devExpr(y: Column, mu: Column, m: Column): Column =
-    (y * log(greatest(y, lit(1.0)) / mu) +
-      (m - y) * log(greatest(m - y, lit(1.0)) / (m - mu))) * 2.0
+    Family.BinomialFamily.deviance(y, mu, m)
 
   /** Binomial variance V(μ) = μ(1 − μ/m) (reference: GLM.scala:125-129). */
-  def varExpr(mu: Column, m: Column): Column = mu * (lit(1.0) - mu / m)
+  def varExpr(mu: Column, m: Column): Column =
+    Family.BinomialFamily.variance(mu, m)
 
   /** Fit a binomial GLM.
     *
     * @param df        input data (features, label, optional m / offset cols)
     * @param xCols     feature column names (numeric)
     * @param yCol      response: successes (counts in [0, m]; 0/1 when m = 1)
-    * @param family    only "binomial" (the reference's family dispatch is
-    *                  vacuous — every branch routes to binomial,
-    *                  reference: GLM.scala:95-99,486-490 — so we make the
-    *                  contract explicit instead of copying the dead code)
-    * @param linkName  logit | probit | cloglog
+    * @param family    binomial | poisson (the reference's family dispatch
+    *                  is vacuous — every branch routes to binomial,
+    *                  reference: GLM.scala:95-99,486-490 — binomial is the
+    *                  parity surface, poisson the same machinery extended)
+    * @param linkName  logit | probit | cloglog | log; empty = family default
     * @param mCol      binomial denominator column (defaults to 1)
     * @param offsetCol known-offset column added to η (defaults to 0)
     * @param tol       |ΔD| convergence threshold (reference default 1e-6)
@@ -144,15 +147,15 @@ object GLM {
       xCols: Seq[String],
       yCol: String,
       family: String = "binomial",
-      linkName: String = "logit",
+      linkName: String = "",
       intercept: Boolean = true,
       mCol: Option[String] = None,
       offsetCol: Option[String] = None,
       tol: Double = 1e-6,
       maxIter: Int = 50,
       verbose: Boolean = false): GLMModel = {
-    require(family.toLowerCase == "binomial", s"only the binomial family is implemented (got $family)")
-    val link = LinkFn(linkName)
+    val fam = Family(family)
+    val link = LinkFn(if (linkName.isEmpty) fam.defaultLink else linkName)
 
     // Assemble one flat working DataFrame and persist it: every IRLS pass
     // re-scans this (and only this).
@@ -168,9 +171,8 @@ object GLM {
     val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ xsNames.map(col)
     val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray
     val y = col("y"); val m = col("m"); val off = col("off")
-    val eps = 1e-10
 
-    def clamp(mu: Column): Column = greatest(least(mu, m * (1.0 - eps)), m * eps)
+    def clamp(mu: Column): Column = fam.clampMu(mu, m)
 
     try {
       var beta: BDV[Double] = null
@@ -185,7 +187,7 @@ object GLM {
         // μ₀ = m(y + ½)/(m + 1) on the first pass.
         val (etaE, muE) =
           if (beta == null) {
-            val mu0 = clamp(m * (y + 0.5) / (m + 1.0))
+            val mu0 = clamp(fam.initMu(y, m))
             (link.link(mu0, m) + off, mu0)
           } else {
             val eta = xs.zipWithIndex
@@ -195,10 +197,10 @@ object GLM {
           }
         val lp = link.lprime(muE, m)
         val z = etaE + (y - muE) * lp - off
-        val w = lit(1.0) / (varExpr(muE, m) * lp * lp)
+        val w = lit(1.0) / (fam.variance(muE, m) * lp * lp)
 
         // ONE distributed pass: weighted normal equations + deviance.
-        val g = Gram.normal(work, xs, z, w, extras = Seq(sum(devExpr(y, muE, m))))
+        val g = Gram.normal(work, xs, z, w, extras = Seq(sum(fam.deviance(y, muE, m))))
         dev = g.extras(0)
         lastGram = g
 
@@ -219,8 +221,8 @@ object GLM {
       val etaF = xs.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }.reduce(_ + _) + off
       val muF = clamp(link.inverse(etaF, m))
       val statsRow = work.agg(
-        sum((y - muF) * (y - muF) / varExpr(muF, m)).as("pearson"),
-        sum(logChoose(m, y) + y * log(muF / m) + (m - y) * log(lit(1.0) - muF / m)).as("ll"),
+        sum((y - muF) * (y - muF) / fam.variance(muF, m)).as("pearson"),
+        sum(fam.logLik(y, muF, m)).as("ll"),
         sum(y).as("y_sum"),
         sum(m).as("m_sum"),
         count(lit(1)).as("n")).head()
@@ -229,12 +231,13 @@ object GLM {
       val pHat = statsRow.getDouble(2) / statsRow.getDouble(3)
       val n = statsRow.getLong(4)
 
-      // Null deviance: intercept-only binomial MLE is μ/m = Σy/Σm for any
-      // monotone link — closed form, one small extra pass.
+      // Null deviance: the intercept-only MLE mean is m·(Σy/Σm) for both
+      // families (binomial rate and, with m = 1, the Poisson ȳ) — closed
+      // form, one small extra pass.
       val muNull = clamp(m * pHat)
-      val nullDev = work.agg(sum(devExpr(y, muNull, m))).head().getDouble(0)
+      val nullDev = work.agg(sum(fam.deviance(y, muNull, m))).head().getDouble(0)
 
-      new GLMModel(names, yCol, intercept, "binomial", link, beta, se,
+      new GLMModel(names, yCol, intercept, fam.name, link, beta, se,
         dev, nullDev, pearson, ll, n, iterations)
     } finally {
       work.unpersist(blocking = false)
@@ -245,14 +248,15 @@ object GLM {
   def fitFormula(
       df: DataFrame,
       formula: String,
-      linkName: String = "logit",
+      family: String = "binomial",
+      linkName: String = "",
       tol: Double = 1e-6,
       maxIter: Int = 50): GLMModel = {
     val f0 = Formula.parse(formula).resolve(df.columns.toSeq)
     val sel = df.select((f0.response +: f0.terms).map(col): _*)
     val encoded = ModelMatrix.encode(ModelMatrix.naDrop(sel))
     val xNames = encoded.columns.filter(_ != f0.response)
-    fit(encoded, xNames.toSeq, f0.response, linkName = linkName,
+    fit(encoded, xNames.toSeq, f0.response, family = family, linkName = linkName,
       intercept = f0.intercept, tol = tol, maxIter = maxIter)
   }
 }

@@ -32,6 +32,7 @@ object LinkFn {
     case "logit"   => Logit
     case "probit"  => Probit
     case "cloglog" => Cloglog
+    case "log"     => Log
     case other     => throw new IllegalArgumentException(s"unknown link: $other")
   }
 
@@ -60,6 +61,14 @@ object LinkFn {
     def link(mu: Column, m: Column): Column = qnorm(mu / m)
     def inverse(eta: Column, m: Column): Column = m * pnorm(eta)
     def lprime(mu: Column, m: Column): Column = lit(1.0) / (m * dnorm(qnorm(mu / m)))
+  }
+
+  /** log link (canonical for Poisson); m is ignored. */
+  case object Log extends LinkFn {
+    val name = "log"
+    def link(mu: Column, m: Column): Column = log(mu)
+    def inverse(eta: Column, m: Column): Column = exp(eta)
+    def lprime(mu: Column, m: Column): Column = lit(1.0) / mu
   }
 
   case object Cloglog extends LinkFn {

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips: parquet is exercised everywhere; this covers
+  * JSON (the reference's only file source) and CSV, plus partitioned
+  * parquet writes (the sink layout used for scale-out reads).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("JSON round-trip preserves rows and values") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    docs.limit(50).write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 50)
+    val a = docs.limit(50).select("doc_id", "lang").orderBy("doc_id").collect()
+    val b = back.select("doc_id", "lang").orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("CSV round-trip with header and explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    sup.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(sup.schema).csv(dir)
+    assert(back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq ===
+      sup.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("lang") === "en")
+    // partition pruning: the scan should read only the lang=en directory
+    val scan = one.queryExecution.executedPlan.toString
+    assert(one.count() === docs.filter(col("lang") === "en").count())
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan.take(600))
+  }
+}
