@@ -448,6 +448,28 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    // semi-structured: JSON field extraction from the events props column
+    "q45_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // nested arrays: per-label aggregate over the embedding vectors (norm
+    // via the native array_dot expression)
+    "q46_embedding_stats" -> ((s, dir) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val e = t(s, dir, "embeddings")
+      e.withColumn("nrm", sqrt(call_function("array_dot",
+          col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"), r(sum("nrm"), 4).as("sum_norm"))
+        .orderBy("label")
+    }),
+
     // Poisson deviance at a fixed beta over the log link (extension family;
     // same IRLS machinery as binomial — SQL-expressible, so oracle-checked)
     "q44_poisson_dev" -> ((s, dir) => {
@@ -875,6 +897,18 @@ object SparkEntry {
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q45_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q46_embedding_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  round(sum(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS sum_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "q44_poisson_dev" ->
       """WITH t AS (
