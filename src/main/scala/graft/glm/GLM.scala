@@ -166,7 +166,14 @@ object GLM {
         col(yCol).cast(DoubleType).as("y"),
         mCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("m"),
         offsetCol.map(col(_).cast(DoubleType)).getOrElse(lit(0.0)).as("off"))
-    val work = df.select(proj: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    // spread the working set across the cluster before persisting: every
+    // IRLS iteration re-scans this frame, and a single-file source would
+    // otherwise pin all iterations to one task
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val proj0 = df.select(proj: _*)
+    val work = (if (proj0.rdd.getNumPartitions >= math.max(2, parallelism / 2)) proj0
+                else proj0.repartition(parallelism))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ xsNames.map(col)
     val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray

@@ -116,7 +116,7 @@ object Dedup {
         m
       }
     }
-    df.select(col(idCol).as("id"),
+    fanOut(df).select(col(idCol).as("id"),
       sigUdf(split(col(textCol), "\\s+")).as("sig"))
   }
 
@@ -174,7 +174,7 @@ object Dedup {
       java.util.Arrays.sort(a)
       a
     }
-    val sh = df.select(col(idCol).as("id"),
+    val sh = fanOut(df).select(col(idCol).as("id"),
       shUdf(split(col(textCol), "\\s+")).as("shs"))
     val prefix = sh.select(col("id"),
       explode(slice(col("shs"), lit(1),
@@ -228,7 +228,7 @@ object Dedup {
       while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
       out
     }
-    df.select(col(idCol).as("id"),
+    fanOut(df).select(col(idCol).as("id"),
       simUdf(split(col(textCol), "\\s+")).as("simhash"))
   }
 

@@ -108,7 +108,8 @@ object Similarity {
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val unit = df.select(col(idCol).cast("long").as("id"), unitVec(col(vecCol)).as("u"))
+    val unit = fanOut(df)
+      .select(col(idCol).cast("long").as("id"), unitVec(col(vecCol)).as("u"))
       .as[(Long, Seq[Double])]
     val local = unit.collect().map { case (id, u) => (id, unwrap(u)) }
     val bc = spark.sparkContext.broadcast(local)
@@ -143,7 +144,7 @@ object Similarity {
     // width, so 64/8 → 8-bit keys (256 buckets per band)
     val rows = nBits / bands
     val dim = df.select(size(col(vecCol))).limit(1).head().getInt(0)
-    val unit = df.select(col(idCol).as("id"), unitVec(col(vecCol)).as("u"))
+    val unit = fanOut(df).select(col(idCol).as("id"), unitVec(col(vecCol)).as("u"))
     val sig = hyperplaneSignature(col("u"), nBits, dim, seed)
     val banded = unit.select(col("id"), col("u"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
