@@ -75,10 +75,14 @@ final class GLMModel(
   }
 
   /** Score: μ on the response scale (probability when m = 1). */
-  def predict(df: DataFrame, outputCol: String = "prediction", mCol: Option[String] = None): DataFrame = {
+  def predict(df: DataFrame, outputCol: String = "prediction",
+      mCol: Option[String] = None, offsetCol: Option[String] = None): DataFrame = {
     val aligned = ModelMatrix.matchCols(featureNames.toSeq, df)
     val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
-    aligned.withColumn(outputCol, link.inverse(linearPredictor, m))
+    // models fit with an offset score with the scoring data's offset
+    // (R predict.glm semantics)
+    val off = offsetCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(0.0))
+    aligned.withColumn(outputCol, link.inverse(linearPredictor + off, m))
   }
 
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +

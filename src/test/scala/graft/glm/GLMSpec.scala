@@ -77,6 +77,12 @@ class GLMSpec extends SparkSpec {
     val m1 = GLM.fit(withOff, Seq("x1", "x2"), "y", offsetCol = Some("o"))
     assert(math.abs((m0.coefs(0) - m1.coefs(0)) - 0.7) < 1e-6)
     assert(math.abs(m0.coefs(1) - m1.coefs(1)) < 1e-7)
+    // scoring with the offset reproduces the no-offset model's predictions
+    val p0 = m0.predict(bern.limit(20)).select("prediction")
+      .collect().map(_.getDouble(0))
+    val p1 = m1.predict(withOff.limit(20), offsetCol = Some("o"))
+      .select("prediction").collect().map(_.getDouble(0))
+    p0.zip(p1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
   }
 
   test("summary renders") {
