@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{GLM, Gram, GroupedLM, LM, ModelMatrix}
-import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, Skew, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -446,6 +446,20 @@ object SparkEntry {
       li.agg(
         r(avg(GLM.devExpr(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
         count(lit(1)).as("n_rows"))
+    }),
+
+    // as-of join (custom operator — Spark has no native one): each event
+    // joined to the latest qualifying per-user hourly anchor at or before it
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val anchors = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ats"))
+        .agg(r(sum("value"), 4).as("hourly_sum"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      AsofJoin.asofJoin(ev.select("event_id", "user_id", "ts"), anchors,
+          Seq("user_id"), "ts", "ats", Seq("hourly_sum"))
+        .select("event_id", "user_id", "hourly_sum")
+        .orderBy("event_id")
     }),
 
     // semi-structured: JSON field extraction from the events props column
@@ -897,6 +911,16 @@ object SparkEntry {
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH anchors AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS ats,
+        |    round(sum(value), 4) AS hourly_sum
+        |  FROM events GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e.event_id, e.user_id, a.hourly_sum
+        |FROM events e ASOF LEFT JOIN anchors a
+        |  ON e.user_id = a.user_id AND e.ts >= a.ats
+        |ORDER BY e.event_id""".stripMargin,
 
     "q45_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
