@@ -448,6 +448,14 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    // end-to-end near-dup removal: MinHash-LSH pairs → connected
+    // components → one representative per cluster (xxhash-based pairs →
+    // rows-only check; semantics covered by DedupSpec)
+    "q48_dedup_corpus" -> ((s, dir) => {
+      Dedup.removeNearDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
     // as-of join (custom operator — Spark has no native one): each event
     // joined to the latest qualifying per-user hourly anchor at or before it
     "q47_asof_join" -> ((s, dir) => {

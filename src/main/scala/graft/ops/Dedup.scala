@@ -232,6 +232,56 @@ object Dedup {
       simUdf(split(col(textCol), "\\s+")).as("simhash"))
   }
 
+  /** Connected-component labels over an undirected pair relation
+    * (id_a, id_b): iterative min-label propagation — each round every node
+    * takes the minimum label in its neighborhood; rounds ≈ component
+    * diameter (near-dup clusters are shallow). Each iteration is one join +
+    * aggregation; intermediates are localCheckpoint'ed so lineage stays
+    * flat. Returns (id, label) for every id that appears in `pairs`, where
+    * label = the minimum id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Remove near-duplicate documents end-to-end: MinHash-LSH candidate
+    * pairs → connected components → keep the minimum id per component
+    * (plus every document with no near-duplicate). The candidate relation
+    * can be swapped (e.g. [[simhashPairs]] or [[jaccardPairs]] output) via
+    * `pairsOpt`.
+    */
+  def removeNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsOpt.getOrElse(
+      minhashPairs(df, idCol, textCol).select("id_a", "id_b"))
+    val labels = connectedComponents(pairs.select("id_a", "id_b"))
+    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("label").isNull || col("label") === col(idCol))
+      .drop("label")
+  }
+
   /** Near-duplicate pairs with hamming(simhash) ≤ `maxHamming`, via the
     * pigeonhole block trick (t+1 equi-joins, no cross join).
     * Returns (id_a, id_b, hamming), id_a < id_b.

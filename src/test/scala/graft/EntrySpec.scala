@@ -14,7 +14,7 @@ class EntrySpec extends SparkSpec {
     // IRLS loop / recall<1 / byte-level decode have no DuckDB analog)
     assert(rowsOnly === Set("q20_glm_coefs", "q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
-      "q39_cosine_pairs_lsh"))
+      "q39_cosine_pairs_lsh", "q48_dedup_corpus"))
   }
 
   test("entry flagship returns rows with a prediction column") {

@@ -68,6 +68,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, _) => a == 2L && b == 9000003L })
   }
 
+  test("connected components merge transitively linked pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+  }
+
+  test("removeNearDuplicates keeps one representative per duplicate cluster") {
+    val deduped = Dedup.removeNearDuplicates(planted, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the exact-copy cluster {1, 9000001, 9000002} survives as doc 1 only
+    assert(deduped.contains(1L))
+    assert(!deduped.contains(9000001L) && !deduped.contains(9000002L))
+    // near-dup of doc 2 collapses into doc 2
+    assert(deduped.contains(2L) && !deduped.contains(9000003L))
+    // exactly one survivor per component (the corpus has genuine near-dup
+    // clusters of its own, so derive the expectation from the components)
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashPairs(planted, "doc_id", "text").select("id_a", "id_b"))
+    val nodes = labels.count()
+    val components = labels.select("label").distinct().count()
+    assert(deduped.size === planted.count() - (nodes - components))
+  }
+
   test("bucket-size capping drops universal shingles from candidate generation") {
     // every doc shares the shingle "x y"; with the bucket cap at 2 that hot
     // bucket is dropped, so the universal shingle cannot create O(n^2) pairs
