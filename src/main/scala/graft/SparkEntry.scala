@@ -448,6 +448,34 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    // decorrelated into an aggregate + join
+    "q49_correlated_avg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(partAvg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(r(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // correlated comparison against the group's own aggregate: orders
+    // priced above 3x their customer's average order value
+    "q50_above_own_avg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val custAvg = o.groupBy(col("o_custkey").as("ck"))
+        .agg(avg("o_totalprice").as("cust_avg"), count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      o.join(custAvg, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("cust_avg") * 3.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // end-to-end near-dup removal: MinHash-LSH pairs → connected
     // components → one representative per cluster (xxhash-based pairs →
     // rows-only check; semantics covered by DedupSpec)
@@ -919,6 +947,28 @@ object SparkEntry {
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q49_correlated_avg" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = lineitem.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q50_above_own_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 3.0 * (
+        |    SELECT avg(o2.o_totalprice) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  AND (SELECT count(*) FROM orders o3
+        |       WHERE o3.o_custkey = o.o_custkey) >= 2
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q47_asof_join" ->
       """WITH anchors AS (
