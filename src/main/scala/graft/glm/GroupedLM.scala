@@ -66,7 +66,10 @@ object GroupedLM {
     def finish(b: Array[Double]): Seq[Double] = {
       val n = b(0)
       val out = new Array[Double](pp + 3)
-      if (n <= pp) {
+      // n == pp is exactly-determined: a well-defined zero-residual fit
+      // (what DuckDB's regr_slope/regr_intercept returns for 2 points /
+      // 1 feature). Only underdetermined groups are hopeless.
+      if (n < pp) {
         java.util.Arrays.fill(out, Double.NaN)
         out(pp + 1) = n
         return out.toSeq
@@ -82,13 +85,16 @@ object GroupedLM {
       val xty = BDV.tabulate(pp)(i => b(4 + i))
       try {
         val beta = LinAlg.solvePD(xtx, xty)
-        val sse = math.max(0.0, b(3) - (beta dot xty))
+        // exactly-determined groups have zero residual by construction —
+        // force it so r2 is exactly 1 instead of 1 ± float noise
+        val sse = if (n == pp) 0.0 else math.max(0.0, b(3) - (beta dot xty))
         val tss = if (intercept) b(3) - b(2) * b(2) / b(1) else b(3)
         i = 0
         while (i < pp) { out(i) = beta(i); i += 1 }
         out(pp) = if (tss > 0) 1.0 - sse / tss else Double.NaN
         out(pp + 1) = n
-        out(pp + 2) = math.sqrt(sse / (n - pp))
+        // zero residual degrees of freedom → sigma undefined (matches R lm)
+        out(pp + 2) = if (n > pp) math.sqrt(sse / (n - pp)) else Double.NaN
       } catch {
         case _: Exception =>
           java.util.Arrays.fill(out, Double.NaN)

@@ -31,27 +31,33 @@ object AsofJoin {
     require(valueCols.forall(!leftCols.contains(_)),
       "valueCols must not collide with left columns")
 
+    // The carried payload is ONE struct per right row (null only on left
+    // placeholder rows), so last(ignoreNulls) keys on right-row PRESENCE:
+    // a matching right row whose value column is genuinely NULL still wins,
+    // instead of being skipped in favor of an older row's value.
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(v => right.schema(v)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(keyCols.map(col) ++ Seq(col("__ts"), col("__side")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rvType).as("__rv"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(keyCols.map(col) ++ Seq(col("__ts"), col("__side")) ++
         leftCols.filterNot(keyCols.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__rv"): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+    l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__rv").getField(v).as(v)): _*)
   }
 }

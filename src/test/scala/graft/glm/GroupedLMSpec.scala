@@ -45,6 +45,18 @@ class GroupedLMSpec extends SparkSpec {
     assert(out("b").isNaN) // 1 row < 2 params
   }
 
+  test("exactly-determined groups get the exact-fit line (n == p)") {
+    // 2 points, intercept + 1 feature: the line through (1,3) and (3,7)
+    // is y = 1 + 2x — well-defined, zero residual (DuckDB regr_slope agrees)
+    val tiny = Seq(("a", 1.0, 3.0), ("a", 3.0, 7.0)).toDF("g", "x", "y")
+    val row = GroupedLM.fit(tiny, Seq("g"), Seq("x"), "y").head()
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12) // b_intercept
+    assert(math.abs(row.getDouble(2) - 2.0) < 1e-12) // b_x
+    assert(row.getDouble(3) === 1.0)                 // r2 exactly 1
+    assert(row.getLong(4) === 2L)
+    assert(row.getDouble(5).isNaN)                   // sigma: 0 residual df
+  }
+
   test("weighted grouped fit honors the weight column") {
     val w2 = li.withColumn("w", lit(2.0))
     val a = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice")

@@ -27,6 +27,16 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.getDouble(3) === 7.0)
   }
 
+  test("a matching right row with a genuinely NULL value yields NULL, not an older value") {
+    val l = Seq((1L, 30L, "x")).toDF("k", "ts", "v")
+    val r = Seq((1L, 10L, Some(5.0)), (1L, 20L, None))
+      .toDF("k", "rts", "price")
+    val out = AsofJoin.asofJoin(l, r, Seq("k"), "ts", "rts", Seq("price")).head()
+    // latest right row (ts=20) matches and its price is NULL — it must NOT
+    // be skipped in favor of the ts=10 row's 5.0
+    assert(out.isNullAt(3))
+  }
+
   test("left row multiplicity and columns are preserved") {
     val l = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "ts", "v")
     val r = Seq((1L, 9L, 1.0)).toDF("k", "rts", "price")
