@@ -25,8 +25,10 @@ object Family {
   def apply(name: String): Family = name.toLowerCase match {
     case "binomial" => BinomialFamily
     case "poisson"  => PoissonFamily
+    case "gaussian" => GaussianFamily
+    case "gamma"    => GammaFamily
     case other => throw new IllegalArgumentException(
-      s"unknown family: $other (binomial | poisson)")
+      s"unknown family: $other (binomial | poisson | gaussian | gamma)")
   }
 
   private val eps = 1e-10
@@ -60,5 +62,38 @@ object Family {
     // overflowing during early IRLS steps on extreme starts
     def clampMu(mu: Column, m: Column): Column =
       greatest(least(mu, lit(1e15)), lit(eps))
+  }
+
+  /** Gaussian with identity link: V(μ) = 1, deviance = RSS, so IRLS reduces
+    * to one unweighted least-squares solve — GLM(gaussian) ≡ LM.fit (tested
+    * as a property). logLik uses unit dispersion (−½(ln 2π + (y−μ)²)); R's
+    * `glm` profiles σ̂² into its gaussian AIC, so AICs differ by a
+    * deterministic constant while coefficients/deviance/SEs agree.
+    */
+  case object GaussianFamily extends Family {
+    val name = "gaussian"
+    val defaultLink = "identity"
+    def variance(mu: Column, m: Column): Column = lit(1.0)
+    def deviance(y: Column, mu: Column, m: Column): Column = (y - mu) * (y - mu)
+    def logLik(y: Column, mu: Column, m: Column): Column =
+      ((y - mu) * (y - mu) + math.log(2.0 * math.Pi)) * -0.5
+    def initMu(y: Column, m: Column): Column = y
+    def clampMu(mu: Column, m: Column): Column = mu
+  }
+
+  /** Gamma with log link (default here — the canonical inverse link is also
+    * available and neither needs clamping tricks under log). Requires y > 0.
+    * 2·Σ[−ln(y/μ) + (y−μ)/μ]; logLik at unit shape (exponential): −ln μ − y/μ.
+    */
+  case object GammaFamily extends Family {
+    val name = "gamma"
+    val defaultLink = "log"
+    def variance(mu: Column, m: Column): Column = mu * mu
+    def deviance(y: Column, mu: Column, m: Column): Column =
+      (lit(0.0) - log(y / mu) + (y - mu) / mu) * 2.0
+    def logLik(y: Column, mu: Column, m: Column): Column =
+      lit(0.0) - log(mu) - y / mu
+    def initMu(y: Column, m: Column): Column = y
+    def clampMu(mu: Column, m: Column): Column = greatest(mu, lit(eps))
   }
 }

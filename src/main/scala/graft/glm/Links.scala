@@ -29,11 +29,13 @@ sealed trait LinkFn extends Serializable {
 object LinkFn {
 
   def apply(name: String): LinkFn = name.toLowerCase match {
-    case "logit"   => Logit
-    case "probit"  => Probit
-    case "cloglog" => Cloglog
-    case "log"     => Log
-    case other     => throw new IllegalArgumentException(s"unknown link: $other")
+    case "logit"    => Logit
+    case "probit"   => Probit
+    case "cloglog"  => Cloglog
+    case "log"      => Log
+    case "identity" => Identity
+    case "inverse"  => Inverse
+    case other      => throw new IllegalArgumentException(s"unknown link: $other")
   }
 
   /** Φ (standard normal CDF) as a scalar UDF. */
@@ -69,6 +71,22 @@ object LinkFn {
     def link(mu: Column, m: Column): Column = log(mu)
     def inverse(eta: Column, m: Column): Column = exp(eta)
     def lprime(mu: Column, m: Column): Column = lit(1.0) / mu
+  }
+
+  /** identity link (canonical for gaussian); m is ignored. */
+  case object Identity extends LinkFn {
+    val name = "identity"
+    def link(mu: Column, m: Column): Column = mu
+    def inverse(eta: Column, m: Column): Column = eta
+    def lprime(mu: Column, m: Column): Column = lit(1.0)
+  }
+
+  /** inverse link 1/μ (canonical for gamma); m is ignored. */
+  case object Inverse extends LinkFn {
+    val name = "inverse"
+    def link(mu: Column, m: Column): Column = lit(1.0) / mu
+    def inverse(eta: Column, m: Column): Column = lit(1.0) / eta
+    def lprime(mu: Column, m: Column): Column = lit(-1.0) / (mu * mu)
   }
 
   case object Cloglog extends LinkFn {

@@ -30,9 +30,30 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   */
 object ModelMatrix {
 
-  /** Distinct values of each given column, sorted ascending — one Spark job. */
+  /** Cardinality ceiling for a column to count as categorical: beyond this,
+    * `levels` fails fast instead of collecting an id-like column's entire
+    * value set into one driver row (and k−1 of everything as dummy columns).
+    */
+  val maxLevels = 10000
+
+  /** Distinct values of each given column, sorted ascending.
+    *
+    * Two jobs by design: a cheap `countDistinct` guard pass first (partial-
+    * aggregated, bounded memory) so a high-cardinality column — an id
+    * mistaken for a categorical — fails fast BY NAME before any
+    * `collect_set` buffer is ever built on the executors or the driver.
+    */
   def levels(df: DataFrame, cols: Seq[String]): Map[String, Array[String]] = {
     if (cols.isEmpty) return Map.empty
+    val counts = df.agg(
+      countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*
+    ).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(counts.getLong(i) <= maxLevels,
+        s"column '$c' has ${counts.getLong(i)} distinct values (max $maxLevels " +
+          "for categorical encoding) — is it an id rather than a categorical?")
+    }
     val row = df.agg(
       collect_set(col(cols.head)).as(cols.head),
       cols.tail.map(c => collect_set(col(c)).as(c)): _*

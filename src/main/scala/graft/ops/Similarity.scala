@@ -105,13 +105,21 @@ object Similarity {
     * [[cosinePairsLSH]], which never forms the quadratic pair space.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBroadcastRows: Int = 1000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val unit = fanOut(df)
       .select(col(idCol).cast("long").as("id"), unitVec(col(vecCol)).as("u"))
       .as[(Long, Seq[Double])]
-    val local = unit.collect().map { case (id, u) => (id, unwrap(u)) }
+    // guard rail on the driver collect: `limit(cap+1)` bounds what can ever
+    // land on the driver, and if the result is within the cap it IS the
+    // whole corpus — one pass, no separate count() job
+    val capped = unit.limit(maxBroadcastRows + 1).collect()
+    require(capped.length <= maxBroadcastRows,
+      s"cosinePairs is the exact O(n²) baseline and collects the corpus to " +
+        s"the driver; corpus exceeds maxBroadcastRows=$maxBroadcastRows — " +
+        "use cosinePairsLSH (banded equi-join, no driver collect) at scale")
+    val local = capped.map { case (id, u) => (id, unwrap(u)) }
     val bc = spark.sparkContext.broadcast(local)
     unit.mapPartitions { it =>
       val corpus = bc.value
@@ -192,6 +200,7 @@ object Similarity {
       vecCol: String, k: Int, nBits: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val rows = nBits / bands
     val dim = queries.select(size(col(vecCol))).limit(1).head().getInt(0)
     def withBands(df: DataFrame, id: String, vec: String) = {
@@ -208,8 +217,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "q_vec", "c_vec")
       .dropDuplicates("query_id", "vec_id")
+    // nativeCosine: codegen'd array_dot, same left-to-right summation as the
+    // interpreted HOF cosine (bit-identical), ~an order of magnitude faster
     val scored = cand.select(col("query_id"), col("vec_id"),
-      round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+      round(nativeCosine(col("q_vec"), col("c_vec")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
