@@ -569,6 +569,109 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // O15/O16 WLS: weighted 1-feature least squares; oracle is the
+    // closed-form weighted-moments solution (q18 pattern, with weights)
+    "q53_wls_coefs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("w", col("l_tax") + lit(0.01))
+      val m = LM.fit(li, Seq("l_quantity"), "l_extendedprice", weightCol = Some("w"))
+      import s.implicits._
+      Seq((rd(m.coefs(0), 3), rd(m.coefs(1), 3), rd(m.sigma, 3), m.n))
+        .toDF("b_intercept", "b_quantity", "sigma_w", "n_rows")
+    }),
+
+    // O28 grouped binomial (m > 1): deviance at a fixed beta over per-supplier
+    // (successes, trials) — y/m/x are exact integers/decimals, so per-group
+    // arithmetic is bit-identical across engines
+    "q51_glm_m_dev" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)).as("y"),
+          count(lit(1)).cast("double").as("m"),
+          max("l_quantity").as("xq"))
+      val eta = lit(-0.5) + col("xq") * lit(0.01)
+      val mu = graft.glm.LinkFn.Logit.inverse(eta, col("m"))
+      g.agg(
+        r(avg(graft.glm.Family.BinomialFamily.deviance(col("y"), mu, col("m"))), 6).as("avg_dev"),
+        sum(col("y")).cast("long").as("sum_y"),
+        count(lit(1)).as("n_groups"))
+    }),
+
+    // O28 offset: binomial deviance at a fixed beta with a nonzero offset
+    // term in the linear predictor (q19 pattern + offset)
+    "q52_glm_offset_dev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val off = log(col("l_quantity") + lit(1.0))
+      val eta = lit(-1.2) + col("l_discount") * lit(-2.0) + off
+      val mu = graft.glm.LinkFn.Logit.inverse(eta, lit(1.0))
+      li.agg(
+        r(avg(GLM.devExpr(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // gaussian family: fixed-beta deviance (= RSS) — the identity-link
+    // extension family's unit deviance, pure SQL
+    "q54_gaussian_dev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("y", col("l_extendedprice") / 1000.0)
+      val mu = lit(3.0) + col("l_quantity") * lit(0.1)
+      li.agg(
+        r(avg(graft.glm.Family.GaussianFamily.deviance(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // gamma family: fixed-beta deviance 2·[−ln(y/μ) + (y−μ)/μ] over the log
+    // link (y = price > 0 everywhere)
+    "q55_gamma_dev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("y", col("l_extendedprice"))
+      val mu = exp(lit(6.0) + col("l_quantity") * lit(0.02))
+      li.agg(
+        r(avg(graft.glm.Family.GammaFamily.deviance(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // full IRLS fit, ORACLE-HASHED: gaussian + identity IRLS is exactly OLS,
+    // so the converged GLM coefficients and 1 − D/D₀ (= R²) must match the
+    // closed-form normal-equations SQL — this gates the whole IRLS loop
+    // (working response, weights, Gram solve, deviance, null deviance),
+    // which q20 can only rows-check
+    "q56_glm_gaussian_coefs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = GLM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+        family = "gaussian")
+      import s.implicits._
+      Seq((rd(m.coefs(0), 3), rd(m.coefs(1), 3), rd(m.coefs(2), 3),
+        rd(1.0 - m.deviance / m.nullDeviance, 6), m.n))
+        .toDF("b_intercept", "b_quantity", "b_discount", "r2", "n_rows")
+    }),
+
+    // O18 probit: deviance at a fixed beta with μ = Φ(η) via the
+    // Zelen–Severo approximation — the SAME literal arithmetic on both
+    // engines (no SQL Φ exists; two independent erf libraries would not be
+    // bit-identical). The exact-Φ fit path is covered by GLMSpec.
+    "q57_probit_dev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val eta = lit(-0.4) + col("l_quantity") * lit(0.01) + col("l_discount") * lit(-2.0)
+      val mu = graft.glm.LinkFn.pnormApprox(eta)
+      li.agg(
+        r(avg(GLM.devExpr(col("y"), mu, lit(1.0))), 6).as("avg_dev"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // bounded-memory percentile twin of q33: approx_percentile holds a
+    // fixed-size sketch per group instead of buffering every value — the
+    // 100 TB-safe quantile path (sketch merge order is partition-dependent,
+    // so rows-only; PlanSpec/EntrySpec assert tolerance vs exact q33)
+    "q58_percentiles_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // session windows over event time (batch analog of the streaming op)
     "q31_sessionize" -> ((s, dir) => {
       StreamOps.sessionizeBatch(events(s, dir), gapMs = 30 * 60 * 1000L)
@@ -1015,6 +1118,124 @@ object SparkEntry {
         |FROM (PIVOT lineitem ON l_linestatus IN ('F', 'O')
         |      USING sum(l_quantity) GROUP BY l_returnflag) pv
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q53_wls_coefs" ->
+      """WITH m AS (
+        |  SELECT sum(l_tax + 0.01) AS sw,
+        |    sum((l_tax + 0.01) * l_quantity) AS swx,
+        |    sum((l_tax + 0.01) * l_extendedprice) AS swy,
+        |    sum((l_tax + 0.01) * l_quantity * l_quantity) AS swxx,
+        |    sum((l_tax + 0.01) * l_quantity * l_extendedprice) AS swxy,
+        |    sum((l_tax + 0.01) * l_extendedprice * l_extendedprice) AS swyy,
+        |    count(*) AS n
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT n, sw, swx, swy, swxy, swyy,
+        |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+        |  FROM m),
+        |f AS (
+        |  SELECT n, b1, (swy - b1 * swx) / sw AS b0, swy, swxy, swyy FROM b)
+        |SELECT round(b0, 3) AS b_intercept,
+        |  round(b1, 3) AS b_quantity,
+        |  round(sqrt((swyy - b0 * swy - b1 * swxy) / (n - 2)), 3) AS sigma_w,
+        |  n AS n_rows
+        |FROM f""".stripMargin,
+
+    "q51_glm_m_dev" ->
+      """WITH g AS (
+        |  SELECT l_suppkey,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS y,
+        |    CAST(count(*) AS DOUBLE) AS m,
+        |    max(l_quantity) AS xq
+        |  FROM lineitem GROUP BY l_suppkey),
+        |d AS (
+        |  SELECT y, m, m / (exp(-(-0.5 + xq * 0.01)) + 1.0) AS mu FROM g)
+        |SELECT round(avg((y * ln(greatest(y, 1.0) / mu)
+        |    + (m - y) * ln(greatest(m - y, 1.0) / (m - mu))) * 2.0), 6) AS avg_dev,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  count(*) AS n_groups
+        |FROM d""".stripMargin,
+
+    "q52_glm_offset_dev" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 / (exp(-(-1.2 + l_discount * -2.0 + ln(l_quantity + 1.0))) + 1.0) AS mu
+        |  FROM lineitem)
+        |SELECT
+        |  round(avg((y * ln(greatest(y, 1.0) / mu)
+        |    + (1.0 - y) * ln(greatest(1.0 - y, 1.0) / (1.0 - mu))) * 2.0), 6) AS avg_dev,
+        |  count(*) AS n_rows
+        |FROM t""".stripMargin,
+
+    "q54_gaussian_dev" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice / 1000.0 AS y, 3.0 + l_quantity * 0.1 AS mu
+        |  FROM lineitem)
+        |SELECT round(avg((y - mu) * (y - mu)), 6) AS avg_dev,
+        |  count(*) AS n_rows
+        |FROM t""".stripMargin,
+
+    "q55_gamma_dev" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice AS y, exp(6.0 + l_quantity * 0.02) AS mu
+        |  FROM lineitem)
+        |SELECT round(avg((0.0 - ln(y / mu) + (y - mu) / mu) * 2.0), 6) AS avg_dev,
+        |  count(*) AS n_rows
+        |FROM t""".stripMargin,
+
+    "q56_glm_gaussian_coefs" ->
+      """WITH m AS (
+        |  SELECT avg(l_quantity) AS mx1, avg(l_discount) AS mx2,
+        |    avg(l_extendedprice) AS my,
+        |    avg(l_quantity * l_quantity) AS x11,
+        |    avg(l_quantity * l_discount) AS x12,
+        |    avg(l_discount * l_discount) AS x22,
+        |    avg(l_quantity * l_extendedprice) AS x1y,
+        |    avg(l_discount * l_extendedprice) AS x2y,
+        |    avg(l_extendedprice * l_extendedprice) AS yy,
+        |    count(*) AS n
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n,
+        |    x11 - mx1 * mx1 AS s11, x12 - mx1 * mx2 AS s12,
+        |    x22 - mx2 * mx2 AS s22, x1y - mx1 * my AS s1y,
+        |    x2y - mx2 * my AS s2y, yy - my * my AS syy,
+        |    mx1, mx2, my
+        |  FROM m),
+        |b AS (
+        |  SELECT n, mx1, mx2, my, s1y, s2y, syy,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c)
+        |SELECT round(my - b1 * mx1 - b2 * mx2, 3) AS b_intercept,
+        |  round(b1, 3) AS b_quantity,
+        |  round(b2, 3) AS b_discount,
+        |  round((b1 * s1y + b2 * s2y) / syy, 6) AS r2,
+        |  n AS n_rows
+        |FROM b""".stripMargin,
+
+    "q57_probit_dev" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    (-0.4 + l_quantity * 0.01 + l_discount * -2.0) AS eta
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT y, eta,
+        |    1.0 / (1.0 + 0.2316419 * abs(eta)) AS t,
+        |    exp(abs(eta) * abs(eta) * -0.5) * 0.3989422804014327 AS phi
+        |  FROM e),
+        |u AS (
+        |  SELECT y, eta,
+        |    1.0 - phi * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |      + t * (-1.821255978 + t * 1.330274429))))) AS up
+        |  FROM p),
+        |t2 AS (
+        |  SELECT y, CASE WHEN eta >= 0 THEN up ELSE 1.0 - up END AS mu FROM u)
+        |SELECT
+        |  round(avg((y * ln(greatest(y, 1.0) / mu)
+        |    + (1.0 - y) * ln(greatest(1.0 - y, 1.0) / (1.0 - mu))) * 2.0), 6) AS avg_dev,
+        |  count(*) AS n_rows
+        |FROM t2""".stripMargin,
 
     "q31_sessionize" ->
       """WITH flagged AS (

@@ -25,8 +25,14 @@ import org.apache.spark.sql.types.DoubleType
   *    weighted normal equations AND the deviance sum come back in the same
   *    `agg` pass over a persisted input (the reference launches 3–4 jobs per
   *    iteration, GLM.scala:452-462);
-  *  - convergence is on deviance change |ΔD| < tol (default 1e-6), matching
-  *    reference: GLM.scala:281,452;
+  *  - convergence is on RELATIVE deviance change |ΔD| / (|D| + 0.1) < tol
+  *    (R glm's criterion, default here 1e-10). The reference converges on
+  *    ABSOLUTE |ΔD| < 1e-6 (reference: GLM.scala:281,452), which never
+  *    terminates for families whose deviance carries the response's scale —
+  *    gaussian deviance is the raw RSS (~1e12 on price-scale data), where
+  *    float-reordering noise in ΔD alone exceeds any absolute threshold —
+  *    so the relative form is a correctness requirement here, not a style
+  *    choice (binomial deviance is O(n), where the two criteria coincide);
   *  - derived statistics follow reference: GLM.scala:59-88 `createObj`:
   *    dispersion = Pearson/dfResidual, AIC = −2·logLik + 2p.
   *
@@ -144,7 +150,8 @@ object GLM {
     * @param linkName  logit | probit | cloglog | log; empty = family default
     * @param mCol      binomial denominator column (defaults to 1)
     * @param offsetCol known-offset column added to η (defaults to 0)
-    * @param tol       |ΔD| convergence threshold (reference default 1e-6)
+    * @param tol       relative deviance-change convergence threshold:
+    *                  |ΔD| / (|D| + 0.1) < tol (see object doc)
     */
   def fit(
       df: DataFrame,
@@ -155,7 +162,7 @@ object GLM {
       intercept: Boolean = true,
       mCol: Option[String] = None,
       offsetCol: Option[String] = None,
-      tol: Double = 1e-6,
+      tol: Double = 1e-10,
       maxIter: Int = 50,
       verbose: Boolean = false): GLMModel = {
     val fam = Family(family)
@@ -215,7 +222,8 @@ object GLM {
         dev = g.extras(0)
         lastGram = g
 
-        if (iterations > 0 && math.abs(dev - devOld) < tol) converged = true
+        if (iterations > 0 &&
+            math.abs(dev - devOld) < tol * (math.abs(devOld) + 0.1)) converged = true
         else {
           devOld = dev
           beta = LinAlg.solvePD(g.xtx, g.xty)
@@ -261,7 +269,7 @@ object GLM {
       formula: String,
       family: String = "binomial",
       linkName: String = "",
-      tol: Double = 1e-6,
+      tol: Double = 1e-10,
       maxIter: Int = 50): GLMModel = {
     val f0 = Formula.parse(formula).resolve(df.columns.toSeq)
     val sel = df.select((f0.response +: f0.terms).map(col): _*)

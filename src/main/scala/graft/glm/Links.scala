@@ -51,6 +51,24 @@ object LinkFn {
   /** φ (standard normal pdf) — native expression, codegen'd. */
   def dnorm(x: Column): Column = exp(x * x * -0.5) / math.sqrt(2.0 * math.Pi)
 
+  /** Φ via the Zelen–Severo rational approximation (Abramowitz & Stegun
+    * 26.2.17, |ε| < 7.5e-8) as a pure column expression. NOT used by the fit
+    * path (which uses the exact commons-math Φ UDF above); it exists so a
+    * probit-shaped deviance is expressible in plain SQL on BOTH engines of
+    * the oracle gate — the identical literal arithmetic evaluates
+    * bit-identically in Spark and DuckDB, which no pair of independent
+    * erf/Φ library implementations guarantees.
+    */
+  def pnormApprox(x: Column): Column = {
+    val ax = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t * (lit(1.781477937) +
+      t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val phi = exp(ax * ax * lit(-0.5)) * lit(0.3989422804014327)
+    val upper = lit(1.0) - phi * poly
+    when(x >= 0, upper).otherwise(lit(1.0) - upper)
+  }
+
   case object Logit extends LinkFn {
     val name = "logit"
     def link(mu: Column, m: Column): Column = log(mu / (m - mu))

@@ -111,15 +111,17 @@ object Similarity {
     val unit = fanOut(df)
       .select(col(idCol).cast("long").as("id"), unitVec(col(vecCol)).as("u"))
       .as[(Long, Seq[Double])]
-    // guard rail on the driver collect: `limit(cap+1)` bounds what can ever
-    // land on the driver, and if the result is within the cap it IS the
-    // whole corpus — one pass, no separate count() job
-    val capped = unit.limit(maxBroadcastRows + 1).collect()
-    require(capped.length <= maxBroadcastRows,
+    // guard rail on the driver collect: a count() pass first (Catalyst prunes
+    // the vector projection away, so this is near-free), THEN one fully
+    // parallel collect — a limit(cap+1).collect() would execute as an
+    // incremental CollectLimit that serializes the unit-vector computation
+    // onto a handful of tasks
+    val cnt = unit.count()
+    require(cnt <= maxBroadcastRows,
       s"cosinePairs is the exact O(n²) baseline and collects the corpus to " +
-        s"the driver; corpus exceeds maxBroadcastRows=$maxBroadcastRows — " +
+        s"the driver; corpus has $cnt rows > maxBroadcastRows=$maxBroadcastRows — " +
         "use cosinePairsLSH (banded equi-join, no driver collect) at scale")
-    val local = capped.map { case (id, u) => (id, unwrap(u)) }
+    val local = unit.collect().map { case (id, u) => (id, unwrap(u)) }
     val bc = spark.sparkContext.broadcast(local)
     unit.mapPartitions { it =>
       val corpus = bc.value

@@ -14,7 +14,20 @@ class EntrySpec extends SparkSpec {
     // IRLS loop / recall<1 / byte-level decode have no DuckDB analog)
     assert(rowsOnly === Set("q20_glm_coefs", "q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
-      "q39_cosine_pairs_lsh", "q48_dedup_corpus"))
+      "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx"))
+  }
+
+  test("approx percentiles (q58) track the exact percentiles (q33) within 1%") {
+    val exact = SparkEntry.queries("q33_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q58_percentiles_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.01, s"$k p90: $a90 vs $p90")
+    }
   }
 
   test("entry flagship returns rows with a prediction column") {

@@ -85,6 +85,86 @@ class GLMSpec extends SparkSpec {
     p0.zip(p1).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
   }
 
+  /** Deterministic gamma fixture: x_i = i/100 (i = 1..200),
+    * y_i = exp(0.5 + 0.3·x_i) · f_i with f cycling [0.6, 0.9, 1.1, 1.4] —
+    * reproducible bit-for-bit in any engine. Goldens below come from an
+    * INDEPENDENT numpy IRLS implementation (plain weighted normal equations,
+    * converged to 1e-14 on β), not from this library.
+    */
+  private lazy val gammaFix = {
+    val rows = (1 to 200).map { i =>
+      val x = i / 100.0
+      val f = Array(0.6, 0.9, 1.1, 1.4)((i - 1) % 4)
+      (x, math.exp(0.5 + 0.3 * x) * f)
+    }
+    rows.toDF("x", "y")
+  }
+
+  test("gaussian + identity IRLS equals the OLS solution (GLM ≡ LM property)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val g = GLM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+      family = "gaussian")
+    val l = LM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+    (0 until 3).foreach { i =>
+      assert(math.abs(g.coefs(i) - l.coefs(i)) < 1e-8 * (1.0 + math.abs(l.coefs(i))),
+        s"coef $i: ${g.coefs(i)} vs ${l.coefs(i)}")
+    }
+    // GLM's stdErr is unscaled sqrt((XᵀWX)⁻¹)_jj; for gaussian (w = 1),
+    // scaling by LM's sigma must reproduce LM's standard errors
+    (0 until 3).foreach { i =>
+      assert(math.abs(g.stdErr(i) * l.sigma - l.stdErr(i)) < 1e-6 * l.stdErr(i),
+        s"se $i: ${g.stdErr(i) * l.sigma} vs ${l.stdErr(i)}")
+    }
+    // deviance = SSE, null deviance = TSS, so 1 − D/D₀ = R²
+    assert(math.abs((1.0 - g.deviance / g.nullDeviance) - l.r2) < 1e-9)
+    assert(g.iter <= 4, s"gaussian IRLS should converge immediately, took ${g.iter}")
+  }
+
+  test("gamma + log link matches the independent numpy IRLS golden") {
+    val m = GLM.fit(gammaFix, Seq("x"), "y", family = "gamma") // default link: log
+    assert(math.abs(m.coefs(0) - 0.490184787756) < 1e-7, s"b0=${m.coefs(0)}")
+    assert(math.abs(m.coefs(1) - 0.309750614473) < 1e-7, s"b1=${m.coefs(1)}")
+    assert(math.abs(m.deviance - 18.434034420493) < 1e-5, s"dev=${m.deviance}")
+    assert(math.abs(m.stdErr(0) - 0.1419533507) < 1e-5, s"se0=${m.stdErr(0)}")
+    assert(math.abs(m.stdErr(1) - 0.1224760181) < 1e-5, s"se1=${m.stdErr(1)}")
+    assert(m.deviance < m.nullDeviance)
+  }
+
+  test("gamma + inverse (canonical) link matches the independent numpy IRLS golden") {
+    val m = GLM.fit(gammaFix, Seq("x"), "y", family = "gamma", linkName = "inverse")
+    assert(math.abs(m.coefs(0) - 0.593148515168) < 1e-7, s"b0=${m.coefs(0)}")
+    assert(math.abs(m.coefs(1) - (-0.136851273484)) < 1e-7, s"b1=${m.coefs(1)}")
+    assert(math.abs(m.deviance - 18.469709563516) < 1e-5, s"dev=${m.deviance}")
+  }
+
+  test("identity and inverse links round-trip and have correct derivatives") {
+    val df = Seq(0.5, 1.0, 2.0, 4.0).toDF("mu")
+    val idL = LinkFn("identity"); val invL = LinkFn("inverse")
+    val out = df.select(
+      idL.inverse(idL.link(col("mu"), lit(1.0)), lit(1.0)).as("id_rt"),
+      invL.inverse(invL.link(col("mu"), lit(1.0)), lit(1.0)).as("inv_rt"),
+      idL.lprime(col("mu"), lit(1.0)).as("id_lp"),
+      invL.lprime(col("mu"), lit(1.0)).as("inv_lp"),
+      col("mu")).collect()
+    out.foreach { r =>
+      val mu = r.getDouble(4)
+      assert(math.abs(r.getDouble(0) - mu) < 1e-15)
+      assert(math.abs(r.getDouble(1) - mu) < 1e-15)
+      assert(r.getDouble(2) == 1.0)
+      assert(math.abs(r.getDouble(3) - (-1.0 / (mu * mu))) < 1e-15)
+    }
+  }
+
+  test("pnormApprox is within its documented 7.5e-8 of the exact Φ") {
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+    val xs = Seq(-4.0, -3.0, -1.5, -0.5, -0.01, 0.0, 0.01, 0.5, 1.5, 3.0, 4.0).toDF("x")
+    xs.select(LinkFn.pnormApprox(col("x")).as("p"), col("x")).collect().foreach { r =>
+      val exact = nd.cumulativeProbability(r.getDouble(1))
+      assert(math.abs(r.getDouble(0) - exact) < 7.5e-8,
+        s"x=${r.getDouble(1)}: ${r.getDouble(0)} vs $exact")
+    }
+  }
+
   test("summary renders") {
     val m = GLM.fit(bern, Seq("x1", "x2"), "y")
     val s = m.summary

@@ -52,4 +52,12 @@ class ModelMatrixSpec extends SparkSpec {
     val df = Seq((Some(1.0), "a"), (None, "b")).toDF("x", "s")
     assert(ModelMatrix.naDrop(df).count() == 1)
   }
+
+  test("levels fails fast BY NAME on an id-like high-cardinality column") {
+    val ids = (1 to ModelMatrix.maxLevels + 1).map(i => (i, s"id_$i")).toDF("n", "uid")
+    val e = intercept[IllegalArgumentException] {
+      ModelMatrix.levels(ids, Seq("uid"))
+    }
+    assert(e.getMessage.contains("uid") && e.getMessage.contains("distinct"))
+  }
 }

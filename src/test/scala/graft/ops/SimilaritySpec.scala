@@ -78,6 +78,17 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.subsetOf(exact.map(t => (t._1, t._2)).toSet))
   }
 
+  test("cosinePairs refuses a corpus above maxBroadcastRows and names the LSH path") {
+    val small = emb.select($"vec_id", $"embedding").limit(10)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(small, "vec_id", "embedding", 0.5, maxBroadcastRows = 3)
+    }
+    assert(e.getMessage.contains("cosinePairsLSH"))
+    // at or under the cap it runs normally
+    val ok = Similarity.cosinePairs(small, "vec_id", "embedding", -1.0, maxBroadcastRows = 10)
+    assert(ok.count() === 45) // 10 choose 2 pairs at threshold -1
+  }
+
   test("signature is deterministic and length nBits") {
     val sig = emb.limit(5)
       .select(Similarity.hyperplaneSignature($"embedding", 16, 64).as("s"))
