@@ -358,12 +358,14 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
-    // multimodal plumbing: binary payload → stub decode → features
-    // (byte-level decode has no DuckDB analog → rows-only)
+    // multimodal plumbing: binary payload → header decode (magic-byte
+    // sniff + PNG/JPEG/GIF/WAV container parse) + byte-distribution
+    // features (byte-level decode has no DuckDB analog → rows-only)
     "q30_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media, bins = 16)
-        .select(col("media_id"), col("n_bytes"),
+        .select(col("media_id"), col("n_bytes"), col("format_detected"),
+          round(col("entropy"), 6).as("entropy"),
           round(element_at(col("features"), 1).cast("double"), 6).as("feat_0"),
           round(element_at(col("features"), 2).cast("double"), 6).as("feat_1"))
         .orderBy("media_id")
@@ -675,6 +677,19 @@ object SparkEntry {
     // session windows over event time (batch analog of the streaming op)
     "q31_sessionize" -> ((s, dir) => {
       StreamOps.sessionizeBatch(events(s, dir), gapMs = 30 * 60 * 1000L)
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), r(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // the REAL streaming sessionize (flatMapGroupsWithState + watermark)
+    // replayed over the events table via MemoryStream — hash-gated against
+    // the SAME SQL oracle as q31, so streaming/batch session semantics are
+    // proven equivalent, not just both "plausible"
+    "q59_sessionize_stream" -> ((s, dir) => {
+      StreamOps.sessionizeReplay(events(s, dir), gapMs = 30 * 60 * 1000L)
         .select(col("user_id"), col("session_idx"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
@@ -1238,6 +1253,29 @@ object SparkEntry {
         |FROM t2""".stripMargin,
 
     "q31_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // identical oracle to q31: the streaming operator must reproduce the
+    // batch session relation exactly
+    "q59_sessionize_stream" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

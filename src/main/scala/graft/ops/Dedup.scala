@@ -159,12 +159,22 @@ object Dedup {
   /** Near-duplicate pairs by exact n-gram Jaccard similarity ≥ `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
-    * Candidate generation uses PPJoin-style **prefix filtering**: under the
-    * numeric order of shingle hashes, two sets with Jaccard ≥ t MUST share
-    * a shingle among each set's first ⌊(1−t)·|S|⌋+1 smallest shingles — so
-    * only the row-level prefix slice is exploded and self-joined, and
-    * verification intersects the two sorted arrays per surviving candidate.
-    * Lossless except for the `maxBucketSize` skew cap on prefix buckets.
+    * Candidate generation uses the full PPJoin filter stack:
+    *  - **prefix filter** — under the numeric order of shingle hashes, two
+    *    sets with Jaccard ≥ t MUST share a shingle among each set's first
+    *    ⌊(1−t)·|S|⌋+1 smallest shingles, so only that row-level slice is
+    *    exploded and self-joined;
+    *  - **length filter** — J(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t, so
+    *    joined rows whose set sizes are too far apart are dropped before
+    *    the distinct/verify stages ever see them;
+    *  - **positional filter** — a match at (sorted) positions p_a, p_b
+    *    bounds the overlap by min(|A|−p_a, |B|−p_b), which must reach
+    *    t·(|A|+|B|)/(1+t); valid for the smallest common shingle (zero
+    *    common shingles precede it), and a pair survives if ANY of its
+    *    prefix matches passes — lossless.
+    * Verification then intersects the two sorted arrays per surviving
+    * candidate. Lossless except for the `maxBucketSize` skew cap on prefix
+    * buckets.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
@@ -176,15 +186,26 @@ object Dedup {
     }
     val sh = fanOut(df).select(col(idCol).as("id"),
       shUdf(split(col(textCol), "\\s+")).as("shs"))
-    val prefix = sh.select(col("id"),
-      explode(slice(col("shs"), lit(1),
-        (floor((lit(1.0) - threshold) * size(col("shs"))) + 1).cast("int"))).as("sh"))
+    val prefix = sh
+      .withColumn("sz", size(col("shs")))
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("shs"), lit(1),
+          (floor((lit(1.0) - threshold) * col("sz")) + 1).cast("int"))))
+      .withColumnRenamed("col", "sh")
     val small = prefix.groupBy("sh").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize).select("sh")
     val prefixOk = prefix.join(small, Seq("sh"))
-    val cand = prefixOk.select(col("sh"), col("id").as("id_a"))
-      .join(prefixOk.select(col("sh"), col("id").as("id_b")), Seq("sh"))
+    // 1e-9 slack keeps double rounding from pruning exact-boundary pairs
+    val cand = prefixOk
+      .select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"), col("pos").as("pos_a"))
+      .join(prefixOk
+        .select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"), col("pos").as("pos_b")),
+        Seq("sh"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - 1e-9)
+      .filter(least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - 1e-9)
       .select("id_a", "id_b").distinct()
 
     // verify each candidate on the full sorted sets
@@ -236,27 +257,38 @@ object Dedup {
     * (id_a, id_b): iterative min-label propagation — each round every node
     * takes the minimum label in its neighborhood; rounds ≈ component
     * diameter (near-dup clusters are shallow). Each iteration is one join +
-    * aggregation; intermediates are localCheckpoint'ed so lineage stays
-    * flat. Returns (id, label) for every id that appears in `pairs`, where
+    * aggregation; intermediates are checkpointed so lineage stays flat.
+    * Returns (id, label) for every id that appears in `pairs`, where
     * label = the minimum id of the component.
+    *
+    * Checkpoint durability: when `checkpointDir` is given (or the session
+    * already has one set), intermediates use RELIABLE `checkpoint()` —
+    * blocks live on shared storage and survive executor loss, which a
+    * multi-hour 100 TB dedup job requires. `localCheckpoint` (blocks pinned
+    * to executor memory/disk, lineage severed UNRECOVERABLY) remains only
+    * the local-mode default, where executor == driver and there is nothing
+    * to lose.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = cp(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = cp(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = cp(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next
@@ -273,10 +305,12 @@ object Dedup {
     * `pairsOpt`.
     */
   def removeNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      pairsOpt: Option[DataFrame] = None): DataFrame = {
+      pairsOpt: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = pairsOpt.getOrElse(
       minhashPairs(df, idCol, textCol).select("id_a", "id_b"))
-    val labels = connectedComponents(pairs.select("id_a", "id_b"))
+    val labels = connectedComponents(pairs.select("id_a", "id_b"),
+      checkpointDir = checkpointDir)
     df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("label").isNull || col("label") === col(idCol))
       .drop("label")

@@ -51,7 +51,9 @@ object StreamOps {
             state.remove()
             Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            // event_id tie-break keeps per-session double summation order
+            // deterministic when two events share a timestamp
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
@@ -73,6 +75,53 @@ object StreamOps {
             closed.result().iterator
           }
       }
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run [[sessionize]] — the real Structured-Streaming operator — over a
+    * MemoryStream replay of a batch events frame and return the closed
+    * sessions with a per-user `session_idx`, i.e. the exact output shape of
+    * [[sessionizeBatch]]. This is the streaming/batch parity gate: declared
+    * as a query whose oracle is the batch SQL.
+    *
+    * The replay collects the frame to the driver (MemoryStream is
+    * driver-fed) — fine at gate scale; at real scale the same `sessionize`
+    * call reads from Kafka/files and nothing else changes. Two sentinel
+    * events for a reserved negative user advance the watermark in two
+    * steps, because timeouts fire one trigger AFTER the watermark passes
+    * them: sentinel 1's batch advances the watermark beyond every open
+    * session's timeout, sentinel 2's batch flushes those sessions.
+    */
+  def sessionizeReplay(events: DataFrame, gapMs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "sessionizeReplay needs at least one event")
+    val maxTs = evs.iterator.map(_.ts.getTime).max
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_sessions_replay_${replaySeq.incrementAndGet()}"
+    val q = sessionize(in.toDS(), gapMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(Event(-1L, new Timestamp(maxTs + 100 * gapMs), -1L, "__wm", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(maxTs + 200 * gapMs), -1L, "__wm", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    s.table(name).filter(col("user_id") >= 0)
+      .withColumn("session_idx", row_number().over(byUser).cast("long"))
+      .select("user_id", "session_idx", "session_start", "session_end",
+        "n_events", "total_value")
   }
 
   /** Batch analog of [[sessionize]] (for oracle checks): session boundaries

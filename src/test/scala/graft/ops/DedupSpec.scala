@@ -93,6 +93,26 @@ class DedupSpec extends SparkSpec {
     assert(deduped.size === planted.count() - (nodes - components))
   }
 
+  test("connected components with a reliable checkpoint dir match localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+        .toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === local)
+      // reliable checkpoints actually landed on shared storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("bucket-size capping drops universal shingles from candidate generation") {
     // every doc shares the shingle "x y"; with the bucket cap at 2 that hot
     // bucket is dropped, so the universal shingle cannot create O(n^2) pairs

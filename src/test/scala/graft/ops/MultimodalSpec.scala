@@ -23,16 +23,80 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media, bins = 16)
     assert(feats.count() === media.count())
     val r = feats.orderBy("media_id").head()
-    val f = r.getSeq[Float](2)
+    val f = r.getSeq[Float](r.fieldIndex("features"))
     assert(f.length === 16)
     assert(math.abs(f.sum - 1.0) < 1e-4) // L1-normalized
     assert(f.forall(v => v >= 0f && v <= 1f))
+    // text payloads are no recognized container, and their entropy is that
+    // of ASCII text: well above 0, well below the 8-bit ceiling
+    assert(r.getString(r.fieldIndex("format_detected")) === "unknown")
+    val ent = r.getDouble(r.fieldIndex("entropy"))
+    assert(ent > 2.0 && ent < 8.0)
   }
 
   test("features are deterministic") {
-    val a = Multimodal.extractFeatures(media).orderBy("media_id").head().getSeq[Float](2)
-    val b = Multimodal.extractFeatures(media).orderBy("media_id").head().getSeq[Float](2)
-    assert(a === b)
+    def feats() = {
+      val r = Multimodal.extractFeatures(media).orderBy("media_id").head()
+      r.getSeq[Float](r.fieldIndex("features"))
+    }
+    assert(feats() === feats())
+  }
+
+  test("decodeHeader parses PNG IHDR dimensions") {
+    // minimal PNG: signature + IHDR chunk (length, type, 640x480, depth/color)
+    val b = java.nio.ByteBuffer.allocate(33)
+    b.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(640).putInt(480)
+    b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val h = Multimodal.decodeHeader(b.array())
+    assert(h.format === "png" && h.width === 640 && h.height === 480)
+  }
+
+  test("decodeHeader parses JPEG SOF0 dimensions past APP0/quant segments") {
+    val bb = java.nio.ByteBuffer.allocate(64)
+    bb.put(Array[Byte](0xff.toByte, 0xd8.toByte)) // SOI
+    // APP0 segment, length 16 (incl. the 2 length bytes)
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort)
+    bb.put(new Array[Byte](14))
+    // SOF0: length 17, precision 8, height 123, width 456, 3 components
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(17.toShort)
+    bb.put(8.toByte).putShort(123.toShort).putShort(456.toShort)
+    val h = Multimodal.decodeHeader(bb.array())
+    assert(h.format === "jpeg" && h.width === 456 && h.height === 123)
+  }
+
+  test("decodeHeader parses GIF and WAV headers; garbage is unknown") {
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00) ++ new Array[Byte](4)
+    val hg = Multimodal.decodeHeader(gif)
+    assert(hg.format === "gif" && hg.width === 320 && hg.height === 240)
+
+    val wav = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    wav.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    wav.putShort(1.toShort).putShort(2.toShort).putInt(44100)
+    val hw = Multimodal.decodeHeader(wav.array())
+    assert(hw.format === "wav" && hw.sampleRate === 44100 && hw.channels === 2)
+
+    assert(Multimodal.decodeHeader("not a container".getBytes).format === "unknown")
+    assert(Multimodal.decodeHeader(null).format === "unknown")
+    assert(Multimodal.decodeHeader(Array[Byte](0xff.toByte, 0xd8.toByte)).format === "unknown")
+  }
+
+  test("extractFeatures surfaces decoded dimensions for real payloads") {
+    val png = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(32).putInt(64)
+      b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val df = Seq((1L, png)).toDF("media_id", "payload")
+    val r = Multimodal.extractFeatures(df).head()
+    assert(r.getString(r.fieldIndex("format_detected")) === "png")
+    assert(r.getInt(r.fieldIndex("width")) === 32)
+    assert(r.getInt(r.fieldIndex("height")) === 64)
   }
 
   test("resample shrinks payloads and keeps all rows") {

@@ -88,6 +88,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeReplay reproduces sessionizeBatch exactly (streaming/batch parity)") {
+    val ev = Seq(
+      // user 1: two sessions (40-minute silence splits at gap=30min)
+      StreamOps.Event(1, ts(0), 1, "a", 1.5),
+      StreamOps.Event(2, ts(10), 1, "a", 2.5),
+      StreamOps.Event(3, ts(55), 1, "b", 4.0),
+      // user 2: one session, events out of order in the input
+      StreamOps.Event(5, ts(20), 2, "a", 3.0),
+      StreamOps.Event(4, ts(15), 2, "a", 1.0)).toDF()
+    val gap = 30 * 60 * 1000L
+    val got = StreamOps.sessionizeReplay(ev, gap)
+      .orderBy("user_id", "session_idx").collect()
+    val want = StreamOps.sessionizeBatch(ev, gap)
+      .select($"user_id", $"session_idx", $"session_start", $"session_end",
+        $"n_events", $"total_value")
+      .orderBy("user_id", "session_idx").collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 3)
+  }
+
   test("sessionizeBatch matches the streaming semantics on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
