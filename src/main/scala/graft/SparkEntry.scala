@@ -674,6 +674,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // exact grouped distinct counts (the expand-based multi-distinct plan)
+    "q60_distinct_exact" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("nd_orders"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // bounded-memory twin of q60: HLL++ sketch per group instead of the
+    // exact distinct expansion — the 100 TB-safe cardinality path (register
+    // merge is order-insensitive so the estimate is deterministic, but not
+    // bit-identical to DuckDB's estimator → rows-only; EntrySpec asserts
+    // relative error vs exact)
+    "q61_distinct_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("nd_orders_approx"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("nd_supps_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // session windows over event time (batch analog of the streaming op)
     "q31_sessionize" -> ((s, dir) => {
       StreamOps.sessionizeBatch(events(s, dir), gapMs = 30 * 60 * 1000L)
@@ -1272,6 +1296,15 @@ object SparkEntry {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q60_distinct_exact" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS nd_orders,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // identical oracle to q31: the streaming operator must reproduce the
     // batch session relation exactly

@@ -286,12 +286,15 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      // the changed flag rides along INTO the checkpoint, so convergence is
+      // read back with a cheap scan of the checkpointed result — no second
+      // join against the previous labels, one pass per iteration
       val next = cp(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__changed")))
+      val changed = next.filter(col("__changed")).limit(1).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }

@@ -14,7 +14,21 @@ class EntrySpec extends SparkSpec {
     // IRLS loop / recall<1 / byte-level decode have no DuckDB analog)
     assert(rowsOnly === Set("q20_glm_coefs", "q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
-      "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx"))
+      "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
+      "q61_distinct_approx"))
+  }
+
+  test("approx distinct counts (q61) track the exact counts (q60) within 5%") {
+    val exact = SparkEntry.queries("q60_distinct_exact")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("q61_distinct_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (o, s)) =>
+      val (ao, as) = approx(k)
+      assert(math.abs(ao - o).toDouble / o < 0.05, s"$k orders: $ao vs $o")
+      assert(math.abs(as - s).toDouble / s < 0.05, s"$k supps: $as vs $s")
+    }
   }
 
   test("approx percentiles (q58) track the exact percentiles (q33) within 1%") {
