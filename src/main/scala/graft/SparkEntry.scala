@@ -674,6 +674,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // end-to-end corpus curation: quality filter → exact dedup (keep the
+    // min doc_id per content digest) → per-language doc counts + token
+    // sums. The composition every training-data pipeline runs, as ONE
+    // declarative plan — filter and projection push to the scan, the dedup
+    // shuffle carries digests (16 bytes), languages aggregate map-side.
+    // The 0.471 threshold is deliberately off any decimal grid: the filter
+    // compares UNROUNDED doubles, identical IEEE754 arithmetic on both
+    // engines, and an off-grid constant dodges representation boundaries.
+    "q62_corpus_curation" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("q") >= 0.471)
+      val keep = Dedup.exact(scored, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val curated = scored.join(keep, "doc_id")
+      TextOps.withLangId(curated, "text", "lang_pred")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang_pred")
+    }),
+
     // exact grouped distinct counts (the expand-based multi-distinct plan)
     "q60_distinct_exact" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1296,6 +1319,49 @@ object SparkEntry {
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q62_corpus_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |    least(len(regexp_split_to_array(text, '\s+')) / 50.0, 1.0) * 0.4
+        |    + least((len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t)))
+        |       / greatest(len(regexp_split_to_array(text, '\s+')), 1)) * 5.0, 1.0) * 0.4
+        |    + greatest(1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |       / greatest(length(text), 1)) * 4.0, 0.0) * 0.2 AS q
+        |  FROM documents),
+        |filt AS (SELECT * FROM scored WHERE q >= 0.471),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+        |curated AS (SELECT f.* FROM filt f JOIN keep k ON f.doc_id = k.doc_id),
+        |toks AS (
+        |  SELECT doc_id, n_tokens, regexp_split_to_array(text, '\s+') AS t FROM curated),
+        |sc AS (
+        |  SELECT doc_id, n_tokens,
+        |    greatest(len(t), 1) AS nt,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS c_de,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','is','not'], x))) AS c_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','los','que','y'], x))) AS c_es,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','et','ne'], x))) AS c_fr,
+        |    len(list_filter(t, x -> list_contains(['de5','shi4','le5','bu4','wo3'], x))) AS c_zh
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(c_de AS DOUBLE) / nt AS s_de, CAST(c_en AS DOUBLE) / nt AS s_en,
+        |    CAST(c_es AS DOUBLE) / nt AS s_es, CAST(c_fr AS DOUBLE) / nt AS s_fr,
+        |    CAST(c_zh AS DOUBLE) / nt AS s_zh
+        |  FROM sc),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en > s_de THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM s)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "q60_distinct_exact" ->
       """SELECT l_returnflag,

@@ -87,11 +87,11 @@ object StreamOps {
     *
     * The replay collects the frame to the driver (MemoryStream is
     * driver-fed) — fine at gate scale; at real scale the same `sessionize`
-    * call reads from Kafka/files and nothing else changes. Two sentinel
-    * events for a reserved negative user advance the watermark in two
-    * steps, because timeouts fire one trigger AFTER the watermark passes
-    * them: sentinel 1's batch advances the watermark beyond every open
-    * session's timeout, sentinel 2's batch flushes those sessions.
+    * call reads from Kafka/files and nothing else changes. Batch 1 carries
+    * the real events PLUS a far-future sentinel for a reserved negative
+    * user, so its end-of-batch watermark already clears every real
+    * session's timeout; batch 2 (a second sentinel) fires those timeouts —
+    * event-time timeouts trigger one batch AFTER the watermark passes them.
     */
   def sessionizeReplay(events: DataFrame, gapMs: Long): DataFrame = {
     val s = events.sparkSession
@@ -105,13 +105,19 @@ object StreamOps {
     val maxTs = evs.iterator.map(_.ts.getTime).max
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val name = s"graft_sessions_replay_${replaySeq.incrementAndGet()}"
-    val q = sessionize(in.toDS(), gapMs)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+    // the replayed state is tiny — fewer state-store partitions cut the
+    // per-microbatch checkpoint/commit overhead; the conf is restored after
+    // start() (the running query keeps the partitioning it started with)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessionize(in.toDS(), gapMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
-      in.addData(evs.toIndexedSeq)
-      q.processAllAvailable()
-      in.addData(Event(-1L, new Timestamp(maxTs + 100 * gapMs), -1L, "__wm", 0.0))
+      in.addData(evs.toIndexedSeq :+
+        Event(-1L, new Timestamp(maxTs + 100 * gapMs), -1L, "__wm", 0.0))
       q.processAllAvailable()
       in.addData(Event(-2L, new Timestamp(maxTs + 200 * gapMs), -1L, "__wm", 0.0))
       q.processAllAvailable()
