@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{GLM, Gram, GroupedLM, LM, ModelMatrix}
-import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -697,6 +697,17 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
 
+    // deterministic content-keyed train/val/test split (the reproducible
+    // alternative to rand() splits: stable under re-runs/re-partitioning,
+    // duplicate content stays in one split; pure projection, no shuffle)
+    "q63_train_split" -> ((s, dir) => {
+      Sampling.withSplit(t(s, dir, "documents"), "text", "split")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     // exact grouped distinct counts (the expand-based multi-distinct plan)
     "q60_distinct_exact" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1362,6 +1373,18 @@ object SparkEntry {
         |SELECT lang_pred, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q63_train_split" ->
+      """WITH sp AS (
+        |  SELECT text,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |    CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "q60_distinct_exact" ->
       """SELECT l_returnflag,

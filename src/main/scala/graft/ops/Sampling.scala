@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed dataset splitting and sampling.
+  *
+  * Training pipelines must NOT split with `rand()`: random splits change
+  * under re-runs, re-partitioning, and engine upgrades, and duplicate
+  * content lands in different splits (train/test contamination). Keying
+  * the split on a content digest fixes all three — the same document
+  * always lands in the same split, on any engine that computes the same
+  * digest — and executes as a pure projection: no shuffle, no state,
+  * trivially parallel at any scale.
+  *
+  * Mechanism: the last hex digit of md5(content) gives 16 uniform buckets;
+  * cut points on the digit assign split names by 16ths.
+  */
+object Sampling {
+
+  /** Split-label column from `content`: `cuts` are (name, weight) pairs
+    * with weights in 16ths summing to 16 — e.g.
+    * `Seq("train" -> 12, "val" -> 2, "test" -> 2)` for 75/12.5/12.5.
+    */
+  def splitColumn(content: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.size >= 2, "need at least two splits")
+    require(cuts.forall(_._2 > 0) && cuts.map(_._2).sum == 16,
+      "split weights are 16ths and must sum to 16")
+    val hex = "0123456789abcdef"
+    val digit = substring(md5(content), 32, 1)
+    val bounds = cuts.init.scanLeft(0)(_ + _._2).tail.map(i => hex(i).toString)
+    val first = when(digit < lit(bounds.head), lit(cuts.head._1))
+    cuts.init.tail.zip(bounds.tail).foldLeft(first) {
+      case (acc, ((name, _), bound)) => acc.when(digit < lit(bound), lit(name))
+    }.otherwise(lit(cuts.last._1))
+  }
+
+  /** Attach a deterministic split label keyed on `contentCol`. */
+  def withSplit(df: DataFrame, contentCol: String, outCol: String,
+      cuts: Seq[(String, Int)] =
+        Seq("train" -> 12, "val" -> 2, "test" -> 2)): DataFrame =
+    df.withColumn(outCol, splitColumn(col(contentCol), cuts))
+
+  /** Deterministic fractional sample: keep rows whose content digest falls
+    * in the first `sixteenths`/16 of the bucket space. Content-keyed like
+    * [[withSplit]] — duplicates are kept or dropped together.
+    */
+  def deterministicSample(df: DataFrame, contentCol: String,
+      sixteenths: Int): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 16)
+    if (sixteenths == 16) df
+    else df.filter(
+      substring(md5(col(contentCol)), 32, 1) < lit("0123456789abcdef"(sixteenths).toString))
+  }
+}

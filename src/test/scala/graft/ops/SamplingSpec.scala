@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("every row gets exactly one split label; proportions track the weights") {
+    val sp = Sampling.withSplit(docs, "text", "split")
+    assert(sp.count() === docs.count())
+    val byLabel = sp.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    // 12/2/2 sixteenths with a generous tolerance at test scale
+    assert(byLabel("train") / n > 0.55 && byLabel("train") / n < 0.95)
+  }
+
+  test("split assignment is deterministic and partitioning-invariant") {
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Sampling.withSplit(df, "text", "split")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels(docs) === labels(docs.repartition(13)))
+  }
+
+  test("duplicate content lands in the same split") {
+    val dup = Seq((1L, "the same doc"), (2L, "the same doc"), (3L, "another doc"))
+      .toDF("doc_id", "text")
+    val sp = Sampling.withSplit(dup, "text", "split")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sp(1L) === sp(2L))
+  }
+
+  test("deterministicSample is monotone in the fraction and content-keyed") {
+    val s4 = Sampling.deterministicSample(docs, "text", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s8 = Sampling.deterministicSample(docs, "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s4.subsetOf(s8))
+    assert(s4.nonEmpty && s8.size < docs.count())
+    assert(Sampling.deterministicSample(docs, "text", 16).count() === docs.count())
+  }
+
+  test("invalid weights are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("text"), Seq("a" -> 10, "b" -> 5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("text"), Seq("a" -> 16))
+    }
+  }
+}
