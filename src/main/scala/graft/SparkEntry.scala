@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{GLM, Gram, GroupedLM, LM, ModelMatrix}
+import graft.glm.{GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix}
 import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps}
 import graft.streaming.StreamOps
 
@@ -695,6 +695,23 @@ object SparkEntry {
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("lang_pred")
+    }),
+
+    // per-group GLM: one independent logistic IRLS fit per return flag,
+    // entirely inside grouped aggregation (betas broadcast-joined per
+    // iteration, solved per group in the aggregate's finish — no driver
+    // state). IRLS fixed point is not SQL-expressible → rows-only; the
+    // per-subset parity property is in GroupedGLMSpec.
+    "q64_grouped_glm" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_discount") >= 0.05, 1.0).otherwise(0.0))
+      GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity", "l_tax"), "y")
+        .select(col("l_returnflag"),
+          round(col("b_intercept"), 8).as("b_intercept"),
+          round(col("b_l_quantity"), 8).as("b_quantity"),
+          round(col("b_l_tax"), 8).as("b_tax"),
+          round(col("deviance"), 4).as("deviance"), col("n_rows"))
+        .orderBy("l_returnflag")
     }),
 
     // deterministic content-keyed train/val/test split (the reproducible

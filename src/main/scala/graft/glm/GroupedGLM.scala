@@ -1,0 +1,193 @@
+package graft.glm
+
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-group GLM: one independent IRLS fit PER GROUP KEY — the
+  * grouped-data extension of [[GLM]] (reference fits ONE model per call;
+  * per-segment models are the at-scale workload this engine adds, same as
+  * [[GroupedLM]] for OLS).
+  *
+  * Design (100 TB shape): coefficients live in a small (one row per group)
+  * DataFrame, never on the driver. Each IRLS iteration broadcast-joins the
+  * current betas onto the data, runs ONE grouped aggregation whose buffer
+  * is the per-group weighted Gram (computed against that group's OWN
+  * beta), and solves the p×p system per group inside the aggregate's
+  * `finish` on whichever executor owns the group. Only a single scalar
+  * (total deviance) reaches the driver per iteration, for the convergence
+  * check. Shuffle traffic is one p²-sized buffer per (partition, group) —
+  * map-side partial aggregation, never row data.
+  *
+  * Families: binomial-logit (canonical IRLS: w = μ(1−μ), z = η+(y−μ)/w;
+  * reference: GLM.scala:190-204, 282-291) and gaussian-identity (one-step
+  * least squares). Groups that are underdetermined or singular yield NaN
+  * coefficients, like [[GroupedLM]].
+  */
+object GroupedGLM {
+
+  private val Eps = 1e-10
+
+  /** Buffer: [n, dev | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
+    * `array(x_1..x_p, y, beta_0..beta_{pp-1})` — beta rides on the row from
+    * the broadcast join, so the aggregation is a single self-contained pass.
+    */
+  private final class GlmGramAgg(p: Int, intercept: Boolean, binomial: Boolean)
+      extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    private val pp = if (intercept) p + 1 else p
+    private val nUp = pp * (pp + 1) / 2
+
+    def zero: Array[Double] = new Array[Double](2 + pp + nUp)
+
+    def reduce(b: Array[Double], in: Seq[Double]): Array[Double] = {
+      val x = new Array[Double](pp)
+      if (intercept) x(0) = 1.0
+      var i = 0
+      while (i < p) { x(if (intercept) i + 1 else i) = in(i); i += 1 }
+      val y = in(p)
+      var eta = 0.0
+      i = 0
+      while (i < pp) { eta += x(i) * in(p + 1 + i); i += 1 }
+      var w = 1.0
+      var z = y
+      var dev = 0.0
+      if (binomial) {
+        val mu0 = 1.0 / (1.0 + math.exp(-eta))
+        val mu = math.max(Eps, math.min(1.0 - Eps, mu0))
+        w = mu * (1.0 - mu)
+        z = eta + (y - mu) / w
+        // deviance of the INCOMING beta (lags the update by one iteration)
+        dev = -2.0 * (y * math.log(mu) + (1.0 - y) * math.log(1.0 - mu))
+      } else {
+        dev = (y - eta) * (y - eta)
+      }
+      b(0) += 1.0
+      b(1) += dev
+      i = 0
+      var k = 2 + pp
+      while (i < pp) {
+        val wxi = w * x(i)
+        b(2 + i) += wxi * z
+        var j = i
+        while (j < pp) { b(k) += wxi * x(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    /** [new beta (pp) | dev(old beta) | n] — NaN beta for groups whose
+      * normal equations are underdetermined or singular.
+      */
+    def finish(b: Array[Double]): Seq[Double] = {
+      val n = b(0)
+      val out = new Array[Double](pp + 2)
+      out(pp) = b(1)
+      out(pp + 1) = n
+      if (n < pp || !java.lang.Double.isFinite(b(1))) {
+        java.util.Arrays.fill(out, 0, pp, Double.NaN)
+        return out.toSeq
+      }
+      val xtx = BDM.zeros[Double](pp, pp)
+      var k = 2 + pp
+      var i = 0
+      while (i < pp) {
+        var j = i
+        while (j < pp) { xtx(i, j) = b(k); xtx(j, i) = b(k); k += 1; j += 1 }
+        i += 1
+      }
+      val xtz = BDV.tabulate(pp)(i => b(2 + i))
+      try {
+        val beta = LinAlg.solvePD(xtx, xtz)
+        i = 0
+        while (i < pp) { out(i) = beta(i); i += 1 }
+      } catch {
+        case _: Exception => java.util.Arrays.fill(out, 0, pp, Double.NaN)
+      }
+      out.toSeq
+    }
+
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Fit one GLM per group of `keyCols`.
+    *
+    * @param family "binomial" (logit link; `yCol` must be 0/1) or
+    *               "gaussian" (identity link)
+    * @return one row per group: keyCols ++ coefficient columns
+    *         (`b_intercept` first when intercept, then `b_<feature>`),
+    *         deviance, n_rows, n_iter. NaN coefficients mark
+    *         underdetermined/singular groups.
+    */
+  def fit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCols: Seq[String],
+      yCol: String,
+      family: String = "binomial",
+      intercept: Boolean = true,
+      maxIter: Int = 25,
+      tol: Double = 1e-10): DataFrame = {
+    require(keyCols.nonEmpty && xCols.nonEmpty && maxIter >= 1)
+    val binomial = family match {
+      case "binomial" => true
+      case "gaussian" => false
+      case other => throw new IllegalArgumentException(
+        s"GroupedGLM supports binomial|gaussian, got $other")
+    }
+    val p = xCols.size
+    val pp = if (intercept) p + 1 else p
+    val agg = udaf(new GlmGramAgg(p, intercept, binomial))
+    val keys = keyCols.map(col)
+    val assembled = df.select(keys :+
+      array(xCols.map(c => col(c).cast("double")) :+
+        col(yCol).cast("double"): _*).as("xy"): _*)
+      .persist()
+
+    // beta_0 = 0: for logit this scores every row at μ=0.5 (the standard
+    // flat start); gaussian solves exactly in the first iteration
+    var betas = assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .select(keys :+ array(Seq.fill(pp)(lit(0.0)): _*).as("beta"): _*)
+      .localCheckpoint()
+    var prevDev = Double.MaxValue
+    var iter = 0
+    var done = false
+    var lastFit: DataFrame = null
+    while (iter < maxIter && !done) {
+      val joined = assembled.join(broadcast(betas), keyCols)
+      val step = joined.groupBy(keys: _*)
+        .agg(agg(concat(col("xy"), col("beta"))).as("buf"))
+        .select(keys ++ Seq(
+          slice(col("buf"), 1, pp).as("beta"),
+          element_at(col("buf"), pp + 1).as("dev"),
+          element_at(col("buf"), pp + 2).cast("long").as("n")): _*)
+        .localCheckpoint()
+      // one scalar to the driver per iteration (NaN-singular groups are
+      // excluded so one bad group cannot poison global convergence)
+      val dev = step.agg(
+        sum(when(isnan(element_at(col("beta"), 1)), 0.0).otherwise(col("dev"))))
+        .head().getDouble(0)
+      betas = step.select(keys :+ col("beta"): _*)
+      lastFit = step
+      done = math.abs(prevDev - dev) / (math.abs(dev) + 0.1) < tol
+      prevDev = dev
+      iter += 1
+    }
+    assembled.unpersist(blocking = false)
+
+    val names = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
+    lastFit.select(keys ++
+      names.zipWithIndex.map { case (nm, i) => element_at(col("beta"), i + 1).as(nm) } ++
+      Seq(col("dev").as("deviance"), col("n").as("n_rows"),
+        lit(iter).as("n_iter")): _*)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.glm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GroupedGLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    .withColumn("y", when(col("l_discount") >= 0.05, 1.0).otherwise(0.0))
+
+  test("per-group binomial fits match the whole-pipeline GLM on each subset") {
+    val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity", "l_tax"), "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(grouped.nonEmpty)
+    grouped.keys.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_quantity", "l_tax"), "y", family = "binomial")
+      val (b0, b1, b2, dev) = grouped(flag)
+      assert(math.abs(b0 - m.coefs(0)) < 1e-6, s"$flag intercept: $b0 vs ${m.coefs(0)}")
+      assert(math.abs(b1 - m.coefs(1)) < 1e-6, s"$flag b_quantity")
+      assert(math.abs(b2 - m.coefs(2)) < 1e-6, s"$flag b_tax")
+      assert(math.abs(dev - m.deviance) / m.deviance < 1e-6, s"$flag deviance")
+    }
+  }
+
+  test("per-group gaussian fits equal GroupedLM least squares") {
+    val glm = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice",
+        family = "gaussian")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lm = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(glm.keySet === lm.keySet)
+    glm.foreach { case (k, (b0, b1)) =>
+      assert(math.abs(b0 - lm(k)._1) < 1e-6 * math.abs(lm(k)._1), s"$k intercept")
+      assert(math.abs(b1 - lm(k)._2) < 1e-6 * math.abs(lm(k)._2), s"$k slope")
+    }
+  }
+
+  test("fits are invariant to input partitioning") {
+    def coefs(df: org.apache.spark.sql.DataFrame) =
+      GroupedGLM.fit(df, Seq("l_returnflag"), Seq("l_quantity"), "y")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = coefs(li)
+    val b = coefs(li.repartition(17))
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-8, k) }
+  }
+
+  test("underdetermined groups yield NaN coefficients, not a crash") {
+    val tiny = Seq(
+      ("a", 1.0, 0.0), ("a", 2.0, 1.0), ("a", 3.0, 0.0), ("a", 4.0, 1.0),
+      ("b", 1.0, 1.0)).toDF("g", "x", "y")
+    val out = GroupedGLM.fit(tiny, Seq("g"), Seq("x"), "y", maxIter = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("b").isNaN) // 1 row, 2 params
+    assert(!out("a").isNaN)
+  }
+}
