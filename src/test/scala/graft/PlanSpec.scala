@@ -50,6 +50,23 @@ class PlanSpec extends SparkSpec {
       "hash aggregate not inside a codegen stage")
   }
 
+  test("q62: curation pipeline prunes the documents scan to the used columns") {
+    val p = plan("q62_corpus_curation")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // documents carries lang/source/n_chars too — none are needed
+    assert(!readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q63: split is a pure projection — one aggregation, no join, no extra shuffle") {
+    val p = plan("q63_train_split")
+    assert(!p.contains("Join"), "content split must not join")
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(800))
+    // only the final-aggregation exchange plus the 3-row output sort —
+    // nothing reshuffles the data itself
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p.take(1500))
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined
