@@ -759,6 +759,27 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // Spark's BUILT-IN session operator: session_window gap-merges event
+    // time per key natively (and is state-store-backed under readStream —
+    // same code streams). Boundary semantics differ from q31 by one
+    // instant: windows merge iff gap STRICTLY exceeds the inter-event
+    // delta, so this query carries its own oracle with `>=` in the
+    // session-break flag.
+    "q65_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min("ts").as("start0"), max("ts").as("end0"),
+          count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      val byUser = Window.partitionBy("user_id").orderBy("start0")
+      sess.withColumn("session_idx", row_number().over(byUser).cast("long"))
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("start0"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("end0"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), r(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // the REAL streaming sessionize (flatMapGroupsWithState + watermark)
     // replayed over the events table via MemoryStream — hash-gated against
     // the SAME SQL oracle as q31, so streaming/batch session semantics are
@@ -1411,6 +1432,30 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // q31's oracle with one boundary change: session_window starts a new
+    // session when the inter-event delta REACHES the gap (>=), where the
+    // custom sessionize requires it to exceed it (>)
+    "q65_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     // identical oracle to q31: the streaming operator must reproduce the
     // batch session relation exactly

@@ -21,19 +21,24 @@ import org.apache.spark.sql.functions._
   * map-side partial aggregation, never row data.
   *
   * Families: binomial-logit (canonical IRLS: w = μ(1−μ), z = η+(y−μ)/w;
-  * reference: GLM.scala:190-204, 282-291) and gaussian-identity (one-step
-  * least squares). Groups that are underdetermined or singular yield NaN
-  * coefficients, like [[GroupedLM]].
+  * reference: GLM.scala:190-204, 282-291), poisson-log (w = μ,
+  * z = η+(y−μ)/μ), and gaussian-identity (one-step least squares). Groups
+  * that are underdetermined or singular yield NaN coefficients, like
+  * [[GroupedLM]].
   */
 object GroupedGLM {
 
   private val Eps = 1e-10
 
+  private val FamGaussian = 0
+  private val FamBinomial = 1
+  private val FamPoisson = 2
+
   /** Buffer: [n, dev | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
     * `array(x_1..x_p, y, beta_0..beta_{pp-1})` — beta rides on the row from
     * the broadcast join, so the aggregation is a single self-contained pass.
     */
-  private final class GlmGramAgg(p: Int, intercept: Boolean, binomial: Boolean)
+  private final class GlmGramAgg(p: Int, intercept: Boolean, fam: Int)
       extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     private val pp = if (intercept) p + 1 else p
     private val nUp = pp * (pp + 1) / 2
@@ -52,15 +57,21 @@ object GroupedGLM {
       var w = 1.0
       var z = y
       var dev = 0.0
-      if (binomial) {
-        val mu0 = 1.0 / (1.0 + math.exp(-eta))
-        val mu = math.max(Eps, math.min(1.0 - Eps, mu0))
-        w = mu * (1.0 - mu)
-        z = eta + (y - mu) / w
-        // deviance of the INCOMING beta (lags the update by one iteration)
-        dev = -2.0 * (y * math.log(mu) + (1.0 - y) * math.log(1.0 - mu))
-      } else {
-        dev = (y - eta) * (y - eta)
+      fam match {
+        case FamBinomial =>
+          val mu0 = 1.0 / (1.0 + math.exp(-eta))
+          val mu = math.max(Eps, math.min(1.0 - Eps, mu0))
+          w = mu * (1.0 - mu)
+          z = eta + (y - mu) / w
+          // deviance of the INCOMING beta (lags the update by one iteration)
+          dev = -2.0 * (y * math.log(mu) + (1.0 - y) * math.log(1.0 - mu))
+        case FamPoisson =>
+          val mu = math.max(Eps, math.exp(eta))
+          w = mu
+          z = eta + (y - mu) / mu
+          dev = 2.0 * ((if (y > 0) y * math.log(y / mu) else 0.0) - (y - mu))
+        case _ =>
+          dev = (y - eta) * (y - eta)
       }
       b(0) += 1.0
       b(1) += dev
@@ -121,7 +132,8 @@ object GroupedGLM {
 
   /** Fit one GLM per group of `keyCols`.
     *
-    * @param family "binomial" (logit link; `yCol` must be 0/1) or
+    * @param family "binomial" (logit link; `yCol` must be 0/1),
+    *               "poisson" (log link; `yCol` is a count), or
     *               "gaussian" (identity link)
     * @return one row per group: keyCols ++ coefficient columns
     *         (`b_intercept` first when intercept, then `b_<feature>`),
@@ -138,15 +150,16 @@ object GroupedGLM {
       maxIter: Int = 25,
       tol: Double = 1e-10): DataFrame = {
     require(keyCols.nonEmpty && xCols.nonEmpty && maxIter >= 1)
-    val binomial = family match {
-      case "binomial" => true
-      case "gaussian" => false
+    val fam = family match {
+      case "binomial" => FamBinomial
+      case "poisson" => FamPoisson
+      case "gaussian" => FamGaussian
       case other => throw new IllegalArgumentException(
-        s"GroupedGLM supports binomial|gaussian, got $other")
+        s"GroupedGLM supports binomial|poisson|gaussian, got $other")
     }
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
-    val agg = udaf(new GlmGramAgg(p, intercept, binomial))
+    val agg = udaf(new GlmGramAgg(p, intercept, fam))
     val keys = keyCols.map(col)
     val assembled = df.select(keys :+
       array(xCols.map(c => col(c).cast("double")) :+
