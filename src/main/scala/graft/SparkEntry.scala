@@ -759,6 +759,24 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // RANGE-framed window (value-based frame, not row-based) + ntile +
+    // percent_rank: 30-day trailing revenue per customer. The frame key is
+    // epoch days so both engines bound the frame identically; percent_rank
+    // is an exact rational — bit-identical unrounded.
+    "q66_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      val o = t(s, dir, "orders").withColumn("day", day)
+      val range = Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+      val rank = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+      o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+          r(sum(col("o_totalprice")).over(range), 4).as("sum_30d"),
+          ntile(4).over(rank).cast("long").as("quartile"),
+          percent_rank().over(rank).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Spark's BUILT-IN session operator: session_window gap-merges event
     // time per key natively (and is state-store-backed under readStream —
     // same code streams). Boundary semantics differ from q31 by one
@@ -1432,6 +1450,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q66_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS sum_30d,
+        |  CAST(ntile(4) OVER w2 AS BIGINT) AS quartile,
+        |  percent_rank() OVER w2 AS pr
+        |FROM orders
+        |WINDOW w2 AS (PARTITION BY o_custkey
+        |              ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate), o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // q31's oracle with one boundary change: session_window starts a new
     // session when the inter-event delta REACHES the gap (>=), where the

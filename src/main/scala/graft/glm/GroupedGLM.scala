@@ -33,12 +33,19 @@ object GroupedGLM {
   private val FamGaussian = 0
   private val FamBinomial = 1
   private val FamPoisson = 2
+  private val FamGamma = 3
 
   /** Buffer: [n, dev | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
     * `array(x_1..x_p, y, beta_0..beta_{pp-1})` — beta rides on the row from
     * the broadcast join, so the aggregation is a single self-contained pass.
     */
-  private final class GlmGramAgg(p: Int, intercept: Boolean, fam: Int)
+  /** `init = true` is the first IRLS pass: η comes from the family's
+    * μ-from-y start (reference: GLM.scala:263 "init μ = ȳ"-style; here
+    * R's per-row inits), not from the (zero) incoming beta — log links
+    * diverge from a flat start on large-scale responses.
+    */
+  private final class GlmGramAgg(p: Int, intercept: Boolean, fam: Int,
+      init: Boolean)
       extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     private val pp = if (intercept) p + 1 else p
     private val nUp = pp * (pp + 1) / 2
@@ -52,8 +59,19 @@ object GroupedGLM {
       while (i < p) { x(if (intercept) i + 1 else i) = in(i); i += 1 }
       val y = in(p)
       var eta = 0.0
-      i = 0
-      while (i < pp) { eta += x(i) * in(p + 1 + i); i += 1 }
+      if (init) {
+        eta = fam match {
+          case FamBinomial =>
+            val mu = (y + 0.5) / 2.0
+            math.log(mu / (1.0 - mu))
+          case FamPoisson => math.log(y + 0.1)
+          case FamGamma => math.log(math.max(y, Eps))
+          case _ => 0.0
+        }
+      } else {
+        i = 0
+        while (i < pp) { eta += x(i) * in(p + 1 + i); i += 1 }
+      }
       var w = 1.0
       var z = y
       var dev = 0.0
@@ -70,6 +88,11 @@ object GroupedGLM {
           w = mu
           z = eta + (y - mu) / mu
           dev = 2.0 * ((if (y > 0) y * math.log(y / mu) else 0.0) - (y - mu))
+        case FamGamma =>
+          // log link: V = μ², l' = 1/μ → w = 1, z = η + (y−μ)/μ; y must be > 0
+          val mu = math.max(Eps, math.exp(eta))
+          z = eta + (y - mu) / mu
+          dev = 2.0 * (-math.log(y / mu) + (y - mu) / mu)
         case _ =>
           dev = (y - eta) * (y - eta)
       }
@@ -133,7 +156,8 @@ object GroupedGLM {
   /** Fit one GLM per group of `keyCols`.
     *
     * @param family "binomial" (logit link; `yCol` must be 0/1),
-    *               "poisson" (log link; `yCol` is a count), or
+    *               "poisson" (log link; `yCol` is a count),
+    *               "gamma" (log link; `yCol` must be > 0), or
     *               "gaussian" (identity link)
     * @return one row per group: keyCols ++ coefficient columns
     *         (`b_intercept` first when intercept, then `b_<feature>`),
@@ -153,21 +177,23 @@ object GroupedGLM {
     val fam = family match {
       case "binomial" => FamBinomial
       case "poisson" => FamPoisson
+      case "gamma" => FamGamma
       case "gaussian" => FamGaussian
       case other => throw new IllegalArgumentException(
-        s"GroupedGLM supports binomial|poisson|gaussian, got $other")
+        s"GroupedGLM supports binomial|poisson|gamma|gaussian, got $other")
     }
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
-    val agg = udaf(new GlmGramAgg(p, intercept, fam))
+    val agg = udaf(new GlmGramAgg(p, intercept, fam, init = false))
+    val aggInit = udaf(new GlmGramAgg(p, intercept, fam, init = true))
     val keys = keyCols.map(col)
     val assembled = df.select(keys :+
       array(xCols.map(c => col(c).cast("double")) :+
         col(yCol).cast("double"): _*).as("xy"): _*)
       .persist()
 
-    // beta_0 = 0: for logit this scores every row at μ=0.5 (the standard
-    // flat start); gaussian solves exactly in the first iteration
+    // the zero betas are placeholders — iteration 0 runs the init
+    // aggregator, which derives η from y per family and ignores them
     var betas = assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .select(keys :+ array(Seq.fill(pp)(lit(0.0)): _*).as("beta"): _*)
       .localCheckpoint()
@@ -178,7 +204,7 @@ object GroupedGLM {
     while (iter < maxIter && !done) {
       val joined = assembled.join(broadcast(betas), keyCols)
       val step = joined.groupBy(keys: _*)
-        .agg(agg(concat(col("xy"), col("beta"))).as("buf"))
+        .agg((if (iter == 0) aggInit else agg)(concat(col("xy"), col("beta"))).as("buf"))
         .select(keys ++ Seq(
           slice(col("buf"), 1, pp).as("beta"),
           element_at(col("buf"), pp + 1).as("dev"),

@@ -51,6 +51,19 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("per-group gamma fits match the whole-pipeline GLM on each subset") {
+    val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", family = "gamma")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    grouped.keys.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_quantity"), "l_extendedprice", family = "gamma")
+      val (b0, b1) = grouped(flag)
+      assert(math.abs(b0 - m.coefs(0)) < 1e-6, s"$flag intercept: $b0 vs ${m.coefs(0)}")
+      assert(math.abs(b1 - m.coefs(1)) < 1e-6, s"$flag slope")
+    }
+  }
+
   test("fits are invariant to input partitioning") {
     def coefs(df: org.apache.spark.sql.DataFrame) =
       GroupedGLM.fit(df, Seq("l_returnflag"), Seq("l_quantity"), "y")
