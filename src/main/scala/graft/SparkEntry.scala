@@ -798,6 +798,18 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // the REAL watermarked streaming window aggregation replayed over the
+    // events table — hash-gated against the SAME oracle as batch q11, so
+    // streaming/batch hourly aggregation parity is proven like q59 proves
+    // sessionize parity
+    "q67_hourly_stream" -> ((s, dir) => {
+      StreamOps.windowedCountsReplay(events(s, dir))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), r(col("sum_value"), 4).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
     // the REAL streaming sessionize (flatMapGroupsWithState + watermark)
     // replayed over the events table via MemoryStream — hash-gated against
     // the SAME SQL oracle as q31, so streaming/batch session semantics are
@@ -1450,6 +1462,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // identical oracle to q11: the streaming windowed aggregation must
+    // reproduce the batch hourly relation exactly
+    "q67_hourly_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
 
     "q66_window_range" ->
       """SELECT o_custkey, o_orderkey,

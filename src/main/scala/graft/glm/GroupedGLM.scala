@@ -172,7 +172,8 @@ object GroupedGLM {
       family: String = "binomial",
       intercept: Boolean = true,
       maxIter: Int = 25,
-      tol: Double = 1e-10): DataFrame = {
+      tol: Double = 1e-10,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty && xCols.nonEmpty && maxIter >= 1)
     val fam = family match {
       case "binomial" => FamBinomial
@@ -186,6 +187,14 @@ object GroupedGLM {
     val pp = if (intercept) p + 1 else p
     val agg = udaf(new GlmGramAgg(p, intercept, fam, init = false))
     val aggInit = udaf(new GlmGramAgg(p, intercept, fam, init = true))
+    // same durability contract as Dedup.connectedComponents: reliable
+    // checkpoint() when a dir is configured (long fits on a real cluster
+    // must survive executor loss), localCheckpoint as local-mode default
+    val sc = df.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cp(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint() else d.localCheckpoint()
     val keys = keyCols.map(col)
     val assembled = df.select(keys :+
       array(xCols.map(c => col(c).cast("double")) :+
@@ -194,22 +203,20 @@ object GroupedGLM {
 
     // the zero betas are placeholders — iteration 0 runs the init
     // aggregator, which derives η from y per family and ignores them
-    var betas = assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-      .select(keys :+ array(Seq.fill(pp)(lit(0.0)): _*).as("beta"): _*)
-      .localCheckpoint()
+    var betas = cp(assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .select(keys :+ array(Seq.fill(pp)(lit(0.0)): _*).as("beta"): _*))
     var prevDev = Double.MaxValue
     var iter = 0
     var done = false
     var lastFit: DataFrame = null
     while (iter < maxIter && !done) {
       val joined = assembled.join(broadcast(betas), keyCols)
-      val step = joined.groupBy(keys: _*)
+      val step = cp(joined.groupBy(keys: _*)
         .agg((if (iter == 0) aggInit else agg)(concat(col("xy"), col("beta"))).as("buf"))
         .select(keys ++ Seq(
           slice(col("buf"), 1, pp).as("beta"),
           element_at(col("buf"), pp + 1).as("dev"),
-          element_at(col("buf"), pp + 2).cast("long").as("n")): _*)
-        .localCheckpoint()
+          element_at(col("buf"), pp + 2).cast("long").as("n")): _*))
       // one scalar to the driver per iteration (NaN-singular groups are
       // excluded so one bad group cannot poison global convergence)
       val dev = step.agg(

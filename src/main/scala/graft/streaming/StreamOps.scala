@@ -130,6 +130,44 @@ object StreamOps {
         "n_events", "total_value")
   }
 
+  /** Run [[windowedCounts]] — the watermarked streaming aggregation — over
+    * a MemoryStream replay of a batch events frame and return the closed
+    * windows. Same parity-gate mechanics as [[sessionizeReplay]]: in
+    * append mode a window only emits once the watermark passes its end, so
+    * batch 1 carries the data plus a far-future sentinel (filtered back
+    * out by its event_type) and batch 2 triggers the emission.
+    */
+  def windowedCountsReplay(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "windowedCountsReplay needs at least one event")
+    val maxTs = evs.iterator.map(_.ts.getTime).max
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_windows_replay_${replaySeq.incrementAndGet()}"
+    val farFuture = maxTs + 30L * 24 * 3600 * 1000
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try windowedCounts(in.toDF(), window_, watermark)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      in.addData(evs.toIndexedSeq :+
+        Event(-1L, new Timestamp(farFuture), -1L, "__wm", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(farFuture + 3600 * 1000), -1L, "__wm", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("event_type") =!= "__wm")
+  }
+
   /** Batch analog of [[sessionize]] (for oracle checks): session boundaries
     * via a lag-window gap flag + running session index — same semantics,
     * expressible in ANSI SQL.

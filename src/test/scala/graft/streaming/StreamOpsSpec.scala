@@ -108,6 +108,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("windowedCountsReplay reproduces the batch windowed aggregation") {
+    val ev = Seq(
+      StreamOps.Event(1, ts(5), 1, "click", 1.0),
+      StreamOps.Event(2, ts(10), 1, "click", 2.5),
+      StreamOps.Event(3, ts(20), 2, "view", 3.0),
+      StreamOps.Event(4, Timestamp.valueOf("2024-01-01 11:15:00"), 2, "view", 4.0)).toDF()
+    val got = StreamOps.windowedCountsReplay(ev)
+      .orderBy("window_start", "event_type").collect()
+    val want = StreamOps.windowedCounts(ev)
+      .orderBy("window_start", "event_type").collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 3)
+  }
+
   test("sessionizeBatch matches the streaming semantics on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
