@@ -358,6 +358,16 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // IVF approximate top-k: k-means inverted lists, nProbe-list probing
+    // (recall < 1 by design → rows-only; exactness at nProbe == nCentroids
+    // asserted in SimilaritySpec)
+    "q68_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 10,
+          nCentroids = 32, nProbe = 8)
+        .orderBy("query_id", "rn")
+    }),
+
     // multimodal plumbing: binary payload → header decode (magic-byte
     // sniff + PNG/JPEG/GIF/WAV container parse) + byte-distribution
     // features (byte-level decode has no DuckDB analog → rows-only)

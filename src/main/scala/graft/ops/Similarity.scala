@@ -193,6 +193,98 @@ object Similarity {
     f(vec.cast("array<double>"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the k-means-quantizer scale
+    * path alongside [[lshTopK]]: corpus vectors are assigned to their
+    * nearest of `nCentroids` coarse centroids (the inverted lists); each
+    * query probes only its `nProbe` nearest lists, so exact scoring
+    * touches ~nProbe/nCentroids of the corpus instead of all of it.
+    *
+    * Training is spherical-k-means (Lloyd on unit vectors, dot = cosine)
+    * over a deterministic hash-ordered sample collected to the driver —
+    * `sampleSize` × dim doubles of driver traffic, FIXED-size regardless
+    * of corpus size — and the centroids ship back as one broadcast. List
+    * assignment and probe selection are per-row closures over that
+    * broadcast; the only shuffle is the (list, candidate) equi-join.
+    * Recall < 1 for nProbe < nCentroids; nProbe == nCentroids is exact
+    * (equals [[bruteTopK]], asserted in SimilaritySpec).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 64, nProbe: Int = 8,
+      sampleSize: Int = 4096, iters: Int = 10, seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val unitCorpus = fanOut(corpus)
+      .select(col(idCol).as("vec_id"), unitVec(col(vecCol)).as("cu"))
+    // deterministic pseudo-random sample: hash order, id tiebreak
+    val sample = unitCorpus
+      .orderBy(xxhash64(col("vec_id") + lit(seed)), col("vec_id"))
+      .limit(sampleSize)
+      .select("cu").collect().map(r => unwrap(r.getSeq[Double](0)))
+    require(sample.nonEmpty, "ivfTopK needs a non-empty corpus")
+    val kC = math.min(nCentroids, sample.length)
+    val dim = sample.head.length
+    // spherical Lloyd: init = first kC hash-ordered sample points
+    var centroids = Array.tabulate(kC)(i => sample(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kC)(new Array[Double](dim))
+      val counts = new Array[Int](kC)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kC) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(kC) { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else {
+          val s = sums(c)
+          var n2 = 0.0; var i = 0
+          while (i < dim) { n2 += s(i) * s(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          if (nrm == 0.0) centroids(c)
+          else Array.tabulate(dim)(i => s(i) / nrm)
+        }
+      }
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    def dots(v: Array[Double]): Array[Double] = {
+      val cs = bc.value
+      Array.tabulate(cs.length) { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length && i < cs(c).length) { d += v(i) * cs(c)(i); i += 1 }
+        d
+      }
+    }
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val d = dots(unwrap(v))
+      var best = 0; var i = 1
+      while (i < d.length) { if (d(i) > d(best)) best = i; i += 1 }
+      best
+    }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      dots(unwrap(v)).zipWithIndex.sortBy(p => (-p._1, p._2))
+        .take(nProbe).map(_._2)
+    }
+    val lists = unitCorpus.withColumn("list", assignUdf(col("cu")))
+    val probes = fanOut(queries)
+      .select(col(idCol).as("query_id"), unitVec(col(vecCol)).as("qu"))
+      .select(col("query_id"), col("qu"), explode(probeUdf(col("qu"))).as("list"))
+    val cand = lists.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(nativeDot(col("qu"), col("cu")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: vectors sharing any signature band are
     * candidates; candidates get exact cosine; top-k per query among them.
     * Returns (query_id, vec_id, cos, rn). Recall < 1 by construction —

@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
     assert(rowsOnly === Set("q20_glm_coefs", "q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
-      "q61_distinct_approx", "q64_grouped_glm"))
+      "q61_distinct_approx", "q64_grouped_glm", "q68_ann_ivf"))
   }
 
   test("approx distinct counts (q61) track the exact counts (q60) within 5%") {

@@ -64,6 +64,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
 
+  test("IVF with nProbe == nCentroids is exact; small nProbe keeps useful recall") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every list must reproduce brute force exactly (each corpus
+    // vector lives in exactly one list, so the candidate set is complete)
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 16)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(approx.size === exact.size) // still k rows per query
+  }
+
+  test("IVF assignment is deterministic across runs") {
+    val queries = emb.filter($"vec_id" < 3)
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run() === run())
+  }
+
   test("cosinePairs finds planted duplicates; LSH variant is a subset with good recall") {
     val planted = emb.select($"vec_id", $"embedding").limit(50)
       .union(emb.filter($"vec_id" === 1).select(lit(9000001L), $"embedding"))
