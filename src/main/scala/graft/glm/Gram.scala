@@ -62,8 +62,18 @@ object Gram {
     val p = xs.size
     require(p > 0, "at least one feature column required")
     if (p > maxExprWidth) {
-      require(extras.isEmpty, s"extras unsupported on the wide path (p=$p)")
-      return normalWide(df, xs, y, w)
+      // wide path: the Gram goes through packed treeAggregate buffers;
+      // extras (e.g. the IRLS deviance sum) run as one additional tiny agg
+      // job — two jobs instead of one, only above the expression-width cap
+      val g = normalWide(df, xs, y, w)
+      if (extras.isEmpty) return g
+      val row = df.agg(extras.head, extras.tail: _*).head()
+      val ex = Array.tabulate(extras.size)(k => row.get(k) match {
+        case null      => 0.0
+        case x: Double => x
+        case x: Number => x.doubleValue()
+      })
+      return g.copy(extras = ex)
     }
 
     val upper = for { i <- 0 until p; j <- i until p }

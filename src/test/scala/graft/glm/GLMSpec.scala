@@ -179,4 +179,24 @@ class GLMSpec extends SparkSpec {
     assert(m.iter < 30)
     assert(m.deviance <= m.nullDeviance + 1e-9)
   }
+
+  test("wide-p GLM (p > maxExprWidth) converges via the packed Gram path") {
+    // 70 hash-derived pseudo-random features force the treeAggregate Gram;
+    // the per-iteration deviance extra runs as its own agg job on that path
+    // (this previously threw "extras unsupported on the wide path")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("yy", when(col("l_discount") >= 0.05, 1.0).otherwise(0.0))
+    val featNames = (1 to 70).map(i => s"h$i")
+    val wide = featNames.foldLeft(li) { (d, nm) =>
+      d.withColumn(nm,
+        pmod(xxhash64(col("l_orderkey") * 7 + col("l_linenumber"), lit(nm)), lit(1000))
+          .cast("double") / 1000.0)
+    }
+    assert(featNames.size + 1 > Gram.maxExprWidth)
+    val m = GLM.fit(wide, featNames, "yy", family = "binomial", maxIter = 30)
+    assert(m.coefs.length === 71)
+    assert(m.coefs.forall(c => java.lang.Double.isFinite(c)))
+    assert(m.deviance <= m.nullDeviance + 1e-9)
+    assert(m.iter < 30)
+  }
 }
