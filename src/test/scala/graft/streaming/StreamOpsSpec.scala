@@ -122,6 +122,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("streaming writes to a parquet file sink with checkpointing (production sink path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    try {
+      val in = MemoryStream[StreamOps.Event]
+      val q = StreamOps.windowedCounts(in.toDF(), "1 hour", "2 hours")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").start()
+      try {
+        in.addData(
+          StreamOps.Event(1, ts(5), 1, "click", 1.0),
+          StreamOps.Event(2, ts(10), 1, "click", 2.0))
+        q.processAllAvailable()
+        // advance the watermark far enough to close and emit the window
+        in.addData(StreamOps.Event(3, Timestamp.valueOf("2024-01-02 10:00:00"), 2, "tick", 0.0))
+        q.processAllAvailable()
+        in.addData(StreamOps.Event(4, Timestamp.valueOf("2024-01-03 10:00:00"), 2, "tick", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.read.parquet(s"$dir/out")
+        .filter($"event_type" === "click").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("n_events") === 2)
+      assert(out.head.getAs[Double]("sum_value") === 3.0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("sessionizeBatch matches the streaming semantics on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
