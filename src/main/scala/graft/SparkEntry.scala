@@ -808,6 +808,21 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    // keyed interval join (non-equi time-range join): for every event, how
+    // many same-user events follow within 5 minutes. Executes as an
+    // equi-join on user_id with the range as residual condition — the same
+    // operator streams as a stream-stream interval join (StreamOpsSpec).
+    "q69_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      StreamOps.intervalJoin(
+          ev.withColumnRenamed("event_id", "l_id").withColumnRenamed("ts", "l_ts"),
+          ev.withColumnRenamed("event_id", "r_id").withColumnRenamed("ts", "r_ts"),
+          "user_id", "l_ts", "r_ts", windowMs = 5 * 60 * 1000L, joinType = "left")
+        .groupBy(col("l.l_id").as("event_id"))
+        .agg(count(col("r.r_id")).as("n_follow"))
+        .orderBy("event_id")
+    }),
+
     // the REAL watermarked streaming window aggregation replayed over the
     // events table — hash-gated against the SAME oracle as batch q11, so
     // streaming/batch hourly aggregation parity is proven like q59 proves
@@ -1472,6 +1487,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q69_interval_join" ->
+      """SELECT a.event_id, count(b.event_id) AS n_follow
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
+        |GROUP BY a.event_id
+        |ORDER BY a.event_id""".stripMargin,
 
     // identical oracle to q11: the streaming windowed aggregation must
     // reproduce the batch hourly relation exactly

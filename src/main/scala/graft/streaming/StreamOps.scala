@@ -168,6 +168,28 @@ object StreamOps {
     s.table(name).filter(col("event_type") =!= "__wm")
   }
 
+  /** Keyed interval join: pair each left row with the right rows of the
+    * same key whose timestamp falls in (left.ts, left.ts + windowMs].
+    * Works identically on batch frames and on two streams — for streams,
+    * set watermarks on BOTH inputs first (Spark bounds the buffered state
+    * from the watermark + the time-range condition; this is the canonical
+    * stream-stream interval join shape).
+    *
+    * Execution is an equi-join on the key with the range as a residual
+    * condition — shuffles on the key, never a cross product.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, windowMs: Long,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") > col(s"l.$leftTs") &&
+        unix_millis(col(s"r.$rightTs")) - unix_millis(col(s"l.$leftTs")) <= windowMs,
+      joinType)
+  }
+
   /** Batch analog of [[sessionize]] (for oracle checks): session boundaries
     * via a lag-window gap flag + running session index — same semantics,
     * expressible in ANSI SQL.

@@ -122,6 +122,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("intervalJoin runs as a stream-stream join and matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      StreamOps.Event(1, ts(0), 1, "a", 1.0),
+      StreamOps.Event(2, ts(3), 1, "b", 2.0),   // within 5 min of 1
+      StreamOps.Event(3, ts(7), 1, "c", 3.0),   // within 5 min of 2 only
+      StreamOps.Event(4, ts(2), 2, "d", 4.0))
+    def prep(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("event_id").as(s"${side}_id"), col("user_id"),
+        col("ts").as(s"${side}_ts"))
+    val batch = StreamOps.intervalJoin(
+        prep(evs.toDF(), "l"), prep(evs.toDF(), "r"),
+        "user_id", "l_ts", "r_ts", windowMs = 5 * 60 * 1000L)
+      .select("l.l_id", "r.r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 2L), (2L, 3L)))
+
+    val inL = MemoryStream[StreamOps.Event]
+    val inR = MemoryStream[StreamOps.Event]
+    val joined = StreamOps.intervalJoin(
+      prep(inL.toDF(), "l").withWatermark("l_ts", "10 minutes"),
+      prep(inR.toDF(), "r").withWatermark("r_ts", "10 minutes"),
+      "user_id", "l_ts", "r_ts", windowMs = 5 * 60 * 1000L)
+    val q = joined.select("l.l_id", "r.r_id")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      inL.addData(evs); inR.addData(evs)
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming writes to a parquet file sink with checkpointing (production sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
