@@ -171,9 +171,17 @@ object StreamOps {
   /** Keyed interval join: pair each left row with the right rows of the
     * same key whose timestamp falls in (left.ts, left.ts + windowMs].
     * Works identically on batch frames and on two streams — for streams,
-    * set watermarks on BOTH inputs first (Spark bounds the buffered state
-    * from the watermark + the time-range condition; this is the canonical
-    * stream-stream interval join shape).
+    * set watermarks on BOTH inputs first.
+    *
+    * The range is phrased DIRECTLY on the event-time columns
+    * (`r.ts <= l.ts + INTERVAL ...`), not via unix_millis() arithmetic:
+    * Spark's StreamingJoinHelper only extracts state watermarks from
+    * interval comparisons it can recognize on the watermarked attributes.
+    * With this phrasing stream-stream inner joins purge buffered state as
+    * the watermark advances and stream-stream OUTER joins are accepted at
+    * analysis (both asserted in StreamOpsSpec); with epoch-millis
+    * arithmetic, inner-join state grows unboundedly and outer joins are
+    * rejected.
     *
     * Execution is an equi-join on the key with the range as a residual
     * condition — shuffles on the key, never a cross product.
@@ -186,7 +194,7 @@ object StreamOps {
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") > col(s"l.$leftTs") &&
-        unix_millis(col(s"r.$rightTs")) - unix_millis(col(s"l.$leftTs")) <= windowMs,
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $windowMs MILLISECONDS"),
       joinType)
   }
 

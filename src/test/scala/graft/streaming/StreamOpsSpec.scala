@@ -154,6 +154,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin stream-stream LEFT OUTER join is accepted and emits unmatched rows") {
+    // Spark rejects a stream-stream outer join at analysis unless it can
+    // extract a state watermark from the join condition — so this test
+    // passing proves the range phrasing is one StreamingJoinHelper
+    // recognizes (i.e. inner-join state is purged too, same machinery).
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      StreamOps.Event(1, ts(0), 1, "a", 1.0),
+      StreamOps.Event(2, ts(3), 1, "b", 2.0),   // within 5 min of 1
+      StreamOps.Event(3, ts(20), 2, "c", 3.0))  // no follower -> null-padded
+    def prep(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("event_id").as(s"${side}_id"), col("user_id"),
+        col("ts").as(s"${side}_ts"))
+    val inL = MemoryStream[StreamOps.Event]
+    val inR = MemoryStream[StreamOps.Event]
+    val joined = StreamOps.intervalJoin(
+      prep(inL.toDF(), "l").withWatermark("l_ts", "10 minutes"),
+      prep(inR.toDF(), "r").withWatermark("r_ts", "10 minutes"),
+      "user_id", "l_ts", "r_ts", windowMs = 5 * 60 * 1000L, joinType = "left")
+    val q = joined.select(col("l.l_id"), col("r.r_id"))
+      .writeStream.format("memory").queryName("ivj_left").outputMode("append").start()
+    try {
+      inL.addData(evs); inR.addData(evs)
+      q.processAllAvailable()
+      // null-padded results only emit after the watermark passes the join
+      // window — advance it on both sides
+      val late = StreamOps.Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "wm", 0.0)
+      inL.addData(late); inR.addData(late)
+      q.processAllAvailable()
+      val got = spark.table("ivj_left").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)))      // matched pair
+      assert(got.contains((3L, -1L)))    // unmatched left row, null-padded
+      assert(!got.exists(p => p._1 == 1L && p._2 == -1L)) // 1 matched: no null row
+    } finally q.stop()
+  }
+
   test("streaming writes to a parquet file sink with checkpointing (production sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
