@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Generational checkpoint manager for iterative DataFrame algorithms
+  * (IRLS in [[graft.glm.GroupedGLM]], label propagation in
+  * [[graft.ops.Dedup.connectedComponents]]).
+  *
+  * `Dataset.checkpoint()` gives durability and flat lineage but leaks:
+  * superseded reliable-checkpoint files accumulate in the checkpoint dir
+  * for the life of the application, and superseded `localCheckpoint`
+  * blocks stay pinned in executor storage — an N-iteration fit holds N
+  * generations of state. This helper checkpoints at the RDD level so it
+  * keeps a handle to each generation and, as soon as the NEXT generation
+  * is materialized, deletes the previous one's checkpoint files (reliable)
+  * or unpersists its blocks (local). At any moment at most two
+  * generations exist; a multi-hour 100 TB job's checkpoint dir stays
+  * O(state size), not O(state × iterations).
+  *
+  * Durability contract (unchanged from before): RELIABLE `checkpoint()`
+  * when `checkpointDir` is given or the session already has one set —
+  * survives executor loss; `localCheckpoint` (lineage severed
+  * unrecoverably) only as the local-mode default. When this helper sets
+  * the session checkpoint dir, `close()` restores the previous value
+  * (including none — `setCheckpointDir(null)` unsets), so no
+  * session-global state leaks out of a fit.
+  *
+  * The FINAL generation backs the returned DataFrame, so it is NOT
+  * cleaned by `close()` — it lives until the RDD is garbage-collected
+  * (enable `spark.cleaner.referenceTracking.cleanCheckpoints` to reap its
+  * files then) or the application exits.
+  */
+private[graft] final class Checkpointer(spark: SparkSession,
+    checkpointDir: Option[String]) {
+  private val sc = spark.sparkContext
+  private val prevDir = sc.getCheckpointDir
+  checkpointDir.foreach(sc.setCheckpointDir)
+  private val reliable = sc.getCheckpointDir.isDefined
+  private var last: RDD[Row] = null
+
+  /** Checkpoint `df` eagerly (materialized before return) and free the
+    * previous tracked generation. The returned frame reads from the
+    * checkpoint — flat lineage.
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val out = checkpointRdd(df)
+    clean(last)
+    last = out._2
+    out._1
+  }
+
+  /** Checkpoint OUTSIDE the generation chain — for loop-invariant frames
+    * (e.g. the edge relation) that every iteration reads. Freed only at
+    * `close()`.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val out = checkpointRdd(df)
+    pinned ::= out._2
+    out._1
+  }
+  private var pinned: List[RDD[Row]] = Nil
+
+  /** Free pinned generations and restore the caller's checkpoint dir.
+    * The last tracked generation stays alive (it backs the result frame).
+    */
+  def close(): Unit = {
+    pinned.foreach(clean)
+    pinned = Nil
+    if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
+  }
+
+  private def checkpointRdd(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+    rdd.count() // materialize now so the predecessor can be freed
+    (spark.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  private def clean(r: RDD[Row]): Unit = if (r != null) {
+    r.getCheckpointFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      // best-effort: a failed delete only re-introduces the old leak
+      try p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    r.unpersist(blocking = false)
+  }
+}

@@ -189,12 +189,10 @@ object GroupedGLM {
     val aggInit = udaf(new GlmGramAgg(p, intercept, fam, init = true))
     // same durability contract as Dedup.connectedComponents: reliable
     // checkpoint() when a dir is configured (long fits on a real cluster
-    // must survive executor loss), localCheckpoint as local-mode default
-    val sc = df.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cp(d: DataFrame): DataFrame =
-      if (reliable) d.checkpoint() else d.localCheckpoint()
+    // must survive executor loss), localCheckpoint as local-mode default.
+    // Checkpointer frees each superseded generation as soon as the next
+    // one is materialized — files/blocks stay O(betas), not O(iterations).
+    val cp = new graft.Checkpointer(df.sparkSession, checkpointDir)
     val keys = keyCols.map(col)
     val assembled = df.select(keys :+
       array(xCols.map(c => col(c).cast("double")) :+
@@ -229,6 +227,7 @@ object GroupedGLM {
       iter += 1
     }
     assembled.unpersist(blocking = false)
+    cp.close() // the final generation backs lastFit and stays alive
 
     val names = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
     lastFit.select(keys ++

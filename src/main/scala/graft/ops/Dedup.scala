@@ -271,12 +271,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = cp(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Checkpointer frees each superseded label generation once the next is
+    // materialized (and the pinned edges at close) — checkpoint storage
+    // stays O(graph), not O(graph × iterations)
+    val cp = new graft.Checkpointer(pairs.sparkSession, checkpointDir)
+    val edges = cp.pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
     var labels = cp(edges.select(col("src").as("id")).distinct()
@@ -298,6 +297,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    cp.close() // frees the pinned edges; the final labels generation stays
     labels
   }
 

@@ -107,6 +107,16 @@ class DedupSpec extends SparkSpec {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0)
+      // superseded generations and the pinned edges were deleted: only the
+      // final labels generation's rdd-* dir remains (no O(iterations) leak)
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-")).toList
+      assert(rddDirs.size === 1, s"leaked checkpoint generations: $rddDirs")
+      // the session checkpoint dir was restored (it was unset before)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
     } finally {
       spark.sparkContext.setCheckpointDir(null)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
