@@ -21,13 +21,19 @@ object Sampling {
   /** Split-label column from `content`: `cuts` are (name, weight) pairs
     * with weights in 16ths summing to 16 — e.g.
     * `Seq("train" -> 12, "val" -> 2, "test" -> 2)` for 75/12.5/12.5.
+    *
+    * NULL content is routed explicitly: it behaves as the LOWEST bucket, so
+    * it lands in the FIRST split here and is KEPT by
+    * [[deterministicSample]] — consistent across both (previously null fell
+    * through every `when` into the LAST split while the sample dropped it,
+    * silently contaminating the test split with null docs).
     */
   def splitColumn(content: Column, cuts: Seq[(String, Int)]): Column = {
     require(cuts.size >= 2, "need at least two splits")
     require(cuts.forall(_._2 > 0) && cuts.map(_._2).sum == 16,
       "split weights are 16ths and must sum to 16")
     val hex = "0123456789abcdef"
-    val digit = substring(md5(content), 32, 1)
+    val digit = coalesce(substring(md5(content), 32, 1), lit("0"))
     val bounds = cuts.init.scanLeft(0)(_ + _._2).tail.map(i => hex(i).toString)
     val first = when(digit < lit(bounds.head), lit(cuts.head._1))
     cuts.init.tail.zip(bounds.tail).foldLeft(first) {
@@ -43,13 +49,15 @@ object Sampling {
 
   /** Deterministic fractional sample: keep rows whose content digest falls
     * in the first `sixteenths`/16 of the bucket space. Content-keyed like
-    * [[withSplit]] — duplicates are kept or dropped together.
+    * [[withSplit]] — duplicates are kept or dropped together, and NULL
+    * content behaves as the lowest bucket (kept), matching [[splitColumn]].
     */
   def deterministicSample(df: DataFrame, contentCol: String,
       sixteenths: Int): DataFrame = {
     require(sixteenths >= 1 && sixteenths <= 16)
     if (sixteenths == 16) df
     else df.filter(
-      substring(md5(col(contentCol)), 32, 1) < lit("0123456789abcdef"(sixteenths).toString))
+      coalesce(substring(md5(col(contentCol)), 32, 1), lit("0")) <
+        lit("0123456789abcdef"(sixteenths).toString))
   }
 }

@@ -215,9 +215,12 @@ object Similarity {
     graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val unitCorpus = fanOut(corpus)
       .select(col(idCol).as("vec_id"), unitVec(col(vecCol)).as("cu"))
-    // deterministic pseudo-random sample: hash order, id tiebreak
+    // deterministic pseudo-random sample: hash order, id tiebreak. The id
+    // and seed hash as SEPARATE xxhash64 args so any id type works — an
+    // arithmetic id+seed would null out on string ids and silently
+    // degenerate the sample to lowest-id order, biasing centroid training
     val sample = unitCorpus
-      .orderBy(xxhash64(col("vec_id") + lit(seed)), col("vec_id"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(sampleSize)
       .select("cu").collect().map(r => unwrap(r.getSeq[Double](0)))
     require(sample.nonEmpty, "ivfTopK needs a non-empty corpus")
@@ -273,6 +276,10 @@ object Similarity {
         .take(nProbe).map(_._2)
     }
     val lists = unitCorpus.withColumn("list", assignUdf(col("cu")))
+    // the query side is broadcast (|queries| × nProbe rows, each carrying a
+    // dim-sized vector) — like bruteTopK/lshTopK this assumes a SMALL query
+    // set; for query sets past broadcast size drop the hint and let the
+    // (list, candidate) equi-join shuffle both sides instead
     val probes = fanOut(queries)
       .select(col(idCol).as("query_id"), unitVec(col(vecCol)).as("qu"))
       .select(col("query_id"), col("qu"), explode(probeUdf(col("qu"))).as("list"))

@@ -45,6 +45,18 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(docs, "text", 16).count() === docs.count())
   }
 
+  test("null content routes to the first split and is kept by the sample (consistent)") {
+    val mixed = Seq((1L, "a real doc"), (2L, null), (3L, "another doc"))
+      .toDF("doc_id", "text")
+    val sp = Sampling.withSplit(mixed, "text", "split")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sp(2L) === "train") // first split, never the test split
+    // every sample fraction keeps the null row — same lowest-bucket rule
+    val kept = Sampling.deterministicSample(mixed, "text", 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L))
+  }
+
   test("invalid weights are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.splitColumn(col("text"), Seq("a" -> 10, "b" -> 5))

@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size === exact.size) // still k rows per query
   }
 
+  test("IVF works with string ids (sample hash must not assume numeric ids)") {
+    // string ids break arithmetic id+seed hashing (null -> lowest-id-ordered
+    // sample); the two-arg xxhash64 keeps the centroid sample pseudo-random
+    // for ANY id type, so the string-id run must reproduce the long-id run
+    val strEmb = emb.withColumn("vec_id", concat(lit("doc-"), format_string("%06d", $"vec_id")))
+    val queries = emb.filter($"vec_id" < 10)
+    val strQueries = strEmb.filter($"vec_id" < "doc-000010")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("string"), col("vec_id").cast("string"))
+        .collect().map(r => (r.getString(0).replace("doc-", "").toLong,
+          r.getString(1).replace("doc-", "").toLong)).toSet
+    val longRun = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 16))
+    val strRun = pairs(Similarity.ivfTopK(strEmb, strQueries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 16))
+    assert(strRun === longRun)
+  }
+
   test("IVF assignment is deterministic across runs") {
     val queries = emb.filter($"vec_id" < 3)
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
