@@ -823,6 +823,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the REAL stream-stream interval join (two MemoryStreams, watermarks
+    // on both sides, LEFT OUTER — unmatched rows emit via watermark-driven
+    // state eviction) replayed over the events table, then aggregated
+    // batch-side — hash-gated against the SAME oracle as batch q69, so
+    // streaming/batch interval-join parity is proven like q59/q67
+    "q70_interval_stream" -> ((s, dir) => {
+      StreamOps.intervalJoinReplay(events(s, dir), windowMs = 5 * 60 * 1000L)
+        .groupBy(col("l_id").as("event_id"))
+        .agg(count(col("r_id")).as("n_follow"))
+        .orderBy("event_id")
+    }),
+
     // the REAL watermarked streaming window aggregation replayed over the
     // events table — hash-gated against the SAME oracle as batch q11, so
     // streaming/batch hourly aggregation parity is proven like q59 proves
@@ -1489,6 +1501,15 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q69_interval_join" ->
+      """SELECT a.event_id, count(b.event_id) AS n_follow
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
+        |GROUP BY a.event_id
+        |ORDER BY a.event_id""".stripMargin,
+
+    // streaming replay of the same interval join: identical oracle to q69
+    "q70_interval_stream" ->
       """SELECT a.event_id, count(b.event_id) AS n_follow
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts > a.ts

@@ -198,6 +198,53 @@ object StreamOps {
       joinType)
   }
 
+  /** Run [[intervalJoin]] as a REAL stream-stream join (two MemoryStreams,
+    * watermarks on both sides) over a replay of a batch events frame and
+    * return the joined (l_id, r_id) pairs — the streaming/batch parity gate
+    * for the interval join, declared as a query whose oracle is the batch
+    * SQL. `joinType = "left"` exercises the outer path: unmatched left rows
+    * only emit once the watermark clears their join window, so batch 2
+    * ships a far-future sentinel on BOTH sides (filtered back out by its
+    * reserved negative user id).
+    */
+  def intervalJoinReplay(events: DataFrame, windowMs: Long,
+      joinType: String = "left"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "intervalJoinReplay needs at least one event")
+    val maxTs = evs.iterator.map(_.ts.getTime).max
+    val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_ivj_replay_${replaySeq.incrementAndGet()}"
+    def prep(df: DataFrame, side: String) = df
+      .select(col("event_id").as(s"${side}_id"), col("user_id"),
+        col("ts").as(s"${side}_ts"))
+      .withWatermark(s"${side}_ts", "10 minutes")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try intervalJoin(prep(inL.toDF(), "l"), prep(inR.toDF(), "r"),
+          "user_id", "l_ts", "r_ts", windowMs, joinType)
+        .select(col("l.l_id"), col("l.user_id"), col("r.r_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      inL.addData(evs.toIndexedSeq); inR.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val sentinel = Event(-1L, new Timestamp(maxTs + 100 * windowMs + 3600_000L),
+        -1L, "__wm", 0.0)
+      inL.addData(sentinel); inR.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("user_id") >= 0).select("l_id", "r_id")
+  }
+
   /** Batch analog of [[sessionize]] (for oracle checks): session boundaries
     * via a lag-window gap flag + running session index — same semantics,
     * expressible in ANSI SQL.

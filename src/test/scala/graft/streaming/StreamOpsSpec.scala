@@ -191,6 +191,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinReplay reproduces the batch left interval join exactly") {
+    val ev = Seq(
+      StreamOps.Event(1, ts(0), 1, "a", 1.0),
+      StreamOps.Event(2, ts(3), 1, "b", 2.0),
+      StreamOps.Event(3, ts(7), 1, "c", 3.0),
+      StreamOps.Event(4, ts(2), 2, "d", 4.0),   // user 2: no follower
+      StreamOps.Event(5, ts(40), 1, "e", 5.0))  // isolated: no follower
+      .toDF()
+    val win = 5 * 60 * 1000L
+    val got = StreamOps.intervalJoinReplay(ev, win)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val batch = StreamOps.intervalJoin(
+        ev.select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts")),
+        ev.select(col("event_id").as("r_id"), col("user_id"), col("ts").as("r_ts")),
+        "user_id", "l_ts", "r_ts", win, joinType = "left")
+      .select(col("l.l_id"), col("r.r_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === batch)
+    assert(got.contains((4L, -1L)) && got.contains((5L, -1L)))
+  }
+
   test("streaming writes to a parquet file sink with checkpointing (production sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
