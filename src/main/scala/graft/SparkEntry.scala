@@ -591,6 +591,21 @@ object SparkEntry {
         .toDF("b_intercept", "b_quantity", "sigma_w", "n_rows")
     }),
 
+    // per-group weighted least squares through GroupedGLM's gaussian path
+    // (prior weights scale the per-group Gram) — the grouped twin of q53,
+    // hash-gated against the closed-form weighted moments per group; the
+    // whole fit is one grouped aggregation, betas never touch the driver
+    "q71_grouped_wls" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("w", col("l_tax") + lit(0.01))
+      GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice",
+          family = "gaussian", weightCol = Some("w"))
+        .select(col("l_returnflag"),
+          r(col("b_intercept"), 3).as("b_intercept"),
+          r(col("b_l_quantity"), 3).as("b_quantity"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // O28 grouped binomial (m > 1): deviance at a fixed beta over per-supplier
     // (successes, trials) — y/m/x are exact integers/decimals, so per-group
     // arithmetic is bit-identical across engines
@@ -1507,6 +1522,26 @@ object SparkEntry {
         |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
         |GROUP BY a.event_id
         |ORDER BY a.event_id""".stripMargin,
+
+    "q71_grouped_wls" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    sum(l_tax + 0.01) AS sw,
+        |    sum((l_tax + 0.01) * l_quantity) AS swx,
+        |    sum((l_tax + 0.01) * l_extendedprice) AS swy,
+        |    sum((l_tax + 0.01) * l_quantity * l_quantity) AS swxx,
+        |    sum((l_tax + 0.01) * l_quantity * l_extendedprice) AS swxy,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, n, sw, swx, swy,
+        |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+        |  FROM m)
+        |SELECT l_returnflag,
+        |  round((swy - b1 * swx) / sw, 3) AS b_intercept,
+        |  round(b1, 3) AS b_quantity,
+        |  n AS n_rows
+        |FROM b ORDER BY l_returnflag""".stripMargin,
 
     // streaming replay of the same interval join: identical oracle to q69
     "q70_interval_stream" ->

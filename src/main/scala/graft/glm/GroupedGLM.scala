@@ -36,10 +36,13 @@ object GroupedGLM {
   private val FamGamma = 3
 
   /** Buffer: [n, dev | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
-    * `array(x_1..x_p, y, beta_0..beta_{pp-1})` — beta rides on the row from
-    * the broadcast join, so the aggregation is a single self-contained pass.
+    * `array(x_1..x_p, y, m, offset, weight, beta_0..beta_{pp-1})` — beta
+    * rides on the row from the broadcast join, so the aggregation is a
+    * single self-contained pass. m (binomial trials), offset (known η
+    * shift) and weight (prior case weight) default to 1/0/1 literals when
+    * the caller has none — a fixed row layout keeps ONE aggregator path.
     */
-  /** `init = true` is the first IRLS pass: η comes from the family's
+  /** `init = true` is the first IRLS pass: μ comes from the family's
     * μ-from-y start (reference: GLM.scala:263 "init μ = ȳ"-style; here
     * R's per-row inits), not from the (zero) incoming beta — log links
     * diverge from a flat start on large-scale responses.
@@ -52,49 +55,58 @@ object GroupedGLM {
 
     def zero: Array[Double] = new Array[Double](2 + pp + nUp)
 
+    // y·ln(y/μ) with the 0·ln0 = 0 convention (deviance terms)
+    @inline private def ylog(y: Double, mu: Double): Double =
+      if (y > 0) y * math.log(y / mu) else 0.0
+
     def reduce(b: Array[Double], in: Seq[Double]): Array[Double] = {
       val x = new Array[Double](pp)
       if (intercept) x(0) = 1.0
       var i = 0
       while (i < p) { x(if (intercept) i + 1 else i) = in(i); i += 1 }
       val y = in(p)
-      var eta = 0.0
-      if (init) {
-        eta = fam match {
-          case FamBinomial =>
-            val mu = (y + 0.5) / 2.0
-            math.log(mu / (1.0 - mu))
-          case FamPoisson => math.log(y + 0.1)
-          case FamGamma => math.log(math.max(y, Eps))
-          case _ => 0.0
-        }
-      } else {
+      val m = in(p + 1)
+      val off = in(p + 2)
+      val pw = in(p + 3)
+      // η of the INCOMING beta (offset included); unused on the init pass
+      var eta = off
+      if (!init) {
         i = 0
-        while (i < pp) { eta += x(i) * in(p + 1 + i); i += 1 }
+        while (i < pp) { eta += x(i) * in(p + 4 + i); i += 1 }
       }
-      var w = 1.0
+      // the normal equations regress the OFFSET-FREE working response
+      // z − off on X, exactly like the single-model GLM (GLM.scala:217)
+      var w = pw
       var z = y
       var dev = 0.0
       fam match {
         case FamBinomial =>
-          val mu0 = 1.0 / (1.0 + math.exp(-eta))
-          val mu = math.max(Eps, math.min(1.0 - Eps, mu0))
-          w = mu * (1.0 - mu)
-          z = eta + (y - mu) / w
+          // y = successes in [0, m]; μ ∈ (0, m); logit link η = ln(μ/(m−μ))
+          val mu0 = if (init) m * (y + 0.5) / (m + 1.0)
+                    else m / (1.0 + math.exp(-eta))
+          val mu = math.max(Eps, math.min(m - Eps, mu0))
+          if (init) eta = math.log(mu / (m - mu)) + off
+          val lp = m / (mu * (m - mu)) // dη/dμ
+          w = pw * mu * (m - mu) / m   // pw / (V·lp²); V = μ(m−μ)/m
+          z = eta + (y - mu) * lp - off
           // deviance of the INCOMING beta (lags the update by one iteration)
-          dev = -2.0 * (y * math.log(mu) + (1.0 - y) * math.log(1.0 - mu))
+          dev = pw * 2.0 * (ylog(y, mu) + ylog(m - y, m - mu))
         case FamPoisson =>
-          val mu = math.max(Eps, math.exp(eta))
-          w = mu
-          z = eta + (y - mu) / mu
-          dev = 2.0 * ((if (y > 0) y * math.log(y / mu) else 0.0) - (y - mu))
+          val mu = if (init) y + 0.1 else math.max(Eps, math.exp(eta))
+          if (init) eta = math.log(mu) + off
+          w = pw * mu
+          z = eta + (y - mu) / mu - off
+          dev = pw * 2.0 * (ylog(y, mu) - (y - mu))
         case FamGamma =>
-          // log link: V = μ², l' = 1/μ → w = 1, z = η + (y−μ)/μ; y must be > 0
-          val mu = math.max(Eps, math.exp(eta))
-          z = eta + (y - mu) / mu
-          dev = 2.0 * (-math.log(y / mu) + (y - mu) / mu)
+          // log link: V = μ², l' = 1/μ → w = pw, z = η + (y−μ)/μ; y must be > 0
+          val mu = if (init) math.max(y, Eps) else math.max(Eps, math.exp(eta))
+          if (init) eta = math.log(mu) + off
+          z = eta + (y - mu) / mu - off
+          dev = pw * 2.0 * (-math.log(y / mu) + (y - mu) / mu)
         case _ =>
-          dev = (y - eta) * (y - eta)
+          // gaussian identity: one-step weighted least squares on y − off
+          z = y - off
+          dev = pw * (y - eta) * (y - eta)
       }
       b(0) += 1.0
       b(1) += dev
@@ -155,10 +167,15 @@ object GroupedGLM {
 
   /** Fit one GLM per group of `keyCols`.
     *
-    * @param family "binomial" (logit link; `yCol` must be 0/1),
-    *               "poisson" (log link; `yCol` is a count),
-    *               "gamma" (log link; `yCol` must be > 0), or
+    * @param family "binomial" (logit link; `yCol` is successes in [0, m] —
+    *               0/1 without `mCol`), "poisson" (log link; `yCol` is a
+    *               count), "gamma" (log link; `yCol` must be > 0), or
     *               "gaussian" (identity link)
+    * @param mCol      binomial trials column (binomial only; defaults to 1)
+    * @param offsetCol known-offset column added to η (defaults to 0) —
+    *                  same semantics as the single-model GLM.fit
+    * @param weightCol prior case-weight column (defaults to 1): scales the
+    *                  IRLS weights and the deviance contributions
     * @return one row per group: keyCols ++ coefficient columns
     *         (`b_intercept` first when intercept, then `b_<feature>`),
     *         deviance, n_rows, n_iter. NaN coefficients mark
@@ -171,6 +188,9 @@ object GroupedGLM {
       yCol: String,
       family: String = "binomial",
       intercept: Boolean = true,
+      mCol: Option[String] = None,
+      offsetCol: Option[String] = None,
+      weightCol: Option[String] = None,
       maxIter: Int = 25,
       tol: Double = 1e-10,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -183,6 +203,8 @@ object GroupedGLM {
       case other => throw new IllegalArgumentException(
         s"GroupedGLM supports binomial|poisson|gamma|gaussian, got $other")
     }
+    require(mCol.isEmpty || fam == FamBinomial,
+      "mCol (binomial trials) only applies to the binomial family")
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
     val agg = udaf(new GlmGramAgg(p, intercept, fam, init = false))
@@ -195,8 +217,12 @@ object GroupedGLM {
     val cp = new graft.Checkpointer(df.sparkSession, checkpointDir)
     val keys = keyCols.map(col)
     val assembled = df.select(keys :+
-      array(xCols.map(c => col(c).cast("double")) :+
-        col(yCol).cast("double"): _*).as("xy"): _*)
+      array(xCols.map(c => col(c).cast("double")) ++ Seq(
+        col(yCol).cast("double"),
+        mCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)),
+        offsetCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)),
+        weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))): _*)
+        .as("xy"): _*)
       .persist()
 
     // the zero betas are placeholders — iteration 0 runs the init

@@ -64,6 +64,54 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("grouped binomial with an m column matches the whole-pipeline GLM per subset") {
+    // grouped-binomial shape: one row per (flag, quantity), m = trials,
+    // y = successes — the m>1 path must reproduce GLM.fit(mCol) exactly
+    val gb = li.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).cast("double").as("m"), sum("y").as("succ"))
+    val grouped = GroupedGLM.fit(gb, Seq("l_returnflag"), Seq("l_quantity"), "succ",
+        mCol = Some("m"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(grouped.nonEmpty)
+    grouped.keys.foreach { flag =>
+      val sub = gb.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_quantity"), "succ", family = "binomial",
+        mCol = Some("m"))
+      val (b0, b1) = grouped(flag)
+      assert(math.abs(b0 - m.coefs(0)) < 1e-6, s"$flag intercept: $b0 vs ${m.coefs(0)}")
+      assert(math.abs(b1 - m.coefs(1)) < 1e-6, s"$flag slope")
+    }
+  }
+
+  test("grouped poisson with an offset matches the whole-pipeline GLM per subset") {
+    val withOff = li.withColumn("off", log(col("l_quantity") + 1.0))
+    val grouped = GroupedGLM.fit(withOff, Seq("l_returnflag"), Seq("l_tax"),
+        "l_linenumber", family = "poisson", offsetCol = Some("off"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    grouped.keys.foreach { flag =>
+      val sub = withOff.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_tax"), "l_linenumber", family = "poisson",
+        offsetCol = Some("off"))
+      val (b0, b1) = grouped(flag)
+      assert(math.abs(b0 - m.coefs(0)) < 1e-6, s"$flag intercept: $b0 vs ${m.coefs(0)}")
+      assert(math.abs(b1 - m.coefs(1)) < 1e-6, s"$flag slope")
+    }
+  }
+
+  test("grouped gaussian with prior weights equals per-subset WLS") {
+    val wdf = li.withColumn("wt", col("l_quantity"))
+    val grouped = GroupedGLM.fit(wdf, Seq("l_returnflag"), Seq("l_discount"),
+        "l_extendedprice", family = "gaussian", weightCol = Some("wt"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    grouped.keys.foreach { flag =>
+      val sub = wdf.filter(col("l_returnflag") === flag)
+      val m = LM.fit(sub, Seq("l_discount"), "l_extendedprice", weightCol = Some("wt"))
+      val (b0, b1) = grouped(flag)
+      assert(math.abs(b0 - m.coefs(0)) < 1e-6 * math.abs(m.coefs(0)), s"$flag intercept")
+      assert(math.abs(b1 - m.coefs(1)) < 1e-6 * math.abs(m.coefs(1)), s"$flag slope")
+    }
+  }
+
   test("fits are invariant to input partitioning") {
     def coefs(df: org.apache.spark.sql.DataFrame) =
       GroupedGLM.fit(df, Seq("l_returnflag"), Seq("l_quantity"), "y")
