@@ -838,6 +838,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // per-group model SCORING: fit per-flag WLS betas (q71's fit), then
+    // GroupedGLM.predict broadcast-joins them back and scores every row as
+    // a pure column expression; gated on a threshold COUNT (predictions sit
+    // on the integer quantity grid, >=0.87 away from the threshold, so the
+    // ~1e-7 fit-vs-closed-form coefficient difference can never flip a row)
+    "q72_grouped_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("w", col("l_tax") + lit(0.01))
+      val betas = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", family = "gaussian", weightCol = Some("w"))
+      GroupedGLM.predict(betas, li, Seq("l_returnflag"), Seq("l_quantity"),
+          family = "gaussian")
+        .filter(col("prediction") > 53000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_high"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+        .orderBy("l_returnflag")
+    }),
+
     // the REAL stream-stream interval join (two MemoryStreams, watermarks
     // on both sides, LEFT OUTER — unmatched rows emit via watermark-driven
     // state eviction) replayed over the events table, then aggregated
@@ -1542,6 +1560,27 @@ object SparkEntry {
         |  round(b1, 3) AS b_quantity,
         |  n AS n_rows
         |FROM b ORDER BY l_returnflag""".stripMargin,
+
+    "q72_grouped_predict" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    sum(l_tax + 0.01) AS sw,
+        |    sum((l_tax + 0.01) * l_quantity) AS swx,
+        |    sum((l_tax + 0.01) * l_extendedprice) AS swy,
+        |    sum((l_tax + 0.01) * l_quantity * l_quantity) AS swxx,
+        |    sum((l_tax + 0.01) * l_quantity * l_extendedprice) AS swxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, sw, swx, swy,
+        |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+        |  FROM m),
+        |f AS (SELECT l_returnflag, b1, (swy - b1 * swx) / sw AS b0 FROM b)
+        |SELECT l.l_returnflag, count(*) AS n_high,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |WHERE f.b0 + f.b1 * l.l_quantity > 53000
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
 
     // streaming replay of the same interval join: identical oracle to q69
     "q70_interval_stream" ->

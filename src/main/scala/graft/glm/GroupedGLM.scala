@@ -261,4 +261,39 @@ object GroupedGLM {
       Seq(col("dev").as("deviance"), col("n").as("n_rows"),
         lit(iter).as("n_iter")): _*)
   }
+
+  /** Score `df` with a per-group coefficient frame produced by [[fit]]
+    * (also works on [[GroupedLM.fit]] output with `family = "gaussian"`):
+    * broadcast-join the betas on the group key and evaluate
+    * μ = link⁻¹(Σ bᵢ·xᵢ + offset) as a pure column expression — no UDF,
+    * no driver state, scoring pipelines with the scan at any scale. The
+    * betas frame is one row per group (small by construction) and is
+    * broadcast; rows of groups absent from `betas` (or with NaN
+    * coefficients) score NaN, marking them unscorable rather than silently
+    * dropping them.
+    */
+  def predict(betas: DataFrame, df: DataFrame, keyCols: Seq[String],
+      xCols: Seq[String], family: String = "binomial",
+      intercept: Boolean = true, mCol: Option[String] = None,
+      offsetCol: Option[String] = None,
+      outputCol: String = "prediction"): DataFrame = {
+    val coefCols = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
+    val slim = betas.select((keyCols ++ coefCols).map(col): _*)
+    val joined = df.join(broadcast(slim), keyCols, "left")
+    val terms = xCols.map(c => col("b_" + c) * col(c).cast("double"))
+    val eta0 = terms.foldLeft(
+      if (intercept) col("b_intercept") else lit(0.0))(_ + _)
+    val eta = offsetCol.map(c => eta0 + col(c).cast("double")).getOrElse(eta0)
+    val m = mCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val mu = family match {
+      case "binomial" => m / (lit(1.0) + exp(-eta)) // expected successes; p when m=1
+      case "poisson" | "gamma" => exp(eta)
+      case "gaussian" => eta
+      case other => throw new IllegalArgumentException(
+        s"GroupedGLM supports binomial|poisson|gamma|gaussian, got $other")
+    }
+    // absent group -> null coefficients -> null eta; surface as NaN
+    joined.withColumn(outputCol, coalesce(mu, lit(Double.NaN)))
+      .drop(coefCols: _*)
+  }
 }

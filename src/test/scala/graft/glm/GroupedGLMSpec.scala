@@ -112,6 +112,32 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("predict scores each row with its own group's model; absent groups score NaN") {
+    val betas = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity", "l_tax"), "y")
+    val scored = GroupedGLM.predict(betas, li, Seq("l_returnflag"),
+        Seq("l_quantity", "l_tax"))
+      .select(col("l_returnflag"), col("l_quantity"), col("l_tax"), col("prediction"))
+      .collect()
+    assert(scored.length === li.count())
+    // spot-check every group against the single-model GLM's predictions
+    val flags = scored.map(_.getString(0)).distinct
+    flags.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_quantity", "l_tax"), "y")
+      val want = m.predict(sub).select("l_quantity", "l_tax", "prediction")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      scored.filter(_.getString(0) == flag).take(50).foreach { r =>
+        val key = (r.getDouble(1), r.getDouble(2))
+        assert(math.abs(r.getDouble(3) - want(key)) < 1e-6, s"$flag $key")
+      }
+    }
+    // a group with no fitted betas scores NaN, not a dropped row
+    val foreign = Seq(("Z", 1.0, 0.1)).toDF("l_returnflag", "l_quantity", "l_tax")
+    val out = GroupedGLM.predict(betas, foreign, Seq("l_returnflag"),
+      Seq("l_quantity", "l_tax")).select("prediction").head().getDouble(0)
+    assert(out.isNaN)
+  }
+
   test("fits are invariant to input partitioning") {
     def coefs(df: org.apache.spark.sql.DataFrame) =
       GroupedGLM.fit(df, Seq("l_returnflag"), Seq("l_quantity"), "y")
