@@ -162,10 +162,77 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize: a real implementation would decode, resample, re-encode
-    * (needs pixel/PCM codecs this container doesn't ship); this
-    * deterministically subsamples every `factor`-th byte so tests can
-    * assert the plumbing (payload shrinks, metadata updates, rows preserved).
+  /** REAL sample-rate conversion for 16-bit PCM WAV payloads: walk the
+    * RIFF chunks to the fmt/data chunks, boxcar-average each `factor`-frame
+    * block per channel (a box low-pass before decimation — integer mean,
+    * truncating division, so the output is bit-deterministic), and re-emit
+    * a canonical 44-byte-header WAV at rate/factor. Returns None for
+    * anything that is not parseable 16-bit PCM (compressed WAV, truncated
+    * chunks, other containers) — those fall back to the byte-decimation
+    * stand-in in [[resample]].
+    */
+  private[ops] def resampleWav(b: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && dataOff < 0) {
+      val sz = le32(b, i + 4)
+      if (sz < 0 || i + 8 + sz > b.length) return None // truncated chunk
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (sz < 16 || le16(b, i + 8) != 1) return None // PCM only
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8; dataLen = sz
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0 ||
+        rate / factor <= 0) return None
+    val bytesPerFrame = channels * 2
+    val nFrames = dataLen / bytesPerFrame
+    val outFrames = nFrames / factor // full factor-blocks only
+    val outLen = outFrames * bytesPerFrame
+    val out = new Array[Byte](44 + outLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + outLen)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate / factor)
+      .putInt(rate / factor * bytesPerFrame).putShort(bytesPerFrame.toShort)
+      .putShort(16).put("data".getBytes("US-ASCII")).putInt(outLen)
+    var f = 0
+    var pos = 44
+    while (f < outFrames) {
+      var c = 0
+      while (c < channels) {
+        var acc = 0
+        var k = 0
+        while (k < factor) {
+          val off = dataOff + ((f * factor + k) * channels + c) * 2
+          acc += ((b(off) & 0xff) | (b(off + 1) << 8)) // signed little-endian
+          k += 1
+        }
+        val v = acc / factor
+        out(pos) = (v & 0xff).toByte
+        out(pos + 1) = ((v >> 8) & 0xff).toByte
+        pos += 2
+        c += 1
+      }
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** Down-resample media payloads by `factor`. 16-bit PCM WAV payloads get
+    * the REAL path ([[resampleWav]]: box filter + decimate, rebuilt header,
+    * sample rate from the parsed fmt chunk); other formats (whose pixel
+    * codecs this container doesn't ship) fall back to deterministic
+    * every-`factor`-th-byte subsampling so the plumbing stays testable.
+    * One pass, no shuffle — pipelines with the scan like [[extractFeatures]].
     */
   def resample(media: DataFrame, factor: Int): DataFrame = {
     require(factor > 0)
@@ -175,12 +242,19 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]](1)
         val meta = r.getStruct(2)
-        val out: Array[Byte] =
-          if (payload == null) null
-          else payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
-        Row(r.getLong(0), out,
-          Row(meta.getString(0), if (out == null) 0L else out.length.toLong,
-            meta.getInt(2) / factor))
+        resampleWav(payload, factor) match {
+          case Some(out) =>
+            Row(r.getLong(0), out,
+              Row(meta.getString(0), out.length.toLong,
+                decodeHeader(out).sampleRate))
+          case None =>
+            val out: Array[Byte] =
+              if (payload == null) null
+              else payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
+            Row(r.getLong(0), out,
+              Row(meta.getString(0), if (out == null) 0L else out.length.toLong,
+                meta.getInt(2) / factor))
+        }
       }
     }(enc)
   }

@@ -99,6 +99,68 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(r.fieldIndex("height")) === 64)
   }
 
+  private def makeWav(rate: Int, channels: Int, frames: Array[Array[Short]]): Array[Byte] = {
+    val bpf = channels * 2
+    val dataLen = frames.length * bpf
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * bpf).putShort(bpf.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach(f => f.foreach(bb.putShort))
+    bb.array()
+  }
+
+  test("resampleWav halves the sample rate with boxcar-averaged PCM frames") {
+    // mono, 8 frames: 100, 200, 300, 400, -100, -200, 500, 600
+    val in = makeWav(16000, 1, Array(100, 200, 300, 400, -100, -200, 500, 600)
+      .map(v => Array(v.toShort)))
+    val out = Multimodal.resampleWav(in, 2).get
+    val h = Multimodal.decodeHeader(out)
+    assert(h.format === "wav" && h.sampleRate === 8000 && h.channels === 1)
+    val bb = java.nio.ByteBuffer.wrap(out, 44, out.length - 44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val samples = Array.fill((out.length - 44) / 2)(bb.getShort.toInt)
+    assert(samples === Array(150, 350, -150, 550)) // pairwise means
+  }
+
+  test("resampleWav is per-channel for stereo and rejects non-PCM") {
+    val in = makeWav(44100, 2, Array(
+      Array[Short](100, -100), Array[Short](300, -300),
+      Array[Short](500, -500), Array[Short](700, -700)))
+    val out = Multimodal.resampleWav(in, 2).get
+    val h = Multimodal.decodeHeader(out)
+    assert(h.sampleRate === 22050 && h.channels === 2)
+    val bb = java.nio.ByteBuffer.wrap(out, 44, out.length - 44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Array(bb.getShort, bb.getShort, bb.getShort, bb.getShort)
+      .map(_.toInt) === Array(200, -200, 600, -600))
+    // a compressed (non-PCM) fmt tag falls back to None
+    val nonPcm = makeWav(44100, 1, Array(Array[Short](1)))
+    nonPcm(20) = 3 // IEEE-float format tag
+    assert(Multimodal.resampleWav(nonPcm, 2).isEmpty)
+    assert(Multimodal.resampleWav("not a wav at all, truly".getBytes, 2).isEmpty)
+  }
+
+  test("resample routes WAV payloads through the real PCM path end-to-end") {
+    val wav = makeWav(16000, 1, Array.tabulate(64)(i => Array((i * 10).toShort)))
+    val df = Seq((1L, wav, ("audio/wav", wav.length.toLong, 16000)))
+      .toDF("media_id", "payload", "meta")
+      .select($"media_id", $"payload",
+        struct($"meta._1".as("format"), $"meta._2".as("n_bytes"),
+          $"meta._3".as("sample_rate")).as("meta"))
+    val r = Multimodal.resample(df, 4).head()
+    val outB = r.getAs[Array[Byte]](1)
+    val h = Multimodal.decodeHeader(outB)
+    assert(h.format === "wav" && h.sampleRate === 4000)
+    assert(outB.length === 44 + 16 * 2) // 64/4 frames of mono 16-bit
+    val meta = r.getStruct(2)
+    assert(meta.getLong(1) === outB.length.toLong)
+    assert(meta.getInt(2) === 4000)
+  }
+
   test("resample shrinks payloads and keeps all rows") {
     val rs = Multimodal.resample(media, 4)
     assert(rs.count() === media.count())
