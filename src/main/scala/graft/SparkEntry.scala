@@ -496,6 +496,18 @@ object SparkEntry {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
+    // connected-component labels, HASH-GATED: large-star/small-star CC over
+    // the exact n-gram-Jaccard pair relation (the same deterministic
+    // relation q25 proves), oracle = a recursive-CTE transitive closure in
+    // DuckDB. This gates the component labels themselves — q48 can only be
+    // rows-only because its minhash candidate basis has no SQL analog
+    "q73_cc_labels" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.5, maxBucketSize = 100000)
+        .select("id_a", "id_b")
+      Dedup.connectedComponentsLSS(pairs).orderBy("id")
+    }),
+
     // as-of join (custom operator — Spark has no native one): each event
     // joined to the latest qualifying per-user hourly anchor at or before it
     "q47_asof_join" -> ((s, dir) => {
@@ -1540,6 +1552,33 @@ object SparkEntry {
         |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
         |GROUP BY a.event_id
         |ORDER BY a.event_id""".stripMargin,
+
+    "q73_cc_labels" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |pairs AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM pairs a JOIN pairs b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |e0 AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src)
+        |SELECT id, min(label) AS label FROM cc GROUP BY id ORDER BY id""".stripMargin,
 
     "q71_grouped_wls" ->
       """WITH m AS (

@@ -301,6 +301,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires edges toward neighborhood minima, and the
+    * edge set converges to per-component stars rooted at the component min
+    * in O(log n) rounds REGARDLESS of component diameter.
+    *
+    * Use this variant when components can be DEEP: [[connectedComponents]]'s
+    * min-label propagation moves the min one hop per round, so a
+    * 200-node chain needs ~200 rounds and silently returns partial labels
+    * at the default maxIter — on chain/link-graph shapes LSS is the
+    * correct at-scale choice. On shallow near-dup clusters the propagation
+    * variant does fewer shuffles per round (no distinct); both return the
+    * same (id, label = component min) relation.
+    *
+    * Per round: one symmetric-view aggregation for the neighborhood minima,
+    * one broadcast-free equi-join to re-emit edges, one distinct — all
+    * shuffles keyed on node ids, never materializing anything larger than
+    * the (shrinking) edge set. Convergence is detected with an
+    * order-independent (count, bit_xor of edge hashes) checksum — one tiny
+    * aggregate per round instead of a set comparison. Same checkpoint
+    * durability contract as [[connectedComponents]].
+    */
+  def connectedComponentsLSS(pairs: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cp = new graft.Checkpointer(pairs.sparkSession, checkpointDir)
+    val ids = cp.pin(pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct())
+    // edges kept child→parent (u > v); self-loops dropped
+    var edges = cp(pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct())
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val rewired = sym.join(mins, "u")
+        .filter(if (large) col("v") > col("u") else col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star also links each node itself to its neighborhood min
+      val withSelf = if (large) rewired
+        else rewired.union(mins.select(col("u"), col("m").as("v")))
+      withSelf.filter(col("u") =!= col("v")).distinct()
+    }
+    var sum = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      edges = cp(phase(edges, large = true))
+      edges = cp(phase(edges, large = false))
+      val next = checksum(edges)
+      converged = next == sum
+      sum = next
+      iter += 1
+    }
+    // converged state: (child, component-min) stars; roots label themselves.
+    // Materialized through the checkpointer so it becomes the final live
+    // generation BEFORE close() frees the pinned ids it reads from.
+    val labels = cp(ids.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("label")))
+    cp.close()
+    labels
+  }
+
   /** Remove near-duplicate documents end-to-end: MinHash-LSH candidate
     * pairs → connected components → keep the minimum id per component
     * (plus every document with no near-duplicate). The candidate relation

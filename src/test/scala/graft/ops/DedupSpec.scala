@@ -123,6 +123,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star CC matches min-label propagation on real pair relations") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text").select("id_a", "id_b")
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lss = Dedup.connectedComponentsLSS(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lss === prop)
+  }
+
+  test("LSS labels a 200-node chain correctly where bounded propagation cannot") {
+    // the min label travels ONE hop per propagation round, so a deep chain
+    // needs ~n rounds; LSS converges in O(log n) regardless of diameter
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val lss = Dedup.connectedComponentsLSS(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(lss.length === 200)
+    assert(lss.forall(_._2 === 1L))
+    // same graph, propagation capped at 5 rounds: provably unfinished —
+    // this is the failure mode connectedComponentsLSS exists to remove
+    val prop = Dedup.connectedComponents(chain, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(prop.exists(_._2 !== 1L))
+  }
+
   test("bucket-size capping drops universal shingles from candidate generation") {
     // every doc shares the shingle "x y"; with the bucket cap at 2 that hot
     // bucket is dropped, so the universal shingle cannot create O(n^2) pairs
