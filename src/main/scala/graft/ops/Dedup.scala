@@ -354,8 +354,9 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      edges = cp(phase(edges, large = true))
-      edges = cp(phase(edges, large = false))
+      // one checkpoint per round: the large-star output stays lazy inside
+      // the round's lineage (≈6 shuffles), halving materialization passes
+      edges = cp(phase(phase(edges, large = true), large = false))
       val next = checksum(edges)
       converged = next == sum
       sum = next

