@@ -262,6 +262,42 @@ object GroupedGLM {
         lit(iter).as("n_iter")): _*)
   }
 
+  /** R-formula front-end for grouped fits, mirroring [[GLM.fitFormula]]:
+    * resolve the formula against the non-key columns, dummy-encode string
+    * feature terms with GLOBAL k−1 lexicographic levels (one pass over the
+    * whole frame — every group gets the SAME encoded columns, so the
+    * per-group models stay comparable even when a group is missing a
+    * level), drop NA rows, then [[fit]].
+    */
+  def fitFormula(df: DataFrame, keyCols: Seq[String], formula: String,
+      family: String = "binomial",
+      mCol: Option[String] = None, offsetCol: Option[String] = None,
+      weightCol: Option[String] = None,
+      maxIter: Int = 25, tol: Double = 1e-10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val special = keyCols.toSet ++ mCol ++ offsetCol ++ weightCol
+    val f0 = Formula.parse(formula)
+      .resolve(df.columns.toSeq.filterNot(special.contains))
+    val extras = Seq(mCol, offsetCol, weightCol).flatten.distinct
+    val sel = ModelMatrix.naDrop(df.select(
+      (keyCols ++ (f0.response +: f0.terms) ++ extras).distinct.map(col): _*))
+    val stringTerms = f0.terms.filter(c => sel.schema(c).dataType == StringType)
+    val lv = ModelMatrix.levels(sel, stringTerms)
+    val termCols: Seq[Column] = f0.terms.flatMap { t =>
+      if (lv.contains(t)) ModelMatrix.dummyColumns(t, lv(t))
+      else Seq(col(t).cast("double").as(t))
+    }
+    val encoded = sel.select(
+      keyCols.map(col) ++ Seq(col(f0.response)) ++ termCols ++ extras.map(col): _*)
+    val xNames = encoded.columns.toSeq.filterNot(c =>
+      keyCols.contains(c) || c == f0.response || extras.contains(c))
+    fit(encoded, keyCols, xNames, f0.response, family = family,
+      intercept = f0.intercept, mCol = mCol, offsetCol = offsetCol,
+      weightCol = weightCol, maxIter = maxIter, tol = tol,
+      checkpointDir = checkpointDir)
+  }
+
   /** Score `df` with a per-group coefficient frame produced by [[fit]]
     * (also works on [[GroupedLM.fit]] output with `family = "gaussian"`):
     * broadcast-join the betas on the group key and evaluate

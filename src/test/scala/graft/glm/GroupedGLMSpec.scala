@@ -138,6 +138,31 @@ class GroupedGLMSpec extends SparkSpec {
     assert(out.isNaN)
   }
 
+  test("fitFormula dummy-encodes categorical terms and matches per-subset GLM.fitFormula") {
+    // a derived categorical with every level present in every group, so the
+    // per-subset GLM.fitFormula resolves the same k-1 dummy columns
+    val bands = li.withColumn("qband",
+      when(col("l_quantity") <= 10, "low")
+        .when(col("l_quantity") <= 30, "mid").otherwise("high"))
+    val grouped = GroupedGLM.fitFormula(bands, Seq("l_returnflag"),
+      "y ~ l_tax + qband")
+    val cols = grouped.columns
+    assert(cols.contains("b_l_tax"))
+    // k-1 lexicographic dummies for the string term
+    assert(cols.count(_.startsWith("b_qband_")) === 2)
+    val rows = grouped.collect().map(r => r.getString(0) -> r).toMap
+    rows.keys.foreach { flag =>
+      val sub = bands.filter(col("l_returnflag") === flag)
+      val m = GLM.fitFormula(sub, "y ~ l_tax + qband")
+      val r = rows(flag)
+      // same intercept and slope; dummy coefficients match by level name
+      assert(math.abs(r.getAs[Double]("b_intercept") - m.coefs(0)) < 1e-6, s"$flag b0")
+      m.featureNames.zipWithIndex.foreach { case (nm, i) =>
+        assert(math.abs(r.getAs[Double](s"b_$nm") - m.coefs(i + 1)) < 1e-6, s"$flag $nm")
+      }
+    }
+  }
+
   test("fits are invariant to input partitioning") {
     def coefs(df: org.apache.spark.sql.DataFrame) =
       GroupedGLM.fit(df, Seq("l_returnflag"), Seq("l_quantity"), "y")
