@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix}
-import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -850,6 +850,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // bounded-memory heavy hitters: per-partition Misra-Gries candidate
+    // summaries + one exact recount over the candidates — exact top-k
+    // without ever shuffling the full token key space (the at-scale
+    // "most frequent tokens" primitive); oracle = the plain exact top-k
+    "q74_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      TopK.heavyHitters(toks, "token", 20)
+        .select(col("key").as("token"), col("cnt").as("n"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // per-group model SCORING: fit per-flag WLS betas (q71's fit), then
     // GroupedGLM.predict broadcast-joins them back and scores every row as
     // a pure column expression; gated on a threshold COUNT (predictions sit
@@ -1552,6 +1565,14 @@ object SparkEntry {
         |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
         |GROUP BY a.event_id
         |ORDER BY a.event_id""".stripMargin,
+
+    "q74_heavy_hitters" ->
+      """SELECT t AS token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents)
+        |WHERE len(t) > 0
+        |GROUP BY t
+        |ORDER BY n DESC, t
+        |LIMIT 20""".stripMargin,
 
     "q73_cc_labels" ->
       """WITH RECURSIVE toks AS (

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(explode(split(col("text"), "\\s+")).as("token"))
+    .filter(length(col("token")) > 0)
+
+  test("heavyHitters equals the exact groupBy top-k on real token data") {
+    val got = TopK.heavyHitters(tokens, "token", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("exact even when capacity is below the distinct-key count") {
+    // the sf0.001 vocabulary is only 31 tokens with a shallow skew, so the
+    // largest capacity that still truncates (30) is also the only one whose
+    // exactness precondition holds — both asserted below
+    val nDistinct = tokens.select("token").distinct().count()
+    val cap = 30
+    assert(nDistinct > cap) // the summary genuinely truncates
+    val want = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the exactness precondition: the k-th frequency exceeds n/(cap+1)
+    assert(want.last._2 > tokens.count() / (cap + 1))
+    val got = TopK.heavyHitters(tokens, "token", 5, capacity = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("mgSummary keeps every key heavier than n/(capacity+1)") {
+    // 1000 'hot' + 900 distinct cold keys through a 100-counter summary
+    val stream = Seq.fill(1000)("hot") ++ (1 to 900).map(i => s"cold$i")
+    val out = TopK.mgSummary(scala.util.Random.shuffle(stream).iterator, 100).toMap
+    assert(out.contains("hot"))
+    // MG counts are lower bounds within n/(capacity+1)
+    assert(out("hot") <= 1000 && out("hot") >= 1000 - (1900 / 101) - 1)
+  }
+
+  test("null keys are dropped, not counted") {
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
+    val got = TopK.heavyHitters(df, "k", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+  }
+}
