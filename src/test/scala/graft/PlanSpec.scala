@@ -67,6 +67,19 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p.take(1500))
   }
 
+  test("q72: per-group scoring joins the betas frame via broadcast") {
+    val p = plan("q72_grouped_predict")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q74: heavy-hitter candidate recount is a broadcast semi join on a pruned scan") {
+    val p = plan("q74_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the text column feeds the tokenizer
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined
