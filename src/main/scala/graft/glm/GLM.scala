@@ -3,7 +3,7 @@ package graft.glm
 import breeze.linalg.{DenseVector => BDV}
 import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.commons.math3.special.Gamma
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types.DoubleType
@@ -94,6 +94,21 @@ final class GLMModel(
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
     (if (intercept) "" else " - 1")
 
+  /** Persist the model as a one-row parquet dataset (same contract as
+    * [[LMModel.save]]); the link is stored by name and rebuilt by
+    * [[GLM.load]].
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq((xnames.toSeq, yname, intercept, family, link.name,
+        coefs.toArray.toSeq, stdErr.toArray.toSeq,
+        deviance, nullDeviance, pearson, loglik, n, iter))
+      .toDF("xnames", "yname", "intercept", "family", "link",
+        "coefs", "std_err", "deviance", "null_deviance", "pearson",
+        "loglik", "n", "iter")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** R-style summary (reference: GLM.scala:998-1025). */
   def summary: String = {
     import NumFormat._
@@ -116,6 +131,25 @@ final class GLMModel(
 }
 
 object GLM {
+
+  /** Load a model persisted by [[GLMModel.save]]. */
+  def load(spark: SparkSession, path: String): GLMModel = {
+    val r = spark.read.parquet(path).head()
+    def d(name: String) = r.getSeq[Double](r.fieldIndex(name)).toArray
+    new GLMModel(
+      r.getSeq[String](r.fieldIndex("xnames")).toArray,
+      r.getString(r.fieldIndex("yname")),
+      r.getBoolean(r.fieldIndex("intercept")),
+      r.getString(r.fieldIndex("family")),
+      LinkFn(r.getString(r.fieldIndex("link"))),
+      BDV(d("coefs")), BDV(d("std_err")),
+      r.getDouble(r.fieldIndex("deviance")),
+      r.getDouble(r.fieldIndex("null_deviance")),
+      r.getDouble(r.fieldIndex("pearson")),
+      r.getDouble(r.fieldIndex("loglik")),
+      r.getLong(r.fieldIndex("n")),
+      r.getInt(r.fieldIndex("iter")))
+  }
 
   /** log C(m, y) via log-gamma, for the binomial log-likelihood
     * (reference computes per-row `Binomial(m, μ).logProbabilityOf(y)`,

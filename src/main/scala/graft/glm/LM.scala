@@ -2,7 +2,7 @@ package graft.glm
 
 import breeze.linalg.{DenseVector => BDV}
 import org.apache.commons.math3.distribution.{FDistribution, TDistribution}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -82,6 +82,19 @@ final class LMModel(
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
     (if (intercept) "" else " - 1")
 
+  /** Persist the model as a one-row parquet dataset: pure Spark API, no
+    * extra serialization format, readable by any engine (the schema IS the
+    * model state). Round-trips bit-exactly — see [[LM.load]].
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq((xnames.toSeq, yname, intercept, coefs.toArray.toSeq,
+        stdErr.toArray.toSeq, sigma, r2, adjR2, fStat, n))
+      .toDF("xnames", "yname", "intercept", "coefs", "std_err",
+        "sigma", "r2", "adj_r2", "f_stat", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** R-style printed summary (reference: LM.scala:66-137). */
   def summary: String = {
     import NumFormat._
@@ -102,6 +115,22 @@ final class LMModel(
 }
 
 object LM {
+
+  /** Load a model persisted by [[LMModel.save]]. */
+  def load(spark: SparkSession, path: String): LMModel = {
+    val r = spark.read.parquet(path).head()
+    def d(name: String) = r.getSeq[Double](r.fieldIndex(name)).toArray
+    new LMModel(
+      r.getSeq[String](r.fieldIndex("xnames")).toArray,
+      r.getString(r.fieldIndex("yname")),
+      r.getBoolean(r.fieldIndex("intercept")),
+      BDV(d("coefs")), BDV(d("std_err")),
+      r.getDouble(r.fieldIndex("sigma")),
+      r.getDouble(r.fieldIndex("r2")),
+      r.getDouble(r.fieldIndex("adj_r2")),
+      r.getDouble(r.fieldIndex("f_stat")),
+      r.getLong(r.fieldIndex("n")))
+  }
 
   /** Fit y ~ X by (weighted) least squares.
     *

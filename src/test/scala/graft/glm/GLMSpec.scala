@@ -165,6 +165,25 @@ class GLMSpec extends SparkSpec {
     }
   }
 
+  test("save/load round-trips the model, its link, and the scoring expression") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-glm-model").toString
+    try {
+      val m = GLM.fit(bern, Seq("x1", "x2"), "y", family = "binomial", linkName = "cloglog")
+      m.save(spark, s"$dir/m")
+      val back = GLM.load(spark, s"$dir/m")
+      assert(back.coefs === m.coefs && back.stdErr === m.stdErr)
+      assert(back.family === m.family && back.link.name === "cloglog")
+      assert(back.deviance === m.deviance && back.loglik === m.loglik &&
+        back.n === m.n && back.iter === m.iter)
+      assert(back.summary === m.summary)
+      val a = m.predict(bern).select("prediction").collect().map(_.getDouble(0))
+      val b = back.predict(bern).select("prediction").collect().map(_.getDouble(0))
+      assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("summary renders") {
     val m = GLM.fit(bern, Seq("x1", "x2"), "y")
     val s = m.summary

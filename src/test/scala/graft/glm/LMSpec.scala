@@ -99,6 +99,26 @@ class LMSpec extends SparkSpec {
     assert(m.coefs(0) > 2.5 && m.coefs(0) < 4.0)
   }
 
+  test("save/load round-trips the model bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-model").toString
+    try {
+      val m = LM.fit(data, Seq("x1", "x2"), "y")
+      m.save(spark, s"$dir/m")
+      val back = LM.load(spark, s"$dir/m")
+      assert(back.xnames.toSeq === m.xnames.toSeq)
+      assert(back.coefs === m.coefs && back.stdErr === m.stdErr)
+      assert(back.sigma === m.sigma && back.r2 === m.r2 &&
+        back.adjR2 === m.adjR2 && back.fStat === m.fStat && back.n === m.n)
+      assert(back.summary === m.summary)
+      // the loaded model scores identically
+      val a = m.predict(data).select("prediction").collect().map(_.getDouble(0))
+      val b = back.predict(data).select("prediction").collect().map(_.getDouble(0))
+      assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("wide-path treeAggregate agrees with expression path") {
     // force the wide path by exceeding maxExprWidth with dummy features
     val cols = (1 to 70).map(i => (col("x1") * lit(i * 0.01)).as(s"f$i"))
