@@ -850,6 +850,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // streaming exact dedup: dropDuplicatesWithinWatermark keeps per-key
+    // state only inside the watermark horizon (bounded state — the
+    // streaming twin of q21's digest dedup), replayed over the events
+    // table and gated against the batch DISTINCT oracle
+    "q75_dedup_stream" -> ((s, dir) => {
+      StreamOps.dedupStreamReplay(events(s, dir), Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // bounded-memory heavy hitters: per-partition Misra-Gries candidate
     // summaries + one exact recount over the candidates — exact top-k
     // without ever shuffling the full token key space (the at-scale
@@ -1565,6 +1574,10 @@ object SparkEntry {
         |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
         |GROUP BY a.event_id
         |ORDER BY a.event_id""".stripMargin,
+
+    "q75_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q74_heavy_hitters" ->
       """SELECT t AS token, count(*) AS n

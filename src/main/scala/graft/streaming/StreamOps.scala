@@ -248,6 +248,46 @@ object StreamOps {
     s.table(name).filter(col("user_id") >= 0).select("l_id", "r_id")
   }
 
+  /** Streaming exact deduplication: keep the first event per key within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes it — bounded state at any scale, the
+    * streaming twin of the batch digest dedup (ops/Dedup.exact).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Run [[dedupStream]] over a MemoryStream replay of a batch events frame
+    * and return the surviving DISTINCT KEY set (key columns only: which
+    * representative row survives is arrival-order-dependent in a stream, the
+    * key set is not). Parity gate: oracle = batch SELECT DISTINCT.
+    */
+  def dedupStreamReplay(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "dedupStreamReplay needs at least one event")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_dedup_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try dedupStream(in.toDF(), keyCols)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).select(keyCols.map(col): _*).distinct()
+  }
+
   /** Batch analog of [[sessionize]] (for oracle checks): session boundaries
     * via a lag-window gap flag + running session index — same semantics,
     * expressible in ANSI SQL.

@@ -212,6 +212,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.contains((4L, -1L)) && got.contains((5L, -1L)))
   }
 
+  test("dedupStreamReplay yields exactly the batch-distinct key set") {
+    val ev = Seq(
+      StreamOps.Event(1, ts(0), 1, "a", 1.0),
+      StreamOps.Event(2, ts(1), 1, "a", 2.0),  // dup key (1, a)
+      StreamOps.Event(3, ts(2), 1, "b", 3.0),
+      StreamOps.Event(4, ts(3), 2, "a", 4.0),
+      StreamOps.Event(5, ts(4), 2, "a", 5.0)). // dup key (2, a)
+      toDF()
+    val got = StreamOps.dedupStreamReplay(ev, Seq("user_id", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (1L, "b"), (2L, "a")))
+  }
+
   test("streaming writes to a parquet file sink with checkpointing (production sink path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
