@@ -375,15 +375,23 @@ object Dedup {
     * pairs → connected components → keep the minimum id per component
     * (plus every document with no near-duplicate). The candidate relation
     * can be swapped (e.g. [[simhashPairs]] or [[jaccardPairs]] output) via
-    * `pairsOpt`.
+    * `pairsOpt`. `deepComponents = true` switches the labeling to
+    * [[connectedComponentsLSS]] (O(log n) rounds) for graphs whose
+    * duplicate chains can be deep; the default propagation is fewer
+    * shuffles on the shallow clusters near-dup relations produce.
     */
   def removeNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       pairsOpt: Option[DataFrame] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      deepComponents: Boolean = false): DataFrame = {
     val pairs = pairsOpt.getOrElse(
       minhashPairs(df, idCol, textCol).select("id_a", "id_b"))
-    val labels = connectedComponents(pairs.select("id_a", "id_b"),
-      checkpointDir = checkpointDir)
+    val labels =
+      if (deepComponents)
+        connectedComponentsLSS(pairs.select("id_a", "id_b"),
+          checkpointDir = checkpointDir)
+      else connectedComponents(pairs.select("id_a", "id_b"),
+        checkpointDir = checkpointDir)
     df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("label").isNull || col("label") === col(idCol))
       .drop("label")

@@ -123,6 +123,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeNearDuplicates with deepComponents keeps the same representatives") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prop = Dedup.removeNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lss = Dedup.removeNearDuplicates(docs, "doc_id", "text", deepComponents = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lss === prop)
+  }
+
   test("large-star/small-star CC matches min-label propagation on real pair relations") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text").select("id_a", "id_b")
