@@ -850,6 +850,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // stratified deterministic sampling: per-language sixteenths quotas,
+    // content-digest-keyed (pure projection+filter, no shuffle, no RNG) —
+    // the per-class rebalancing move of a training pipeline
+    "q76_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "text",
+          Map("en" -> 4), defaultSixteenths = 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // streaming exact dedup: dropDuplicatesWithinWatermark keeps per-key
     // state only inside the watermark horizon (bounded state — the
     // streaming twin of q21's digest dedup), replayed over the events
@@ -1578,6 +1590,14 @@ object SparkEntry {
     "q75_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q76_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE substr(md5(text), 32, 1) <
+        |  CASE WHEN lang = 'en' THEN '4' ELSE '1' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q74_heavy_hitters" ->
       """SELECT t AS token, count(*) AS n

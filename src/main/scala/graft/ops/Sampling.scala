@@ -60,4 +60,27 @@ object Sampling {
       coalesce(substring(md5(col(contentCol)), 32, 1), lit("0")) <
         lit("0123456789abcdef"(sixteenths).toString))
   }
+
+  /** Stratified deterministic sample: each stratum keeps its OWN
+    * `sixteenths`/16 fraction (the per-class rebalancing move a training
+    * pipeline makes — e.g. downsample the dominant language), keyed on the
+    * content digest exactly like [[deterministicSample]]: duplicates stay
+    * together, re-runs and re-partitionings are stable, and the whole thing
+    * is a pure projection + filter — no shuffle, no `sampleBy` RNG state.
+    * Strata absent from `fractions` keep `defaultSixteenths` (0 = dropped;
+    * 16 = kept whole).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, contentCol: String,
+      fractions: Map[String, Int], defaultSixteenths: Int = 0): DataFrame = {
+    require((fractions.values ++ Seq(defaultSixteenths)).forall(v => v >= 0 && v <= 16),
+      "per-stratum fractions are sixteenths in [0, 16]")
+    // 17-char grid: 'g' > 'f' keeps the whole stratum at 16/16
+    val hex = "0123456789abcdefg"
+    val digit = coalesce(substring(md5(col(contentCol)), 32, 1), lit("0"))
+    val bound = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(hex(defaultSixteenths).toString)) { case (acc, (stratum, v)) =>
+      when(col(strataCol) === lit(stratum), lit(hex(v).toString)).otherwise(acc)
+    }
+    df.filter(digit < bound)
+  }
 }

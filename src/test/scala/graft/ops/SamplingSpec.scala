@@ -57,6 +57,25 @@ class SamplingSpec extends SparkSpec {
     assert(kept.contains(2L))
   }
 
+  test("stratifiedSample applies per-stratum fractions; default drops unlisted strata") {
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length >= 2)
+    val keep = langs.head
+    val out = Sampling.stratifiedSample(docs, "lang", "text", Map(keep -> 16))
+    // unlisted strata are dropped entirely; the listed one is kept whole
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq === Seq(keep))
+    assert(out.count() === docs.filter(col("lang") === keep).count())
+    // a 4/16 stratum is a subset of its own rows and roughly a quarter
+    val quarter = Sampling.stratifiedSample(docs, "lang", "text", Map(keep -> 4))
+    val frac = quarter.count().toDouble / docs.filter(col("lang") === keep).count()
+    assert(frac > 0.1 && frac < 0.45, s"fraction $frac")
+    // per-stratum sampling agrees with the global deterministicSample filter
+    val viaGlobal = Sampling.deterministicSample(
+      docs.filter(col("lang") === keep), "text", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quarter.select("doc_id").collect().map(_.getLong(0)).toSet === viaGlobal)
+  }
+
   test("invalid weights are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.splitColumn(col("text"), Seq("a" -> 10, "b" -> 5))
