@@ -297,19 +297,37 @@ object GLM {
     }
   }
 
-  /** Formula front-end (dummy-encodes string columns first). */
+  /** Formula front-end (dummy-encodes string columns first). `mCol` /
+    * `offsetCol` pass through to [[fit]] and are excluded from `.`-term
+    * expansion and encoding.
+    */
   def fitFormula(
       df: DataFrame,
       formula: String,
       family: String = "binomial",
       linkName: String = "",
+      mCol: Option[String] = None,
+      offsetCol: Option[String] = None,
       tol: Double = 1e-10,
       maxIter: Int = 50): GLMModel = {
-    val f0 = Formula.parse(formula).resolve(df.columns.toSeq)
-    val sel = df.select((f0.response +: f0.terms).map(col): _*)
-    val encoded = ModelMatrix.encode(ModelMatrix.naDrop(sel))
-    val xNames = encoded.columns.filter(_ != f0.response)
+    val extras = Seq(mCol, offsetCol).flatten.distinct
+    val f0 = Formula.parse(formula)
+      .resolve(df.columns.toSeq.filterNot(extras.contains))
+    val dropped = ModelMatrix.naDrop(df.select(
+      ((f0.response +: f0.terms) ++ extras).distinct.map(col): _*))
+    // dummy-encode string TERMS only; m/offset ride along numeric-cast
+    val stringTerms = dropped.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
+        !extras.contains(f.name)).map(_.name)
+    val lv = ModelMatrix.levels(dropped, stringTerms.toSeq)
+    val encoded = dropped.select(dropped.schema.fields.toSeq.flatMap { f =>
+      if (lv.contains(f.name)) ModelMatrix.dummyColumns(f.name, lv(f.name))
+      else Seq(col(f.name).cast("double").as(f.name))
+    }: _*)
+    val xNames = encoded.columns.filterNot(c =>
+      c == f0.response || extras.contains(c))
     fit(encoded, xNames.toSeq, f0.response, family = family, linkName = linkName,
-      intercept = f0.intercept, tol = tol, maxIter = maxIter)
+      intercept = f0.intercept, mCol = mCol, offsetCol = offsetCol,
+      tol = tol, maxIter = maxIter)
   }
 }

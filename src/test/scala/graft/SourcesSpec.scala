@@ -31,6 +31,19 @@ class SourcesSpec extends SparkSpec {
       sup.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
   }
 
+  test("ORC round-trip preserves rows, values, and pushes filters") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    sup.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("s_suppkey").collect().map(_.toSeq).toSeq ===
+      sup.orderBy("s_suppkey").collect().map(_.toSeq).toSeq)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("s_acctbal") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("s_acctbal"), plan.take(600))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)

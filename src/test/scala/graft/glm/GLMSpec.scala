@@ -165,6 +165,19 @@ class GLMSpec extends SparkSpec {
     }
   }
 
+  test("fitFormula passes the offset through and keeps it out of the terms") {
+    val withOff = bern.withColumn("off", lit(0.3) * $"x2")
+    val viaFormula = GLM.fitFormula(withOff, "y ~ x1 + x2", offsetCol = Some("off"))
+    val direct = GLM.fit(withOff, Seq("x1", "x2"), "y", offsetCol = Some("off"))
+    viaFormula.coefs.toArray.zip(direct.coefs.toArray).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+    // '.' expansion must not absorb the offset column as a feature
+    val dotFit = GLM.fitFormula(withOff.drop("id"), "y ~ .", offsetCol = Some("off"))
+    assert(!dotFit.featureNames.contains("off"))
+    assert(dotFit.featureNames.toSet === Set("x1", "x2"))
+  }
+
   test("save/load round-trips the model, its link, and the scoring expression") {
     val dir = java.nio.file.Files.createTempDirectory("graft-glm-model").toString
     try {
