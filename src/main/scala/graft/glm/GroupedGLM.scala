@@ -128,16 +128,20 @@ object GroupedGLM {
       a
     }
 
-    /** [new beta (pp) | dev(old beta) | n] — NaN beta for groups whose
-      * normal equations are underdetermined or singular.
+    /** [new beta (pp) | dev(old beta) | n | diag((XᵀWX)⁻¹) (pp)] — NaN
+      * beta/diag for groups whose normal equations are underdetermined or
+      * singular. The inverse diagonal feeds per-group standard errors
+      * (sqrt(dispersion · diag) at convergence, like the single GLM's
+      * lastGram-based SEs).
       */
     def finish(b: Array[Double]): Seq[Double] = {
       val n = b(0)
-      val out = new Array[Double](pp + 2)
+      val out = new Array[Double](2 * pp + 2)
       out(pp) = b(1)
       out(pp + 1) = n
       if (n < pp || !java.lang.Double.isFinite(b(1))) {
         java.util.Arrays.fill(out, 0, pp, Double.NaN)
+        java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
         return out.toSeq
       }
       val xtx = BDM.zeros[Double](pp, pp)
@@ -151,10 +155,17 @@ object GroupedGLM {
       val xtz = BDV.tabulate(pp)(i => b(2 + i))
       try {
         val beta = LinAlg.solvePD(xtx, xtz)
+        val inv = LinAlg.invDiag(xtx)
         i = 0
-        while (i < pp) { out(i) = beta(i); i += 1 }
+        while (i < pp) {
+          out(i) = beta(i)
+          out(pp + 2 + i) = inv(i)
+          i += 1
+        }
       } catch {
-        case _: Exception => java.util.Arrays.fill(out, 0, pp, Double.NaN)
+        case _: Exception =>
+          java.util.Arrays.fill(out, 0, pp, Double.NaN)
+          java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
       }
       out.toSeq
     }
@@ -178,7 +189,9 @@ object GroupedGLM {
     *                  IRLS weights and the deviance contributions
     * @return one row per group: keyCols ++ coefficient columns
     *         (`b_intercept` first when intercept, then `b_<feature>`),
-    *         deviance, n_rows, n_iter. NaN coefficients mark
+    *         matching `se_intercept`/`se_<feature>` standard errors
+    *         (sqrt(dispersion · diag((XᵀWX)⁻¹)) at convergence), deviance,
+    *         n_rows, n_iter. NaN coefficients/SEs mark
     *         underdetermined/singular groups.
     */
   def fit(
@@ -240,7 +253,8 @@ object GroupedGLM {
         .select(keys ++ Seq(
           slice(col("buf"), 1, pp).as("beta"),
           element_at(col("buf"), pp + 1).as("dev"),
-          element_at(col("buf"), pp + 2).cast("long").as("n")): _*))
+          element_at(col("buf"), pp + 2).cast("long").as("n"),
+          slice(col("buf"), pp + 3, pp).as("vdiag")): _*))
       // one scalar to the driver per iteration (NaN-singular groups are
       // excluded so one bad group cannot poison global convergence)
       val dev = step.agg(
@@ -256,8 +270,18 @@ object GroupedGLM {
     cp.close() // the final generation backs lastFit and stays alive
 
     val names = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
+    // dispersion for the SEs: fixed 1 for binomial/poisson; the
+    // deviance-based estimate dev/(n−p) for gaussian (= RSS/(n−p), exactly
+    // WLS sigma²) and gamma (R's summary.glm uses the Pearson moment
+    // estimator instead, so gamma SEs differ slightly from R's)
+    val disp = fam match {
+      case FamGaussian | FamGamma => col("dev") / (col("n") - lit(pp)).cast("double")
+      case _ => lit(1.0)
+    }
     lastFit.select(keys ++
       names.zipWithIndex.map { case (nm, i) => element_at(col("beta"), i + 1).as(nm) } ++
+      names.zipWithIndex.map { case (nm, i) =>
+        sqrt(element_at(col("vdiag"), i + 1) * disp).as("se_" + nm.stripPrefix("b_")) } ++
       Seq(col("dev").as("deviance"), col("n").as("n_rows"),
         lit(iter).as("n_iter")): _*)
   }

@@ -12,7 +12,8 @@ class GroupedGLMSpec extends SparkSpec {
   test("per-group binomial fits match the whole-pipeline GLM on each subset") {
     val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity", "l_tax"), "y")
       .collect().map(r => r.getString(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getAs[Double]("b_intercept"), r.getAs[Double]("b_l_quantity"),
+          r.getAs[Double]("b_l_tax"), r.getAs[Double]("deviance"))).toMap
     assert(grouped.nonEmpty)
     grouped.keys.foreach { flag =>
       val sub = li.filter(col("l_returnflag") === flag)
@@ -160,6 +161,32 @@ class GroupedGLMSpec extends SparkSpec {
       m.featureNames.zipWithIndex.foreach { case (nm, i) =>
         assert(math.abs(r.getAs[Double](s"b_$nm") - m.coefs(i + 1)) < 1e-6, s"$flag $nm")
       }
+    }
+  }
+
+  test("per-group standard errors match the single-model GLM and WLS") {
+    // binomial: dispersion is fixed at 1, SEs come straight from the Gram
+    val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity", "l_tax"), "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("se_intercept"), r.getAs[Double]("se_l_quantity"))).toMap
+    grouped.keys.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_quantity", "l_tax"), "y")
+      val (se0, se1) = grouped(flag)
+      assert(math.abs(se0 - m.stdErr(0)) < 1e-6 * m.stdErr(0), s"$flag se0")
+      assert(math.abs(se1 - m.stdErr(1)) < 1e-6 * m.stdErr(1), s"$flag se1")
+    }
+    // gaussian: dev/(n−p) is exactly the WLS sigma², so SEs equal LM's
+    val gauss = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", family = "gaussian")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("se_intercept"), r.getAs[Double]("se_l_quantity"))).toMap
+    gauss.keys.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val m = LM.fit(sub, Seq("l_quantity"), "l_extendedprice")
+      val (se0, se1) = gauss(flag)
+      assert(math.abs(se0 - m.stdErr(0)) < 1e-8 * m.stdErr(0), s"$flag se0")
+      assert(math.abs(se1 - m.stdErr(1)) < 1e-8 * m.stdErr(1), s"$flag se1")
     }
   }
 
