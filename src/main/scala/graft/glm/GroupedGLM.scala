@@ -35,6 +35,16 @@ object GroupedGLM {
   private val FamPoisson = 2
   private val FamGamma = 3
 
+  // binomial link codes (non-binomial families use their canonical link)
+  private val LnkLogit = 0
+  private val LnkProbit = 1
+  private val LnkCloglog = 2
+
+  // same commons-math Φ/Φ⁻¹ the single-model probit uses (Links.pnorm/
+  // qnorm) — per-subset parity requires the identical implementation
+  private val stdNormal =
+    new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+
   /** Buffer: [n, dev | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
     * `array(x_1..x_p, y, m, offset, weight, beta_0..beta_{pp-1})` — beta
     * rides on the row from the broadcast join, so the aggregation is a
@@ -48,7 +58,7 @@ object GroupedGLM {
     * diverge from a flat start on large-scale responses.
     */
   private final class GlmGramAgg(p: Int, intercept: Boolean, fam: Int,
-      init: Boolean)
+      lnk: Int, init: Boolean)
       extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     private val pp = if (intercept) p + 1 else p
     private val nUp = pp * (pp + 1) / 2
@@ -81,13 +91,34 @@ object GroupedGLM {
       var dev = 0.0
       fam match {
         case FamBinomial =>
-          // y = successes in [0, m]; μ ∈ (0, m); logit link η = ln(μ/(m−μ))
-          val mu0 = if (init) m * (y + 0.5) / (m + 1.0)
-                    else m / (1.0 + math.exp(-eta))
-          val mu = math.max(Eps, math.min(m - Eps, mu0))
-          if (init) eta = math.log(mu / (m - mu)) + off
-          val lp = m / (mu * (m - mu)) // dη/dμ
-          w = pw * mu * (m - mu) / m   // pw / (V·lp²); V = μ(m−μ)/m
+          // y = successes in [0, m]; μ ∈ (0, m); the link (logit default,
+          // probit, cloglog) decides η↔μ and dη/dμ, mirroring LinkFn
+          val mu0 =
+            if (init) m * (y + 0.5) / (m + 1.0)
+            else lnk match {
+              case LnkProbit => m * stdNormal.cumulativeProbability(eta)
+              case LnkCloglog => m * (1.0 - math.exp(-math.exp(eta)))
+              case _ => m / (1.0 + math.exp(-eta))
+            }
+          // clamp to [m·eps, m(1−eps)] like Family.BinomialFamily.clampMu
+          val mu = math.max(m * Eps, math.min(m * (1.0 - Eps), mu0))
+          val fr = mu / m
+          if (init) {
+            eta = (lnk match {
+              case LnkProbit => stdNormal.inverseCumulativeProbability(fr)
+              case LnkCloglog => math.log(-math.log1p(-fr))
+              case _ => math.log(fr / (1.0 - fr))
+            }) + off
+          }
+          val lp = lnk match { // dη/dμ, as in Links.scala
+            case LnkProbit =>
+              val q = stdNormal.inverseCumulativeProbability(fr)
+              1.0 / (m * (math.exp(-0.5 * q * q) / math.sqrt(2.0 * math.Pi)))
+            case LnkCloglog => 1.0 / ((mu - m) * math.log1p(-fr))
+            case _ => m / (mu * (m - mu))
+          }
+          val vb = mu * (m - mu) / m // binomial variance V(μ)
+          w = pw / (vb * lp * lp)
           z = eta + (y - mu) * lp - off
           // deviance of the INCOMING beta (lags the update by one iteration)
           dev = pw * 2.0 * (ylog(y, mu) + ylog(m - y, m - mu))
@@ -200,6 +231,7 @@ object GroupedGLM {
       xCols: Seq[String],
       yCol: String,
       family: String = "binomial",
+      linkName: String = "",
       intercept: Boolean = true,
       mCol: Option[String] = None,
       offsetCol: Option[String] = None,
@@ -218,10 +250,21 @@ object GroupedGLM {
     }
     require(mCol.isEmpty || fam == FamBinomial,
       "mCol (binomial trials) only applies to the binomial family")
+    val lnk = linkName.toLowerCase match {
+      case "" | "canonical" => LnkLogit
+      case "logit" => LnkLogit
+      case "probit" => LnkProbit
+      case "cloglog" => LnkCloglog
+      case other => throw new IllegalArgumentException(
+        s"GroupedGLM link override supports logit|probit|cloglog, got $other")
+    }
+    require(lnk == LnkLogit || fam == FamBinomial,
+      "a link override only applies to the binomial family " +
+        "(other families use their canonical link)")
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
-    val agg = udaf(new GlmGramAgg(p, intercept, fam, init = false))
-    val aggInit = udaf(new GlmGramAgg(p, intercept, fam, init = true))
+    val agg = udaf(new GlmGramAgg(p, intercept, fam, lnk, init = false))
+    val aggInit = udaf(new GlmGramAgg(p, intercept, fam, lnk, init = true))
     // same durability contract as Dedup.connectedComponents: reliable
     // checkpoint() when a dir is configured (long fits on a real cluster
     // must survive executor loss), localCheckpoint as local-mode default.
@@ -294,7 +337,7 @@ object GroupedGLM {
     * level), drop NA rows, then [[fit]].
     */
   def fitFormula(df: DataFrame, keyCols: Seq[String], formula: String,
-      family: String = "binomial",
+      family: String = "binomial", linkName: String = "",
       mCol: Option[String] = None, offsetCol: Option[String] = None,
       weightCol: Option[String] = None,
       maxIter: Int = 25, tol: Double = 1e-10,
@@ -317,9 +360,9 @@ object GroupedGLM {
     val xNames = encoded.columns.toSeq.filterNot(c =>
       keyCols.contains(c) || c == f0.response || extras.contains(c))
     fit(encoded, keyCols, xNames, f0.response, family = family,
-      intercept = f0.intercept, mCol = mCol, offsetCol = offsetCol,
-      weightCol = weightCol, maxIter = maxIter, tol = tol,
-      checkpointDir = checkpointDir)
+      linkName = linkName, intercept = f0.intercept, mCol = mCol,
+      offsetCol = offsetCol, weightCol = weightCol, maxIter = maxIter,
+      tol = tol, checkpointDir = checkpointDir)
   }
 
   /** Score `df` with a per-group coefficient frame produced by [[fit]]
@@ -334,8 +377,8 @@ object GroupedGLM {
     */
   def predict(betas: DataFrame, df: DataFrame, keyCols: Seq[String],
       xCols: Seq[String], family: String = "binomial",
-      intercept: Boolean = true, mCol: Option[String] = None,
-      offsetCol: Option[String] = None,
+      linkName: String = "", intercept: Boolean = true,
+      mCol: Option[String] = None, offsetCol: Option[String] = None,
       outputCol: String = "prediction"): DataFrame = {
     val coefCols = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
     val slim = betas.select((keyCols ++ coefCols).map(col): _*)
@@ -345,13 +388,16 @@ object GroupedGLM {
       if (intercept) col("b_intercept") else lit(0.0))(_ + _)
     val eta = offsetCol.map(c => eta0 + col(c).cast("double")).getOrElse(eta0)
     val m = mCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val mu = family match {
-      case "binomial" => m / (lit(1.0) + exp(-eta)) // expected successes; p when m=1
-      case "poisson" | "gamma" => exp(eta)
-      case "gaussian" => eta
+    // μ = link⁻¹(η): the same LinkFn expressions the single GLM scores with
+    // (binomial μ is expected successes — the probability when m = 1)
+    val resolved = if (linkName.nonEmpty) linkName else family match {
+      case "binomial" => "logit"
+      case "poisson" | "gamma" => "log"
+      case "gaussian" => "identity"
       case other => throw new IllegalArgumentException(
         s"GroupedGLM supports binomial|poisson|gamma|gaussian, got $other")
     }
+    val mu = LinkFn(resolved).inverse(eta, m)
     // absent group -> null coefficients -> null eta; surface as NaN
     joined.withColumn(outputCol, coalesce(mu, lit(Double.NaN)))
       .drop(coefCols: _*)

@@ -164,6 +164,27 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("per-group probit and cloglog fits match the whole-pipeline GLM per subset") {
+    Seq("probit", "cloglog").foreach { link =>
+      val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "y",
+          linkName = link)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("b_intercept"), r.getAs[Double]("b_l_quantity"))).toMap
+      grouped.keys.foreach { flag =>
+        val sub = li.filter(col("l_returnflag") === flag)
+        val m = GLM.fit(sub, Seq("l_quantity"), "y", linkName = link)
+        val (b0, b1) = grouped(flag)
+        assert(math.abs(b0 - m.coefs(0)) < 1e-6, s"$link $flag b0: $b0 vs ${m.coefs(0)}")
+        assert(math.abs(b1 - m.coefs(1)) < 1e-6, s"$link $flag b1")
+      }
+    }
+    // a link override on a non-binomial family is rejected
+    intercept[IllegalArgumentException] {
+      GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice",
+        family = "gaussian", linkName = "probit")
+    }
+  }
+
   test("per-group standard errors match the single-model GLM and WLS") {
     // binomial: dispersion is fixed at 1, SEs come straight from the Gram
     val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity", "l_tax"), "y")
