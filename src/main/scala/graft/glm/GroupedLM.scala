@@ -24,8 +24,9 @@ object GroupedLM {
   private def bufLen(p: Int): Int = 4 + p + p * (p + 1) / 2
 
   /** Aggregator over rows of `array(x1..xp, y, w)`. `finish` emits
-    * [β (p) | r², n, sigma] or all-NaN (β part) for singular/underdetermined
-    * groups.
+    * [β (p) | r², n, sigma | diag((XᵀWX)⁻¹) (p)] or all-NaN (β/diag parts)
+    * for singular/underdetermined groups; the inverse diagonal feeds the
+    * per-group standard errors se_j = σ·sqrt(diag_j).
     */
   private final class GramAgg(p: Int, intercept: Boolean)
       extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
@@ -65,7 +66,7 @@ object GroupedLM {
 
     def finish(b: Array[Double]): Seq[Double] = {
       val n = b(0)
-      val out = new Array[Double](pp + 3)
+      val out = new Array[Double](2 * pp + 3)
       // n == pp is exactly-determined: a well-defined zero-residual fit
       // (what DuckDB's regr_slope/regr_intercept returns for 2 points /
       // 1 feature). Only underdetermined groups are hopeless.
@@ -85,12 +86,17 @@ object GroupedLM {
       val xty = BDV.tabulate(pp)(i => b(4 + i))
       try {
         val beta = LinAlg.solvePD(xtx, xty)
+        val inv = LinAlg.invDiag(xtx)
         // exactly-determined groups have zero residual by construction —
         // force it so r2 is exactly 1 instead of 1 ± float noise
         val sse = if (n == pp) 0.0 else math.max(0.0, b(3) - (beta dot xty))
         val tss = if (intercept) b(3) - b(2) * b(2) / b(1) else b(3)
         i = 0
-        while (i < pp) { out(i) = beta(i); i += 1 }
+        while (i < pp) {
+          out(i) = beta(i)
+          out(pp + 3 + i) = inv(i)
+          i += 1
+        }
         out(pp) = if (tss > 0) 1.0 - sse / tss else Double.NaN
         out(pp + 1) = n
         // zero residual degrees of freedom → sigma undefined (matches R lm)
@@ -113,8 +119,9 @@ object GroupedLM {
     *
     * @return one row per group: keyCols ++ (b_0.. coefficient columns named
     *         after the features, with `b_intercept` first when intercept),
-    *         plus r2, n_rows, sigma. Groups with n ≤ p or singular XᵀX get
-    *         NaN coefficients.
+    *         plus r2, n_rows, sigma, and matching `se_*` standard errors
+    *         (σ·sqrt(diag((XᵀWX)⁻¹))). Groups with n ≤ p or singular XᵀX
+    *         get NaN coefficients.
     */
   def fit(
       df: DataFrame,
@@ -137,7 +144,13 @@ object GroupedLM {
       Seq(
         element_at(col("fit"), names.size + 1).as("r2"),
         element_at(col("fit"), names.size + 2).cast("long").as("n_rows"),
-        element_at(col("fit"), names.size + 3).as("sigma"))
+        element_at(col("fit"), names.size + 3).as("sigma")) ++
+      // se_j = σ·sqrt(diag((XᵀWX)⁻¹)_j) — appended last so positional
+      // consumers of the original columns are unaffected
+      names.zipWithIndex.map { case (nm, i) =>
+        (element_at(col("fit"), names.size + 3) *
+          sqrt(element_at(col("fit"), names.size + 4 + i)))
+          .as("se_" + nm.stripPrefix("b_")) }
     fitted.select(outCols: _*)
   }
 }

@@ -326,6 +326,10 @@ object Dedup {
   def connectedComponentsLSS(pairs: DataFrame, maxIter: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
     val cp = new graft.Checkpointer(pairs.sparkSession, checkpointDir)
+    // the inputs are CHECKPOINTED, not cached: a persisted InMemoryRelation
+    // pins its fixed pre-AQE shuffle layout for every downstream round
+    // (measured: q73 4.2s -> 7.4s with persist), while the checkpointed
+    // LogicalRDD lets each round re-plan with AQE coalescing
     val ids = cp.pin(pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct())
     // edges kept child→parent (u > v); self-loops dropped

@@ -23,6 +23,19 @@ class GroupedLMSpec extends SparkSpec {
     }
   }
 
+  test("per-group standard errors equal an independent LM.fit per group") {
+    val grouped = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("se_intercept"), r.getAs[Double]("se_l_quantity"))).toMap
+    grouped.keys.foreach { flag =>
+      val single = LM.fit(li.filter($"l_returnflag" === flag),
+        Seq("l_quantity"), "l_extendedprice")
+      val (se0, se1) = grouped(flag)
+      assert(math.abs(se0 - single.stdErr(0)) < 1e-8 * single.stdErr(0), s"$flag se0")
+      assert(math.abs(se1 - single.stdErr(1)) < 1e-8 * single.stdErr(1), s"$flag se1")
+    }
+  }
+
   test("multi-regressor grouped fit matches per-group LM") {
     val g = GroupedLM.fit(li, Seq("l_linestatus"), Seq("l_quantity", "l_discount"),
       "l_extendedprice").collect()
