@@ -218,12 +218,17 @@ object GroupedGLM {
     *                  same semantics as the single-model GLM.fit
     * @param weightCol prior case-weight column (defaults to 1): scales the
     *                  IRLS weights and the deviance contributions
+    * @param nullDeviance also fit the intercept-only null model per group
+    *        (one extra grouped IRLS, broadcast-joined back) and append a
+    *        `null_deviance` column — the denominator of the per-group
+    *        pseudo-R² (1 − deviance/null_deviance) used to screen thousands
+    *        of segment models
     * @return one row per group: keyCols ++ coefficient columns
     *         (`b_intercept` first when intercept, then `b_<feature>`),
     *         matching `se_intercept`/`se_<feature>` standard errors
     *         (sqrt(dispersion · diag((XᵀWX)⁻¹)) at convergence), deviance,
-    *         n_rows, n_iter. NaN coefficients/SEs mark
-    *         underdetermined/singular groups.
+    *         n_rows, n_iter (+ null_deviance when requested). NaN
+    *         coefficients/SEs mark underdetermined/singular groups.
     */
   def fit(
       df: DataFrame,
@@ -238,7 +243,8 @@ object GroupedGLM {
       weightCol: Option[String] = None,
       maxIter: Int = 25,
       tol: Double = 1e-10,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      nullDeviance: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty && xCols.nonEmpty && maxIter >= 1)
     val fam = family match {
       case "binomial" => FamBinomial
@@ -321,12 +327,24 @@ object GroupedGLM {
       case FamGaussian | FamGamma => col("dev") / (col("n") - lit(pp)).cast("double")
       case _ => lit(1.0)
     }
-    lastFit.select(keys ++
+    val fitOut = lastFit.select(keys ++
       names.zipWithIndex.map { case (nm, i) => element_at(col("beta"), i + 1).as(nm) } ++
       names.zipWithIndex.map { case (nm, i) =>
         sqrt(element_at(col("vdiag"), i + 1) * disp).as("se_" + nm.stripPrefix("b_")) } ++
       Seq(col("dev").as("deviance"), col("n").as("n_rows"),
         lit(iter).as("n_iter")): _*)
+    if (!nullDeviance) fitOut
+    else {
+      // intercept-only null model by pure reuse: a constant feature with
+      // intercept=false is exactly the per-group null fit; its converged
+      // deviance broadcast-joins back (one row per group)
+      val nd = fit(df.withColumn("__one", lit(1.0)), keyCols, Seq("__one"), yCol,
+        family = family, linkName = linkName, intercept = false, mCol = mCol,
+        offsetCol = offsetCol, weightCol = weightCol, maxIter = maxIter,
+        tol = tol, checkpointDir = checkpointDir)
+        .select(keys :+ col("deviance").as("null_deviance"): _*)
+      fitOut.join(broadcast(nd), keyCols)
+    }
   }
 
   /** R-formula front-end for grouped fits, mirroring [[GLM.fitFormula]]:

@@ -211,6 +211,19 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("per-group null deviance matches the single-model GLM's closed form") {
+    val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "y",
+        nullDeviance = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("deviance"), r.getAs[Double]("null_deviance"))).toMap
+    grouped.keys.foreach { flag =>
+      val m = GLM.fit(li.filter(col("l_returnflag") === flag), Seq("l_quantity"), "y")
+      val (dev, nullDev) = grouped(flag)
+      assert(math.abs(nullDev - m.nullDeviance) < 1e-6 * m.nullDeviance, s"$flag null")
+      assert(dev <= nullDev + 1e-9, s"$flag fitted deviance must not exceed null")
+    }
+  }
+
   test("fits are invariant to input partitioning") {
     def coefs(df: org.apache.spark.sql.DataFrame) =
       GroupedGLM.fit(df, Seq("l_returnflag"), Seq("l_quantity"), "y")
