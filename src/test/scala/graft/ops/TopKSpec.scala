@@ -45,6 +45,15 @@ class TopKSpec extends SparkSpec {
     assert(out("hot") <= 1000 && out("hot") >= 1000 - (1900 / 101) - 1)
   }
 
+  test("result is invariant to input partitioning") {
+    // per-partition MG summaries differ with the partitioning, but the
+    // exact recount over the candidate union makes the output identical
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TopK.heavyHitters(df, "token", 10, capacity = 30)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(tokens) === run(tokens.repartition(13)))
+  }
+
   test("null keys are dropped, not counted") {
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
     val got = TopK.heavyHitters(df, "k", 10)
