@@ -63,6 +63,9 @@ private[graft] final class Checkpointer(spark: SparkSession,
 
   /** Free pinned generations and restore the caller's checkpoint dir.
     * The last tracked generation stays alive (it backs the result frame).
+    * Note `setCheckpointDir` always resolves to a fresh UUID subdirectory,
+    * so the restored dir is a CHILD of the previous one — subsequent
+    * checkpoints still land under the caller's chosen root.
     */
   def close(): Unit = {
     pinned.foreach(clean)

@@ -157,6 +157,26 @@ class DedupSpec extends SparkSpec {
     assert(prop.exists(_._2 !== 1L))
   }
 
+  test("a pre-existing session checkpoint dir is restored after a CC run") {
+    val prev = java.nio.file.Files.createTempDirectory("graft-prev-ckpt").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt2").toString
+    try {
+      spark.sparkContext.setCheckpointDir(prev)
+      val before = spark.sparkContext.getCheckpointDir.get
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      Dedup.connectedComponents(pairs, checkpointDir = Some(dir)).collect()
+      // setCheckpointDir re-resolves to a fresh UUID child, so "restored"
+      // means: back under the previous root, not under `dir`
+      val after = spark.sparkContext.getCheckpointDir.get
+      assert(after.startsWith(before), s"$after not under $before")
+      assert(!after.contains(new java.io.File(dir).getName))
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("bucket-size capping drops universal shingles from candidate generation") {
     // every doc shares the shingle "x y"; with the bucket cap at 2 that hot
     // bucket is dropped, so the universal shingle cannot create O(n^2) pairs

@@ -144,6 +144,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resampleWav("not a wav at all, truly".getBytes, 2).isEmpty)
   }
 
+  test("resampleWav handles factor > frame count (empty but valid output)") {
+    val in = makeWav(16000, 1, Array(Array[Short](100), Array[Short](200)))
+    val out = Multimodal.resampleWav(in, 8).get
+    assert(out.length === 44) // header only, zero frames
+    val h = Multimodal.decodeHeader(out)
+    assert(h.format === "wav" && h.sampleRate === 2000)
+  }
+
   test("resample routes WAV payloads through the real PCM path end-to-end") {
     val wav = makeWav(16000, 1, Array.tabulate(64)(i => Array((i * 10).toShort)))
     val df = Seq((1L, wav, ("audio/wav", wav.length.toLong, 16000)))

@@ -54,6 +54,12 @@ class TopKSpec extends SparkSpec {
     assert(run(tokens) === run(tokens.repartition(13)))
   }
 
+  test("capacity below k is rejected") {
+    intercept[IllegalArgumentException] {
+      TopK.heavyHitters(tokens, "token", k = 10, capacity = 5)
+    }
+  }
+
   test("null keys are dropped, not counted") {
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("k")
     val got = TopK.heavyHitters(df, "k", 10)
