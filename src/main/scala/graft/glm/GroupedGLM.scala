@@ -45,7 +45,7 @@ object GroupedGLM {
   private val stdNormal =
     new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
 
-  /** Buffer: [n, dev | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
+  /** Buffer: [n, dev, ll | XᵀWz (pp) | upper-tri XᵀWX]. Input rows are
     * `array(x_1..x_p, y, m, offset, weight, beta_0..beta_{pp-1})` — beta
     * rides on the row from the broadcast join, so the aggregation is a
     * single self-contained pass. m (binomial trials), offset (known η
@@ -63,7 +63,7 @@ object GroupedGLM {
     private val pp = if (intercept) p + 1 else p
     private val nUp = pp * (pp + 1) / 2
 
-    def zero: Array[Double] = new Array[Double](2 + pp + nUp)
+    def zero: Array[Double] = new Array[Double](3 + pp + nUp)
 
     // y·ln(y/μ) with the 0·ln0 = 0 convention (deviance terms)
     @inline private def ylog(y: Double, mu: Double): Double =
@@ -89,6 +89,9 @@ object GroupedGLM {
       var w = pw
       var z = y
       var dev = 0.0
+      var ll = 0.0
+      def lgamma(v: Double): Double =
+        org.apache.commons.math3.special.Gamma.logGamma(v)
       fam match {
         case FamBinomial =>
           // y = successes in [0, m]; μ ∈ (0, m); the link (logit default,
@@ -120,32 +123,39 @@ object GroupedGLM {
           val vb = mu * (m - mu) / m // binomial variance V(μ)
           w = pw / (vb * lp * lp)
           z = eta + (y - mu) * lp - off
-          // deviance of the INCOMING beta (lags the update by one iteration)
+          // deviance/loglik of the INCOMING beta (lag the update by one
+          // iteration, like the single GLM's lastGram convention)
           dev = pw * 2.0 * (ylog(y, mu) + ylog(m - y, m - mu))
+          ll = pw * (lgamma(m + 1.0) - lgamma(y + 1.0) - lgamma(m - y + 1.0) +
+            y * math.log(fr) + (m - y) * math.log1p(-fr))
         case FamPoisson =>
           val mu = if (init) y + 0.1 else math.max(Eps, math.exp(eta))
           if (init) eta = math.log(mu) + off
           w = pw * mu
           z = eta + (y - mu) / mu - off
           dev = pw * 2.0 * (ylog(y, mu) - (y - mu))
+          ll = pw * (y * math.log(mu) - mu - lgamma(y + 1.0))
         case FamGamma =>
           // log link: V = μ², l' = 1/μ → w = pw, z = η + (y−μ)/μ; y must be > 0
           val mu = if (init) math.max(y, Eps) else math.max(Eps, math.exp(eta))
           if (init) eta = math.log(mu) + off
           z = eta + (y - mu) / mu - off
           dev = pw * 2.0 * (-math.log(y / mu) + (y - mu) / mu)
+          ll = pw * (-math.log(mu) - y / mu) // unit shape, like GammaFamily
         case _ =>
           // gaussian identity: one-step weighted least squares on y − off
           z = y - off
           dev = pw * (y - eta) * (y - eta)
+          ll = pw * -0.5 * ((y - eta) * (y - eta) + math.log(2.0 * math.Pi))
       }
       b(0) += 1.0
       b(1) += dev
+      b(2) += ll
       i = 0
-      var k = 2 + pp
+      var k = 3 + pp
       while (i < pp) {
         val wxi = w * x(i)
-        b(2 + i) += wxi * z
+        b(3 + i) += wxi * z
         var j = i
         while (j < pp) { b(k) += wxi * x(j); k += 1; j += 1 }
         i += 1
@@ -159,31 +169,32 @@ object GroupedGLM {
       a
     }
 
-    /** [new beta (pp) | dev(old beta) | n | diag((XᵀWX)⁻¹) (pp)] — NaN
-      * beta/diag for groups whose normal equations are underdetermined or
-      * singular. The inverse diagonal feeds per-group standard errors
-      * (sqrt(dispersion · diag) at convergence, like the single GLM's
-      * lastGram-based SEs).
+    /** [new beta (pp) | dev(old beta) | n | diag((XᵀWX)⁻¹) (pp) | ll(old
+      * beta)] — NaN beta/diag for groups whose normal equations are
+      * underdetermined or singular. The inverse diagonal feeds per-group
+      * standard errors (sqrt(dispersion · diag) at convergence, like the
+      * single GLM's lastGram-based SEs); ll feeds loglik/AIC.
       */
     def finish(b: Array[Double]): Seq[Double] = {
       val n = b(0)
-      val out = new Array[Double](2 * pp + 2)
+      val out = new Array[Double](2 * pp + 3)
       out(pp) = b(1)
       out(pp + 1) = n
+      out(2 * pp + 2) = b(2)
       if (n < pp || !java.lang.Double.isFinite(b(1))) {
         java.util.Arrays.fill(out, 0, pp, Double.NaN)
         java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
         return out.toSeq
       }
       val xtx = BDM.zeros[Double](pp, pp)
-      var k = 2 + pp
+      var k = 3 + pp
       var i = 0
       while (i < pp) {
         var j = i
         while (j < pp) { xtx(i, j) = b(k); xtx(j, i) = b(k); k += 1; j += 1 }
         i += 1
       }
-      val xtz = BDV.tabulate(pp)(i => b(2 + i))
+      val xtz = BDV.tabulate(pp)(i => b(3 + i))
       try {
         val beta = LinAlg.solvePD(xtx, xtz)
         val inv = LinAlg.invDiag(xtx)
@@ -227,8 +238,9 @@ object GroupedGLM {
     *         (`b_intercept` first when intercept, then `b_<feature>`),
     *         matching `se_intercept`/`se_<feature>` standard errors
     *         (sqrt(dispersion · diag((XᵀWX)⁻¹)) at convergence), deviance,
-    *         n_rows, n_iter (+ null_deviance when requested). NaN
-    *         coefficients/SEs mark underdetermined/singular groups.
+    *         n_rows, n_iter, loglik, aic = −2·loglik + 2p (+ null_deviance
+    *         when requested). NaN coefficients/SEs mark
+    *         underdetermined/singular groups.
     */
   def fit(
       df: DataFrame,
@@ -303,7 +315,8 @@ object GroupedGLM {
           slice(col("buf"), 1, pp).as("beta"),
           element_at(col("buf"), pp + 1).as("dev"),
           element_at(col("buf"), pp + 2).cast("long").as("n"),
-          slice(col("buf"), pp + 3, pp).as("vdiag")): _*))
+          slice(col("buf"), pp + 3, pp).as("vdiag"),
+          element_at(col("buf"), 2 * pp + 3).as("ll")): _*))
       // one scalar to the driver per iteration (NaN-singular groups are
       // excluded so one bad group cannot poison global convergence)
       val dev = step.agg(
@@ -332,7 +345,8 @@ object GroupedGLM {
       names.zipWithIndex.map { case (nm, i) =>
         sqrt(element_at(col("vdiag"), i + 1) * disp).as("se_" + nm.stripPrefix("b_")) } ++
       Seq(col("dev").as("deviance"), col("n").as("n_rows"),
-        lit(iter).as("n_iter")): _*)
+        lit(iter).as("n_iter"), col("ll").as("loglik"),
+        (col("ll") * -2.0 + lit(2.0 * pp)).as("aic")): _*)
     if (!nullDeviance) fitOut
     else {
       // intercept-only null model by pure reuse: a constant feature with

@@ -211,6 +211,23 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("per-group loglik and AIC match the single-model GLM per subset") {
+    Seq(("binomial", "y"), ("poisson", "l_linenumber")).foreach { case (famName, yc) =>
+      val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), yc,
+          family = famName)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("loglik"), r.getAs[Double]("aic"))).toMap
+      grouped.keys.foreach { flag =>
+        val m = GLM.fit(li.filter(col("l_returnflag") === flag),
+          Seq("l_quantity"), yc, family = famName)
+        val (llG, aicG) = grouped(flag)
+        assert(math.abs(llG - m.loglik) < 1e-6 * math.abs(m.loglik),
+          s"$famName $flag ll: $llG vs ${m.loglik}")
+        assert(math.abs(aicG - m.aic) < 1e-6 * math.abs(m.aic), s"$famName $flag aic")
+      }
+    }
+  }
+
   test("per-group null deviance matches the single-model GLM's closed form") {
     val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "y",
         nullDeviance = true)
