@@ -937,6 +937,42 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events"), r(col("total_value"), 4).as("total_value"))
         .orderBy("user_id", "session_idx")
+    }),
+
+    // formula INTERACTION term end-to-end: fitFormula expands
+    // l_quantity:l_discount into a product regressor (R's ':' semantics);
+    // oracle = the same closed-form 2-regressor normal equations as q18
+    // with x2 := l_quantity·l_discount
+    "q77_lm_interaction" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = LM.fitFormula(li,
+        "l_extendedprice ~ l_quantity + l_quantity:l_discount")
+      import s.implicits._
+      Seq((rd(m.coefs(0), 3), rd(m.coefs(1), 3), rd(m.coefs(2), 3),
+        rd(m.r2, 6), m.n))
+        .toDF("b_intercept", "b_quantity", "b_inter", "r2", "n_rows")
+    }),
+
+    // per-group BINOMIAL scoring gate (the logistic twin of q72): a
+    // saturated design — one BINARY regressor — makes each group's
+    // logistic MLE closed-form (the cell success proportions), so the
+    // full per-group IRLS fit + logit predict path is hash-gated against
+    // DuckDB cell averages; the threshold count is margin-safe (cell
+    // proportions sit ≈0.45 and ≈0.18, both ≥0.12 from the 0.3 cut, so
+    // the ~1e-10 IRLS-vs-closed-form drift can never flip a row)
+    "q78_grouped_logit_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x_high", when(col("l_quantity") > 25, 1.0).otherwise(0.0))
+        .withColumn("y", when(col("l_discount") >
+          when(col("l_quantity") > 25, 0.05).otherwise(0.08), 1.0)
+          .otherwise(0.0))
+      val betas = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("x_high"), "y")
+      GroupedGLM.predict(betas, li, Seq("l_returnflag"), Seq("x_high"))
+        .filter(col("prediction") > 0.3)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_high"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1754,6 +1790,61 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // q18's closed-form 2-regressor normal equations with the second
+    // regressor replaced by the interaction product l_quantity·l_discount
+    "q77_lm_interaction" ->
+      """WITH m AS (
+        |  SELECT avg(l_quantity) AS mx1,
+        |    avg(l_quantity * l_discount) AS mx2,
+        |    avg(l_extendedprice) AS my,
+        |    avg(l_quantity * l_quantity) AS x11,
+        |    avg(l_quantity * l_quantity * l_discount) AS x12,
+        |    avg(l_quantity * l_discount * l_quantity * l_discount) AS x22,
+        |    avg(l_quantity * l_extendedprice) AS x1y,
+        |    avg(l_quantity * l_discount * l_extendedprice) AS x2y,
+        |    avg(l_extendedprice * l_extendedprice) AS yy,
+        |    count(*) AS n
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n,
+        |    x11 - mx1 * mx1 AS s11, x12 - mx1 * mx2 AS s12,
+        |    x22 - mx2 * mx2 AS s22, x1y - mx1 * my AS s1y,
+        |    x2y - mx2 * my AS s2y, yy - my * my AS syy,
+        |    mx1, mx2, my
+        |  FROM m),
+        |b AS (
+        |  SELECT n, mx1, mx2, my, s1y, s2y, syy,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c)
+        |SELECT round(my - b1 * mx1 - b2 * mx2, 3) AS b_intercept,
+        |  round(b1, 3) AS b_quantity,
+        |  round(b2, 3) AS b_inter,
+        |  round((b1 * s1y + b2 * s2y) / syy, 6) AS r2,
+        |  n AS n_rows
+        |FROM b""".stripMargin,
+
+    // saturated per-group logistic: the MLE is the cell success
+    // proportion, so predict ≡ the cell average — closed-form in SQL
+    "q78_grouped_logit_predict" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS x_high,
+        |    CASE WHEN l_discount >
+        |           (CASE WHEN l_quantity > 25 THEN 0.05 ELSE 0.08 END)
+        |         THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT l_returnflag, x_high, avg(y) AS mu
+        |  FROM t GROUP BY l_returnflag, x_high)
+        |SELECT t.l_returnflag, count(*) AS n_high,
+        |  CAST(sum(CAST(t.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM t JOIN p ON t.l_returnflag = p.l_returnflag
+        |  AND t.x_high = p.x_high
+        |WHERE p.mu > 0.3
+        |GROUP BY t.l_returnflag
+        |ORDER BY t.l_returnflag""".stripMargin
   )
 }

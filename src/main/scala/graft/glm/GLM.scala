@@ -297,9 +297,10 @@ object GLM {
     }
   }
 
-  /** Formula front-end (dummy-encodes string columns first). `mCol` /
-    * `offsetCol` pass through to [[fit]] and are excluded from `.`-term
-    * expansion and encoding.
+  /** Formula front-end (dummy-encodes string columns first; interaction
+    * terms `x1:x2` / `x1*x2` expand per [[ModelMatrix.termColumns]]).
+    * `mCol` / `offsetCol` pass through to [[fit]] and are excluded from
+    * `.`-term expansion and encoding (they ride along numeric-cast).
     */
   def fitFormula(
       df: DataFrame,
@@ -313,20 +314,18 @@ object GLM {
     val extras = Seq(mCol, offsetCol).flatten.distinct
     val f0 = Formula.parse(formula)
       .resolve(df.columns.toSeq.filterNot(extras.contains))
+    val base = f0.baseColumns
     val dropped = ModelMatrix.naDrop(df.select(
-      ((f0.response +: f0.terms) ++ extras).distinct.map(col): _*))
-    // dummy-encode string TERMS only; m/offset ride along numeric-cast
-    val stringTerms = dropped.schema.fields
-      .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
-        !extras.contains(f.name)).map(_.name)
-    val lv = ModelMatrix.levels(dropped, stringTerms.toSeq)
-    val encoded = dropped.select(dropped.schema.fields.toSeq.flatMap { f =>
-      if (lv.contains(f.name)) ModelMatrix.dummyColumns(f.name, lv(f.name))
-      else Seq(col(f.name).cast("double").as(f.name))
-    }: _*)
-    val xNames = encoded.columns.filterNot(c =>
-      c == f0.response || extras.contains(c))
-    fit(encoded, xNames.toSeq, f0.response, family = family, linkName = linkName,
+      ((f0.response +: base) ++ extras).distinct.map(col): _*))
+    val stringCols = base.filter(c =>
+      dropped.schema(c).dataType == org.apache.spark.sql.types.StringType &&
+        !extras.contains(c))
+    val lv = ModelMatrix.levels(dropped, stringCols)
+    val feats = ModelMatrix.termColumns(f0.terms, lv)
+    val encoded = dropped.select(
+      col(f0.response).cast("double").as(f0.response) +:
+        (feats.map(_._2) ++ extras.map(c => col(c).cast("double").as(c))): _*)
+    fit(encoded, feats.map(_._1), f0.response, family = family, linkName = linkName,
       intercept = f0.intercept, mCol = mCol, offsetCol = offsetCol,
       tol = tol, maxIter = maxIter)
   }

@@ -366,7 +366,10 @@ object GroupedGLM {
     * feature terms with GLOBAL k−1 lexicographic levels (one pass over the
     * whole frame — every group gets the SAME encoded columns, so the
     * per-group models stay comparable even when a group is missing a
-    * level), drop NA rows, then [[fit]].
+    * level), drop NA rows, then [[fit]]. Interaction terms (`x1:x2`,
+    * `x1*x2`) expand per [[ModelMatrix.termColumns]] — against the same
+    * global levels, so interactions with string terms stay comparable
+    * across groups too.
     */
   def fitFormula(df: DataFrame, keyCols: Seq[String], formula: String,
       family: String = "binomial", linkName: String = "",
@@ -379,19 +382,16 @@ object GroupedGLM {
     val f0 = Formula.parse(formula)
       .resolve(df.columns.toSeq.filterNot(special.contains))
     val extras = Seq(mCol, offsetCol, weightCol).flatten.distinct
+    val base = f0.baseColumns
     val sel = ModelMatrix.naDrop(df.select(
-      (keyCols ++ (f0.response +: f0.terms) ++ extras).distinct.map(col): _*))
-    val stringTerms = f0.terms.filter(c => sel.schema(c).dataType == StringType)
-    val lv = ModelMatrix.levels(sel, stringTerms)
-    val termCols: Seq[Column] = f0.terms.flatMap { t =>
-      if (lv.contains(t)) ModelMatrix.dummyColumns(t, lv(t))
-      else Seq(col(t).cast("double").as(t))
-    }
+      (keyCols ++ (f0.response +: base) ++ extras).distinct.map(col): _*))
+    val stringCols = base.filter(c => sel.schema(c).dataType == StringType)
+    val lv = ModelMatrix.levels(sel, stringCols)
+    val feats = ModelMatrix.termColumns(f0.terms, lv)
     val encoded = sel.select(
-      keyCols.map(col) ++ Seq(col(f0.response)) ++ termCols ++ extras.map(col): _*)
-    val xNames = encoded.columns.toSeq.filterNot(c =>
-      keyCols.contains(c) || c == f0.response || extras.contains(c))
-    fit(encoded, keyCols, xNames, f0.response, family = family,
+      keyCols.map(col) ++ Seq(col(f0.response)) ++ feats.map(_._2) ++
+        extras.map(col): _*)
+    fit(encoded, keyCols, feats.map(_._1), f0.response, family = family,
       linkName = linkName, intercept = f0.intercept, mCol = mCol,
       offsetCol = offsetCol, weightCol = weightCol, maxIter = maxIter,
       tol = tol, checkpointDir = checkpointDir)

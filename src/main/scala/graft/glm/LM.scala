@@ -173,13 +173,21 @@ object LM {
   }
 
   /** Formula front-end: dummy-encodes string columns via [[ModelMatrix]]
-    * then fits (reference: R/pkg/R/LM.R:24-44 `sparkLM`).
+    * then fits (reference: R/pkg/R/LM.R:24-44 `sparkLM`). Interaction terms
+    * (`x1:x2`, `x1*x2`) expand per [[ModelMatrix.termColumns]].
     */
   def fitFormula(df: DataFrame, formula: String, weightCol: Option[String] = None): LMModel = {
     val f0 = Formula.parse(formula).resolve(df.columns.filterNot(weightCol.contains).toSeq)
-    val sel = df.select((f0.response +: (f0.terms ++ weightCol)).map(col): _*)
-    val encoded = ModelMatrix.encode(ModelMatrix.naDrop(sel))
-    val xNames = encoded.columns.filter(c => c != f0.response && !weightCol.contains(c))
-    fit(encoded, xNames.toSeq, f0.response, f0.intercept, weightCol)
+    val base = f0.baseColumns
+    val dropped = ModelMatrix.naDrop(df.select(
+      ((f0.response +: base) ++ weightCol).distinct.map(col): _*))
+    val stringCols = base.filter(c =>
+      dropped.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val lv = ModelMatrix.levels(dropped, stringCols)
+    val feats = ModelMatrix.termColumns(f0.terms, lv)
+    val encoded = dropped.select(
+      col(f0.response).cast("double").as(f0.response) +:
+        (feats.map(_._2) ++ weightCol.map(c => col(c).cast("double").as(c))): _*)
+    fit(encoded, feats.map(_._1), f0.response, f0.intercept, weightCol)
   }
 }

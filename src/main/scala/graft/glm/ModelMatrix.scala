@@ -82,6 +82,34 @@ object ModelMatrix {
     df.select(out: _*)
   }
 
+  /** Encoded feature columns for formula terms, interactions included.
+    *
+    * Each term component expands to its encoded columns — a numeric column
+    * to itself (cast double), a categorical (one with an entry in `lv`) to
+    * its k−1 dummies — and an interaction term (`"a:b"`) to the CROSS
+    * PRODUCT of its components' encoded columns, one column per
+    * combination, value = product, name = the component column names
+    * joined with `:` (R's convention under treatment coding: with main
+    * effects present, numeric×numeric is one product column,
+    * numeric×factor is k−1 `x:f_lvl` columns, factor×factor is
+    * (k−1)(m−1) columns). Pure projection — codegen'd, no shuffle.
+    *
+    * @return (name, aliased column) per encoded feature, in term order
+    */
+  def termColumns(terms: Seq[String],
+      lv: Map[String, Array[String]]): Seq[(String, Column)] =
+    terms.flatMap { t =>
+      val parts: Seq[Seq[(String, Column)]] = Formula.components(t).map { c =>
+        if (lv.contains(c))
+          lv(c).drop(1).toSeq.map(l =>
+            (s"${c}_$l", when(col(c) === lit(l), 1.0).otherwise(0.0)))
+        else Seq((c, col(c).cast(DoubleType)))
+      }
+      parts.reduceLeft { (acc, nxt) =>
+        for ((an, ac) <- acc; (bn, bc) <- nxt) yield (s"$an:$bn", ac * bc)
+      }
+    }.map { case (n, c) => (n, c.as(n)) }
+
   /** Cast every column of `df` to double, preserving names. */
   def castAll(df: DataFrame): DataFrame =
     df.select(df.columns.toSeq.map(c => col(c).cast(DoubleType).as(c)): _*)

@@ -92,6 +92,48 @@ class LMSpec extends SparkSpec {
     assert(m.n == 150)
   }
 
+  test("fitFormula numeric interaction equals a manual product column") {
+    val manual = LM.fit(data.withColumn("x1x2", $"x1" * $"x2"),
+      Seq("x1", "x2", "x1x2"), "y")
+    val viaFormula = LM.fitFormula(data, "y ~ x1 * x2")
+    assert(viaFormula.xnames.toSeq ==
+      Seq("(Intercept)", "x1", "x2", "x1:x2"))
+    (0 until 4).foreach(i =>
+      assert(math.abs(viaFormula.coefs(i) - manual.coefs(i)) < 1e-9,
+        s"coef $i: ${viaFormula.coefs(i)} vs ${manual.coefs(i)}"))
+    assert(math.abs(viaFormula.r2 - manual.r2) < 1e-12)
+  }
+
+  test("fitFormula a*b equals a + b + a:b spelled out") {
+    val a = LM.fitFormula(data, "y ~ x1 * x2")
+    val b = LM.fitFormula(data, "y ~ x1 + x2 + x1:x2")
+    assert(a.xnames.toSeq == b.xnames.toSeq)
+    (0 until 4).foreach(i => assert(a.coefs(i) === b.coefs(i)))
+  }
+
+  test("fitFormula numeric:factor interaction equals manual dummy products") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val m = LM.fitFormula(cust, "c_acctbal ~ c_nationkey * c_mktsegment")
+    // intercept + nationkey + 4 dummies + 4 slope-shift interactions
+    assert(m.xnames.length == 10)
+    assert(m.xnames.count(_.contains(":")) == 4)
+    // manual: encode the dummies, multiply by the numeric, fit directly
+    val lv = ModelMatrix.levels(cust, Seq("c_mktsegment"))("c_mktsegment")
+    val dummies = lv.drop(1).toSeq
+    val enc = dummies.foldLeft(cust) { (df, l) =>
+      df.withColumn(s"d_$l",
+          when($"c_mktsegment" === l, 1.0).otherwise(0.0))
+        .withColumn(s"i_$l",
+          when($"c_mktsegment" === l, 1.0).otherwise(0.0) * $"c_nationkey")
+    }
+    val manual = LM.fit(enc,
+      Seq("c_nationkey") ++ dummies.map("d_" + _) ++ dummies.map("i_" + _),
+      "c_acctbal")
+    (0 until 10).foreach(i =>
+      assert(math.abs(m.coefs(i) - manual.coefs(i)) < 1e-8,
+        s"coef $i (${m.xnames(i)}): ${m.coefs(i)} vs ${manual.coefs(i)}"))
+  }
+
   test("no-intercept fit") {
     val m = LM.fit(data, Seq("x1"), "y", intercept = false)
     assert(m.xnames.toSeq == Seq("x1"))
