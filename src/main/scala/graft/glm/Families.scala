@@ -66,9 +66,10 @@ object Family {
 
   /** Gaussian with identity link: V(μ) = 1, deviance = RSS, so IRLS reduces
     * to one unweighted least-squares solve — GLM(gaussian) ≡ LM.fit (tested
-    * as a property). logLik uses unit dispersion (−½(ln 2π + (y−μ)²)); R's
-    * `glm` profiles σ̂² into its gaussian AIC, so AICs differ by a
-    * deterministic constant while coefficients/deviance/SEs agree.
+    * as a property). The `logLik` COLUMN here is the per-row unit-dispersion
+    * term (−½(ln 2π + (y−μ)²)); the fitters do not sum it — GLM.fit and
+    * GroupedGLM profile σ̂² = RSS/n R-style (logLik.glm) from the converged
+    * deviance instead, so reported loglik/AIC match R's exactly.
     */
   case object GaussianFamily extends Family {
     val name = "gaussian"

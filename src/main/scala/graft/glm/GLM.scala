@@ -61,7 +61,12 @@ final class GLMModel(
   def dfResidual: Long = n - p
   def dfNull: Long = n - 1
   def dispersion: Double = pearson / dfResidual
-  def aic: Double = -2.0 * loglik + 2.0 * p
+
+  /** AIC = −2·logLik + 2k; for gaussian, k counts the profiled σ̂² as a
+    * parameter in addition to the p coefficients (R's `AIC.glm`).
+    */
+  def aic: Double =
+    -2.0 * loglik + 2.0 * (p + (if (family == "gaussian") 1 else 0))
 
   def zValues: BDV[Double] = BDV.tabulate(p)(i => coefs(i) / stdErr(i))
 
@@ -280,9 +285,16 @@ object GLM {
         sum(m).as("m_sum"),
         count(lit(1)).as("n")).head()
       val pearson = statsRow.getDouble(0)
-      val ll = statsRow.getDouble(1)
       val pHat = statsRow.getDouble(2) / statsRow.getDouble(3)
       val n = statsRow.getLong(4)
+      // gaussian log-likelihood follows R's logLik.glm convention: profile
+      // σ̂² = RSS/n into ll = −n/2·(ln(2π·RSS/n) + 1) (and count σ as a
+      // parameter in the AIC — see GLMModel.aic); the per-row family
+      // expression is the unit-dispersion term, correct for the others
+      val ll =
+        if (fam.name == "gaussian")
+          -0.5 * n * (math.log(2.0 * math.Pi * dev / n) + 1.0)
+        else statsRow.getDouble(1)
 
       // Null deviance: the intercept-only MLE mean is m·(Σy/Σm) for both
       // families (binomial rate and, with m = 1, the Poisson ȳ) — closed

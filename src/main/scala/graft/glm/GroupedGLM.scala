@@ -35,10 +35,14 @@ object GroupedGLM {
   private val FamPoisson = 2
   private val FamGamma = 3
 
-  // binomial link codes (non-binomial families use their canonical link)
+  // link codes: binomial takes logit/probit/cloglog, gamma takes log
+  // (default, like the single GLM) or inverse (R's canonical); poisson and
+  // gaussian use their canonical link only
   private val LnkLogit = 0
   private val LnkProbit = 1
   private val LnkCloglog = 2
+  private val LnkLog = 3
+  private val LnkInverse = 4
 
   // same commons-math Φ/Φ⁻¹ the single-model probit uses (Links.pnorm/
   // qnorm) — per-subset parity requires the identical implementation
@@ -136,17 +140,32 @@ object GroupedGLM {
           dev = pw * 2.0 * (ylog(y, mu) - (y - mu))
           ll = pw * (y * math.log(mu) - mu - lgamma(y + 1.0))
         case FamGamma =>
-          // log link: V = μ², l' = 1/μ → w = pw, z = η + (y−μ)/μ; y must be > 0
-          val mu = if (init) math.max(y, Eps) else math.max(Eps, math.exp(eta))
-          if (init) eta = math.log(mu) + off
-          z = eta + (y - mu) / mu - off
+          // y must be > 0. log link: V = μ², l' = 1/μ → w = pw,
+          // z = η + (y−μ)/μ. inverse (canonical) link: η = 1/μ,
+          // l' = −1/μ² → w = pw·μ², z = η − (y−μ)/μ² (same expressions as
+          // the single GLM's LinkFn("inverse"))
+          val mu =
+            if (init) math.max(y, Eps)
+            else if (lnk == LnkInverse) 1.0 / math.max(Eps, eta)
+            else math.max(Eps, math.exp(eta))
+          if (lnk == LnkInverse) {
+            if (init) eta = 1.0 / mu + off
+            w = pw * mu * mu
+            z = eta - (y - mu) / (mu * mu) - off
+          } else {
+            if (init) eta = math.log(mu) + off
+            z = eta + (y - mu) / mu - off
+          }
           dev = pw * 2.0 * (-math.log(y / mu) + (y - mu) / mu)
           ll = pw * (-math.log(mu) - y / mu) // unit shape, like GammaFamily
         case _ =>
-          // gaussian identity: one-step weighted least squares on y − off
+          // gaussian identity: one-step weighted least squares on y − off.
+          // The ll slot accumulates Σ ln(w): R's logLik.glm(gaussian)
+          // profiles σ̂² = Σw(y−μ)²/n, giving ll = ½(Σ ln w − n(ln(2πσ̂²)+1))
+          // — assembled in finish() from this slot, dev and n
           z = y - off
           dev = pw * (y - eta) * (y - eta)
-          ll = pw * -0.5 * ((y - eta) * (y - eta) + math.log(2.0 * math.Pi))
+          ll = math.log(pw)
       }
       b(0) += 1.0
       b(1) += dev
@@ -180,7 +199,12 @@ object GroupedGLM {
       val out = new Array[Double](2 * pp + 3)
       out(pp) = b(1)
       out(pp + 1) = n
-      out(2 * pp + 2) = b(2)
+      // gaussian: profile σ̂² = dev/n into the R-convention log-likelihood
+      // (b(2) carries Σ ln w, zero when unweighted); others: Σ per-row ll
+      out(2 * pp + 2) =
+        if (fam == FamGaussian && n > 0)
+          0.5 * (b(2) - n * (math.log(2.0 * math.Pi * b(1) / n) + 1.0))
+        else b(2)
       if (n < pp || !java.lang.Double.isFinite(b(1))) {
         java.util.Arrays.fill(out, 0, pp, Double.NaN)
         java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
@@ -238,8 +262,10 @@ object GroupedGLM {
     *         (`b_intercept` first when intercept, then `b_<feature>`),
     *         matching `se_intercept`/`se_<feature>` standard errors
     *         (sqrt(dispersion · diag((XᵀWX)⁻¹)) at convergence), deviance,
-    *         n_rows, n_iter, loglik, aic = −2·loglik + 2p (+ null_deviance
-    *         when requested). NaN coefficients/SEs mark
+    *         n_rows, n_iter, loglik, aic = −2·loglik + 2k (k = p, plus the
+    *         profiled σ̂² for gaussian — loglik/aic follow R's logLik.glm/
+    *         AIC.glm conventions exactly, gaussian included) (+
+    *         null_deviance when requested). NaN coefficients/SEs mark
     *         underdetermined/singular groups.
     */
   def fit(
@@ -268,17 +294,19 @@ object GroupedGLM {
     }
     require(mCol.isEmpty || fam == FamBinomial,
       "mCol (binomial trials) only applies to the binomial family")
-    val lnk = linkName.toLowerCase match {
-      case "" | "canonical" => LnkLogit
-      case "logit" => LnkLogit
-      case "probit" => LnkProbit
-      case "cloglog" => LnkCloglog
-      case other => throw new IllegalArgumentException(
-        s"GroupedGLM link override supports logit|probit|cloglog, got $other")
+    val lnk = (fam, linkName.toLowerCase) match {
+      case (FamBinomial, "" | "canonical" | "logit") => LnkLogit
+      case (FamBinomial, "probit") => LnkProbit
+      case (FamBinomial, "cloglog") => LnkCloglog
+      case (FamGamma, "" | "log") => LnkLog // default log, like the single GLM
+      case (FamGamma, "canonical" | "inverse") => LnkInverse
+      case (FamPoisson, "" | "canonical" | "log") => LnkLog
+      case (FamGaussian, "" | "canonical" | "identity") => LnkLogit // unused
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported link '$other' for family $family (binomial: " +
+          "logit|probit|cloglog; gamma: log|inverse; poisson: log; " +
+          "gaussian: identity)")
     }
-    require(lnk == LnkLogit || fam == FamBinomial,
-      "a link override only applies to the binomial family " +
-        "(other families use their canonical link)")
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
     val agg = udaf(new GlmGramAgg(p, intercept, fam, lnk, init = false))
@@ -346,7 +374,9 @@ object GroupedGLM {
         sqrt(element_at(col("vdiag"), i + 1) * disp).as("se_" + nm.stripPrefix("b_")) } ++
       Seq(col("dev").as("deviance"), col("n").as("n_rows"),
         lit(iter).as("n_iter"), col("ll").as("loglik"),
-        (col("ll") * -2.0 + lit(2.0 * pp)).as("aic")): _*)
+        // gaussian AIC counts the profiled σ̂² as a parameter (R AIC.glm)
+        (col("ll") * -2.0 +
+          lit(2.0 * (if (fam == FamGaussian) pp + 1 else pp))).as("aic")): _*)
     if (!nullDeviance) fitOut
     else {
       // intercept-only null model by pure reuse: a constant feature with

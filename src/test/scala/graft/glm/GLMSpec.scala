@@ -137,6 +137,37 @@ class GLMSpec extends SparkSpec {
     assert(math.abs(m.deviance - 18.469709563516) < 1e-5, s"dev=${m.deviance}")
   }
 
+  test("gaussian logLik/AIC follow R's profiled-σ² convention (closed-form golden)") {
+    // independent golden: plain normal equations + R's logLik.glm formula
+    // ll = −n/2·(ln(2π·RSS/n)+1), AIC = −2ll + 2(p+1) (σ̂² counted), computed
+    // outside this library on the deterministic fixture
+    val m = GLM.fit(gammaFix, Seq("x"), "y", family = "gaussian")
+    assert(math.abs(m.coefs(0) - 1.563764920448159) < 1e-9, s"b0=${m.coefs(0)}")
+    assert(math.abs(m.coefs(1) - 0.6974187783927634) < 1e-9, s"b1=${m.coefs(1)}")
+    assert(math.abs(m.deviance - 89.83305623139627) < 1e-7, s"rss=${m.deviance}")
+    assert(math.abs(m.loglik - (-203.75127169148178)) < 1e-7, s"ll=${m.loglik}")
+    assert(math.abs(m.aic - 413.50254338296355) < 1e-6, s"aic=${m.aic}")
+  }
+
+  test("binomial interaction fit matches the saturated-design closed form") {
+    // 2×2 cells with fixed success counts: the full-interaction logistic
+    // model is saturated, so the MLE reproduces each cell's empirical
+    // logit exactly — an R-golden without needing R
+    val cells = Seq((0, 0, 20), (1, 0, 40), (0, 1, 30), (1, 1, 60))
+    val rows = cells.flatMap { case (x1, x2, k) =>
+      (1 to 100).map(i => (x1.toDouble, x2.toDouble, if (i <= k) 1.0 else 0.0))
+    }
+    val m = GLM.fitFormula(rows.toDF("x1", "x2", "y"), "y ~ x1*x2",
+      family = "binomial")
+    def logit(p: Double) = math.log(p / (1 - p))
+    assert(m.xnames.toSeq == Seq("(Intercept)", "x1", "x2", "x1:x2"))
+    assert(math.abs(m.coefs(0) - logit(0.2)) < 1e-7, s"b0=${m.coefs(0)}")
+    assert(math.abs(m.coefs(1) - (logit(0.4) - logit(0.2))) < 1e-7)
+    assert(math.abs(m.coefs(2) - (logit(0.3) - logit(0.2))) < 1e-7)
+    assert(math.abs(m.coefs(3) -
+      (logit(0.6) - logit(0.3) - logit(0.4) + logit(0.2))) < 1e-7)
+  }
+
   test("identity and inverse links round-trip and have correct derivatives") {
     val df = Seq(0.5, 1.0, 2.0, 4.0).toDF("mu")
     val idL = LinkFn("identity"); val invL = LinkFn("inverse")

@@ -212,7 +212,9 @@ class GroupedGLMSpec extends SparkSpec {
   }
 
   test("per-group loglik and AIC match the single-model GLM per subset") {
-    Seq(("binomial", "y"), ("poisson", "l_linenumber")).foreach { case (famName, yc) =>
+    // gaussian included: both sides follow R's profiled-σ² convention
+    Seq(("binomial", "y"), ("poisson", "l_linenumber"),
+        ("gaussian", "l_extendedprice")).foreach { case (famName, yc) =>
       val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), yc,
           family = famName)
         .collect().map(r => r.getString(0) ->
@@ -226,6 +228,45 @@ class GroupedGLMSpec extends SparkSpec {
         assert(math.abs(aicG - m.aic) < 1e-6 * math.abs(m.aic), s"$famName $flag aic")
       }
     }
+  }
+
+  test("gamma inverse (canonical) link matches the single GLM per subset") {
+    val grouped = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", family = "gamma", linkName = "inverse")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("b_intercept"), r.getAs[Double]("b_l_quantity"),
+          r.getAs[Double]("deviance"))).toMap
+    assert(grouped.nonEmpty)
+    grouped.keys.foreach { flag =>
+      val sub = li.filter(col("l_returnflag") === flag)
+      val m = GLM.fit(sub, Seq("l_quantity"), "l_extendedprice",
+        family = "gamma", linkName = "inverse")
+      val (b0, b1, dev) = grouped(flag)
+      assert(math.abs(b0 - m.coefs(0)) < 1e-6 * math.abs(m.coefs(0)),
+        s"$flag intercept: $b0 vs ${m.coefs(0)}")
+      assert(math.abs(b1 - m.coefs(1)) < 1e-6 * math.abs(m.coefs(1)), s"$flag slope")
+      assert(math.abs(dev - m.deviance) < 1e-6 * m.deviance, s"$flag deviance")
+    }
+    // "canonical" resolves to inverse for gamma; rejects a bogus link
+    intercept[IllegalArgumentException] {
+      GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", family = "gamma", linkName = "probit")
+    }
+  }
+
+  test("weighted gaussian loglik follows R's weighted logLik.glm formula") {
+    val wdf = li.withColumn("wt", col("l_quantity"))
+    val row = GroupedGLM.fit(wdf, Seq("l_returnflag"), Seq("l_discount"),
+        "l_extendedprice", family = "gaussian", weightCol = Some("wt"))
+      .filter(col("l_returnflag") === "R").head()
+    val dev = row.getAs[Double]("deviance")
+    val n = row.getAs[Long]("n_rows").toDouble
+    val sumLogW = wdf.filter(col("l_returnflag") === "R")
+      .agg(sum(log(col("wt")))).head().getDouble(0)
+    val expected = 0.5 * (sumLogW - n * (math.log(2.0 * math.Pi * dev / n) + 1.0))
+    val ll = row.getAs[Double]("loglik")
+    assert(math.abs(ll - expected) < 1e-8 * math.abs(expected), s"$ll vs $expected")
+    assert(math.abs(row.getAs[Double]("aic") - (-2.0 * ll + 2.0 * 3)) < 1e-9)
   }
 
   test("per-group null deviance matches the single-model GLM's closed form") {
