@@ -59,9 +59,18 @@ object TopK {
   /** Exact top-`k` (key, cnt) rows of `keyCol` by frequency, computed with
     * bounded memory as described in the object doc. Output ordered by
     * (cnt desc, key asc).
+    *
+    * The candidate set is bounded by capacity × nPartitions, which at
+    * cluster scale can exceed what a driver can broadcast (4096 × 100k
+    * partitions ≈ 400M keys). The broadcast hint on the recount semi-join
+    * is therefore applied only while that bound stays under
+    * `broadcastMaxCandidates`; above it the semi-join shuffles instead —
+    * same result, no driver blow-up (the shuffle still carries only
+    * candidate keys on the build side).
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int,
-      capacity: Int = 4096): DataFrame = {
+      capacity: Int = 4096,
+      broadcastMaxCandidates: Long = 4L << 20): DataFrame = {
     require(k >= 1 && capacity >= k,
       s"capacity ($capacity) must be >= k ($k)")
     val spark = df.sparkSession
@@ -72,7 +81,11 @@ object TopK {
       .mapPartitions(it => mgSummary(it, capacity))
       .toDF("key", "cnt_lb")
       .select("key").distinct()
-    keys.join(broadcast(candidates), Seq("key"), "left_semi")
+    val candidateBound = capacity.toLong * keys.rdd.getNumPartitions
+    val build =
+      if (candidateBound <= broadcastMaxCandidates) broadcast(candidates)
+      else candidates
+    keys.join(build, Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("key")).limit(k)
   }

@@ -54,6 +54,37 @@ class TopKSpec extends SparkSpec {
     assert(run(tokens) === run(tokens.repartition(13)))
   }
 
+  test("broadcast hint is dropped when the candidate bound exceeds the cap") {
+    // candidate bound = capacity × nPartitions; force it over a tiny cap
+    // and assert the recount semi-join plans WITHOUT a broadcast exchange
+    // (the 100 TB guard: 4096 counters × 100k partitions would be ~400M
+    // candidate keys — past any driver broadcast)
+    def plan(bcastCap: Long): String =
+      TopK.heavyHitters(tokens, "token", 5, capacity = 30,
+          broadcastMaxCandidates = bcastCap)
+        .queryExecution.executedPlan.toString
+    // disable size-based auto-broadcast so the plan shows the HINT's
+    // effect alone (at gate scale the tiny candidate side always qualifies
+    // for auto-broadcast; at 100 TB its statistics would not)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = plan(bcastCap = 10)
+      assert(!guarded.contains("BroadcastHashJoin"),
+        s"semi-join should shuffle when candidates may exceed the cap:\n$guarded")
+      val hinted = plan(bcastCap = Long.MaxValue)
+      assert(hinted.contains("BroadcastHashJoin"), s"expected broadcast:\n$hinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the guarded plan still returns the exact top-k
+    val got = TopK.heavyHitters(tokens, "token", 5, capacity = 30,
+        broadcastMaxCandidates = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("capacity below k is rejected") {
     intercept[IllegalArgumentException] {
       TopK.heavyHitters(tokens, "token", k = 10, capacity = 5)

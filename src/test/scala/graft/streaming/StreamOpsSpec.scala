@@ -256,6 +256,37 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("parquetSink: checkpointed restart resumes without loss or duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = s"$dir/out"; val cp = s"$dir/cp"
+    try {
+      val in = MemoryStream[Int]
+      def start() = StreamOps.parquetSink(in.toDF(), out, cp)
+      val q1 = start()
+      try { in.addData(1 to 10: _*); q1.processAllAvailable() } finally q1.stop()
+      // a NEW query object over the same checkpoint — the restart path;
+      // only the unread offsets are processed
+      val q2 = start()
+      try { in.addData(11 to 20: _*); q2.processAllAvailable() } finally q2.stop()
+      def readAll() = spark.read.parquet(out)
+        .select("value").as[Int].collect().sorted.toSeq
+      assert(readAll() === (1 to 20))
+      // crash-replay simulation: re-run an ALREADY-COMMITTED batch id with
+      // the same content (exactly what a restart does when the crash hit
+      // between the write and the offset commit) — overwrite semantics
+      // must leave the output unchanged, not doubled
+      val batchIds = new java.io.File(out).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+      assert(batchIds.length >= 2, s"expected >=2 batch dirs, got ${batchIds.toSeq}")
+      StreamOps.writeBatch(out)((11 to 20).toDF("value"), batchIds.last)
+      assert(readAll() === (1 to 20))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("sessionizeBatch matches the streaming semantics on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
