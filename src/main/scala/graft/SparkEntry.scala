@@ -973,6 +973,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_high"),
           sum(col("l_quantity").cast("long")).as("qty_sum"))
         .orderBy("l_returnflag")
+    }),
+
+    // embedding-cosine near-dup removal END-TO-END, hash-gated: exact
+    // cosine pairs → large-star/small-star components → keep-min
+    // representative; oracle = DuckDB list_cosine_similarity pairs + the
+    // same recursive-CTE closure as q73. Completes the dedup-family gates:
+    // the candidate basis here is deterministic (unlike minhash q48), so
+    // the whole removal pipeline is oracle-checkable
+    "q79_embed_dedup" -> ((s, dir) => {
+      Similarity.removeNearDuplicates(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("vec_id"), col("label").cast("long").as("cls"))
+        .orderBy("vec_id")
+    }),
+
+    // SLIDING event-time windows (2h window, 1h slide): each event lands in
+    // exactly windowDuration/slideDuration windows — the overlapping-window
+    // shape q11/q67's tumbling windows don't cover. Spark expands the
+    // window set inside the native `window()` generator; the oracle
+    // reconstructs it with an explicit 2-row offset cross join
+    "q80_sliding_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r(sum("value"), 4).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // per-group POISSON gate (q78's trick for the count family): with one
+    // binary regressor the grouped poisson/log IRLS is saturated, so the
+    // fitted cell means are closed-form cell averages — exp(b0) and
+    // exp(b0+b1) hash-gate the whole grouped-poisson fit against DuckDB
+    "q81_grouped_poisson" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x_high", when(col("l_quantity") > 25, 1.0).otherwise(0.0))
+        .withColumn("y", col("l_linenumber").cast("double"))
+      GroupedGLM.fit(li, Seq("l_returnflag"), Seq("x_high"), "y",
+          family = "poisson")
+        .select(col("l_returnflag"),
+          r(exp(col("b_intercept")), 6).as("mu_low"),
+          r(exp(col("b_intercept") + col("b_x_high")), 6).as("mu_high"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -1845,6 +1890,55 @@ object SparkEntry {
         |  AND t.x_high = p.x_high
         |WHERE p.mu > 0.3
         |GROUP BY t.l_returnflag
-        |ORDER BY t.l_returnflag""".stripMargin
+        |ORDER BY t.l_returnflag""".stripMargin,
+
+    // q38's exact cosine-pair relation + q73's recursive-CTE closure:
+    // survivors are rows that are their own component min (or unpaired)
+    "q79_embed_dedup" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src),
+        |lab AS (SELECT id, min(label) AS label FROM cc GROUP BY id)
+        |SELECT v.vec_id, CAST(v.label AS BIGINT) AS cls
+        |FROM embeddings v LEFT JOIN lab ON lab.id = v.vec_id
+        |WHERE lab.label IS NULL OR lab.label = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
+
+    // every event contributes to the two 2h windows whose starts are its
+    // truncated hour and the hour before
+    "q80_sliding_window" ->
+      """WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS ws,
+        |    event_type, value
+        |  FROM events CROSS JOIN offs)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // saturated grouped poisson: the log-link MLE fitted means are the
+    // per-(group, cell) averages of y
+    "q81_grouped_poisson" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS xh,
+        |    CAST(l_linenumber AS DOUBLE) AS y
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(avg(CASE WHEN xh = 0 THEN y END), 6) AS mu_low,
+        |  round(avg(CASE WHEN xh = 1 THEN y END), 6) AS mu_high,
+        |  count(*) AS n_rows
+        |FROM t GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

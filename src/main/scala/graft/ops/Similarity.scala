@@ -172,6 +172,35 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Embedding-cosine near-duplicate removal end-to-end: cosine pairs →
+    * connected components → keep the minimum id per component (plus every
+    * vector with no near-duplicate) — the embedding twin of
+    * [[graft.ops.Dedup.removeNearDuplicates]].
+    *
+    * `exact = true` (default) uses the guarded O(n²) [[cosinePairs]]
+    * baseline — deterministic, so the result is oracle-checkable;
+    * `exact = false` swaps in [[cosinePairsLSH]] (banded equi-join, recall
+    * < 1), the path that survives a corpus too large to broadcast. The
+    * component labeling is [[graft.ops.Dedup.connectedComponentsLSS]]
+    * (O(log n) rounds regardless of duplicate-chain depth).
+    */
+  def removeNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs =
+      (if (exact) cosinePairs(df, idCol, vecCol, threshold)
+       else cosinePairsLSH(df, idCol, vecCol, threshold))
+        .select("id_a", "id_b")
+    // reserved component-label name: unlike the documents table, embedding
+    // frames routinely carry their own `label` (class) column
+    val labels = graft.ops.Dedup.connectedComponentsLSS(pairs,
+        checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol).withColumnRenamed("label", "__nd_label")
+    df.join(labels, Seq(idCol), "left")
+      .filter(col("__nd_label").isNull || col("__nd_label") === col(idCol))
+      .drop("__nd_label")
+  }
+
   /** Random-hyperplane signature: `nBits` sign bits as an array<int>.
     * `dim` is the embedding dimensionality (plane matrix is nBits × dim).
     * Implemented as a closure UDF over the precomputed plane matrix: the

@@ -134,6 +134,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ok.count() === 45) // 10 choose 2 pairs at threshold -1
   }
 
+  test("removeNearDuplicates keeps one representative per planted clone cluster") {
+    // plant two clones of vec 1 and one clone of vec 2 among 50 originals
+    val planted = emb.select($"vec_id", $"embedding", $"label").limit(50)
+      .union(emb.filter($"vec_id" === 1).select(lit(9000001L), $"embedding", $"label"))
+      .union(emb.filter($"vec_id" === 1).select(lit(9000002L), $"embedding", $"label"))
+      .union(emb.filter($"vec_id" === 2).select(lit(9000003L), $"embedding", $"label"))
+    val kept = Similarity.removeNearDuplicates(planted, "vec_id", "embedding", 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // clones collapse onto their min-id representative; schema (incl. the
+    // frame's own `label` column) passes through untouched
+    assert(kept.contains(1L) && !kept.contains(9000001L) && !kept.contains(9000002L))
+    assert(kept.contains(2L) && !kept.contains(9000003L))
+    assert(kept.size === 50)
+    val cols = Similarity.removeNearDuplicates(planted, "vec_id", "embedding", 0.999)
+      .columns.toSeq
+    assert(cols === Seq("vec_id", "embedding", "label"))
+  }
+
   test("signature is deterministic and length nBits") {
     val sig = emb.limit(5)
       .select(Similarity.hyperplaneSignature($"embedding", 16, 64).as("s"))
