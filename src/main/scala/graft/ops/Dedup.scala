@@ -283,7 +283,11 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      // shuffle-hash hint: same reasoning as the LSS phase join — labels is
+      // O(nodes) (never broadcastable at scale) and pinning the plan avoids
+      // AQE's runtime broadcast conversion inside a tight checkpoint loop
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src")
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
       // the changed flag rides along INTO the checkpoint, so convergence is
       // read back with a cheap scan of the checkpointed result — no second
@@ -350,7 +354,14 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val rewired = sym.join(mins, "u")
+      // shuffle-hash hint: the mins side is O(nodes), so at scale a
+      // broadcast is impossible and the equi-join shuffles on the node id
+      // anyway; pinning that plan here also stops AQE's runtime
+      // broadcast-join conversion, which intermittently wedged the tight
+      // checkpoint-per-round loop for minutes at a time (observed repeatedly
+      // at gate scale: rounds of ~0.6s with sporadic 180-640s outliers, all
+      // parked waiting on stage materialization with zero task activity)
+      val rewired = sym.join(mins.hint("shuffle_hash"), "u")
         .filter(if (large) col("v") > col("u") else col("v") < col("u"))
         .select(col("v").as("u"), col("m").as("v"))
       // small-star also links each node itself to its neighborhood min
@@ -363,7 +374,11 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       // one checkpoint per round: the large-star output stays lazy inside
-      // the round's lineage (≈6 shuffles), halving materialization passes
+      // the round's lineage (≈6 shuffles), halving materialization passes.
+      // Folding TWO rounds per generation (12-shuffle lineage) was measured
+      // WORSE: the deeper adaptive plan re-triggers the runtime
+      // broadcast-conversion wedge noted in [[phase]] — negative A/B,
+      // rounds are kept at one double-phase per generation
       edges = cp(phase(phase(edges, large = true), large = false))
       val next = checksum(edges)
       converged = next == sum

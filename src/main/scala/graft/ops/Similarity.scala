@@ -138,7 +138,10 @@ object Similarity {
           }
         }
       }
-    }.toDF("id_a", "id_b", "cos").orderBy("id_a", "id_b")
+    }.toDF("id_a", "id_b", "cos")
+    // no trailing orderBy: a global sort (sampling job + range shuffle)
+    // is caller's business — composed pipelines (removeNearDuplicates)
+    // would otherwise pay it for nothing
   }
 
   /** Scale path for embedding near-dup: hyperplane-LSH bucketing prunes the
