@@ -53,4 +53,36 @@ class SourcesSpec extends SparkSpec {
     assert(one.count() === docs.filter(col("lang") === "en").count())
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan.take(600))
   }
+
+  test("range-clustered write produces files with disjoint key ranges") {
+    val dir = Files.createTempDirectory("graft_clustered").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.ops.Layout.writeRangeClustered(li, dir, Seq("l_shipdate"), 4)
+    val files = spark.read.parquet(dir).inputFiles
+    assert(files.length >= 3, s"expected >=3 clustered files, got ${files.length}")
+    // each file must cover a slice of the key space that does not reach
+    // into the next file's interior — the property footer-stats skipping
+    // relies on (boundary values may be shared by sampling ties)
+    // NTZ timestamps come back as LocalDateTime; ISO strings order the same
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_shipdate").cast("string"), max("l_shipdate").cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) =>
+        assert(prevMax <= nextMin,
+          s"file ranges overlap: prev max $prevMax > next min $nextMin")
+      case _ =>
+    }
+    // a range predicate on the cluster key reaches the scan as a pushed
+    // filter, so footer/row-group stats can act on it
+    val q = spark.read.parquet(dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      plan.take(600))
+    assert(q.count() ===
+      li.filter(col("l_shipdate") >= lit("1998-01-01")).count())
+  }
 }
