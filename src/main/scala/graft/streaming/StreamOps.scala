@@ -227,9 +227,10 @@ object StreamOps {
       .withWatermark(s"${side}_ts", "10 minutes")
     // few state partitions, like the other replays: per-microbatch state
     // store open/commit overhead beats join parallelism at replay scale
-    // (measured: 8 partitions ≈ 7s, 32 ≈ 18s on the sf0.1 events table)
+    // (sf0.1 events, calm-host min-of-3: 2 parts 6.3s, 4 parts 5.9s,
+    // 8 parts 7.0s, 32 parts ≈ 18s — 4 is the knee)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try intervalJoin(prep(inL.toDF(), "l"), prep(inR.toDF(), "r"),
           "user_id", "l_ts", "r_ts", windowMs, joinType)
