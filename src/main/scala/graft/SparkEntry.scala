@@ -1003,6 +1003,38 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // per-row scoring standard errors (R predict.lm se.fit), hash-gated:
+    // for one regressor the variance quadratic form collapses to the
+    // closed form 1/n + (x−x̄)²/Sxx, so the whole predictWithSe path —
+    // Gram → Cholesky → kernel inverse → codegen'd scoring expression —
+    // is checkable against DuckDB arithmetic
+    "q83_lm_sefit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = LM.fit(li, Seq("l_quantity"), "l_extendedprice")
+      m.predictWithSe(li)
+        .groupBy("l_returnflag")
+        .agg(r(avg("se_fit"), 6).as("avg_se"),
+          r(avg("prediction"), 3).as("avg_pred"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // data-layout round trip, hash-gated: range-clustered write (disjoint
+    // per-file key ranges for footer-stats skipping) then a range-predicate
+    // scan over the clustered copy; oracle = the same predicate over the
+    // original table — gates that clustering preserves the data exactly
+    "q82_clustered_scan" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q82").toString
+      graft.ops.Layout.writeRangeClustered(
+        t(s, dir, "lineitem"), out, Seq("l_shipdate"), numFiles = 4)
+      s.read.parquet(out)
+        .filter(col("l_shipdate") >= lit("1998-06-01"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), r(sum("l_quantity"), 2).as("sum_qty"),
+          min(col("l_shipdate")).cast("string").as("min_ship"))
+        .orderBy("l_returnflag")
+    }),
+
     // per-group POISSON gate (q78's trick for the count family): with one
     // binary regressor the grouped poisson/log IRLS is saturated, so the
     // fitted cell means are closed-form cell averages — exp(b0) and
@@ -1925,6 +1957,42 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value
         |FROM w GROUP BY ws, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // simple-regression se.fit in closed form: sigma·sqrt(1/n + (x−x̄)²/Sxx)
+    "q83_lm_sefit" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, mx, my, xx - n * mx * mx AS sxx,
+        |    xy - n * mx * my AS sxy, yy - n * my * my AS syy
+        |  FROM m),
+        |s AS (
+        |  SELECT n, mx, sxx, sxy / sxx AS b1, my - (sxy / sxx) * mx AS b0,
+        |    sqrt((syy - sxy * sxy / sxx) / (n - 2)) AS sigma
+        |  FROM c)
+        |SELECT l.l_returnflag,
+        |  round(avg(s.sigma * sqrt(1.0 / s.n +
+        |    (l.l_quantity - s.mx) * (l.l_quantity - s.mx) / s.sxx)), 6) AS avg_se,
+        |  round(avg(s.b0 + s.b1 * l.l_quantity), 3) AS avg_pred,
+        |  count(*) AS n_rows
+        |FROM lineitem l CROSS JOIN s
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    // the clustered copy must answer range queries identically to the
+    // original table
+    "q82_clustered_scan" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // saturated grouped poisson: the log-link MLE fitted means are the
     // per-(group, cell) averages of y

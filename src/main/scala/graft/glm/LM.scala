@@ -38,7 +38,11 @@ final class LMModel(
     val r2: Double,
     val adjR2: Double,
     val fStat: Double,
-    val n: Long)
+    val n: Long,
+    /** (XᵀWX)⁻¹ — the unscaled coefficient covariance kernel, kept for
+      * per-row scoring standard errors (p×p, driver-local).
+      */
+    val xtxInv: breeze.linalg.DenseMatrix[Double])
     extends Serializable {
 
   /** Number of fitted parameters (including intercept). */
@@ -79,6 +83,55 @@ final class LMModel(
   def predict(df: DataFrame, outputCol: String = "prediction"): DataFrame =
     ModelMatrix.matchCols(featureNames.toSeq, df).withColumn(outputCol, predictionExpr)
 
+  /** x₀ᵀ(XᵀWX)⁻¹x₀ as a column expression with literal kernel entries —
+    * the variance quadratic form behind scoring standard errors. p² literal
+    * multiply-adds per row, fully codegen'd, no UDF, no collect.
+    */
+  private def varQuadExpr: Column = {
+    val xs: Array[Column] =
+      (if (intercept) Array(lit(1.0)) else Array.empty[Column]) ++
+        featureNames.map(nm => col(nm).cast(DoubleType))
+    val p = xs.length
+    var acc: Column = lit(0.0)
+    var i = 0
+    while (i < p) {
+      acc = acc + lit(xtxInv(i, i)) * xs(i) * xs(i)
+      var j = i + 1
+      while (j < p) {
+        acc = acc + lit(2.0 * xtxInv(i, j)) * xs(i) * xs(j)
+        j += 1
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** Score with per-row standard errors and intervals, R `predict.lm`
+    * semantics: `se_fit` = σ·sqrt(x₀ᵀ(XᵀWX)⁻¹x₀); `interval = "confidence"`
+    * bounds the MEAN response (± t·se_fit), `"prediction"` bounds a NEW
+    * observation (± t·σ·sqrt(1 + x₀ᵀ(XᵀWX)⁻¹x₀)); `"none"` adds only
+    * `prediction` and `se_fit`. Everything is a literal-coefficient column
+    * expression — scoring cost is one codegen'd projection at any scale.
+    */
+  def predictWithSe(df: DataFrame, interval: String = "none",
+      level: Double = 0.95): DataFrame = {
+    require(Seq("none", "confidence", "prediction").contains(interval),
+      s"interval must be none|confidence|prediction, got $interval")
+    require(level > 0 && level < 1, s"level must be in (0,1), got $level")
+    val scored = predict(df).withColumn("se_fit", lit(sigma) * sqrt(varQuadExpr))
+    if (interval == "none") scored
+    else {
+      val tq = new TDistribution(dfResidual.toDouble)
+        .inverseCumulativeProbability(1.0 - (1.0 - level) / 2.0)
+      val half =
+        if (interval == "confidence") lit(tq) * col("se_fit")
+        else lit(tq * sigma) * sqrt(lit(1.0) + varQuadExpr)
+      scored
+        .withColumn("lwr", col("prediction") - half)
+        .withColumn("upr", col("prediction") + half)
+    }
+  }
+
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
     (if (intercept) "" else " - 1")
 
@@ -88,10 +141,12 @@ final class LMModel(
     */
   def save(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    // xtx_inv stored row-major; square of length p² (p = coefs length)
     Seq((xnames.toSeq, yname, intercept, coefs.toArray.toSeq,
-        stdErr.toArray.toSeq, sigma, r2, adjR2, fStat, n))
+        stdErr.toArray.toSeq, sigma, r2, adjR2, fStat, n,
+        (for (i <- 0 until p; j <- 0 until p) yield xtxInv(i, j)).toSeq))
       .toDF("xnames", "yname", "intercept", "coefs", "std_err",
-        "sigma", "r2", "adj_r2", "f_stat", "n")
+        "sigma", "r2", "adj_r2", "f_stat", "n", "xtx_inv")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -120,16 +175,21 @@ object LM {
   def load(spark: SparkSession, path: String): LMModel = {
     val r = spark.read.parquet(path).head()
     def d(name: String) = r.getSeq[Double](r.fieldIndex(name)).toArray
+    val coefs = d("coefs")
+    val p = coefs.length
+    val flat = d("xtx_inv")
     new LMModel(
       r.getSeq[String](r.fieldIndex("xnames")).toArray,
       r.getString(r.fieldIndex("yname")),
       r.getBoolean(r.fieldIndex("intercept")),
-      BDV(d("coefs")), BDV(d("std_err")),
+      BDV(coefs), BDV(d("std_err")),
       r.getDouble(r.fieldIndex("sigma")),
       r.getDouble(r.fieldIndex("r2")),
       r.getDouble(r.fieldIndex("adj_r2")),
       r.getDouble(r.fieldIndex("f_stat")),
-      r.getLong(r.fieldIndex("n")))
+      r.getLong(r.fieldIndex("n")),
+      // stored row-major; Breeze tabulate indexes (row, col)
+      breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) => flat(i * p + j)))
   }
 
   /** Fit y ~ X by (weighted) least squares.
@@ -163,13 +223,13 @@ object LM {
     val ssm = tss - sse
     val dfe = (g.n - p).toDouble
     val sigma2 = sse / dfe
-    val invD = LinAlg.invDiag(g.xtx)
-    val se = BDV.tabulate(p)(i => math.sqrt(sigma2 * invD(i)))
+    val ixtx = LinAlg.invPD(g.xtx)
+    val se = BDV.tabulate(p)(i => math.sqrt(sigma2 * ixtx(i, i)))
     val r2 = if (tss > 0) ssm / tss else Double.NaN
     val adjR2 = 1.0 - (1.0 - r2) * (g.n - (if (intercept) 1 else 0)).toDouble / dfe
     val f = if (p > 1) (ssm / (p - 1)) / sigma2 else Double.NaN
 
-    new LMModel(names, yCol, intercept, beta, se, math.sqrt(sigma2), r2, adjR2, f, g.n)
+    new LMModel(names, yCol, intercept, beta, se, math.sqrt(sigma2), r2, adjR2, f, g.n, ixtx)
   }
 
   /** Formula front-end: dummy-encodes string columns via [[ModelMatrix]]

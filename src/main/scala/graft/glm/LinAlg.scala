@@ -47,4 +47,10 @@ object LinAlg {
     val ia = inv(a)
     BDV.tabulate(a.rows)(i => ia(i, i))
   }
+
+  /** Full a⁻¹ for symmetric PD `a` — the p×p covariance kernel kept on
+    * fitted models for per-row scoring standard errors (p is small; the
+    * inverse is computed once on the driver).
+    */
+  def invPD(a: BDM[Double]): BDM[Double] = inv(a)
 }

@@ -141,6 +141,40 @@ class LMSpec extends SparkSpec {
     assert(m.coefs(0) > 2.5 && m.coefs(0) < 4.0)
   }
 
+  test("predictWithSe matches an independent local computation (R predict.lm)") {
+    val m = LM.fit(data, Seq("x1", "x2"), "y")
+    // independent reference: rebuild (X'X)^-1 from collected rows with
+    // plain breeze, not the model's stored kernel
+    val rows = data.select("x1", "x2", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = rows.length
+    val x = BDM.tabulate(n, 3)((i, j) =>
+      j match { case 0 => 1.0; case 1 => rows(i)._1; case 2 => rows(i)._2 })
+    val ixtx = breeze.linalg.inv(x.t * x)
+    val got = m.predictWithSe(data, interval = "confidence")
+      .select("x1", "x2", "prediction", "se_fit", "lwr", "upr")
+      .collect()
+    val tq = new org.apache.commons.math3.distribution.TDistribution((n - 3).toDouble)
+      .inverseCumulativeProbability(0.975)
+    got.foreach { r =>
+      val x0 = BDV(1.0, r.getDouble(0), r.getDouble(1))
+      val seRef = m.sigma * math.sqrt(x0 dot (ixtx * x0))
+      assert(math.abs(r.getDouble(3) - seRef) < 1e-8 * (1 + seRef))
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) - tq * seRef)) < 1e-6)
+      assert(math.abs(r.getDouble(5) - (r.getDouble(2) + tq * seRef)) < 1e-6)
+    }
+    // prediction intervals are strictly wider than confidence intervals
+    // and cover nearly all in-sample observations at the 95% level
+    val pi = m.predictWithSe(data, interval = "prediction")
+      .select(col("y"), col("lwr"), col("upr"),
+        (col("upr") - col("lwr")).as("w")).collect()
+    val ci = got.map(r => r.getDouble(5) - r.getDouble(4))
+    pi.map(_.getDouble(3)).zip(ci).foreach { case (wp, wc) => assert(wp > wc) }
+    val covered = pi.count(r =>
+      r.getDouble(0) >= r.getDouble(1) && r.getDouble(0) <= r.getDouble(2))
+    assert(covered >= (0.9 * n).toInt, s"PI covered $covered of $n")
+  }
+
   test("save/load round-trips the model bit-exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lm-model").toString
     try {
@@ -152,10 +186,14 @@ class LMSpec extends SparkSpec {
       assert(back.sigma === m.sigma && back.r2 === m.r2 &&
         back.adjR2 === m.adjR2 && back.fStat === m.fStat && back.n === m.n)
       assert(back.summary === m.summary)
-      // the loaded model scores identically
+      // the loaded model scores identically, standard errors included
       val a = m.predict(data).select("prediction").collect().map(_.getDouble(0))
       val b = back.predict(data).select("prediction").collect().map(_.getDouble(0))
       assert(a === b)
+      assert(back.xtxInv === m.xtxInv)
+      val sa = m.predictWithSe(data).select("se_fit").collect().map(_.getDouble(0))
+      val sb = back.predictWithSe(data).select("se_fit").collect().map(_.getDouble(0))
+      assert(sa === sb)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
