@@ -54,7 +54,13 @@ final class GLMModel(
     val pearson: Double,
     val loglik: Double,
     val n: Long,
-    val iter: Int)
+    val iter: Int,
+    /** (XᵀWX)⁻¹ at convergence — the unscaled coefficient covariance
+      * kernel, kept for per-row scoring standard errors (p×p,
+      * driver-local); NaN sentinel on models loaded from a pre-kernel
+      * save (only [[predictWithSe]] needs it).
+      */
+    val xtwxInv: breeze.linalg.DenseMatrix[Double])
     extends Serializable {
 
   def p: Int = coefs.length
@@ -96,6 +102,44 @@ final class GLMModel(
     aligned.withColumn(outputCol, link.inverse(linearPredictor + off, m))
   }
 
+  /** Score with per-row DELTA-METHOD standard errors — R
+    * `predict.glm(se.fit = TRUE)` semantics. On the link scale
+    * (`scale = "link"`): se_η = sqrt(disp · x₀ᵀ(XᵀWX)⁻¹x₀) with
+    * disp = 1 for binomial/poisson and the Pearson dispersion estimate
+    * for gaussian/gamma (R's summary.glm convention — for gaussian this
+    * is exactly predict.lm's σ̂·sqrt(quad)). On the response scale
+    * (`scale = "response"`): se_μ = se_η · |dμ/dη| (the delta method;
+    * dμ/dη = 1/l′(μ)). `prediction` is always μ on the response scale,
+    * like [[predict]]. Everything is a literal-kernel column expression
+    * (or one closure UDF for wide p) — one codegen'd projection at any
+    * scale.
+    */
+  def predictWithSe(df: DataFrame, scale: String = "link",
+      mCol: Option[String] = None, offsetCol: Option[String] = None): DataFrame = {
+    require(Seq("link", "response").contains(scale),
+      s"scale must be link|response, got $scale")
+    require(!xtwxInv(0, 0).isNaN,
+      "this model has no (XᵀWX)⁻¹ kernel (loaded from a pre-xtwx_inv save?) — " +
+        "refit or re-save with the current version to use predictWithSe")
+    val aligned = ModelMatrix.matchCols(featureNames.toSeq, df)
+    val xs: Array[Column] =
+      (if (intercept) Array(lit(1.0)) else Array.empty[Column]) ++
+        featureNames.map(nm => col(nm).cast(DoubleType))
+    val quad = LinAlg.quadFormExpr(xtwxInv, xs)
+    val dispFactor = family match {
+      case "gaussian" | "gamma" => math.sqrt(dispersion)
+      case _ => 1.0
+    }
+    val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val off = offsetCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(0.0))
+    val mu = link.inverse(linearPredictor + off, m)
+    val seLink = lit(dispFactor) * sqrt(quad)
+    val se =
+      if (scale == "link") seLink
+      else seLink / abs(link.lprime(mu, m))
+    aligned.withColumn("prediction", mu).withColumn("se_fit", se)
+  }
+
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
     (if (intercept) "" else " - 1")
 
@@ -107,10 +151,11 @@ final class GLMModel(
     import spark.implicits._
     Seq((xnames.toSeq, yname, intercept, family, link.name,
         coefs.toArray.toSeq, stdErr.toArray.toSeq,
-        deviance, nullDeviance, pearson, loglik, n, iter))
+        deviance, nullDeviance, pearson, loglik, n, iter,
+        (for (i <- 0 until p; j <- 0 until p) yield xtwxInv(i, j)).toSeq))
       .toDF("xnames", "yname", "intercept", "family", "link",
         "coefs", "std_err", "deviance", "null_deviance", "pearson",
-        "loglik", "n", "iter")
+        "loglik", "n", "iter", "xtwx_inv")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -137,23 +182,33 @@ final class GLMModel(
 
 object GLM {
 
-  /** Load a model persisted by [[GLMModel.save]]. */
+  /** Load a model persisted by [[GLMModel.save]]. Models saved before the
+    * `xtwx_inv` column existed still load; only `predictWithSe` needs the
+    * kernel and fails with a clear message on such a model.
+    */
   def load(spark: SparkSession, path: String): GLMModel = {
-    val r = spark.read.parquet(path).head()
+    val df = spark.read.parquet(path)
+    val r = df.head()
     def d(name: String) = r.getSeq[Double](r.fieldIndex(name)).toArray
+    val coefs = d("coefs")
+    val p = coefs.length
+    val flat =
+      if (df.columns.contains("xtwx_inv")) d("xtwx_inv")
+      else Array.fill(p * p)(Double.NaN)
     new GLMModel(
       r.getSeq[String](r.fieldIndex("xnames")).toArray,
       r.getString(r.fieldIndex("yname")),
       r.getBoolean(r.fieldIndex("intercept")),
       r.getString(r.fieldIndex("family")),
       LinkFn(r.getString(r.fieldIndex("link"))),
-      BDV(d("coefs")), BDV(d("std_err")),
+      BDV(coefs), BDV(d("std_err")),
       r.getDouble(r.fieldIndex("deviance")),
       r.getDouble(r.fieldIndex("null_deviance")),
       r.getDouble(r.fieldIndex("pearson")),
       r.getDouble(r.fieldIndex("loglik")),
       r.getLong(r.fieldIndex("n")),
-      r.getInt(r.fieldIndex("iter")))
+      r.getInt(r.fieldIndex("iter")),
+      breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) => flat(i * p + j)))
   }
 
   /** log C(m, y) via log-gamma, for the binomial log-likelihood
@@ -189,6 +244,11 @@ object GLM {
     * @param linkName  logit | probit | cloglog | log; empty = family default
     * @param mCol      binomial denominator column (defaults to 1)
     * @param offsetCol known-offset column added to η (defaults to 0)
+    * @param weightCol prior case-weight column (defaults to 1): scales the
+    *                  IRLS working weights, deviance, Pearson χ² and
+    *                  log-likelihood contributions — R's `glm(weights=)`;
+    *                  an integer weight k is equivalent to k copies of the
+    *                  row (same β/se/deviance; n still counts rows)
     * @param tol       relative deviance-change convergence threshold:
     *                  |ΔD| / (|D| + 0.1) < tol (see object doc)
     */
@@ -201,6 +261,7 @@ object GLM {
       intercept: Boolean = true,
       mCol: Option[String] = None,
       offsetCol: Option[String] = None,
+      weightCol: Option[String] = None,
       tol: Double = 1e-10,
       maxIter: Int = 50,
       verbose: Boolean = false): GLMModel = {
@@ -215,7 +276,8 @@ object GLM {
       xs0.zip(xsNames).map { case (c, n) => c.as(n) } ++ Seq(
         col(yCol).cast(DoubleType).as("y"),
         mCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("m"),
-        offsetCol.map(col(_).cast(DoubleType)).getOrElse(lit(0.0)).as("off"))
+        offsetCol.map(col(_).cast(DoubleType)).getOrElse(lit(0.0)).as("off"),
+        weightCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("pw"))
     // spread the working set across the cluster before persisting: every
     // IRLS iteration re-scans this frame, and a single-file source would
     // otherwise pin all iterations to one task
@@ -227,7 +289,7 @@ object GLM {
 
     val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ xsNames.map(col)
     val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray
-    val y = col("y"); val m = col("m"); val off = col("off")
+    val y = col("y"); val m = col("m"); val off = col("off"); val pw = col("pw")
 
     def clamp(mu: Column): Column = fam.clampMu(mu, m)
 
@@ -254,10 +316,10 @@ object GLM {
           }
         val lp = link.lprime(muE, m)
         val z = etaE + (y - muE) * lp - off
-        val w = lit(1.0) / (fam.variance(muE, m) * lp * lp)
+        val w = pw / (fam.variance(muE, m) * lp * lp)
 
         // ONE distributed pass: weighted normal equations + deviance.
-        val g = Gram.normal(work, xs, z, w, extras = Seq(sum(fam.deviance(y, muE, m))))
+        val g = Gram.normal(work, xs, z, w, extras = Seq(sum(pw * fam.deviance(y, muE, m))))
         dev = g.extras(0)
         lastGram = g
 
@@ -272,38 +334,42 @@ object GLM {
       }
 
       val p = lastGram.p
-      val invD = LinAlg.invDiag(lastGram.xtx)
-      val se = BDV.tabulate(p)(i => math.sqrt(invD(i)))
+      val ixtwx = LinAlg.invPD(lastGram.xtx)
+      val se = BDV.tabulate(p)(i => math.sqrt(ixtwx(i, i)))
 
       // Final statistics: μ at the converged β.
       val etaF = xs.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }.reduce(_ + _) + off
       val muF = clamp(link.inverse(etaF, m))
       val statsRow = work.agg(
-        sum((y - muF) * (y - muF) / fam.variance(muF, m)).as("pearson"),
-        sum(fam.logLik(y, muF, m)).as("ll"),
-        sum(y).as("y_sum"),
-        sum(m).as("m_sum"),
-        count(lit(1)).as("n")).head()
+        sum(pw * (y - muF) * (y - muF) / fam.variance(muF, m)).as("pearson"),
+        sum(pw * fam.logLik(y, muF, m)).as("ll"),
+        sum(pw * y).as("y_sum"),
+        sum(pw * m).as("m_sum"),
+        count(lit(1)).as("n"),
+        sum(log(pw)).as("sum_log_w")).head()
       val pearson = statsRow.getDouble(0)
       val pHat = statsRow.getDouble(2) / statsRow.getDouble(3)
       val n = statsRow.getLong(4)
       // gaussian log-likelihood follows R's logLik.glm convention: profile
-      // σ̂² = RSS/n into ll = −n/2·(ln(2π·RSS/n) + 1) (and count σ as a
-      // parameter in the AIC — see GLMModel.aic); the per-row family
+      // σ̂² = RSS_w/n into ll = −n/2·(ln(2π·RSS_w/n) + 1) + ½Σln(w) (the
+      // weighted-normal density term — R's aic.gaussian subtracts
+      // sum(log(wt)); unit weights make it vanish) and count σ as a
+      // parameter in the AIC — see GLMModel.aic; the per-row family
       // expression is the unit-dispersion term, correct for the others
       val ll =
         if (fam.name == "gaussian")
-          -0.5 * n * (math.log(2.0 * math.Pi * dev / n) + 1.0)
+          -0.5 * n * (math.log(2.0 * math.Pi * dev / n) + 1.0) +
+            0.5 * statsRow.getDouble(5)
         else statsRow.getDouble(1)
 
-      // Null deviance: the intercept-only MLE mean is m·(Σy/Σm) for both
+      // Null deviance: the intercept-only MLE mean is m·(Σwy/Σwm) for both
       // families (binomial rate and, with m = 1, the Poisson ȳ) — closed
       // form, one small extra pass.
       val muNull = clamp(m * pHat)
-      val nullDev = work.agg(sum(fam.deviance(y, muNull, m))).head().getDouble(0)
+      val nullDev = work.agg(sum(pw * fam.deviance(y, muNull, m))).head().getDouble(0)
 
       new GLMModel(names, yCol, intercept, fam.name, link, beta, se,
-        dev, nullDev, pearson, ll, n, iterations)
+        dev, nullDev, pearson, ll, n, iterations, ixtwx)
     } finally {
       work.unpersist(blocking = false)
     }
@@ -311,8 +377,9 @@ object GLM {
 
   /** Formula front-end (dummy-encodes string columns first; interaction
     * terms `x1:x2` / `x1*x2` expand per [[ModelMatrix.termColumns]]).
-    * `mCol` / `offsetCol` pass through to [[fit]] and are excluded from
-    * `.`-term expansion and encoding (they ride along numeric-cast).
+    * `mCol` / `offsetCol` / `weightCol` pass through to [[fit]] and are
+    * excluded from `.`-term expansion and encoding (they ride along
+    * numeric-cast).
     */
   def fitFormula(
       df: DataFrame,
@@ -321,9 +388,10 @@ object GLM {
       linkName: String = "",
       mCol: Option[String] = None,
       offsetCol: Option[String] = None,
+      weightCol: Option[String] = None,
       tol: Double = 1e-10,
       maxIter: Int = 50): GLMModel = {
-    val extras = Seq(mCol, offsetCol).flatten.distinct
+    val extras = Seq(mCol, offsetCol, weightCol).flatten.distinct
     val f0 = Formula.parse(formula)
       .resolve(df.columns.toSeq.filterNot(extras.contains))
     val base = f0.baseColumns
@@ -339,6 +407,6 @@ object GLM {
         (feats.map(_._2) ++ extras.map(c => col(c).cast("double").as(c))): _*)
     fit(encoded, feats.map(_._1), f0.response, family = family, linkName = linkName,
       intercept = f0.intercept, mCol = mCol, offsetCol = offsetCol,
-      tol = tol, maxIter = maxIter)
+      weightCol = weightCol, tol = tol, maxIter = maxIter)
   }
 }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * is the per-group weighted Gram (computed against that group's OWN
   * beta), and solves the p×p system per group inside the aggregate's
   * `finish` on whichever executor owns the group. Only a single scalar
-  * (total deviance) reaches the driver per iteration, for the convergence
-  * check. Shuffle traffic is one p²-sized buffer per (partition, group) —
-  * map-side partial aggregation, never row data.
+  * (the count of still-unconverged groups) reaches the driver per
+  * iteration. Convergence is PER GROUP: a converged group freezes and its
+  * rows drop out of the join map-side, so slow groups don't force
+  * whole-data passes for everyone. Shuffle traffic is one p²-sized buffer
+  * per (partition, active group) — map-side partial aggregation, never
+  * row data.
   *
   * Families: binomial-logit (canonical IRLS: w = μ(1−μ), z = η+(y−μ)/w;
   * reference: GLM.scala:190-204, 282-291), poisson-log (w = μ,
@@ -262,7 +265,9 @@ object GroupedGLM {
     *         (`b_intercept` first when intercept, then `b_<feature>`),
     *         matching `se_intercept`/`se_<feature>` standard errors
     *         (sqrt(dispersion · diag((XᵀWX)⁻¹)) at convergence), deviance,
-    *         n_rows, n_iter, loglik, aic = −2·loglik + 2k (k = p, plus the
+    *         n_rows, n_iter (the PER-GROUP iteration count — the pass this
+    *         group's deviance stabilized at; groups converge and freeze
+    *         independently), loglik, aic = −2·loglik + 2k (k = p, plus the
     *         profiled σ̂² for gaussian — loglik/aic follow R's logLik.glm/
     *         AIC.glm conventions exactly, gaussian included) (+
     *         null_deviance when requested). NaN coefficients/SEs mark
@@ -327,37 +332,59 @@ object GroupedGLM {
         .as("xy"): _*)
       .persist()
 
-    // the zero betas are placeholders — iteration 0 runs the init
-    // aggregator, which derives η from y per family and ignores them
-    var betas = cp(assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-      .select(keys :+ array(Seq.fill(pp)(lit(0.0)): _*).as("beta"): _*))
-    var prevDev = Double.MaxValue
+    // Per-group state frame (one row per group, riding the generation
+    // chain): beta, previous deviance, last stats, a `frozen` convergence
+    // flag and the iteration the group last computed at. Convergence is
+    // PER GROUP — a group whose relative deviance change drops under `tol`
+    // freezes: its rows stop flowing into the broadcast join (inner join
+    // against the ACTIVE betas drops them map-side) and its Gram is never
+    // recomputed, so one slow group no longer forces whole-data iterations
+    // for the millions-of-groups regime. Frozen rows pass through each
+    // generation unchanged (the state is one row per group — copying it is
+    // free next to the data pass it saves).
+    // The zero betas are placeholders — iteration 0 runs the init
+    // aggregator, which derives η from y per family and ignores them.
+    var state = cp(assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .select(keys ++ Seq(
+        array(Seq.fill(pp)(lit(0.0)): _*).as("beta"),
+        lit(Double.MaxValue).as("dev"),
+        lit(0L).as("n"),
+        array(Seq.fill(pp)(lit(Double.NaN)): _*).as("vdiag"),
+        lit(0.0).as("ll"),
+        lit(false).as("frozen"),
+        lit(0).as("n_iter")): _*))
     var iter = 0
-    var done = false
-    var lastFit: DataFrame = null
-    while (iter < maxIter && !done) {
-      val joined = assembled.join(broadcast(betas), keyCols)
-      val step = cp(joined.groupBy(keys: _*)
+    var remaining = 1L
+    while (iter < maxIter && remaining > 0) {
+      val active = state.filter(!col("frozen"))
+      val joined = assembled.join(
+        broadcast(active.select(keys :+ col("beta"): _*)), keyCols)
+      val step = joined.groupBy(keys: _*)
         .agg((if (iter == 0) aggInit else agg)(concat(col("xy"), col("beta"))).as("buf"))
         .select(keys ++ Seq(
           slice(col("buf"), 1, pp).as("beta"),
           element_at(col("buf"), pp + 1).as("dev"),
           element_at(col("buf"), pp + 2).cast("long").as("n"),
           slice(col("buf"), pp + 3, pp).as("vdiag"),
-          element_at(col("buf"), 2 * pp + 3).as("ll")): _*))
-      // one scalar to the driver per iteration (NaN-singular groups are
-      // excluded so one bad group cannot poison global convergence)
-      val dev = step.agg(
-        sum(when(isnan(element_at(col("beta"), 1)), 0.0).otherwise(col("dev"))))
-        .head().getDouble(0)
-      betas = step.select(keys :+ col("beta"): _*)
-      lastFit = step
-      done = math.abs(prevDev - dev) / (math.abs(dev) + 0.1) < tol
-      prevDev = dev
+          element_at(col("buf"), 2 * pp + 3).as("ll")): _*)
+      // assess each recomputed group against ITS OWN previous deviance;
+      // singular (NaN-beta) groups freeze immediately — they can never
+      // converge and must not keep forcing data passes
+      val assessed = step
+        .join(broadcast(active.select(keys :+ col("dev").as("__prev"): _*)), keyCols)
+        .withColumn("frozen", isnan(element_at(col("beta"), 1)) ||
+          abs(col("__prev") - col("dev")) / (abs(col("dev")) + 0.1) < lit(tol))
+        .withColumn("n_iter", lit(iter + 1))
+        .drop("__prev")
+      state = cp(state.filter(col("frozen"))
+        .unionByName(assessed.select(state.columns.map(col): _*)))
+      // one scalar to the driver per iteration: how many groups still move
+      remaining = state.filter(!col("frozen")).count()
       iter += 1
     }
     assembled.unpersist(blocking = false)
-    cp.close() // the final generation backs lastFit and stays alive
+    cp.close() // the final generation backs the state frame and stays alive
+    val lastFit = state
 
     val names = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
     // dispersion for the SEs: fixed 1 for binomial/poisson; the
@@ -373,7 +400,7 @@ object GroupedGLM {
       names.zipWithIndex.map { case (nm, i) =>
         sqrt(element_at(col("vdiag"), i + 1) * disp).as("se_" + nm.stripPrefix("b_")) } ++
       Seq(col("dev").as("deviance"), col("n").as("n_rows"),
-        lit(iter).as("n_iter"), col("ll").as("loglik"),
+        col("n_iter"), col("ll").as("loglik"),
         // gaussian AIC counts the profiled σ̂² as a parameter (R AIC.glm)
         (col("ll") * -2.0 +
           lit(2.0 * (if (fam == FamGaussian) pp + 1 else pp))).as("aic")): _*)

@@ -83,38 +83,32 @@ final class LMModel(
   def predict(df: DataFrame, outputCol: String = "prediction"): DataFrame =
     ModelMatrix.matchCols(featureNames.toSeq, df).withColumn(outputCol, predictionExpr)
 
-  /** x₀ᵀ(XᵀWX)⁻¹x₀ as a column expression with literal kernel entries —
-    * the variance quadratic form behind scoring standard errors. p² literal
-    * multiply-adds per row, fully codegen'd, no UDF, no collect.
+  /** x₀ᵀ(XᵀWX)⁻¹x₀ — the variance quadratic form behind scoring standard
+    * errors ([[LinAlg.quadFormExpr]]: unrolled codegen'd expression for
+    * small p, one closure UDF above it so wide-p plans stay O(p)).
     */
   private def varQuadExpr: Column = {
+    require(!xtxInv(0, 0).isNaN,
+      "this model has no (XᵀWX)⁻¹ kernel (loaded from a pre-xtx_inv save?) — " +
+        "refit or re-save with the current version to use predictWithSe")
     val xs: Array[Column] =
       (if (intercept) Array(lit(1.0)) else Array.empty[Column]) ++
         featureNames.map(nm => col(nm).cast(DoubleType))
-    val p = xs.length
-    var acc: Column = lit(0.0)
-    var i = 0
-    while (i < p) {
-      acc = acc + lit(xtxInv(i, i)) * xs(i) * xs(i)
-      var j = i + 1
-      while (j < p) {
-        acc = acc + lit(2.0 * xtxInv(i, j)) * xs(i) * xs(j)
-        j += 1
-      }
-      i += 1
-    }
-    acc
+    LinAlg.quadFormExpr(xtxInv, xs)
   }
 
   /** Score with per-row standard errors and intervals, R `predict.lm`
     * semantics: `se_fit` = σ·sqrt(x₀ᵀ(XᵀWX)⁻¹x₀); `interval = "confidence"`
     * bounds the MEAN response (± t·se_fit), `"prediction"` bounds a NEW
-    * observation (± t·σ·sqrt(1 + x₀ᵀ(XᵀWX)⁻¹x₀)); `"none"` adds only
-    * `prediction` and `se_fit`. Everything is a literal-coefficient column
-    * expression — scoring cost is one codegen'd projection at any scale.
+    * observation (± t·σ·sqrt(1/w + x₀ᵀ(XᵀWX)⁻¹x₀), where w is the new
+    * observation's prior weight from `weightCol` — R's
+    * `predict.lm(..., weights=)`; unit weight when absent); `"none"` adds
+    * only `prediction` and `se_fit`. Everything is a literal-coefficient
+    * column expression — scoring cost is one codegen'd projection at any
+    * scale.
     */
   def predictWithSe(df: DataFrame, interval: String = "none",
-      level: Double = 0.95): DataFrame = {
+      level: Double = 0.95, weightCol: Option[String] = None): DataFrame = {
     require(Seq("none", "confidence", "prediction").contains(interval),
       s"interval must be none|confidence|prediction, got $interval")
     require(level > 0 && level < 1, s"level must be in (0,1), got $level")
@@ -123,9 +117,10 @@ final class LMModel(
     else {
       val tq = new TDistribution(dfResidual.toDouble)
         .inverseCumulativeProbability(1.0 - (1.0 - level) / 2.0)
+      val invW = weightCol.map(c => lit(1.0) / col(c).cast(DoubleType)).getOrElse(lit(1.0))
       val half =
         if (interval == "confidence") lit(tq) * col("se_fit")
-        else lit(tq * sigma) * sqrt(lit(1.0) + varQuadExpr)
+        else lit(tq * sigma) * sqrt(invW + varQuadExpr)
       scored
         .withColumn("lwr", col("prediction") - half)
         .withColumn("upr", col("prediction") + half)
@@ -171,13 +166,20 @@ final class LMModel(
 
 object LM {
 
-  /** Load a model persisted by [[LMModel.save]]. */
+  /** Load a model persisted by [[LMModel.save]]. Models saved before the
+    * `xtx_inv` column existed still load (scoring, summary, save all work);
+    * only `predictWithSe` needs the kernel and fails with a clear message
+    * on such a model (the NaN sentinel is checked there).
+    */
   def load(spark: SparkSession, path: String): LMModel = {
-    val r = spark.read.parquet(path).head()
+    val df = spark.read.parquet(path)
+    val r = df.head()
     def d(name: String) = r.getSeq[Double](r.fieldIndex(name)).toArray
     val coefs = d("coefs")
     val p = coefs.length
-    val flat = d("xtx_inv")
+    val flat =
+      if (df.columns.contains("xtx_inv")) d("xtx_inv")
+      else Array.fill(p * p)(Double.NaN)
     new LMModel(
       r.getSeq[String](r.fieldIndex("xnames")).toArray,
       r.getString(r.fieldIndex("yname")),

@@ -53,4 +53,48 @@ object LinAlg {
     * inverse is computed once on the driver).
     */
   def invPD(a: BDM[Double]): BDM[Double] = inv(a)
+
+  /** x₀ᵀ·K·x₀ as a per-row column expression — the variance quadratic form
+    * behind scoring standard errors ([[graft.glm.LMModel.predictWithSe]]
+    * and the GLM twin). Small p: unrolled literal-kernel expression, p²
+    * multiply-adds per row, fully codegen'd. Wide p (> `unrollMaxP`): one
+    * closure UDF carrying the p×p kernel, keeping the Catalyst tree O(p)
+    * (an unrolled 40-feature fit would inject ~1,600 literal nodes into
+    * analysis/codegen).
+    */
+  def quadFormExpr(k: BDM[Double],
+      xs: Array[org.apache.spark.sql.Column],
+      unrollMaxP: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, udf}
+    val p = xs.length
+    require(k.rows == p && k.cols == p, s"kernel ${k.rows}x${k.cols} vs p=$p")
+    if (p <= unrollMaxP) {
+      var acc: org.apache.spark.sql.Column = lit(0.0)
+      var i = 0
+      while (i < p) {
+        acc = acc + lit(k(i, i)) * xs(i) * xs(i)
+        var j = i + 1
+        while (j < p) {
+          acc = acc + lit(2.0 * k(i, j)) * xs(i) * xs(j)
+          j += 1
+        }
+        i += 1
+      }
+      acc
+    } else {
+      val kk = Array.tabulate(p, p)((i, j) => k(i, j))
+      val quad = udf { (x: Seq[Double]) =>
+        var acc = 0.0
+        var i = 0
+        while (i < x.length) {
+          acc += kk(i)(i) * x(i) * x(i)
+          var j = i + 1
+          while (j < x.length) { acc += 2.0 * kk(i)(j) * x(i) * x(j); j += 1 }
+          i += 1
+        }
+        acc
+      }
+      quad(array(xs: _*))
+    }
+  }
 }

@@ -386,8 +386,9 @@ object Dedup {
       iter += 1
     }
     // converged state: (child, component-min) stars; roots label themselves.
-    // Materialized through the checkpointer so it becomes the final live
-    // generation BEFORE close() frees the pinned ids it reads from.
+    // Materialized through the checkpointer so the final labels generation
+    // is live BEFORE close() frees the pinned pair relation (base) that
+    // `ids` lazily derives from.
     val labels = cp(ids.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("label")))
     cp.close()

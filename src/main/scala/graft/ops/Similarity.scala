@@ -147,10 +147,22 @@ object Similarity {
   /** Scale path for embedding near-dup: hyperplane-LSH bucketing prunes the
     * pair space (only band-colliding pairs are scored), then exact cosine
     * verification. Recall < 1 by construction.
+    *
+    * The band self-join is quadratic in bucket size, so buckets above
+    * `maxBucketSize` are dropped before the join (the same count-filter-join
+    * cap every other banded self-join here uses — [[Dedup.minhashPairs]],
+    * [[Dedup.jaccardPairs]], [[Dedup.simhashPairs]]): a template-heavy or
+    * near-constant-vector corpus concentrates mass in a few buckets and
+    * would otherwise degenerate toward O(n²) pair rows each carrying two
+    * vectors. A vector only loses recall if ALL of its `bands` buckets
+    * overflow. Band keys are `xxhash64` of the bit-slice, so the cap's
+    * count and the join shuffle 8-byte longs, not bit arrays; hash
+    * collisions can only ADD candidates, which the exact cosine filter
+    * then removes — precision is unaffected.
     */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 64, bands: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     // band keys need enough bits to discriminate: nBits/bands is the key
@@ -161,10 +173,14 @@ object Similarity {
     val sig = hyperplaneSignature(col("u"), nBits, dim, seed)
     val banded = unit.select(col("id"), col("u"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(sig, b * rows + 1, lit(rows))))
+        b => xxhash64(slice(sig, b * rows + 1, lit(rows)))))
       .as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("u").as("ua"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("u").as("ub"))
+    // cap pathological buckets before the self-join
+    val small = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("band", "bkey")
+    val pruned = banded.join(small, Seq("band", "bkey"))
+    val a = pruned.select(col("band"), col("bkey"), col("id").as("id_a"), col("u").as("ua"))
+    val b = pruned.select(col("band"), col("bkey"), col("id").as("id_b"), col("u").as("ub"))
     // score BEFORE dedup so the distinct shuffles slim (id, id, cos) rows,
     // not pair rows carrying two vectors; the dot is deterministic so
     // band-duplicate pairs dedup exactly (unit vectors: dot = cosine)
@@ -183,16 +199,20 @@ object Similarity {
     * `exact = true` (default) uses the guarded O(n²) [[cosinePairs]]
     * baseline — deterministic, so the result is oracle-checkable;
     * `exact = false` swaps in [[cosinePairsLSH]] (banded equi-join, recall
-    * < 1), the path that survives a corpus too large to broadcast. The
-    * component labeling is [[graft.ops.Dedup.connectedComponentsLSS]]
-    * (O(log n) rounds regardless of duplicate-chain depth).
+    * < 1), the path that survives a corpus too large to broadcast —
+    * `maxBucketSize` caps its LSH buckets so a near-constant-vector corpus
+    * cannot degenerate the candidate join to O(n²). The component labeling
+    * is [[graft.ops.Dedup.connectedComponentsLSS]] (O(log n) rounds
+    * regardless of duplicate-chain depth).
     */
   def removeNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, exact: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxBucketSize: Int = 1000): DataFrame = {
     val pairs =
       (if (exact) cosinePairs(df, idCol, vecCol, threshold)
-       else cosinePairsLSH(df, idCol, vecCol, threshold))
+       else cosinePairsLSH(df, idCol, vecCol, threshold,
+         maxBucketSize = maxBucketSize))
         .select("id_a", "id_b")
     // reserved component-label name: unlike the documents table, embedding
     // frames routinely carry their own `label` (class) column

@@ -168,6 +168,73 @@ object StreamOps {
     s.table(name).filter(col("event_type") =!= "__wm")
   }
 
+  /** Run [[windowedCounts]] over a FILE-SOURCE stream — the non-driver-fed
+    * parity gate. Unlike the MemoryStream replays (driver-collected by
+    * definition), nothing here touches the driver except the final result:
+    *
+    *  1. the events frame is STAGED as `numFiles` time-ordered parquet
+    *     files (repartitionByRange on ts — a fully distributed write);
+    *  2. the staged part files get strictly increasing modification times
+    *     in part-file-name order (= ts-range order, since range partition
+    *     0 holds the earliest range). The file source replays files in
+    *     MTIME order, and the parallel write leaves them all with the same
+    *     mtime — without the restamp, replay order is arbitrary and the
+    *     watermark drops whole out-of-order files as late data. The
+    *     restamp is a driver-side metadata touch on `numFiles` entries,
+    *     not a data movement — in production the arrival order IS the
+    *     mtime order, so this only recreates the unbounded shape;
+    *  3. one far-future sentinel row is written as an extra file with the
+    *     LARGEST mtime, so the watermark only passes the real data once
+    *     all of it is in — the same end-of-stream flush the MemoryStream
+    *     replays get from their sentinel events;
+    *  4. `readStream.parquet` with `maxFilesPerTrigger = 1` replays the
+    *     directory one file per micro-batch through the SAME
+    *     [[windowedCounts]] operator.
+    *
+    * This is exactly the unbounded production shape (new files keep
+    * arriving, each becomes a micro-batch); the gate differs only in the
+    * directory being finite.
+    */
+  def windowedCountsFileStream(events: DataFrame, stageDir: String,
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      numFiles: Int = 8): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val evs = events.select(col("event_id").cast("long"), col("ts"),
+      col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
+    evs.repartitionByRange(numFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(stageDir)
+    val dir = new java.io.File(stageDir)
+    def partFiles() = dir.listFiles().filter(_.getName.startsWith("part-"))
+    val mainParts = partFiles().map(_.getName).toSet
+    // driver sees ONE scalar (max ts) — needed to place the sentinel
+    val maxTs = evs.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val farFuture = new Timestamp(maxTs + 30L * 24 * 3600 * 1000)
+    Seq(Event(-1L, farFuture, -1L, "__wm", 0.0)).toDS().toDF()
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    // restamp mtimes: ascending in part-name order over the main files
+    // (part-00000 = earliest ts range), sentinel strictly last
+    val all = partFiles()
+    val ordered = all.filter(f => mainParts(f.getName)).sortBy(_.getName) ++
+      all.filterNot(f => mainParts(f.getName))
+    val base = System.currentTimeMillis() - ordered.length * 2000L
+    ordered.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 2000L) }
+    val name = s"graft_windows_file_${replaySeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        val src = s.readStream.schema(s.read.parquet(stageDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(stageDir)
+        windowedCounts(src, window_, watermark)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).filter(col("event_type") =!= "__wm")
+  }
+
   /** Keyed interval join: pair each left row with the right rows of the
     * same key whose timestamp falls in (left.ts, left.ts + windowMs].
     * Works identically on batch frames and on two streams — for streams,

@@ -85,4 +85,37 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() ===
       li.filter(col("l_shipdate") >= lit("1998-01-01")).count())
   }
+
+  test("z-order lets a predicate on the SECOND column skip files; range clustering cannot") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    val rDir = Files.createTempDirectory("graft_range1d").toString
+    graft.ops.Layout.writeZOrdered(li, zDir,
+      Seq("l_quantity", "l_extendedprice"), numFiles = 8)
+    graft.ops.Layout.writeRangeClustered(li, rDir, Seq("l_quantity"), 8)
+    // data survives the z-ordered round trip exactly
+    val back = spark.read.parquet(zDir)
+    assert(back.count() === li.count())
+    val med = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.001)(0)
+    def extRanges(dir: String): Array[(Double, Double)] =
+      spark.read.parquet(dir).inputFiles.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("l_extendedprice").cast("double"),
+            max("l_extendedprice").cast("double")).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+    // an "l_extendedprice >= median" scan: some z-ordered files sit
+    // entirely below the median (their footer max excludes the predicate),
+    // while every range-clustered-on-quantity file spans the full
+    // extendedprice range and none can be skipped
+    val zSkippable = extRanges(zDir).count(_._2 < med)
+    val rSkippable = extRanges(rDir).count(_._2 < med)
+    assert(zSkippable >= 1,
+      s"z-order produced no file entirely below the l_extendedprice median")
+    assert(rSkippable === 0,
+      "range clustering on l_quantity unexpectedly clustered l_extendedprice")
+    // and the predicate result is identical to the original table's
+    assert(back.filter(col("l_extendedprice") >= med).count() ===
+      li.filter(col("l_extendedprice") >= med).count())
+  }
 }

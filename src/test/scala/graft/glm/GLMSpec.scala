@@ -209,6 +209,47 @@ class GLMSpec extends SparkSpec {
     assert(dotFit.featureNames.toSet === Set("x1", "x2"))
   }
 
+  test("prior weight k is equivalent to k row copies (R glm(weights=))") {
+    val weighted = bern.withColumn("w", when($"id" % 3 === 0, 3.0).otherwise(1.0))
+    val expanded = bern.union(bern.filter($"id" % 3 === 0))
+      .union(bern.filter($"id" % 3 === 0))
+    val mw = GLM.fit(weighted, Seq("x1", "x2"), "y", weightCol = Some("w"))
+    val me = GLM.fit(expanded, Seq("x1", "x2"), "y")
+    (0 until 3).foreach(i => assert(math.abs(mw.coefs(i) - me.coefs(i)) < 1e-7,
+      s"coef $i: ${mw.coefs(i)} vs ${me.coefs(i)}"))
+    assert(math.abs(mw.deviance - me.deviance) < 1e-5 * (1 + me.deviance))
+    assert(math.abs(mw.nullDeviance - me.nullDeviance) < 1e-5 * (1 + me.nullDeviance))
+    assert(math.abs(mw.pearson - me.pearson) < 1e-5 * (1 + me.pearson))
+    assert(math.abs(mw.loglik - me.loglik) < 1e-5 * (1 + math.abs(me.loglik)))
+    (0 until 3).foreach(i => assert(math.abs(mw.stdErr(i) - me.stdErr(i)) <
+      1e-6 * (1 + me.stdErr(i))))
+    // n counts ROWS (R convention), not the weight total
+    assert(mw.n === 2000 && me.n > 2000)
+  }
+
+  test("weighted intercept-only logit recovers logit of the weighted mean exactly") {
+    val weighted = bern.withColumn("one", lit(1.0))
+      .withColumn("w", lit(1.0) + ($"id" % 5).cast("double"))
+    val m = GLM.fit(weighted, Seq("one"), "y", intercept = false,
+      weightCol = Some("w"))
+    val r = weighted.agg(sum($"w" * $"y"), sum($"w")).head()
+    val pBar = r.getDouble(0) / r.getDouble(1)
+    assert(math.abs(m.coefs(0) - math.log(pBar / (1 - pBar))) < 1e-7)
+  }
+
+  test("weighted gaussian GLM equals the WLS LM solution") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("w", lit(1.0) + col("l_linenumber").cast("double"))
+    val g = GLM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+      family = "gaussian", weightCol = Some("w"))
+    val l = LM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+      weightCol = Some("w"))
+    (0 until 3).foreach { i =>
+      assert(math.abs(g.coefs(i) - l.coefs(i)) < 1e-8 * (1.0 + math.abs(l.coefs(i))),
+        s"coef $i: ${g.coefs(i)} vs ${l.coefs(i)}")
+    }
+  }
+
   test("save/load round-trips the model, its link, and the scoring expression") {
     val dir = java.nio.file.Files.createTempDirectory("graft-glm-model").toString
     try {
@@ -223,6 +264,75 @@ class GLMSpec extends SparkSpec {
       val a = m.predict(bern).select("prediction").collect().map(_.getDouble(0))
       val b = back.predict(bern).select("prediction").collect().map(_.getDouble(0))
       assert(a === b)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("gaussian predictWithSe equals LM's se_fit (R predict.glm ≡ predict.lm)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val g = GLM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+      family = "gaussian")
+    val l = LM.fit(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+    val sg = g.predictWithSe(li, scale = "link")
+      .select("se_fit", "prediction").collect()
+    val sl = l.predictWithSe(li).select("se_fit", "prediction").collect()
+    sg.zip(sl).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(0) - b.getDouble(0)) < 1e-8 * (1 + b.getDouble(0)))
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6 * (1 + math.abs(b.getDouble(1))))
+    }
+  }
+
+  test("binomial predictWithSe matches an independent local delta-method computation") {
+    val m = GLM.fit(bern, Seq("x1", "x2"), "y")
+    // independent reference: rebuild (X'WX)^-1 with plain breeze at the
+    // CONVERGED beta (W = μ(1−μ) for logit), then the delta method
+    val rows = bern.select("x1", "x2").collect()
+      .map(r => Array(1.0, r.getDouble(0), r.getDouble(1)))
+    val xtwx = breeze.linalg.DenseMatrix.zeros[Double](3, 3)
+    rows.foreach { x0 =>
+      val eta = m.coefs(0) + m.coefs(1) * x0(1) + m.coefs(2) * x0(2)
+      val mu = 1.0 / (1.0 + math.exp(-eta))
+      val w = mu * (1.0 - mu)
+      for (i <- 0 until 3; j <- 0 until 3) xtwx(i, j) += w * x0(i) * x0(j)
+    }
+    val k = breeze.linalg.inv(xtwx)
+    val got = m.predictWithSe(bern, scale = "link")
+      .select("x1", "x2", "se_fit").collect()
+    val gotResp = m.predictWithSe(bern, scale = "response")
+      .select("x1", "x2", "se_fit", "prediction").collect()
+    got.take(50).foreach { r =>
+      val x0 = breeze.linalg.DenseVector(1.0, r.getDouble(0), r.getDouble(1))
+      val seRef = math.sqrt(x0 dot (k * x0))
+      assert(math.abs(r.getDouble(2) - seRef) < 1e-4 * (1 + seRef),
+        s"se ${r.getDouble(2)} vs $seRef")
+    }
+    // response scale: se_μ = se_η · μ(1−μ) (dμ/dη for logit)
+    gotResp.take(50).zip(got.take(50)).foreach { case (rp, rl) =>
+      val mu = rp.getDouble(3)
+      assert(math.abs(rp.getDouble(2) - rl.getDouble(2) * mu * (1 - mu)) <
+        1e-10 * (1 + rp.getDouble(2)))
+    }
+  }
+
+  test("GLM load tolerates a pre-kernel save; only predictWithSe then fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-glm-legacy").toString
+    try {
+      val m = GLM.fit(bern, Seq("x1", "x2"), "y")
+      m.save(spark, s"$dir/m")
+      val back = GLM.load(spark, s"$dir/m")
+      // kernel round-trips: se_fit identical
+      val sa = m.predictWithSe(bern.limit(50)).select("se_fit").collect().map(_.getDouble(0))
+      val sb = back.predictWithSe(bern.limit(50)).select("se_fit").collect().map(_.getDouble(0))
+      assert(sa === sb)
+      spark.read.parquet(s"$dir/m").drop("xtwx_inv")
+        .coalesce(1).write.parquet(s"$dir/legacy")
+      val legacy = GLM.load(spark, s"$dir/legacy")
+      assert(legacy.predict(bern.limit(5)).count() === 5) // scoring still works
+      val e = intercept[IllegalArgumentException] {
+        legacy.predictWithSe(bern.limit(5)).collect()
+      }
+      assert(e.getMessage.contains("xtwx_inv"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }

@@ -292,6 +292,38 @@ class GroupedGLMSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-8, k) }
   }
 
+  test("groups converge and freeze independently (per-group n_iter)") {
+    // "flat": no signal, the logit stabilizes in a few passes; "steep":
+    // near-separated data drifts toward a large |β| for many passes. With
+    // per-group freeze the flat group must stop early — its n_iter is the
+    // pass its OWN deviance stabilized at, not the slow group's
+    val rows =
+      (1 to 200).map(i => ("flat", i / 100.0, (i % 2).toDouble)) ++
+      (1 to 200).map { i =>
+        val x = i / 100.0
+        val y = if (i == 40) 1.0 else if (i == 160) 0.0 else if (x > 1.0) 1.0 else 0.0
+        ("steep", x, y)
+      }
+    val out = GroupedGLM.fit(rows.toDF("g", "x", "y"), Seq("g"), Seq("x"), "y",
+        maxIter = 40)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("b_intercept"), r.getAs[Double]("b_x"),
+          r.getAs[Int]("n_iter"))).toMap
+    val (_, _, itFlat) = out("flat")
+    val (_, _, itSteep) = out("steep")
+    assert(itFlat < itSteep, s"flat froze at $itFlat, steep at $itSteep")
+    // the early freeze must not change the answer: each group still matches
+    // its own single-model fit
+    Seq("flat", "steep").foreach { g =>
+      val sub = rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("x", "y")
+      val m = GLM.fit(sub, Seq("x"), "y", maxIter = 40)
+      assert(math.abs(out(g)._1 - m.coefs(0)) < 1e-5 * (1 + math.abs(m.coefs(0))),
+        s"$g intercept: ${out(g)._1} vs ${m.coefs(0)}")
+      assert(math.abs(out(g)._2 - m.coefs(1)) < 1e-5 * (1 + math.abs(m.coefs(1))),
+        s"$g slope: ${out(g)._2} vs ${m.coefs(1)}")
+    }
+  }
+
   test("underdetermined groups yield NaN coefficients, not a crash") {
     val tiny = Seq(
       ("a", 1.0, 0.0), ("a", 2.0, 1.0), ("a", 3.0, 0.0), ("a", 4.0, 1.0),

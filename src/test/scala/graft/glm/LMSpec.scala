@@ -199,6 +199,69 @@ class LMSpec extends SparkSpec {
     }
   }
 
+  test("weighted prediction interval uses sigma^2/w + se_fit^2 (R predict.lm weights=)") {
+    val m = LM.fit(data, Seq("x1", "x2"), "y")
+    val weighted = data.withColumn("w", lit(1.0) + col("id") % 4)
+    val rows = m.predictWithSe(weighted, interval = "prediction", weightCol = Some("w"))
+      .select("se_fit", "lwr", "upr", "w", "prediction").collect()
+    val tq = new org.apache.commons.math3.distribution.TDistribution(m.dfResidual.toDouble)
+      .inverseCumulativeProbability(0.975)
+    rows.foreach { r =>
+      val se = r.getDouble(0); val w = r.getDouble(3)
+      // se_fit = sigma*sqrt(quad)  =>  quad = (se/sigma)^2
+      val half = tq * math.sqrt(m.sigma * m.sigma / w + se * se)
+      assert(math.abs(r.getDouble(2) - (r.getDouble(4) + half)) < 1e-8)
+      assert(math.abs(r.getDouble(1) - (r.getDouble(4) - half)) < 1e-8)
+    }
+  }
+
+  test("load tolerates a pre-xtx_inv save; only predictWithSe then fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-legacy").toString
+    try {
+      val m = LM.fit(data, Seq("x1", "x2"), "y")
+      m.save(spark, s"$dir/m")
+      // simulate a model persisted before the kernel column existed
+      spark.read.parquet(s"$dir/m").drop("xtx_inv")
+        .coalesce(1).write.parquet(s"$dir/legacy")
+      val back = LM.load(spark, s"$dir/legacy")
+      val a = m.predict(data).select("prediction").collect().map(_.getDouble(0))
+      val b = back.predict(data).select("prediction").collect().map(_.getDouble(0))
+      assert(a === b)
+      assert(back.summary === m.summary)
+      val e = intercept[IllegalArgumentException] {
+        back.predictWithSe(data).collect()
+      }
+      assert(e.getMessage.contains("xtx_inv"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("wide-p se_fit (closure-UDF quadratic form) matches a local computation") {
+    // 18 features + intercept = p 19 > unrollMaxP 16 -> the UDF path
+    val rng = new scala.util.Random(11)
+    val wide = (1 to 300).map { _ =>
+      val xs = Array.fill(18)(rng.nextDouble())
+      (xs, xs.sum * 2.0 + rng.nextGaussian() * 0.1)
+    }
+    val df = wide.map { case (xs, y) => (xs(0), xs(1), xs(2), xs(3), xs(4), xs(5),
+      xs(6), xs(7), xs(8), xs(9), xs(10), xs(11), xs(12), xs(13), xs(14), xs(15),
+      xs(16), xs(17), y) }
+      .toDF((1 to 18).map(i => s"f$i") :+ "y": _*)
+    val feats = (1 to 18).map(i => s"f$i")
+    val m = LM.fit(df, feats, "y")
+    assert(m.p === 19)
+    val x = BDM.tabulate(wide.length, 19)((i, j) =>
+      if (j == 0) 1.0 else wide(i)._1(j - 1))
+    val ixtx = breeze.linalg.inv(x.t * x)
+    val got = m.predictWithSe(df).select(feats.map(col) :+ col("se_fit"): _*).collect()
+    got.take(20).foreach { r =>
+      val x0 = BDV(1.0 +: (0 until 18).map(r.getDouble).toArray: _*)
+      val seRef = m.sigma * math.sqrt(x0 dot (ixtx * x0))
+      assert(math.abs(r.getDouble(18) - seRef) < 1e-6 * (1 + seRef))
+    }
+  }
+
   test("wide-path treeAggregate agrees with expression path") {
     // force the wide path by exceeding maxExprWidth with dummy features
     val cols = (1 to 70).map(i => (col("x1") * lit(i * 0.01)).as(s"f$i"))

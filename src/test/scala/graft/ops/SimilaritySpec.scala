@@ -123,6 +123,50 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.subsetOf(exact.map(t => (t._1, t._2)).toSet))
   }
 
+  test("cosinePairsLSH bucket cap bounds a pathological constant-vector corpus") {
+    // 200 identical vectors: every band hashes every row into ONE bucket, so
+    // the uncapped self-join would form 200*199/2 = 19900 pair rows each
+    // carrying two vectors — the O(n²) degeneration the cap exists to stop
+    val template = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    val constant = spark.range(200).select($"id".as("vec_id"),
+      typedLit(template).as("embedding"))
+    val capped = Similarity.cosinePairsLSH(constant, "vec_id", "embedding", 0.9,
+      nBits = 16, bands = 4, maxBucketSize = 50)
+    assert(capped.count() === 0) // all buckets overflow -> no candidates
+    // with the cap above the corpus size the same call is lossless
+    val uncapped = Similarity.cosinePairsLSH(constant, "vec_id", "embedding", 0.9,
+      nBits = 16, bands = 4, maxBucketSize = 200)
+    assert(uncapped.count() === 19900)
+  }
+
+  test("cosinePairsLSH default cap keeps recall on a normal corpus (vs exact pairs)") {
+    val sample = emb.select($"vec_id", $"embedding").limit(100)
+    val exact = Similarity.cosinePairs(sample, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLSH(sample, "vec_id", "embedding", 0.3,
+        nBits = 16, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.3, s"LSH pair recall $recall too low")
+    }
+  }
+
+  test("removeNearDuplicates(exact=false) threads the bucket cap through") {
+    val template = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    val constant = spark.range(100).select($"id".as("vec_id"),
+      typedLit(template).as("embedding"))
+    // tiny cap: every bucket overflows, no pairs, nothing removed
+    val keptAll = Similarity.removeNearDuplicates(constant, "vec_id", "embedding",
+      0.9, exact = false, maxBucketSize = 10)
+    assert(keptAll.count() === 100)
+    // cap above corpus size: all 100 clones collapse to the min id
+    val keptOne = Similarity.removeNearDuplicates(constant, "vec_id", "embedding",
+      0.9, exact = false, maxBucketSize = 100)
+    assert(keptOne.select("vec_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("cosinePairs refuses a corpus above maxBroadcastRows and names the LSH path") {
     val small = emb.select($"vec_id", $"embedding").limit(10)
     val e = intercept[IllegalArgumentException] {

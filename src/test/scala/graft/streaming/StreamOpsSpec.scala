@@ -122,6 +122,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("windowedCountsFileStream (file source, no collect) reproduces the batch aggregation") {
+    val ev = Seq(
+      StreamOps.Event(1, ts(5), 1, "click", 1.0),
+      StreamOps.Event(2, ts(10), 1, "click", 2.5),
+      StreamOps.Event(3, ts(20), 2, "view", 3.0),
+      StreamOps.Event(4, Timestamp.valueOf("2024-01-01 11:15:00"), 2, "view", 4.0)).toDF()
+    val stage = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    try {
+      val got = StreamOps.windowedCountsFileStream(ev, stage, numFiles = 3)
+        .orderBy("window_start", "event_type").collect()
+      val want = StreamOps.windowedCounts(ev)
+        .orderBy("window_start", "event_type").collect()
+      assert(got.toSeq === want.toSeq)
+      assert(got.length === 3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
+  }
+
   test("intervalJoin runs as a stream-stream join and matches the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
