@@ -1128,6 +1128,73 @@ object SparkEntry {
           r(exp(col("b_intercept") + col("b_x_high")), 6).as("mu_high"),
           col("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // inverse-gaussian GLM, canonical 1/μ² link: for an intercept-only fit
+    // the MLE mean is ȳ (any-family property of the intercept-only score),
+    // so β0 = 1/ȳ² and the deviance Σ(y−ȳ)²/(ȳ²y), Pearson Σ(y−ȳ)²/ȳ³ and
+    // dispersion Pearson/(n−1) are all closed-form SQL — the full IRLS
+    // machinery for the third variance family hash-gated end-to-end
+    "q88_invgauss_fit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("one", lit(1.0))
+      val m = GLM.fit(li, Seq("one"), "l_quantity",
+        family = "inverse-gaussian", intercept = false)
+      import s.implicits._
+      Seq((rd(m.coefs(0), 8), rd(m.deviance, 4), rd(m.pearson, 4),
+        rd(m.dispersion, 8), m.n))
+        .toDF("b_one", "deviance", "pearson", "dispersion", "n_rows")
+    }),
+
+    // quasipoisson with one binary regressor: the log-link fit is
+    // saturated (q81's trick), so the cell means are closed-form cell
+    // averages AND the estimated dispersion is the closed-form Pearson/df
+    // — gating that the quasi family refits its parent exactly while
+    // estimating the dispersion R-style (loglik/AIC are NA by design,
+    // checked in the spec suite)
+    "q89_quasipoisson" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x_high", when(col("l_quantity") > 25, 1.0).otherwise(0.0))
+        .withColumn("y", col("l_linenumber").cast("double"))
+      val m = GLM.fit(li, Seq("x_high"), "y", family = "quasipoisson")
+      import s.implicits._
+      Seq((rd(math.exp(m.coefs(0)), 6),
+        rd(math.exp(m.coefs(0) + m.coefs(1)), 6),
+        rd(m.dispersion, 8), m.n))
+        .toDF("mu_low", "mu_high", "dispersion", "n_rows")
+    }),
+
+    // q83's twin for GROUPED fits: per-row scoring standard errors from
+    // per-group kernels — the betas frame carries each group's packed
+    // (XᵀX)⁻¹, scoring is a broadcast join + codegen'd quad form, and for
+    // one regressor the closed form σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g) is
+    // plain SQL per group — millions-of-groups se.fit, hash-gated
+    "q90_grouped_sefit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val betas = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", kernel = true)
+      GroupedLM.predictWithSe(betas, li, Seq("l_returnflag"), Seq("l_quantity"))
+        .groupBy("l_returnflag")
+        .agg(r(avg("se_fit"), 6).as("avg_se"),
+          r(avg("prediction"), 3).as("avg_pred"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // q90 through the GROUPED-GLM path: for gaussian + identity the
+    // per-group IRLS kernel is (XᵀX)⁻¹ and the dispersion dev/(n−p) = σ̂²,
+    // so the delta-method grouped se.fit must hit the same per-group
+    // closed form — gating the grouped IRLS kernel end-to-end
+    "q91_grouped_glm_sefit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val betas = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+        "l_extendedprice", family = "gaussian", kernel = true)
+      GroupedGLM.predictWithSe(betas, li, Seq("l_returnflag"),
+          Seq("l_quantity"), family = "gaussian")
+        .groupBy("l_returnflag")
+        .agg(r(avg("se_fit"), 6).as("avg_se"),
+          r(avg("prediction"), 3).as("avg_pred"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2152,6 +2219,96 @@ object SparkEntry {
         |  round(avg(CASE WHEN xh = 1 THEN y END), 6) AS mu_high,
         |  count(*) AS n_rows
         |FROM t GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // intercept-only inverse-gaussian: μ̂ = ȳ, β0 = 1/ȳ², deviance/Pearson/
+    // dispersion closed-form
+    "q88_invgauss_fit" ->
+      """WITH m AS (SELECT avg(l_quantity) AS yb, count(*) AS n FROM lineitem),
+        |s AS (
+        |  SELECT m.n AS n, m.yb AS yb,
+        |    sum((l.l_quantity - m.yb) * (l.l_quantity - m.yb)
+        |        / (m.yb * m.yb * l.l_quantity)) AS dev,
+        |    sum((l.l_quantity - m.yb) * (l.l_quantity - m.yb)
+        |        / (m.yb * m.yb * m.yb)) AS pea
+        |  FROM lineitem l CROSS JOIN m
+        |  GROUP BY m.n, m.yb)
+        |SELECT round(1.0 / (yb * yb), 8) AS b_one,
+        |  round(dev, 4) AS deviance,
+        |  round(pea, 4) AS pearson,
+        |  round(pea / (n - 1), 8) AS dispersion,
+        |  n AS n_rows
+        |FROM s""".stripMargin,
+
+    // saturated quasipoisson: cell means are cell averages; the estimated
+    // dispersion is the closed-form Pearson/(n−2)
+    "q89_quasipoisson" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS xh,
+        |    CAST(l_linenumber AS DOUBLE) AS y
+        |  FROM lineitem),
+        |a AS (SELECT xh, avg(y) AS mu FROM c GROUP BY xh),
+        |p AS (
+        |  SELECT sum((c.y - a.mu) * (c.y - a.mu) / a.mu) AS pea,
+        |    count(*) AS n
+        |  FROM c JOIN a USING (xh))
+        |SELECT round((SELECT mu FROM a WHERE xh = 0), 6) AS mu_low,
+        |  round((SELECT mu FROM a WHERE xh = 1), 6) AS mu_high,
+        |  round(p.pea / (p.n - 2), 8) AS dispersion,
+        |  p.n AS n_rows
+        |FROM p""".stripMargin,
+
+    // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
+    "q91_grouped_glm_sefit" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n, mx, my, xx - n * mx * mx AS sxx,
+        |    xy - n * mx * my AS sxy, yy - n * my * my AS syy
+        |  FROM m),
+        |s AS (
+        |  SELECT l_returnflag, n, mx, sxx, sxy / sxx AS b1,
+        |    my - (sxy / sxx) * mx AS b0,
+        |    sqrt((syy - sxy * sxy / sxx) / (n - 2)) AS sigma
+        |  FROM c)
+        |SELECT l.l_returnflag,
+        |  round(avg(s.sigma * sqrt(1.0 / s.n +
+        |    (l.l_quantity - s.mx) * (l.l_quantity - s.mx) / s.sxx)), 6) AS avg_se,
+        |  round(avg(s.b0 + s.b1 * l.l_quantity), 3) AS avg_pred,
+        |  count(*) AS n_rows
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q90_grouped_sefit" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n, mx, my, xx - n * mx * mx AS sxx,
+        |    xy - n * mx * my AS sxy, yy - n * my * my AS syy
+        |  FROM m),
+        |s AS (
+        |  SELECT l_returnflag, n, mx, sxx, sxy / sxx AS b1,
+        |    my - (sxy / sxx) * mx AS b0,
+        |    sqrt((syy - sxy * sxy / sxx) / (n - 2)) AS sigma
+        |  FROM c)
+        |SELECT l.l_returnflag,
+        |  round(avg(s.sigma * sqrt(1.0 / s.n +
+        |    (l.l_quantity - s.mx) * (l.l_quantity - s.mx) / s.sxx)), 6) AS avg_se,
+        |  round(avg(s.b0 + s.b1 * l.l_quantity), 3) AS avg_pred,
+        |  count(*) AS n_rows
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin
   )
 }

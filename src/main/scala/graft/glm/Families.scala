@@ -23,12 +23,16 @@ sealed trait Family extends Serializable {
 
 object Family {
   def apply(name: String): Family = name.toLowerCase match {
-    case "binomial" => BinomialFamily
-    case "poisson"  => PoissonFamily
-    case "gaussian" => GaussianFamily
-    case "gamma"    => GammaFamily
+    case "binomial"                      => BinomialFamily
+    case "poisson"                       => PoissonFamily
+    case "gaussian"                      => GaussianFamily
+    case "gamma"                         => GammaFamily
+    case "inverse-gaussian" | "inverse.gaussian" => InverseGaussianFamily
+    case "quasipoisson"                  => QuasiPoissonFamily
+    case "quasibinomial"                 => QuasiBinomialFamily
     case other => throw new IllegalArgumentException(
-      s"unknown family: $other (binomial | poisson | gaussian | gamma)")
+      s"unknown family: $other (binomial | poisson | gaussian | gamma | " +
+        "inverse-gaussian | quasipoisson | quasibinomial)")
   }
 
   private val eps = 1e-10
@@ -96,5 +100,49 @@ object Family {
       lit(0.0) - log(mu) - y / mu
     def initMu(y: Column, m: Column): Column = y
     def clampMu(mu: Column, m: Column): Column = greatest(mu, lit(eps))
+  }
+
+  /** Inverse-gaussian: V(μ) = μ³, unit deviance (y−μ)²/(μ²y), canonical
+    * link 1/μ². Requires y > 0. The `logLik` COLUMN is only the per-row
+    * −(3/2)·ln y data term; GLM.fit assembles R's profiled-dispersion
+    * log-likelihood −½[Σw·(ln(2π·D/Σw)+1) + 3·Σ(w·ln y)] from it (the
+    * exact inverse of R's aic.invgauss, with the dispersion counted as a
+    * parameter in the AIC like gaussian's σ²).
+    */
+  case object InverseGaussianFamily extends Family {
+    val name = "inverse-gaussian"
+    val defaultLink = "inverse-square"
+    def variance(mu: Column, m: Column): Column = mu * mu * mu
+    def deviance(y: Column, mu: Column, m: Column): Column =
+      (y - mu) * (y - mu) / (mu * mu * y)
+    def logLik(y: Column, mu: Column, m: Column): Column = log(y) * -1.5
+    def initMu(y: Column, m: Column): Column = y
+    def clampMu(mu: Column, m: Column): Column = greatest(mu, lit(eps))
+  }
+
+  /** Quasi-likelihood twins: identical estimating equations (same β̂ as the
+    * parent family — same IRLS expressions verbatim), but the dispersion is
+    * ESTIMATED (Pearson/df) instead of fixed at 1, so R reports scaled
+    * standard errors and `NA` log-likelihood/AIC. GLM.fit keys the NaN
+    * loglik and the predictWithSe dispersion factor off the name.
+    */
+  case object QuasiPoissonFamily extends Family {
+    val name = "quasipoisson"
+    val defaultLink = PoissonFamily.defaultLink
+    def variance(mu: Column, m: Column): Column = PoissonFamily.variance(mu, m)
+    def deviance(y: Column, mu: Column, m: Column): Column = PoissonFamily.deviance(y, mu, m)
+    def logLik(y: Column, mu: Column, m: Column): Column = lit(Double.NaN)
+    def initMu(y: Column, m: Column): Column = PoissonFamily.initMu(y, m)
+    def clampMu(mu: Column, m: Column): Column = PoissonFamily.clampMu(mu, m)
+  }
+
+  case object QuasiBinomialFamily extends Family {
+    val name = "quasibinomial"
+    val defaultLink = BinomialFamily.defaultLink
+    def variance(mu: Column, m: Column): Column = BinomialFamily.variance(mu, m)
+    def deviance(y: Column, mu: Column, m: Column): Column = BinomialFamily.deviance(y, mu, m)
+    def logLik(y: Column, mu: Column, m: Column): Column = lit(Double.NaN)
+    def initMu(y: Column, m: Column): Column = BinomialFamily.initMu(y, m)
+    def clampMu(mu: Column, m: Column): Column = BinomialFamily.clampMu(mu, m)
   }
 }

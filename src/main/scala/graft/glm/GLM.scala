@@ -68,11 +68,13 @@ final class GLMModel(
   def dfNull: Long = n - 1
   def dispersion: Double = pearson / dfResidual
 
-  /** AIC = −2·logLik + 2k; for gaussian, k counts the profiled σ̂² as a
-    * parameter in addition to the p coefficients (R's `AIC.glm`).
+  /** AIC = −2·logLik + 2k; for gaussian and inverse-gaussian, k counts the
+    * profiled dispersion as a parameter in addition to the p coefficients
+    * (R's `AIC.glm`). NaN for the quasi families (R reports NA).
     */
   def aic: Double =
-    -2.0 * loglik + 2.0 * (p + (if (family == "gaussian") 1 else 0))
+    -2.0 * loglik + 2.0 * (p +
+      (if (family == "gaussian" || family == "inverse-gaussian") 1 else 0))
 
   def zValues: BDV[Double] = BDV.tabulate(p)(i => coefs(i) / stdErr(i))
 
@@ -127,7 +129,8 @@ final class GLMModel(
         featureNames.map(nm => col(nm).cast(DoubleType))
     val quad = LinAlg.quadFormExpr(xtwxInv, xs)
     val dispFactor = family match {
-      case "gaussian" | "gamma" => math.sqrt(dispersion)
+      case "gaussian" | "gamma" | "inverse-gaussian" |
+           "quasipoisson" | "quasibinomial" => math.sqrt(dispersion)
       case _ => 1.0
     }
     val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
@@ -237,11 +240,17 @@ object GLM {
     * @param df        input data (features, label, optional m / offset cols)
     * @param xCols     feature column names (numeric)
     * @param yCol      response: successes (counts in [0, m]; 0/1 when m = 1)
-    * @param family    binomial | poisson (the reference's family dispatch
-    *                  is vacuous — every branch routes to binomial,
-    *                  reference: GLM.scala:95-99,486-490 — binomial is the
-    *                  parity surface, poisson the same machinery extended)
-    * @param linkName  logit | probit | cloglog | log; empty = family default
+    * @param family    binomial | poisson | gaussian | gamma |
+    *                  inverse-gaussian | quasipoisson | quasibinomial
+    *                  (the reference's family dispatch is vacuous — every
+    *                  branch routes to binomial, reference:
+    *                  GLM.scala:95-99,486-490 — binomial is the parity
+    *                  surface, the others the same machinery extended; the
+    *                  quasi twins refit their parent family but estimate
+    *                  the dispersion, so scoring SEs scale by √disp and
+    *                  loglik/AIC are NaN, as in R)
+    * @param linkName  logit | probit | cloglog | log | identity | inverse |
+    *                  sqrt | inverse-square; empty = family default
     * @param mCol      binomial denominator column (defaults to 1)
     * @param offsetCol known-offset column added to η (defaults to 0)
     * @param weightCol prior case-weight column (defaults to 1): scales the
@@ -346,7 +355,8 @@ object GLM {
         sum(pw * y).as("y_sum"),
         sum(pw * m).as("m_sum"),
         count(lit(1)).as("n"),
-        sum(log(pw)).as("sum_log_w")).head()
+        sum(log(pw)).as("sum_log_w"),
+        sum(pw).as("w_sum")).head()
       val pearson = statsRow.getDouble(0)
       val pHat = statsRow.getDouble(2) / statsRow.getDouble(3)
       val n = statsRow.getLong(4)
@@ -355,12 +365,22 @@ object GLM {
       // weighted-normal density term — R's aic.gaussian subtracts
       // sum(log(wt)); unit weights make it vanish) and count σ as a
       // parameter in the AIC — see GLMModel.aic; the per-row family
-      // expression is the unit-dispersion term, correct for the others
-      val ll =
-        if (fam.name == "gaussian")
+      // expression is the unit-dispersion term, correct for the others.
+      // inverse-gaussian likewise profiles its dispersion (the exact
+      // inverse of R's aic.invgauss, which uses Σw where gaussian uses n);
+      // the statsRow ll slot carries its −(3/2)Σw·ln y data term. The
+      // quasi families' per-row term is NaN, so their ll/AIC are NaN —
+      // R reports NA.
+      val ll = fam.name match {
+        case "gaussian" =>
           -0.5 * n * (math.log(2.0 * math.Pi * dev / n) + 1.0) +
             0.5 * statsRow.getDouble(5)
-        else statsRow.getDouble(1)
+        case "inverse-gaussian" =>
+          val wsum = statsRow.getDouble(6)
+          -0.5 * wsum * (math.log(2.0 * math.Pi * dev / wsum) + 1.0) +
+            statsRow.getDouble(1)
+        case _ => statsRow.getDouble(1)
+      }
 
       // Null deviance: the intercept-only MLE mean is m·(Σwy/Σwm) for both
       // families (binomial rate and, with m = 1, the Poisson ȳ) — closed

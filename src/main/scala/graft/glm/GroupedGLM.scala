@@ -192,14 +192,16 @@ object GroupedGLM {
     }
 
     /** [new beta (pp) | dev(old beta) | n | diag((XᵀWX)⁻¹) (pp) | ll(old
-      * beta)] — NaN beta/diag for groups whose normal equations are
-      * underdetermined or singular. The inverse diagonal feeds per-group
-      * standard errors (sqrt(dispersion · diag) at convergence, like the
-      * single GLM's lastGram-based SEs); ll feeds loglik/AIC.
+      * beta) | packed upper-tri (XᵀWX)⁻¹ (pp(pp+1)/2)] — NaN beta/diag/
+      * kernel for groups whose normal equations are underdetermined or
+      * singular. The inverse diagonal feeds per-group standard errors
+      * (sqrt(dispersion · diag) at convergence, like the single GLM's
+      * lastGram-based SEs); ll feeds loglik/AIC; the packed kernel feeds
+      * per-row scoring standard errors ([[GroupedGLM.predictWithSe]]).
       */
     def finish(b: Array[Double]): Seq[Double] = {
       val n = b(0)
-      val out = new Array[Double](2 * pp + 3)
+      val out = new Array[Double](2 * pp + 3 + nUp)
       out(pp) = b(1)
       out(pp + 1) = n
       // gaussian: profile σ̂² = dev/n into the R-convention log-likelihood
@@ -211,6 +213,7 @@ object GroupedGLM {
       if (n < pp || !java.lang.Double.isFinite(b(1))) {
         java.util.Arrays.fill(out, 0, pp, Double.NaN)
         java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
+        java.util.Arrays.fill(out, 2 * pp + 3, out.length, Double.NaN)
         return out.toSeq
       }
       val xtx = BDM.zeros[Double](pp, pp)
@@ -224,17 +227,25 @@ object GroupedGLM {
       val xtz = BDV.tabulate(pp)(i => b(3 + i))
       try {
         val beta = LinAlg.solvePD(xtx, xtz)
-        val inv = LinAlg.invDiag(xtx)
+        val inv = LinAlg.invPD(xtx)
         i = 0
         while (i < pp) {
           out(i) = beta(i)
-          out(pp + 2 + i) = inv(i)
+          out(pp + 2 + i) = inv(i, i)
+          i += 1
+        }
+        k = 2 * pp + 3
+        i = 0
+        while (i < pp) {
+          var j = i
+          while (j < pp) { out(k) = inv(i, j); k += 1; j += 1 }
           i += 1
         }
       } catch {
         case _: Exception =>
           java.util.Arrays.fill(out, 0, pp, Double.NaN)
           java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
+          java.util.Arrays.fill(out, 2 * pp + 3, out.length, Double.NaN)
       }
       out.toSeq
     }
@@ -261,6 +272,10 @@ object GroupedGLM {
     *        `null_deviance` column — the denominator of the per-group
     *        pseudo-R² (1 − deviance/null_deviance) used to screen thousands
     *        of segment models
+    * @param kernel append a `kernel` column with the packed upper-tri
+    *        (XᵀWX)⁻¹ at convergence (p(p+1)/2 doubles per group) — the
+    *        input [[predictWithSe]] needs. Off by default so existing
+    *        consumers see an unchanged schema.
     * @return one row per group: keyCols ++ coefficient columns
     *         (`b_intercept` first when intercept, then `b_<feature>`),
     *         matching `se_intercept`/`se_<feature>` standard errors
@@ -287,7 +302,8 @@ object GroupedGLM {
       maxIter: Int = 25,
       tol: Double = 1e-10,
       checkpointDir: Option[String] = None,
-      nullDeviance: Boolean = false): DataFrame = {
+      nullDeviance: Boolean = false,
+      kernel: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty && xCols.nonEmpty && maxIter >= 1)
     val fam = family match {
       case "binomial" => FamBinomial
@@ -344,6 +360,7 @@ object GroupedGLM {
     // free next to the data pass it saves).
     // The zero betas are placeholders — iteration 0 runs the init
     // aggregator, which derives η from y per family and ignores them.
+    val nUp = pp * (pp + 1) / 2
     var state = cp(assembled.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .select(keys ++ Seq(
         array(Seq.fill(pp)(lit(0.0)): _*).as("beta"),
@@ -351,6 +368,7 @@ object GroupedGLM {
         lit(0L).as("n"),
         array(Seq.fill(pp)(lit(Double.NaN)): _*).as("vdiag"),
         lit(0.0).as("ll"),
+        array(Seq.fill(nUp)(lit(Double.NaN)): _*).as("kernel"),
         lit(false).as("frozen"),
         lit(0).as("n_iter")): _*))
     var iter = 0
@@ -366,7 +384,8 @@ object GroupedGLM {
           element_at(col("buf"), pp + 1).as("dev"),
           element_at(col("buf"), pp + 2).cast("long").as("n"),
           slice(col("buf"), pp + 3, pp).as("vdiag"),
-          element_at(col("buf"), 2 * pp + 3).as("ll")): _*)
+          element_at(col("buf"), 2 * pp + 3).as("ll"),
+          slice(col("buf"), 2 * pp + 4, nUp).as("kernel")): _*)
       // assess each recomputed group against ITS OWN previous deviance;
       // singular (NaN-beta) groups freeze immediately — they can never
       // converge and must not keep forcing data passes
@@ -403,7 +422,9 @@ object GroupedGLM {
         col("n_iter"), col("ll").as("loglik"),
         // gaussian AIC counts the profiled σ̂² as a parameter (R AIC.glm)
         (col("ll") * -2.0 +
-          lit(2.0 * (if (fam == FamGaussian) pp + 1 else pp))).as("aic")): _*)
+          lit(2.0 * (if (fam == FamGaussian) pp + 1 else pp))).as("aic")) ++
+      // packed upper-tri (XᵀWX)⁻¹ per group, for predictWithSe
+      (if (kernel) Seq(col("kernel")) else Nil): _*)
     if (!nullDeviance) fitOut
     else {
       // intercept-only null model by pure reuse: a constant feature with
@@ -490,5 +511,66 @@ object GroupedGLM {
     // absent group -> null coefficients -> null eta; surface as NaN
     joined.withColumn(outputCol, coalesce(mu, lit(Double.NaN)))
       .drop(coefCols: _*)
+  }
+
+  /** Score with per-row DELTA-METHOD standard errors from a per-group fit
+    * — [[GLMModel.predictWithSe]] for grouped models, the same shape as
+    * [[GroupedLM.predictWithSe]]: the `fit(..., kernel = true)` frame is
+    * broadcast-joined on the group key, and prediction + se_fit are column
+    * expressions over the joined coefficients and packed per-group
+    * (XᵀWX)⁻¹ — no UDF, no driver state, any number of groups. On the link
+    * scale se_η = sqrt(disp_g · x₀ᵀK_g x₀) with disp_g = 1 for binomial/
+    * poisson and the per-group deviance estimate dev/(n−p) for gaussian/
+    * gamma (the same dispersion the fit's `se_*` columns use); on the
+    * response scale se_μ = se_η · |dμ/dη|. `prediction` is always μ, like
+    * [[predict]]. Rows of groups absent from `betas` score NaN.
+    */
+  def predictWithSe(betas: DataFrame, df: DataFrame, keyCols: Seq[String],
+      xCols: Seq[String], family: String = "binomial",
+      linkName: String = "", intercept: Boolean = true,
+      mCol: Option[String] = None, offsetCol: Option[String] = None,
+      scale: String = "link"): DataFrame = {
+    require(Seq("link", "response").contains(scale),
+      s"scale must be link|response, got $scale")
+    require(betas.columns.contains("kernel"),
+      "betas frame has no `kernel` column — fit with kernel = true")
+    val p = xCols.size
+    val pp = if (intercept) p + 1 else p
+    val coefCols = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
+    val dispG = family match {
+      case "gaussian" | "gamma" =>
+        col("deviance") / (col("n_rows") - lit(pp)).cast("double")
+      case _ => lit(1.0)
+    }
+    val slim = betas.select(keyCols.map(col) ++ coefCols.map(col) ++ Seq(
+      col("kernel").as("__kernel"), dispG.as("__disp")): _*)
+    val joined = df.join(broadcast(slim), keyCols, "left")
+    val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++
+      xCols.map(c => col(c).cast("double"))
+    val eta0 = coefCols.map(col).zip(xs).map { case (b, x) => b * x }.reduce(_ + _)
+    val eta = offsetCol.map(c => eta0 + col(c).cast("double")).getOrElse(eta0)
+    val m = mCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val resolved = if (linkName.nonEmpty) linkName else family match {
+      case "binomial" => "logit"
+      case "poisson" | "gamma" => "log"
+      case "gaussian" => "identity"
+      case other => throw new IllegalArgumentException(
+        s"GroupedGLM supports binomial|poisson|gamma|gaussian, got $other")
+    }
+    val link = LinkFn(resolved)
+    val mu = link.inverse(eta, m)
+    // x₀ᵀK x₀ from the packed upper-tri kernel (same indexing as
+    // GroupedLM.predictWithSe) — element_at chains stay in codegen
+    def kAt(i: Int, j: Int): Column =
+      element_at(col("__kernel"), i * pp - i * (i - 1) / 2 + (j - i) + 1)
+    var quad: Column = lit(0.0)
+    for (i <- 0 until pp; j <- i until pp)
+      quad = quad + (if (i == j) kAt(i, i) * xs(i) * xs(i)
+                     else kAt(i, j) * xs(i) * xs(j) * 2.0)
+    val seLink = sqrt(col("__disp") * quad)
+    val se = if (scale == "link") seLink else seLink / abs(link.lprime(mu, m))
+    joined.withColumn("prediction", coalesce(mu, lit(Double.NaN)))
+      .withColumn("se_fit", coalesce(se, lit(Double.NaN)))
+      .drop(coefCols :+ "__kernel" :+ "__disp": _*)
   }
 }

@@ -24,9 +24,11 @@ object GroupedLM {
   private def bufLen(p: Int): Int = 4 + p + p * (p + 1) / 2
 
   /** Aggregator over rows of `array(x1..xp, y, w)`. `finish` emits
-    * [β (p) | r², n, sigma | diag((XᵀWX)⁻¹) (p)] or all-NaN (β/diag parts)
-    * for singular/underdetermined groups; the inverse diagonal feeds the
-    * per-group standard errors se_j = σ·sqrt(diag_j).
+    * [β (p) | r², n, sigma | diag((XᵀWX)⁻¹) (p) | packed upper-tri
+    * (XᵀWX)⁻¹ (p(p+1)/2)] or all-NaN (β/kernel parts) for singular/
+    * underdetermined groups; the inverse diagonal feeds the per-group
+    * standard errors se_j = σ·sqrt(diag_j), the packed kernel the
+    * per-row scoring standard errors ([[predictWithSe]]).
     */
   private final class GramAgg(p: Int, intercept: Boolean)
       extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
@@ -66,7 +68,7 @@ object GroupedLM {
 
     def finish(b: Array[Double]): Seq[Double] = {
       val n = b(0)
-      val out = new Array[Double](2 * pp + 3)
+      val out = new Array[Double](2 * pp + 3 + nUp)
       // n == pp is exactly-determined: a well-defined zero-residual fit
       // (what DuckDB's regr_slope/regr_intercept returns for 2 points /
       // 1 feature). Only underdetermined groups are hopeless.
@@ -86,7 +88,7 @@ object GroupedLM {
       val xty = BDV.tabulate(pp)(i => b(4 + i))
       try {
         val beta = LinAlg.solvePD(xtx, xty)
-        val inv = LinAlg.invDiag(xtx)
+        val inv = LinAlg.invPD(xtx)
         // exactly-determined groups have zero residual by construction —
         // force it so r2 is exactly 1 instead of 1 ± float noise
         val sse = if (n == pp) 0.0 else math.max(0.0, b(3) - (beta dot xty))
@@ -94,13 +96,21 @@ object GroupedLM {
         i = 0
         while (i < pp) {
           out(i) = beta(i)
-          out(pp + 3 + i) = inv(i)
+          out(pp + 3 + i) = inv(i, i)
           i += 1
         }
         out(pp) = if (tss > 0) 1.0 - sse / tss else Double.NaN
         out(pp + 1) = n
         // zero residual degrees of freedom → sigma undefined (matches R lm)
         out(pp + 2) = if (n > pp) math.sqrt(sse / (n - pp)) else Double.NaN
+        // packed upper-tri kernel, row-major: feeds predictWithSe
+        k = 2 * pp + 3
+        i = 0
+        while (i < pp) {
+          var j = i
+          while (j < pp) { out(k) = inv(i, j); k += 1; j += 1 }
+          i += 1
+        }
       } catch {
         case _: Exception =>
           java.util.Arrays.fill(out, Double.NaN)
@@ -117,6 +127,11 @@ object GroupedLM {
 
   /** Fit y ~ X independently within every group of `keyCols`.
     *
+    * @param kernel when true, append a `kernel` column holding the packed
+    *               upper-triangular (XᵀWX)⁻¹ (p(p+1)/2 doubles per group)
+    *               — the input [[predictWithSe]] needs for per-row scoring
+    *               standard errors. Off by default so existing consumers
+    *               see an unchanged schema.
     * @return one row per group: keyCols ++ (b_0.. coefficient columns named
     *         after the features, with `b_intercept` first when intercept),
     *         plus r2, n_rows, sigma, and matching `se_*` standard errors
@@ -129,9 +144,11 @@ object GroupedLM {
       xCols: Seq[String],
       yCol: String,
       intercept: Boolean = true,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      kernel: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty && xCols.nonEmpty)
     val p = xCols.size
+    val pp = if (intercept) p + 1 else p
     val agg = udaf(new GramAgg(p, intercept))
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val input = array((xCols.map(c => col(c).cast("double")) :+
@@ -150,7 +167,75 @@ object GroupedLM {
       names.zipWithIndex.map { case (nm, i) =>
         (element_at(col("fit"), names.size + 3) *
           sqrt(element_at(col("fit"), names.size + 4 + i)))
-          .as("se_" + nm.stripPrefix("b_")) }
+          .as("se_" + nm.stripPrefix("b_")) } ++
+      (if (kernel)
+        Seq(slice(col("fit"), 2 * pp + 4, pp * (pp + 1) / 2).as("kernel"))
+      else Nil)
     fitted.select(outCols: _*)
+  }
+
+  /** Score `df` with per-row prediction standard errors from a per-group
+    * fit — the grouped twin of [[LMModel.predictWithSe]] (R `predict.lm`
+    * per group), with the same shape as [[GroupedGLM.predict]]: the fit
+    * frame (one row per group, `fit(..., kernel = true)` output) is
+    * broadcast-joined on the group key, and prediction, se_fit and the
+    * optional confidence/prediction interval are all column expressions
+    * over the joined coefficients — no UDF on the data path, no driver
+    * state, any number of groups. (The per-group t-quantile DOES use a
+    * scalar UDF, but only over the betas frame — one row per group —
+    * before the broadcast.)
+    *
+    * Rows of groups absent from `betas` or with NaN/undefined kernels
+    * score NaN, marking them unscorable rather than dropping them.
+    */
+  def predictWithSe(betas: DataFrame, df: DataFrame, keyCols: Seq[String],
+      xCols: Seq[String], intercept: Boolean = true,
+      interval: String = "none", level: Double = 0.95): DataFrame = {
+    require(Seq("none", "confidence", "prediction").contains(interval),
+      s"interval must be none|confidence|prediction, got $interval")
+    require(betas.columns.contains("kernel"),
+      "betas frame has no `kernel` column — fit with kernel = true")
+    val p = xCols.size
+    val pp = if (intercept) p + 1 else p
+    val coefCols = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
+    // per-group t quantile for the interval: UDF over the one-row-per-group
+    // betas frame only (never the data frame)
+    val qt = udf { (n: Long) =>
+      if (n > pp)
+        new org.apache.commons.math3.distribution.TDistribution((n - pp).toDouble)
+          .inverseCumulativeProbability(1.0 - (1.0 - level) / 2.0)
+      else Double.NaN
+    }
+    val slim = betas.select((keyCols.map(col) ++ coefCols.map(col) ++ Seq(
+      col("sigma").as("__sigma"), col("kernel").as("__kernel"),
+      qt(col("n_rows")).as("__tq"))): _*)
+    val joined = df.join(broadcast(slim), keyCols, "left")
+    val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++
+      xCols.map(c => col(c).cast("double"))
+    val pred = coefCols.map(col).zip(xs).map { case (b, x) => b * x }.reduce(_ + _)
+    // x₀ᵀK x₀ from the packed upper-tri kernel: element_at chains stay in
+    // codegen; index of (i,j), i ≤ j, row-major = i·pp − i(i−1)/2 + (j−i)
+    def kAt(i: Int, j: Int): Column =
+      element_at(col("__kernel"), i * pp - i * (i - 1) / 2 + (j - i) + 1)
+    var quad: Column = lit(0.0)
+    for (i <- 0 until pp; j <- i until pp)
+      quad = quad + (if (i == j) kAt(i, i) * xs(i) * xs(i)
+                     else kAt(i, j) * xs(i) * xs(j) * 2.0)
+    val seFit = col("__sigma") * sqrt(quad)
+    // absent group -> null coefficients/kernel -> null result; surface as
+    // NaN (same convention as GroupedGLM.predict)
+    def nn(c: Column): Column = coalesce(c, lit(Double.NaN))
+    val base = joined.withColumn("prediction", nn(pred))
+      .withColumn("se_fit", nn(seFit))
+    val out =
+      if (interval == "none") base
+      else {
+        val half =
+          if (interval == "confidence") col("__tq") * col("se_fit")
+          else col("__tq") * col("__sigma") * sqrt(lit(1.0) + quad)
+        base.withColumn("lwr", nn(col("prediction") - half))
+          .withColumn("upr", nn(col("prediction") + half))
+      }
+    out.drop(coefCols :+ "__sigma" :+ "__kernel" :+ "__tq": _*)
   }
 }

@@ -35,6 +35,8 @@ object LinkFn {
     case "log"      => Log
     case "identity" => Identity
     case "inverse"  => Inverse
+    case "sqrt"     => Sqrt
+    case "inverse-square" | "1/mu^2" => InverseSquare
     case other      => throw new IllegalArgumentException(s"unknown link: $other")
   }
 
@@ -105,6 +107,28 @@ object LinkFn {
     def link(mu: Column, m: Column): Column = lit(1.0) / mu
     def inverse(eta: Column, m: Column): Column = lit(1.0) / eta
     def lprime(mu: Column, m: Column): Column = lit(-1.0) / (mu * mu)
+  }
+
+  /** sqrt link η = √μ (R's poisson variance-stabilizing option); m ignored. */
+  case object Sqrt extends LinkFn {
+    val name = "sqrt"
+    def link(mu: Column, m: Column): Column = sqrt(mu)
+    def inverse(eta: Column, m: Column): Column = eta * eta
+    def lprime(mu: Column, m: Column): Column = lit(0.5) / sqrt(mu)
+  }
+
+  /** inverse-square link η = 1/μ² (canonical for inverse-gaussian; R's
+    * `1/mu^2`); m ignored. The inverse floors η at 1e-12: a working-
+    * response step can transiently drive η ≤ 0 on extreme rows, where
+    * 1/√η would poison the next Gram with NaN (same role as the family
+    * mean clamps — invisible at convergence, where η > 0 by construction).
+    */
+  case object InverseSquare extends LinkFn {
+    val name = "inverse-square"
+    def link(mu: Column, m: Column): Column = lit(1.0) / (mu * mu)
+    def inverse(eta: Column, m: Column): Column =
+      lit(1.0) / sqrt(greatest(eta, lit(1e-12)))
+    def lprime(mu: Column, m: Column): Column = lit(-2.0) / (mu * mu * mu)
   }
 
   case object Cloglog extends LinkFn {

@@ -222,7 +222,10 @@ object StreamOps {
       f.setLastModified(base + i * 2000L) }
     val name = s"graft_windows_file_${replaySeq.incrementAndGet()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions: the q70 A/B's knee of the per-micro-batch
+    // state-store open/commit vs parallelism curve (measured again here:
+    // 12.5 s at 8 partitions, see MICROBENCH.md round-7 table)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try {
         val src = s.readStream.schema(s.read.parquet(stageDir).schema)

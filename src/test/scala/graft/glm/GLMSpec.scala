@@ -372,4 +372,87 @@ class GLMSpec extends SparkSpec {
     assert(m.deviance <= m.nullDeviance + 1e-9)
     assert(m.iter < 30)
   }
+
+  test("inverse-gaussian intercept-only canonical fit matches the closed forms") {
+    // intercept-only GLM MLE mean is the sample mean for ANY family (the
+    // common factor 1/(V·g') drops out of the score); with the canonical
+    // 1/μ² link, β0 = 1/ȳ². Deviance/Pearson/dispersion then have closed
+    // forms the fit must hit exactly.
+    val m = GLM.fit(gammaFix.withColumn("one", lit(1.0)), Seq("one"), "y",
+      family = "inverse-gaussian", intercept = false)
+    val rows = gammaFix.select("y").collect().map(_.getDouble(0))
+    val ybar = rows.sum / rows.length
+    assert(math.abs(m.coefs(0) - 1.0 / (ybar * ybar)) < 1e-8 * (1 + m.coefs(0)),
+      s"b0=${m.coefs(0)} vs ${1.0 / (ybar * ybar)}")
+    val dev = rows.map(y => (y - ybar) * (y - ybar) / (ybar * ybar * y)).sum
+    val pea = rows.map(y => (y - ybar) * (y - ybar) / (ybar * ybar * ybar)).sum
+    assert(math.abs(m.deviance - dev) < 1e-8 * (1 + dev), s"dev=${m.deviance} vs $dev")
+    assert(math.abs(m.pearson - pea) < 1e-8 * (1 + pea))
+    assert(math.abs(m.dispersion - pea / (rows.length - 1)) < 1e-10)
+    // R's profiled inverse-gaussian loglik: −½[n(ln(2π·D/n)+1) + 3Σln y]
+    val n = rows.length
+    val llRef = -0.5 * (n * (math.log(2.0 * math.Pi * dev / n) + 1.0) +
+      3.0 * rows.map(math.log).sum)
+    assert(math.abs(m.loglik - llRef) < 1e-8 * (1 + math.abs(llRef)))
+    assert(math.abs(m.aic - (-2.0 * llRef + 2.0 * 2)) < 1e-6) // p=1 + dispersion
+  }
+
+  test("inverse-gaussian regression zeroes the score equations at convergence") {
+    val m = GLM.fit(gammaFix, Seq("x"), "y", family = "inverse-gaussian")
+    assert(m.deviance < m.nullDeviance)
+    // score_j = Σ (y−μ)/(V(μ)·g'(μ))·x_j must vanish at the MLE
+    // (V = μ³, g' = −2/μ³ for the canonical link → term = −(y−μ)/2 · x_j)
+    val rows = gammaFix.select("x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val scores = Array(0.0, 0.0)
+    rows.foreach { case (x, y) =>
+      val eta = m.coefs(0) + m.coefs(1) * x
+      val mu = 1.0 / math.sqrt(eta)
+      val term = -(y - mu) / 2.0
+      scores(0) += term; scores(1) += term * x
+    }
+    val scale = rows.map(_._2).sum
+    assert(math.abs(scores(0)) < 1e-6 * scale, s"score0=${scores(0)}")
+    assert(math.abs(scores(1)) < 1e-6 * scale, s"score1=${scores(1)}")
+  }
+
+  test("quasipoisson: same beta as poisson, estimated dispersion, NaN loglik/AIC") {
+    val cnt = bern.withColumn("k", floor($"x1" * $"x1" * 3 + 1).cast("double"))
+    val qp = GLM.fit(cnt, Seq("x2"), "k", family = "quasipoisson")
+    val po = GLM.fit(cnt, Seq("x2"), "k", family = "poisson")
+    (0 until 2).foreach(i => assert(math.abs(qp.coefs(i) - po.coefs(i)) < 1e-10,
+      s"coef $i: ${qp.coefs(i)} vs ${po.coefs(i)}"))
+    assert(qp.stdErr.toArray === po.stdErr.toArray) // unscaled kernel SEs equal
+    assert(math.abs(qp.dispersion - po.dispersion) < 1e-10) // same Pearson/df
+    assert(qp.loglik.isNaN && qp.aic.isNaN)
+    assert(!po.loglik.isNaN)
+    // scoring SEs scale by sqrt(dispersion) for the quasi family only
+    val seQ = qp.predictWithSe(cnt.limit(20), scale = "link")
+      .select("se_fit").collect().map(_.getDouble(0))
+    val seP = po.predictWithSe(cnt.limit(20), scale = "link")
+      .select("se_fit").collect().map(_.getDouble(0))
+    val f = math.sqrt(qp.dispersion)
+    seQ.zip(seP).foreach { case (a, b) =>
+      assert(math.abs(a - b * f) < 1e-10 * (1 + a)) }
+  }
+
+  test("quasibinomial: same beta as binomial, NaN loglik") {
+    val qb = GLM.fit(bern, Seq("x1", "x2"), "y", family = "quasibinomial")
+    val bi = GLM.fit(bern, Seq("x1", "x2"), "y")
+    (0 until 3).foreach(i => assert(math.abs(qb.coefs(i) - bi.coefs(i)) < 1e-10))
+    assert(qb.loglik.isNaN && qb.aic.isNaN)
+    assert(math.abs(qb.deviance - bi.deviance) < 1e-10 * (1 + bi.deviance))
+  }
+
+  test("poisson + sqrt link: intercept-only MLE is sqrt(ybar)") {
+    val cnt = bern.withColumn("k", floor($"x1" * $"x1" * 3 + 1).cast("double"))
+      .withColumn("one", lit(1.0))
+    val m = GLM.fit(cnt, Seq("one"), "k", family = "poisson",
+      linkName = "sqrt", intercept = false)
+    val ybar = cnt.agg(avg($"k")).head().getDouble(0)
+    assert(math.abs(m.coefs(0) - math.sqrt(ybar)) < 1e-8, s"${m.coefs(0)}")
+    // and a sloped sqrt-link fit still reduces deviance
+    val s = GLM.fit(cnt, Seq("x2"), "k", family = "poisson", linkName = "sqrt")
+    assert(s.deviance < s.nullDeviance)
+  }
 }

@@ -26,6 +26,31 @@ class GroupedGLMSpec extends SparkSpec {
     }
   }
 
+  test("predictWithSe equals the single-model GLM.predictWithSe per group") {
+    val betas = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "y",
+      kernel = true)
+    Seq("link", "response").foreach { sc =>
+      val scored = GroupedGLM.predictWithSe(betas, li, Seq("l_returnflag"),
+          Seq("l_quantity"), scale = sc)
+        .select($"l_returnflag", $"l_quantity", $"prediction", $"se_fit")
+        .collect()
+      scored.map(_.getString(0)).distinct.foreach { flag =>
+        val sub = li.filter($"l_returnflag" === flag)
+        val m = GLM.fit(sub, Seq("l_quantity"), "y")
+        val ref = m.predictWithSe(sub, scale = sc)
+          .select($"l_quantity", $"prediction", $"se_fit").collect()
+          .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        scored.filter(_.getString(0) == flag).take(20).foreach { r =>
+          val (p, se) = ref(r.getDouble(1))
+          assert(math.abs(r.getDouble(2) - p) < 1e-5 * (1 + math.abs(p)),
+            s"$flag/$sc pred ${r.getDouble(2)} vs $p")
+          assert(math.abs(r.getDouble(3) - se) < 1e-4 * (1 + se),
+            s"$flag/$sc se ${r.getDouble(3)} vs $se")
+        }
+      }
+    }
+  }
+
   test("per-group gaussian fits equal GroupedLM least squares") {
     val glm = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice",
         family = "gaussian")

@@ -70,6 +70,46 @@ class GroupedLMSpec extends SparkSpec {
     assert(row.getDouble(5).isNaN)                   // sigma: 0 residual df
   }
 
+  test("predictWithSe equals the single-model LM.predictWithSe per group") {
+    val betas = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+      "l_extendedprice", kernel = true)
+    val scored = GroupedLM.predictWithSe(betas, li, Seq("l_returnflag"),
+        Seq("l_quantity"), interval = "confidence")
+      .select($"l_returnflag", $"l_quantity", $"prediction", $"se_fit", $"lwr", $"upr")
+      .collect()
+    val flags = scored.map(_.getString(0)).distinct
+    flags.foreach { flag =>
+      val sub = li.filter($"l_returnflag" === flag)
+      val m = LM.fit(sub, Seq("l_quantity"), "l_extendedprice")
+      val ref = m.predictWithSe(sub, interval = "confidence")
+        .select($"l_quantity", $"prediction", $"se_fit", $"lwr", $"upr")
+        .collect()
+        .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      scored.filter(_.getString(0) == flag).take(30).foreach { r =>
+        val (p, se, lw) = ref(r.getDouble(1))
+        assert(math.abs(r.getDouble(2) - p) < 1e-6 * (1 + math.abs(p)), s"$flag pred")
+        assert(math.abs(r.getDouble(3) - se) < 1e-6 * (1 + se), s"$flag se")
+        assert(math.abs(r.getDouble(4) - lw) < 1e-6 * (1 + math.abs(lw)), s"$flag lwr")
+      }
+    }
+  }
+
+  test("predictWithSe marks unknown groups NaN and requires the kernel") {
+    val betas = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+      "l_extendedprice", kernel = true)
+    val alien = Seq(("Z", 10.0)).toDF("l_returnflag", "l_quantity")
+    val r = GroupedLM.predictWithSe(betas, alien, Seq("l_returnflag"),
+      Seq("l_quantity")).select("prediction", "se_fit").head()
+    assert(r.getDouble(0).isNaN && r.getDouble(1).isNaN)
+    val noKernel = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"),
+      "l_extendedprice")
+    val e = intercept[IllegalArgumentException] {
+      GroupedLM.predictWithSe(noKernel, li, Seq("l_returnflag"), Seq("l_quantity"))
+    }
+    assert(e.getMessage.contains("kernel"))
+  }
+
   test("weighted grouped fit honors the weight column") {
     val w2 = li.withColumn("w", lit(2.0))
     val a = GroupedLM.fit(li, Seq("l_returnflag"), Seq("l_quantity"), "l_extendedprice")
