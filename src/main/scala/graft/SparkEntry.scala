@@ -1195,6 +1195,36 @@ object SparkEntry {
           r(avg("prediction"), 3).as("avg_pred"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // tweedie(1.5) compound Poisson-gamma: intercept-only MLE mean is ȳ
+    // (any-family property), so the converged β0 = ln(ȳ) and the power-1.5
+    // unit deviance 2[y^0.5/0.75·(−1)... all pow() arithmetic both engines
+    // share — the fourth variance family's full IRLS hash-gated
+    "q92_tweedie_fit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("one", lit(1.0))
+      val m = GLM.fit(li, Seq("one"), "l_quantity",
+        family = "tweedie(1.5)", intercept = false)
+      import s.implicits._
+      Seq((rd(m.coefs(0), 8), rd(m.deviance, 4), rd(m.pearson, 4),
+        rd(m.dispersion, 8), m.n))
+        .toDF("b_one", "deviance", "pearson", "dispersion", "n_rows")
+    }),
+
+    // negative binomial with fixed θ = 2 (MASS::negative.binomial): the
+    // saturated binary design gives closed-form cell means, and the
+    // negbin deviance at those means is plain ln arithmetic — the
+    // overdispersed-count family hash-gated end-to-end
+    "q93_negbin_fit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x_high", when(col("l_quantity") > 25, 1.0).otherwise(0.0))
+        .withColumn("y", col("l_linenumber").cast("double"))
+      val m = GLM.fit(li, Seq("x_high"), "y", family = "negbin(2.0)")
+      import s.implicits._
+      Seq((rd(math.exp(m.coefs(0)), 6),
+        rd(math.exp(m.coefs(0) + m.coefs(1)), 6),
+        rd(m.deviance, 4), m.n))
+        .toDF("mu_low", "mu_high", "deviance", "n_rows")
     })
   )
 
@@ -2257,6 +2287,45 @@ object SparkEntry {
         |  round(p.pea / (p.n - 2), 8) AS dispersion,
         |  p.n AS n_rows
         |FROM p""".stripMargin,
+
+    // intercept-only tweedie(1.5): μ̂ = ȳ, β0 = ln(ȳ); deviance/Pearson/
+    // dispersion are pow() arithmetic both engines share
+    "q92_tweedie_fit" ->
+      """WITH m AS (SELECT avg(l_quantity) AS yb, count(*) AS n FROM lineitem),
+        |s AS (
+        |  SELECT m.n AS n, m.yb AS yb,
+        |    sum((pow(l.l_quantity, 0.5) / ((1.0 - 1.5) * (2.0 - 1.5))
+        |      - l.l_quantity * pow(m.yb, 1.0 - 1.5) / (1.0 - 1.5)
+        |      + pow(m.yb, 2.0 - 1.5) / (2.0 - 1.5)) * 2.0) AS dev,
+        |    sum((l.l_quantity - m.yb) * (l.l_quantity - m.yb)
+        |        / pow(m.yb, 1.5)) AS pea
+        |  FROM lineitem l CROSS JOIN m
+        |  GROUP BY m.n, m.yb)
+        |SELECT round(ln(yb), 8) AS b_one,
+        |  round(dev, 4) AS deviance,
+        |  round(pea, 4) AS pearson,
+        |  round(pea / (n - 1), 8) AS dispersion,
+        |  n AS n_rows
+        |FROM s""".stripMargin,
+
+    // saturated negbin(2): cell means are cell averages; the deviance at
+    // those means is plain ln arithmetic
+    "q93_negbin_fit" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS xh,
+        |    CAST(l_linenumber AS DOUBLE) AS y
+        |  FROM lineitem),
+        |a AS (SELECT xh, avg(y) AS mu FROM c GROUP BY xh),
+        |d AS (
+        |  SELECT sum(2.0 * (CASE WHEN c.y > 0 THEN c.y * ln(c.y / a.mu) ELSE 0.0 END
+        |      - (c.y + 2.0) * ln((c.y + 2.0) / (a.mu + 2.0)))) AS dev,
+        |    count(*) AS n
+        |  FROM c JOIN a USING (xh))
+        |SELECT round((SELECT mu FROM a WHERE xh = 0), 6) AS mu_low,
+        |  round((SELECT mu FROM a WHERE xh = 1), 6) AS mu_high,
+        |  round(d.dev, 4) AS deviance,
+        |  d.n AS n_rows
+        |FROM d""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

@@ -22,6 +22,9 @@ sealed trait Family extends Serializable {
 }
 
 object Family {
+  private val TweedieRe = """tweedie\((\d+(?:\.\d+)?)\)""".r
+  private val NegBinRe = """(?:negbin|negative-binomial)\((\d+(?:\.\d+)?)\)""".r
+
   def apply(name: String): Family = name.toLowerCase match {
     case "binomial"                      => BinomialFamily
     case "poisson"                       => PoissonFamily
@@ -30,9 +33,13 @@ object Family {
     case "inverse-gaussian" | "inverse.gaussian" => InverseGaussianFamily
     case "quasipoisson"                  => QuasiPoissonFamily
     case "quasibinomial"                 => QuasiBinomialFamily
+    case "tweedie"                       => TweedieFamily(1.5)
+    case TweedieRe(p)                    => TweedieFamily(p.toDouble)
+    case NegBinRe(th)                    => NegBinFamily(th.toDouble)
     case other => throw new IllegalArgumentException(
       s"unknown family: $other (binomial | poisson | gaussian | gamma | " +
-        "inverse-gaussian | quasipoisson | quasibinomial)")
+        "inverse-gaussian | quasipoisson | quasibinomial | tweedie(p) | " +
+        "negbin(theta))")
   }
 
   private val eps = 1e-10
@@ -144,5 +151,52 @@ object Family {
     def logLik(y: Column, mu: Column, m: Column): Column = lit(Double.NaN)
     def initMu(y: Column, m: Column): Column = BinomialFamily.initMu(y, m)
     def clampMu(mu: Column, m: Column): Column = BinomialFamily.clampMu(mu, m)
+  }
+
+  /** Tweedie with variance power p ∈ (1, 2) (compound Poisson-gamma: y ≥ 0
+    * with positive mass at zero — the insurance/claims-cost family). Unit
+    * deviance 2[y²⁻ᵖ/((1−p)(2−p)) − y·μ¹⁻ᵖ/(1−p) + μ²⁻ᵖ/(2−p)] (each term
+    * well-defined at y = 0 for p < 2). The log-likelihood is an infinite
+    * series with no closed form (R needs `tweedie::dtweedie`), so loglik/
+    * AIC are NaN and the dispersion is Pearson-estimated, quasi-style —
+    * exactly how R's `statmod::tweedie` family behaves inside `glm`.
+    */
+  final case class TweedieFamily(power: Double) extends Family {
+    require(power > 1.0 && power < 2.0,
+      s"tweedie variance power must be in (1, 2), got $power")
+    val name = s"tweedie($power)"
+    val defaultLink = "log"
+    def variance(mu: Column, m: Column): Column = pow(mu, power)
+    def deviance(y: Column, mu: Column, m: Column): Column =
+      (pow(y, 2.0 - power) / ((1.0 - power) * (2.0 - power))
+        - y * pow(mu, 1.0 - power) / (1.0 - power)
+        + pow(mu, 2.0 - power) / (2.0 - power)) * 2.0
+    def logLik(y: Column, mu: Column, m: Column): Column = lit(Double.NaN)
+    def initMu(y: Column, m: Column): Column = greatest(y, lit(0.1))
+    def clampMu(mu: Column, m: Column): Column =
+      greatest(least(mu, lit(1e15)), lit(eps))
+  }
+
+  /** Negative binomial with FIXED shape θ (R's `MASS::negative.binomial
+    * (theta)` family — `glm.nb`'s inner loop at a given θ): V(μ) = μ + μ²/θ,
+    * log link default. Unit deviance 2[y·ln(y/μ) − (y+θ)·ln((y+θ)/(μ+θ))];
+    * log-likelihood ln Γ(y+θ) − ln Γ(θ) − ln Γ(y+1) + y·ln(μ/(μ+θ)) +
+    * θ·ln(θ/(μ+θ)) (the θ-profiling outer loop of glm.nb is out of scope —
+    * pass the θ you want).
+    */
+  final case class NegBinFamily(theta: Double) extends Family {
+    require(theta > 0, s"negbin theta must be > 0, got $theta")
+    val name = s"negbin($theta)"
+    val defaultLink = "log"
+    def variance(mu: Column, m: Column): Column = mu + mu * mu / theta
+    def deviance(y: Column, mu: Column, m: Column): Column =
+      (when(y > 0, y * log(y / mu)).otherwise(lit(0.0)) -
+        (y + theta) * log((y + theta) / (mu + theta))) * 2.0
+    def logLik(y: Column, mu: Column, m: Column): Column =
+      GLM.logGammaRatio(y, lit(theta)) - GLM.logFactorial(y) +
+        y * log(mu / (mu + theta)) + lit(theta) * log(lit(theta) / (mu + theta))
+    def initMu(y: Column, m: Column): Column = y + 0.1
+    def clampMu(mu: Column, m: Column): Column =
+      greatest(least(mu, lit(1e15)), lit(eps))
   }
 }

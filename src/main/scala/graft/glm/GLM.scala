@@ -131,7 +131,8 @@ final class GLMModel(
     val dispFactor = family match {
       case "gaussian" | "gamma" | "inverse-gaussian" |
            "quasipoisson" | "quasibinomial" => math.sqrt(dispersion)
-      case _ => 1.0
+      case f if f.startsWith("tweedie") => math.sqrt(dispersion)
+      case _ => 1.0 // binomial, poisson, negbin(θ): dispersion fixed at 1
     }
     val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
     val off = offsetCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(0.0))
@@ -225,6 +226,13 @@ object GLM {
   /** ln y! via log-gamma (Poisson log-likelihood). */
   val logFactorial = udf { (y: Double) => Gamma.logGamma(y + 1.0) }
 
+  /** ln Γ(y+θ) − ln Γ(θ), for the negative-binomial log-likelihood
+    * ([[Family.NegBinFamily]]).
+    */
+  val logGammaRatio = udf { (y: Double, theta: Double) =>
+    Gamma.logGamma(y + theta) - Gamma.logGamma(theta)
+  }
+
   /** Binomial deviance contribution of one row
     * (reference: GLM.scala:162-170 `devBinomial`).
     */
@@ -241,7 +249,8 @@ object GLM {
     * @param xCols     feature column names (numeric)
     * @param yCol      response: successes (counts in [0, m]; 0/1 when m = 1)
     * @param family    binomial | poisson | gaussian | gamma |
-    *                  inverse-gaussian | quasipoisson | quasibinomial
+    *                  inverse-gaussian | quasipoisson | quasibinomial |
+    *                  tweedie(p) | negbin(theta)
     *                  (the reference's family dispatch is vacuous — every
     *                  branch routes to binomial, reference:
     *                  GLM.scala:95-99,486-490 — binomial is the parity

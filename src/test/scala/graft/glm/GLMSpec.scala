@@ -444,6 +444,59 @@ class GLMSpec extends SparkSpec {
     assert(math.abs(qb.deviance - bi.deviance) < 1e-10 * (1 + bi.deviance))
   }
 
+  test("tweedie(1.5): intercept-only MLE is ybar; deviance matches a local computation") {
+    // counts with zeros — the compound Poisson-gamma support
+    val cnt = bern.withColumn("k", floor($"x1" * $"x1" * 2).cast("double"))
+      .withColumn("one", lit(1.0))
+    val m = GLM.fit(cnt, Seq("one"), "k", family = "tweedie(1.5)", intercept = false)
+    val ys = cnt.select("k").collect().map(_.getDouble(0))
+    val ybar = ys.sum / ys.length
+    // log link: b0 = ln(ybar) (intercept-only MLE is the mean, any family)
+    assert(math.abs(m.coefs(0) - math.log(ybar)) < 1e-7, s"${m.coefs(0)}")
+    val p = 1.5
+    val devRef = ys.map(y => 2.0 * (math.pow(y, 2 - p) / ((1 - p) * (2 - p))
+      - y * math.pow(ybar, 1 - p) / (1 - p) + math.pow(ybar, 2 - p) / (2 - p))).sum
+    assert(math.abs(m.deviance - devRef) < 1e-6 * (1 + devRef),
+      s"dev=${m.deviance} vs $devRef")
+    assert(m.loglik.isNaN && m.aic.isNaN) // no closed-form tweedie density
+    assert(m.family === "tweedie(1.5)")
+    // a sloped fit reduces deviance and scoring SEs scale by sqrt(disp)
+    val s = GLM.fit(cnt, Seq("x2"), "k", family = "tweedie(1.5)")
+    assert(s.deviance < s.nullDeviance)
+    val se = s.predictWithSe(cnt.limit(5)).select("se_fit").collect()
+    assert(se.forall(r => r.getDouble(0) > 0))
+  }
+
+  test("negbin(theta): intercept-only MLE is ybar; theta -> inf approaches poisson") {
+    val cnt = bern.withColumn("k", floor($"x1" * $"x1" * 3 + 1).cast("double"))
+      .withColumn("one", lit(1.0))
+    val m = GLM.fit(cnt, Seq("one"), "k", family = "negbin(2.0)", intercept = false)
+    val ybar = cnt.agg(avg($"k")).head().getDouble(0)
+    assert(math.abs(m.coefs(0) - math.log(ybar)) < 1e-7)
+    // deviance against a local computation at mu = ybar
+    val ys = cnt.select("k").collect().map(_.getDouble(0))
+    val th = 2.0
+    val devRef = ys.map { y =>
+      val t1 = if (y > 0) y * math.log(y / ybar) else 0.0
+      2.0 * (t1 - (y + th) * math.log((y + th) / (ybar + th)))
+    }.sum
+    assert(math.abs(m.deviance - devRef) < 1e-6 * (1 + devRef))
+    // loglik is the exact negative-binomial density sum
+    val llRef = ys.map { y =>
+      org.apache.commons.math3.special.Gamma.logGamma(y + th) -
+        org.apache.commons.math3.special.Gamma.logGamma(th) -
+        org.apache.commons.math3.special.Gamma.logGamma(y + 1.0) +
+        y * math.log(ybar / (ybar + th)) + th * math.log(th / (ybar + th))
+    }.sum
+    assert(math.abs(m.loglik - llRef) < 1e-6 * (1 + math.abs(llRef)))
+    // theta -> infinity: V = mu + mu^2/theta -> mu, the poisson limit
+    val big = GLM.fit(cnt, Seq("x2"), "k", family = "negbin(100000.0)")
+    val po = GLM.fit(cnt, Seq("x2"), "k", family = "poisson")
+    (0 until 2).foreach(i =>
+      assert(math.abs(big.coefs(i) - po.coefs(i)) < 1e-3 * (1 + math.abs(po.coefs(i))),
+        s"coef $i: ${big.coefs(i)} vs ${po.coefs(i)}"))
+  }
+
   test("poisson + sqrt link: intercept-only MLE is sqrt(ybar)") {
     val cnt = bern.withColumn("k", floor($"x1" * $"x1" * 3 + 1).cast("double"))
       .withColumn("one", lit(1.0))
