@@ -1225,6 +1225,56 @@ object SparkEntry {
         rd(math.exp(m.coefs(0) + m.coefs(1)), 6),
         rd(m.deviance, 4), m.n))
         .toDF("mu_low", "mu_high", "deviance", "n_rows")
+    }),
+
+    // LM influence diagnostics (hatvalues / rstandard / rstudent /
+    // cooks.distance) as one literal-kernel projection; oracle = the simple-
+    // regression closed forms h = 1/n + (x−x̄)²/Sxx etc. over the same data
+    "q94_lm_diagnostics" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = LM.fit(li, Seq("l_quantity"), "l_extendedprice")
+      m.diagnostics(li)
+        .groupBy("l_returnflag")
+        .agg(r(sum("hat"), 6).as("sum_hat"),
+          r(avg(abs(col("std_resid"))), 6).as("avg_abs_std"),
+          r(avg("cooks_d"), 8).as("avg_cooks"),
+          r(avg("student_resid"), 8).as("avg_student"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ridge regression: penalized normal equations off the same single Gram
+    // pass as q18; oracle = the 2×2 Cramer solve with the (Sxx+λ) penalized
+    // diagonal, intercept unpenalized
+    "q95_ridge_fit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = LM.fitRidge(li, Seq("l_quantity"), "l_extendedprice",
+        lambda = 5e6)
+      import s.implicits._
+      Seq((rd(m.coefs(0), 6), rd(m.coefs(1), 8), rd(m.sigma, 4),
+        rd(m.r2, 8), m.n))
+        .toDF("b0", "b1", "sigma", "r2", "n_rows")
+    }),
+
+    // GLM residuals (R residuals.glm): intercept-only poisson has the
+    // closed-form MLE μ̂ = ȳ, so per-group sums of pearson²/deviance² and
+    // means of working/response residuals are plain SQL arithmetic
+    "q96_glm_residuals" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("one", lit(1.0))
+        .withColumn("y", col("l_linenumber").cast("double"))
+      val m = GLM.fit(li, Seq("one"), "y", family = "poisson",
+        intercept = false)
+      val withAll = Seq("pearson" -> "r_p", "deviance" -> "r_d",
+        "working" -> "r_w", "response" -> "r_r")
+        .foldLeft(li) { case (d, (ty, c)) => m.residuals(d, ty, outputCol = c) }
+      withAll.groupBy("l_returnflag")
+        .agg(r(sum(col("r_p") * col("r_p")), 6).as("chi2"),
+          r(sum(col("r_d") * col("r_d")), 6).as("dev2"),
+          r(avg("r_w"), 8).as("avg_working"),
+          r(avg("r_r"), 8).as("avg_response"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2326,6 +2376,83 @@ object SparkEntry {
         |  round(d.dev, 4) AS deviance,
         |  d.n AS n_rows
         |FROM d""".stripMargin,
+
+    // simple-regression influence closed forms: h = 1/n + (x−x̄)²/Sxx,
+    // rstandard = e/(σ√(1−h)), rstudent uses the leave-one-out
+    // σ²₍ᵢ₎ = ((n−2)σ² − e²/(1−h))/(n−3), Cook's D = rstandard²·h/(2(1−h))
+    "q94_lm_diagnostics" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, mx, my, xx - n * mx * mx AS sxx,
+        |    xy - n * mx * my AS sxy, yy - n * my * my AS syy
+        |  FROM m),
+        |s AS (
+        |  SELECT n, mx, sxx, sxy / sxx AS b1, my - (sxy / sxx) * mx AS b0,
+        |    sqrt((syy - sxy * sxy / sxx) / (n - 2)) AS sigma
+        |  FROM c),
+        |r AS (
+        |  SELECT l.l_returnflag, s.n AS n, s.sigma AS sigma,
+        |    l.l_extendedprice - (s.b0 + s.b1 * l.l_quantity) AS e,
+        |    1.0 / s.n + (l.l_quantity - s.mx) * (l.l_quantity - s.mx) / s.sxx AS h
+        |  FROM lineitem l CROSS JOIN s)
+        |SELECT l_returnflag,
+        |  round(sum(h), 6) AS sum_hat,
+        |  round(avg(abs(e / (sigma * sqrt(1.0 - h)))), 6) AS avg_abs_std,
+        |  round(avg((e * e / (sigma * sigma * (1.0 - h))) / 2.0
+        |    * h / (1.0 - h)), 8) AS avg_cooks,
+        |  round(avg(e / sqrt(((n - 2) * sigma * sigma - e * e / (1.0 - h))
+        |    / (n - 3) * (1.0 - h))), 8) AS avg_student,
+        |  count(*) AS n_rows
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // penalized 2×2 normal equations by Cramer's rule: only the slope's
+    // diagonal entry carries +λ (the intercept is unpenalized); SSE must use
+    // the full quadratic (the OLS shortcut is invalid for a penalized β)
+    "q95_ridge_fit" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT n, sx, sy, xx, xy, yy,
+        |    ((xx + 5000000.0) * sy - sx * xy) / (n * (xx + 5000000.0) - sx * sx) AS b0,
+        |    (n * xy - sx * sy) / (n * (xx + 5000000.0) - sx * sx) AS b1
+        |  FROM m),
+        |e AS (
+        |  SELECT n, b0, b1,
+        |    yy - 2.0 * (b0 * sy + b1 * xy)
+        |      + (b0 * b0 * n + 2.0 * b0 * b1 * sx + b1 * b1 * xx) AS sse,
+        |    yy - sy * sy / n AS tss
+        |  FROM b)
+        |SELECT round(b0, 6) AS b0, round(b1, 8) AS b1,
+        |  round(sqrt(sse / (n - 2)), 4) AS sigma,
+        |  round(1.0 - sse / tss, 8) AS r2,
+        |  n AS n_rows
+        |FROM e""".stripMargin,
+
+    // intercept-only poisson: μ̂ = ȳ exactly, so pearson²/deviance²/working/
+    // response residual aggregates are closed-form; the y = 0 unit deviance
+    // is 2μ (same CASE convention as q44)
+    "q96_glm_residuals" ->
+      """WITH m AS (SELECT avg(CAST(l_linenumber AS DOUBLE)) AS mu FROM lineitem),
+        |r AS (
+        |  SELECT l.l_returnflag, CAST(l.l_linenumber AS DOUBLE) AS y, m.mu AS mu
+        |  FROM lineitem l CROSS JOIN m)
+        |SELECT l_returnflag,
+        |  round(sum((y - mu) * (y - mu) / mu), 6) AS chi2,
+        |  round(sum(CASE WHEN y > 0 THEN 2.0 * (y * ln(y / mu) - (y - mu))
+        |    ELSE 2.0 * mu END), 6) AS dev2,
+        |  round(avg((y - mu) / mu), 8) AS avg_working,
+        |  round(avg(y - mu), 8) AS avg_response,
+        |  count(*) AS n_rows
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

@@ -144,6 +144,41 @@ final class GLMModel(
     aligned.withColumn("prediction", mu).withColumn("se_fit", se)
   }
 
+  /** Per-row residuals — R `residuals.glm` types, each a single
+    * literal-coefficient codegen'd projection over the family's column
+    * expressions (no materialized μ, no second pass):
+    *
+    *   response  = y − μ
+    *   pearson   = (y − μ) / √V(μ)          (unscaled by dispersion, as R)
+    *   deviance  = sign(y − μ)·√d_i          (d_i = per-row unit deviance;
+    *                                          Σ deviance² = model deviance)
+    *   working   = (y − μ)·(dη/dμ)           (the IRLS working residual)
+    *
+    * For binomial fits with `mCol`, y and μ are on the COUNT scale (0..m),
+    * matching this engine's fit convention; at m = 1 all four types agree
+    * with R exactly. `df` must carry the label column.
+    */
+  def residuals(df: DataFrame, rtype: String = "deviance",
+      mCol: Option[String] = None, offsetCol: Option[String] = None,
+      outputCol: String = "residual"): DataFrame = {
+    require(Seq("response", "pearson", "deviance", "working").contains(rtype),
+      s"rtype must be response|pearson|deviance|working, got $rtype")
+    val fam = Family(family)
+    val aligned = ModelMatrix.matchCols(featureNames.toSeq, df)
+    val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val off = offsetCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(0.0))
+    val mu = link.inverse(linearPredictor + off, m)
+    val y = col(yname).cast(DoubleType)
+    val raw = y - mu
+    val resid = rtype match {
+      case "response" => raw
+      case "pearson"  => raw / sqrt(fam.variance(mu, m))
+      case "deviance" => signum(raw) * sqrt(greatest(fam.deviance(y, mu, m), lit(0.0)))
+      case "working"  => raw * link.lprime(mu, m)
+    }
+    aligned.withColumn(outputCol, resid)
+  }
+
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
     (if (intercept) "" else " - 1")
 

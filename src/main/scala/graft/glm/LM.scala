@@ -127,6 +127,39 @@ final class LMModel(
     }
   }
 
+  /** Per-row influence diagnostics — R's `hatvalues` / `rstandard` /
+    * `rstudent` / `cooks.distance` as ONE literal-kernel codegen'd
+    * projection (no residual materialization, no second pass):
+    *
+    *   h_i        = w_i·x_iᵀ(XᵀWX)⁻¹x_i                (leverage; Σh = p)
+    *   std_resid  = e_i√w_i / (σ̂·√(1−h_i))            (rstandard)
+    *   student    = e_i√w_i / (σ̂₍ᵢ₎·√(1−h_i)),         (rstudent)
+    *     σ̂₍ᵢ₎² = (dfe·σ̂² − w_i e_i²/(1−h_i)) / (dfe−1)  (leave-one-out σ)
+    *   cooks_d    = (std_resid²/p) · h_i/(1−h_i)
+    *
+    * `df` must carry the label column; `weightCol` must be the training
+    * weights for a WLS fit (unit otherwise). The reference has no influence
+    * measures at all — this is the summary-table half of R lm the reference
+    * skipped (reference: LM.scala:66-137 stops at coefficient stats).
+    */
+  def diagnostics(df: DataFrame, weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+    val e = col(yname).cast(DoubleType) - col("prediction")
+    val h = w * varQuadExpr
+    val dfe = dfResidual.toDouble
+    // guard h→1 (exactly-determined rows): residual is 0 there and R
+    // returns NaN for the scaled residuals — 1−h stays in the denominator
+    val oneMinusH = lit(1.0) - h
+    val std = e * sqrt(w) / (lit(sigma) * sqrt(oneMinusH))
+    val sig2LOO = (lit(dfe * sigma * sigma) - w * e * e / oneMinusH) / lit(dfe - 1.0)
+    predict(df)
+      .withColumn("residual", e)
+      .withColumn("hat", h)
+      .withColumn("std_resid", std)
+      .withColumn("student_resid", e * sqrt(w) / sqrt(sig2LOO * oneMinusH))
+      .withColumn("cooks_d", (std * std / lit(p.toDouble)) * (h / oneMinusH))
+  }
+
   def formulaString: String = s"$yname ~ ${featureNames.mkString(" + ")}" +
     (if (intercept) "" else " - 1")
 
@@ -232,6 +265,63 @@ object LM {
     val f = if (p > 1) (ssm / (p - 1)) / sigma2 else Double.NaN
 
     new LMModel(names, yCol, intercept, beta, se, math.sqrt(sigma2), r2, adjR2, f, g.n, ixtx)
+  }
+
+  /** L2-regularized (ridge) least squares off the SAME single Gram pass as
+    * [[fit]] — the penalty is a driver-side diagonal add, so regularization
+    * costs zero extra cluster work:
+    *
+    *   β = (XᵀWX + λ·I′)⁻¹ XᵀWy,   I′ = identity with a 0 in the intercept
+    *                                slot (the intercept is never penalized)
+    *
+    * Textbook penalized normal equations on the raw (unstandardized)
+    * columns — NOT MASS::lm.ridge, which rescales x by population SDs
+    * first; standardize beforehand if that behavior is wanted. λ = 0
+    * reduces bit-exactly to [[fit]] (spec-gated).
+    *
+    * Reported inference follows the classical fixed-λ results:
+    * SSE uses the full quadratic yᵀWy − 2βᵀXᵀWy + βᵀ(XᵀWX)β (the OLS
+    * normal-equations shortcut is INVALID for a penalized β), σ̂² = SSE/(n−p),
+    * and std errors come from the sandwich σ̂²·(XᵀWX+λI′)⁻¹XᵀWX(XᵀWX+λI′)⁻¹.
+    * The stored scoring kernel is that sandwich (sans σ²), so
+    * `predictWithSe` gives the ridge-correct se.fit.
+    */
+  def fitRidge(
+      df: DataFrame,
+      xCols: Seq[String],
+      yCol: String,
+      lambda: Double,
+      intercept: Boolean = true,
+      weightCol: Option[String] = None): LMModel = {
+    require(xCols.nonEmpty, "at least one feature column required")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val xs: Seq[Column] =
+      (if (intercept) Seq(lit(1.0)) else Nil) ++ xCols.map(c => col(c).cast(DoubleType))
+    val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray
+    val w = weightCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
+
+    val g = Gram.normal(df, xs, col(yCol).cast(DoubleType), w)
+    val p = g.p
+    require(g.n > p, s"need more rows (${g.n}) than parameters ($p)")
+
+    val pen = g.xtx.copy
+    val start = if (intercept) 1 else 0
+    for (i <- start until p) pen(i, i) += lambda
+    val beta = LinAlg.solvePD(pen, g.xty)
+    val sse = math.max(0.0,
+      g.yty - 2.0 * (beta dot g.xty) + (beta dot (g.xtx * beta)))
+    val tss = if (intercept) g.yty - g.ySum * g.ySum / g.wSum else g.yty
+    val dfe = (g.n - p).toDouble
+    val sigma2 = sse / dfe
+    val ipen = LinAlg.invPD(pen)
+    val sandwich = ipen * g.xtx * ipen
+    val se = BDV.tabulate(p)(i => math.sqrt(sigma2 * sandwich(i, i)))
+    val r2 = if (tss > 0) (tss - sse) / tss else Double.NaN
+    val adjR2 = 1.0 - (1.0 - r2) * (g.n - (if (intercept) 1 else 0)).toDouble / dfe
+    val f = if (p > 1) ((tss - sse) / (p - 1)) / sigma2 else Double.NaN
+
+    new LMModel(names, yCol, intercept, beta, se, math.sqrt(sigma2), r2, adjR2, f,
+      g.n, sandwich)
   }
 
   /** Formula front-end: dummy-encodes string columns via [[ModelMatrix]]

@@ -508,4 +508,37 @@ class GLMSpec extends SparkSpec {
     val s = GLM.fit(cnt, Seq("x2"), "k", family = "poisson", linkName = "sqrt")
     assert(s.deviance < s.nullDeviance)
   }
+
+  test("residuals: deviance² sums to the model deviance, pearson² to the Pearson stat") {
+    val m = GLM.fit(bern, Seq("x1", "x2"), "y")
+    val rd = m.residuals(bern, "deviance", outputCol = "r")
+      .agg(sum($"r" * $"r")).head().getDouble(0)
+    assert(math.abs(rd - m.deviance) < 1e-6 * (1 + m.deviance), s"$rd vs ${m.deviance}")
+    val rp = m.residuals(bern, "pearson", outputCol = "r")
+      .agg(sum($"r" * $"r")).head().getDouble(0)
+    assert(math.abs(rp - m.pearson) < 1e-6 * (1 + m.pearson), s"$rp vs ${m.pearson}")
+    // binomial m=1 pearson residual is (y−μ)/√(μ(1−μ)); spot-check rows
+    val rows = m.residuals(m.predict(bern), "pearson", outputCol = "r")
+      .select($"y", $"prediction", $"r").limit(20).collect()
+    rows.foreach { r =>
+      val (y, mu) = (r.getDouble(0), r.getDouble(1))
+      val ref = (y - mu) / math.sqrt(mu * (1.0 - mu))
+      assert(math.abs(r.getDouble(2) - ref) < 1e-10)
+    }
+  }
+
+  test("residuals: gaussian identity makes all four types equal y − μ") {
+    val g = bern.withColumn("yy", $"x1" * 2.0 + $"x2" + $"y") // any numeric response
+    val m = GLM.fit(g, Seq("x1", "x2"), "yy", family = "gaussian")
+    val types = Seq("response", "pearson", "deviance", "working")
+    val agg = types.foldLeft(g) { case (d, ty) =>
+      m.residuals(d, ty, outputCol = s"r_$ty")
+    }.agg(
+      sum(abs(col("r_response") - col("r_pearson"))),
+      sum(abs(col("r_response") - col("r_deviance"))),
+      sum(abs(col("r_response") - col("r_working"))),
+      sum(abs(col("r_response") - (col("yy") - col("x1") * m.coefs(1)
+        - col("x2") * m.coefs(2) - m.coefs(0))))).head()
+    (0 until 4).foreach(i => assert(agg.getDouble(i) < 1e-6, s"slot $i: ${agg.getDouble(i)}"))
+  }
 }

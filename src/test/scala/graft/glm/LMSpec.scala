@@ -272,4 +272,64 @@ class LMSpec extends SparkSpec {
     assert(math.abs(gExpr.xtx(1, 2) - gWide.xtx(1, 2)) < 1e-6)
     assert(gExpr.n == gWide.n)
   }
+
+  test("diagnostics match the simple-regression closed forms; hat sums to p") {
+    val m = LM.fit(data, Seq("x1"), "y")
+    val d = m.diagnostics(data)
+      .select($"x1", $"y", $"residual", $"hat", $"std_resid",
+        $"student_resid", $"cooks_d").collect()
+    val n = d.length.toDouble
+    val xs = d.map(_.getDouble(0))
+    val mx = xs.sum / n
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val dfe = n - 2.0
+    // independent per-row closed forms: h = 1/n + (x−x̄)²/Sxx, rstandard,
+    // rstudent with the leave-one-out σ, Cook's D
+    d.take(50).foreach { r =>
+      val (x, y, e, h) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val hRef = 1.0 / n + (x - mx) * (x - mx) / sxx
+      assert(math.abs(h - hRef) < 1e-10, s"hat: $h vs $hRef")
+      val stdRef = e / (m.sigma * math.sqrt(1.0 - hRef))
+      assert(math.abs(r.getDouble(4) - stdRef) < 1e-8)
+      val s2i = (dfe * m.sigma * m.sigma - e * e / (1.0 - hRef)) / (dfe - 1.0)
+      assert(math.abs(r.getDouble(5) - e / math.sqrt(s2i * (1.0 - hRef))) < 1e-8)
+      assert(math.abs(r.getDouble(6) - stdRef * stdRef / 2.0 * hRef / (1.0 - hRef)) < 1e-10)
+    }
+    assert(math.abs(d.map(_.getDouble(3)).sum - m.p) < 1e-8) // Σh = p
+  }
+
+  test("diagnostics under WLS use weighted leverage and scaled residuals") {
+    val weighted = data.withColumn("w", lit(1.0) + col("id") % 4)
+    val m = LM.fit(weighted, Seq("x1", "x2"), "y", weightCol = Some("w"))
+    val rows = m.diagnostics(weighted, weightCol = Some("w"))
+      .select($"hat", $"std_resid").collect()
+    assert(math.abs(rows.map(_.getDouble(0)).sum - m.p) < 1e-8) // Σ wᵢhᵢ* = p
+    // standardized residuals of a well-specified fit are ~N(0,1): the
+    // scale check guards the √w factor (unweighted residuals would be off)
+    val sd = math.sqrt(rows.map(r => math.pow(r.getDouble(1), 2)).sum / rows.length)
+    assert(sd > 0.8 && sd < 1.2, s"std_resid scale $sd")
+  }
+
+  test("ridge at lambda=0 equals OLS; lambda>0 shrinks and matches a local solve") {
+    val ols = LM.fit(data, Seq("x1", "x2"), "y")
+    val r0 = LM.fitRidge(data, Seq("x1", "x2"), "y", lambda = 0.0)
+    (0 until 3).foreach(i => assert(math.abs(r0.coefs(i) - ols.coefs(i)) < 1e-10))
+    assert(math.abs(r0.sigma - ols.sigma) < 1e-10)
+    assert(math.abs(r0.stdErr(1) - ols.stdErr(1)) < 1e-10) // sandwich → plain at λ=0
+
+    val lam = 50.0
+    val m = LM.fitRidge(data, Seq("x1", "x2"), "y", lambda = lam)
+    val rows = data.select($"x1", $"x2", $"y").collect()
+    val x = BDM.tabulate(rows.length, 3)((i, j) =>
+      if (j == 0) 1.0 else rows(i).getDouble(j - 1))
+    val yv = BDV(rows.map(_.getDouble(2)))
+    val pen = x.t * x
+    pen(1, 1) += lam; pen(2, 2) += lam
+    val local = pen \ (x.t * yv)
+    (0 until 3).foreach(i => assert(math.abs(m.coefs(i) - local(i)) < 1e-8,
+      s"ridge coef $i: ${m.coefs(i)} vs ${local(i)}"))
+    // shrinkage: penalized slopes are strictly smaller in magnitude
+    assert(math.abs(m.coefs(1)) < math.abs(ols.coefs(1)))
+    assert(math.abs(m.coefs(2)) < math.abs(ols.coefs(2)))
+  }
 }
