@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix}
+import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix}
 import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
 import graft.streaming.StreamOps
 
@@ -1275,6 +1275,34 @@ object SparkEntry {
           r(avg("r_r"), 8).as("avg_response"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // k-fold CV in two passes: per-fold Gram blocks, out-of-fold betas by
+    // complement subtraction, one scoring scan. Folds are content-keyed
+    // (md5 of the line PK — the q63 mechanism), so DuckDB assigns
+    // identically; oracle = per-fold complement 2×2 solves + test MSE
+    "q97_lm_cv" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val digit = substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"))), 32, 1)
+      val fold = when(digit < "4", 0).when(digit < "8", 1)
+        .when(digit < "c", 2).otherwise(3)
+      CrossVal.lmCV(li, Seq("l_quantity"), "l_extendedprice", fold)
+        .select(col("fold"), col("n_train"), col("n_test"),
+          r(col("mse"), 3).as("mse"), r(col("rmse"), 4).as("rmse"))
+        .orderBy("fold")
+    }),
+
+    // lasso by driver-side coordinate descent over the single Gram pass;
+    // for one predictor the CD fixed point IS the soft-threshold closed
+    // form S(Cxy/n, λ)/(Cxx/n) — plain SQL arithmetic
+    "q98_lasso_fit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = ElasticNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+        lambda = 50000.0, alpha = 1.0)
+      import s.implicits._
+      Seq((rd(m.coefs(0), 6), rd(m.coefs(1), 8), rd(m.r2, 8), m.n))
+        .toDF("b0", "b1", "r2", "n_rows")
     })
   )
 
@@ -2453,6 +2481,62 @@ object SparkEntry {
         |  round(avg(y - mu), 8) AS avg_response,
         |  count(*) AS n_rows
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // out-of-fold betas from COMPLEMENT Gram sums (total − fold), then the
+    // held-out MSE — the same two-pass algebra the Spark side runs
+    "q97_lm_cv" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN d < '4' THEN 0 WHEN d < '8' THEN 1
+        |              WHEN d < 'c' THEN 2 ELSE 3 END AS fold,
+        |    l_quantity AS x, l_extendedprice AS y
+        |  FROM (SELECT substr(md5(concat_ws('-', l_orderkey, l_linenumber)), 32, 1) AS d,
+        |          l_quantity, l_extendedprice FROM lineitem)),
+        |g AS (
+        |  SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS xx, sum(x * y) AS xy
+        |  FROM f GROUP BY fold),
+        |tot AS (
+        |  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        |    sum(xx) AS xx, sum(xy) AS xy
+        |  FROM g),
+        |b AS (
+        |  SELECT g.fold, CAST(tot.n - g.n AS BIGINT) AS n_train,
+        |    CAST(g.n AS BIGINT) AS n_test,
+        |    ((tot.n - g.n) * (tot.xy - g.xy) - (tot.sx - g.sx) * (tot.sy - g.sy))
+        |      / ((tot.n - g.n) * (tot.xx - g.xx) - (tot.sx - g.sx) * (tot.sx - g.sx)) AS b1,
+        |    ((tot.sy - g.sy) - ((tot.n - g.n) * (tot.xy - g.xy) - (tot.sx - g.sx) * (tot.sy - g.sy))
+        |      / ((tot.n - g.n) * (tot.xx - g.xx) - (tot.sx - g.sx) * (tot.sx - g.sx)) * (tot.sx - g.sx))
+        |      / (tot.n - g.n) AS b0
+        |  FROM g CROSS JOIN tot)
+        |SELECT f.fold, b.n_train, b.n_test,
+        |  round(avg((f.y - b.b0 - b.b1 * f.x) * (f.y - b.b0 - b.b1 * f.x)), 3) AS mse,
+        |  round(sqrt(avg((f.y - b.b0 - b.b1 * f.x) * (f.y - b.b0 - b.b1 * f.x))), 4) AS rmse
+        |FROM f JOIN b USING (fold)
+        |GROUP BY f.fold, b.n_train, b.n_test
+        |ORDER BY f.fold""".stripMargin,
+
+    // single-predictor lasso closed form: centered moments, soft-threshold
+    // at λ, intercept from the weighted means
+    "q98_lasso_fit" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, sx / n AS mx, sy / n AS my,
+        |    xx - sx * sx / n AS cxx, xy - sx * sy / n AS cxy,
+        |    yy - sy * sy / n AS cyy
+        |  FROM m),
+        |b AS (
+        |  SELECT n, mx, my, cxx, cxy, cyy,
+        |    sign(cxy) * greatest(abs(cxy) / n - 50000.0, 0.0) / (cxx / n) AS b1
+        |  FROM c)
+        |SELECT round(my - b1 * mx, 6) AS b0, round(b1, 8) AS b1,
+        |  round(1.0 - (cyy - 2.0 * b1 * cxy + b1 * b1 * cxx) / cyy, 8) AS r2,
+        |  n AS n_rows
+        |FROM b""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->
