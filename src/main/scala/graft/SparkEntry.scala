@@ -1303,6 +1303,19 @@ object SparkEntry {
       import s.implicits._
       Seq((rd(m.coefs(0), 6), rd(m.coefs(1), 8), rd(m.r2, 8), m.n))
         .toDF("b0", "b1", "r2", "n_rows")
+    }),
+
+    // regularization path: three lambdas, ONE Gram pass, warm-started
+    // driver re-solves; oracle = the soft-threshold closed form evaluated
+    // per lambda over a VALUES list
+    "q99_lasso_path" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ms = ElasticNet.path(li, Seq("l_quantity"), "l_extendedprice",
+        lambdas = Seq(25000.0, 50000.0, 100000.0))
+      import s.implicits._
+      ms.map(m => (m.lambda, rd(m.coefs(0), 6), rd(m.coefs(1), 8)))
+        .toDF("lambda", "b0", "b1")
+        .orderBy("lambda")
     })
   )
 
@@ -2537,6 +2550,25 @@ object SparkEntry {
         |  round(1.0 - (cyy - 2.0 * b1 * cxy + b1 * b1 * cxx) / cyy, 8) AS r2,
         |  n AS n_rows
         |FROM b""".stripMargin,
+
+    "q99_lasso_path" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, sx / n AS mx, sy / n AS my,
+        |    xx - sx * sx / n AS cxx, xy - sx * sy / n AS cxy
+        |  FROM m),
+        |b AS (
+        |  SELECT l.lambda, c.mx, c.my,
+        |    sign(c.cxy) * greatest(abs(c.cxy) / c.n - l.lambda, 0.0)
+        |      / (c.cxx / c.n) AS b1
+        |  FROM c CROSS JOIN
+        |    (VALUES (25000.0), (50000.0), (100000.0)) AS l(lambda))
+        |SELECT lambda, round(my - b1 * mx, 6) AS b0, round(b1, 8) AS b1
+        |FROM b ORDER BY lambda""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

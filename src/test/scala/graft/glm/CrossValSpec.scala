@@ -105,6 +105,18 @@ class ElasticNetSpec extends SparkSpec {
     assert(sel.coefs(1) != 0.0 && sel.coefs(2) != 0.0)
   }
 
+  test("path equals independent per-lambda fits, in the caller's order") {
+    val lams = Seq(0.3, 5.0, 1.2) // deliberately unsorted
+    val ms = ElasticNet.path(data, Seq("x1", "x2", "x3"), "y", lams)
+    assert(ms.map(_.lambda) === lams)
+    lams.zip(ms).foreach { case (lam, pm) =>
+      val single = ElasticNet.fit(data, Seq("x1", "x2", "x3"), "y", lam)
+      (0 until 4).foreach(i =>
+        assert(math.abs(pm.coefs(i) - single.coefs(i)) < 1e-9,
+          s"lambda $lam coef $i: ${pm.coefs(i)} vs ${single.coefs(i)}"))
+    }
+  }
+
   test("alpha = 0 coordinate descent matches LM.fitRidge (lambda scaled by n)") {
     val lamRaw = 80.0
     val ridge = LM.fitRidge(data, Seq("x1", "x2"), "y", lambda = lamRaw)
