@@ -1316,6 +1316,23 @@ object SparkEntry {
       ms.map(m => (m.lambda, rd(m.coefs(0), 6), rd(m.coefs(1), 8)))
         .toDF("lambda", "b0", "b1")
         .orderBy("lambda")
+    }),
+
+    // benchmark decontamination: 5-gram containment of every train-split
+    // doc against the test split's gram set (broadcast probe, corpus
+    // shuffled once at doc granularity); the split is the q63 md5
+    // mechanism so DuckDB partitions identically
+    "q100_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("split",
+        Sampling.splitColumn(col("text"),
+          Seq("train" -> 12, "val" -> 2, "test" -> 2)))
+      Dedup.containment(docs.filter(col("split") === "train"),
+          docs.filter(col("split") === "test"), "doc_id", "text", n = 5)
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("containment") >= 0.5, 1L).otherwise(0L)).as("n_contam_50"),
+          sum(when(col("containment") >= 0.9, 1L).otherwise(0L)).as("n_contam_90"),
+          sum("n_hit").as("total_hits"),
+          r(avg("containment"), 6).as("avg_containment"))
     })
   )
 
@@ -2569,6 +2586,39 @@ object SparkEntry {
         |    (VALUES (25000.0), (50000.0), (100000.0)) AS l(lambda))
         |SELECT lambda, round(my - b1 * mx, 6) AS b0, round(b1, 8) AS b1
         |FROM b ORDER BY lambda""".stripMargin,
+
+    // q63's split CASE + q25's shingle list comprehension; containment =
+    // per-train-doc fraction of distinct 5-grams present in the test set
+    "q100_decontaminate" ->
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split, list_distinct(list_transform(
+        |    range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS g
+        |  FROM lab),
+        |probe AS (SELECT DISTINCT unnest(g) AS s FROM sh WHERE split = 'test'),
+        |corp AS (SELECT doc_id, len(g) AS n_g FROM sh WHERE split = 'train'),
+        |cg AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE split = 'train'),
+        |hits AS (
+        |  SELECT cg.doc_id, count(*) AS n_hit
+        |  FROM cg JOIN probe ON cg.s = probe.s GROUP BY cg.doc_id),
+        |per AS (
+        |  SELECT corp.doc_id, corp.n_g, coalesce(hits.n_hit, 0) AS n_hit,
+        |    CASE WHEN corp.n_g > 0
+        |      THEN CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / corp.n_g
+        |      ELSE 0.0 END AS c
+        |  FROM corp LEFT JOIN hits USING (doc_id))
+        |SELECT count(*) AS n_train_docs,
+        |  CAST(sum(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_50,
+        |  CAST(sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_90,
+        |  CAST(sum(n_hit) AS BIGINT) AS total_hits,
+        |  round(avg(c), 6) AS avg_containment
+        |FROM per""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

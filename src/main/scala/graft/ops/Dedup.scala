@@ -454,4 +454,42 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark decontamination: per-corpus-document n-gram CONTAINMENT
+    * against a probe set (the benchmark/test documents whose leakage into
+    * training data must be measured) — the overlap check every serious
+    * training pipeline runs before a model ships.
+    *
+    *   containment(d) = |grams(d) ∩ grams(probe)| / |grams(d)|
+    *
+    * Scale shape: the probe set is tiny next to a 100 TB corpus, so its
+    * DISTINCT gram hashes are computed once (a probe-only shuffle) and
+    * BROADCAST; the corpus side is a projection + explode + broadcast hash
+    * join + per-doc count with map-side partial aggregation — the corpus is
+    * shuffled exactly once, at (doc id, two longs) granularity, never by
+    * gram. Grams travel as 64-bit hashes ([[shingleHashExpr]]), not
+    * n-word strings.
+    *
+    * Returns one row per corpus document: idCol, `n_grams` (distinct gram
+    * count), `n_hit` (grams also present anywhere in the probe set), and
+    * `containment` (0.0 for documents shorter than `n` tokens).
+    */
+  def containment(corpus: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val probeGrams = probe
+      .select(explode(shingleHashExpr(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val exploded = corpus
+      .select(col(idCol), shingleHashExpr(col(textCol), n).as("gs"))
+      .select(col(idCol), size(col("gs")).as("n_grams"),
+        explode_outer(col("gs")).as("g"))
+    exploded
+      .join(broadcast(probeGrams), Seq("g"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("hit")).as("n_hit"))
+      .withColumn("containment",
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams")).otherwise(lit(0.0)))
+  }
 }

@@ -184,4 +184,27 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.jaccardPairs(univ, "doc_id", "text", n = 2, threshold = 0.01, maxBucketSize = 2)
     assert(pairs.count() === 0)
   }
+
+  test("containment: exact copy = 1, partial overlap exact, disjoint and short docs = 0") {
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val probe = Seq((100L, bench)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, bench),                                        // exact copy
+      (2L, "the quick brown fox jumps somewhere else entirely new today"), // shares 2-gram prefix
+      (3L, "completely different words with no shared phrases at all here"),
+      (4L, "too short")                                   // < n tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.containment(corpus, probe, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(got.length === 4)
+    // doc 1: all 6 distinct 5-grams of a 10-token doc hit
+    assert(got(0).getInt(1) === 6 && got(0).getLong(2) === 6L)
+    assert(got(0).getDouble(3) === 1.0)
+    // doc 2: 10 tokens → 6 grams; only "the quick brown fox jumps" shared
+    assert(got(1).getInt(1) === 6 && got(1).getLong(2) === 1L)
+    assert(math.abs(got(1).getDouble(3) - 1.0 / 6.0) < 1e-12)
+    // doc 3: zero hits; doc 4: no grams at all
+    assert(got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
+    assert(got(3).getInt(1) === 0 && got(3).getLong(2) === 0L && got(3).getDouble(3) === 0.0)
+  }
 }
