@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix}
+import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
 import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
 import graft.streaming.StreamOps
 
@@ -1333,6 +1333,18 @@ object SparkEntry {
           sum(when(col("containment") >= 0.9, 1L).otherwise(0L)).as("n_contam_90"),
           sum("n_hit").as("total_hits"),
           r(avg("containment"), 6).as("avg_containment"))
+    }),
+
+    // PCA: one Gram pass + driver-side eigen; for the 2-variable case the
+    // covariance eigenvalues have the quadratic closed form
+    // ((a+c) ± sqrt((a−c)² + 4b²))/2 — plain SQL arithmetic
+    "q101_pca_2d" -> ((s, dir) => {
+      val m = PCA.fit(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))
+      import s.implicits._
+      Seq((rd(m.eigenvalues(0), 2), rd(m.eigenvalues(1), 3),
+        rd(m.varianceExplained(1), 8), m.n))
+        .toDF("ev1", "ev2", "var_explained", "n_rows")
     })
   )
 
@@ -2619,6 +2631,30 @@ object SparkEntry {
         |  CAST(sum(n_hit) AS BIGINT) AS total_hits,
         |  round(avg(c), 6) AS avg_containment
         |FROM per""".stripMargin,
+
+    // 2×2 covariance eigenvalues by the quadratic formula (sample
+    // covariance, n−1 denominator)
+    "q101_pca_2d" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS xx,
+        |    sum(l_quantity * l_extendedprice) AS xy,
+        |    sum(l_extendedprice * l_extendedprice) AS yy
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, (xx - sx * sx / n) / (n - 1.0) AS a,
+        |    (xy - sx * sy / n) / (n - 1.0) AS b,
+        |    (yy - sy * sy / n) / (n - 1.0) AS d
+        |  FROM m),
+        |e AS (
+        |  SELECT n,
+        |    (a + d + sqrt((a - d) * (a - d) + 4.0 * b * b)) / 2.0 AS l1,
+        |    (a + d - sqrt((a - d) * (a - d) + 4.0 * b * b)) / 2.0 AS l2
+        |  FROM c)
+        |SELECT round(l1, 2) AS ev1, round(l2, 3) AS ev2,
+        |  round(l1 / (l1 + l2), 8) AS var_explained,
+        |  n AS n_rows
+        |FROM e""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->
