@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1345,6 +1345,15 @@ object SparkEntry {
       Seq((rd(m.eigenvalues(0), 2), rd(m.eigenvalues(1), 3),
         rd(m.varianceExplained(1), 8), m.n))
         .toDF("ev1", "ev2", "var_explained", "n_rows")
+    }),
+
+    // categorical association in one contingency shuffle: chi2 via the
+    // zero-cell-free identity sum[(o-e)^2/e - e] + n, Cramér's V, MI
+    "q102_contingency" -> ((s, dir) => {
+      Contingency.analyze(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(r(col("chi2"), 4).as("chi2"), col("df"),
+          r(col("cramers_v"), 8).as("cramers_v"),
+          r(col("mutual_info"), 8).as("mutual_info"), col("n_rows"))
     })
   )
 
@@ -2655,6 +2664,32 @@ object SparkEntry {
         |  round(l1 / (l1 + l2), 8) AS var_explained,
         |  n AS n_rows
         |FROM e""".stripMargin,
+
+    // same zero-cell-free chi2 identity; e = ra*cb/n in doubles throughout
+    "q102_contingency" ->
+      """WITH obs AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+        |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS DOUBLE) AS n, count(DISTINCT a) AS nr,
+        |    count(DISTINCT b) AS nc
+        |  FROM obs),
+        |cells AS (
+        |  SELECT CAST(o.o AS DOUBLE) AS o,
+        |    CAST(ra.ra AS DOUBLE) * cb.cb / tot.n AS e,
+        |    CAST(ra.ra AS DOUBLE) AS ra, CAST(cb.cb AS DOUBLE) AS cb,
+        |    tot.n AS n, tot.nr AS nr, tot.nc AS nc
+        |  FROM obs o JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+        |SELECT
+        |  round(sum((o - e) * (o - e) / e - e) + min(n), 4) AS chi2,
+        |  CAST((min(nr) - 1) * (min(nc) - 1) AS BIGINT) AS df,
+        |  round(sqrt((sum((o - e) * (o - e) / e - e) + min(n))
+        |    / (min(n) * least(min(nr) - 1, min(nc) - 1))), 8) AS cramers_v,
+        |  round(sum((o / n) * ln(o * n / (ra * cb))), 8) AS mutual_info,
+        |  CAST(min(n) AS BIGINT) AS n_rows
+        |FROM cells""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

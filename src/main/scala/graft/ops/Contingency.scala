@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Categorical association statistics from one contingency aggregation:
+  * Pearson χ², degrees of freedom, Cramér's V, and mutual information —
+  * the feature-screening numbers a curation pipeline wants per pair of
+  * label-ish columns (language × source, split × label, …).
+  *
+  * Scale shape: ONE groupBy(a,b) shuffle reduces the data to its
+  * contingency table; everything after runs on that table (cells ×
+  * marginals joins — post-aggregation frames, broadcast-sized for any
+  * realistic cardinality). Zero-count cells are handled algebraically,
+  * not materialized: every unobserved cell contributes exactly its
+  * expected count e to χ², and Σ_all e = n, so
+  *
+  *   χ² = Σ_obs[(o−e)²/e − e] + n
+  *
+  * — no cross join of the marginal domains, which would explode for
+  * high-cardinality columns. MI's zero cells contribute 0 and need no
+  * correction.
+  */
+object Contingency {
+
+  /** One-row result: chi2, df, cramers_v, mutual_info (nats), n_rows.
+    * NULL categories participate as their own level (they are grouped like
+    * any other value by groupBy).
+    */
+  def analyze(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(aCol).agg(sum("o").as("ra"))
+    val cb = obs.groupBy(bCol).agg(sum("o").as("cb"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct(aCol).as("nr"), countDistinct(bCol).as("nc"))
+    val cells = obs.join(ra, Seq(aCol)).join(cb, Seq(bCol)).crossJoin(tot)
+    val e = col("ra").cast("double") * col("cb") / col("n")
+    val o = col("o").cast("double")
+    cells.agg(
+      (sum((o - e) * (o - e) / e - e) + first(col("n"))).as("chi2"),
+      ((first(col("nr")) - 1) * (first(col("nc")) - 1)).as("df"),
+      first(col("n")).as("n"),
+      first(col("nr")).as("nr"),
+      first(col("nc")).as("nc"),
+      sum((o / col("n")) * log(o * col("n") / (col("ra") * col("cb"))))
+        .as("mutual_info"))
+      .select(col("chi2"), col("df"),
+        sqrt(col("chi2") / (col("n") *
+          least(col("nr") - 1, col("nc") - 1))).as("cramers_v"),
+        col("mutual_info"), col("n").as("n_rows"))
+  }
+}
