@@ -80,6 +80,32 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
+  test("q100: the probe-gram join is broadcast; the corpus is never shuffled by gram") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val res = graft.ops.Dedup.containment(docs.limit(400), docs.limit(50),
+      "doc_id", "text", n = 5)
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the only exchange keyed on the corpus side is the per-doc
+    // re-aggregation; no exchange may partition by the gram column
+    assert(!p.contains("hashpartitioning(g#"), "corpus shuffled by gram:\n" + p.take(800))
+  }
+
+  test("LM diagnostics scoring is a pure projection — no exchange, no UDF") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val m = graft.glm.LM.fit(li, Seq("l_quantity"), "l_extendedprice")
+    val p = m.diagnostics(li).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQL UDF"), p.take(600))
+  }
+
+  test("PCA transform is a pure projection with literal loadings") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = graft.glm.PCA.fitVector(embs, "embedding", dim = 64)
+    val p = m.transform(embs, 2).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(600))
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined
