@@ -1354,6 +1354,28 @@ object SparkEntry {
         .select(r(col("chi2"), 4).as("chi2"), col("df"),
           r(col("cramers_v"), 8).as("cramers_v"),
           r(col("mutual_info"), 8).as("mutual_info"), col("n_rows"))
+    }),
+
+    // grouped-GLM residuals against each row's OWN group model: the q81
+    // saturated grouped poisson has closed-form cell means, so per-group
+    // pearson²/deviance² sums and working-residual means are plain SQL
+    "q103_grouped_residuals" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x_high", when(col("l_quantity") > 25, 1.0).otherwise(0.0))
+        .withColumn("y", col("l_linenumber").cast("double"))
+      val betas = GroupedGLM.fit(li, Seq("l_returnflag"), Seq("x_high"), "y",
+        family = "poisson")
+      val withAll = Seq("pearson" -> "r_p", "deviance" -> "r_d",
+        "working" -> "r_w").foldLeft(li) { case (d, (ty, c)) =>
+        GroupedGLM.residuals(betas, d, Seq("l_returnflag"), Seq("x_high"),
+          "y", ty, family = "poisson", outputCol = c)
+      }
+      withAll.groupBy("l_returnflag")
+        .agg(r(sum(col("r_p") * col("r_p")), 6).as("chi2"),
+          r(sum(col("r_d") * col("r_d")), 6).as("dev2"),
+          r(avg("r_w"), 8).as("avg_working"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2690,6 +2712,27 @@ object SparkEntry {
         |  round(sum((o / n) * ln(o * n / (ra * cb))), 8) AS mutual_info,
         |  CAST(min(n) AS BIGINT) AS n_rows
         |FROM cells""".stripMargin,
+
+    // saturated grouped poisson: μ per (group, x_high) cell = cell mean;
+    // residual aggregates are closed-form per group (q44's y = 0 CASE kept
+    // for form though l_linenumber >= 1)
+    "q103_grouped_residuals" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS xh,
+        |    CAST(l_linenumber AS DOUBLE) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, xh, avg(y) AS mu FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c.l_returnflag, c.y, a.mu
+        |  FROM c JOIN a USING (l_returnflag, xh))
+        |SELECT l_returnflag,
+        |  round(sum((y - mu) * (y - mu) / mu), 6) AS chi2,
+        |  round(sum(CASE WHEN y > 0 THEN 2.0 * (y * ln(y / mu) - (y - mu))
+        |    ELSE 2.0 * mu END), 6) AS dev2,
+        |  round(avg((y - mu) / mu), 8) AS avg_working,
+        |  count(*) AS n_rows
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

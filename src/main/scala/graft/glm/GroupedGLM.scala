@@ -573,4 +573,41 @@ object GroupedGLM {
       .withColumn("se_fit", coalesce(se, lit(Double.NaN)))
       .drop(coefCols :+ "__kernel" :+ "__disp": _*)
   }
+
+  /** Per-row residuals against each row's OWN group model — the grouped
+    * twin of [[GLMModel.residuals]] (response / pearson / deviance /
+    * working, R `residuals.glm` formulas), built on the same
+    * broadcast-join scoring path as [[predict]]: one codegen'd projection,
+    * no driver state. Rows of groups absent from `betas` get NaN.
+    */
+  def residuals(betas: DataFrame, df: DataFrame, keyCols: Seq[String],
+      xCols: Seq[String], yCol: String, rtype: String = "deviance",
+      family: String = "binomial", linkName: String = "",
+      intercept: Boolean = true, mCol: Option[String] = None,
+      offsetCol: Option[String] = None,
+      outputCol: String = "residual"): DataFrame = {
+    require(Seq("response", "pearson", "deviance", "working").contains(rtype),
+      s"rtype must be response|pearson|deviance|working, got $rtype")
+    val scored = predict(betas, df, keyCols, xCols, family, linkName,
+      intercept, mCol, offsetCol, outputCol = "__mu")
+    val fam = Family(family)
+    val resolved = if (linkName.nonEmpty) linkName else family match {
+      case "binomial" => "logit"
+      case "poisson" | "gamma" => "log"
+      case "gaussian" => "identity"
+      case other => throw new IllegalArgumentException(
+        s"GroupedGLM supports binomial|poisson|gamma|gaussian, got $other")
+    }
+    val m = mCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val mu = col("__mu")
+    val y = col(yCol).cast("double")
+    val raw = y - mu
+    val resid = rtype match {
+      case "response" => raw
+      case "pearson"  => raw / sqrt(fam.variance(mu, m))
+      case "deviance" => signum(raw) * sqrt(greatest(fam.deviance(y, mu, m), lit(0.0)))
+      case "working"  => raw * LinkFn(resolved).lprime(mu, m)
+    }
+    scored.withColumn(outputCol, coalesce(resid, lit(Double.NaN))).drop("__mu")
+  }
 }

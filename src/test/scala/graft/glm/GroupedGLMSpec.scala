@@ -358,4 +358,31 @@ class GroupedGLMSpec extends SparkSpec {
     assert(out("b").isNaN) // 1 row, 2 params
     assert(!out("a").isNaN)
   }
+
+  test("grouped residuals match single-model GLM residuals per subset") {
+    val df = li.limit(3000)
+      .withColumn("y", (col("l_discount") < 0.05).cast("double"))
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("x"), col("y"))
+    val betas = GroupedGLM.fit(df, Seq("l_returnflag"), Seq("x"), "y",
+      family = "binomial")
+    Seq("response", "pearson", "deviance", "working").foreach { ty =>
+      val grouped = GroupedGLM.residuals(betas, df, Seq("l_returnflag"),
+        Seq("x"), "y", ty, family = "binomial", outputCol = "r")
+        .groupBy("l_returnflag").agg(sum($"r" * $"r").as("ss"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      betas.select("l_returnflag").collect().map(_.getString(0)).foreach { g =>
+        val sub = df.filter($"l_returnflag" === g)
+        val single = GLM.fit(sub, Seq("x"), "y")
+        val ssRef = single.residuals(sub, ty, outputCol = "r")
+          .agg(sum($"r" * $"r")).head().getDouble(0)
+        assert(math.abs(grouped(g) - ssRef) < 1e-6 * (1 + ssRef),
+          s"$ty group $g: ${grouped(g)} vs $ssRef")
+      }
+    }
+    // rows of an unknown group get NaN, not a silent drop
+    val foreign = Seq(("Z", 1.0, 1.0)).toDF("l_returnflag", "x", "y")
+    val rz = GroupedGLM.residuals(betas, foreign, Seq("l_returnflag"),
+      Seq("x"), "y", "pearson", family = "binomial").head()
+    assert(rz.getDouble(rz.fieldIndex("residual")).isNaN)
+  }
 }
