@@ -1376,6 +1376,15 @@ object SparkEntry {
           r(avg("r_w"), 8).as("avg_working"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // one-way ANOVA from one grouped pass of (n, Σx, Σx²) triples —
+    // numeric×categorical association; between/within decomposition is
+    // plain arithmetic on the group frame
+    "q104_anova" -> ((s, dir) => {
+      Contingency.anova(t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")
+        .select(r(col("f_stat"), 6).as("f_stat"), col("df_between"),
+          col("df_within"), r(col("eta_sq"), 10).as("eta_sq"), col("n_rows"))
     })
   )
 
@@ -2733,6 +2742,28 @@ object SparkEntry {
         |  round(avg((y - mu) / mu), 8) AS avg_working,
         |  count(*) AS n_rows
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // between/within sum-of-squares decomposition from per-group
+    // (n, Σx, Σx²) triples — identical arithmetic to the Spark op
+    "q104_anova" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS ng, sum(l_extendedprice) AS sg,
+        |    sum(l_extendedprice * l_extendedprice) AS qg
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT CAST(sum(ng) AS BIGINT) AS nb, CAST(sum(ng) AS DOUBLE) AS n,
+        |    count(*) AS k, sum(sg) AS s, sum(qg) AS q,
+        |    sum(sg * sg / ng) AS sb
+        |  FROM g),
+        |d AS (
+        |  SELECT q - s * s / n AS sst, sb - s * s / n AS ssb, n, nb, k
+        |  FROM t)
+        |SELECT round((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 6) AS f_stat,
+        |  CAST(k - 1 AS BIGINT) AS df_between,
+        |  CAST(nb - k AS BIGINT) AS df_within,
+        |  round(ssb / sst, 10) AS eta_sq,
+        |  nb AS n_rows
+        |FROM d""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

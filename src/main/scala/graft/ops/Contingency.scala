@@ -49,4 +49,36 @@ object Contingency {
           least(col("nr") - 1, col("nc") - 1))).as("cramers_v"),
         col("mutual_info"), col("n").as("n_rows"))
   }
+
+  /** One-way ANOVA — the numeric × categorical association twin of
+    * [[analyze]] (numeric × numeric is plain `corr`): F statistic and η²
+    * (variance explained by the grouping) from ONE groupBy(by) shuffle of
+    * per-group (n, Σx, Σx²) triples; the between/within decomposition runs
+    * on the k-row group frame.
+    *
+    *   SS_total   = Σx² − (Σx)²/n
+    *   SS_between = Σ_g (Σ_g x)²/n_g − (Σx)²/n
+    *   F = (SS_b/(k−1)) / ((SS_t − SS_b)/(n−k)),   η² = SS_b/SS_t
+    */
+  def anova(df: DataFrame, valueCol: String, byCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val groups = df.groupBy(byCol).agg(
+      count(lit(1)).as("ng"), sum(x).as("sg"), sum(x * x).as("qg"))
+    groups.agg(
+      sum("ng").as("n"), count(lit(1)).as("k"),
+      sum("sg").as("s"), sum("qg").as("q"),
+      sum(col("sg") * col("sg") / col("ng")).as("sb_raw"))
+      .select(
+        (col("q") - col("s") * col("s") / col("n")).as("ss_total"),
+        (col("sb_raw") - col("s") * col("s") / col("n")).as("ss_between"),
+        col("n"), col("k"))
+      .select(
+        (((col("ss_between") / (col("k") - 1)) /
+          ((col("ss_total") - col("ss_between")) / (col("n") - col("k"))))
+        ).as("f_stat"),
+        (col("k") - 1).as("df_between"),
+        (col("n") - col("k")).as("df_within"),
+        (col("ss_between") / col("ss_total")).as("eta_sq"),
+        col("n").as("n_rows"))
+  }
 }

@@ -44,4 +44,30 @@ class ContingencySpec extends SparkSpec {
     assert(math.abs(got.getDouble(0)) < 1e-9) // chi2 = 0 exactly
     assert(math.abs(got.getDouble(3)) < 1e-12)
   }
+
+  test("anova matches the literal between/within decomposition and the LM F-test") {
+    val rng = new scala.util.Random(53)
+    val rows = (1 to 300).map { _ =>
+      val g = Seq("a", "b", "c")(rng.nextInt(3))
+      val shift = Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.5)(g)
+      (g, shift + rng.nextGaussian())
+    }
+    val df = rows.toDF("g", "x")
+    val got = Contingency.anova(df, "x", "g").head()
+
+    val n = rows.size.toDouble
+    val mean = rows.map(_._2).sum / n
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ssb = byG.values.map(v => v.size * math.pow(v.sum / v.size - mean, 2)).sum
+    val sst = rows.map(r => math.pow(r._2 - mean, 2)).sum
+    val k = byG.size
+    val fRef = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert(math.abs(got.getDouble(0) - fRef) < 1e-8 * (1 + fRef), s"${got.getDouble(0)} vs $fRef")
+    assert(got.getLong(1) === (k - 1).toLong)
+    assert(got.getLong(2) === (n - k).toLong)
+    assert(math.abs(got.getDouble(3) - ssb / sst) < 1e-12)
+    // one-way ANOVA F == the F of the dummy-coded LM (textbook identity)
+    val lm = graft.glm.LM.fitFormula(df, "x ~ g")
+    assert(math.abs(got.getDouble(0) - lm.fStat) < 1e-6 * (1 + lm.fStat))
+  }
 }
