@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1385,6 +1385,26 @@ object SparkEntry {
       Contingency.anova(t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")
         .select(r(col("f_stat"), 6).as("f_stat"), col("df_between"),
           col("df_within"), r(col("eta_sq"), 10).as("eta_sq"), col("n_rows"))
+    }),
+
+    // numeric distribution drift (PSI) between the F and O linestatus
+    // populations over explicit price cut points — per-side proportions
+    // from one aggregation each, PSI arithmetic on the tiny bin frames
+    "q105_psi_numeric" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Drift.psi(li.filter(col("l_linestatus") === "F"),
+          li.filter(col("l_linestatus") === "O"),
+          "l_extendedprice", cuts = Seq(10000.0, 25000.0, 50000.0))
+        .select(r(col("psi"), 8).as("psi"), col("n_bins"))
+    }),
+
+    // categorical drift: returnflag mix between the same two populations
+    // (strongly shifted by construction — R/A occur only on old orders)
+    "q106_psi_categorical" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Drift.categoricalPsi(li.filter(col("l_linestatus") === "F"),
+          li.filter(col("l_linestatus") === "O"), "l_returnflag")
+        .select(r(col("psi"), 8).as("psi"), col("n_bins"))
     })
   )
 
@@ -2764,6 +2784,52 @@ object SparkEntry {
         |  round(ssb / sst, 10) AS eta_sq,
         |  nb AS n_rows
         |FROM d""".stripMargin,
+
+    // identical bin CASE, per-side proportions, eps floor, PSI sum
+    "q105_psi_numeric" ->
+      """WITH b AS (
+        |  SELECT l_linestatus,
+        |    CASE WHEN l_extendedprice IS NULL THEN -1
+        |         WHEN l_extendedprice <= 10000.0 THEN 0
+        |         WHEN l_extendedprice <= 25000.0 THEN 1
+        |         WHEN l_extendedprice <= 50000.0 THEN 2
+        |         ELSE 3 END AS bin
+        |  FROM lineitem WHERE l_linestatus IN ('F', 'O')),
+        |pr AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE)
+        |      / sum(count(*)) OVER () AS p
+        |  FROM b WHERE l_linestatus = 'F' GROUP BY bin),
+        |pc AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE)
+        |      / sum(count(*)) OVER () AS p
+        |  FROM b WHERE l_linestatus = 'O' GROUP BY bin),
+        |j AS (
+        |  SELECT greatest(coalesce(pr.p, 0.0), 0.000001) AS a,
+        |    greatest(coalesce(pc.p, 0.0), 0.000001) AS c
+        |  FROM pr FULL OUTER JOIN pc USING (bin))
+        |SELECT round(sum((a - c) * ln(a / c)), 8) AS psi,
+        |  count(*) AS n_bins
+        |FROM j""".stripMargin,
+
+    "q106_psi_categorical" ->
+      """WITH b AS (
+        |  SELECT l_linestatus, coalesce(l_returnflag, '__null__') AS bin
+        |  FROM lineitem WHERE l_linestatus IN ('F', 'O')),
+        |pr AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE)
+        |      / sum(count(*)) OVER () AS p
+        |  FROM b WHERE l_linestatus = 'F' GROUP BY bin),
+        |pc AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE)
+        |      / sum(count(*)) OVER () AS p
+        |  FROM b WHERE l_linestatus = 'O' GROUP BY bin),
+        |j AS (
+        |  SELECT greatest(coalesce(pr.p, 0.0), 0.000001) AS a,
+        |    greatest(coalesce(pc.p, 0.0), 0.000001) AS c
+        |  FROM pr FULL OUTER JOIN pc USING (bin))
+        |SELECT round(sum((a - c) * ln(a / c)), 8) AS psi,
+        |  count(*) AS n_bins
+        |FROM j""".stripMargin,
 
     // per-group closed form: se_fit = σ_g·sqrt(1/n_g + (x−x̄_g)²/Sxx_g)
     "q91_grouped_glm_sefit" ->

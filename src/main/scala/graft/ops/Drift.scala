@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between two dataset snapshots — the
+  * check a training pipeline runs when a new crawl/dump lands: has the
+  * feature (or label/language/source mix) moved enough to retrain or to
+  * quarantine the batch?
+  *
+  * Population Stability Index over bins/categories:
+  *
+  *   PSI = Σ_b (p_ref(b) − p_cur(b)) · ln(p_ref(b) / p_cur(b))
+  *
+  * (≥ 0; common practice reads <0.1 stable, 0.1–0.25 moderate, >0.25
+  * shifted.) Empty bins are floored at `eps` before the log — the standard
+  * smoothing, documented because it is part of the metric's value, not an
+  * implementation detail.
+  *
+  * Scale shape: each side reduces to per-bin counts with ONE aggregation
+  * (map-side combined); the PSI itself is arithmetic on two k-row frames
+  * joined by bin. Numeric binning with EXPLICIT cut points is a pure
+  * codegen'd projection; `psiAuto` derives the cuts from the reference's
+  * `approx_percentile` sketch (bounded memory — the 100 TB path), at the
+  * cost of sketch-determined cut points.
+  */
+object Drift {
+
+  private val defaultEps = 1e-6
+
+  /** Bin index for explicit ascending cut points: k+1 bins for k cuts
+    * (bin i = (cuts(i-1), cuts(i)]; values ≤ first cut → bin 0, values >
+    * last cut → bin k). NULL values get their own bin −1 so missingness
+    * drift is measured, not dropped.
+    */
+  private def binExpr(valueCol: String, cuts: Seq[Double]) = {
+    val x = col(valueCol).cast("double")
+    val base = cuts.zipWithIndex.foldLeft(when(x.isNull, lit(-1))) {
+      case (acc, (c, i)) => acc.when(x <= c, lit(i))
+    }
+    base.otherwise(lit(cuts.size))
+  }
+
+  private def proportions(df: DataFrame, bin: org.apache.spark.sql.Column) = {
+    val counts = df.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("t"))
+    counts.crossJoin(tot).select(col("bin"), (col("c") / col("t")).as("p"))
+  }
+
+  /** PSI of `cur` against `ref` over explicit numeric cut points.
+    * Returns one row: psi, n_bins (bins populated on either side).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      cuts: Seq[Double], eps: Double = defaultEps): DataFrame = {
+    require(cuts.nonEmpty, "at least one cut point required")
+    require(cuts == cuts.sorted, "cut points must be ascending")
+    val bin = binExpr(valueCol, cuts)
+    psiOf(proportions(ref, bin), proportions(cur, bin), eps)
+  }
+
+  /** PSI over a categorical column: every category (and NULL) is its own
+    * bin; categories absent from one side are floored at `eps`.
+    */
+  def categoricalPsi(ref: DataFrame, cur: DataFrame, catCol: String,
+      eps: Double = defaultEps): DataFrame = {
+    val bin = coalesce(col(catCol).cast("string"), lit("__null__"))
+    psiOf(proportions(ref, bin), proportions(cur, bin), eps)
+  }
+
+  /** PSI with cut points taken from the REFERENCE side's quantile sketch
+    * (`approx_percentile`, bounded memory) — the at-scale auto-binning
+    * path; the cut points are sketch-determined, so gate-style exactness
+    * belongs to [[psi]] with explicit cuts.
+    */
+  def psiAuto(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10, eps: Double = defaultEps): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val cuts = ref.select(percentile_approx(col(valueCol).cast("double"),
+        array(qs.map(lit(_)): _*), lit(10000)).as("q"))
+      .head().getSeq[Double](0).distinct.sorted
+    psi(ref, cur, valueCol, cuts, eps)
+  }
+
+  private def psiOf(pRef: DataFrame, pCur: DataFrame, eps: Double): DataFrame = {
+    val joined = pRef.withColumnRenamed("p", "p_ref")
+      .join(pCur.withColumnRenamed("p", "p_cur"), Seq("bin"), "full_outer")
+    val a = greatest(coalesce(col("p_ref"), lit(0.0)), lit(eps))
+    val b = greatest(coalesce(col("p_cur"), lit(0.0)), lit(eps))
+    joined.agg(
+      sum((a - b) * log(a / b)).as("psi"),
+      count(lit(1)).as("n_bins"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical distributions give PSI = 0; a known shift matches the literal formula") {
+    val ref = (1 to 400).map(i => i % 100 * 1.0).toDF("x")
+    val same = Drift.psi(ref, ref, "x", cuts = Seq(25.0, 50.0, 75.0)).head()
+    assert(math.abs(same.getDouble(0)) < 1e-12)
+    assert(same.getLong(1) === 4L)
+
+    // shifted copy: literal PSI over the known bin proportions
+    val cur = (1 to 400).map(i => (i % 100) * 1.0 + 20.0).toDF("x")
+    val got = Drift.psi(ref, cur, "x", cuts = Seq(25.0, 50.0, 75.0))
+      .head().getDouble(0)
+    def props(vals: Seq[Double]): Seq[Double] = {
+      val bins = vals.map(v =>
+        if (v <= 25.0) 0 else if (v <= 50.0) 1 else if (v <= 75.0) 2 else 3)
+      (0 to 3).map(b => bins.count(_ == b).toDouble / vals.size)
+    }
+    val (pa, pb) = (props((1 to 400).map(_ % 100 * 1.0)),
+      props((1 to 400).map(i => (i % 100) * 1.0 + 20.0)))
+    val ref2 = pa.zip(pb).map { case (a0, b0) =>
+      val a = math.max(a0, 1e-6); val b = math.max(b0, 1e-6)
+      (a - b) * math.log(a / b)
+    }.sum
+    assert(math.abs(got - ref2) < 1e-10, s"$got vs $ref2")
+    assert(got > 0.1) // a 20-point shift over 4 bins is a real drift signal
+  }
+
+  test("categorical PSI: nulls are a bin, absent categories are eps-floored") {
+    val ref = Seq("a", "a", "a", "b", null).toDF("c")
+    val cur = Seq("a", "b", "b", "b", "z").toDF("c")
+    val row = Drift.categoricalPsi(ref, cur, "c").head()
+    assert(row.getLong(1) === 4L) // a, b, __null__, z
+    // literal: p_ref = (a .6, b .2, null .2, z eps), p_cur = (a .2, b .6, null eps, z .2)
+    val pairs = Seq((0.6, 0.2), (0.2, 0.6), (0.2, 1e-6), (1e-6, 0.2))
+    val ref2 = pairs.map { case (a, b) => (a - b) * math.log(a / b) }.sum
+    assert(math.abs(row.getDouble(0) - ref2) < 1e-10, s"${row.getDouble(0)} vs $ref2")
+  }
+
+  test("psiAuto derives reference-decile cuts and flags a scale shift") {
+    val rng = new scala.util.Random(61)
+    val ref = (1 to 2000).map(_ => rng.nextGaussian()).toDF("x")
+    val cur = (1 to 2000).map(_ => rng.nextGaussian() * 2.0).toDF("x")
+    val same = Drift.psiAuto(ref, ref, "x", bins = 10).head().getDouble(0)
+    assert(math.abs(same) < 1e-12) // identical sides: exact 0 whatever the cuts
+    val shifted = Drift.psiAuto(ref, cur, "x", bins = 10).head().getDouble(0)
+    assert(shifted > 0.05, s"variance doubling should register: $shifted")
+  }
+}
