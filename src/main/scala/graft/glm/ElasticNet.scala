@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Objective (glmnet's, without its internal standardization):
   *
-  *   (1/2n)·Σ w_i (y_i − β₀ − x_iᵀβ)²  +  λ·( α‖β‖₁ + (1−α)/2·‖β‖₂² )
+  *   (1/2S)·Σ w_i (y_i − β₀ − x_iᵀβ)²  +  λ·( α‖β‖₁ + (1−α)/2·‖β‖₂² )
   *
-  * with the intercept unpenalized. Cyclic coordinate descent runs entirely
+  * with S = Σw (= n for unit weights — glmnet's 1/2n) and the intercept
+  * unpenalized. Cyclic coordinate descent runs entirely
   * driver-side on the p×p Gram ("covariance updates" — Friedman, Hastie &
   * Tibshirani 2010, §2): the stationarity condition for coordinate j needs
   * only XᵀWX and XᵀWy, so after the one distributed aggregation the fit
