@@ -106,6 +106,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(600))
   }
 
+  test("CrossVal scoring pass: literal CASE dispatch, no join, one agg exchange") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val fold = pmod(col("l_orderkey"), lit(3)).cast("int")
+    val cv = graft.glm.CrossVal.lmCV(li, Seq("l_quantity"), "l_extendedprice", fold)
+    val p = cv.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "out-of-fold betas must dispatch as literals:\n" + p.take(600))
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, p.take(1500))
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined
