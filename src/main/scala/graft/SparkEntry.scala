@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, Multimodal, Sampling, Similarity, Skew, TextOps, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, JoinOps, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1405,6 +1405,83 @@ object SparkEntry {
       Drift.categoricalPsi(li.filter(col("l_linestatus") === "F"),
           li.filter(col("l_linestatus") === "O"), "l_returnflag")
         .select(r(col("psi"), 8).as("psi"), col("n_bins"))
+    }),
+
+    // unpivot/melt — pivot's inverse: wide per-flag aggregates to long
+    // (flag, measure, value) rows via Dataset.unpivot (no UNION-of-scans:
+    // one pass, the values columns are sliced per row)
+    "q107_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(r(sum("l_quantity"), 2).as("sum_qty"),
+          r(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // per-key hourly grid + LOCF forward fill — grid generated distributed
+    // (sequence/explode inside each key's span), fill is a running
+    // last(ignoreNulls) window per key
+    "q108_gapfill" -> ((s, dir) => {
+      TimeSeries.resampleFfill(
+          events(s, dir).filter(col("event_type").isin("purchase", "signup")),
+          "event_type", "ts", "value", "hour")
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), col("is_gap").cast("int").as("is_gap"),
+          r(col("value_fill"), 6).as("value_fill"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // Gopher-style repetition signals: dup-token fraction is a per-row HOF,
+    // top-bigram fraction shuffles (id, gram) pairs only
+    "q109_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          r(col("dup_token_frac"), 6).as("dup_token_frac"),
+          r(col("top_2gram_frac"), 6).as("top_2gram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // temperature-based corpus mixture: weight ∝ (char mass)^0.5, epochs at
+    // a 1M-char budget — one grouped agg + window math over |domains| rows
+    "q110_mixture_weights" -> ((s, dir) => {
+      Sampling.mixtureWeights(t(s, dir, "documents"), "source", "n_chars",
+          alpha = 0.5, budget = 1000000.0)
+        .select(col("domain").as("source"), col("n_docs"),
+          r(col("n_units"), 1).as("n_units"),
+          r(col("natural_frac"), 8).as("natural_frac"),
+          r(col("weight"), 8).as("weight"),
+          r(col("epochs"), 6).as("epochs"))
+        .orderBy("source")
+    }),
+
+    // salted shuffle join (hot orderkeys spread over 8 reducers via the
+    // line number) — semantically transparent, oracle is the plain join
+    "q111_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      JoinOps.saltedJoin(li, o, Seq("l_orderkey"), col("l_linenumber"), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Bloom-filter semi-join reduction: selective part dim (p_size ≥ 48
+    // keeps ~6%) prunes the lineitem scan before the shuffle join; false
+    // positives are dropped by the real join so the result is exact
+    "q112_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") >= 48)
+      JoinOps.bloomPrunedJoin(li, p, "l_partkey", "p_partkey",
+          expectedItems = 10000L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), r(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("p_brand")
     })
   )
 
@@ -2882,6 +2959,91 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem l JOIN s USING (l_returnflag)
         |GROUP BY l.l_returnflag
-        |ORDER BY l.l_returnflag""".stripMargin
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q107_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT l_returnflag, 'n_items', n_items FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // identical bucket trunc, per-key dense grid via generate_series, LOCF
+    // via last_value IGNORE NULLS over the same frame
+    "q108_gapfill" ->
+      """WITH a AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n_events, round(avg(value), 6) AS value_avg
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+        |      FROM a GROUP BY 1),
+        |g AS (SELECT event_type,
+        |        unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        |      FROM s),
+        |j AS (SELECT g.event_type, g.bucket, a.n_events, a.value_avg
+        |      FROM g LEFT JOIN a USING (event_type, bucket))
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CAST(n_events IS NULL AS INT) AS is_gap,
+        |  round(last_value(value_avg IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_fill
+        |FROM j ORDER BY event_type, hour""".stripMargin,
+
+    // same tokenization (split on \s+, drop empties), distinct via
+    // list_distinct, bigrams via an indexed list comprehension
+    "q109_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS nd, t
+        |      FROM d),
+        |g AS (SELECT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1]
+        |                for i in generate_series(1, len(t) - 1)]) AS gram
+        |      FROM b WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, max(c) AS topc FROM c GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  round(1.0 - CAST(nd AS DOUBLE) / greatest(n_tokens, 1), 6) AS dup_token_frac,
+        |  round(coalesce(CAST(tp.topc AS DOUBLE) / (b.n_tokens - 1), 0.0), 6) AS top_2gram_frac
+        |FROM b LEFT JOIN tp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q110_mixture_weights" ->
+      """WITH a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS DOUBLE) AS n_units
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, round(n_units, 1) AS n_units,
+        |  round(n_units / sum(n_units) OVER (), 8) AS natural_frac,
+        |  round(pow(n_units, 0.5) / sum(pow(n_units, 0.5)) OVER (), 8) AS weight,
+        |  round(1000000.0 * (pow(n_units, 0.5) / sum(pow(n_units, 0.5)) OVER ())
+        |    / n_units, 6) AS epochs
+        |FROM a ORDER BY source""".stripMargin,
+
+    // salting is semantically transparent: the oracle is the plain join
+    "q111_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Bloom prefilter only removes non-matching rows: oracle is the plain join
+    "q112_bloom_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 48
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
   )
 }

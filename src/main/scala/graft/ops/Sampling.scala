@@ -83,4 +83,35 @@ object Sampling {
     }
     df.filter(digit < bound)
   }
+
+  /** Temperature-based mixture weights over a domain column — the standard
+    * corpus-mixing recipe (sampling probability ∝ massᵅ, α in (0, 1]
+    * flattening the natural distribution so huge domains stop dominating;
+    * α = 1 reproduces natural sampling, α → 0 approaches uniform).
+    *
+    * One grouped aggregation computes each domain's document count and
+    * unit mass (tokens, chars — whatever `sizeCol` measures); the α-power
+    * normalization runs as window sums over the tiny per-domain frame
+    * (|domains| rows — the empty-frame window is a single-partition pass
+    * over that frame, not over the corpus).
+    *
+    * @param budget total units to draw for one training mix; per-domain
+    *               `epochs` = budget × weight / mass says how many times
+    *               that domain is traversed (> 1 ⇒ upsampled repeats).
+    * @return (domain, n_docs, n_units, natural_frac, weight, epochs)
+    */
+  def mixtureWeights(df: DataFrame, domainCol: String, sizeCol: String,
+      alpha: Double, budget: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val byDomain = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("double")).as("n_units"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    byDomain
+      .withColumn("natural_frac", col("n_units") / sum("n_units").over(all))
+      .withColumn("weight",
+        pow(col("n_units"), alpha) / sum(pow(col("n_units"), alpha)).over(all))
+      .withColumn("epochs", lit(budget) * col("weight") / col("n_units"))
+  }
 }

@@ -162,4 +162,41 @@ object TextOps {
     */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
+
+  /** Gopher-style repetition signals, per document:
+    *
+    *  - `dup_token_frac` — fraction of token occurrences beyond each
+    *    token's first (1 − distinct/total): machine-generated and
+    *    boilerplate text repeats vocabulary far more than prose;
+    *  - `top_2gram_frac` — occurrences of the single most frequent word
+    *    bigram over all bigram slots: the classic repeated-phrase signal
+    *    (Rae et al. 2021 §A1.1 use the same family of thresholds).
+    *
+    * The distinct-count side is a per-row HOF (`array_distinct`, no
+    * shuffle); the bigram side explodes to (id, gram) and aggregates —
+    * shuffling 8-byte ids plus short gram strings, the same shape as
+    * [[tfIdf]]. Documents with < 2 tokens get `top_2gram_frac` 0.
+    *
+    * @return (id, n_tokens, dup_token_frac, top_2gram_frac)
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), toks.as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("dup_token_frac",
+        lit(1.0) - size(array_distinct(col("__t"))).cast("double") /
+          greatest(col("n_tokens"), lit(1L)))
+    val grams = base
+      .filter(col("n_tokens") >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), (col("n_tokens") - 1).cast("int")),
+        i => concat_ws(" ", element_at(col("__t"), i.cast("int")),
+          element_at(col("__t"), (i + 1).cast("int"))))).as("gram"))
+    val top = grams.groupBy("id", "gram").agg(count(lit(1)).as("__c"))
+      .groupBy("id").agg(max("__c").as("__top"))
+    base.join(top, Seq("id"), "left")
+      .withColumn("top_2gram_frac",
+        coalesce(col("__top").cast("double") / (col("n_tokens") - 1), lit(0.0)))
+      .select("id", "n_tokens", "dup_token_frac", "top_2gram_frac")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series alignment: resample an event stream onto a fixed grid per
+  * key and fill the gaps — the feature-engineering step that turns raw
+  * events into a dense per-entity time series (model inputs, monitoring
+  * panels, drift baselines).
+  *
+  * Everything is distributed per key: the grid is generated with
+  * `sequence`/`explode` inside each key's own span (no driver loop, no
+  * global calendar table), the resample is one grouped aggregation, and
+  * the forward fill is a running `last(ignoreNulls)` window per key. The
+  * only shuffles are the (key, bucket) aggregation and the per-key window
+  * sort. One caveat at scale: the per-key grid materializes one array of
+  * span/step entries per key — bounded and fine for hour/day grids over
+  * months; for second-grids over years, resample at a coarser unit first.
+  */
+object TimeSeries {
+
+  /** Resample `valueCol` to one row per (`keyCol`, truncated `tsCol`
+    * bucket) over each key's own [min, max] bucket span, then forward-fill
+    * empty buckets with the last seen value (LOCF).
+    *
+    * @param unit  calendar unit for `date_trunc` AND the grid step —
+    *              "minute", "hour", "day", "week", "month"
+    * @return (key, bucket, n_events, value_avg, value_fill, is_gap):
+    *         `value_avg` is the in-bucket mean (null on gap buckets),
+    *         `value_fill` carries the LOCF series, `is_gap` marks
+    *         generated rows. The mean is rounded to 6 digits BEFORE the
+    *         fill so the filled series is engine-reproducible.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, unit: String = "hour"): DataFrame = {
+    val allowed = Set("minute", "hour", "day", "week", "month")
+    require(allowed(unit.toLowerCase), s"unit must be one of $allowed")
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(valueCol), 6).as("value_avg"))
+    // per-key span → dense grid: sequence() is evaluated per key row, so
+    // grid generation scales with the number of keys, not with one task
+    val grid = agg.groupBy(col(keyCol))
+      .agg(min("bucket").as("__mn"), max("bucket").as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"),
+          expr(s"INTERVAL 1 $unit"))).as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_fill", last("value_avg", ignoreNulls = true).over(w))
+  }
+}

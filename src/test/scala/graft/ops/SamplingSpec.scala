@@ -84,4 +84,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitColumn(col("text"), Seq("a" -> 16))
     }
   }
+
+  test("mixtureWeights: alpha=1 is natural sampling; alpha<1 flattens; weights sum to 1") {
+    val df = Seq.fill(90)(("big", 100L)) ++ Seq.fill(10)(("small", 10L))
+    val docs = df.toDF("source", "n")
+    val nat = Sampling.mixtureWeights(docs, "source", "n", alpha = 1.0, budget = 1000.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // alpha=1: weight == natural_frac
+    nat.values.foreach { case (f, w) => assert(math.abs(f - w) < 1e-12) }
+    val flat = Sampling.mixtureWeights(docs, "source", "n", alpha = 0.5, budget = 1000.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // flattening: the small domain's weight rises above its natural share
+    assert(flat("small")._2 > flat("small")._1)
+    assert(flat("big")._2 < flat("big")._1)
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-12)
+    // epochs: budget * weight / mass; small domain gets upsampled harder
+    val ep = Sampling.mixtureWeights(docs, "source", "n", alpha = 0.5, budget = 1000.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(ep("small") > ep("big"))
+  }
+
+  test("mixtureWeights rejects alpha outside (0, 1]") {
+    val docs = Seq(("a", 1L)).toDF("source", "n")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(docs, "source", "n", alpha = 0.0, budget = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(docs, "source", "n", alpha = 1.5, budget = 1.0)
+    }
+  }
 }

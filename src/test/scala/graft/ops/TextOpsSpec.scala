@@ -74,4 +74,31 @@ class TextOpsSpec extends SparkSpec {
       .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byLang.nonEmpty)
   }
+
+  test("repetitionStats: dup-token and top-bigram fractions on known text") {
+    val docs = Seq(
+      (1L, "a a a a"),            // 4 tokens, 1 distinct; bigram "a a" x3 / 3 slots
+      (2L, "w x y z"),            // all distinct, every bigram unique
+      (3L, "solo"),               // < 2 tokens: no bigrams
+      (4L, "p q p q p")           // 5 tokens, 2 distinct; "p q" x2 / 4 slots
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m(1L) === ((4L, 0.75, 1.0)))
+    assert(m(2L) === ((4L, 0.0, 1.0 / 3)))
+    assert(m(3L) === ((1L, 0.0, 0.0)))
+    assert(m(4L)._1 === 5L)
+    assert(math.abs(m(4L)._2 - 0.6) < 1e-12)
+    assert(math.abs(m(4L)._3 - 0.5) < 1e-12)
+  }
+
+  test("repetitionStats covers every document of the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    val fr = out.agg(min("dup_token_frac"), max("dup_token_frac"),
+      min("top_2gram_frac"), max("top_2gram_frac")).head()
+    assert(fr.getDouble(0) >= 0.0 && fr.getDouble(1) <= 1.0)
+    assert(fr.getDouble(2) >= 0.0 && fr.getDouble(3) <= 1.0)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resampleFfill fills interior gaps with the last seen value") {
+    // key "a": hours 00, 01, 04 → grid 00..04 with 02/03 as gaps
+    val df = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1.0),
+      ("a", ts("2024-01-01 00:50:00"), 3.0),
+      ("a", ts("2024-01-01 01:20:00"), 5.0),
+      ("a", ts("2024-01-01 04:00:00"), 7.0),
+      ("b", ts("2024-01-01 02:00:00"), 9.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleFfill(df, "k", "t", "v", "hour")
+      .orderBy("k", "bucket")
+      .select("k", "n_events", "value_avg", "value_fill", "is_gap")
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.length === 5)
+    // bucket 00: avg(1,3)=2; bucket 01: 5; gaps 02,03 carry 5; bucket 04: 7
+    assert(a.map(_.getDouble(3)).toSeq === Seq(2.0, 5.0, 5.0, 5.0, 7.0))
+    assert(a.map(_.getBoolean(4)).toSeq === Seq(false, false, true, true, false))
+    assert(a.map(_.getLong(1)).toSeq === Seq(2L, 1L, 0L, 0L, 1L))
+    // gap rows have null value_avg
+    assert(a.filter(_.getBoolean(4)).forall(_.isNullAt(2)))
+    // key "b" spans a single bucket — no gaps
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length === 1 && b.head.getDouble(3) === 9.0)
+  }
+
+  test("resampleFfill produces a dense per-key grid (span/step + 1 rows)") {
+    val df = Seq(
+      ("k", ts("2024-03-01 00:00:00"), 1.0),
+      ("k", ts("2024-03-03 00:00:00"), 2.0)
+    ).toDF("k", "t", "v")
+    assert(TimeSeries.resampleFfill(df, "k", "t", "v", "day").count() === 3L)
+    assert(TimeSeries.resampleFfill(df, "k", "t", "v", "hour").count() === 49L)
+  }
+
+  test("resampleFfill rejects unknown units") {
+    val df = Seq(("k", ts("2024-03-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleFfill(df, "k", "t", "v", "fortnight")
+    }
+  }
+}
