@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, JoinOps, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, JoinOps, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1482,6 +1482,32 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"), r(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("p_brand")
+    }),
+
+    // ordered conversion funnel view→click→purchase: the greedy sorted-walk
+    // equals the min-chain semantics (tᵢ = min ts of stepᵢ strictly after
+    // tᵢ₋₁), which is what the oracle computes CTE by CTE
+    "q113_funnel" -> ((s, dir) => {
+      EventSeq.funnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_no")
+    }),
+
+    // weekly cohort retention off first-activity week; Spark and DuckDB
+    // both truncate to ISO Monday weeks, so offsets are exact multiples
+    "q114_retention" -> ((s, dir) => {
+      EventSeq.retention(events(s, dir), "user_id", "ts", "week")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("offset"), col("active_users"), col("retention"))
+        .orderBy("cohort_week", "offset")
+    }),
+
+    // event-type transition matrix; (ts, event_id) ordering makes the lag
+    // deterministic under timestamp ties
+    "q115_transitions" -> ((s, dir) => {
+      EventSeq.transitions(events(s, dir), "user_id", "event_type", "ts",
+          "event_id")
+        .orderBy("prev", "next")
     })
   )
 
@@ -3044,6 +3070,64 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size >= 48
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+
+    // min-chain funnel: t1 = min view, t2 = min click > t1, t3 = min
+    // purchase > t2 — the greedy sorted-walk computes the same set of users
+    // per step (first-match-in-order IS the earliest admissible match)
+    "q113_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT CAST(1 AS INT) AS step_no, 'view' AS step, u1 AS users,
+        |  round(CAST(1.0 AS DOUBLE), 6) AS frac_first,
+        |  round(CAST(1.0 AS DOUBLE), 6) AS frac_prev FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', u2,
+        |  round(CAST(u2 AS DOUBLE) / u1, 6), round(CAST(u2 AS DOUBLE) / u1, 6)
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', u3,
+        |  round(CAST(u3 AS DOUBLE) / u1, 6), round(CAST(u3 AS DOUBLE) / u2, 6)
+        |FROM c
+        |ORDER BY step_no""".stripMargin,
+
+    // same ISO-Monday week truncation; offsets are exact multiples of 7
+    // days so the INT cast is lossless
+    "q114_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS cohort FROM uw GROUP BY 1),
+        |a AS (
+        |  SELECT cohort, CAST(date_diff('day', cohort, w) / 7 AS INT) AS "offset",
+        |    count(*) AS active_users
+        |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2),
+        |c0 AS (SELECT cohort, active_users AS sz FROM a WHERE "offset" = 0)
+        |SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week, "offset",
+        |  active_users, round(CAST(active_users AS DOUBLE) / sz, 6) AS retention
+        |FROM a JOIN c0 USING (cohort)
+        |ORDER BY cohort_week, "offset"""".stripMargin,
+
+    // identical (ts, event_id) ordering for the lag; per-prev row
+    // normalization over the tiny (prev, next) frame
+    "q115_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, next, count(*) AS n FROM p
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6) AS prob
+        |FROM t ORDER BY prev, next""".stripMargin
   )
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics: the funnel / retention / transition triad every
+  * event-stream warehouse ships. All three shuffle only small keyed rows —
+  * (user, ts, type) tuples or (cohort, bucket) pairs — never payloads, and
+  * the per-user sequence logic runs as higher-order array expressions
+  * inside whole-stage codegen, not as driver loops or UDFs.
+  */
+object EventSeq {
+
+  /** Ordered conversion funnel. A user "reaches" step i when the steps
+    * occur in order: the walk takes the user's funnel-relevant events in
+    * timestamp order and greedily fills step i with the first event of
+    * `steps(i)` strictly after the step-(i−1) timestamp. This greedy
+    * semantics equals the classic SQL chain
+    * `tᵢ = min(ts) where type = stepᵢ and ts > tᵢ₋₁` — the first match is
+    * the earliest possible one — which is exactly what the oracle computes.
+    *
+    * Execution: one filter to the step types (scan prunes to three
+    * columns), ONE shuffle grouping those events per user into a
+    * time-sorted array, then a codegen'd `aggregate` HOF walks each array.
+    * The array holds only this user's FUNNEL events (not all activity) —
+    * bounded in any real funnel; for a pathological user the row grows, so
+    * cap upstream if a single user can emit millions of step events.
+    * The per-step rollup then reduces to k rows on a frame of |users|.
+    *
+    * @return one row per step: (step_no, step, users, frac_first,
+    *         frac_prev), fractions rounded to 6 digits; step 1 has both
+    *         fractions 1.0 (or 0 users ⇒ null fractions downstream are
+    *         avoided by emitting 1.0 only when users > 0 is irrelevant —
+    *         fractions are computed from counts, 0/0 guarded to 0.0).
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val perUser = df
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user"),
+        struct(col(tsCol).as("ts"), col(typeCol).as("etype")).as("ev"))
+      .groupBy("user")
+      .agg(array_sort(collect_list("ev")).as("evs"))
+    // greedy walk: acc = timestamps of the steps filled so far
+    val walked = perUser.withColumn("n_steps",
+      size(aggregate(
+        col("evs"),
+        expr("CAST(array() AS ARRAY<TIMESTAMP>)"),
+        (acc, e) => {
+          val nf = size(acc)
+          // try_element_at: null (not an ANSI error) when nf is out of
+          // range; the null comparison then resolves the guard correctly
+          // (null-equality is false; `nf === 0 || ts > null` is true at 0)
+          val ok = (nf < k) &&
+            (e.getField("etype") === try_element_at(stepsArr, nf + 1)) &&
+            (nf === 0 || e.getField("ts") > try_element_at(acc, lit(-1)))
+          when(ok, concat(acc, array(e.getField("ts")))).otherwise(acc)
+        })))
+    // |users| rows → k+1 count rows → k step rows (all tiny frames)
+    val byN = walked.groupBy("n_steps").agg(count(lit(1)).as("cnt"))
+    val stepFrame = df.sparkSession.createDataFrame(
+      steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
+    ).toDF("step_no", "step")
+    val reached = stepFrame
+      .join(byN, byN("n_steps") >= stepFrame("step_no"), "left")
+      .groupBy("step_no", "step")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("users"))
+    val w = Window.orderBy("step_no")
+    reached
+      .withColumn("frac_first", round(
+        when(first("users").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) === 0, 0.0)
+          .otherwise(col("users").cast("double") /
+            first("users").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))), 6))
+      .withColumn("frac_prev", round(
+        when(coalesce(lag("users", 1).over(w), col("users")) === 0, 0.0)
+          .otherwise(col("users").cast("double") /
+            coalesce(lag("users", 1).over(w), col("users"))), 6))
+  }
+
+  /** Cohort retention: cohort = the calendar bucket of each user's first
+    * event; for every (cohort, bucket-offset) pair count the users active
+    * in that bucket and divide by the cohort's size (its offset-0 count —
+    * every user is active in their first bucket by construction).
+    *
+    * Execution: distinct (user, bucket) — one shuffle carrying 16-byte
+    * pairs; first-bucket per user reuses the same hash partitioning (the
+    * exchange is reusable since user is a prefix of the distinct key);
+    * the activity join is keyed on user; the final rollup and the
+    * cohort-size join run on |cohorts × offsets| rows.
+    *
+    * @param unit calendar unit for `date_trunc` ("week", "month", "day")
+    * @return (cohort, offset, active_users, retention) where offset counts
+    *         whole units from the cohort bucket and retention is rounded
+    *         to 6 digits
+    */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+      unit: String = "week"): DataFrame = {
+    val allowed = Set("day", "week", "month")
+    require(allowed(unit.toLowerCase), s"unit must be one of $allowed")
+    val uw = df.select(col(userCol).as("user"),
+      date_trunc(unit, col(tsCol)).as("bucket")).distinct()
+    val firsts = uw.groupBy("user").agg(min("bucket").as("cohort"))
+    val offset = unit.toLowerCase match {
+      case "day"   => datediff(col("bucket"), col("cohort"))
+      case "week"  => (datediff(col("bucket"), col("cohort")) / 7).cast("int")
+      case "month" => months_between(col("bucket"), col("cohort")).cast("int")
+    }
+    val active = uw.join(firsts, "user")
+      .groupBy(col("cohort"), offset.as("offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = active.filter(col("offset") === 0)
+      .select(col("cohort"), col("active_users").as("__size"))
+    active.join(sizes, "cohort")
+      .withColumn("retention",
+        round(col("active_users").cast("double") / col("__size"), 6))
+      .drop("__size")
+  }
+
+  /** First-order transition matrix between event types: per user, order
+    * events by (ts, tie-breaker) and count (previous type → type) steps;
+    * `prob` normalizes each previous-type row to 1.
+    *
+    * Execution: one per-user window sort (the only payload shuffled is
+    * (user, ts, tiebreak, type)), one (prev, next) aggregation, and the
+    * normalization window runs over the |types|² frame. The tie-breaker
+    * column makes the ordering — and therefore the result — deterministic
+    * when timestamps collide; pass the event id.
+    */
+  def transitions(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieBreakCol))
+    val pairs = df
+      .select(col(userCol), col(tsCol), col(tieBreakCol),
+        col(typeCol).as("next"))
+      .withColumn("prev", lag("next", 1).over(w))
+      .filter(col("prev").isNotNull)
+    val counts = pairs.groupBy("prev", "next").agg(count(lit(1)).as("n"))
+    counts.withColumn("prob",
+      round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+  }
+}

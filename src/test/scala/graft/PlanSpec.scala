@@ -116,6 +116,21 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, p.take(1500))
   }
 
+  test("q113: funnel prunes the events scan and pushes the step-type filter") {
+    val p = plan("q113_funnel")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only user_id, event_type, ts feed the funnel — not value/props/event_id
+    assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
+    assert(p.contains("PushedFilters: [In(event_type"), p.take(1200))
+  }
+
+  test("q115: transitions shuffle only the narrow event columns") {
+    val p = plan("q115_transitions")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"), readSchema)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class EventSeqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: greedy in-order matching on closed cases") {
+    val ev = Seq(
+      // u1 full funnel in order
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),
+      (1L, ts("2024-01-01 00:02:00"), "buy"),
+      // u2: click BEFORE the first view must not count; no click after
+      (2L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, ts("2024-01-01 00:01:00"), "view"),
+      // u3: view+click only, buy precedes the click
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:00:30"), "buy"),
+      (3L, ts("2024-01-01 00:01:00"), "click"),
+      // u4: never enters (no view)
+      (4L, ts("2024-01-01 00:00:00"), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventSeq.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .orderBy("step_no").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 2L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(1.0, 0.666667, 0.333333))
+    assert(out.map(_.getDouble(4)).toSeq === Seq(1.0, 0.666667, 0.5))
+  }
+
+  test("funnel: strict ordering — same-timestamp step does not advance") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:00:00"), "click") // tie with t1: not after it
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventSeq.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click")).orderBy("step_no").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L))
+    assert(out(1).getDouble(3) === 0.0 && out(1).getDouble(4) === 0.0)
+  }
+
+  test("funnel equals the min-chain SQL semantics on the events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val got = EventSeq.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_no").collect().map(_.getLong(2))
+    // independent chain: t1 = min view; t2 = min click > t1; t3 = min buy > t2
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"t1").groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" > $"t2").groupBy("user_id").agg(min("ts").as("t3"))
+    assert(got.toSeq === Seq(s1.count(), s2.count(), s3.count()))
+  }
+
+  test("retention: cohort sizes, offsets, and rates on a closed case") {
+    val ev = Seq(
+      // cohort week of 2024-01-01 (Mon): u1 active weeks 0,1,3; u2 week 0
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-10 10:00:00")),
+      (1L, ts("2024-01-24 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      // cohort week of 2024-01-08: u3 active weeks 0,1
+      (3L, ts("2024-01-09 10:00:00")), (3L, ts("2024-01-16 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventSeq.retention(ev, "user_id", "ts", "week")
+      .orderBy("cohort", "offset")
+      .select(date_format($"cohort", "yyyy-MM-dd").as("c"),
+        $"offset", $"active_users", $"retention")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0, 2L, 1.0), ("2024-01-01", 1, 1L, 0.5),
+      ("2024-01-01", 3, 1L, 0.5),
+      ("2024-01-08", 0, 1L, 1.0), ("2024-01-08", 1, 1L, 1.0)))
+  }
+
+  test("retention: a user active twice in one bucket counts once") {
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 11:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventSeq.retention(ev, "user_id", "ts", "week").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("active_users") === 1L)
+  }
+
+  test("transitions: counts, row-normalized probabilities, deterministic ties") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, 11L, ts("2024-01-01 00:01:00"), "b"),
+      (1L, 12L, ts("2024-01-01 00:02:00"), "a"),
+      (1L, 13L, ts("2024-01-01 00:03:00"), "c"),
+      (2L, 20L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, 21L, ts("2024-01-01 00:01:00"), "b"),
+      (3L, 30L, ts("2024-01-01 00:00:00"), "z") // single event: no pair
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val m = EventSeq.transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(("a", "b")) === ((2L, 0.666667)))
+    assert(m(("a", "c")) === ((1L, 0.333333)))
+    assert(m(("b", "a")) === ((1L, 1.0)))
+    assert(m.size === 3)
+    // tie-break determinism: two events at the same ts order by event_id
+    val tie = Seq(
+      (1L, 2L, ts("2024-01-01 00:00:00"), "y"),
+      (1L, 1L, ts("2024-01-01 00:00:00"), "x")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val tm = EventSeq.transitions(tie, "user_id", "event_type", "ts", "event_id")
+      .collect()
+    assert(tm.length === 1)
+    assert((tm.head.getString(0), tm.head.getString(1)) === (("x", "y")))
+  }
+
+  test("transitions probabilities sum to 1 per previous type on the corpus") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sums = EventSeq.transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .groupBy("prev").agg(sum("prob").as("s")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3))
+  }
+}
