@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, JoinOps, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, JoinOps, Merge, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1508,6 +1508,65 @@ object SparkEntry {
       EventSeq.transitions(events(s, dir), "user_id", "event_type", "ts",
           "event_id")
         .orderBy("prev", "next")
+    }),
+
+    // CDC latest-wins upsert with tombstones: deterministic synthetic
+    // changeset (every %10 key updated +100, every %17-not-%10 key
+    // deleted); the oracle applies the same changes as CASE/anti-join
+    // arithmetic — merge semantics proven equal to direct computation
+    "q116_cdc_upsert" -> ((s, dir) => {
+      val snap = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("version", lit(1L))
+      val upd = snap.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("version", lit(2L))
+        .withColumn("is_deleted", lit(false))
+      val dels = snap
+        .filter(pmod(col("o_orderkey"), lit(17)) === 0 &&
+          pmod(col("o_orderkey"), lit(10)) =!= 0)
+        .withColumn("version", lit(2L))
+        .withColumn("is_deleted", lit(true))
+      Merge.upsertLatest(snap, upd.unionByName(dels), Seq("o_orderkey"),
+          "version", deleteCol = Some("is_deleted"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          r(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // SCD2 validity intervals over each user's event log; (ts, event_id)
+    // tie-break keeps the chain deterministic
+    "q117_scd2" -> ((s, dir) => {
+      Merge.scd2(events(s, dir).select("user_id", "event_id", "ts"),
+          Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current").cast("int").as("is_current"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // hard per-source quota (md5-ordered deterministic selection) — the
+    // count-cap twin of the stratified fractional sample
+    "q118_cap_per_key" -> ((s, dir) => {
+      Sampling.capPerKey(t(s, dir, "documents"), "source", "doc_id", 50)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // raw SQL front-end: the same ANSI text runs through spark.sql and
+    // DuckDB — gates view registration + SQL-surface semantics
+    "q119_sql_frontend" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
     })
   )
 
@@ -3128,6 +3187,50 @@ object SparkEntry {
         |      WHERE prev IS NOT NULL GROUP BY 1, 2)
         |SELECT prev, next, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6) AS prob
-        |FROM t ORDER BY prev, next""".stripMargin
+        |FROM t ORDER BY prev, next""".stripMargin,
+
+    // the merge result computed directly: updates as CASE arithmetic,
+    // deletes as an anti-join — latest-wins semantics without the union
+    "q116_cdc_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 17 = 0 AND o_orderkey % 10 != 0))
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(p), 2) AS total
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q117_scd2" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS INT) AS is_current
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    // identical md5-of-decimal-string rank ordering on both engines
+    "q118_cap_per_key" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM ranked WHERE rn <= 50 GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // byte-identical SQL text on both engines
+    "q119_sql_frontend" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

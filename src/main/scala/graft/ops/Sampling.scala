@@ -84,6 +84,27 @@ object Sampling {
     df.filter(digit < bound)
   }
 
+  /** Per-key quota cap: keep at most `maxPerKey` rows per `keyCol`,
+    * selected deterministically by digest order of `idCol` (so the kept
+    * subset is a stable uniform-ish sample of each key, not "whatever rows
+    * the scan met first"). The domain-balancing move a corpus pipeline
+    * makes when one source would otherwise swamp the mix — the hard-count
+    * twin of [[stratifiedSample]]'s fractional form.
+    *
+    * ONE keyed window shuffle; the sort key is (md5(id), id), so the
+    * selection is total-ordered and engine-reproducible. Keys with fewer
+    * than `maxPerKey` rows pass through whole.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
+
   /** Temperature-based mixture weights over a domain column — the standard
     * corpus-mixing recipe (sampling probability ∝ massᵅ, α in (0, 1]
     * flattening the natural distribution so huge domains stop dominating;

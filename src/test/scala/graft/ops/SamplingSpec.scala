@@ -104,6 +104,22 @@ class SamplingSpec extends SparkSpec {
     assert(ep("small") > ep("big"))
   }
 
+  test("capPerKey: hard per-key quota, deterministic selection, small keys whole") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val capped = Sampling.capPerKey(docs, "source", "doc_id", 20)
+    val byKey = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    orig.foreach { case (k, n) => assert(byKey(k) === math.min(n, 20L), k) }
+    // deterministic: same ids selected on a re-run over a repartitioned input
+    val again = Sampling.capPerKey(docs.repartition(7), "source", "doc_id", 20)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // schema passes through (no helper columns leak)
+    assert(capped.columns.toSeq === docs.columns.toSeq)
+  }
+
   test("mixtureWeights rejects alpha outside (0, 1]") {
     val docs = Seq(("a", 1L)).toDF("source", "n")
     intercept[IllegalArgumentException] {
