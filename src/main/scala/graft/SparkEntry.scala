@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, JoinOps, Merge, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, JoinOps, Merge, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1567,6 +1567,27 @@ object SparkEntry {
               |WHERE c_mktsegment = 'BUILDING'
               |GROUP BY o_orderpriority
               |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // blocked fuzzy self-match on part names (first-token blocks,
+    // levenshtein <= 3): the pair set aggregated to a per-distance
+    // histogram; both engines compute the same textbook edit distance
+    "q120_fuzzy_pairs" -> ((s, dir) => {
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
+          element_at(split(col("p_name"), " "), 1), maxDist = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("id_a").as("n_left"))
+        .orderBy("dist")
+    }),
+
+    // per-transition funnel latency: the walk's step timestamps equal the
+    // min-chain t1/t2/t3, so the oracle averages the same exact-microsecond
+    // gaps; integral sums — no float accumulation-order drift
+    "q121_funnel_latency" -> ((s, dir) => {
+      EventSeq.funnelLatency(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_no")
     })
   )
 
@@ -3231,6 +3252,43 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // same first-token blocking, same edit-distance definition
+    "q120_fuzzy_pairs" ->
+      """WITH b AS (
+        |  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        |  FROM part),
+        |pr AS (
+        |  SELECT a.p_partkey AS ka, levenshtein(a.p_name, c.p_name) AS dist
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey < c.p_partkey
+        |  WHERE levenshtein(a.p_name, c.p_name) <= 3)
+        |SELECT CAST(dist AS INT) AS dist, count(*) AS n_pairs,
+        |  count(DISTINCT ka) AS n_left
+        |FROM pr GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // the min-chain timestamps ARE the walk's step timestamps; average the
+    // exact microsecond gaps and divide once
+    "q121_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT 'view' AS from_step, 'click' AS to_step, CAST(1 AS INT) AS step_no,
+        |  count(*) AS n_users,
+        |  round(CAST(sum(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+        |    / count(*) / 1e6, 6) AS avg_secs
+        |FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL
+        |SELECT 'click', 'purchase', CAST(2 AS INT), count(*),
+        |  round(CAST(sum(epoch_us(t3) - epoch_us(t2)) AS DOUBLE)
+        |    / count(*) / 1e6, 6)
+        |FROM s3 JOIN s2 USING (user_id)
+        |ORDER BY step_no""".stripMargin
   )
 }

@@ -34,21 +34,23 @@ object EventSeq {
     *         avoided by emitting 1.0 only when users > 0 is irrelevant —
     *         fractions are computed from counts, 0/0 guarded to 0.0).
     */
-  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String]): DataFrame = {
+  /** The greedy walk shared by [[funnel]] and [[funnelLatency]]: one row
+    * per user with `steps` = the timestamps of the funnel steps reached,
+    * in order (size < k when the user fell out early).
+    */
+  private def walkSteps(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
-    val perUser = df
-      .filter(col(typeCol).isin(steps: _*))
+    df.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).as("user"),
         struct(col(tsCol).as("ts"), col(typeCol).as("etype")).as("ev"))
       .groupBy("user")
       .agg(array_sort(collect_list("ev")).as("evs"))
-    // greedy walk: acc = timestamps of the steps filled so far
-    val walked = perUser.withColumn("n_steps",
-      size(aggregate(
+      // greedy walk: acc = timestamps of the steps filled so far
+      .withColumn("steps", aggregate(
         col("evs"),
         expr("CAST(array() AS ARRAY<TIMESTAMP>)"),
         (acc, e) => {
@@ -60,7 +62,15 @@ object EventSeq {
             (e.getField("etype") === try_element_at(stepsArr, nf + 1)) &&
             (nf === 0 || e.getField("ts") > try_element_at(acc, lit(-1)))
           when(ok, concat(acc, array(e.getField("ts")))).otherwise(acc)
-        })))
+        }))
+      .drop("evs")
+  }
+
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    val k = steps.length
+    val walked = walkSteps(df, userCol, typeCol, tsCol, steps)
+      .withColumn("n_steps", size(col("steps")))
     // |users| rows → k+1 count rows → k step rows (all tiny frames)
     val byN = walked.groupBy("n_steps").agg(count(lit(1)).as("cnt"))
     val stepFrame = df.sparkSession.createDataFrame(
@@ -82,6 +92,39 @@ object EventSeq {
         when(coalesce(lag("users", 1).over(w), col("users")) === 0, 0.0)
           .otherwise(col("users").cast("double") /
             coalesce(lag("users", 1).over(w), col("users"))), 6))
+  }
+
+  /** Per-transition funnel latency: for each consecutive step pair
+    * (i → i+1), over the users who reached step i+1, the count and the
+    * average seconds between the two step timestamps the greedy walk
+    * matched. Same single-shuffle walk as [[funnel]]; the latency rollup
+    * aggregates exact microsecond differences (integral sums — no
+    * floating-point accumulation-order drift) and divides once at the end.
+    *
+    * @return (from_step, to_step, n_users, avg_secs) with avg_secs
+    *         rounded to 6 digits; transitions nobody completed are
+    *         omitted (no 0/0 rows)
+    */
+  def funnelLatency(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val walked = walkSteps(df, userCol, typeCol, tsCol, steps)
+    // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a one-step user
+    // must not reach the transform at all
+    val spans = walked.filter(size(col("steps")) >= 2).select(explode(expr(
+      // (i, µs gap) pairs for each completed transition of this user
+      """transform(sequence(1, size(steps) - 1),
+        |  i -> struct(i AS i,
+        |    unix_micros(steps[i]) - unix_micros(steps[i - 1]) AS gap_us))
+        |""".stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.gap_us").as("gap_us"))
+    spans.groupBy("i")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("gap_us").cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_secs"))
+      .select(
+        element_at(array(steps.map(lit): _*), col("i")).as("from_step"),
+        element_at(array(steps.map(lit): _*), col("i") + 1).as("to_step"),
+        col("i").cast("int").as("step_no"), col("n_users"), col("avg_secs"))
   }
 
   /** Cohort retention: cohort = the calendar bucket of each user's first

@@ -61,6 +61,32 @@ class EventSeqSpec extends SparkSpec {
     assert(got.toSeq === Seq(s1.count(), s2.count(), s3.count()))
   }
 
+  test("funnelLatency: per-transition counts and average gaps") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),   // 60s
+      (1L, ts("2024-01-01 00:03:00"), "buy"),     // 120s
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:02:00"), "click"),   // 120s, no buy
+      (3L, ts("2024-01-01 00:00:00"), "view")     // view only: no transition
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventSeq.funnelLatency(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .orderBy("step_no").collect()
+    assert(out.length === 2)
+    assert((out(0).getString(0), out(0).getString(1)) === (("view", "click")))
+    assert(out(0).getLong(3) === 2L && out(0).getDouble(4) === 90.0)
+    assert((out(1).getString(0), out(1).getString(1)) === (("click", "buy")))
+    assert(out(1).getLong(3) === 1L && out(1).getDouble(4) === 120.0)
+  }
+
+  test("funnelLatency: single-step users produce no rows (no sequence(1,0) trap)") {
+    val ev = Seq((1L, ts("2024-01-01 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    assert(EventSeq.funnelLatency(ev, "user_id", "event_type", "ts",
+      Seq("view", "click")).count() === 0L)
+  }
+
   test("retention: cohort sizes, offsets, and rates on a closed case") {
     val ev = Seq(
       // cohort week of 2024-01-01 (Mon): u1 active weeks 0,1,3; u2 week 0
