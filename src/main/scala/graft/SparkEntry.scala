@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, JoinOps, Merge, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, Graph, JoinOps, Merge, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1588,6 +1588,23 @@ object SparkEntry {
       EventSeq.funnelLatency(events(s, dir), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
         .orderBy("step_no")
+    }),
+
+    // PageRank over the symmetrized part–supplier bipartite graph, 3
+    // iterations; the oracle unrolls the same three join+agg rounds as
+    // CTEs. All scalar arithmetic is phrased identically on both engines
+    // (double subtraction/division in the same order), so the only
+    // divergence channel is float summation order — ~1e-15 relative,
+    // far inside the 6-digit rounding grid of the ×1000-scaled ranks.
+    "q122_pagerank" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v")).distinct()
+      val edges = pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+      Graph.pageRank(edges, iters = 3)
+        .filter(col("u").startsWith("s"))
+        .select(col("u").as("node"), r(col("r") * 1000, 6).as("rank_k"))
+        .orderBy("node")
     })
   )
 
@@ -3289,6 +3306,35 @@ object SparkEntry {
         |  round(CAST(sum(epoch_us(t3) - epoch_us(t2)) AS DOUBLE)
         |    / count(*) / 1e6, 6)
         |FROM s3 JOIN s2 USING (user_id)
-        |ORDER BY step_no""".stripMargin
+        |ORDER BY step_no""".stripMargin,
+
+    // three unrolled PageRank rounds; every scalar op is double-typed in
+    // the same order as the Spark expressions
+    "q122_pagerank" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v
+        |  FROM lineitem),
+        |e AS (SELECT u, v FROM pe UNION ALL SELECT v AS u, u AS v FROM pe),
+        |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT u, CAST(1.0 AS DOUBLE) / n AS r FROM deg, nn),
+        |r1 AS (
+        |  SELECT e.v AS u,
+        |    (CAST(1.0 AS DOUBLE) - 0.85) / any_value(nn.n)
+        |      + 0.85 * sum(r0.r / deg.d) AS r
+        |  FROM e JOIN r0 USING (u) JOIN deg USING (u), nn GROUP BY e.v),
+        |r2 AS (
+        |  SELECT e.v AS u,
+        |    (CAST(1.0 AS DOUBLE) - 0.85) / any_value(nn.n)
+        |      + 0.85 * sum(r1.r / deg.d) AS r
+        |  FROM e JOIN r1 USING (u) JOIN deg USING (u), nn GROUP BY e.v),
+        |r3 AS (
+        |  SELECT e.v AS u,
+        |    (CAST(1.0 AS DOUBLE) - 0.85) / any_value(nn.n)
+        |      + 0.85 * sum(r2.r / deg.d) AS r
+        |  FROM e JOIN r2 USING (u) JOIN deg USING (u), nn GROUP BY e.v)
+        |SELECT u AS node, round(r * 1000, 6) AS rank_k
+        |FROM r3 WHERE u LIKE 's%'
+        |ORDER BY node""".stripMargin
   )
 }

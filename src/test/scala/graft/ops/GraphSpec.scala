@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // undirected triangle + pendant, symmetrized
+  private def closedEdges = {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    (und ++ und.map(_.swap)).toDF("u", "v")
+  }
+
+  private def localReference(iters: Int): Map[String, Double] = {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val dir = und ++ und.map(_.swap)
+    val out = dir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = out.keySet
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        v -> ((1.0 - 0.85) / nodes.size + 0.85 *
+          out.toSeq.filter(_._2.contains(v)).map { case (u, os) => r(u) / os.size }.sum)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches a local dense reference on a closed graph") {
+    val got = Graph.pageRank(closedEdges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = localReference(5)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - ref(v)) < 1e-12, v) }
+    // the hub (c, degree 3) outranks the pendant (d, degree 1)
+    assert(got("c") > got("d"))
+  }
+
+  test("pageRank mass is conserved (sum ~ 1) on the symmetrized graph") {
+    val s = Graph.pageRank(closedEdges, iters = 8)
+      .agg(sum("r")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-9)
+  }
+
+  test("checkpointed run returns the same ranks as the plain run") {
+    val plain = Graph.pageRank(closedEdges, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ck = Graph.pageRank(closedEdges, iters = 4, checkpointEvery = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ck === plain)
+  }
+
+  test("pageRank rejects bad parameters") {
+    intercept[IllegalArgumentException] { Graph.pageRank(closedEdges, 0) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(closedEdges, 1, damping = 1.0)
+    }
+  }
+}
