@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, Graph, JoinOps, Merge, Multimodal, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, Graph, JoinOps, Merge, Multimodal, Outliers, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1605,6 +1605,35 @@ object SparkEntry {
         .filter(col("u").startsWith("s"))
         .select(col("u").as("node"), r(col("r") * 1000, 6).as("rank_k"))
         .orderBy("node")
+    }),
+
+    // trailing 1-hour per-user moving average on exact microsecond range
+    // bounds; the windowed sum runs over integral cents so sliding-window
+    // rewrites and segment trees cannot drift
+    "q123_moving_avg" -> ((s, dir) => {
+      TimeSeries.movingAvg(events(s, dir), "user_id", "ts", "value",
+          windowUs = 3600000000L)
+        .select(col("event_id"), col("win_n"), col("win_avg"))
+        .orderBy("event_id")
+    }),
+
+    // robust per-group outliers: median/MAD with the 1.4826 normal-
+    // consistency factor; medians interpolate identically on both engines
+    // (the q33-proven percentile convention); rounding at 3 keeps the
+    // 0.005 interpolation grid intact
+    "q124_mad_outliers" -> ((s, dir) => {
+      Outliers.madOutliers(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          r(col("median"), 3).as("median"), r(col("mad"), 3).as("mad"),
+          col("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
+
+    // one-pass multi-column profile (single Expand, not k scans), long form
+    "q125_profile" -> ((s, dir) => {
+      Profile.summarize(t(s, dir, "documents"), Seq("lang", "source", "n_chars"))
+        .orderBy("column")
     })
   )
 
@@ -3335,6 +3364,51 @@ object SparkEntry {
         |  FROM e JOIN r2 USING (u) JOIN deg USING (u), nn GROUP BY e.v)
         |SELECT u AS node, round(r * 1000, 6) AS rank_k
         |FROM r3 WHERE u LIKE 's%'
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    // identical integral-cents window sum on epoch-microsecond range bounds
+    "q123_moving_avg" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS win_n,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+        |    / 100.0 / count(*) OVER w, 6) AS win_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // same interpolated medians, same double-typed threshold arithmetic in
+    // the same order
+    "q124_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_extendedprice) AS m
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS adev
+        |  FROM lineitem l JOIN med USING (l_returnflag)),
+        |md AS (
+        |  SELECT l_returnflag, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n,
+        |  round(any_value(med.m), 3) AS median,
+        |  round(any_value(md.mad), 3) AS mad,
+        |  CAST(sum(CASE
+        |    WHEN (md.mad > 0 AND d.adev > CAST(3.0 AS DOUBLE) * 1.4826 * md.mad)
+        |      OR (md.mad = 0 AND d.adev > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (l_returnflag) JOIN med USING (l_returnflag)
+        |GROUP BY d.l_returnflag
+        |ORDER BY d.l_returnflag""".stripMargin,
+
+    "q125_profile" ->
+      """SELECT 'lang' AS "column", count(*) AS n_rows,
+        |  count(*) - count(lang) AS n_nulls, count(DISTINCT lang) AS n_distinct
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source) FROM documents
+        |ORDER BY "column"""".stripMargin
   )
 }

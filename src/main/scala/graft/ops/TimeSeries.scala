@@ -32,6 +32,31 @@ object TimeSeries {
     *         generated rows. The mean is rounded to 6 digits BEFORE the
     *         fill so the filled series is engine-reproducible.
     */
+  /** Trailing event-time moving aggregate: per key, the count and average
+    * of `valueCol` over the window `[ts − windowUs, ts]` (microseconds,
+    * inclusive both ends) at every event row. ONE keyed window shuffle;
+    * the range frame is phrased on integral epoch-microseconds so window
+    * membership is exact (a seconds-truncated ORDER BY would shift
+    * boundary rows), and the windowed sum runs over CENTS (integral) so
+    * the average is immune to float accumulation order — sliding-window
+    * add/subtract rewrites and segment trees agree bit-for-bit on longs.
+    *
+    * @param windowUs trailing window span in microseconds
+    * @return input rows plus (win_n, win_avg), win_avg rounded to 6
+    */
+  def movingAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, 0)
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    df.withColumn("__cents", cents)
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_avg",
+        round(sum("__cents").over(w).cast("double") / 100.0 / col("win_n"), 6))
+      .drop("__cents")
+  }
+
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, unit: String = "hour"): DataFrame = {
     val allowed = Set("minute", "hour", "day", "week", "month")

@@ -44,6 +44,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.resampleFfill(df, "k", "t", "v", "hour").count() === 49L)
   }
 
+  test("movingAvg: trailing inclusive window per key on a closed case") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 00:30:00"), 3.0),
+      ("a", ts("2024-01-01 01:00:00"), 5.0),  // 1h window: includes ALL three
+      ("a", ts("2024-01-01 02:30:00"), 7.0),  // none of the above in range
+      ("b", ts("2024-01-01 00:45:00"), 9.0)   // other key: isolated
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.movingAvg(df, "k", "t", "v", windowUs = 3600000000L)
+      .orderBy("k", "t").select("k", "win_n", "win_avg").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L, 1L, 1L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0, 3.0, 7.0, 9.0))
+  }
+
+  test("movingAvg: boundary row exactly windowUs earlier is included") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 2.0),
+      ("k", ts("2024-01-01 00:00:01"), 4.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.movingAvg(df, "k", "t", "v", windowUs = 1000000L)
+      .orderBy("t").select("win_n", "win_avg").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(1).getDouble(1) === 3.0)
+  }
+
   test("resampleFfill rejects unknown units") {
     val df = Seq(("k", ts("2024-03-01 00:00:00"), 1.0)).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {
