@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA}
+import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Survival}
 import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, Graph, JoinOps, Merge, Multimodal, Outliers, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
@@ -1641,6 +1641,27 @@ object SparkEntry {
     "q125_profile" -> ((s, dir) => {
       Profile.summarize(t(s, dir, "documents"), Seq("lang", "source", "n_chars"))
         .orderBy("column")
+    }),
+
+    // Kaplan–Meier time-to-conversion: duration = hours from each user's
+    // first event to first purchase (right-censored at the last event).
+    // Durations are exact-microsecond quotients (identical doubles on both
+    // engines, so the groupBy keys agree); the running product is
+    // exp(ordered cumulative ln-sum) — sequential in the same order on
+    // both engines, hence hash-stable
+    "q126_kaplan_meier" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"))
+      val dur = per.select(
+        ((unix_micros(coalesce(col("tp"), col("tl"))) - unix_micros(col("t0")))
+          .cast("double") / 3600000000.0).as("dur"),
+        col("tp").isNotNull.cast("int").as("ev"))
+      Survival.kaplanMeier(dur, "dur", "ev")
+        .select(r(col("t"), 6).as("t"), col("n_risk"), col("d"), col("c"),
+          r(col("survival"), 6).as("survival"))
+        .orderBy("t")
     })
   )
 
@@ -3417,6 +3438,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'source', count(*), count(*) - count(source),
         |  count(DISTINCT source) FROM documents
-        |ORDER BY "column"""".stripMargin
+        |ORDER BY "column"""".stripMargin,
+
+    // identical duration arithmetic (exact-microsecond quotient) and the
+    // same ordered ln-cumsum product
+    "q126_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur,
+        |    CAST(tp IS NOT NULL AS INT) AS ev
+        |  FROM per),
+        |agg AS (
+        |  SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM dur GROUP BY 1),
+        |km AS (
+        |  SELECT t, d, c,
+        |    sum(d + c) OVER ()
+        |      - coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM agg)
+        |SELECT round(t, 6) AS t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+        |    ELSE exp(sum(CASE WHEN d < n_risk
+        |      THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) AS survival
+        |FROM km ORDER BY t""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft.glm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook curve with right censoring") {
+    // t=1 event, t=2 censored, t=3 event, t=4 event, t=5 censored
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 0))
+      .toDF("dur", "ev")
+    val out = Survival.kaplanMeier(df, "dur", "ev").orderBy("t")
+      .select("t", "n_risk", "d", "c", "survival").collect()
+    assert(out.map(_.getDouble(0)).toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(out.map(_.getLong(1)).toSeq === Seq(5L, 4L, 3L, 2L, 1L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L, 1L, 1L, 0L))
+    val s = out.map(_.getDouble(4))
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.8) < 1e-12)            // censoring: no drop
+    assert(math.abs(s(2) - 0.8 * 2.0 / 3.0) < 1e-12)
+    assert(math.abs(s(3) - 0.8 * 2.0 / 3.0 * 0.5) < 1e-12)
+    assert(math.abs(s(4) - s(3)) < 1e-12)
+  }
+
+  test("kaplanMeier: ties at one time are handled in a single factor") {
+    // two events and one censor at t=2 among 5 at risk
+    val df = Seq((1.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (3.0, 1))
+      .toDF("dur", "ev")
+    val out = Survival.kaplanMeier(df, "dur", "ev").orderBy("t")
+      .select("t", "n_risk", "d", "survival").collect()
+    assert(out.map(_.getDouble(0)).toSeq === Seq(1.0, 2.0, 3.0))
+    assert(out.map(_.getLong(1)).toSeq === Seq(5L, 4L, 1L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L, 1L))
+    val s = out.map(_.getDouble(3))
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.8 * 0.5) < 1e-12)
+    assert(math.abs(s(2) - 0.0) < 1e-12)            // last at-risk fails
+  }
+
+  test("kaplanMeier: no censoring reduces to the empirical survivor function") {
+    val df = (1 to 10).map(i => (i.toDouble, 1)).toDF("dur", "ev")
+    val out = Survival.kaplanMeier(df, "dur", "ev").orderBy("t")
+      .select("t", "survival").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(1) - (10.0 - (i + 1)) / 10.0) < 1e-12)
+    }
+  }
+
+  test("kaplanMeier: grouped curves are independent") {
+    val df = (Seq((1.0, 1), (2.0, 1)).map { case (t, e) => ("a", t, e) } ++
+      Seq((1.0, 0), (3.0, 1)).map { case (t, e) => ("b", t, e) })
+      .toDF("g", "dur", "ev")
+    val out = Survival.kaplanMeier(df, "dur", "ev", Seq("g"))
+      .orderBy("g", "t").select("g", "survival").collect()
+    assert(math.abs(out(0).getDouble(1) - 0.5) < 1e-12)  // a: 1/2 survive t=1
+    assert(math.abs(out(1).getDouble(1) - 0.0) < 1e-12)  // a: none at t=2
+    assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)  // b: censored at t=1
+    assert(math.abs(out(3).getDouble(1) - 0.0) < 1e-12)  // b: last fails
+  }
+}
