@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{CrossVal, ElasticNet, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Survival}
+import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Survival}
 import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, Graph, JoinOps, Merge, Multimodal, Outliers, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
@@ -1662,6 +1662,44 @@ object SparkEntry {
         .select(r(col("t"), 6).as("t"), col("n_risk"), col("d"), col("c"),
           r(col("survival"), 6).as("survival"))
         .orderBy("t")
+    }),
+
+    // tie-aware Mann–Whitney AUC: integral doubled numerator off one
+    // score-grouped pass, one terminal division
+    "q127_auc" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_discount").as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.auc(d, "s", "y")
+        .select(r(col("auc"), 6).as("auc"), col("n_pos"), col("n_neg"))
+    }),
+
+    // reliability curve over 5 fixed-width bins of the 10×-scaled discount
+    "q128_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") * 10.0).as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.calibration(d, "s", "y", nBins = 5, lo = 0.0, hi = 1.0)
+        .select(col("bin"), col("n"), r(col("mean_score"), 6).as("mean_score"),
+          r(col("frac_pos"), 6).as("frac_pos"))
+        .orderBy("bin")
+    }),
+
+    // log-rank test between even and odd user cohorts on the q126
+    // durations; identically-ordered double arithmetic term by term
+    "q129_logrank" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"))
+      val dur = per.select(
+        ((unix_micros(coalesce(col("tp"), col("tl"))) - unix_micros(col("t0")))
+          .cast("double") / 3600000000.0).as("dur"),
+        col("tp").isNotNull.cast("int").as("ev"),
+        when(pmod(col("user_id"), lit(2)) === 0, "even").otherwise("odd")
+          .as("grp"))
+      Survival.logRank(dur, "dur", "ev", "grp", "even")
+        .select(r(col("chi2"), 6).as("chi2"), col("obs1"),
+          r(col("exp1"), 6).as("exp1"))
     })
   )
 
@@ -3469,6 +3507,71 @@ object SparkEntry {
         |    ELSE exp(sum(CASE WHEN d < n_risk
         |      THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END, 6) AS survival
-        |FROM km ORDER BY t""".stripMargin
+        |FROM km ORDER BY t""".stripMargin,
+
+    // same doubled-numerator rank identity over per-score counts
+    "q127_auc" ->
+      """WITH d AS (
+        |  SELECT l_discount AS s, CAST(l_quantity > 25 AS INT) AS y
+        |  FROM lineitem),
+        |bs AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(1 - y) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT p, n, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM bs)
+        |SELECT round(CAST(sum(p * (2 * nb + n)) AS DOUBLE)
+        |    / (2.0 * sum(p) * sum(n)), 6) AS auc,
+        |  CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin,
+
+    // same fixed-width binning arithmetic with the same clamps
+    "q128_calibration" ->
+      """WITH d AS (
+        |  SELECT l_discount * 10.0 AS s, CAST(l_quantity > 25 AS INT) AS y
+        |  FROM lineitem)
+        |SELECT least(greatest(CAST(floor((s - 0.0) / 0.2) AS INT), 0), 4) AS bin,
+        |  count(*) AS n,
+        |  round(sum(s) / count(*), 6) AS mean_score,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+        |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // identical risk-set windows and term-by-term double arithmetic
+    "q129_logrank" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS t,
+        |    CAST(tp IS NOT NULL AS INT) AS ev,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+        |  FROM per),
+        |agg AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(ev * g1) AS BIGINT) AS d1,
+        |    count(*) AS tot, CAST(sum(g1) AS BIGINT) AS tot1
+        |  FROM g GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d, d1,
+        |    sum(tot) OVER () - coalesce(sum(tot) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+        |    sum(tot1) OVER () - coalesce(sum(tot1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        |  FROM agg),
+        |terms AS (
+        |  SELECT d1, d * (CAST(n1 AS DOUBLE) / n) AS e1,
+        |    CASE WHEN n > 1 THEN
+        |      d * (CAST(n1 AS DOUBLE) / n) * (1.0 - CAST(n1 AS DOUBLE) / n)
+        |        * CAST(n - d AS DOUBLE) / (n - 1)
+        |    ELSE 0.0 END AS v
+        |  FROM risk)
+        |SELECT round(sum(d1 - e1) * sum(d1 - e1) / sum(v), 6) AS chi2,
+        |  CAST(sum(d1) AS BIGINT) AS obs1, round(sum(e1), 6) AS exp1
+        |FROM terms""".stripMargin
   )
 }

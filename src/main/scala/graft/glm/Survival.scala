@@ -54,4 +54,48 @@ object Survival {
               .otherwise(lit(0.0))).over(wRun))))
       .drop("__z")
   }
+
+  /** Two-sample log-rank test: does group 1's survival differ from the
+    * rest? At each distinct event time t with n at risk (n₁ in group 1)
+    * and d events (d₁ in group 1), the group-1 expectation is E₁ = d·n₁/n
+    * and the hypergeometric variance V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1);
+    * χ² = (Σ(d₁−E₁))² / ΣV on 1 df.
+    *
+    * Same execution shape as [[kaplanMeier]]: one (duration) aggregation
+    * carrying both groups' counts, window risk-set arithmetic over the
+    * curve frame, one-row result. Times with d = 0 or n = 1 contribute
+    * nothing (their V term is 0).
+    *
+    * @param groupCol  any column; `groupOneValue` defines membership
+    * @return one row: (chi2, obs1, exp1)
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, groupOneValue: String): DataFrame = {
+    val g1 = (col(groupCol) === groupOneValue).cast("long")
+    val agg = df.groupBy(col(durationCol).as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, g1).otherwise(lit(0L))).as("d1"),
+        count(lit(1)).as("tot"), sum(g1).as("tot1"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrior = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = agg
+      .withColumn("n", sum("tot").over(wAll) -
+        coalesce(sum("tot").over(wPrior), lit(0L)))
+      .withColumn("n1", sum("tot1").over(wAll) -
+        coalesce(sum("tot1").over(wPrior), lit(0L)))
+    val frac = col("n1").cast("double") / col("n")
+    risk
+      .withColumn("e1", col("d") * frac)
+      .withColumn("v", when(col("n") > 1,
+        col("d") * frac * (lit(1.0) - frac) *
+          (col("n") - col("d")).cast("double") / (col("n") - 1))
+        .otherwise(lit(0.0)))
+      .agg(sum(col("d1") - col("e1")).as("omE"), sum("v").as("sumV"),
+        sum("d1").as("obs1"), sum("e1").as("exp1"))
+      .select(
+        (col("omE") * col("omE") / col("sumV")).as("chi2"),
+        col("obs1"), col("exp1"))
+  }
 }

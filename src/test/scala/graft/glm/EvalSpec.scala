@@ -1,0 +1,87 @@
+package graft.glm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("auc: perfect, inverted, and random-ish separation") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(Eval.auc(perfect, "s", "y").head().getDouble(0) === 1.0)
+    val inverted = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)).toDF("s", "y")
+    assert(Eval.auc(inverted, "s", "y").head().getDouble(0) === 0.0)
+    val half = Seq((0.7, 1), (0.7, 0), (0.3, 1), (0.3, 0)).toDF("s", "y")
+    assert(Eval.auc(half, "s", "y").head().getDouble(0) === 0.5)
+  }
+
+  test("auc equals the brute-force pairwise probability (with tie credit)") {
+    val rows = Seq(
+      (0.1, 0), (0.2, 1), (0.2, 0), (0.35, 0), (0.5, 1), (0.5, 0),
+      (0.5, 1), (0.8, 0), (0.9, 1), (0.9, 1))
+    val df = rows.toDF("s", "y")
+    val got = Eval.auc(df, "s", "y").head()
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val brute = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    assert(math.abs(got.getDouble(0) - brute) < 1e-12)
+    assert(got.getLong(1) === pos.size.toLong && got.getLong(2) === neg.size.toLong)
+  }
+
+  test("calibration: fixed-width bins, clamping, exact fractions") {
+    val df = Seq(
+      (0.05, 0), (0.15, 0), (0.15, 1),     // bins 0 and 1
+      (0.95, 1), (1.0, 1)                  // 1.0 clamps into the last bin
+    ).toDF("s", "y")
+    val out = Eval.calibration(df, "s", "y", nBins = 10, lo = 0.0, hi = 1.0)
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 9))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 2L))
+    assert(math.abs(out(1).getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(out(2).getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - 0.975) < 1e-12)
+  }
+
+  test("logRank: identical groups give chi2 ~ 0; separated groups do not") {
+    // identical survival in both groups → no signal
+    val same = (1 to 20).flatMap(i =>
+      Seq(("a", i.toDouble, 1), ("b", i.toDouble, 1))).toDF("g", "dur", "ev")
+    val chiSame = Survival.logRank(same, "dur", "ev", "g", "a")
+      .head().getDouble(0)
+    assert(chiSame < 1e-9)
+    // group a fails much earlier → strong signal
+    val sep = ((1 to 20).map(i => ("a", i.toDouble, 1)) ++
+      (31 to 50).map(i => ("b", i.toDouble, 1))).toDF("g", "dur", "ev")
+    val chiSep = Survival.logRank(sep, "dur", "ev", "g", "a")
+      .head().getDouble(0)
+    assert(chiSep > 10.0, s"chi2 = $chiSep")
+  }
+
+  test("logRank matches a local reference on a censored closed case") {
+    val data = Seq(
+      ("a", 1.0, 1), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 5.0, 1),
+      ("b", 2.0, 1), ("b", 4.0, 1), ("b", 5.0, 0), ("b", 6.0, 1))
+    val df = data.toDF("g", "dur", "ev")
+    val got = Survival.logRank(df, "dur", "ev", "g", "a").head()
+    // local reference: walk distinct times with risk sets
+    var (omE, v) = (0.0, 0.0)
+    var obs1 = 0.0
+    val times = data.map(_._2).distinct.sorted
+    for (t <- times) {
+      val atRisk = data.filter(_._2 >= t)
+      val n = atRisk.size.toDouble
+      val n1 = atRisk.count(_._1 == "a").toDouble
+      val d = data.count(r => r._2 == t && r._3 == 1).toDouble
+      val d1 = data.count(r => r._1 == "a" && r._2 == t && r._3 == 1).toDouble
+      obs1 += d1
+      if (d > 0 && n > 1) {
+        omE += d1 - d * n1 / n
+        v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+      } else if (d > 0) omE += d1 - d * n1 / n
+    }
+    val ref = omE * omE / v
+    assert(math.abs(got.getDouble(0) - ref) < 1e-12)
+    assert(math.abs(got.getLong(1) - obs1) < 1e-12)
+  }
+}
