@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Survival}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, EventSeq, FuzzyJoin, Graph, JoinOps, Merge, Multimodal, Outliers, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, Outliers, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -23,24 +23,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which the vectorized parquet
-    * reader rejects; read nanos as long and rebuild a (micro) timestamp.
-    * Truncation uses integer `div` — double division of epoch-nanos would
-    * lose precision (2024 epoch-nanos ≈ 1.7e18 > 2^53).
+  /** Events table: nanos→micros via the locked shared reader ([[Events]] —
+    * the nanosAsLong conf is session-global, so the set → infer → restore
+    * sequence must be a critical section under concurrent suites).
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    // the conf only matters while the parquet relation is RESOLVED (schema
-    // conversion happens eagerly in the read), so restore the previous
-    // value afterwards instead of leaking it into the session
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame = Events.read(s, dir)
 
   private def r(c: Column, d: Int): Column = round(c, d)
 
@@ -1700,6 +1687,75 @@ object SparkEntry {
       Survival.logRank(dur, "dur", "ev", "grp", "even")
         .select(r(col("chi2"), 6).as("chi2"), col("obs1"),
           r(col("exp1"), 6).as("exp1"))
+    }),
+
+    // Welch's t between returned and accepted line items: one conditional-
+    // sum aggregation, Welch–Satterthwaite df
+    "q130_welch_t" -> ((s, dir) => {
+      Hypothesis.welchT(t(s, dir, "lineitem"), "l_extendedprice",
+          "l_returnflag", "R", "A")
+        .select(r(col("mean_a"), 4).as("mean_a"), r(col("mean_b"), 4).as("mean_b"),
+          r(col("t_stat"), 6).as("t_stat"), r(col("df_welch"), 4).as("df_welch"),
+          col("n_a"), col("n_b"))
+    }),
+
+    // pooled two-proportion z on the high-quantity rate between statuses
+    "q131_two_prop_z" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .withColumn("hi", (col("l_quantity") > 25).cast("int"))
+      Hypothesis.twoProportionZ(d, "hi", "l_linestatus", "O", "F")
+        .select(r(col("p_a"), 6).as("p_a"), r(col("p_b"), 6).as("p_b"),
+          r(col("z_stat"), 6).as("z_stat"), col("n_a"), col("n_b"))
+    }),
+
+    // two-sample KS on the price distribution: integral ECDF numerators off
+    // one distinct-value pass, one terminal division
+    "q132_ks_test" -> ((s, dir) => {
+      Hypothesis.ksTest(t(s, dir, "lineitem"), "l_extendedprice",
+          "l_returnflag", "R", "A")
+        .select(r(col("d_stat"), 6).as("d_stat"), col("n_a"), col("n_b"))
+    }),
+
+    // Spearman rho between quantity and price: average ranks from the
+    // distinct-value frames, Pearson sums identity over the ranks
+    "q133_spearman" -> ((s, dir) => {
+      Hypothesis.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+        .select(r(col("rho"), 6).as("rho"), col("n"))
+    }),
+
+    // pairwise correlation matrix: ONE moments aggregation for all 6 pairs
+    "q134_corr_matrix" -> ((s, dir) => {
+      Contingency.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), r(col("corr"), 6).as("corr"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // ACF of the daily-revenue series at lags 1..3: one moments pass +
+    // one keyed-window lag pass emitting all lags
+    "q135_acf" -> ((s, dir) => {
+      val daily = t(s, dir, "orders").groupBy("o_orderdate")
+        .agg(sum("o_totalprice").as("v"))
+        .withColumn("g", lit("all"))
+      TimeSeries.acf(daily, "g", "o_orderdate", "v", maxLag = 3)
+        .select(col("lag"), r(col("r"), 6).as("r"), col("n"))
+        .orderBy("lag")
+    }),
+
+    // out-of-fold target encoding of the return flag (q97's hex-digit
+    // folds): leak-free per-(category, fold) means, fact table aggregated
+    // once; gate = the distinct encoding table
+    "q136_target_encode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val digit = substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"))), 32, 1)
+      val fold = when(digit < "4", 0).when(digit < "8", 1)
+        .when(digit < "c", 2).otherwise(3)
+      Encode.targetEncode(li, "l_returnflag", "l_extendedprice",
+          idCol = "l_orderkey", k = 4, foldCol = Some(fold))
+        .groupBy(col("l_returnflag"), col("fold"))
+        .agg(count(lit(1)).as("n"), r(min("te"), 4).as("te"))
+        .orderBy("l_returnflag", "fold")
     })
   )
 
@@ -3572,6 +3628,175 @@ object SparkEntry {
         |  FROM risk)
         |SELECT round(sum(d1 - e1) * sum(d1 - e1) / sum(v), 6) AS chi2,
         |  CAST(sum(d1) AS BIGINT) AS obs1, round(sum(e1), 6) AS exp1
-        |FROM terms""".stripMargin
+        |FROM terms""".stripMargin,
+
+    // identical conditional-sum moments and Welch–Satterthwaite arithmetic
+    "q130_welch_t" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN l_returnflag = 'R'
+        |      THEN l_extendedprice * l_extendedprice ELSE 0.0 END) AS qa,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN l_returnflag = 'A'
+        |      THEN l_extendedprice * l_extendedprice ELSE 0.0 END) AS qb
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |v AS (
+        |  SELECT sa / na AS ma, sb / nb AS mb,
+        |    (qa - sa * sa / na) / (na - 1) / na AS va,
+        |    (qb - sb * sb / nb) / (nb - 1) / nb AS vb,
+        |    na, nb
+        |  FROM m)
+        |SELECT round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(va + vb), 6) AS t_stat,
+        |  round(pow(va + vb, 2) /
+        |    (pow(va, 2) / (na - 1) + pow(vb, 2) / (nb - 1)), 4) AS df_welch,
+        |  na AS n_a, nb AS n_b
+        |FROM v""".stripMargin,
+
+    // identical pooled-proportion arithmetic
+    "q131_two_prop_z" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(l_quantity > 25 AS DOUBLE) ELSE 0.0 END) AS xa,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(l_quantity > 25 AS DOUBLE) ELSE 0.0 END) AS xb
+        |  FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+        |v AS (
+        |  SELECT xa / na AS pa, xb / nb AS pb,
+        |    (xa + xb) / (na + nb) AS p, na, nb FROM m)
+        |SELECT round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round((pa - pb) / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 6)
+        |    AS z_stat,
+        |  na AS n_a, nb AS n_b
+        |FROM v""".stripMargin,
+
+    // same integral ECDF-difference maximum over the distinct-value frame
+    "q132_ks_test" ->
+      """WITH d AS (
+        |  SELECT l_extendedprice AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+        |c AS (
+        |  SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM d)
+        |SELECT round(CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+        |    / (max(na) * max(nb)), 6) AS d_stat,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+        |FROM c""".stripMargin,
+
+    // identical distinct-value average ranks + Pearson sums identity
+    "q133_spearman" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS xv,
+        |    CAST(l_extendedprice AS DOUBLE) AS yv
+        |  FROM lineitem),
+        |bx AS (SELECT xv AS v, count(*) AS cnt FROM d GROUP BY 1),
+        |rxm AS (
+        |  SELECT v, coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (cnt + 1) / 2.0 AS rx
+        |  FROM bx),
+        |by_ AS (SELECT yv AS v, count(*) AS cnt FROM d GROUP BY 1),
+        |rym AS (
+        |  SELECT v, coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (cnt + 1) / 2.0 AS ry
+        |  FROM by_),
+        |rr AS (
+        |  SELECT rx, ry FROM d
+        |  JOIN rxm ON d.xv = rxm.v
+        |  JOIN rym ON d.yv = rym.v),
+        |s AS (
+        |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx * rx) AS qx, sum(ry * ry) AS qy, sum(rx * ry) AS sxy
+        |  FROM rr)
+        |SELECT round((n * sxy - sx * sy) /
+        |    sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6) AS rho,
+        |  CAST(n AS BIGINT) AS n
+        |FROM s""".stripMargin,
+
+    // identical sums-identity arithmetic off one moments row per pair
+    "q134_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_quantity) AS s1, sum(l_quantity * l_quantity) AS q1,
+        |    sum(l_extendedprice) AS s2,
+        |    sum(l_extendedprice * l_extendedprice) AS q2,
+        |    sum(l_discount) AS s3, sum(l_discount * l_discount) AS q3,
+        |    sum(l_tax) AS s4, sum(l_tax * l_tax) AS q4,
+        |    sum(l_quantity * l_extendedprice) AS p12,
+        |    sum(l_quantity * l_discount) AS p13,
+        |    sum(l_quantity * l_tax) AS p14,
+        |    sum(l_extendedprice * l_discount) AS p23,
+        |    sum(l_extendedprice * l_tax) AS p24,
+        |    sum(l_discount * l_tax) AS p34
+        |  FROM lineitem)
+        |SELECT col_a, col_b, round(c, 6) AS corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    (n * p12 - s1 * s2) / sqrt((n * q1 - s1 * s1) * (n * q2 - s2 * s2)) AS c FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    (n * p13 - s1 * s3) / sqrt((n * q1 - s1 * s1) * (n * q3 - s3 * s3)) FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    (n * p14 - s1 * s4) / sqrt((n * q1 - s1 * s1) * (n * q4 - s4 * s4)) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    (n * p23 - s2 * s3) / sqrt((n * q2 - s2 * s2) * (n * q3 - s3 * s3)) FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    (n * p24 - s2 * s4) / sqrt((n * q2 - s2 * s2) * (n * q4 - s4 * s4)) FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    (n * p34 - s3 * s4) / sqrt((n * q3 - s3 * s3) * (n * q4 - s4 * s4)) FROM m)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    // identical moments + lag-product arithmetic over the daily series
+    "q135_acf" ->
+      """WITH s AS (
+        |  SELECT o_orderdate AS d, sum(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(v) / count(*) AS mean,
+        |    sum(v * v) - sum(v) * sum(v) / count(*) AS ss
+        |  FROM s),
+        |l AS (
+        |  SELECT v - m.mean AS dx,
+        |    lag(v - m.mean, 1) OVER (ORDER BY d) AS dx1,
+        |    lag(v - m.mean, 2) OVER (ORDER BY d) AS dx2,
+        |    lag(v - m.mean, 3) OVER (ORDER BY d) AS dx3
+        |  FROM s CROSS JOIN m)
+        |SELECT lag, round(num / max(ss), 6) AS r, max(n) AS n FROM (
+        |  SELECT 1 AS lag, sum(dx * dx1) AS num FROM l
+        |  UNION ALL SELECT 2, sum(dx * dx2) FROM l
+        |  UNION ALL SELECT 3, sum(dx * dx3) FROM l)
+        |CROSS JOIN m
+        |GROUP BY lag, num ORDER BY lag""".stripMargin,
+
+    // identical out-of-fold complement arithmetic over (flag, fold) sums
+    "q136_target_encode" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS cat, l_extendedprice AS y,
+        |    CASE WHEN d < '4' THEN 0 WHEN d < '8' THEN 1
+        |         WHEN d < 'c' THEN 2 ELSE 3 END AS fold
+        |  FROM (SELECT l_returnflag, l_extendedprice,
+        |          substr(md5(concat_ws('-', l_orderkey, l_linenumber)), 32, 1) AS d
+        |        FROM lineitem)),
+        |cf AS (
+        |  SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_cf, sum(y) AS s_cf
+        |  FROM f GROUP BY 1, 2),
+        |e AS (
+        |  SELECT cat, fold, n_cf,
+        |    sum(n_cf) OVER (PARTITION BY cat) AS n_cat,
+        |    sum(s_cf) OVER (PARTITION BY cat) AS s_cat,
+        |    s_cf
+        |  FROM cf)
+        |SELECT cat AS l_returnflag, fold, n_cf AS n,
+        |  round((s_cat - s_cf) / (n_cat - n_cf), 4) AS te
+        |FROM e ORDER BY l_returnflag, fold""".stripMargin
   )
 }

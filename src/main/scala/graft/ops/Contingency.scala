@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Categorical association statistics from one contingency aggregation:
@@ -80,5 +80,37 @@ object Contingency {
         (col("n") - col("k")).as("df_within"),
         (col("ss_between") / col("ss_total")).as("eta_sq"),
         col("n").as("n_rows"))
+  }
+
+  /** Pairwise Pearson correlation matrix over `cols` from ONE aggregation
+    * pass: n + k first moments + k second moments + k(k−1)/2 cross
+    * products — the Gram discipline (glm/Gram.scala) applied to EDA. The
+    * pair arithmetic
+    *
+    *   r_ij = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    *
+    * runs on the single moments row; `inline` unpivots the pair structs to
+    * a long (col_a, col_b, corr) frame, i < j lexicographically by input
+    * position. One job, one scan, no shuffle beyond the scalar agg.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    def x(c: String): Column = col(c).cast("double")
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(x(c)).as(s"s_$c")) ++
+      cols.map(c => sum(x(c) * x(c)).as(s"q_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(x(a) * x(b)).as(s"p_${a}_$b")
+      }.toSeq
+    val one = df.agg(moments.head, moments.tail: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        ((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+            (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))))
+          .as("corr"))
+    }.toSeq
+    one.select(inline(array(pairs: _*)))
   }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Leakage-safe feature encoding for model training data.
+  *
+  * Target encoding replaces a high-cardinality categorical with the mean of
+  * the target over that category — but the naive version leaks each row's
+  * own label into its feature. The standard fix is OUT-OF-FOLD means: rows
+  * are assigned to k deterministic folds, and each row's encoding uses only
+  * the target sums from the OTHER folds.
+  *
+  * Distribution: ONE groupBy(category, fold) aggregation builds the
+  * (k·|categories|)-row sums frame; window sums over it yield per-category
+  * totals; the complement arithmetic (total − own fold) is pure column
+  * math on that tiny frame; one broadcast-able equi-join on
+  * (category, fold) carries the encoding back. No shuffle of the fact
+  * table beyond the one aggregation — the q97 CrossVal fold discipline
+  * applied to encoding.
+  */
+object Encode {
+
+  /** Deterministic md5-keyed fold id in [0, k) — the q97/q63 convention:
+    * content-keyed, partition-invariant, no RNG.
+    */
+  private def foldOf(idCol: String, k: Int) =
+    pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(k.toLong)).cast("int")
+
+  /** Out-of-fold target encoding with additive smoothing toward the
+    * out-of-fold GLOBAL mean:
+    *
+    *   enc(cat, fold) = (S_cat − s_fold + m·g_fold) / (N_cat − n_fold + m)
+    *
+    * where g_fold = (S − s_all,fold)/(N − n_all,fold) is the global target
+    * mean excluding the row's fold (so even the prior is leak-free), and
+    * `m` is the smoothing pseudo-count (m=0 → raw out-of-fold mean; a
+    * category seen only in the row's own fold then falls back to g_fold).
+    *
+    * Output: the input rows plus `outputCol` (the encoding) and `fold`.
+    */
+  /** @param foldCol optional caller-supplied integer fold column (the
+    *                 CrossVal convention — any content-keyed expression);
+    *                 defaults to the md5(id)-mod-k assignment
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      idCol: String, k: Int = 5, smoothing: Double = 0.0,
+      outputCol: String = "te",
+      foldCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    require(smoothing >= 0.0, s"smoothing must be >= 0, got $smoothing")
+    val y = col(targetCol).cast("double")
+    val withFold = df.withColumn("fold", foldCol.getOrElse(foldOf(idCol, k)))
+    // (category, fold) sums — the ONLY aggregation over the fact table
+    val cf = withFold.groupBy(col(catCol).as("te_cat"), col("fold").as("te_fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(y).as("s_cf"))
+    val wCat = Window.partitionBy("te_cat")
+    val wAll = Window.partitionBy()
+    val enc = cf
+      .withColumn("n_cat", sum("n_cf").over(wCat))
+      .withColumn("s_cat", sum("s_cf").over(wCat))
+      // per-fold ALL-category sums for the global out-of-fold prior: the
+      // window runs over the tiny (cat × fold) frame, never the fact rows
+      .withColumn("n_fold_all",
+        sum("n_cf").over(Window.partitionBy("te_fold")))
+      .withColumn("s_fold_all",
+        sum("s_cf").over(Window.partitionBy("te_fold")))
+      .withColumn("n_all", sum("n_cf").over(wAll))
+      .withColumn("s_all", sum("s_cf").over(wAll))
+      .withColumn("g_oof",
+        (col("s_all") - col("s_fold_all")) / (col("n_all") - col("n_fold_all")))
+      .withColumn("denom", col("n_cat") - col("n_cf") + lit(smoothing))
+      .withColumn(outputCol,
+        when(col("denom") > 0,
+          (col("s_cat") - col("s_cf") + lit(smoothing) * col("g_oof")) /
+            col("denom"))
+          .otherwise(col("g_oof")))
+      .select("te_cat", "te_fold", outputCol)
+    withFold.join(broadcast(enc),
+      withFold(catCol) === enc("te_cat") && withFold("fold") === enc("te_fold"))
+      .drop("te_cat", "te_fold")
+  }
+}

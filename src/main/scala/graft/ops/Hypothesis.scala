@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample hypothesis tests at scale — the comparison half of the
+  * association toolkit (Contingency covers chi2 / ANOVA / correlation).
+  *
+  * Every test reduces the data in ONE distributed aggregation (global
+  * conditional sums, or a groupBy(value) that collapses duplicates) before
+  * any ordered arithmetic; cumulative passes run over the reduced frame,
+  * never the raw rows. Statistics are emitted, p-values are left to the
+  * caller (the spec suite checks them against commons-math3) so the
+  * distributed result is pure closed-form arithmetic and cross-engine
+  * reproducible.
+  */
+object Hypothesis {
+
+  private def both(groupCol: String, a: String, b: String): Column =
+    col(groupCol) === a || col(groupCol) === b
+
+  /** Welch's unequal-variance t-test between groups `a` and `b` of
+    * `groupCol`: ONE global aggregation of conditional (n, Σx, Σx²) per
+    * side — no shuffle beyond the map-side-combined scalar agg.
+    *
+    *   t  = (x̄_a − x̄_b) / sqrt(s²_a/n_a + s²_b/n_b)
+    *   df = (s²_a/n_a + s²_b/n_b)² /
+    *        ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))   (Welch–Satterthwaite)
+    *
+    * @return one row (mean_a, mean_b, t_stat, df_welch, n_a, n_b)
+    */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val inA = col(groupCol) === a
+    val agg = df.filter(both(groupCol, a, b)).agg(
+      sum(when(inA, 1L).otherwise(0L)).as("na"),
+      sum(when(inA, x).otherwise(0.0)).as("sa"),
+      sum(when(inA, x * x).otherwise(0.0)).as("qa"),
+      sum(when(!inA, 1L).otherwise(0L)).as("nb"),
+      sum(when(!inA, x).otherwise(0.0)).as("sb"),
+      sum(when(!inA, x * x).otherwise(0.0)).as("qb"))
+    agg.select(
+      (col("sa") / col("na")).as("ma"), (col("sb") / col("nb")).as("mb"),
+      ((col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1) /
+        col("na")).as("va"), // s²_a/n_a
+      ((col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1) /
+        col("nb")).as("vb"),
+      col("na"), col("nb"))
+      .select(
+        col("ma").as("mean_a"), col("mb").as("mean_b"),
+        ((col("ma") - col("mb")) / sqrt(col("va") + col("vb"))).as("t_stat"),
+        (pow(col("va") + col("vb"), 2) /
+          (pow(col("va"), 2) / (col("na") - 1) +
+           pow(col("vb"), 2) / (col("nb") - 1))).as("df_welch"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
+  /** Pooled two-proportion z-test on a 0/1 `successCol` between groups
+    * `a` and `b`: ONE conditional-sum aggregation.
+    *
+    *   p̂ = (x_a + x_b)/(n_a + n_b),
+    *   z = (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+    *
+    * @return one row (p_a, p_b, z_stat, n_a, n_b)
+    */
+  def twoProportionZ(df: DataFrame, successCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val y = col(successCol).cast("double")
+    val inA = col(groupCol) === a
+    df.filter(both(groupCol, a, b)).agg(
+      sum(when(inA, 1L).otherwise(0L)).as("na"),
+      sum(when(inA, y).otherwise(0.0)).as("xa"),
+      sum(when(!inA, 1L).otherwise(0L)).as("nb"),
+      sum(when(!inA, y).otherwise(0.0)).as("xb"))
+      .select((col("xa") / col("na")).as("pa"),
+        (col("xb") / col("nb")).as("pb"),
+        ((col("xa") + col("xb")) / (col("na") + col("nb"))).as("p"),
+        col("na"), col("nb"))
+      .select(
+        col("pa").as("p_a"), col("pb").as("p_b"),
+        ((col("pa") - col("pb")) /
+          sqrt(col("p") * (lit(1.0) - col("p")) *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb")))).as("z_stat"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and `b`:
+    * D = max_x |F_a(x) − F_b(x)| over the pooled support.
+    *
+    * ONE groupBy(value) shuffle collapses duplicates to per-distinct-value
+    * (count_a, count_b); the cumulative ECDF pass and the max run over the
+    * distinct-value frame (the q127 AUC pattern). Counts stay integral —
+    * the ECDF difference |c_a·n_b − c_b·n_a| is exact integer arithmetic,
+    * divided once by n_a·n_b at the end.
+    *
+    * @return one row (d_stat, n_a, n_b)
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val inA = col(groupCol) === a
+    val byV = df.filter(both(groupCol, a, b))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(!inA, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byV
+      .withColumn("fa", sum("ca").over(wCum))
+      .withColumn("fb", sum("cb").over(wCum))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("num"))
+      .select(
+        (col("num").cast("double") / (col("n_a") * col("n_b"))).as("d_stat"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Spearman rank correlation between two numeric columns, with R's
+    * average-rank tie convention.
+    *
+    * Ranks come from the DISTINCT-VALUE frames, not a global row sort:
+    * for each column, groupBy(value) → count, a cumulative pass over the
+    * distinct frame yields avg_rank(v) = (#below) + (ties+1)/2, and the
+    * tiny rank map joins back (broadcast when it fits). Pearson over the
+    * ranks is then ONE sums-identity aggregation. Worst case (all values
+    * distinct) the rank frame is row-sized and the join shuffles — still
+    * never a global single-task sort of the raw rows.
+    *
+    * @return one row (rho, n)
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks(c: String, rankName: String): DataFrame = {
+      val byV = df.select(col(c).cast("double").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val wBelow = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      byV.select(col("v"),
+        (coalesce(sum("cnt").over(wBelow), lit(0L)) +
+          (col("cnt") + 1) / lit(2.0)).as(rankName))
+    }
+    val rx = ranks(xCol, "rx")
+    val ry = ranks(yCol, "ry")
+    df.select(col(xCol).cast("double").as("xv"), col(yCol).cast("double").as("yv"))
+      .join(broadcast(rx), col("xv") === rx("v")).drop("v")
+      .join(broadcast(ry), col("yv") === ry("v")).drop("v")
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("qx"), sum(col("ry") * col("ry")).as("qy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("qx") - col("sx") * col("sx")) *
+            (col("n") * col("qy") - col("sy") * col("sy")))).as("rho"),
+        col("n"))
+  }
+}

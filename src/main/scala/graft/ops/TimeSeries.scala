@@ -79,4 +79,49 @@ object TimeSeries {
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
       .withColumn("value_fill", last("value_avg", ignoreNulls = true).over(w))
   }
+
+  /** Autocorrelation function of an ordered series at lags 1..maxLag, the
+    * standard (biased, n-denominator) estimator:
+    *
+    *   r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * Two jobs: ONE aggregation for (n, x̄, Σ(x−x̄)² via the sums identity),
+    * then ONE keyed-window pass that emits all maxLag lag products per row
+    * (an array, unpivoted with `inline` — one shuffle for every lag, not
+    * one per lag) and aggregates per lag. The window is partitioned by
+    * `keyCol`; pass a constant column for a single global series — the
+    * series a window sort can hold is exactly the series ACF is for
+    * (aggregate to a coarser grid first otherwise).
+    *
+    * @param orderCol ordering column (timestamp or sequence number);
+    *                 (orderCol) must be unique per key for determinism
+    * @return (key, lag, r, n) for lags 1..maxLag
+    */
+  def acf(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val x = col(valueCol).cast("double")
+    // internal columns carry an acf_ prefix so user key/value names (k, n,
+    // mean, …) can never collide
+    val stats = df.groupBy(col(keyCol).as("acf_key"))
+      .agg(count(lit(1)).as("acf_n"), sum(x).as("acf_s"), sum(x * x).as("acf_q"))
+      .select(col("acf_key"), col("acf_n"),
+        (col("acf_s") / col("acf_n")).as("acf_mean"),
+        (col("acf_q") - col("acf_s") * col("acf_s") / col("acf_n")).as("acf_ss"))
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    // window lags first (one shuffle computes every lag column), THEN the
+    // generator — Spark disallows window expressions inside a generator arg
+    val withLags = (1 to maxLag).foldLeft(
+      df.join(broadcast(stats), col(keyCol) === col("acf_key")).drop("acf_key")
+        .withColumn("acf_dx", x - col("acf_mean"))) { (d, k) =>
+      d.withColumn(s"acf_dx_lag$k", lag("acf_dx", k).over(w))
+    }
+    val lagProducts = withLags.select(col(keyCol), col("acf_n"), col("acf_ss"),
+      inline(array((1 to maxLag).map { k =>
+        struct(lit(k).as("lag"),
+          (col("acf_dx") * col(s"acf_dx_lag$k")).as("prod"))
+      }: _*)))
+    lagProducts.groupBy(col(keyCol).as("key"), col("lag"))
+      .agg((sum("prod") / first("acf_ss")).as("r"), first("acf_n").as("n"))
+  }
 }

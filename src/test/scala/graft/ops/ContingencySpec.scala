@@ -70,4 +70,27 @@ class ContingencySpec extends SparkSpec {
     val lm = graft.glm.LM.fitFormula(df, "x ~ g")
     assert(math.abs(got.getDouble(0) - lm.fStat) < 1e-6 * (1 + lm.fStat))
   }
+
+  test("corrMatrix matches Spark's corr for every pair, in one pass") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = Contingency.corrMatrix(li, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 6) // 4 choose 2
+    for (Seq(a, b) <- cols.combinations(2)) {
+      val ref = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(got((a, b)) - ref) < 1e-9, s"$a vs $b")
+    }
+  }
+
+  test("corrMatrix: perfectly correlated and anti-correlated pairs hit ±1") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -3.0), (2.0, 4.0, -6.0), (5.0, 10.0, -15.0))
+      .toDF("x", "y", "z")
+    val got = Contingency.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(got(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(got(("y", "z")) + 1.0) < 1e-12)
+  }
 }

@@ -45,9 +45,7 @@ class EventSeqSpec extends SparkSpec {
   }
 
   test("funnel equals the min-chain SQL semantics on the events table") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Events.read(spark, sfDir)
     val got = EventSeq.funnel(ev, "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))
       .orderBy("step_no").collect().map(_.getLong(2))
@@ -145,9 +143,7 @@ class EventSeqSpec extends SparkSpec {
   }
 
   test("transitions probabilities sum to 1 per previous type on the corpus") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Events.read(spark, sfDir)
     val sums = EventSeq.transitions(ev, "user_id", "event_type", "ts", "event_id")
       .groupBy("prev").agg(sum("prob").as("s")).collect()
     assert(sums.nonEmpty)

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.commons.math3.distribution.{NormalDistribution, TDistribution}
+import org.apache.spark.sql.functions._
+
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row1(df: org.apache.spark.sql.DataFrame) = df.collect().head
+
+  // ---- Welch t ----
+
+  test("welchT matches a hand-computed two-sample case") {
+    // a: 1,2,3,4 (mean 2.5, var 5/3); b: 2,4,6 (mean 4, var 4)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "x")
+    val r = row1(Hypothesis.welchT(df, "x", "g", "a", "b"))
+    val va = (5.0 / 3) / 4; val vb = 4.0 / 3
+    val t = (2.5 - 4.0) / math.sqrt(va + vb)
+    val dfw = math.pow(va + vb, 2) /
+      (va * va / 3 + vb * vb / 2)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfw) < 1e-12)
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 3)
+    // p-value the caller would derive is finite and in (0,1)
+    val p = 2 * (1 - new TDistribution(r.getAs[Double]("df_welch"))
+      .cumulativeProbability(math.abs(r.getAs[Double]("t_stat"))))
+    assert(p > 0 && p < 1)
+  }
+
+  test("welchT is antisymmetric in the group order and ignores other groups") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0),
+      ("z", 99.0), ("z", -99.0)).toDF("g", "x")
+    val ab = row1(Hypothesis.welchT(df, "x", "g", "a", "b"))
+    val ba = row1(Hypothesis.welchT(df, "x", "g", "b", "a"))
+    assert(math.abs(ab.getAs[Double]("t_stat") + ba.getAs[Double]("t_stat")) < 1e-12)
+    assert(math.abs(ab.getAs[Double]("df_welch") - ba.getAs[Double]("df_welch")) < 1e-12)
+  }
+
+  // ---- two-proportion z ----
+
+  test("twoProportionZ matches the pooled closed form") {
+    // a: 30/100 successes, b: 45/90
+    val rows = (Seq.fill(30)(("a", 1)) ++ Seq.fill(70)(("a", 0)) ++
+      Seq.fill(45)(("b", 1)) ++ Seq.fill(45)(("b", 0)))
+    val r = row1(Hypothesis.twoProportionZ(rows.toDF("g", "y"), "y", "g", "a", "b"))
+    val p = (30.0 + 45.0) / 190.0
+    val z = (0.3 - 0.5) / math.sqrt(p * (1 - p) * (1.0 / 100 + 1.0 / 90))
+    assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_a") - 0.3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_b") - 0.5) < 1e-12)
+    val pv = 2 * new NormalDistribution()
+      .cumulativeProbability(-math.abs(r.getAs[Double]("z_stat")))
+    assert(pv > 0 && pv < 1)
+  }
+
+  test("twoProportionZ is zero for identical proportions") {
+    val rows = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0))
+    val r = row1(Hypothesis.twoProportionZ(rows.toDF("g", "y"), "y", "g", "a", "b"))
+    assert(r.getAs[Double]("z_stat") == 0.0)
+  }
+
+  // ---- KS ----
+
+  test("ksTest matches the brute-force ECDF maximum with ties") {
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 7.0)
+    val b = Seq(2.0, 5.0, 6.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "x")
+    val r = row1(Hypothesis.ksTest(df, "x", "g", "a", "b"))
+    val support = (a ++ b).distinct.sorted
+    val brute = support.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+    }.max
+    assert(math.abs(r.getAs[Double]("d_stat") - brute) < 1e-12)
+    assert(r.getAs[Long]("n_a") == 5 && r.getAs[Long]("n_b") == 3)
+  }
+
+  test("ksTest is 0 on identical samples and 1 on disjoint supports") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "x")
+    assert(row1(Hypothesis.ksTest(same, "x", "g", "a", "b"))
+      .getAs[Double]("d_stat") == 0.0)
+    val disj = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0)).toDF("g", "x")
+    assert(row1(Hypothesis.ksTest(disj, "x", "g", "a", "b"))
+      .getAs[Double]("d_stat") == 1.0)
+  }
+
+  // ---- Spearman ----
+
+  test("spearman matches the average-rank definition with ties") {
+    val xs = Seq(1.0, 2.0, 2.0, 4.0, 5.0)
+    val ys = Seq(2.0, 1.0, 3.0, 3.0, 5.0)
+    val df = xs.zip(ys).toDF("x", "y")
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val below = sorted.count(_ < x)
+        val ties = sorted.count(_ == x)
+        below + (ties + 1) / 2.0
+      }
+    }
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    val n = xs.size
+    val sx = rx.sum; val sy = ry.sum
+    val qx = rx.map(r => r * r).sum; val qy = ry.map(r => r * r).sum
+    val sxy = rx.zip(ry).map { case (p, q) => p * q }.sum
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+    val r = row1(Hypothesis.spearman(df, "x", "y"))
+    assert(math.abs(r.getAs[Double]("rho") - rho) < 1e-12)
+    assert(r.getAs[Long]("n") == 5)
+  }
+
+  test("spearman is 1 on any monotone transform and -1 on a reversal") {
+    val df = Seq(1.0, 3.0, 7.0, 20.0).map(x => (x, math.exp(x))).toDF("x", "y")
+    assert(math.abs(row1(Hypothesis.spearman(df, "x", "y"))
+      .getAs[Double]("rho") - 1.0) < 1e-12)
+    val rev = Seq((1.0, 9.0), (2.0, 7.0), (3.0, 5.0), (4.0, 1.0)).toDF("x", "y")
+    assert(math.abs(row1(Hypothesis.spearman(rev, "x", "y"))
+      .getAs[Double]("rho") + 1.0) < 1e-12)
+  }
+
+  test("spearman equals Spark's corr on the rank-transformed rows") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+    val rho = row1(Hypothesis.spearman(li, "x", "y")).getAs[Double]("rho")
+    // independent reference: rank via window functions, then corr
+    import org.apache.spark.sql.expressions.Window
+    val rkx = rank().over(Window.orderBy("x")) +
+      (count(lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+    val rky = rank().over(Window.orderBy("y")) +
+      (count(lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+    val ref = li.withColumn("rx", rkx).withColumn("ry", rky)
+      .agg(corr("rx", "ry")).collect().head.getDouble(0)
+    assert(math.abs(rho - ref) < 1e-9)
+  }
+}

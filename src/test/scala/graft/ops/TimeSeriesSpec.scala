@@ -75,4 +75,38 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.resampleFfill(df, "k", "t", "v", "fortnight")
     }
   }
+
+  test("acf matches the textbook estimator on a closed series") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 7.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i, v) }.toDF("k", "i", "v")
+    val got = TimeSeries.acf(df, "k", "i", "v", maxLag = 3).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("r")).toMap
+    val mean = xs.sum / xs.size
+    val ss = xs.map(x => (x - mean) * (x - mean)).sum
+    for (k <- 1 to 3) {
+      val ref = xs.drop(k).zip(xs.dropRight(k))
+        .map { case (a, b) => (a - mean) * (b - mean) }.sum / ss
+      assert(math.abs(got(k) - ref) < 1e-12, s"lag $k")
+    }
+  }
+
+  test("acf of a constant-increment alternating series: lag-2 positive, lag-1 negative") {
+    val xs = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i, v) }.toDF("k", "i", "v")
+    val got = TimeSeries.acf(df, "k", "i", "v", maxLag = 2).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("r")).toMap
+    assert(got(1) < -0.8 && got(2) > 0.7)
+  }
+
+  test("acf keys are independent and n is the per-key count") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) => ("a", i, v) }
+    val b = Seq(9.0, 1.0, 9.0, 1.0, 9.0).zipWithIndex.map { case (v, i) => ("b", i, v) }
+    val out = TimeSeries.acf((a ++ b).toDF("k", "i", "v"), "k", "i", "v", 1)
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Double]("r"), r.getAs[Long]("n"))).toMap
+    assert(out("a")._2 === 4L && out("b")._2 === 5L)
+    // closed forms: a = 1,2,3,4 → r1 = 1.25/5 = 0.25; b = 9,1,9,1,9 → −0.8
+    assert(math.abs(out("a")._1 - 0.25) < 1e-12)
+    assert(math.abs(out("b")._1 + 0.8) < 1e-12)
+  }
 }

@@ -307,9 +307,7 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   test("sessionizeBatch matches the streaming semantics on real events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Events.read(spark, sfDir)
     val gap = 30 * 60 * 1000L
     val sess = StreamOps.sessionizeBatch(ev, gap)
     // invariants: per-user event counts are preserved; sessions don't overlap
