@@ -24,6 +24,16 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object Events {
   private val lock = new Object
 
+  /** Any OTHER parquet read, routed through the same lock: schema
+    * inference in a sibling thread must never land inside an events
+    * read's set → infer → restore window and see `nanosAsLong=true`
+    * (r7 advice — latent only while no other table ships nanos, but the
+    * lock closes the window outright and costs one uncontended monitor
+    * acquisition per table open).
+    */
+  def readTable(s: SparkSession, path: String): DataFrame =
+    lock.synchronized(s.read.parquet(path))
+
   def read(s: SparkSession, dir: String): DataFrame = lock.synchronized {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)

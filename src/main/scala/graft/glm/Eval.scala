@@ -1,17 +1,17 @@
 package graft.glm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier evaluation at scale: ROC AUC and calibration, the two
   * numbers a scoring pipeline reports after every fit.
   *
   * Both reduce the data in ONE distributed aggregation (by distinct score
-  * or by score bin) before any ordered arithmetic: the window passes run
-  * over the reduced curve frame, never the raw rows. Counts stay integral
-  * until a final division, so the results are exact and cross-engine
-  * reproducible.
+  * or by score bin) before any ordered arithmetic; the ordered pass itself
+  * is the two-level [[graft.ops.Cumulative]] prefix sum, so even
+  * continuous scores (distinct frame ~n rows) never funnel into a single
+  * task. Counts stay integral until a final division, so the results are
+  * exact and cross-engine reproducible.
   */
 object Eval {
 
@@ -32,9 +32,11 @@ object Eval {
     val byScore = df.groupBy(col(scoreCol).as("s"))
       .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n"))
-    val wBelow = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("nb", coalesce(sum("n").over(wBelow), lit(0L)))
+    // two-level cumulative (graft.ops.Cumulative): continuous scores leave
+    // the distinct frame ~n rows, so the prefix pass must stay parallel —
+    // N_below = inclusive running sum minus the row's own count
+    graft.ops.Cumulative.runningSums(byScore, "s", Seq("n"))
+      .withColumn("nb", col("n_cum") - col("n"))
       .agg(sum(col("p") * (lit(2) * col("nb") + col("n"))).as("num2"),
         sum("p").as("n_pos"), sum("n").as("n_neg"))
       .select(
@@ -56,6 +58,31 @@ object Eval {
     val w = (hi - lo) / nBins
     val bin = least(greatest(
       floor((col(scoreCol) - lo) / w).cast("int"), lit(0)), lit(nBins - 1))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(scoreCol)) / count(lit(1))).as("mean_score"),
+        (sum(when(col(labelCol) === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("frac_pos"))
+  }
+
+  /** [[calibration]] for UNBOUNDED / unknown-range scores: bin edges are
+    * the approximate score quantiles (GK sketch via `approxQuantile` — one
+    * extra distributed pass, nBins−1 doubles to the driver), so every bin
+    * holds ≈ n/nBins rows whatever the distribution. Bin i is the count of
+    * edges ≤ score — a literal comparison ladder, fully codegen'd; the
+    * aggregation pass is identical to [[calibration]].
+    *
+    * @return (bin, n, mean_score, frac_pos) for non-empty bins
+    */
+  def calibrationQuantile(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int, relativeError: Double = 1e-3): DataFrame = {
+    require(nBins >= 1, "need nBins >= 1")
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val edges = df.stat.approxQuantile(scoreCol, probs, relativeError)
+      .distinct.sorted
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(scoreCol) > e, 1).otherwise(0)
+    }
     df.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
         (sum(col(scoreCol)) / count(lit(1))).as("mean_score"),

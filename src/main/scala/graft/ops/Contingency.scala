@@ -82,6 +82,56 @@ object Contingency {
         col("n").as("n_rows"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * ratings (annotator agreement, model-vs-gold label audits):
+    *
+    *   κ = (p_o − p_e)/(1 − p_e),  p_o = Σ_i p_ii,  p_e = Σ_i r_i·c_i/n²
+    *
+    * Same scale shape as [[analyze]]: ONE groupBy(a,b) contingency
+    * shuffle; marginal products run on the reduced table. Observed
+    * agreement keys on null-safe equality, so a (null, null) rating pair
+    * counts as agreement like any shared level.
+    *
+    * @return one row (kappa, p_observed, p_expected, n_rows)
+    */
+  def kappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(aCol).agg(sum("o").as("ra"))
+    val cb = obs.groupBy(bCol).agg(sum("o").as("cb"))
+    val agree = obs.agg(
+      sum("o").as("n"),
+      sum(when(col(aCol) <=> col(bCol), col("o")).otherwise(0L)).as("oa"))
+    // p_e needs Σ_i r_i·c_i over MATCHING levels only: join the marginals
+    // on the level value (null-safe), a |levels|-sized frame
+    val pe = ra.join(cb, ra(aCol) <=> cb(bCol))
+      .agg(coalesce(sum(col("ra").cast("double") * col("cb")), lit(0.0))
+        .as("rc"))
+    agree.crossJoin(pe)
+      .select(
+        (col("oa").cast("double") / col("n")).as("po"),
+        (col("rc") / (col("n").cast("double") * col("n"))).as("pe"),
+        col("n"))
+      .select(
+        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"),
+        col("po").as("p_observed"), col("pe").as("p_expected"),
+        col("n").as("n_rows"))
+  }
+
+  /** Shannon entropy (nats) of a categorical column from ONE groupBy
+    * shuffle: H = −Σ p ln p over the level frame; ties into the
+    * [[analyze]] MI as H(a) + H(b) − H(a,b).
+    *
+    * @return one row (entropy, n_levels, n_rows)
+    */
+  def entropy(df: DataFrame, aCol: String): DataFrame = {
+    val levels = df.groupBy(aCol).agg(count(lit(1)).as("c"))
+    levels.agg(sum("c").as("n"), count(lit(1)).as("k"),
+        sum(col("c").cast("double") * log(col("c"))).as("clnc"))
+      .select(
+        (log(col("n")) - col("clnc") / col("n")).as("entropy"),
+        col("k").as("n_levels"), col("n").as("n_rows"))
+  }
+
   /** Pairwise Pearson correlation matrix over `cols` from ONE aggregation
     * pass: n + k first moments + k second moments + k(k−1)/2 cross
     * products — the Gram discipline (glm/Gram.scala) applied to EDA. The

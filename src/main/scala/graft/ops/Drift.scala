@@ -82,6 +82,33 @@ object Drift {
     psi(ref, cur, valueCol, cuts, eps)
   }
 
+  /** Jensen–Shannon divergence (nats) between the two sides' categorical
+    * distributions — PSI's bounded, symmetric sibling (0 ≤ JSD ≤ ln 2, no
+    * eps flooring needed: absent categories contribute p·ln 2 exactly):
+    *
+    *   JSD = ½ KL(P ‖ M) + ½ KL(Q ‖ M),  M = ½(P + Q)
+    *
+    * Same shape as [[categoricalPsi]]: one count aggregation per side,
+    * arithmetic on the joined category frames.
+    *
+    * @return one row (jsd, n_bins)
+    */
+  def jsd(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val bin = coalesce(col(catCol).cast("string"), lit("__null__"))
+    val joined = proportions(ref, bin).withColumnRenamed("p", "p_ref")
+      .join(proportions(cur, bin).withColumnRenamed("p", "p_cur"),
+        Seq("bin"), "full_outer")
+    val p = coalesce(col("p_ref"), lit(0.0))
+    val q = coalesce(col("p_cur"), lit(0.0))
+    val m = (p + q) / 2
+    // x·ln(x/m) with the 0·ln0 = 0 convention (when x = 0 the term is 0)
+    def kl(x: org.apache.spark.sql.Column) =
+      when(x > 0, x * log(x / m)).otherwise(lit(0.0))
+    joined.agg(
+      ((sum(kl(p)) + sum(kl(q))) / 2).as("jsd"),
+      count(lit(1)).as("n_bins"))
+  }
+
   private def psiOf(pRef: DataFrame, pCur: DataFrame, eps: Double): DataFrame = {
     val joined = pRef.withColumnRenamed("p", "p_ref")
       .join(pCur.withColumnRenamed("p", "p_cur"), Seq("bin"), "full_outer")

@@ -51,6 +51,11 @@ object Encode {
       foldCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k >= 2, s"need k >= 2 folds, got $k")
     require(smoothing >= 0.0, s"smoothing must be >= 0, got $smoothing")
+    // injected columns must not silently shadow caller data (r7 advice)
+    require(!df.columns.contains("fold"),
+      "input already has a 'fold' column — rename it or pass foldCol")
+    require(!df.columns.contains(outputCol),
+      s"input already has a '$outputCol' column — pick another outputCol")
     val y = col(targetCol).cast("double")
     val withFold = df.withColumn("fold", foldCol.getOrElse(foldOf(idCol, k)))
     // (category, fold) sums — the ONLY aggregation over the fact table
@@ -78,8 +83,13 @@ object Encode {
             col("denom"))
           .otherwise(col("g_oof")))
       .select("te_cat", "te_fold", outputCol)
-    withFold.join(broadcast(enc),
-      withFold(catCol) === enc("te_cat") && withFold("fold") === enc("te_fold"))
+    // null-safe on the category (plain === drops null-category rows and
+    // breaks the row-count passthrough — r7 advice); NO broadcast hint:
+    // the encoding frame is (k·|categories|)-sized, and high-cardinality
+    // categoricals are exactly target encoding's use case, so the join
+    // strategy is left to AQE's measured-size runtime choice
+    withFold.join(enc,
+      withFold(catCol) <=> enc("te_cat") && withFold("fold") === enc("te_fold"))
       .drop("te_cat", "te_fold")
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Two-sample hypothesis tests at scale — the comparison half of the
@@ -90,10 +89,11 @@ object Hypothesis {
     * D = max_x |F_a(x) − F_b(x)| over the pooled support.
     *
     * ONE groupBy(value) shuffle collapses duplicates to per-distinct-value
-    * (count_a, count_b); the cumulative ECDF pass and the max run over the
-    * distinct-value frame (the q127 AUC pattern). Counts stay integral —
-    * the ECDF difference |c_a·n_b − c_b·n_a| is exact integer arithmetic,
-    * divided once by n_a·n_b at the end.
+    * (count_a, count_b); the cumulative ECDF pass runs as the two-level
+    * [[Cumulative]] prefix sum, so a continuous `valueCol` (distinct frame
+    * ~n rows) stays parallel end to end. Counts stay integral — the ECDF
+    * difference |c_a·n_b − c_b·n_a| is exact integer arithmetic, divided
+    * once by n_a·n_b at the end.
     *
     * @return one row (d_stat, n_a, n_b)
     */
@@ -104,17 +104,14 @@ object Hypothesis {
       .groupBy(col(valueCol).as("v"))
       .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
         sum(when(!inA, 1L).otherwise(0L)).as("cb"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    byV
-      .withColumn("fa", sum("ca").over(wCum))
-      .withColumn("fb", sum("cb").over(wCum))
-      .withColumn("na", sum("ca").over(wAll))
-      .withColumn("nb", sum("cb").over(wAll))
+    // per-row max of |F_a·n_b − F_b·n_a| needs the grand totals alongside
+    // every row: a broadcast cross join of the one-row totals frame
+    val totals = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    Cumulative.runningSums(byV, "v", Seq("ca", "cb"))
+      .crossJoin(broadcast(totals))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("num"))
+        max(abs(col("ca_cum") * col("nb") - col("cb_cum") * col("na")))
+          .as("num"))
       .select(
         (col("num").cast("double") / (col("n_a") * col("n_b"))).as("d_stat"),
         col("n_a"), col("n_b"))
@@ -124,12 +121,15 @@ object Hypothesis {
     * average-rank tie convention.
     *
     * Ranks come from the DISTINCT-VALUE frames, not a global row sort:
-    * for each column, groupBy(value) → count, a cumulative pass over the
-    * distinct frame yields avg_rank(v) = (#below) + (ties+1)/2, and the
-    * tiny rank map joins back (broadcast when it fits). Pearson over the
-    * ranks is then ONE sums-identity aggregation. Worst case (all values
-    * distinct) the rank frame is row-sized and the join shuffles — still
-    * never a global single-task sort of the raw rows.
+    * for each column, groupBy(value) → count, then the two-level
+    * [[Cumulative]] prefix pass yields avg_rank(v) = (#below) + (ties+1)/2
+    * in parallel even when every value is distinct, and the rank map joins
+    * back. The join carries no hint: the rank frame is distinct-value-
+    * sized — tiny for discrete columns, row-sized for continuous ones — so
+    * the strategy is left to AQE, which broadcasts off MEASURED size at
+    * runtime instead of a compile-time guess that could force a row-sized
+    * broadcast (r7 advice). Pearson over the ranks is then ONE
+    * sums-identity aggregation.
     *
     * @return one row (rho, n)
     */
@@ -137,16 +137,16 @@ object Hypothesis {
     def ranks(c: String, rankName: String): DataFrame = {
       val byV = df.select(col(c).cast("double").as("v"))
         .groupBy("v").agg(count(lit(1)).as("cnt"))
-      val wBelow = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-      byV.select(col("v"),
-        (coalesce(sum("cnt").over(wBelow), lit(0L)) +
-          (col("cnt") + 1) / lit(2.0)).as(rankName))
+      Cumulative.runningSums(byV, "v", Seq("cnt"))
+        .select(col("v"),
+          (col("cnt_cum") - col("cnt") + (col("cnt") + 1) / lit(2.0))
+            .as(rankName))
     }
     val rx = ranks(xCol, "rx")
     val ry = ranks(yCol, "ry")
     df.select(col(xCol).cast("double").as("xv"), col(yCol).cast("double").as("yv"))
-      .join(broadcast(rx), col("xv") === rx("v")).drop("v")
-      .join(broadcast(ry), col("yv") === ry("v")).drop("v")
+      .join(rx, col("xv") === rx("v")).drop("v")
+      .join(ry, col("yv") === ry("v")).drop("v")
       .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
         sum(col("rx") * col("rx")).as("qx"), sum(col("ry") * col("ry")).as("qy"),
         sum(col("rx") * col("ry")).as("sxy"))

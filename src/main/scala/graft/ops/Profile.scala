@@ -4,23 +4,31 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Table profiling: per-column row/null/distinct counts in ONE aggregation
-  * pass (Spark plans the multi-column `countDistinct` set through a single
-  * Expand — k columns cost one scan with a ×k row expansion, not k scans),
-  * unpivoted to one row per column. The first data-quality pass a pipeline
-  * runs on an unknown 100 TB table; exact distincts — swap
-  * `approx_count_distinct` in at scale for the HLL++ version (the
-  * q60/q61 twin pattern).
+  * pass, unpivoted to one row per column. The first data-quality pass a
+  * pipeline runs on an unknown 100 TB table.
+  *
+  * Exact mode plans the multi-column `countDistinct` set through a single
+  * Expand — k columns cost one scan with a ×k row expansion, not k scans —
+  * but that Expand shuffles every distinct value of every column.
+  * `approxDistinct = true` swaps in HLL++ (`approx_count_distinct`, the
+  * q60/q61 twin pattern): fixed-size sketches instead of the value
+  * shuffle, the right default at 100 TB where per-column exact distincts
+  * are the expensive half of the pass.
   */
 object Profile {
 
   /** @return (column, n_rows, n_nulls, n_distinct) — one row per requested
-    *         column; `n_distinct` counts non-null values
+    *         column; `n_distinct` counts non-null values (±rsd relative
+    *         error when `approxDistinct`)
     */
-  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def summarize(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     require(cols.forall(df.columns.contains), "unknown column requested")
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"), countDistinct(col(c)).as(s"__nd_$c"))
+      val nd = if (approxDistinct) approx_count_distinct(col(c), rsd)
+               else countDistinct(col(c))
+      Seq(count(col(c)).as(s"__cnt_$c"), nd.as(s"__nd_$c"))
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
     // single-row frame → one output row per column (tiny, driver-free)
@@ -30,5 +38,31 @@ object Profile {
         col(s"__nd_$c").as("n_distinct"))
     }: _*)
     row.select(explode(structs).as("p")).select("p.*")
+  }
+
+  /** Gini concentration of a non-negative measure (how unequal are token
+    * counts across documents / bytes across sources?) via the Lorenz
+    * trapezoid identity on the DISTINCT-value frame:
+    *
+    *   G = 1 − Σ_v (c_v/n) · (2·S_<v + s_v)/S   (values ascending)
+    *
+    * One groupBy(value) collapse, the two-level [[Cumulative]] prefix pass
+    * for S_<v — never a single-task sort of the raw rows.
+    *
+    * @return one row (gini, n_rows)
+    */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val byV = df.select(x.as("__v")).filter(col("__v").isNotNull)
+      .groupBy("__v")
+      .agg(count(lit(1)).as("__c"), sum("__v").as("__s"))
+    val tot = byV.agg(sum("__c").as("__n"), sum("__s").as("__st"))
+    Cumulative.runningSums(byV, "__v", Seq("__s"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        (lit(1.0) - sum(col("__c").cast("double") *
+          (lit(2.0) * col("__s_cum") - col("__s"))) /
+          (first(col("__n")).cast("double") * first(col("__st")))).as("gini"),
+        first(col("__n")).as("n_rows"))
   }
 }

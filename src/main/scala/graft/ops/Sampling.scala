@@ -135,4 +135,29 @@ object Sampling {
         pow(col("n_units"), alpha) / sum(pow(col("n_units"), alpha)).over(all))
       .withColumn("epochs", lit(budget) * col("weight") / col("n_units"))
   }
+
+  /** Per-key top-p ("nucleus") selection: within each key, keep the
+    * heaviest rows until they jointly cover fraction `p` of the key's
+    * total mass — the quality-weighted quota a mixing pipeline uses when
+    * "top N documents per source" should flex with how concentrated each
+    * source is. A row is kept while the mass STRICTLY BEFORE it (weight
+    * desc, then `idCol` for a total order) is < p·total, so the row that
+    * crosses the threshold is included and every key keeps ≥ 1 row.
+    *
+    * ONE keyed window shuffle (partitioned by key — parallel across keys);
+    * deterministic for any (weight, id) data.
+    */
+  def topPMass(df: DataFrame, keyCol: String, weightCol: String,
+      idCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    val w = col(weightCol).cast("double")
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(w.desc, col(idCol))
+    val winAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    df.withColumn("__before", coalesce(sum(w).over(
+        win.rowsBetween(Long.MinValue, -1)), lit(0.0)))
+      .withColumn("__total", sum(w).over(winAll))
+      .filter(col("__before") < lit(p) * col("__total"))
+      .drop("__before", "__total")
+  }
 }

@@ -110,9 +110,12 @@ object TimeSeries {
         (col("acf_q") - col("acf_s") * col("acf_s") / col("acf_n")).as("acf_ss"))
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
     // window lags first (one shuffle computes every lag column), THEN the
-    // generator — Spark disallows window expressions inside a generator arg
+    // generator — Spark disallows window expressions inside a generator arg.
+    // Null-safe key equality so a null-keyed series is a series, not a
+    // silent drop; no broadcast hint — the stats frame is key-cardinality-
+    // sized, so the join strategy is AQE's measured-size call (r7 advice)
     val withLags = (1 to maxLag).foldLeft(
-      df.join(broadcast(stats), col(keyCol) === col("acf_key")).drop("acf_key")
+      df.join(stats, col(keyCol) <=> col("acf_key")).drop("acf_key")
         .withColumn("acf_dx", x - col("acf_mean"))) { (d, k) =>
       d.withColumn(s"acf_dx_lag$k", lag("acf_dx", k).over(w))
     }

@@ -11,11 +11,14 @@ class EntrySpec extends SparkSpec {
   test("rows-only queries are the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // each of these is rows-only for a structural reason (xxhash64 /
-    // IRLS loop / recall<1 / byte-level decode have no DuckDB analog)
-    assert(rowsOnly === Set("q20_glm_coefs", "q26_minhash_pairs",
+    // recall<1 / byte-level decode / sketch-determined bins have no DuckDB
+    // analog); q20/q64 graduated to saturated-design closed-form oracles
+    // in round 8
+    assert(rowsOnly === Set("q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
-      "q61_distinct_approx", "q64_grouped_glm", "q68_ann_ivf"))
+      "q61_distinct_approx", "q68_ann_ivf",
+      "q137_profile_approx", "q138_calibration_quantile"))
   }
 
   test("approx distinct counts (q61) track the exact counts (q60) within 5%") {

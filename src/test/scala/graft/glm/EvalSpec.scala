@@ -43,6 +43,39 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(2) - 0.975) < 1e-12)
   }
 
+  test("calibrationQuantile: equi-mass bins on a skewed unbounded score") {
+    // lognormal-ish skew: fixed-width bins would pile everything left
+    val df = (1 to 2000)
+      .map(i => (math.exp(i % 97 / 10.0), if (i % 5 == 0) 1 else 0))
+      .toDF("s", "y")
+    val out = Eval.calibrationQuantile(df, "s", "y", nBins = 8)
+      .orderBy("bin").collect()
+    val counts = out.map(_.getLong(1))
+    assert(counts.sum === 2000L)
+    // every bin within 50% of the ideal n/nBins (ties distort, never empty)
+    counts.foreach(c => assert(c > 0 && c < 2 * 2000 / 8, counts.mkString(",")))
+    // bin means must be strictly increasing (edges partition the support)
+    val means = out.map(_.getDouble(2))
+    assert(means.zip(means.tail).forall { case (a, b) => a < b }, means.mkString(","))
+  }
+
+  test("calibrationQuantile agrees with calibration on a uniform score") {
+    // uniform scores on [0,1): quantile edges ≈ fixed-width edges, so the
+    // per-bin positive fractions must match the exact fixed-width pass
+    val df = (0 until 1000).map(i => (i / 1000.0, if (i % 3 == 0) 1 else 0))
+      .toDF("s", "y")
+    val fixed = Eval.calibration(df, "s", "y", nBins = 4, lo = 0.0, hi = 1.0)
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    val quant = Eval.calibrationQuantile(df, "s", "y", nBins = 4,
+        relativeError = 1e-6)
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(fixed.length === quant.length)
+    fixed.zip(quant).foreach { case ((nf, ff), (nq, fq)) =>
+      assert(math.abs(nf - nq) <= 1, s"bin sizes $nf vs $nq")
+      assert(math.abs(ff - fq) < 0.01, s"fractions $ff vs $fq")
+    }
+  }
+
   test("logRank: identical groups give chi2 ~ 0; separated groups do not") {
     // identical survival in both groups → no signal
     val same = (1 to 20).flatMap(i =>

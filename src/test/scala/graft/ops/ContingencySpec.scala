@@ -93,4 +93,41 @@ class ContingencySpec extends SparkSpec {
     assert(math.abs(got(("x", "z")) + 1.0) < 1e-12)
     assert(math.abs(got(("y", "z")) + 1.0) < 1e-12)
   }
+
+  test("kappa matches the literal computation; perfect agreement gives 1") {
+    import spark.implicits._
+    // classic worked example: 2 raters, 2 levels
+    //   yes/yes 20, yes/no 5, no/yes 10, no/no 15 → po=0.7, pe=0.5, κ=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Contingency.kappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(got.getAs[Double]("p_observed") - 0.7) < 1e-12)
+    assert(math.abs(got.getAs[Double]("p_expected") - 0.5) < 1e-12)
+    assert(math.abs(got.getAs[Double]("kappa") - 0.4) < 1e-12)
+    assert(got.getAs[Long]("n_rows") === 50L)
+    val perfect = Contingency.kappa(
+      Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("a", "b"), "a", "b").head()
+    assert(math.abs(perfect.getAs[Double]("kappa") - 1.0) < 1e-12)
+  }
+
+  test("kappa counts (null, null) ratings as agreement") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some("a")), (None, None), (Some("b"), Some("a")))
+      .toDF("a", "b")
+    val got = Contingency.kappa(df, "a", "b").head()
+    assert(math.abs(got.getAs[Double]("p_observed") - 2.0 / 3) < 1e-12)
+  }
+
+  test("entropy: uniform hits ln k, constant hits 0, matches literal") {
+    import spark.implicits._
+    val uni = Seq("a", "b", "c", "d").toDF("x")
+    assert(math.abs(Contingency.entropy(uni, "x").head().getDouble(0)
+      - math.log(4)) < 1e-12)
+    val const = Seq("a", "a", "a").toDF("x")
+    assert(math.abs(Contingency.entropy(const, "x").head().getDouble(0)) < 1e-12)
+    val skew = Seq("a", "a", "a", "b").toDF("x") // H = -(.75 ln .75 + .25 ln .25)
+    val expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(Contingency.entropy(skew, "x").head().getDouble(0)
+      - expect) < 1e-12)
+  }
 }

@@ -51,4 +51,21 @@ class DriftSpec extends SparkSpec {
     val shifted = Drift.psiAuto(ref, cur, "x", bins = 10).head().getDouble(0)
     assert(shifted > 0.05, s"variance doubling should register: $shifted")
   }
+
+  test("jsd: 0 on identical mixes, ln 2 on disjoint supports, literal middle") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "y").toDF("c")
+    assert(math.abs(Drift.jsd(a, a, "c").head().getDouble(0)) < 1e-12)
+    val b = Seq("z", "z", "w").toDF("c")
+    assert(math.abs(Drift.jsd(a, b, "c").head().getDouble(0)
+      - math.log(2)) < 1e-12)
+    // P = (3/4, 1/4), Q = (1/4, 3/4) → JSD = ½ΣpLn(p/m)+½ΣqLn(q/m), m=(½,½)
+    val p = Seq("x", "x", "x", "y").toDF("c")
+    val q = Seq("x", "y", "y", "y").toDF("c")
+    val expect = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert(math.abs(Drift.jsd(p, q, "c").head().getDouble(0) - expect) < 1e-12)
+    // bounded and symmetric
+    assert(Drift.jsd(p, q, "c").head().getDouble(0) ===
+      Drift.jsd(q, p, "c").head().getDouble(0))
+  }
 }

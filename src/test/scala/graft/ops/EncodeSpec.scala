@@ -67,4 +67,23 @@ class EncodeSpec extends SparkSpec {
     assert(out.count() == toy.count())
     assert(out.columns.toSet == Set("id", "cat", "y", "fold", "te"))
   }
+
+  test("null categories are kept (null-safe join), encoded as their own level") {
+    val withNull = toy.union(Seq((9L, null: String, 7.0), (10L, null: String, 9.0))
+      .toDF("id", "cat", "y"))
+    val out = Encode.targetEncode(withNull, "cat", "y", "id", k = 2)
+    assert(out.count() == withNull.count()) // no silent drop (r7 advice)
+    val nulls = out.filter($"cat".isNull).collect()
+    assert(nulls.length == 2)
+    nulls.foreach(r => assert(!r.getAs[Double]("te").isNaN))
+  }
+
+  test("injected column names must not shadow caller data") {
+    intercept[IllegalArgumentException] {
+      Encode.targetEncode(toy.withColumn("fold", lit(1)), "cat", "y", "id")
+    }
+    intercept[IllegalArgumentException] {
+      Encode.targetEncode(toy.withColumn("te", lit(1.0)), "cat", "y", "id")
+    }
+  }
 }

@@ -37,10 +37,35 @@ class GraphSpec extends SparkSpec {
     assert(got("c") > got("d"))
   }
 
-  test("pageRank mass is conserved (sum ~ 1) on the symmetrized graph") {
+  test("pageRank mass is conserved (sum = 1) on the symmetrized graph") {
     val s = Graph.pageRank(closedEdges, iters = 8)
       .agg(sum("r")).head().getDouble(0)
-    assert(math.abs(s - 1.0) < 1e-9)
+    assert(math.abs(s - 1.0) < 1e-12)
+  }
+
+  test("dangling nodes: mass is redistributed, sum stays = 1, sinks rank") {
+    // directed chain a→b→c plus a→c: b and c are reachable, c is a pure
+    // sink (dangling) — its rank must exist and total mass must hold
+    val dirEdges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
+    val got = Graph.pageRank(dirEdges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // local dense reference with uniform dangling redistribution
+    val out = Map("a" -> Seq("b", "c"), "b" -> Seq("c"))
+    val nodes = Seq("a", "b", "c")
+    var r = nodes.map(_ -> 1.0 / 3).toMap
+    for (_ <- 1 to 10) {
+      val dm = r.filter { case (k, _) => !out.contains(k) }.values.sum
+      r = nodes.map { v =>
+        v -> ((1.0 - 0.85) / 3 + 0.85 *
+          (out.toSeq.filter(_._2.contains(v)).map { case (u, os) => r(u) / os.size }.sum
+            + dm / 3))
+      }.toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-12, v))
+    // the sink receives from everyone and must outrank its feeders
+    assert(got("c") > got("a") && got("c") > got("b"))
   }
 
   test("checkpointed run returns the same ranks as the plain run") {

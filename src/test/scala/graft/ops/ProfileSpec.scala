@@ -34,8 +34,54 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("Expand"), plan.take(1500))
   }
 
+  test("approxDistinct: HLL++ twin tracks the exact counts within tolerance") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Profile.summarize(docs, Seq("lang", "source", "doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.summarize(docs, Seq("lang", "source", "doc_id"),
+      approxDistinct = true, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, nd) =>
+      assert(math.abs(approx(c) - nd) <= math.max(2L, (nd * 0.1).toLong),
+        s"col=$c exact=$nd approx=${approx(c)}")
+    }
+    // the approx plan must NOT expand per-column distinct values
+    val plan = Profile.summarize(docs, Seq("lang", "source"),
+      approxDistinct = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+
   test("summarize rejects unknown columns") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[IllegalArgumentException] { Profile.summarize(df, Seq("zz")) }
+  }
+
+  test("gini: 0 for equal masses, sorted-rank literal otherwise") {
+    val eq = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
+    assert(math.abs(Profile.gini(eq, "x").head().getDouble(0)) < 1e-12)
+    // literal check against G = (2 Σ i·x_(i))/(n Σx) − (n+1)/n with ties
+    val vals = Seq(1.0, 2.0, 2.0, 4.0, 8.0, 8.0, 25.0)
+    val sorted = vals.sorted
+    val n = sorted.size
+    // tie-averaged rank form (equivalent to the Lorenz trapezoid)
+    val ranks = sorted.map(v =>
+      (sorted.zipWithIndex.filter(_._1 == v).map(_._2 + 1).sum.toDouble /
+        sorted.count(_ == v)))
+    val expect = 2.0 * sorted.zip(ranks).map { case (v, r) => v * r }.sum /
+      (n * sorted.sum) - (n + 1.0) / n
+    val got = Profile.gini(vals.toDF("x"), "x").head()
+    assert(math.abs(got.getDouble(0) - expect) < 1e-12, got.getDouble(0))
+    assert(got.getLong(1) === n.toLong)
+  }
+
+  test("gini is partition-invariant and ignores nulls") {
+    val base = (1 to 500).map(i => (i % 23 + 1).toDouble)
+    val a = Profile.gini(base.toDF("x"), "x").head().getDouble(0)
+    val b = Profile.gini(base.toDF("x").repartition(11), "x").head().getDouble(0)
+    assert(math.abs(a - b) < 1e-12)
+    val withNull = base.map(Option(_)) ++ Seq(None, None)
+    val c = Profile.gini(withNull.toDF("x"), "x").head()
+    assert(math.abs(c.getDouble(0) - a) < 1e-12)
+    assert(c.getLong(1) === 500L)
   }
 }

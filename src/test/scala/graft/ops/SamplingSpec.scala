@@ -129,4 +129,37 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureWeights(docs, "source", "n", alpha = 1.5, budget = 1.0)
     }
   }
+
+  test("topPMass keeps the minimal heavy prefix per key, ≥ 1 row each") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, 50.0), ("s1", 2L, 30.0), ("s1", 3L, 15.0), ("s1", 4L, 5.0),
+      ("s2", 5L, 99.0), ("s2", 6L, 1.0)
+    ).toDF("src", "id", "w")
+    // p=0.8 on s1 (total 100): keep 50, 30 (before=80 NOT < 80 stops 15)
+    val kept = Sampling.topPMass(df, "src", "w", "id", p = 0.8)
+      .select("src", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(kept === Set(("s1", 1L), ("s1", 2L), ("s2", 5L)))
+    // p tiny: the single heaviest row per key survives
+    val one = Sampling.topPMass(df, "src", "w", "id", p = 0.01)
+      .select("src", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(one === Set(("s1", 1L), ("s2", 5L)))
+    // p=1 keeps everything
+    assert(Sampling.topPMass(df, "src", "w", "id", p = 1.0).count() === 6L)
+    intercept[IllegalArgumentException] {
+      Sampling.topPMass(df, "src", "w", "id", p = 0.0)
+    }
+  }
+
+  test("topPMass ties break deterministically on the id column") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 10.0), ("k", 3L, 10.0))
+      .toDF("src", "id", "w")
+    // p=0.5: before-sums are 0, 10, 20 vs threshold 15 → ids 1 and 2 stay
+    val kept = Sampling.topPMass(df, "src", "w", "id", p = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
 }
