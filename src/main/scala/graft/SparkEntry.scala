@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Survival}
-import graft.ops.{AsofJoin, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, Normalize, Outliers, Pack, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Robust, Survival}
+import graft.ops.{AsofJoin, Colloc, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, Normalize, Outliers, Pack, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1878,6 +1878,70 @@ object SparkEntry {
         .agg(r(avg("z"), 8).as("avg_z"), r(avg("scaled"), 8).as("avg_scaled"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis with md5-derived uniforms): 25 docs ∝ length — the
+    // content-keyed split philosophy applied to weighted draws; the ES key
+    // is identical arithmetic on both engines
+    "q147_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 25)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // corpus vocabulary head: exact top-20 tokens via the Misra-Gries
+    // bounded-memory path (never a full-vocab shuffle); exactness holds
+    // because the 20th token frequency far exceeds n/(capacity+1)
+    "q148_vocab_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .as("token"))
+      TopK.heavyHitters(toks, "token", k = 20)
+        .select(col("key").as("token"), col("cnt"))
+    }),
+
+    // Huber robust regression, gated through its OLS fixed point: with
+    // delta large enough that no residual is downweighted the IRLS
+    // converges to exactly the q18 normal equations — the full
+    // scale/weight/refit plumbing runs, the oracle is closed-form SQL.
+    // The downweighting path is RobustSpec's outlier property.
+    "q149_huber_ols" -> ((s, dir) => {
+      val m = Robust.huber(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount"), "l_extendedprice", delta = 1e9)
+      import s.implicits._
+      Seq((rd(m.coef(0), 3), rd(m.coef(1), 3), rd(m.coef(2), 3), m.n))
+        .toDF("b_intercept", "b_quantity", "b_discount", "n_rows")
+    }),
+
+    // Benford first-digit audit of order keys — digits from the decimal
+    // string (identical integer rendering on both engines), one shuffle
+    "q150_benford" -> ((s, dir) => {
+      Profile.benford(t(s, dir, "orders"), "o_orderkey")
+        .select(col("digit"), col("n"), r(col("frac"), 8).as("frac"),
+          r(col("benford_p"), 8).as("benford_p"))
+        .orderBy("digit")
+    }),
+
+    // q108's linear-interpolation twin: gap buckets blend the straddling
+    // known values by exact epoch-microsecond ratios
+    "q151_resample_interp" -> ((s, dir) => {
+      TimeSeries.resampleInterp(
+          events(s, dir).filter(col("event_type").isin("purchase", "signup")),
+          "event_type", "ts", "value", "hour")
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_events"), col("is_gap").cast("int").as("is_gap"),
+          r(col("value_interp"), 6).as("value_interp"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // PMI collocations: top bigrams by pointwise mutual information, the
+    // margins off the bigram table itself — ONE pair shuffle; PMI rounded
+    // to a 6-digit grid BEFORE ranking so the order is engine-stable
+    "q152_pmi_bigrams" -> ((s, dir) => {
+      Colloc.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5,
+        topK = 20)
     })
   )
 
@@ -4097,6 +4161,128 @@ object SparkEntry {
         |  FROM lineitem l CROSS JOIN st)
         |SELECT l_returnflag, round(avg(z), 8) AS avg_z,
         |  round(avg(scaled), 8) AS avg_scaled, count(*) AS n_rows
-        |FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical ES-key arithmetic: u = (md5-60-bit + ½)/16¹⁵, key −ln(u)/w
+    "q147_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          ::BIGINT::DOUBLE + 0.5) / power(16, 15))
+        |      / CAST(n_chars AS DOUBLE) AS es
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |s AS (SELECT doc_id, n_chars FROM k ORDER BY es, doc_id LIMIT 25)
+        |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin,
+
+    // same tokenization as q109 (split on \s+, drop empties); top-20 with
+    // the (cnt desc, token asc) total order
+    "q148_vocab_topk" ->
+      """WITH d AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT unnest(t) AS token FROM d)
+        |SELECT token, count(*) AS cnt FROM tok
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // q18's centered normal equations (the huge-delta Huber fixed point
+    // IS the OLS solution)
+    "q149_huber_ols" ->
+      """WITH m AS (
+        |  SELECT avg(l_quantity) AS mx1, avg(l_discount) AS mx2,
+        |    avg(l_extendedprice) AS my,
+        |    avg(l_quantity * l_quantity) AS x11,
+        |    avg(l_quantity * l_discount) AS x12,
+        |    avg(l_discount * l_discount) AS x22,
+        |    avg(l_quantity * l_extendedprice) AS x1y,
+        |    avg(l_discount * l_extendedprice) AS x2y,
+        |    count(*) AS n
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, mx1, mx2, my,
+        |    x11 - mx1 * mx1 AS s11, x12 - mx1 * mx2 AS s12,
+        |    x22 - mx2 * mx2 AS s22, x1y - mx1 * my AS s1y,
+        |    x2y - mx2 * my AS s2y
+        |  FROM m),
+        |b AS (
+        |  SELECT n, mx1, mx2, my,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c)
+        |SELECT round(my - b1 * mx1 - b2 * mx2, 3) AS b_intercept,
+        |  round(b1, 3) AS b_quantity,
+        |  round(b2, 3) AS b_discount,
+        |  n AS n_rows
+        |FROM b""".stripMargin,
+
+    // first digit of the decimal string; Benford expectation ln(1+1/d)/ln 10
+    "q150_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR),
+        |    1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM g)
+        |SELECT digit, n, round(n / tot, 8) AS frac,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 8) AS benford_p
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // q108's grid + prev/next anchors; the blend ratio divides exact
+    // epoch-microsecond integers
+    "q151_resample_interp" ->
+      """WITH a AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n_events, round(avg(value), 6) AS value_avg
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+        |      FROM a GROUP BY 1),
+        |g AS (SELECT event_type,
+        |        unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        |      FROM s),
+        |j AS (SELECT g.event_type, g.bucket, a.n_events, a.value_avg
+        |      FROM g LEFT JOIN a USING (event_type, bucket)),
+        |w AS (
+        |  SELECT event_type, bucket, n_events, value_avg,
+        |    last_value(value_avg IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN value_avg IS NOT NULL THEN bucket END
+        |      IGNORE NULLS) OVER wp AS pt,
+        |    first_value(value_avg IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN value_avg IS NOT NULL THEN bucket END
+        |      IGNORE NULLS) OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CAST(n_events IS NULL AS INT) AS is_gap,
+        |  round(CASE WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+        |    THEN pv + (nv - pv) *
+        |      ((epoch_us(bucket) - epoch_us(pt)) /
+        |       CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |    ELSE coalesce(pv, nv) END, 6) AS value_interp
+        |FROM w ORDER BY event_type, hour""".stripMargin,
+
+    // identical bigram relation + margins-from-the-pair-table PMI
+    "q152_pmi_bigrams" ->
+      """WITH d AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT t[g] AS w1, t[g + 1] AS w2
+        |  FROM d, UNNEST(generate_series(1, len(t) - 1)) AS s(g)),
+        |c AS (SELECT w1, w2, count(*) AS n_ab FROM b GROUP BY 1, 2),
+        |ra AS (SELECT w1, sum(n_ab) AS r_a FROM c GROUP BY 1),
+        |cb AS (SELECT w2, sum(n_ab) AS c_b FROM c GROUP BY 1),
+        |tot AS (SELECT sum(n_ab) AS n_tot FROM c)
+        |SELECT c.w1, c.w2, c.n_ab,
+        |  round(ln(CAST(c.n_ab AS DOUBLE) * n_tot /
+        |    (CAST(r_a AS DOUBLE) * c_b)), 6) AS pmi
+        |FROM c JOIN ra USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+        |WHERE c.n_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

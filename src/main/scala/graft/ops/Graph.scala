@@ -34,41 +34,76 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    val cp = if (checkpointEvery > 0)
-      Some(new graft.Checkpointer(edges.sparkSession, None)) else None
-    // loop invariants: the degree'd edge relation AND the node universe —
-    // pin both so every generation reads materialized frames instead of
-    // re-planning the join lineage
-    val withDeg0 = edges.join(deg, "u")
-    val withDeg = cp.map(_.pin(withDeg0)).getOrElse(withDeg0)
-    val nodes0 = edges.select(col("u"))
-      .union(edges.select(col("v").as("u"))).distinct()
-    val nodes = cp.map(_.pin(nodes0)).getOrElse(nodes0)
-    // node count is scalar metadata (one count job), not data on the driver
-    val n = nodes.count()
-    var ranks = nodes.select(col("u"), lit(1.0 / n).as("r"))
-    for (i <- 1 to iters) {
-      // dangling mass: rank held by nodes with no outgoing edge
-      val dangling = ranks.join(deg, Seq("u"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      val inMass = withDeg.join(ranks, "u")
-        .groupBy(col("v"))
-        .agg(sum(col("r") / col("d")).as("in_mass"))
-        .select(col("v").as("u"), col("in_mass"))
-      val next = nodes.join(inMass, Seq("u"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("u"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n)).as("r"))
-      // the FINAL generation always materializes through the checkpointer
-      // so close() can free the pinned frames before we return
-      ranks = cp match {
-        case Some(c) if i % checkpointEvery == 0 || i == iters => c(next)
-        case _ => next
+    // the input relation is consumed several times (degree agg, dangling
+    // probe, every iteration's join) and is often itself an expensive
+    // lazy plan (a distinct, a filter over a big fact) — pin it ONCE so
+    // all consumers read a materialized frame
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = cp.pin(edges)
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    // dangling detection: does any edge TARGET a node that never appears
+    // as a source? One anti-join probe with a `take(1)` short circuit
+    // over the pinned edges — the build side is the (much smaller)
+    // source-key frame, typically a broadcast probe
+    val hasDangling = !e.select(col("v"))
+      .join(deg.select(col("u").as("__s")), col("v") === col("__s"),
+        "left_anti")
+      .isEmpty
+    if (!hasDangling) {
+      // node universe ≡ source keys; scalar metadata via one count job
+      val n = deg.count()
+      // closed graph (every node is a source — always true for
+      // symmetrized graphs): the loop is a pure lazy chain, ONE join+agg
+      // per iteration, nothing consumed twice; the FINAL generation
+      // materializes through the checkpointer so close() can free the
+      // pinned edges, intermediates follow the checkpointEvery cadence
+      val withDeg = e.join(deg, "u")
+      var ranks = deg.select(col("u"), lit(1.0 / n).as("r"))
+      for (i <- 1 to iters) {
+        val next = withDeg.join(ranks, "u")
+          .groupBy(col("v"))
+          .agg(sum(col("r") / col("d")).as("in_mass"))
+          .select(col("v").as("u"),
+            (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("r"))
+        ranks =
+          if (i == iters || (checkpointEvery > 0 && i % checkpointEvery == 0))
+            cp(next)
+          else next
       }
+      cp.close()
+      ranks
+    } else {
+      // dangling nodes exist: their rank is redistributed uniformly each
+      // iteration, so Σ rank = 1 exactly. The dangling aggregate and the
+      // contribution join BOTH consume the previous ranks — a lazy chain
+      // would re-execute each prior iteration per consumer (exponential),
+      // so every generation materializes through the checkpointer (the
+      // GroupedGLM discipline; local checkpoints, superseded generations
+      // freed as the next lands).
+      val withDeg = cp.pin(e.join(deg, "u"))
+      val nodes = cp.pin(e.select(col("u"))
+        .union(e.select(col("v").as("u"))).distinct())
+      // node count is scalar metadata (one count job over the pinned set)
+      val n = nodes.count()
+      var ranks = cp(nodes.select(col("u"), lit(1.0 / n).as("r")))
+      for (_ <- 1 to iters) {
+        // dangling mass: a tiny aggregate over the MATERIALIZED ranks,
+        // carried as a broadcast one-row frame (no driver action)
+        val dangling = ranks.join(deg, Seq("u"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+        val inMass = withDeg.join(ranks, "u")
+          .groupBy(col("v"))
+          .agg(sum(col("r") / col("d")).as("in_mass"))
+          .select(col("v").as("u"), col("in_mass"))
+        val next = nodes.join(inMass, Seq("u"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("u"),
+            (lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n)).as("r"))
+        ranks = cp(next)
+      }
+      cp.close() // the final generation backs `ranks` and stays alive
+      ranks
     }
-    cp.foreach(_.close())
-    ranks
   }
 }

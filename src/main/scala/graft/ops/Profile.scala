@@ -40,6 +40,32 @@ object Profile {
     row.select(explode(structs).as("p")).select("p.*")
   }
 
+  /** Benford first-digit audit of a POSITIVE INTEGRAL column (counts, ids,
+    * sizes) — the classic fabricated-data / truncation screen. The digit
+    * comes from the long's decimal string (both engines render integers
+    * identically; a float `log10` would flip at power-of-ten boundaries on
+    * the last ulp), one groupBy(digit) shuffle, Benford's expectation
+    * ln(1+1/d)/ln 10 as literal arithmetic.
+    *
+    * Rows with NULL or ≤ 0 values are excluded (they have no leading
+    * significant digit).
+    *
+    * @return 9 rows (digit, n, frac, benford_p) ordered by digit
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val digits = df.filter(v.isNotNull && v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("__t"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__t")).as("frac"),
+        (log(lit(1.0) + lit(1.0) / col("digit")) / math.log(10.0))
+          .as("benford_p"))
+      .orderBy("digit")
+  }
+
   /** Gini concentration of a non-negative measure (how unequal are token
     * counts across documents / bytes across sources?) via the Lorenz
     * trapezoid identity on the DISTINCT-value frame:

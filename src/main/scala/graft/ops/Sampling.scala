@@ -136,6 +136,34 @@ object Sampling {
       .withColumn("epochs", lit(budget) * col("weight") / col("n_units"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006: draw u_i uniform, keep the k largest u_i^(1/w_i) —
+    * every subset lands with its exact WSWOR probability). The uniform is
+    * content-keyed instead of random — u = (md5-derived 60-bit int + ½)/2⁶⁰
+    * — so the sample is reproducible on any engine computing the same
+    * digest (the [[splitColumn]] philosophy applied to weighted draws).
+    *
+    * Ordering key: −ln(u)/w ascending (monotone transform of the ES key,
+    * float-safe — no pow underflow for tiny weights), tie-broken on
+    * `idCol`. One global top-k = `orderBy.limit` (Spark plans TakeOrdered:
+    * per-partition heaps, never a full sort-shuffle).
+    *
+    * @param weightCol strictly positive weights (rows with NULL/≤0 weight
+    *                  are dropped — they have no draw probability)
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + 0.5) / math.pow(16.0, 15)
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("__es_key", -log(u) / w)
+      .orderBy(col("__es_key"), col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Per-key top-p ("nucleus") selection: within each key, keep the
     * heaviest rows until they jointly cover fraction `p` of the key's
     * total mass — the quality-weighted quota a mixing pipeline uses when

@@ -80,6 +80,56 @@ object TimeSeries {
       .withColumn("value_fill", last("value_avg", ignoreNulls = true).over(w))
   }
 
+  /** [[resampleFfill]]'s linear-interpolation twin: gap buckets take the
+    * time-weighted blend of the straddling known values,
+    *
+    *   v(t) = v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev),
+    *
+    * with LOCF/NOCB at the edges (before the first / after the last known
+    * value). Same grid/join machinery; the prev/next anchors are per-key
+    * `last`/`first` (ignoreNulls) windows over the SAME keyed sort — one
+    * extra window pass, no extra shuffle. The time ratio divides exact
+    * epoch-microsecond integers and the in-bucket mean is pre-rounded, so
+    * the series is engine-reproducible (round 6 on the output).
+    *
+    * @return (key, bucket, n_events, value_avg, value_interp, is_gap)
+    */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, unit: String = "hour"): DataFrame = {
+    val allowed = Set("minute", "hour", "day", "week", "month")
+    require(allowed(unit.toLowerCase), s"unit must be one of $allowed")
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(valueCol), 6).as("value_avg"))
+    val grid = agg.groupBy(col(keyCol))
+      .agg(min("bucket").as("__mn"), max("bucket").as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"),
+          expr(s"INTERVAL 1 $unit"))).as("bucket"))
+    val sorted = Window.partitionBy(keyCol).orderBy("bucket")
+    val wPrev = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = sorted.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownT = when(col("value_avg").isNotNull, col("bucket"))
+    val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("__pv", last("value_avg", ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(knownT, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first("value_avg", ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(knownT, ignoreNulls = true).over(wNext))
+    val frac = (unix_micros(col("bucket")) - unix_micros(col("__pt")))
+      .cast("double") /
+      (unix_micros(col("__nt")) - unix_micros(col("__pt"))).cast("double")
+    joined
+      .withColumn("value_interp", round(
+        when(col("__pt").isNotNull && col("__nt").isNotNull &&
+            col("__nt") =!= col("__pt"),
+          col("__pv") + (col("__nv") - col("__pv")) * frac)
+          .otherwise(coalesce(col("__pv"), col("__nv"))), 6))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
   /** Autocorrelation function of an ordered series at lags 1..maxLag, the
     * standard (biased, n-denominator) estimator:
     *

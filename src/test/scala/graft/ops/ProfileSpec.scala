@@ -56,6 +56,23 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Profile.summarize(df, Seq("zz")) }
   }
 
+  test("benford: digits from the decimal string, literal fractions, p sums to 1") {
+    val df = Seq(12L, 19L, 105L, 2L, 250L, 29L, 3L, 999L, 0L, -5L)
+      .toDF("x").withColumn("x", col("x"))
+    val out = Profile.benford(df, "x").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // 0 and -5 excluded -> 8 rows counted: digits 1:3 (12,19,105), 2:3
+    // (2,250,29), 3:1, 9:1
+    assert(out.keySet === Set(1, 2, 3, 9))
+    assert(out(1)._1 === 3L && out(2)._1 === 3L && out(3)._1 === 1L)
+    assert(math.abs(out(1)._2 - 3.0 / 8) < 1e-12)
+    // Benford expectations: p(1) = log10(2) etc., full support sums to 1
+    val full = Profile.benford((1L to 999L).toDF("x"), "x")
+      .collect().map(_.getDouble(3))
+    assert(math.abs(full.sum - 1.0) < 1e-12)
+    assert(math.abs(full.head - math.log10(2)) < 1e-12)
+  }
+
   test("gini: 0 for equal masses, sorted-rank literal otherwise") {
     val eq = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
     assert(math.abs(Profile.gini(eq, "x").head().getDouble(0)) < 1e-12)

@@ -130,6 +130,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample reproduces the literal ES-key selection, any partitioning") {
+    import java.security.MessageDigest
+    val rows = (1 to 200).map(i => (i.toLong, (i % 17 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    def key(id: Long, w: Double): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(16, 15)
+      -math.log(u) / w
+    }
+    val expect = rows.sortBy { case (id, w) => (key(id, w), id) }
+      .take(25).map(_._1).toSet
+    val got = Sampling.weightedSample(df, "id", "w", 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    val got2 = Sampling.weightedSample(df.repartition(9), "id", "w", 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 === expect)
+  }
+
+  test("weightedSample drops non-positive weights and favors heavy rows") {
+    val df = Seq((1L, Some(1000.0)), (2L, Some(1000.0)), (3L, Some(0.001)),
+      (4L, Some(0.0)), (5L, Some(-3.0)), (6L, None))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L)) // the two heavy rows dominate w=0.001
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", 0)
+    }
+  }
+
   test("topPMass keeps the minimal heavy prefix per key, ≥ 1 row each") {
     import spark.implicits._
     val df = Seq(

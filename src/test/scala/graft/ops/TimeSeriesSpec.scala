@@ -35,6 +35,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.length === 1 && b.head.getDouble(3) === 9.0)
   }
 
+  test("resampleInterp blends gaps linearly and extends flat at the edges") {
+    // key "a": known values at hours 01 (4.0) and 04 (10.0); hour 00 has
+    // no earlier anchor (NOCB), 02/03 interpolate at 1/3 and 2/3
+    val df = Seq(
+      ("a", ts("2024-01-01 01:30:00"), 4.0),
+      ("a", ts("2024-01-01 04:10:00"), 10.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleInterp(df, "k", "t", "v", "hour")
+      .orderBy("bucket").select("value_interp", "is_gap").collect()
+    assert(out.map(_.getDouble(0)).toSeq === Seq(4.0, 6.0, 8.0, 10.0))
+    assert(out.map(_.getBoolean(1)).toSeq === Seq(false, true, true, false))
+    // leading gap: NOCB takes the next known value
+    val df2 = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 2.0),
+      ("a", ts("2024-01-01 00:30:00"), 4.0), // same bucket, avg 3.0
+      ("a", ts("2024-01-01 02:00:00"), 9.0)
+    ).toDF("k", "t", "v")
+    val out2 = TimeSeries.resampleInterp(df2, "k", "t", "v", "hour")
+      .orderBy("bucket").select("value_interp").collect().map(_.getDouble(0))
+    assert(out2.toSeq === Seq(3.0, 6.0, 9.0))
+  }
+
+  test("resampleInterp equals resampleFfill on gap-free series") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 01:00:00"), 2.0),
+      ("a", ts("2024-01-01 02:00:00"), 4.0)
+    ).toDF("k", "t", "v")
+    val fill = TimeSeries.resampleFfill(df, "k", "t", "v", "hour")
+      .orderBy("bucket").select("value_fill").collect().map(_.getDouble(0))
+    val interp = TimeSeries.resampleInterp(df, "k", "t", "v", "hour")
+      .orderBy("bucket").select("value_interp").collect().map(_.getDouble(0))
+    assert(fill.toSeq === interp.toSeq)
+  }
+
   test("resampleFfill produces a dense per-key grid (span/step + 1 rows)") {
     val df = Seq(
       ("k", ts("2024-03-01 00:00:00"), 1.0),
