@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Colloc, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, Normalize, Outliers, Pack, Profile, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Colloc, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, Normalize, Outliers, Pack, Profile, Quality, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1942,6 +1942,22 @@ object SparkEntry {
     "q152_pmi_bigrams" -> ((s, dir) => {
       Colloc.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5,
         topK = 20)
+    }),
+
+    // declarative data-quality contract: five scalar rules fused into ONE
+    // scan + one referential anti-join — the generator's repeated
+    // (orderkey, linenumber) pairs make the uniqueness violation real
+    "q153_quality_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Quality.report(li, Seq(
+        Quality.NotNull("l_orderkey"),
+        Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        Quality.InRange("l_discount", 0.0, 0.1),
+        Quality.InRange("l_quantity", 1.0, 45.0),
+        Quality.Matches("l_returnflag", "^[ANR]$"),
+        Quality.ForeignKey(t(s, dir, "orders"), "l_orderkey", "o_orderkey",
+          "orders")))
+        .orderBy("rule")
     })
   )
 
@@ -4283,6 +4299,43 @@ object SparkEntry {
         |    (CAST(r_a AS DOUBLE) * c_b)), 6) AS pmi
         |FROM c JOIN ra USING (w1) JOIN cb USING (w2) CROSS JOIN tot
         |WHERE c.n_ab >= 5
-        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // identical conditional counts + the FK anti-join; rule strings match
+    // the Scala Rule.name renderings exactly
+    "q153_quality_report" ->
+      """WITH s AS (
+        |  SELECT
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uq,
+        |    sum(CASE WHEN l_discount IS NOT NULL
+        |          AND NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+        |        THEN 1 ELSE 0 END) AS v_disc,
+        |    sum(CASE WHEN l_quantity IS NOT NULL
+        |          AND NOT (l_quantity >= 1.0 AND l_quantity <= 45.0)
+        |        THEN 1 ELSE 0 END) AS v_qty,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL
+        |          AND NOT regexp_matches(l_returnflag, '^[ANR]$')
+        |        THEN 1 ELSE 0 END) AS v_re
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT count(*) AS v
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+        |SELECT rule, violations FROM (
+        |  SELECT 'not_null(l_orderkey)' AS rule,
+        |    CAST(v_nn AS BIGINT) AS violations FROM s
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(v_uq AS BIGINT) FROM s
+        |  UNION ALL SELECT 'in_range(l_discount,0.0,0.1)',
+        |    CAST(v_disc AS BIGINT) FROM s
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,45.0)',
+        |    CAST(v_qty AS BIGINT) FROM s
+        |  UNION ALL SELECT 'matches(l_returnflag)',
+        |    CAST(v_re AS BIGINT) FROM s
+        |  UNION ALL SELECT
+        |    'foreign_key(l_orderkey->orders.o_orderkey)',
+        |    CAST(v AS BIGINT) FROM fk)
+        |ORDER BY rule""".stripMargin
   )
 }
