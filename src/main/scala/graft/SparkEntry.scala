@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Colloc, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, Normalize, Outliers, Pack, Profile, Quality, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Cluster, Colloc, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Normalize, Outliers, Pack, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -1958,6 +1958,132 @@ object SparkEntry {
         Quality.ForeignKey(t(s, dir, "orders"), "l_orderkey", "o_orderkey",
           "orders")))
         .orderBy("rule")
+    }),
+
+    // BM25 keyword search over the corpus: query-term filter BEFORE any
+    // shuffle, |query|-row df frame broadcast; 6-digit score grid before
+    // the top-20 so both engines pick the identical row set
+    "q154_bm25" -> ((s, dir) => {
+      Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "table", "query"))
+        .select(col("id").as("doc_id"), col("n_terms_hit"),
+          r(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // multinomial Naive Bayes language ID, resubstitution-scored; the
+    // class log-score is rounded to a 6-digit grid BEFORE the argmax so
+    // the predicted label is stable under summation-order differences
+    "q155_nbayes" -> ((s, dir) => {
+      NBayes.fitPredict(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("label").as("lang"),
+          col("predicted"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-relative quality signal: mean unigram surprisal per document
+    "q156_surprisal" -> ((s, dir) => {
+      Retrieval.surprisal(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          r(col("surprisal"), 6).as("surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // fixed-width histogram of extended price: integer counts, exact
+    // bin-edge arithmetic — no rounding anywhere (identical IEEE both
+    // engines; [0, 120000)/24 edges are exactly representable)
+    "q157_histogram" -> ((s, dir) => {
+      Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+          lo = 0.0, hi = 120000.0, bins = 24)
+        .orderBy("bin")
+    }),
+
+    // finite-kernel EWMA over the hourly purchase/signup series: inputs
+    // rounded onto a 6-digit grid FIRST (identical on both engines), then
+    // the α=1/2 kernel — every weight a power of two, the num/den folds
+    // left-to-right — is bit-reproducible; output re-rounded for safety
+    "q158_ewma" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(r(avg("value"), 6).as("v"))
+      TimeSeries.ewmaKernel(hourly, "event_type", "bucket", "v",
+          alpha = 0.5, lookback = 8)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v"), r(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // two-window mean-shift change score on the same hourly series —
+    // integral micro-units inside the frames (any summation order is
+    // exact), one division per side at the end
+    "q159_change_score" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(round(avg("value") * 1e6).cast("long").as("v_micro"))
+      TimeSeries.changeScore(hourly, "event_type", "bucket", "v_micro",
+          window = 24)
+        .filter(col("score").isNotNull)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          r(col("score") / 1e6, 6).as("score"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // reciprocal-rank fusion of two document orderings (length in chars /
+    // length in tokens): competition ranks from the two-level Cumulative
+    // pass — no unpartitioned data-sized window anywhere
+    "q160_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast("long"))
+      Retrieval.rrf(docs, Seq("n_chars", "n_tokens"))
+        .select(col("doc_id"), col("rank_n_chars"), col("rank_n_tokens"),
+          r(col("rrf"), 8).as("rrf"))
+        .orderBy("doc_id")
+    }),
+
+    // token-budget draw per source (the post-mixture materialization
+    // step): md5-ordered keep-while-under-budget, crossing row included
+    "q161_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast("long"))
+      Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+          Map("src0" -> 600L, "src1" -> 700L, "src2" -> 800L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum("n_tokens").as("tokens_kept"))
+        .orderBy("source")
+    }),
+
+    // one-pass disjoint-block CI for the mean price: 16 md5-assigned
+    // blocks (mod-16 of the 15-hex-digit prefix = that prefix's LAST hex
+    // character, which is how the oracle states it)
+    "q162_block_ci" -> ((s, dir) => {
+      Sampling.blockMeansCI(t(s, dir, "lineitem"), "l_orderkey",
+          "l_extendedprice", blocks = 16)
+        .select(r(col("mean"), 4).as("mean"), r(col("se"), 4).as("se"),
+          r(col("ci_lo"), 4).as("ci_lo"), r(col("ci_hi"), 4).as("ci_hi"),
+          col("n_rows"), col("n_blocks"))
+    }),
+
+    // k-means over the embedding column (no_oracle: iterative float
+    // centroids — ClusterSpec gates the algebra on closed/exact data);
+    // k rows out, content-keyed deterministic init
+    "q163_kmeans" -> ((s, dir) => {
+      val res = Cluster.kmeans(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, maxIter = 10)
+      res.assignments.groupBy("cluster")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster")
     })
   )
 
@@ -4336,6 +4462,217 @@ object SparkEntry {
         |  UNION ALL SELECT
         |    'foreign_key(l_orderkey->orders.o_orderkey)',
         |    CAST(v AS BIGINT) FROM fk)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    // identical Lucene-variant BM25 arithmetic; 6-digit grid before the
+    // top-20 cut (doc_id tiebreak)
+    "q154_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dlen, t FROM d),
+        |st AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM base),
+        |tok AS (SELECT doc_id, dlen, unnest(t) AS term FROM base),
+        |tf AS (
+        |  SELECT doc_id, dlen, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'table', 'query') GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (st.n - dfr.dfreq + 0.5) / (dfr.dfreq + 0.5))
+        |      * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen / st.avgdl)) AS s
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_terms_hit, round(sum(s), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // full multinomial NB replica: identical Laplace arithmetic, 6-digit
+    // score grid before the per-document argmax (label-asc tiebreak)
+    "q155_nbayes" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text,
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(t) AS term FROM d)
+        |  GROUP BY 1, 2, 3),
+        |ct AS (SELECT lang AS c_lang, term, sum(tf) AS nlt
+        |       FROM tf GROUP BY 1, 2),
+        |tot AS (SELECT c_lang, sum(nlt) AS nl FROM ct GROUP BY 1),
+        |nd AS (SELECT count(*) AS ndocs FROM d),
+        |pri AS (SELECT lang AS c_lang, count(*) AS ndoc FROM d GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT term) AS v FROM ct),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.lang, p.c_lang,
+        |    round(ln(CAST(p.ndoc AS DOUBLE) / nd.ndocs) +
+        |      sum(tf.tf * ln((coalesce(ct.nlt, 0) + 1.0) /
+        |        (t2.nl + 1.0 * voc.v))), 6) AS score
+        |  FROM tf
+        |  CROSS JOIN pri p CROSS JOIN nd CROSS JOIN voc
+        |  JOIN tot t2 ON t2.c_lang = p.c_lang
+        |  LEFT JOIN ct ON ct.term = tf.term AND ct.c_lang = p.c_lang
+        |  GROUP BY tf.doc_id, tf.lang, p.c_lang, p.ndoc, nd.ndocs,
+        |    t2.nl, voc.v)
+        |SELECT doc_id, lang, predicted, score FROM (
+        |  SELECT doc_id, lang, c_lang AS predicted, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c_lang) AS rn
+        |  FROM sc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // identical corpus-unigram log-probability arithmetic
+    "q156_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(ctf) AS tt FROM ct)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(-sum(tf * ln(CAST(ctf AS DOUBLE) / tt)) / sum(tf), 6)
+        |    AS surprisal
+        |FROM tf JOIN ct USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical right-open binning CASE; [0, 120000)/24 → width 5000
+    // exactly representable, so no rounding anywhere
+    "q157_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN x < 0.0 THEN -1
+        |    WHEN x >= 120000.0 THEN 24
+        |    ELSE least(CAST(floor((x - 0.0) / 5000.0) AS INT), 23) END AS bin
+        |  FROM (SELECT l_extendedprice AS x FROM lineitem
+        |        WHERE l_extendedprice IS NOT NULL))
+        |SELECT bin,
+        |  CASE WHEN bin = -1 THEN CAST('-infinity' AS DOUBLE)
+        |    ELSE 0.0 + bin * 5000.0 END AS bin_lo,
+        |  CASE WHEN bin = 24 THEN CAST('infinity' AS DOUBLE)
+        |    ELSE 0.0 + (bin + 1) * 5000.0 END AS bin_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the identical α=1/2 lag ladder: inputs on a 6-digit grid first, all
+    // kernel weights exact powers of two, num/den folded left-to-right
+    "q158_ewma" ->
+      """WITH a AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    round(avg(value), 6) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, bucket, v,
+        |    lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+        |    lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+        |    lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+        |    lag(v, 7) OVER w AS v7, lag(v, 8) OVER w AS v8
+        |  FROM a WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour, v,
+        |  round((coalesce(CASE WHEN v IS NOT NULL THEN v * 1.0 END, 0.0)
+        |    + coalesce(CASE WHEN v1 IS NOT NULL THEN v1 * 0.5 END, 0.0)
+        |    + coalesce(CASE WHEN v2 IS NOT NULL THEN v2 * 0.25 END, 0.0)
+        |    + coalesce(CASE WHEN v3 IS NOT NULL THEN v3 * 0.125 END, 0.0)
+        |    + coalesce(CASE WHEN v4 IS NOT NULL THEN v4 * 0.0625 END, 0.0)
+        |    + coalesce(CASE WHEN v5 IS NOT NULL THEN v5 * 0.03125 END, 0.0)
+        |    + coalesce(CASE WHEN v6 IS NOT NULL THEN v6 * 0.015625 END, 0.0)
+        |    + coalesce(CASE WHEN v7 IS NOT NULL THEN v7 * 0.0078125 END, 0.0)
+        |    + coalesce(CASE WHEN v8 IS NOT NULL THEN v8 * 0.00390625 END, 0.0))
+        |   / (coalesce(CASE WHEN v IS NOT NULL THEN 1.0 END, 0.0)
+        |    + coalesce(CASE WHEN v1 IS NOT NULL THEN 0.5 END, 0.0)
+        |    + coalesce(CASE WHEN v2 IS NOT NULL THEN 0.25 END, 0.0)
+        |    + coalesce(CASE WHEN v3 IS NOT NULL THEN 0.125 END, 0.0)
+        |    + coalesce(CASE WHEN v4 IS NOT NULL THEN 0.0625 END, 0.0)
+        |    + coalesce(CASE WHEN v5 IS NOT NULL THEN 0.03125 END, 0.0)
+        |    + coalesce(CASE WHEN v6 IS NOT NULL THEN 0.015625 END, 0.0)
+        |    + coalesce(CASE WHEN v7 IS NOT NULL THEN 0.0078125 END, 0.0)
+        |    + coalesce(CASE WHEN v8 IS NOT NULL THEN 0.00390625 END, 0.0)),
+        |   6) AS ewma
+        |FROM l ORDER BY event_type, hour""".stripMargin,
+
+    // identical integral-micro-unit frames: 24-row sums are exact in any
+    // order, one division per side, full windows only
+    "q159_change_score" ->
+      """WITH a AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(round(avg(value) * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket,
+        |    count(vm) OVER wl AS ln_, count(vm) OVER wr AS rn_,
+        |    sum(CAST(vm AS DOUBLE)) OVER wl AS ls,
+        |    sum(CAST(vm AS DOUBLE)) OVER wr AS rs
+        |  FROM a
+        |  WINDOW wl AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+        |  wr AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING))
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  round(abs(rs / 24 - ls / 24) / 1e6, 6) AS score
+        |FROM w WHERE ln_ = 24 AND rn_ = 24
+        |ORDER BY event_type, hour""".stripMargin,
+
+    // SQL rank() desc ≡ the Cumulative competition rank; fixed-order
+    // 1/(60+r) arithmetic
+    "q160_rrf" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS ntok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    rank() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC) AS ra,
+        |    rank() OVER (ORDER BY CAST(ntok AS DOUBLE) DESC) AS rb
+        |  FROM d)
+        |SELECT doc_id, ra AS rank_n_chars, rb AS rank_n_tokens,
+        |  round(1.0 / (60.0 + ra) + 1.0 / (60.0 + rb), 8) AS rrf
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // identical md5-ordered before-budget window; crossing row included
+    "q161_token_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS n_tokens
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |b AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 700
+        |      ELSE 800 END AS budget,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bef
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM b WHERE bef < budget GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // block id: mod-16 of the 15-hex-digit md5 prefix ≡ that prefix's
+    // 15th character; identical weighted combine + block-mean stddev
+    "q162_block_ci" ->
+      """WITH blk AS (
+        |  SELECT strpos('0123456789abcdef',
+        |      substr(md5(CAST(l_orderkey AS VARCHAR)), 15, 1)) - 1 AS b,
+        |    l_extendedprice AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |per AS (SELECT b, count(*) AS n, avg(x) AS m FROM blk GROUP BY b),
+        |s AS (
+        |  SELECT sum(m * n) / sum(n) AS mean,
+        |    stddev_samp(m) / sqrt(count(*)) AS se,
+        |    CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_blocks
+        |  FROM per)
+        |SELECT round(mean, 4) AS mean, round(se, 4) AS se,
+        |  round(mean - 1.96 * se, 4) AS ci_lo,
+        |  round(mean + 1.96 * se, 4) AS ci_hi,
+        |  n_rows, n_blocks
+        |FROM s""".stripMargin
   )
 }

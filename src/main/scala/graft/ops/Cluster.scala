@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** K-means over an embedding column — the clustering pass a curation
+  * pipeline runs to diversify/tier a corpus (cluster-balanced sampling,
+  * per-cluster quality cuts, semantic dedup at coarse granularity).
+  *
+  * Lloyd's iterations, Spark-first:
+  *  - centroids are DRIVER state (k×dim doubles — tiny), pushed into each
+  *    assignment pass as array LITERALS, so the distance kernel is the
+  *    codegen'd native `array_dot` ([[graft.functions.ArrayDot]]) against
+  *    a constant and the whole assignment stage is one narrow projection;
+  *  - argmin is `array_min` over (distance, cluster) structs —
+  *    lexicographic struct order gives deterministic smallest-id
+  *    tie-breaks, no UDF;
+  *  - the update is ONE (cluster, dimension) aggregation (posexplode →
+  *    partial sums map-side) plus ONE (cluster) aggregation for
+  *    sizes/inertia; k×dim rows return to the driver per iteration.
+  *
+  * Initialization is the k rows with smallest (md5(id), id) — a
+  * content-keyed deterministic draw (same rows on any partitioning/engine),
+  * the repo's standard determinism device (capPerKey, splits). Distances
+  * use ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² with ‖x‖² computed once per row.
+  *
+  * The input projection is persisted (MEMORY_AND_DISK) for the iteration
+  * loop and unpersisted before returning; the returned assignment frame
+  * re-derives from the source lineage with the final centroids (one more
+  * scan when consumed).
+  */
+object Cluster {
+
+  final case class KMeansResult(assignments: DataFrame,
+      centroids: Array[Array[Double]], inertia: Double, iterations: Int)
+
+  /** @param df     input with an id column and an array<float|double> column
+    * @param k      cluster count (driver holds k×dim doubles)
+    * @param maxIter Lloyd iteration cap
+    * @param tol    stop when no centroid moved more than `tol` (L∞)
+    * @return assignments (input columns + cluster, dist2), final centroids,
+    *         total inertia (Σ min-dist²), iterations run
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 10, tol: Double = 1e-9): KMeansResult = {
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val base = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__xx", call_function("array_dot", col("__x"), col("__x")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = base
+        .orderBy(md5(col("__id").cast("string").cast("binary")), col("__id"))
+        .limit(k)
+        .select("__x").collect().map(_.getSeq[Double](0).toArray)
+      require(centroids.length == k, s"fewer than $k non-null vectors")
+
+      // partial distance to centroid j (‖x‖² added once, outside the argmin
+      // — it shifts every distance equally)
+      def partialDist(c: Array[Double]) =
+        lit(-2.0) * call_function("array_dot", col("__x"),
+          typedLit(c.toSeq)) + lit(c.map(v => v * v).sum)
+      def clusterCol(cs: Array[Array[Double]]) =
+        array_min(array(cs.zipWithIndex.map { case (c, j) =>
+          struct(partialDist(c).as("d"), lit(j).as("c"))
+        }: _*))
+
+      var iters = 0
+      var inertia = 0.0
+      var converged = false
+      while (iters < maxIter && !converged) {
+        val assigned = base.withColumn("__best", clusterCol(centroids))
+          .select(col("__id"), col("__x"), col("__xx"),
+            col("__best.c").as("__c"), col("__best.d").as("__d"))
+        // update: per-(cluster, dim) sums — map-side partials, k×dim rows out
+        val dimSums = assigned
+          .select(col("__c"), posexplode(col("__x")).as(Seq("__p", "__v")))
+          .groupBy("__c", "__p").agg(sum("__v").as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val sizesInertia = assigned.groupBy("__c")
+          .agg(sum(col("__xx") + col("__d")).as("__i"))
+          .collect()
+        inertia = sizesInertia.map(_.getDouble(1)).sum
+        val next = centroids.zipWithIndex.map { case (old, j) =>
+          val dims = dimSums.filter(_.getInt(0) == j)
+          if (dims.isEmpty) old // empty cluster keeps its centroid
+          else {
+            val c = old.clone()
+            dims.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            c
+          }
+        }
+        converged = centroids.zip(next).forall { case (a, b) =>
+          a.zip(b).forall { case (u, v) => math.abs(u - v) <= tol }
+        }
+        centroids = next
+        iters += 1
+      }
+
+      val assignments = df
+        .withColumn("__x0", col(vecCol).cast("array<double>"))
+        .filter(col("__x0").isNotNull)
+        .withColumn("__xx0",
+          call_function("array_dot", col("__x0"), col("__x0")))
+        .withColumn("__best", array_min(array(
+          centroids.zipWithIndex.map { case (c, j) =>
+            struct((lit(-2.0) * call_function("array_dot", col("__x0"),
+              typedLit(c.toSeq)) + lit(c.map(v => v * v).sum)).as("d"),
+              lit(j).as("c"))
+          }: _*)))
+        .withColumn("cluster", col("__best.c"))
+        .withColumn("dist2", greatest(col("__xx0") + col("__best.d"), lit(0.0)))
+        .drop("__x0", "__xx0", "__best")
+      KMeansResult(assignments, centroids, inertia, iters)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Pairwise cosine similarity between per-label embedding centroids —
+    * the label-confusion geometry check (which classes/clusters sit close
+    * in embedding space, which sources overlap semantically).
+    *
+    * ONE (label, dimension) aggregation reduces the data (map-side
+    * partials; |labels|×dim rows out); everything after — norms, the
+    * label_a < label_b pair join, the dot products — is arithmetic on
+    * that tiny frame.
+    *
+    * @return (label_a, label_b, cos) for label_a < label_b
+    */
+  def labelCentroidCosine(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val dims = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__v")))
+      .groupBy("label", "__p").agg(avg("__v").as("__m"))
+    val norms = dims.groupBy("label")
+      .agg(sum(col("__m") * col("__m")).as("__n2"))
+    val a = dims.select(col("label").as("label_a"), col("__p"),
+      col("__m").as("__ma"))
+    val b = dims.select(col("label").as("label_b"), col("__p"),
+      col("__m").as("__mb"))
+    a.join(b, Seq("__p")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("__ma") * col("__mb")).as("__dot"))
+      .join(norms.select(col("label").as("label_a"),
+        col("__n2").as("__na")), "label_a")
+      .join(norms.select(col("label").as("label_b"),
+        col("__n2").as("__nb")), "label_b")
+      .withColumn("cos", col("__dot") / sqrt(col("__na") * col("__nb")))
+      .select("label_a", "label_b", "cos")
+  }
+}

@@ -62,4 +62,28 @@ object Normalize {
         (col("__cnt_cum").cast("double") / col("__n")).as(outputCol))
     df.join(mapped, x <=> col("__v")).drop("__v")
   }
+
+  /** Winsorization: clamp into the [pLo, pHi] exact interpolated
+    * percentile interval — the standard outlier-limiting transform before
+    * moment-based statistics. Exact `percentile` is a sort-based
+    * aggregation (the q33 trade — the right oracle twin); pass
+    * `approx = true` for the bounded-memory `percentile_approx` sketch at
+    * extreme scale (the q58 pattern: same shape, rows-only guarantees).
+    * One aggregation to a one-row bounds frame, broadcast, pure clamp
+    * projection.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.01,
+      pHi: Double = 0.99, outputCol: String = "w",
+      approx: Boolean = false): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds [$pLo, $pHi]")
+    val x = col(valueCol).cast("double")
+    val (qLo, qHi) =
+      if (approx) (percentile_approx(x, lit(pLo), lit(10000)),
+        percentile_approx(x, lit(pHi), lit(10000)))
+      else (percentile(x, lit(pLo)), percentile(x, lit(pHi)))
+    val bounds = df.agg(qLo.as("__lo"), qHi.as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outputCol, least(greatest(x, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

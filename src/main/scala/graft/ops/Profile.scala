@@ -91,4 +91,35 @@ object Profile {
           (first(col("__n")).cast("double") * first(col("__st")))).as("gini"),
         first(col("__n")).as("n_rows"))
   }
+
+  /** Fixed-width histogram over [lo, hi): `bins` equal buckets plus
+    * underflow (bin −1) and overflow (bin `bins`) rows when such values
+    * exist. Bin id = floor((x−lo)/w) with the hi endpoint clamped into the
+    * last bucket (standard right-open convention). ONE groupBy(bin)
+    * shuffle of int keys — the frame any distribution plot, drift check or
+    * binned statistic starts from; pair with `approxQuantile` upstream
+    * when [lo, hi) is unknown (the q138 pattern).
+    *
+    * @return (bin, bin_lo, bin_hi, n) ordered by bin; NULL values excluded
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"need bins >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val x = col(valueCol).cast("double")
+    val w = (hi - lo) / bins
+    val bin = when(x < lo, lit(-1))
+      .when(x >= hi, lit(bins))
+      .otherwise(least(floor((x - lo) / w).cast("int"), lit(bins - 1)))
+    df.filter(x.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        when(col("bin") === -1, lit(Double.NegativeInfinity))
+          .otherwise(lit(lo) + col("bin") * w))
+      .withColumn("bin_hi",
+        when(col("bin") === bins, lit(Double.PositiveInfinity))
+          .otherwise(lit(lo) + (col("bin") + 1) * w))
+      .select("bin", "bin_lo", "bin_hi", "n")
+  }
 }

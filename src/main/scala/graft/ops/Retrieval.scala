@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval and corpus-statistics scoring over a document table —
+  * the search-and-curation side of a training-data pipeline: BM25 keyword
+  * scoring, unigram-surprisal quality scoring, and reciprocal-rank fusion
+  * of independent rankings.
+  *
+  * Scale shape, per operator:
+  *  - [[bm25]] filters the exploded token stream to the query's terms
+  *    BEFORE any shuffle, so only matching (doc, term) pairs move; the
+  *    document-frequency frame is |query|-sized and broadcast.
+  *  - [[surprisal]] shuffles (term) counts once and (doc, term) pairs once
+  *    — the same shape as TextOps.tfIdf; the vocabulary join is left to
+  *    AQE (vocab-sized, usually broadcast at runtime size).
+  *  - [[rrf]] never runs an unpartitioned `row_number` window: each
+  *    ranking is a distinct-value collapse + the two-level
+  *    [[Cumulative]] prefix pass (min-rank = n − #rows ≤ v + 1), so the
+  *    only single-task pass is bucket-count-sized.
+  */
+object Retrieval {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Okapi BM25 score of every document against a bag of query terms.
+    *
+    * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene's non-negative
+    * variant). Documents sharing no term with the query are omitted.
+    *
+    * @return (id, n_terms_hit, score) — callers rank/limit on a rounded
+    *         score grid (the per-doc sum is a ≤|query|-term float add,
+    *         so cross-engine comparison needs a grid)
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("__t"))
+      .withColumn("__len", size(col("__t")).cast("double"))
+    // one-row corpus stats: N and average document length
+    val stats = base.agg(count(lit(1)).as("__n"), avg("__len").as("__avgdl"))
+    // explode → filter to query terms BEFORE the shuffle: only hits move
+    val tf = base.select(col("id"), col("__len"),
+        explode(col("__t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "__len", "term").agg(count(lit(1)).as("tf"))
+    // document frequency per query term: ≤ |query| rows — broadcast
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__s",
+        col("__idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__len") / col("__avgdl"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("__s").as("score"))
+  }
+
+  /** Mean unigram surprisal per document: −(1/|D|) Σ_t tf(t,D)·ln p(t),
+    * p(t) = corpus count of t / total tokens. High surprisal = rare
+    * vocabulary (or noise); low = boilerplate/stop-heavy text — a cheap
+    * corpus-relative quality signal needing no external model.
+    *
+    * @return (id, n_tokens, surprisal)
+    */
+  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy("term").agg(sum("tf").as("ctf"))
+    val total = ctf.agg(sum("ctf").as("__tot"))
+    // vocab-sized term join: strategy left to AQE (measured-size broadcast)
+    tf.join(ctf, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"),
+        (-sum(col("tf") * log(col("ctf").cast("double") / col("__tot"))) /
+          sum("tf")).as("surprisal"))
+  }
+
+  /** Reciprocal-rank fusion of independent per-document rankings:
+    * rrf(D) = Σ_c 1/(k + rank_c(D)), each ranking DESCENDING on its
+    * column with competition ("min") ranks — ties share the smallest rank,
+    * matching SQL `rank() OVER (ORDER BY c DESC)`.
+    *
+    * Ranks come from a distinct-value collapse + the two-level
+    * [[Cumulative]] pass (rank = n − #rows ≤ v + 1), never an
+    * unpartitioned window; each rank map joins back under AQE strategy
+    * choice.
+    *
+    * @return input plus `rank_<c>` per ranking column and `rrf`
+    */
+  def rrf(df: DataFrame, rankCols: Seq[String], k: Int = 60,
+      outputCol: String = "rrf"): DataFrame = {
+    require(rankCols.nonEmpty, "need at least one ranking column")
+    val ranked = rankCols.foldLeft(df) { (d, c) =>
+      val byV = d.select(col(c).cast("double").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+      val cum = Cumulative.runningSums(byV, "__v", Seq("__cnt"))
+      val total = byV.agg(sum("__cnt").as("__n"))
+      val rankMap = cum.crossJoin(broadcast(total))
+        .select(col("__v"),
+          (col("__n") - col("__cnt_cum") + 1L).as(s"rank_$c"))
+      d.join(rankMap, col(c).cast("double") <=> col("__v")).drop("__v")
+    }
+    ranked.withColumn(outputCol,
+      rankCols.map(c => lit(1.0) / (lit(k.toDouble) + col(s"rank_$c")))
+        .reduce(_ + _))
+  }
+
+  /** Class-based TF-IDF (BERTopic's c-TF-IDF): treat each class as ONE
+    * meta-document and rank the terms that characterize it —
+    * W(t,c) = tf(t,c) · ln(1 + A / f(t)), A = average tokens per class,
+    * f(t) = corpus frequency of t. The go-to "what is this
+    * cluster/source/label about" summary after clustering or labeling a
+    * corpus.
+    *
+    * One (label, term) count shuffle; f(t) and A are aggregations OF that
+    * frame (vocab-sized, one-row); top-k per class is a window keyed by
+    * label, ordered on a `scoreDigits` grid (term tie-break) so the
+    * selected rows are engine-stable.
+    *
+    * @return (label, term, tf, score, rn) for rn ≤ topK
+    */
+  def classTfIdf(df: DataFrame, labelCol: String, textCol: String,
+      topK: Int = 10, scoreDigits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(labelCol).as("label"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("tf"))
+    val f = tf.groupBy("term").agg(sum("tf").as("__f"))
+    val a = tf.agg((sum("tf").cast("double") /
+      countDistinct("label")).as("__a"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(f, "term")
+      .crossJoin(broadcast(a))
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + col("__a") / col("__f")),
+          scoreDigits))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select("label", "term", "tf", "score", "rn")
+  }
+}

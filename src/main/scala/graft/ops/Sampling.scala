@@ -188,4 +188,109 @@ object Sampling {
       .filter(col("__before") < lit(p) * col("__total"))
       .drop("__before", "__total")
   }
+
+  /** Token-budget selection: within each key (source/domain), keep rows in
+    * md5(id) order until the running token total reaches that key's
+    * budget — the "draw B tokens from this source" primitive a data mix
+    * executes after [[mixtureWeights]] has decided the budgets. A row is
+    * kept while the tokens STRICTLY BEFORE it are < budget, so the row
+    * crossing the budget line is the last one in (and a key always
+    * contributes ≥ 1 row) — the same boundary rule as [[topPMass]].
+    *
+    * ONE keyed window shuffle; md5-order selection makes the subset a
+    * stable uniform-ish draw, not scan order, and identical on any
+    * engine/partitioning.
+    *
+    * @param budgets (key → token budget); keys absent from the map are
+    *                dropped (a mix only reads the sources it budgets)
+    */
+  def tokenBudget(df: DataFrame, keyCol: String, idCol: String,
+      tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "empty budget map")
+    val s = df.sparkSession
+    import s.implicits._
+    val b = budgets.toSeq.toDF(keyCol + "_b", "__budget")
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.join(broadcast(b), col(keyCol) === col(keyCol + "_b"))
+      .drop(keyCol + "_b")
+      .withColumn("__before", coalesce(sum(col(tokensCol)).over(
+        win.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter(col("__before") < col("__budget"))
+      .drop("__before", "__budget")
+  }
+
+  /** Temporal train/val/test split: rows are labeled by WHERE their
+    * timestamp falls in the time distribution — train = earliest
+    * `cuts(0)._2` fraction, and so on — the leakage-safe split for
+    * forecasting/ranking data where a random split would let the future
+    * into training. The boundary is the timestamp's ECDF (P(X ≤ x), ties
+    * share one value — SQL `cume_dist`), computed scale-safely: epoch
+    * MICROSECONDS (exact longs, no double-seconds precision cliff),
+    * distinct-collapse + the two-level [[Cumulative]] pass, value join
+    * left to AQE. A row goes to the FIRST split whose cumulative fraction
+    * covers its ECDF, so fractions that don't sum to 1 leave a tail in
+    * the last split.
+    *
+    * @param cuts (label, fraction) in time order, fractions summing to 1
+    */
+  def temporalSplit(df: DataFrame, tsCol: String,
+      cuts: Seq[(String, Double)], outputCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty, "empty cuts")
+    require(math.abs(cuts.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val e = unix_micros(col(tsCol))
+    val byV = df.select(e.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__cnt"))
+    val withCum = Cumulative.runningSums(byV, "__v", Seq("__cnt"))
+    val total = byV.agg(sum("__cnt").as("__n"))
+    val mapped = withCum.crossJoin(broadcast(total))
+      .select(col("__v"),
+        (col("__cnt_cum").cast("double") / col("__n")).as("__ecdf"))
+    // cumulative thresholds on a 12-decimal grid: 0.7 + 0.2 in binary is
+    // 0.8999…, but an engine-side literal (and the oracle) writes 0.9 —
+    // snap so both sides compare ecdf against the identical double
+    val cum = cuts.scanLeft(0.0)(_ + _._2).tail
+      .map(c => BigDecimal(c).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val label = cuts.init.zip(cum.init).foldRight(
+      lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), c), rest) => when(col("__ecdf") <= c, name).otherwise(rest)
+    }
+    df.join(mapped, e <=> col("__v"))
+      .withColumn(outputCol, label)
+      .drop("__v", "__ecdf")
+  }
+
+  /** Disjoint-block subsample confidence interval ("bag of little means"):
+    * every row lands in exactly one of `blocks` md5-assigned blocks, the
+    * per-block means are computed in ONE grouped aggregation, and the
+    * spread of block means estimates the standard error of the overall
+    * mean — se = sd(block means)/√B for equal-sized random blocks. The
+    * one-pass, resample-free alternative to bootstrap at 100 TB: no data
+    * is read twice, no replicate weighting, and the block assignment is
+    * content-keyed so the interval is reproducible.
+    *
+    * @return one row (mean, se, ci_lo, ci_hi, n_rows, n_blocks) with a
+    *         normal-approximation `z`·se interval around the overall mean
+    */
+  def blockMeansCI(df: DataFrame, idCol: String, valueCol: String,
+      blocks: Int = 32, z: Double = 1.96): DataFrame = {
+    require(blocks >= 2, s"need blocks >= 2, got $blocks")
+    val x = col(valueCol).cast("double")
+    val blk = pmod(conv(substring(md5(col(idCol).cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long"), lit(blocks))
+    val per = df.filter(x.isNotNull)
+      .select(blk.as("__b"), x.as("__x"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"), avg("__x").as("__m"))
+    // B-row frame: overall mean weighted by block sizes (= exact overall
+    // mean), block-mean variance for the se
+    per.agg(
+      (sum(col("__m") * col("__n")) / sum("__n")).as("mean"),
+      (stddev_samp("__m") / sqrt(count(lit(1)))).as("se"),
+      sum("__n").as("n_rows"), count(lit(1)).as("n_blocks"))
+      .select(col("mean"), col("se"),
+        (col("mean") - lit(z) * col("se")).as("ci_lo"),
+        (col("mean") + lit(z) * col("se")).as("ci_hi"),
+        col("n_rows"), col("n_blocks"))
+  }
 }

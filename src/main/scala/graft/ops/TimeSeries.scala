@@ -177,4 +177,64 @@ object TimeSeries {
     lagProducts.groupBy(col(keyCol).as("key"), col("lag"))
       .agg((sum("prod") / first("acf_ss")).as("r"), first("acf_n").as("n"))
   }
+
+  /** Exponentially weighted moving average with a FINITE kernel: per key,
+    * ewma_t = Σ_{j=0..L} (1−α)^j · x_{t−j} / Σ_{j∈present} (1−α)^j —
+    * normalized over the lags that exist, so the series start is the
+    * partial-kernel average (pandas `ewm(adjust=True)` semantics
+    * truncated at L). The infinite recursion E_t = αx_t + (1−α)E_{t−1}
+    * is inherently sequential per key; the truncated kernel is the
+    * distributed form — (1−α)^j < 1e−16 terms are below double
+    * resolution anyway, so choose L ≥ ln(1e−16)/ln(1−α) for
+    * full-precision agreement. The fixed lag ladder stays inside
+    * whole-stage codegen: ONE keyed window shuffle, L+1 lag columns,
+    * fixed-order arithmetic identical on any engine.
+    *
+    * @param lookback L, the kernel cut (compile-time column count — keep
+    *                 it tens, not thousands)
+    * @return input plus `<out>` (the EWMA) per row
+    */
+  def ewmaKernel(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double, lookback: Int = 20,
+      outputCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    require(lookback >= 0, s"need lookback >= 0, got $lookback")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val x = col(valueCol).cast("double")
+    // fixed-order pairwise chain: num and den fold j = 0..L left-to-right,
+    // so both engines evaluate the identical expression tree
+    val terms = (0 to lookback).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      val xj = if (j == 0) x else lag(x, j).over(w)
+      (when(xj.isNotNull, xj * wj), when(xj.isNotNull, lit(wj)))
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+    val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
+    df.withColumn(outputCol, when(den > 0, num / den))
+  }
+
+  /** Two-window mean-shift change score: per key and row t,
+    * score_t = |mean(x_{t−w..t−1}) − mean(x_{t..t+w−1})| — the classic
+    * sliding split statistic; local maxima above a threshold are change
+    * points. Rows without a FULL window on both sides score NULL (edges
+    * are not comparable). ONE keyed window shuffle, two frame sums,
+    * codegen'd.
+    *
+    * @return input plus `score` = |right mean − left mean|
+    */
+  def changeScore(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, window: Int,
+      outputCol: String = "score"): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val x = col(valueCol).cast("double")
+    val base = Window.partitionBy(keyCol).orderBy(orderCol)
+    val left = base.rowsBetween(-window, -1)
+    val right = base.rowsBetween(0, window - 1)
+    df.withColumn("__ln", count(x).over(left))
+      .withColumn("__rn", count(x).over(right))
+      .withColumn(outputCol,
+        when(col("__ln") === window && col("__rn") === window,
+          abs(sum(x).over(right) / window - sum(x).over(left) / window)))
+      .drop("__ln", "__rn")
+  }
 }

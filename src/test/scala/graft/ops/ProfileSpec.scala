@@ -101,4 +101,24 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(c.getDouble(0) - a) < 1e-12)
     assert(c.getLong(1) === 500L)
   }
+
+  test("histogram: closed case with underflow/overflow bins and edges") {
+    val df = Seq(-1.0, 0.0, 0.5, 1.0, 2.5, 5.0, 7.0).toDF("x")
+    val out = Profile.histogram(df, "x", lo = 0.0, hi = 5.0, bins = 5)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(-1) === ((Double.NegativeInfinity, 0.0, 1L)))
+    assert(out(0) === ((0.0, 1.0, 2L)))   // 0.0, 0.5
+    assert(out(1) === ((1.0, 2.0, 1L)))
+    assert(out(2) === ((2.0, 3.0, 1L)))
+    assert(out(5) === ((5.0, Double.PositiveInfinity, 2L))) // 5.0, 7.0
+    assert(!out.contains(3) && !out.contains(4), "empty bins are absent")
+  }
+
+  test("histogram: counts sum to non-null rows; nulls excluded") {
+    val df = Seq(Some(1.0), Some(2.0), None, Some(3.0)).toDF("x")
+    val out = Profile.histogram(df, "x", 0.0, 4.0, 4)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0) === 3L)
+  }
 }

