@@ -2084,6 +2084,47 @@ object SparkEntry {
       res.assignments.groupBy("cluster")
         .agg(count(lit(1)).as("n"))
         .orderBy("cluster")
+    }),
+
+    // average precision (step-wise PR-curve area, sklearn convention):
+    // same reduction shape as q127 — one score-grouped pass + the
+    // two-level cumulative; the only float sum is over the 11-row
+    // distinct-score frame, rounded at 6
+    "q164_pr_auc" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_discount").as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.averagePrecision(d, "s", "y")
+        .select(r(col("ap"), 6).as("ap"), col("n_pos"), col("n"))
+    }),
+
+    // confusion-matrix metrics at three thresholds in ONE scan; every
+    // metric is a single division of integral counts (mirrored formula
+    // text in the oracle so the IEEE path is identical — no rounding)
+    "q165_threshold_metrics" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") * 10.0).as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.thresholdMetrics(d, "s", "y", Seq(0.25, 0.5, 0.75))
+        .orderBy("threshold")
+    }),
+
+    // Mann–Whitney U between returned and accepted prices: integral
+    // doubled numerator + tie-corrected z off one distinct-value pass
+    "q166_mann_whitney" -> ((s, dir) => {
+      Hypothesis.mannWhitney(t(s, dir, "lineitem"), "l_extendedprice",
+          "l_returnflag", "R", "A")
+        .select(col("u_stat"), r(col("z_stat"), 6).as("z_stat"),
+          col("n_a"), col("n_b"))
+    }),
+
+    // Benjamini–Hochberg q-values over the 11-level pseudo-p column
+    // (10× discount): per-row rational arithmetic on integral ranks —
+    // bit-identical across engines, no rounding; suffix min runs as the
+    // descending two-level cumulative pass
+    "q167_bh_fdr" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select((col("l_discount") * 10.0).as("pv"))
+      Hypothesis.bhAdjust(d, "pv")
+        .orderBy("p_value")
     })
   )
 
@@ -4673,6 +4714,91 @@ object SparkEntry {
         |  round(mean - 1.96 * se, 4) AS ci_lo,
         |  round(mean + 1.96 * se, 4) AS ci_hi,
         |  n_rows, n_blocks
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // step-wise AP: at-or-above cumulatives from the ascending prefix and
+    // the grand totals, identical rational term per distinct score
+    "q164_pr_auc" ->
+      """WITH d AS (
+        |  SELECT l_discount AS s, CAST(l_quantity > 25 AS INT) AS y
+        |  FROM lineitem),
+        |bs AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS p, count(*) AS c
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT p, c,
+        |    sum(p) OVER () - (sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - p) AS tp,
+        |    sum(c) OVER () - (sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c) AS tot,
+        |    sum(p) OVER () AS pt, sum(c) OVER () AS ct
+        |  FROM bs)
+        |SELECT round(sum(p * tp / (tot * CAST(pt AS DOUBLE))), 6) AS ap,
+        |  CAST(max(pt) AS BIGINT) AS n_pos, CAST(max(ct) AS BIGINT) AS n
+        |FROM c""".stripMargin,
+
+    // one conditional-count row per threshold; every metric mirrors the
+    // Spark formula text exactly (tp/pp, tp/p, 2·tp/(pp+p), (tp+tn)/n) so
+    // the single-division IEEE path is identical — no rounding
+    "q165_threshold_metrics" ->
+      """WITH d AS (
+        |  SELECT l_discount * 10.0 AS s, CAST(l_quantity > 25 AS INT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT t.threshold,
+        |    CAST(sum(CASE WHEN s >= t.threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+        |    CAST(sum(y) AS BIGINT) AS p_tot, count(*) AS n_tot
+        |  FROM d CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+        |  GROUP BY 1)
+        |SELECT threshold, tp, pp - tp AS fp, p_tot - tp AS fn,
+        |  n_tot - pp - (p_tot - tp) AS tn,
+        |  tp / CAST(pp AS DOUBLE) AS precision,
+        |  tp / CAST(p_tot AS DOUBLE) AS recall,
+        |  2.0 * tp / (pp + p_tot) AS f1,
+        |  (tp + (n_tot - pp - (p_tot - tp))) / CAST(n_tot AS DOUBLE) AS accuracy
+        |FROM m ORDER BY threshold""".stripMargin,
+
+    // identical doubled-U numerator + tie-corrected variance arithmetic
+    "q166_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT l_extendedprice AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+        |c AS (
+        |  SELECT ca, cb, ca + cb AS t,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cb AS nb_below
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(sum(ca * (2 * nb_below + cb)) AS BIGINT) AS u2,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM c)
+        |SELECT u2 / 2.0 AS u_stat,
+        |  round((u2 / 2.0 - na * nb / 2.0) /
+        |    sqrt(na * nb / 12.0 * ((na + nb + 1) - tie3 /
+        |      ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat,
+        |  na AS n_a, nb AS n_b
+        |FROM s""".stripMargin,
+
+    // identical p·m/rank terms (largest rank per tie group = inclusive
+    // cumulative count), suffix min over descending p, cap at 1
+    "q167_bh_fdr" ->
+      """WITH d AS (SELECT l_discount * 10.0 AS pv FROM lineitem),
+        |bp AS (
+        |  SELECT CAST(pv AS DOUBLE) AS p_value, count(*) AS n_tests_at_p
+        |  FROM d GROUP BY 1),
+        |rk AS (
+        |  SELECT p_value, n_tests_at_p,
+        |    sum(n_tests_at_p) OVER () AS m,
+        |    sum(n_tests_at_p) OVER (ORDER BY p_value
+        |      ROWS UNBOUNDED PRECEDING) AS rnk
+        |  FROM bp),
+        |c AS (
+        |  SELECT p_value, n_tests_at_p, p_value * m / rnk AS c
+        |  FROM rk)
+        |SELECT p_value, CAST(n_tests_at_p AS BIGINT) AS n_tests_at_p,
+        |  least(1.0, min(c) OVER (ORDER BY p_value DESC
+        |    ROWS UNBOUNDED PRECEDING)) AS q_value
+        |FROM c ORDER BY p_value""".stripMargin
   )
 }

@@ -65,6 +65,76 @@ object Eval {
           count(lit(1))).as("frac_pos"))
   }
 
+  /** Average precision (area under the precision–recall curve by the
+    * step-wise threshold sum, sklearn's `average_precision_score`
+    * convention): walking thresholds down the distinct scores,
+    *
+    *   AP = Σ_s (p_s / P) · TP_s / (TP_s + FP_s)
+    *
+    * where p_s is the positive count AT score s and TP_s / FP_s are the
+    * positive/negative counts at or ABOVE s. Same shape as [[auc]]: ONE
+    * groupBy(score) shuffle, then the two-level [[graft.ops.Cumulative]]
+    * prefix pass over the distinct-score frame — descending cumulatives
+    * come from the ascending pass and the grand totals, so no second
+    * sort order is needed. Per-term arithmetic is a fixed rational
+    * expression of integral counts; only the final Σ over distinct scores
+    * reassociates, so callers round AP like any distributed float sum.
+    *
+    * @return a single row (ap, n_pos, n)
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("c"))
+    val totals = byScore.agg(sum("p").as("pt"), sum("c").as("ct"))
+    graft.ops.Cumulative.runningSums(byScore, "s", Seq("p", "c"))
+      .crossJoin(broadcast(totals))
+      // at-or-above counts: total minus the strictly-below prefix
+      .withColumn("tp", col("pt") - (col("p_cum") - col("p")))
+      .withColumn("tot", col("ct") - (col("c_cum") - col("c")))
+      .agg(sum(col("p") * col("tp") /
+          (col("tot") * col("pt").cast("double"))).as("ap"),
+        max(col("pt")).as("n_pos"), max(col("ct")).as("n"))
+  }
+
+  /** Confusion-matrix metrics for a LIST of decision thresholds in ONE
+    * scan: per threshold τ the rule is positive ⇔ score ≥ τ. The single
+    * aggregation emits (TP, predicted-positive) per τ plus the global
+    * (P, n); FP/FN/TN and precision/recall/F1/accuracy are arithmetic on
+    * that one row, inline-unpivoted to a |thresholds|-row frame. No
+    * per-threshold pass, no data-sized shuffle — one map-side-combined
+    * scalar agg whatever the threshold count.
+    *
+    * @return (threshold, tp, fp, fn, tn, precision, recall, f1, accuracy),
+    *         one row per threshold, in input threshold order
+    */
+  def thresholdMetrics(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val pos = col(labelCol) === 1
+    val aggCols = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col(scoreCol) >= t && pos, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(col(scoreCol) >= t, 1L).otherwise(0L)).as(s"pp_$i"))
+    } ++ Seq(sum(when(pos, 1L).otherwise(0L)).as("p_tot"),
+      count(lit(1)).as("n_tot"))
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"pp_$i").as("pp"))
+    }
+    one.select(inline(array(rows: _*)), col("p_tot"), col("n_tot"))
+      .withColumn("fp", col("pp") - col("tp"))
+      .withColumn("fn", col("p_tot") - col("tp"))
+      .withColumn("tn", col("n_tot") - col("pp") - col("fn"))
+      .withColumn("precision", col("tp") / col("pp").cast("double"))
+      .withColumn("recall", col("tp") / col("p_tot").cast("double"))
+      .withColumn("f1", lit(2.0) * col("tp") / (col("pp") + col("p_tot")))
+      .withColumn("accuracy", (col("tp") + col("tn")) / col("n_tot").cast("double"))
+      .select("threshold", "tp", "fp", "fn", "tn",
+        "precision", "recall", "f1", "accuracy")
+  }
+
   /** [[calibration]] for UNBOUNDED / unknown-range scores: bin edges are
     * the approximate score quantiles (GK sketch via `approxQuantile` — one
     * extra distributed pass, nBins−1 doubles to the driver), so every bin

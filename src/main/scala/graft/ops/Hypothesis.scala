@@ -117,6 +117,72 @@ object Hypothesis {
         col("n_a"), col("n_b"))
   }
 
+  /** Mann–Whitney U test (Wilcoxon rank-sum) between groups `a` and `b`,
+    * with the tie-corrected normal approximation:
+    *
+    *   U_a = Σ_v c_a(v) · (N_below(v) + c_b(v)/2)
+    *   z   = (U_a − n_a·n_b/2) /
+    *         sqrt(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    *
+    * where t runs over pooled tie-group sizes. The same reduction shape as
+    * [[ksTest]]: ONE groupBy(value) shuffle, the two-level [[Cumulative]]
+    * prefix pass over the distinct-value frame, and a doubled integral U
+    * numerator (Σ c_a·(2·N_below + c_b)) so the statistic is exact — the
+    * one halving division happens at the end. The p-value is left to the
+    * caller (spec checks z against commons-math3's normal tail).
+    *
+    * @return one row (u_stat, z_stat, n_a, n_b)
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val inA = col(groupCol) === a
+    val byV = df.filter(both(groupCol, a, b))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(!inA, 1L).otherwise(0L)).as("cb"))
+    Cumulative.runningSums(byV, "v", Seq("cb"))
+      .withColumn("nb_below", col("cb_cum") - col("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+      .agg(sum(col("ca") * (lit(2) * col("nb_below") + col("cb"))).as("u2"),
+        sum("ca").as("na"), sum("cb").as("nb"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .select((col("u2") / lit(2.0)).as("u_stat"),
+        ((col("u2") / lit(2.0) - col("na") * col("nb") / lit(2.0)) /
+          sqrt(col("na") * col("nb") / lit(12.0) *
+            ((col("na") + col("nb") + 1) - col("tie3") /
+              ((col("na") + col("nb")) * (col("na") + col("nb") - lit(1.0))))))
+          .as("z_stat"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment: for p-values sorted
+    * ascending with 1-based ranks i over m tests,
+    *
+    *   q_(i) = min(1, min_{j ≥ i} m·p_(j)/j)
+    *
+    * Computed entirely on the DISTINCT-p frame: groupBy(p) → counts, the
+    * ascending [[Cumulative]] prefix pass gives each tie group its LARGEST
+    * rank (which is exactly the rank whose m·p/j survives the suffix min —
+    * tied p share one q), then the suffix min runs as the DESCENDING
+    * two-level [[Cumulative.runningMins]] pass. No unpartitioned
+    * data-sized window anywhere; every value is a fixed rational
+    * expression of integral counts, so rows hash bit-identically without
+    * rounding.
+    *
+    * @return (p_value, n_tests_at_p, q_value), one row per distinct p
+    */
+  def bhAdjust(df: DataFrame, pCol: String): DataFrame = {
+    val byP = df.groupBy(col(pCol).cast("double").as("p_value"))
+      .agg(count(lit(1)).as("n_tests_at_p"))
+    val totals = byP.agg(sum("n_tests_at_p").as("m"))
+    val ranked = Cumulative.runningSums(byP, "p_value", Seq("n_tests_at_p"))
+      .crossJoin(broadcast(totals))
+      .withColumn("c", col("p_value") * col("m") / col("n_tests_at_p_cum"))
+    Cumulative.runningMins(ranked, "p_value", Seq("c"), descending = true)
+      .select(col("p_value"), col("n_tests_at_p"),
+        least(lit(1.0), col("c_cummin")).as("q_value"))
+  }
+
   /** Spearman rank correlation between two numeric columns, with R's
     * average-rank tie convention.
     *

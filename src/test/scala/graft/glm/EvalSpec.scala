@@ -91,6 +91,49 @@ class EvalSpec extends SparkSpec {
     assert(chiSep > 10.0, s"chi2 = $chiSep")
   }
 
+  test("averagePrecision: closed cases and brute-force threshold-sweep parity") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(Eval.averagePrecision(perfect, "s", "y").head().getDouble(0) === 1.0)
+    // hand case: thresholds desc 0.9 (tp=1/tot=1), 0.8 (p=0), 0.7 (tp=2/tot=3)
+    // → AP = (1/2)·1 + (1/2)·(2/3) = 5/6
+    val mixed = Seq((0.9, 1), (0.8, 0), (0.7, 1)).toDF("s", "y")
+    assert(math.abs(Eval.averagePrecision(mixed, "s", "y").head().getDouble(0)
+      - 5.0 / 6.0) < 1e-12)
+
+    // brute force: walk distinct scores descending, AP = Σ ΔR·P — with ties
+    val rows = Seq(
+      (0.1, 0), (0.2, 1), (0.2, 0), (0.35, 0), (0.5, 1), (0.5, 0),
+      (0.5, 1), (0.8, 0), (0.9, 1), (0.9, 1))
+    val got = Eval.averagePrecision(rows.toDF("s", "y"), "s", "y").head()
+    val p = rows.count(_._2 == 1).toDouble
+    val brute = rows.map(_._1).distinct.sorted.reverse.map { thr =>
+      val above = rows.filter(_._1 >= thr)
+      val tpAt = rows.count(r => r._1 == thr && r._2 == 1)
+      tpAt / p * above.count(_._2 == 1) / above.size
+    }.sum
+    assert(math.abs(got.getDouble(0) - brute) < 1e-12)
+    assert(got.getLong(1) === rows.count(_._2 == 1).toLong)
+    assert(got.getLong(2) === rows.size.toLong)
+  }
+
+  test("thresholdMetrics: exact confusion counts and derived metrics") {
+    val df = Seq(
+      (0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.4, 0), (0.3, 1), (0.1, 0)
+    ).toDF("s", "y")
+    val out = Eval.thresholdMetrics(df, "s", "y", Seq(0.5, 0.65))
+      .orderBy("threshold").collect()
+    // τ=0.5: predicted pos = {0.9,0.8,0.7,0.6} → tp=3 fp=1; fn=1 tn=2
+    assert(out(0).getAs[Long]("tp") === 3L && out(0).getAs[Long]("fp") === 1L)
+    assert(out(0).getAs[Long]("fn") === 1L && out(0).getAs[Long]("tn") === 2L)
+    assert(math.abs(out(0).getAs[Double]("precision") - 0.75) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("recall") - 0.75) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("f1") - 0.75) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("accuracy") - 5.0 / 7.0) < 1e-12)
+    // τ=0.65: predicted pos = {0.9,0.8,0.7} → tp=2 fp=1; fn=2 tn=2
+    assert(out(1).getAs[Long]("tp") === 2L && out(1).getAs[Long]("fp") === 1L)
+    assert(math.abs(out(1).getAs[Double]("f1") - 2.0 * 2 / (3 + 4)) < 1e-12)
+  }
+
   test("logRank matches a local reference on a censored closed case") {
     val data = Seq(
       ("a", 1.0, 1), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 5.0, 1),

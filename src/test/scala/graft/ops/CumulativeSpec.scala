@@ -88,4 +88,36 @@ class CumulativeSpec extends SparkSpec {
       }
     }
   }
+
+  test("two-level running min equals the single-window reference, both directions") {
+    val df = (1 to 499).map(i => (i * 11 % 503, (i % 17) * 0.25 - 1.0))
+      .toDF("v", "x")
+      .groupBy("v").agg(min("x").as("x"))
+    for (desc <- Seq(false, true)) {
+      val got = Cumulative.runningMins(df, "v", Seq("x"), descending = desc,
+          numPartitions = 7)
+        .collect().map(r => r.getAs[Int]("v") -> r.getAs[Double]("x_cummin")).toMap
+      val w = Window.orderBy(if (desc) col("v").desc else col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = df.select(col("v"), min("x").over(w).as("xm"))
+        .collect().map(r => r.getAs[Int]("v") -> r.getAs[Double]("xm")).toMap
+      assert(got.keySet === ref.keySet)
+      // min is fully associative/commutative, so parity is exact
+      ref.foreach { case (v, m) => assert(got(v) === m, s"v=$v desc=$desc") }
+    }
+  }
+
+  test("runningMins degenerate shapes") {
+    val one = Seq((5, 3.0)).toDF("v", "x")
+    assert(Cumulative.runningMins(one, "v", Seq("x"), numPartitions = 4)
+      .select("x_cummin").head().getDouble(0) === 3.0)
+    val few = Seq((1, 3.0), (2, 1.0), (3, 2.0)).toDF("v", "x")
+    val asc = Cumulative.runningMins(few, "v", Seq("x"), numPartitions = 8)
+      .orderBy("v").select("x_cummin").collect().map(_.getDouble(0))
+    assert(asc.toSeq === Seq(3.0, 1.0, 1.0))
+    val desc = Cumulative.runningMins(few, "v", Seq("x"), descending = true,
+        numPartitions = 8)
+      .orderBy("v").select("x_cummin").collect().map(_.getDouble(0))
+    assert(desc.toSeq === Seq(1.0, 1.0, 2.0))
+  }
 }

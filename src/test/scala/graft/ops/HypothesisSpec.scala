@@ -120,6 +120,62 @@ class HypothesisSpec extends SparkSpec {
       .getAs[Double]("rho") + 1.0) < 1e-12)
   }
 
+  test("mannWhitney: U equals the brute-force pairwise count with tie credit") {
+    val rows = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0), ("a", 7.0),
+      ("b", 2.0), ("b", 3.0), ("b", 3.0), ("b", 6.0), ("c", 99.0))
+    val got = row1(Hypothesis.mannWhitney(rows.toDF("g", "v"), "v", "g", "a", "b"))
+    val as = rows.filter(_._1 == "a").map(_._2)
+    val bs = rows.filter(_._1 == "b").map(_._2)
+    val brute = (for (x <- as; y <- bs)
+      yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    assert(got.getAs[Double]("u_stat") === brute)
+    assert(got.getAs[Long]("n_a") === as.size.toLong)
+    assert(got.getAs[Long]("n_b") === bs.size.toLong)
+    // tie-corrected z against the hand formula on the same pooled sample
+    val na = as.size.toDouble; val nb = bs.size.toDouble; val n = na + nb
+    val tie3 = (as ++ bs).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val refZ = (brute - na * nb / 2.0) /
+      math.sqrt(na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1))))
+    assert(math.abs(got.getAs[Double]("z_stat") - refZ) < 1e-12)
+  }
+
+  test("mannWhitney: symmetric samples give z = 0, shifted samples a signed z") {
+    val sym = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", i.toDouble))).toDF("g", "v")
+    assert(math.abs(row1(Hypothesis.mannWhitney(sym, "v", "g", "a", "b"))
+      .getAs[Double]("z_stat")) < 1e-12)
+    val shifted = ((1 to 20).map(i => ("a", i + 100.0)) ++
+      (1 to 20).map(i => ("b", i.toDouble))).toDF("g", "v")
+    assert(row1(Hypothesis.mannWhitney(shifted, "v", "g", "a", "b"))
+      .getAs[Double]("z_stat") > 3.0)
+  }
+
+  test("bhAdjust matches R's p.adjust(method = 'BH') on a tied closed case") {
+    // R: p.adjust(c(.01,.02,.04,.04,.3), 'BH') = .05 .05 .05 .05 .3
+    val df = Seq(0.01, 0.02, 0.04, 0.04, 0.3).toDF("p")
+    val out = Hypothesis.bhAdjust(df, "p").orderBy("p_value").collect()
+    assert(out.map(_.getAs[Double]("p_value")).toSeq ===
+      Seq(0.01, 0.02, 0.04, 0.3))
+    assert(out.map(_.getAs[Long]("n_tests_at_p")).toSeq === Seq(1L, 1L, 2L, 1L))
+    val q = out.map(_.getAs[Double]("q_value"))
+    assert(math.abs(q(0) - 0.05) < 1e-12 && math.abs(q(1) - 0.05) < 1e-12)
+    assert(math.abs(q(2) - 0.05) < 1e-12 && math.abs(q(3) - 0.3) < 1e-12)
+  }
+
+  test("bhAdjust: q is monotone in p, capped at 1, and q(max p) = max p · m/m") {
+    val ps = (1 to 200).map(i => ((i * 37) % 100 + 1) / 100.0)
+    val out = Hypothesis.bhAdjust(ps.toDF("p"), "p")
+      .orderBy("p_value").collect()
+    val q = out.map(_.getAs[Double]("q_value"))
+    q.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(0) <= w(1) + 1e-15, "q must be monotone in p") }
+    assert(q.forall(_ <= 1.0 + 1e-15))
+    // the largest p has rank m, so its raw c = p — before the cap
+    assert(math.abs(q.last - math.min(1.0, ps.max)) < 1e-12)
+  }
+
   test("spearman equals Spark's corr on the rank-transformed rows") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_quantity").cast("double").as("x"),
