@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Cluster, Colloc, Contingency, Dedup, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Normalize, Outliers, Pack, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Cluster, Colloc, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2125,6 +2125,101 @@ object SparkEntry {
       val d = t(s, dir, "lineitem").select((col("l_discount") * 10.0).as("pv"))
       Hypothesis.bhAdjust(d, "pv")
         .orderBy("p_value")
+    }),
+
+    // exact triangle count on the co-order part graph (every-3rd parts):
+    // the degree-ordered orientation bounds each out-neighborhood by
+    // O(√m), so wedge generation is O(m^1.5) not Σdeg² — all counts are
+    // exact integers, the one float (gcc) divides them once
+    "q168_triangles" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.join(lp.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v"))
+      Graph.triangleStats(edges)
+    }),
+
+    // interpolated Kneser–Ney bigram LM head: every count is an integer
+    // aggregate of ONE bigram-pair shuffle; p_kn is one fixed-order
+    // double expression, rounded to the 6-digit grid BEFORE the top-k
+    // cut so the selected set is engine-stable
+    "q169_kneser_ney" -> ((s, dir) => {
+      Ngram.kneserNeyBigrams(t(s, dir, "documents"), "text")
+        .filter(col("n_ab") >= 5)
+        .select(col("w1"), col("w2"), col("n_ab"),
+          r(col("p_kn"), 6).as("p_kn"))
+        .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
+    // per-document bigram perplexity under the corpus's own KN model —
+    // the LM-based quality score; the scoring join strategy is AQE's
+    // call (the model frame is |observed bigrams|-sized)
+    "q170_perplexity" -> ((s, dir) => {
+      Ngram.perplexity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // additive seasonal decomposition of the per-type hourly event
+    // series: integral-cents window sums (trend) and an exact-long
+    // detrended numerator (seasonal), so no summation order can move
+    // either — the only rounded floats divide exact integers
+    "q171_decompose" -> ((s, dir) => {
+      TimeSeries.decompose(events(s, dir), "event_type", "ts", "value",
+          period = 24, halfWindow = 12)
+        .orderBy("event_type", "bucket")
+    }),
+
+    // trailing 7-day per-user OLS slope on exact integer moments
+    // (x whole seconds from a fixed origin, y cents): the slope divides
+    // two exactly-computed longs, so NO rounding is needed — both
+    // engines produce the identical double
+    "q172_rolling_slope" -> ((s, dir) => {
+      TimeSeries.rollingSlope(events(s, dir), "user_id", "ts", "value",
+          windowUs = 7L * 86400 * 1000000, originUs = 1704067200000000L)
+        .select(col("event_id"), col("slope_n"), col("slope"))
+        .orderBy("event_id")
+    }),
+
+    // snapshot diff: old = orders, new = orders with keys ≡0 (mod 7)
+    // dropped, prices bumped on keys ≡0 (mod 5), and shifted copies of
+    // keys ≡0 (mod 11) added — ONE keyed full-outer shuffle classifies
+    // every key; the gate keeps the non-unchanged rows
+    "q173_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val n = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      Diff.tableDiff(o, n, Seq("o_orderkey"))
+        .filter(col("diff_status") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
+    // supervised vocabulary ranking: per-(term, language) 2×2 χ² over
+    // per-document DISTINCT term presence; the only data-sized shuffle
+    // is (term, class) doc counts, and χ² lands on the 6-digit grid
+    // with a term tiebreak BEFORE the per-class rank cut
+    "q174_term_class_chi2" -> ((s, dir) => {
+      Contingency.termClassChi2(t(s, dir, "documents"), "doc_id", "text",
+          "lang", minDocFreq = 20, topK = 10)
+        .orderBy("class", "rank")
+    }),
+
+    // McNemar on two paired rules over the same rows (discount>0.04 vs
+    // quantity>25): only the discordant counts carry information — one
+    // conditional-sum aggregation, χ² divides exact integers
+    "q175_mcnemar" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") > 0.04).as("a"), (col("l_quantity") > 25).as("b"))
+      Hypothesis.mcnemar(d, "a", "b")
     })
   )
 
@@ -4799,6 +4894,221 @@ object SparkEntry {
         |SELECT p_value, CAST(n_tests_at_p AS BIGINT) AS n_tests_at_p,
         |  least(1.0, min(c) OVER (ORDER BY p_value DESC
         |    ROWS UNBOUNDED PRECEDING)) AS q_value
-        |FROM c ORDER BY p_value""".stripMargin
+        |FROM c ORDER BY p_value""".stripMargin,
+
+    // same canonical-edge relation; the oracle counts triangles at the
+    // lowest-ID vertex (a < b < c three-way join) — orientation-free but
+    // provably the same count the degree-ordered Spark plan produces
+    "q168_triangles" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |base AS (
+        |  SELECT count(*) AS n_nodes,
+        |    CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+        |    CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+        |FROM base CROSS JOIN tri""".stripMargin,
+
+    // identical bigram relation and margin CTEs; p_kn phrased in the same
+    // operation order so the double is bit-identical before the round
+    "q169_kneser_ney" ->
+      """WITH d AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT t[g] AS w1, t[g + 1] AS w2
+        |  FROM d, UNNEST(generate_series(1, len(t) - 1)) AS s(g)),
+        |c AS (SELECT w1, w2, count(*) AS n_ab FROM b GROUP BY 1, 2),
+        |lm AS (SELECT w1, sum(n_ab) AS c_w1, count(*) AS n1_w1
+        |       FROM c GROUP BY 1),
+        |rm AS (SELECT w2, count(*) AS n1_w2 FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS n1_tot FROM c)
+        |SELECT c.w1, c.w2, c.n_ab,
+        |  round((c.n_ab - 0.75) / c_w1 + 0.75 * n1_w1 / c_w1 *
+        |    (CAST(n1_w2 AS DOUBLE) / n1_tot), 6) AS p_kn
+        |FROM c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+        |WHERE c.n_ab >= 5
+        |ORDER BY p_kn DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // the same KN model scored back over each document's bigrams; the
+    // per-doc mean is the only cross-engine-ordered float (round 6)
+    "q170_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t[g] AS w1, t[g + 1] AS w2
+        |  FROM d, UNNEST(generate_series(1, len(t) - 1)) AS s(g)),
+        |c AS (SELECT w1, w2, count(*) AS n_ab FROM b GROUP BY 1, 2),
+        |lm AS (SELECT w1, sum(n_ab) AS c_w1, count(*) AS n1_w1
+        |       FROM c GROUP BY 1),
+        |rm AS (SELECT w2, count(*) AS n1_w2 FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS n1_tot FROM c),
+        |p AS (
+        |  SELECT c.w1, c.w2,
+        |    (c.n_ab - 0.75) / c_w1 + 0.75 * n1_w1 / c_w1 *
+        |      (CAST(n1_w2 AS DOUBLE) / n1_tot) AS p_kn
+        |  FROM c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(exp(-avg(ln(p_kn))), 6) AS ppl
+        |FROM b JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // identical integral-cents machinery: trend = full-window cent sums,
+    // seasonal = phase mean of the exact long detrended numerator, every
+    // float divides exact integers in the same order
+    "q171_decompose" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n_events,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+        |    CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hh
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    count(*) OVER win AS wn,
+        |    sum(cents) OVER win AS wsum
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hh
+        |                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN wn = 25 THEN cents * 25 - wsum END AS dt_l,
+        |    hh % 24 AS phase
+        |  FROM w),
+        |s AS (
+        |  SELECT event_type AS sk, phase AS sp,
+        |    CAST(sum(dt_l) AS DOUBLE) / count(*) / 2500.0 AS seasonal
+        |  FROM t WHERE dt_l IS NOT NULL GROUP BY 1, 2)
+        |SELECT t.event_type, t.bucket, t.n_events,
+        |  t.cents / 100.0 AS value,
+        |  round(CAST(t.cents * 25 - t.dt_l AS DOUBLE) / 2500.0, 6) AS trend,
+        |  round(s.seasonal, 6) AS seasonal,
+        |  round(CAST(t.dt_l AS DOUBLE) / 2500.0 - s.seasonal, 6) AS resid
+        |FROM t LEFT JOIN s ON t.event_type = s.sk AND t.phase = s.sp
+        |ORDER BY t.event_type, t.bucket""".stripMargin,
+
+    // five exact-integer window moments, one double division at the end —
+    // no rounding anywhere: the slope doubles are bit-identical
+    "q172_rolling_slope" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    (epoch_us(ts) - 1704067200000000) // 1000000 AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id,
+        |    count(*) OVER w AS slope_n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, slope_n,
+        |  CASE WHEN slope_n * sxx - sx * sx <> 0 THEN
+        |    CAST(slope_n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(slope_n * sxx - sx * sx AS DOUBLE) / 100.0
+        |  END AS slope
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    // the same snapshot construction + full-outer classification with
+    // null-safe value comparison
+    "q173_table_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |          AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS diff_status
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, diff_status FROM j
+        |WHERE diff_status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+
+    // identical presence counts, margins, and χ² operation order; ranking
+    // happens on the already-rounded grid with the term tiebreak
+    "q174_term_class_chi2" ->
+      """WITH dt AS (
+        |  SELECT doc_id, lang AS class,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS term
+        |  FROM documents),
+        |a AS (SELECT term, class, count(*) AS n_tc FROM dt GROUP BY 1, 2),
+        |tt AS (SELECT term, sum(n_tc) AS n_t FROM a GROUP BY 1
+        |       HAVING sum(n_tc) >= 20),
+        |ct AS (SELECT lang AS class, count(*) AS n_c
+        |       FROM documents GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_all FROM documents),
+        |cells AS (
+        |  SELECT a.class, a.term, a.n_tc,
+        |    a.n_tc AS ca, n_t - a.n_tc AS cb, n_c - a.n_tc AS cc,
+        |    n_all - n_t - n_c + a.n_tc AS cd, n_all
+        |  FROM a JOIN tt USING (term) JOIN ct USING (class) CROSS JOIN nt),
+        |scored AS (
+        |  SELECT class, term, n_tc,
+        |    round(CAST(n_all AS DOUBLE) *
+        |      ((CAST(ca AS DOUBLE) * cd - CAST(cb AS DOUBLE) * cc) *
+        |       (CAST(ca AS DOUBLE) * cd - CAST(cb AS DOUBLE) * cc)) /
+        |      (CAST(ca + cb AS DOUBLE) * CAST(cc + cd AS DOUBLE) *
+        |       CAST(ca + cc AS DOUBLE) * CAST(cb + cd AS DOUBLE)), 6)
+        |      AS chi2
+        |  FROM cells)
+        |SELECT class, term, n_tc AS n_docs_term_class, chi2,
+        |  CAST(row_number() OVER (PARTITION BY class
+        |    ORDER BY chi2 DESC, term) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY class, rank""".stripMargin,
+
+    // the same discordant-pair conditional sums; χ² squares an exact
+    // integer by multiplication (no pow) and divides once
+    "q175_mcnemar" ->
+      """WITH d AS (
+        |  SELECT l_discount > 0.04 AS a, l_quantity > 25 AS b
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n01,
+        |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+        |  FROM d WHERE a IS NOT NULL AND b IS NOT NULL)
+        |SELECT CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n_agree AS BIGINT) AS n_agree,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    CAST((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) AS DOUBLE) /
+        |      (n01 + n10)
+        |  END AS chi2
+        |FROM c""".stripMargin
   )
 }

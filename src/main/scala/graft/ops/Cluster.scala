@@ -151,4 +151,52 @@ object Cluster {
       .withColumn("cos", col("__dot") / sqrt(col("__na") * col("__nb")))
       .select("label_a", "label_b", "cos")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * k-means partitions the embedding space, near-duplicate pairs are
+    * sought ONLY within each cluster, and each duplicate group keeps its
+    * smallest id. The cluster scoping is what makes embedding dedup
+    * feasible at corpus scale — the pair space shrinks from n² to
+    * Σ|cluster|², and k is the knob that bounds it.
+    *
+    * Execution: one k-means fit ([[kmeans]]: literal-centroid codegen'd
+    * assignment), one cluster-keyed self-join for candidate pairs (the
+    * only quadratic step, bounded per cluster and capped — clusters above
+    * `maxClusterSize` are dropped from pairing with the same
+    * count-filter-join guard every banded self-join here uses), exact
+    * cosine verification on the 6-digit grid, LSS connected components,
+    * and one keep-smallest anti-filter.
+    *
+    * Fidelity caveats vs exact dedup (by design): pairs straddling a
+    * cluster boundary are missed (raise k-means `maxIter`/lower k to
+    * taste), and oversized clusters are skipped entirely.
+    *
+    * @return the surviving rows of `df` (all input columns)
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double, maxIter: Int = 5, maxClusterSize: Int = 10000,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val asg = kmeans(df, idCol, vecCol, k, maxIter).assignments
+      .select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
+        col("cluster").as("__sd_c"))
+    val okClusters = asg.groupBy("__sd_c").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize).select("__sd_c")
+    val scoped = asg.join(okClusters, Seq("__sd_c"), "left_semi")
+    val pairs = scoped
+      .select(col("__sd_c"), col("__sd_id").as("id_a"), col("__sd_v").as("__va"))
+      .join(scoped.select(col("__sd_c"), col("__sd_id").as("id_b"),
+        col("__sd_v").as("__vb")), "__sd_c")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", round(Similarity.cosine(
+        col("__va").cast("array<double>"), col("__vb").cast("array<double>")), 6))
+      .filter(col("__cos") >= threshold)
+      .select("id_a", "id_b")
+    val labels = graft.ops.Dedup.connectedComponentsLSS(pairs,
+        checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol).withColumnRenamed("label", "__sd_label")
+    df.join(labels, Seq(idCol), "left")
+      .filter(col("__sd_label").isNull || col("__sd_label") === col(idCol))
+      .drop("__sd_label")
+  }
 }

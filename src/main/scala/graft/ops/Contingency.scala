@@ -163,4 +163,65 @@ object Contingency {
     }.toSeq
     one.select(inline(array(pairs: _*)))
   }
+
+  /** χ²-based term–class feature selection: for every (term, class) pair
+    * the 2×2 presence table {has term, lacks term} × {in class, not in
+    * class} scores
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    *
+    * the classic supervised vocabulary ranking (which words characterize
+    * a language / source / topic?). Term presence is per-document
+    * DISTINCT (a 1000-fold repeat in one doc is one vote), so the only
+    * data-sized shuffle is (term, class) document counts; margins join on
+    * the reduced frame, and the per-class top-k is a keyed window over
+    * the term frame. All counts are exact integers; χ² is one fixed
+    * expression per row, rounded to a 6-digit grid with a term tiebreak
+    * BEFORE ranking so the cut is engine-stable.
+    *
+    * @param minDocFreq drop terms in fewer than this many documents
+    * @return (class, term, n_docs_term_class, chi2, rank) — top `topK`
+    *         terms per class by (chi2 desc, term)
+    */
+  def termClassChi2(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, minDocFreq: Long, topK: Int): DataFrame = {
+    require(minDocFreq >= 1 && topK >= 1, "minDocFreq and topK must be >= 1")
+    val docTerms = df.select(col(idCol), col(classCol).as("class"),
+        explode(array_distinct(
+          filter(split(col(textCol), "\\s+"), t => t =!= ""))).as("term"))
+    val a = docTerms.groupBy("term", "class").agg(count(lit(1)).as("n_tc"))
+    val termTot = a.groupBy("term").agg(sum("n_tc").as("n_t"))
+      .filter(col("n_t") >= minDocFreq)
+    val classTot = df.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("n_c"))
+    val nTot = df.agg(count(lit(1)).as("n_all"))
+    val cells = a.join(termTot, "term").join(classTot, "class")
+      .crossJoin(broadcast(nTot))
+      .select(col("class"), col("term"), col("n_tc"),
+        col("n_tc").as("ca"), (col("n_t") - col("n_tc")).as("cb"),
+        (col("n_c") - col("n_tc")).as("cc"),
+        (col("n_all") - col("n_t") - col("n_c") + col("n_tc")).as("cd"),
+        col("n_all"))
+    // every product is N²..N⁴-sized — long math overflows at corpus
+    // scale, so compute in double from the start: exact while ad−bc ≤ 2⁵³
+    // (~9e7 docs), and past that χ² is still a 15-significant-digit
+    // score, far inside the 6-digit grid. Squaring is an explicit
+    // multiply, not pow() — libm pow is not bit-identical across engines.
+    val adbc = col("ca").cast("double") * col("cd") -
+      col("cb").cast("double") * col("cc")
+    val chi2 = round(
+      col("n_all").cast("double") * (adbc * adbc) /
+        ((col("ca") + col("cb")).cast("double") *
+          (col("cc") + col("cd")).cast("double") *
+          (col("ca") + col("cc")).cast("double") *
+          (col("cb") + col("cd")).cast("double")),
+      6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("class").orderBy(col("chi2").desc, col("term"))
+    cells.withColumn("chi2", chi2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("class"), col("term"),
+        col("n_tc").as("n_docs_term_class"), col("chi2"), col("rank"))
+  }
 }

@@ -92,4 +92,40 @@ object Encode {
       withFold(catCol) <=> enc("te_cat") && withFold("fold") === enc("te_fold"))
       .drop("te_cat", "te_fold")
   }
+
+  /** Weight-of-evidence table for a categorical against a binary target —
+    * the credit-scoring encoding and its information value:
+    *
+    *   woe(c) = ln( ((pos_c + 0.5)/pos) / ((neg_c + 0.5)/neg) )
+    *   iv_term(c) = ((pos_c + 0.5)/pos − (neg_c + 0.5)/neg) · woe(c)
+    *
+    * with the conventional 0.5 adjustment so single-class categories stay
+    * finite. ONE category aggregation; totals come from window sums over
+    * the category frame (no second scan); Σ iv_term is the column's
+    * information value. Null categories form their own row (they carry
+    * signal); null targets are rejected by the cast contract.
+    *
+    * @param targetCol 0/1 (or boolean) target
+    * @return (category, n, n_pos, woe, iv_term) — woe/iv_term on a
+    *         6-digit grid
+    */
+  def woe(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
+    val y = col(targetCol).cast("double")
+    val cat = df.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"), sum(y).cast("long").as("n_pos"))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val posShare = (col("n_pos") + 0.5) / col("__pos")
+    val negShare = (col("n") - col("n_pos") + 0.5) / col("__neg")
+    cat
+      .withColumn("__pos", sum("n_pos").over(all))
+      .withColumn("__neg", (sum("n").over(all) - col("__pos")))
+      .select(col("category"), col("n"), col("n_pos"),
+        // all-one-class targets have no evidence scale at all: null out
+        round(when(col("__pos") > 0 && col("__neg") > 0,
+          log(posShare / negShare)), 6).as("woe"),
+        round(when(col("__pos") > 0 && col("__neg") > 0,
+          (posShare - negShare) * log(posShare / negShare)), 6)
+          .as("iv_term"))
+  }
 }

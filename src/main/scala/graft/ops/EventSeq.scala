@@ -190,4 +190,39 @@ object EventSeq {
         sum("n").over(Window.partitionBy("prev")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 6))
   }
+
+  /** Rolling active users (DAU/WAU/MAU family): for every calendar day in
+    * the data's span, how many distinct users acted in the trailing
+    * `windowDays` window ending that day.
+    *
+    * Sliding COUNT(DISTINCT) has no window-function form; the scalable
+    * shape is contribution explosion on the REDUCED frame: distinct
+    * (user, day) pairs (the only data-sized shuffle), each exploded to
+    * the ≤`windowDays` report days it funds, deduplicated per (user,
+    * report day) — a user active on several days of one window still
+    * counts once — and counted per day. Every stage shuffles (user, day)
+    * pairs; nothing is user-count × day-count sized. Report days past
+    * the data's max day are cut by a broadcast one-row bound.
+    *
+    * @return (day, active_users) for every day in min..max whose trailing
+    *         window saw any activity (a quiet day still reports if its
+    *         window reaches back to an active one; a day whose whole
+    *         window is empty is absent)
+    */
+  def rollingActive(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val userDays = df.select(col(userCol).as("user"),
+      date_trunc("day", col(tsCol)).as("day")).distinct()
+    val bounds = userDays.agg(min("day").as("__mn"), max("day").as("__mx"))
+    userDays
+      .crossJoin(broadcast(bounds))
+      .select(col("user"),
+        explode(sequence(col("day"),
+          least(col("__mx"),
+            col("day") + expr(s"INTERVAL ${windowDays - 1} DAY")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("active_users"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph propagation beyond connected components: PageRank over
@@ -16,6 +17,100 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Synchronous label-propagation community detection on a DIRECTED
+    * adjacency list `(u, v)` (symmetrize first for undirected semantics —
+    * a node adopts labels from nodes it points AT). Every node starts
+    * labeled with its own id; each round it adopts the most frequent
+    * label among its out-neighbors, ties broken toward the SMALLEST
+    * label — a total order, so the whole run is deterministic and
+    * engine-reproducible (asynchronous LPA is not). Nodes with no
+    * out-edges keep their label.
+    *
+    * One round = one equi-join + one (node, label) aggregation + one
+    * keyed argmax window — all shuffles carry (node, label) pairs.
+    * Fixed `rounds`, no convergence probe: the analytical use runs a
+    * handful of rounds, and a fixed count keeps the oracle unrollable.
+    *
+    * @return (u, label) for every node that appears in the edge list
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = cp.pin(edges.select(col("u"), col("v")).distinct())
+    val nodes = e.select(col("u"))
+      .unionAll(e.select(col("v").as("u"))).distinct()
+    // a node with no out-edges never updates: its label stays its own id
+    // for the whole run, so the sink frame is STATIC — unioning it back
+    // each round keeps every generation a single-consumer lazy chain
+    // (a coalesce-join against the previous labels would consume each
+    // generation twice and replay the whole prefix per round, the
+    // dangling-PageRank lesson)
+    val sinkLabels = cp.pin(
+      nodes.join(e.select(col("u")).distinct(), Seq("u"), "left_anti")
+        .select(col("u"), col("u").as("label")))
+    var labels = nodes.select(col("u"), col("u").as("label"))
+    for (i <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("u").as("v"), col("label")), "v")
+        .groupBy("u", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("u")
+        .orderBy(col("n").desc, col("label"))
+      val adopted = votes.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).select(col("u"), col("label"))
+      val next = adopted.unionByName(sinkLabels)
+      labels =
+        if (i == rounds || (checkpointEvery > 0 && i % checkpointEvery == 0))
+          cp(next)
+        else next
+    }
+    cp.close()
+    labels
+  }
+
+  /** Degree assortativity of an UNDIRECTED graph: the Pearson
+    * correlation of endpoint degrees over all directed edge stubs (each
+    * undirected edge contributes both orientations — the standard
+    * Newman 2002 estimator). Positive: hubs link to hubs; negative:
+    * hubs link to leaves.
+    *
+    * Degrees are exact integer aggregates; the correlation's five
+    * moments sum exact integers (degrees are bounded by n, so the
+    * products stay inside 2⁵³ in double far beyond any real graph's
+    * edge file), and r is one fixed-order expression on the single
+    * moments row.
+    *
+    * @return one row (n_edges, assortativity) — assortativity on a
+    *         6-digit grid, null for degree-regular graphs (zero variance)
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // over the two orientations the stub moments are symmetric
+    // (sx = sy, sxx = syy), so ONE pass over the canonical edges carries
+    // everything: n = 2E, sx = Σ(da+db), sxy = 2Σ da·db,
+    // sxx = Σ(da²+db²), and r = (n·sxy − sx²)/(n·sxx − sx²) — the sqrt
+    // cancels exactly
+    val m = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("ne"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("db")).as("sxy2"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"))
+    val den = lit(2) * col("ne") * col("sxx") - col("sx") * col("sx")
+    m.select(col("ne").as("n_edges"),
+      round(when(den =!= 0,
+        (lit(2) * col("ne") * (lit(2) * col("sxy2")) -
+          col("sx") * col("sx")).cast("double") / den.cast("double")),
+        6).as("assortativity"))
+  }
+
   /** Standard damped PageRank on a DIRECTED edge list `(u, v)` (symmetrize
     * first for undirected graphs). Nodes are the union of sources and
     * sinks; dangling nodes (no outgoing edge) redistribute their rank
@@ -30,6 +125,61 @@ object Graph {
     *
     * @return (u, rank) for every node, Σ rank = 1 (float tolerance)
     */
+  /** Exact triangle count + global clustering coefficient on an
+    * UNDIRECTED graph given as an edge list `(u, v)` (duplicates,
+    * self-loops and both orientations tolerated — normalized first).
+    *
+    * Uses the degree-ordered orientation: every edge points from its
+    * lower-(degree, id) endpoint to the higher one, which bounds every
+    * out-neighborhood by O(√m), so the wedge join materializes
+    * Σ outdeg² = O(m^1.5) candidate wedges instead of Σ deg² (which a
+    * hub node makes quadratic). Each triangle is counted exactly once:
+    * it has a unique minimum vertex in the (degree, id) total order, and
+    * only that vertex emits the wedge. All shuffles are edge-keyed; the
+    * only driver values are the five scalars of the result row.
+    *
+    * @return one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         clustering_coeff = 3·T / wedges, 6-digit grid)
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    // canonical simple undirected edges: a < b by id order
+    val e = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): ties in degree fall back to the id order the
+    // canonical pair already encodes (a < b)
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") || (col("da") === col("db")), col("b"))
+        .otherwise(col("a")).as("dst"))
+    // wedges at the minimum vertex; the unordered {y, z} pair is emitted
+    // once (y < z by id), and its canonical closing edge is then (y, z)
+    val wedges = oriented.select(col("src"), col("dst").as("y"))
+      .join(oriented.select(col("src"), col("dst").as("z")), "src")
+      .filter(col("y") < col("z"))
+    val triangles = wedges
+      .join(e, col("y") === col("a") && col("z") === col("b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum("deg") / 2).cast("long").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    base.crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") /
+          when(col("n_wedges") === 0, lit(null)).otherwise(col("n_wedges")),
+          6).as("clustering_coeff"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "need at least one iteration")

@@ -97,6 +97,34 @@ object Hypothesis {
     *
     * @return one row (d_stat, n_a, n_b)
     */
+  /** McNemar's test for paired binary outcomes (the right test for "do
+    * classifiers A and B disagree systematically on the SAME rows?" —
+    * a two-proportion z on the marginals would ignore the pairing). Only
+    * the discordant counts carry information:
+    *
+    *   χ² = (|n01 − n10| − 1)² / (n01 + n10)   (continuity-corrected)
+    *
+    * with n01 = pairs where only `aCol` holds, n10 = only `bCol`. ONE
+    * conditional-sum aggregation; rows with a null on either side drop.
+    *
+    * @return one row (n01, n10, n_agree, chi2) — chi2 null when no pair
+    *         is discordant (the test is undefined; agreement is total)
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull).agg(
+        sum(when(a && !b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n10"),
+        sum(when(a === b, 1L).otherwise(0L)).as("n_agree"))
+      .select(col("n01"), col("n10"), col("n_agree"),
+        // squared via exact integer multiplication, not pow() — libm pow
+        // is not bit-identical across engines
+        when(col("n01") + col("n10") > 0,
+          (abs(col("n01") - col("n10")) - 1) * (abs(col("n01") - col("n10")) - 1) /
+            (col("n01") + col("n10"))).as("chi2"))
+  }
+
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
       a: String, b: String): DataFrame = {
     val inA = col(groupCol) === a

@@ -213,6 +213,117 @@ object TimeSeries {
     df.withColumn(outputCol, when(den > 0, num / den))
   }
 
+  /** Classical additive seasonal decomposition (STL-lite): per key,
+    * value = trend + seasonal + residual on a fixed calendar grid.
+    *
+    *  - series: per-(key, hour-bucket) event-value SUM, carried as
+    *    integral cents so every window sum below is exact long
+    *    arithmetic;
+    *  - trend: centered moving average over ±`halfWindow` buckets on an
+    *    exact hour-index RANGE frame (gap-robust: missing buckets are
+    *    simply absent), null unless the frame is FULL — edge trends are
+    *    not comparable;
+    *  - seasonal: the phase mean of the detrended series (phase = bucket
+    *    mod `period`), computed only over rows with a trend;
+    *  - residual = value − trend − seasonal.
+    *
+    * Two keyed shuffles total: the (key, bucket) aggregation (the window
+    * rides the same partitioning) and the (key, phase) seasonal
+    * aggregation joined back on the bucket frame — everything downstream
+    * of the raw scan is bucket-cardinality-sized.
+    *
+    * @param period    season length in buckets (24 = daily shape on an
+    *                  hourly grid)
+    * @param halfWindow trend window half-width in buckets (period/2 for
+    *                  the classic full-season average)
+    * @return (key, bucket, n_events, value, trend, seasonal, resid) —
+    *         doubles on a 6-digit grid
+    */
+  def decompose(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, period: Int = 24, halfWindow: Int = 12): DataFrame = {
+    require(period >= 2, s"need period >= 2, got $period")
+    require(halfWindow >= 1, s"need halfWindow >= 1, got $halfWindow")
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val hourly = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("__cents"))
+      .withColumn("__h", (unix_micros(col("bucket")) / 3600000000L))
+    val w = Window.partitionBy(keyCol).orderBy("__h")
+      .rangeBetween(-halfWindow, halfWindow)
+    val full = 2 * halfWindow + 1
+    // detrended value scaled by 100·full stays a LONG (cents·full − Σcents)
+    // — the seasonal phase mean then sums exact integers, so no summation
+    // order can move it
+    val trended = hourly
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__dt_l",
+        when(col("__wn") === full,
+          col("__cents") * full - sum("__cents").over(w)))
+      .withColumn("__phase", pmod(col("__h"), lit(period.toLong)))
+    val seasonal = trended.filter(col("__dt_l").isNotNull)
+      .groupBy(col(keyCol).as("__sk"), col("__phase").as("__sp"))
+      .agg(sum("__dt_l").as("__dt_sum"), count(lit(1)).as("__dt_n"))
+      .select(col("__sk"), col("__sp"),
+        (col("__dt_sum").cast("double") / col("__dt_n") / (100.0 * full))
+          .as("__seasonal"))
+    // trend·(100·full) = cents·full − dt_l = Σ_window cents, recovered
+    // from the carried long without a second window pass
+    trended
+      .join(seasonal, col(keyCol) === col("__sk") &&
+        col("__phase") === col("__sp"), "left")
+      .select(col(keyCol), col("bucket"), col("n_events"),
+        (col("__cents") / 100.0).as("value"),
+        round((col("__cents") * full - col("__dt_l")).cast("double") /
+          (100.0 * full), 6).as("trend"),
+        round(col("__seasonal"), 6).as("seasonal"),
+        round(col("__dt_l").cast("double") / (100.0 * full) -
+          col("__seasonal"), 6).as("resid"))
+  }
+
+  /** Trailing-window linear trend: per key and event row, the OLS slope
+    * of value-vs-time over `[ts − windowUs, ts]`. The five window moments
+    * (n, Σx, Σy, Σxy, Σx²) accumulate EXACT integers — x in whole seconds
+    * since `originUs` (micros), y in cents — so
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * divides two exactly-computed longs and is bit-identical on any
+    * engine and any summation order. ONE keyed window shuffle, codegen'd.
+    *
+    * Caller contract (documented, not checked): pick `originUs` at or
+    * below the data's min timestamp and keep the span·density product
+    * inside long range — n·Σx² ≲ n²·span_s² and n·Σxy ≲ n²·span_s·maxCents
+    * must stay < 2⁶³ (e.g. 10⁴ rows/window over a 10-year span: 10⁸·1e17
+    * overflows — shrink x by choosing a window-era origin; the gate's
+    * month-span user windows are ~10⁶ below the line).
+    *
+    * @param originUs epoch-microsecond origin for the x axis
+    * @return input rows plus (slope_n, slope) — slope in value units per
+    *         second, null when the window has no time spread
+    */
+  def rollingSlope(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowUs: Long, originUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, 0)
+    val x = ((unix_micros(col(tsCol)) - lit(originUs)) / 1000000L).cast("long")
+    val y = round(col(valueCol) * 100, 0).cast("long")
+    val out = df
+      .withColumn("__x", x).withColumn("__y", y)
+      .withColumn("slope_n", count(lit(1)).over(w))
+      .withColumn("__sx", sum("__x").over(w))
+      .withColumn("__sy", sum("__y").over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+    val den = col("slope_n") * col("__sxx") - col("__sx") * col("__sx")
+    out
+      .withColumn("slope",
+        when(den =!= 0,
+          (col("slope_n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") / den.cast("double") / 100.0))
+      .drop("__x", "__y", "__sx", "__sy", "__sxy", "__sxx")
+  }
+
   /** Two-window mean-shift change score: per key and row t,
     * score_t = |mean(x_{t−w..t−1}) − mean(x_{t..t+w−1})| — the classic
     * sliding split statistic; local maxima above a threshold are change

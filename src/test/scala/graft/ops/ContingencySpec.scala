@@ -130,4 +130,43 @@ class ContingencySpec extends SparkSpec {
     assert(math.abs(Contingency.entropy(skew, "x").head().getDouble(0)
       - expect) < 1e-12)
   }
+
+  test("termClassChi2 matches the hand-computed 2x2 tables") {
+    val docs = Seq(
+      (1L, "x y", "A"), (2L, "x z", "A"), (3L, "y z", "B"), (4L, "z w", "B")
+    ).toDF("doc_id", "text", "cls")
+    val got = Contingency.termClassChi2(docs, "doc_id", "text", "cls",
+        minDocFreq = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // term x, class A: a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4
+    assert(got(("A", "x")) === ((2L, 4.0)))
+    // term z, class A: a=1 b=2 c=1 d=0 -> 4*(0-2)^2/(3*1*2*2) = 4/3
+    assert(got(("A", "z")) === ((1L, rd6(4.0 / 3))))
+    // term y is one doc in each class: a=1 b=1 c=1 d=1 -> chi2 = 0
+    assert(got(("A", "y")) === ((1L, 0.0)))
+    assert(got(("B", "y")) === ((1L, 0.0)))
+    // a term repeated inside one doc still counts once
+    val rep = Seq((1L, "x x x", "A"), (2L, "y", "B")).toDF("doc_id", "text", "cls")
+    val r = Contingency.termClassChi2(rep, "doc_id", "text", "cls", 1, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(r(("A", "x")) === 1L)
+  }
+
+  private def rd6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("termClassChi2 honors minDocFreq and the per-class topK rank cut") {
+    val docs = Seq(
+      (1L, "a b c", "X"), (2L, "a b", "X"), (3L, "a d", "Y"), (4L, "d e", "Y")
+    ).toDF("doc_id", "text", "cls")
+    val top1 = Contingency.termClassChi2(docs, "doc_id", "text", "cls",
+      minDocFreq = 2, topK = 1).collect()
+    // only terms in >= 2 docs survive (a, b, d); one row per class, rank 1
+    assert(top1.length === top1.map(_.getString(0)).distinct.length)
+    top1.foreach { r =>
+      assert(Set("a", "b", "d").contains(r.getString(1)))
+      assert(r.getInt(4) === 1)
+    }
+  }
 }

@@ -82,4 +82,51 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(closedEdges, 1, damping = 1.0)
     }
   }
+
+  private def triRow(edges: Seq[(String, String)]) =
+    Graph.triangleStats(edges.toDF("u", "v")).head()
+
+  test("triangleStats: K4 has 4 triangles and clustering coefficient 1") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    val r = triRow(k4)
+    assert(r.getLong(0) === 4L) // nodes
+    assert(r.getLong(1) === 6L) // edges
+    assert(r.getLong(2) === 12L) // wedges: 4 · C(3,2)
+    assert(r.getLong(3) === 4L) // triangles
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("triangleStats: triangle + pendant — 1 triangle, gcc 3/5") {
+    val r = triRow(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
+    assert(r.getLong(3) === 1L)
+    assert(r.getLong(2) === 5L) // wedges: 1 + 1 + C(3,2) + 0
+    assert(r.getDouble(4) === 0.6)
+  }
+
+  test("triangleStats: a 4-cycle has wedges but no triangle (gcc null-safe 0/4)") {
+    val r = triRow(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    assert(r.getLong(3) === 0L)
+    assert(r.getLong(2) === 4L)
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("triangleStats normalizes duplicates, self-loops and both orientations") {
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+      ("b", "c"), ("c", "a"))
+    val r = triRow(messy)
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(3) === 1L)
+  }
+
+  test("triangleStats counts each triangle once under skewed degrees") {
+    // hub h connected to k spokes, spokes chained pairwise: triangles =
+    // number of chain edges; the hub's orientation must not double count
+    val spokes = (1 to 6).map(i => s"s$i")
+    val star = spokes.map(s => ("h", s))
+    val chain = spokes.sliding(2).map { case Seq(x, y) => (x, y) }.toSeq
+    val r = triRow(star ++ chain)
+    assert(r.getLong(3) === chain.size.toLong)
+  }
 }

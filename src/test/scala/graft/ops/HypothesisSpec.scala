@@ -191,4 +191,31 @@ class HypothesisSpec extends SparkSpec {
       .agg(corr("rx", "ry")).collect().head.getDouble(0)
     assert(math.abs(rho - ref) < 1e-9)
   }
+
+  test("mcnemar matches R's continuity-corrected statistic on a closed case") {
+    // 10 agreements, 6 A-only, 2 B-only: chi2 = (|6-2|-1)^2/8 = 1.125
+    // (R: mcnemar.test(matrix(c(5,2,6,5),2)) -> X-squared = 1.125)
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, false)) ++
+      Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true))
+    val r = Hypothesis.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 2L, 10L)))
+    assert(r.getDouble(3) === 1.125)
+  }
+
+  test("mcnemar: total agreement gives a null statistic; nulls drop") {
+    val rows = Seq((Some(true), Some(true)), (Some(false), Some(false)),
+      (None, Some(true)), (Some(true), None))
+    val r = Hypothesis.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 0L, 2L)))
+    assert(r.isNullAt(3))
+  }
+
+  test("mcnemar is order-symmetric in its statistic") {
+    val rows = Seq.fill(3)((true, false)) ++ Seq.fill(8)((false, true)) ++
+      Seq.fill(4)((true, true))
+    val df = rows.toDF("a", "b")
+    val ab = Hypothesis.mcnemar(df, "a", "b").head().getDouble(3)
+    val ba = Hypothesis.mcnemar(df, "b", "a").head().getDouble(3)
+    assert(ab === ba)
+  }
 }

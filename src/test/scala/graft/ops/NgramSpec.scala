@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NgramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 0.75
+
+  test("kneserNeyBigrams matches the hand-computed closed case") {
+    // bigrams: (a,b)×2, (b,a)×1, (a,c)×1
+    // c(a·)=3 N1+(a·)=2; c(b·)=1 N1+(b·)=1; N1+(·b)=1 N1+(·a)=1 N1+(·c)=1;
+    // N1+(··)=3
+    val df = Seq("a b a b", "a c").toDF("text")
+    val got = Ngram.kneserNeyBigrams(df, "text", D)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size === 3)
+    val (nAb, pAb) = got(("a", "b"))
+    assert(nAb === 2L)
+    assert(math.abs(pAb - ((2 - D) / 3 + D * 2.0 / 3 * (1.0 / 3))) < 1e-15)
+    assert(math.abs(got(("a", "c"))._2 -
+      ((1 - D) / 3 + D * 2.0 / 3 * (1.0 / 3))) < 1e-15)
+    assert(math.abs(got(("b", "a"))._2 -
+      ((1 - D) / 1 + D * 1.0 / 1 * (1.0 / 3))) < 1e-15)
+  }
+
+  test("kneserNeyBigrams: P(·|w1) sums to 1 over the full vocabulary") {
+    // seen mass + backoff weight · unseen continuation mass must close to
+    // 1 for every context: Σ_seen p + (D·N1(w1)/c(w1)) · (1 − Σ_seen pcont)
+    val df = Seq("the cat sat on the mat", "the dog sat", "a cat ran")
+      .toDF("text")
+    val lm = Ngram.kneserNeyBigrams(df, "text", D).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val n1Tot = lm.size.toDouble
+    val contP = lm.groupBy(_._2).view.mapValues(_.size / n1Tot).toMap
+    lm.groupBy(_._1).foreach { case (w1, rows) =>
+      val cW1 = rows.map(_._3).sum.toDouble
+      val n1W1 = rows.size
+      val seenP = rows.map(_._4).sum
+      val seenCont = rows.map(r => contP(r._2)).sum
+      val total = seenP + D * n1W1 / cW1 * (1.0 - seenCont)
+      assert(math.abs(total - 1.0) < 1e-12, s"context $w1")
+    }
+  }
+
+  test("perplexity matches a driver-side replay of the model") {
+    val df = Seq((1L, "x y x y x z"), (2L, "x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val lm = Ngram.kneserNeyBigrams(df, "text", D).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val got = Ngram.perplexity(df, "doc_id", "text", D)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 3 has no bigram and is absent
+    assert(got.keySet === Set(1L, 2L))
+    def expect(bgs: Seq[(String, String)]): Double =
+      math.exp(-bgs.map(b => math.log(lm(b))).sum / bgs.size)
+    val d1 = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"), ("x", "z"))
+    assert(got(1L)._1 === 5L)
+    assert(math.abs(got(1L)._2 - expect(d1)) < 1e-6)
+    assert(math.abs(got(2L)._2 - expect(Seq(("x", "y")))) < 1e-6)
+  }
+
+  test("perplexity ranks a formulaic doc below a typical one") {
+    // corpus dominated by "p q" patterns; the doc made of rare transitions
+    // must score HIGHER perplexity than the doc made of common ones
+    val corpus = (1L to 20L).map(i => (i, "p q p q p q")) ++
+      Seq((100L, "q p r s t u"))
+    val df = corpus.toDF("doc_id", "text")
+    val got = Ngram.perplexity(df, "doc_id", "text", D)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) > got(1L))
+  }
+}

@@ -181,4 +181,93 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3) === Some(10.0), "the step scores |10 − 0|")
     assert(out.drop(4).forall(_.isEmpty), "right edge lacks a full window")
   }
+
+  test("decompose: constant series gives flat trend, zero seasonal and resid") {
+    val df = (0 until 49).map(h =>
+      ("k", ts(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:30:00"), 7.25))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.decompose(df, "k", "t", "v",
+        period = 24, halfWindow = 12)
+      .orderBy("bucket").collect()
+    assert(out.length === 49)
+    val mid = out.filter(!_.isNullAt(4)) // rows with a trend
+    assert(mid.length === 49 - 24, "both 12-bucket edges lack a full window")
+    mid.foreach { r =>
+      assert(r.getDouble(3) === 7.25) // value
+      assert(r.getDouble(4) === 7.25) // trend
+      assert(r.getDouble(5) === 0.0) // seasonal
+      assert(r.getDouble(6) === 0.0) // resid
+    }
+  }
+
+  test("decompose: value = trend + seasonal + resid and seasonal depends only on phase") {
+    // deterministic pseudo-random hourly values over 4 days
+    val df = (0 until 96).map { h =>
+      val v = 50.0 + 10 * math.sin(h * 2 * math.Pi / 24) + (h * 37 % 11)
+      ("k", ts(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00"),
+        math.round(v * 100) / 100.0)
+    }.toDF("k", "t", "v")
+    val out = TimeSeries.decompose(df, "k", "t", "v")
+      .collect().filter(!_.isNullAt(4))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, tr, se, re) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(math.abs(v - (tr + se + re)) < 3e-6, "additive identity")
+    }
+    // same phase ⇒ same seasonal
+    val byPhase = out.groupBy(r =>
+      r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).getHour)
+    byPhase.foreach { case (_, rows) =>
+      assert(rows.map(_.getDouble(5)).distinct.length === 1)
+    }
+  }
+
+  test("decompose keys are independent and gaps void overlapping trends") {
+    val df = ((0 until 40).filter(_ != 20).map { h =>
+      ("a", ts(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00"), 3.0)
+    } ++ (0 until 40).map { h =>
+      ("b", ts(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00"), 5.0)
+    }).toDF("k", "t", "v")
+    val out = TimeSeries.decompose(df, "k", "t", "v")
+      .collect().groupBy(_.getString(0))
+    // key a: every interior window (h ∈ 12..27) overlaps the missing
+    // bucket 20, so no row of a has a trend at all
+    assert(out("a").forall(_.isNullAt(4)))
+    // key b is dense: interior trends exist and equal the constant
+    val bTrends = out("b").filter(!_.isNullAt(4))
+    assert(bTrends.length === 40 - 24)
+    bTrends.foreach(r => assert(r.getDouble(4) === 5.0))
+  }
+
+  private val origin2024Us = 1704067200000000L // 2024-01-01 00:00:00 UTC
+
+  test("rollingSlope recovers an exact line and nulls single-point windows") {
+    val df = Seq(0, 60, 120, 180).map(sec =>
+      ("u", ts(f"2024-01-01 00:${sec / 60}%02d:00"), 5.0 + 2.0 * sec))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.rollingSlope(df, "k", "t", "v",
+        windowUs = 3600L * 1000000, originUs = origin2024Us)
+      .orderBy("t").select("slope_n", "slope").collect()
+    assert(out(0).isNullAt(1), "first row: one point, no spread")
+    assert(out(0).getLong(0) === 1L)
+    (1 until 4).foreach { i =>
+      assert(out(i).getLong(0) === i + 1L)
+      assert(out(i).getDouble(1) === 2.0, "exact integer moments: slope is exact")
+    }
+  }
+
+  test("rollingSlope: flat series slopes 0, trailing window drops old rows") {
+    val df = Seq(0, 60, 7200).map(sec =>
+      ("u", ts(f"2024-01-01 0${sec / 3600}%d:${sec / 60 % 60}%02d:00"), 9.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.rollingSlope(df, "k", "t", "v",
+        windowUs = 3600L * 1000000, originUs = origin2024Us)
+      .orderBy("t").select("slope_n", "slope").collect()
+    assert(out(1).getLong(0) === 2L)
+    assert(out(1).getDouble(1) === 0.0)
+    // row at 7200 s: the first two rows fell out of the 1 h window
+    assert(out(2).getLong(0) === 1L)
+    assert(out(2).isNullAt(1))
+  }
 }
