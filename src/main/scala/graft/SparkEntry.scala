@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Cluster, Colloc, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2220,6 +2220,114 @@ object SparkEntry {
       val d = t(s, dir, "lineitem").select(
         (col("l_discount") > 0.04).as("a"), (col("l_quantity") > 25).as("b"))
       Hypothesis.mcnemar(d, "a", "b")
+    }),
+
+    // synchronous label-propagation communities, 3 rounds on the
+    // symmetrized part–supplier graph (q122's relation): the (count desc,
+    // label asc) adoption rule is a total order, so the oracle can unroll
+    // the same three join+count+rank rounds as CTEs
+    "q176_label_prop" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v")).distinct()
+      val edges = pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+      Graph.labelPropagation(edges, rounds = 3)
+        .orderBy("u")
+    }),
+
+    // degree assortativity of the co-order part graph: one join pass
+    // carries all moments (the two stub orientations are symmetric, so
+    // sx = sy and the sqrt cancels); exact integer sums, one division
+    "q177_assortativity" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.join(lp.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v"))
+      Graph.degreeAssortativity(edges)
+    }),
+
+    // trailing-7-day rolling active users: sliding COUNT(DISTINCT) via
+    // contribution explosion on the reduced (user, day) frame — the
+    // oracle phrases the same semantics as a range join
+    "q178_rolling_active" -> ((s, dir) => {
+      EventSeq.rollingActive(events(s, dir), "user_id", "ts", windowDays = 7)
+        .orderBy("day")
+    }),
+
+    // golden-record survivorship per customer over their orders: majority
+    // vote per attribute on ONE melted (cluster, attr, value) pass, ties
+    // to the smallest value — deterministic on any engine
+    "q179_golden_record" -> ((s, dir) => {
+      Consolidate.goldenRecord(t(s, dir, "orders"), "o_custkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("o_custkey")
+    }),
+
+    // weight-of-evidence table of return flag against the high-quantity
+    // target: one category aggregation, 0.5-adjusted shares, IV terms
+    "q180_woe" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_returnflag"),
+        (col("l_quantity") > 25).cast("int").as("hi"))
+      Encode.woe(d, "l_returnflag", "hi")
+        .orderBy("category")
+    }),
+
+    // SemDeDup-style embedding dedup (rows-only: k-means float
+    // centroids): the corpus plus exact copies of every 10th vector —
+    // the copies must collapse onto their originals, nothing else pairs
+    // at the 0.999 threshold unless truly colinear
+    "q181_semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+      val copies = base.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Cluster.semanticDedup(base.unionByName(copies), "vec_id", "embedding",
+          k = 8, threshold = 0.999, maxIter = 3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
+    // inverted index head: per-term df + sorted posting list serialized
+    // as a string (round-trips identically everywhere); presence is
+    // per-doc DISTINCT, the (term, doc) agg is the only data-sized shuffle
+    "q182_inverted_index" -> ((s, dir) => {
+      Retrieval.buildIndex(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 50)
+        .orderBy("term")
+    }),
+
+    // ABC/Pareto classification of parts by revenue: cumulative on the
+    // DISTINCT-total frame via the two-level pass; class boundaries
+    // compare exact integers (cents·100 vs grand·pct)
+    "q183_abc_classify" -> ((s, dir) => {
+      Pareto.abcClassify(t(s, dir, "lineitem"), "l_partkey",
+          "l_extendedprice")
+        .orderBy("key")
+    }),
+
+    // FK-candidate probe with a fabricated half-parent (even part keys):
+    // containment must land at the exact matched/distinct ratio
+    "q184_fk_probe" -> ((s, dir) => {
+      Profile.fkCandidates(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").filter(col("p_partkey") % 2 === 0), "p_partkey")
+    }),
+
+    // conversion funnel with a 6-hour per-transition budget: same greedy
+    // walk as q113, each step must land within the gap of the previous
+    "q185_funnel_windowed" -> ((s, dir) => {
+      EventSeq.funnelWindowed(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), maxGapUs = 21600000000L)
+        .orderBy("step_no")
+    }),
+
+    // per-user engagement cadence: exact epoch-microsecond spans/gaps,
+    // one keyed window shuffle, divisions at the end
+    "q186_inter_event" -> ((s, dir) => {
+      EventSeq.interEventStats(events(s, dir), "user_id", "ts", "event_id")
+        .orderBy("user")
     })
   )
 
@@ -5109,6 +5217,216 @@ object SparkEntry {
         |    CAST((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) AS DOUBLE) /
         |      (n01 + n10)
         |  END AS chi2
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // the same three synchronous adoption rounds unrolled as CTEs; the
+    // graph is closed (every node a source), so no sink carry-over
+    "q176_label_prop" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v
+        |  FROM lineitem),
+        |e AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+        |n AS (SELECT DISTINCT u FROM (
+        |  SELECT u FROM e UNION ALL SELECT v FROM e) t),
+        |l0 AS (SELECT u, u AS label FROM n),
+        |a1 AS (
+        |  SELECT e.u, l.label, count(*) AS c
+        |  FROM e JOIN l0 l ON e.v = l.u GROUP BY 1, 2
+        |  QUALIFY row_number() OVER (PARTITION BY e.u
+        |    ORDER BY count(*) DESC, l.label) = 1),
+        |a2 AS (
+        |  SELECT e.u, l.label, count(*) AS c
+        |  FROM e JOIN a1 l ON e.v = l.u GROUP BY 1, 2
+        |  QUALIFY row_number() OVER (PARTITION BY e.u
+        |    ORDER BY count(*) DESC, l.label) = 1),
+        |a3 AS (
+        |  SELECT e.u, l.label, count(*) AS c
+        |  FROM e JOIN a2 l ON e.v = l.u GROUP BY 1, 2
+        |  QUALIFY row_number() OVER (PARTITION BY e.u
+        |    ORDER BY count(*) DESC, l.label) = 1)
+        |SELECT u, label FROM a3 ORDER BY u""".stripMargin,
+
+    // identical one-pass symmetric-moment identity over the same edges
+    "q177_assortativity" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS ne, sum(da + db) AS sx,
+        |    sum(da * db) AS sxy2, sum(da * da + db * db) AS sxx
+        |  FROM e
+        |  JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
+        |  JOIN (SELECT node AS b, deg AS db FROM deg) USING (b))
+        |SELECT ne AS n_edges,
+        |  round(CASE WHEN 2 * ne * sxx - sx * sx <> 0 THEN
+        |    CAST(2 * ne * (2 * sxy2) - sx * sx AS DOUBLE) /
+        |      CAST(2 * ne * sxx - sx * sx AS DOUBLE) END, 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
+
+    // sliding distinct-user count phrased as the equivalent range join
+    // over the reduced (user, day) frame
+    "q178_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+        |days AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM b)
+        |SELECT d.day, count(DISTINCT u.u) AS active_users
+        |FROM days d JOIN ud u
+        |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical melt + vote + rank + pivot-back survivorship
+    "q179_golden_record" ->
+      """WITH v AS (
+        |  SELECT o_custkey AS cl, attr, value FROM (
+        |    SELECT o_custkey, 'o_orderstatus' AS attr,
+        |      CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+        |    UNION ALL
+        |    SELECT o_custkey, 'o_orderpriority',
+        |      CAST(o_orderpriority AS VARCHAR) FROM orders) t
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT cl, attr, value, count(*) AS n FROM v GROUP BY 1, 2, 3),
+        |wn AS (
+        |  SELECT cl, attr, value FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY cl, attr
+        |    ORDER BY n DESC, value) = 1),
+        |sz AS (SELECT o_custkey AS cl, count(*) AS n_records
+        |       FROM orders GROUP BY 1)
+        |SELECT sz.cl AS o_custkey, sz.n_records,
+        |  max(CASE WHEN attr = 'o_orderstatus' THEN value END)
+        |    AS o_orderstatus,
+        |  max(CASE WHEN attr = 'o_orderpriority' THEN value END)
+        |    AS o_orderpriority
+        |FROM sz LEFT JOIN wn ON sz.cl = wn.cl
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // identical 0.5-adjusted share arithmetic in the same order
+    "q180_woe" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS category, count(*) AS n,
+        |    CAST(sum(CAST(CAST(l_quantity > 25 AS INT) AS DOUBLE))
+        |      AS BIGINT) AS n_pos
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_pos) AS pos, sum(n) - sum(n_pos) AS neg FROM c)
+        |SELECT category, n, n_pos,
+        |  round(CASE WHEN pos > 0 AND neg > 0 THEN
+        |    ln(((n_pos + 0.5) / pos) / ((n - n_pos + 0.5) / neg)) END, 6)
+        |    AS woe,
+        |  round(CASE WHEN pos > 0 AND neg > 0 THEN
+        |    ((n_pos + 0.5) / pos - (n - n_pos + 0.5) / neg) *
+        |      ln(((n_pos + 0.5) / pos) / ((n - n_pos + 0.5) / neg)) END, 6)
+        |    AS iv_term
+        |FROM c CROSS JOIN t ORDER BY category""".stripMargin,
+
+    // same per-doc-distinct presence; postings string-aggregated in
+    // numeric id order
+    "q182_inverted_index" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS postings
+        |FROM dt GROUP BY term HAVING count(*) >= 50
+        |ORDER BY term""".stripMargin,
+
+    // identical distinct-total cumulative + integer class boundaries
+    "q183_abc_classify" ->
+      """WITH totals AS (
+        |  SELECT l_partkey AS key,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS v
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT v, count(*) AS nk FROM totals GROUP BY 1),
+        |c AS (
+        |  SELECT v, sum(v * nk) OVER (ORDER BY v DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |g AS (SELECT sum(v) AS grand FROM totals)
+        |SELECT t.key, t.v / 100.0 AS total,
+        |  round(CAST(t.v AS DOUBLE) / grand, 6) AS share,
+        |  round(CAST(c.cum AS DOUBLE) / grand, 6) AS cum_share,
+        |  CASE WHEN c.cum * 100 <= grand * 80 THEN 'A'
+        |       WHEN c.cum * 100 <= grand * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM totals t JOIN c ON t.v = c.v CROSS JOIN g
+        |ORDER BY t.key""".stripMargin,
+
+    // identical distinct frames + containment division
+    "q184_fk_probe" ->
+      """WITH c AS (
+        |  SELECT DISTINCT l_partkey AS v FROM lineitem
+        |  WHERE l_partkey IS NOT NULL),
+        |p AS (
+        |  SELECT DISTINCT p_partkey AS v FROM part
+        |  WHERE p_partkey % 2 = 0 AND p_partkey IS NOT NULL),
+        |m AS (SELECT count(*) AS n_matched FROM c SEMI JOIN p USING (v)),
+        |cs AS (SELECT count(*) AS n_child_distinct FROM c),
+        |ps AS (SELECT count(*) AS n_parent_distinct FROM p),
+        |nn AS (SELECT count(*) AS n_child_null_rows FROM lineitem
+        |       WHERE l_partkey IS NULL)
+        |SELECT n_child_distinct, n_parent_distinct, n_matched,
+        |  round(CASE WHEN n_child_distinct > 0 THEN
+        |    CAST(n_matched AS DOUBLE) / n_child_distinct END, 6)
+        |    AS containment,
+        |  n_child_null_rows
+        |FROM cs CROSS JOIN ps CROSS JOIN m CROSS JOIN nn""".stripMargin,
+
+    // q113's min-chain with a per-transition 6 h budget: the greedy
+    // first-match within the gap IS the min event after the anchor, or
+    // nothing qualifies
+    "q185_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 21600000000 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 21600000000 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT CAST(1 AS INT) AS step_no, 'view' AS step, u1 AS users,
+        |  round(CAST(1.0 AS DOUBLE), 6) AS frac_first,
+        |  round(CAST(1.0 AS DOUBLE), 6) AS frac_prev FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', u2,
+        |  round(CAST(u2 AS DOUBLE) / u1, 6), round(CAST(u2 AS DOUBLE) / u1, 6)
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', u3,
+        |  round(CAST(u3 AS DOUBLE) / u1, 6), round(CAST(u3 AS DOUBLE) / u2, 6)
+        |FROM c
+        |ORDER BY step_no""".stripMargin,
+
+    // identical exact-microsecond span/gap arithmetic
+    "q186_inter_event" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id AS "user", count(*) AS n_events,
+        |  round(CAST(max(us) - min(us) AS DOUBLE) / 1e6, 6) AS span_secs,
+        |  round(CAST(sum(gap) AS DOUBLE) / count(gap) / 1e6, 6)
+        |    AS avg_gap_secs,
+        |  round(CAST(max(gap) AS DOUBLE) / 1e6, 6) AS max_gap_secs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -39,9 +39,11 @@ object EventSeq {
     * in order (size < k when the user fell out early).
     */
   private def walkSteps(df: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxGapUs: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(maxGapUs > 0, "maxGapUs must be positive")
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
     df.filter(col(typeCol).isin(steps: _*))
@@ -58,18 +60,32 @@ object EventSeq {
           // try_element_at: null (not an ANSI error) when nf is out of
           // range; the null comparison then resolves the guard correctly
           // (null-equality is false; `nf === 0 || ts > null` is true at 0)
+          // the gap guard subtracts micros (no ts+gap overflow) and is
+          // vacuous at the Long.MaxValue default
+          val prev = try_element_at(acc, lit(-1))
           val ok = (nf < k) &&
             (e.getField("etype") === try_element_at(stepsArr, nf + 1)) &&
-            (nf === 0 || e.getField("ts") > try_element_at(acc, lit(-1)))
+            (nf === 0 || (e.getField("ts") > prev &&
+              unix_micros(e.getField("ts")) - unix_micros(prev) <= maxGapUs))
           when(ok, concat(acc, array(e.getField("ts")))).otherwise(acc)
         }))
       .drop("evs")
   }
 
   def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      steps: Seq[String]): DataFrame = {
-    val k = steps.length
-    val walked = walkSteps(df, userCol, typeCol, tsCol, steps)
+      steps: Seq[String]): DataFrame =
+    funnelWindowed(df, userCol, typeCol, tsCol, steps, Long.MaxValue)
+
+  /** [[funnel]] with a per-transition time budget: a step only matches
+    * within `maxGapUs` microseconds of the previously matched step (the
+    * "converted within 24 h of landing" semantics). The anchor is the
+    * greedy one — the user's FIRST step-1 event — the first-touch
+    * attribution convention; a later anchor that would have converted is
+    * not searched.
+    */
+  def funnelWindowed(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], maxGapUs: Long): DataFrame = {
+    val walked = walkSteps(df, userCol, typeCol, tsCol, steps, maxGapUs)
       .withColumn("n_steps", size(col("steps")))
     // |users| rows → k+1 count rows → k step rows (all tiny frames)
     val byN = walked.groupBy("n_steps").agg(count(lit(1)).as("cnt"))
@@ -189,6 +205,37 @@ object EventSeq {
       round(col("n").cast("double") /
         sum("n").over(Window.partitionBy("prev")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+  }
+
+  /** Per-entity inter-arrival statistics: event count, activity span,
+    * and the mean/max gap between consecutive events — the engagement-
+    * cadence profile (bot detection: sub-second mean gaps; churn risk:
+    * a max gap dwarfing the mean).
+    *
+    * ONE keyed window shuffle ordered by (ts, tiebreak); every duration
+    * sums exact epoch microseconds (integral — no float accumulation
+    * order), divided once at the end.
+    *
+    * @param tieBreakCol unique-per-key column (event id) so colliding
+    *                    timestamps order deterministically
+    * @return (user, n_events, span_secs, avg_gap_secs, max_gap_secs) —
+    *         gap columns null for single-event users, seconds on a
+    *         6-digit grid
+    */
+  def interEventStats(df: DataFrame, userCol: String, tsCol: String,
+      tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(unix_micros(col(tsCol)), col(tieBreakCol))
+    val gapped = df
+      .withColumn("__gap",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+    gapped.groupBy(col(userCol).as("user"))
+      .agg(count(lit(1)).as("n_events"),
+        round((max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .cast("double") / 1e6, 6).as("span_secs"),
+        round(sum("__gap").cast("double") / count("__gap") / 1e6, 6)
+          .as("avg_gap_secs"),
+        round(max("__gap").cast("double") / 1e6, 6).as("max_gap_secs"))
   }
 
   /** Rolling active users (DAU/WAU/MAU family): for every calendar day in

@@ -122,4 +122,40 @@ object Profile {
           .otherwise(lit(lo) + (col("bin") + 1) * w))
       .select("bin", "bin_lo", "bin_hi", "n")
   }
+
+  /** Foreign-key candidate probe: how fully is the child column contained
+    * in the parent column? `containment` = |distinct(child) ∩
+    * distinct(parent)| / |distinct(child)| — 1.0 means every child value
+    * resolves (an FK candidate), and the distinct cardinalities expose
+    * the direction (the parent side of a real FK is the key side).
+    *
+    * Both sides reduce to their distinct-value frames first, so the
+    * intersection join carries distinct values only; nulls are excluded
+    * from containment (SQL FK semantics) and reported separately.
+    *
+    * @return one row (n_child_distinct, n_parent_distinct, n_matched,
+    *         containment, n_child_null_rows) — containment on a 6-digit
+    *         grid, null when the child has no non-null values
+    */
+  def fkCandidates(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame = {
+    val c = child.select(col(childCol).as("__v")).filter(col("__v").isNotNull)
+      .distinct()
+    val p = parent.select(col(parentCol).as("__v"))
+      .filter(col("__v").isNotNull).distinct()
+    val matched = c.join(p, Seq("__v"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    val cStats = c.agg(count(lit(1)).as("n_child_distinct"))
+    val pStats = p.agg(count(lit(1)).as("n_parent_distinct"))
+    val nulls = child.filter(col(childCol).isNull)
+      .agg(count(lit(1)).as("n_child_null_rows"))
+    cStats.crossJoin(broadcast(pStats)).crossJoin(broadcast(matched))
+      .crossJoin(broadcast(nulls))
+      .select(col("n_child_distinct"), col("n_parent_distinct"),
+        col("n_matched"),
+        round(when(col("n_child_distinct") > 0,
+          col("n_matched").cast("double") / col("n_child_distinct")), 6)
+          .as("containment"),
+        col("n_child_null_rows"))
+  }
 }

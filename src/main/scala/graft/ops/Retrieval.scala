@@ -147,4 +147,32 @@ object Retrieval {
       .filter(col("rn") <= topK)
       .select("label", "term", "tf", "score", "rn")
   }
+
+  /** Inverted-index build: one posting row per term with its document
+    * frequency and the sorted posting list, serialized as a
+    * comma-joined string (a string column round-trips every engine and
+    * file format identically; consumers split it or re-explode).
+    *
+    * Presence is per-document DISTINCT; the only data-sized shuffle is
+    * the (term, doc) aggregation. Posting lists are term-df-sized — cap
+    * the head with `minDf`/stopword policy upstream if a corpus-scale
+    * index must exclude the near-universal terms (their lists are the
+    * |corpus|-length rows of the output).
+    *
+    * @return (term, df, postings) — postings ascending by id
+    */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1): DataFrame = {
+    require(minDf >= 1, s"need minDf >= 1, got $minDf")
+    // sort NUMERICALLY first, stringify after — a string sort would order
+    // "10" before "2"
+    df.select(col(idCol).cast("long").as("__doc"),
+        explode(array_distinct(
+          filter(split(col(textCol), "\\s+"), t => t =!= ""))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_list(col("__doc"))),
+          x => x.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
+  }
 }

@@ -58,4 +58,50 @@ class ClusterSpec extends SparkSpec {
     assert(sizes.map(_.getLong(1)).sum === n)
     assert(res.inertia >= 0.0)
   }
+
+  test("semanticDedup keeps the smallest id of each duplicate group") {
+    // 4 is colinear with 1 (cosine exactly 1.0); everything else distinct
+    val df = (Seq(
+      (1L, Array(1.0, 2.0)), (2L, Array(5.0, 0.1)), (3L, Array(0.1, 7.0)),
+      (4L, Array(2.0, 4.0)),   // colinear with 1 -> cosine 1.0
+      (5L, Array(-3.0, -1.0))
+    )).toDF("vec_id", "embedding")
+    val out = Cluster.semanticDedup(df, "vec_id", "embedding", k = 1,
+        threshold = 0.999, maxIter = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L, 5L), "4 is colinear with 1; 1 survives")
+  }
+
+  test("semanticDedup misses nothing when k=1 and drops nothing below threshold") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(-1.0, 0.5))
+    ).toDF("vec_id", "embedding")
+    val out = Cluster.semanticDedup(df, "vec_id", "embedding", k = 1,
+      threshold = 0.999, maxIter = 3).collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L))
+  }
+
+  test("semanticDedup: oversized clusters are skipped (cap honored)") {
+    val df = (1L to 20L).map(i => (i, Array(1.0, 1.0 + i * 1e-9)))
+      .toDF("vec_id", "embedding")
+    // cap below the cluster size: nothing can pair, everything survives
+    val out = Cluster.semanticDedup(df, "vec_id", "embedding", k = 1,
+      threshold = 0.9, maxIter = 2, maxClusterSize = 10)
+    assert(out.count() === 20L)
+    // with the cap lifted the near-identical fan collapses to one row
+    val collapsed = Cluster.semanticDedup(df, "vec_id", "embedding", k = 1,
+      threshold = 0.9, maxIter = 2, maxClusterSize = 1000)
+    assert(collapsed.count() === 1L)
+  }
+
+  test("semanticDedup transitively merges chains across pairs") {
+    // a-b and b-c similar, a-c slightly less: components still merge all 3
+    val df = Seq(
+      (10L, Array(1.0, 0.00)), (11L, Array(1.0, 0.02)),
+      (12L, Array(1.0, 0.04)), (13L, Array(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Cluster.semanticDedup(df, "vec_id", "embedding", k = 1,
+      threshold = 0.9995, maxIter = 2).collect().map(_.getLong(0)).toSet
+    assert(out === Set(10L, 13L))
+  }
 }

@@ -86,4 +86,36 @@ class EncodeSpec extends SparkSpec {
       Encode.targetEncode(toy.withColumn("te", lit(1.0)), "cat", "y", "id")
     }
   }
+
+  test("woe matches the hand-computed adjusted shares") {
+    // cat a: 3 rows 2 pos; cat b: 2 rows 0 pos -> pos=2, neg=3
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0))
+      .toDF("cat", "y")
+    val got = Encode.woe(df, "cat", "y").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def rd6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (posA, negA) = ((2 + 0.5) / 2, (1 + 0.5) / 3)
+    assert(got("a")._1 === 3L && got("a")._2 === 2L)
+    assert(got("a")._3 === rd6(math.log(posA / negA)))
+    assert(got("a")._4 === rd6((posA - negA) * math.log(posA / negA)))
+    val (posB, negB) = ((0 + 0.5) / 2, (2 + 0.5) / 3)
+    assert(got("b")._3 === rd6(math.log(posB / negB)))
+  }
+
+  test("woe: a one-class target yields null woe (no evidence scale)") {
+    val df = Seq(("a", 1), ("b", 1)).toDF("cat", "y")
+    val rows = Encode.woe(df, "cat", "y").collect()
+    assert(rows.forall(_.isNullAt(3)))
+    assert(rows.forall(_.isNullAt(4)))
+  }
+
+  test("woe: null categories form their own voting row") {
+    val df = Seq((Some("a"), 1), (None, 1), (None, 0)).toDF("cat", "y")
+    val got = Encode.woe(df, "cat", "y").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got(None) === 2L)
+    assert(got(Some("a")) === 1L)
+  }
 }

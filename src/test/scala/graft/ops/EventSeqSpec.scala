@@ -149,4 +149,81 @@ class EventSeqSpec extends SparkSpec {
     assert(sums.nonEmpty)
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-3))
   }
+
+  test("rollingActive counts distinct users over the trailing window") {
+    // u1 active days 1, 2; u2 active day 1; u3 active day 4
+    val ev = Seq(
+      ("u1", ts("2024-01-01 03:00:00")), ("u1", ts("2024-01-01 09:00:00")),
+      ("u1", ts("2024-01-02 05:00:00")), ("u2", ts("2024-01-01 12:00:00")),
+      ("u3", ts("2024-01-04 00:00:00"))
+    ).toDF("user", "t")
+    val got = EventSeq.rollingActive(ev, "user", "t", windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    // day1: {u1,u2}; day2: {u1,u2 (from day1), u1} = 2; day3: {u1 (day2)};
+    // day4: {u3}
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L,
+      "2024-01-03" -> 1L, "2024-01-04" -> 1L))
+  }
+
+  test("rollingActive: windowDays=1 is plain daily actives; repeats count once") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 01:00:00")), ("a", ts("2024-01-01 02:00:00")),
+      ("b", ts("2024-01-01 03:00:00")), ("a", ts("2024-01-03 01:00:00"))
+    ).toDF("user", "t")
+    val got = EventSeq.rollingActive(ev, "user", "t", windowDays = 1)
+      .orderBy("day").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-03" -> 1L))
+  }
+
+  test("funnelWindowed: conversions outside the gap budget do not count") {
+    // u1 converts within 1h; u2's click comes 3h after view
+    val ev = Seq(
+      ("u1", "view", ts("2024-01-01 10:00:00")),
+      ("u1", "click", ts("2024-01-01 10:30:00")),
+      ("u2", "view", ts("2024-01-01 10:00:00")),
+      ("u2", "click", ts("2024-01-01 13:00:00"))
+    ).toDF("user", "etype", "t")
+    val tight = EventSeq.funnelWindowed(ev, "user", "etype", "t",
+        Seq("view", "click"), maxGapUs = 3600L * 1000000)
+      .orderBy("step_no").collect().map(_.getAs[Long]("users"))
+    assert(tight.toSeq === Seq(2L, 1L))
+    // the vacuous budget matches the plain funnel
+    val loose = EventSeq.funnel(ev, "user", "etype", "t",
+        Seq("view", "click"))
+      .orderBy("step_no").collect().map(_.getAs[Long]("users"))
+    assert(loose.toSeq === Seq(2L, 2L))
+  }
+
+  test("funnelWindowed: a gap of exactly the budget still converts") {
+    val ev = Seq(
+      ("u", "view", ts("2024-01-01 10:00:00")),
+      ("u", "click", ts("2024-01-01 11:00:00"))
+    ).toDF("user", "etype", "t")
+    val got = EventSeq.funnelWindowed(ev, "user", "etype", "t",
+        Seq("view", "click"), maxGapUs = 3600L * 1000000)
+      .orderBy("step_no").collect().map(_.getAs[Long]("users"))
+    assert(got.toSeq === Seq(1L, 1L))
+  }
+
+  test("interEventStats: exact spans and gaps; singletons carry nulls") {
+    val ev = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00")),
+      ("a", 2L, ts("2024-01-01 00:00:10")),
+      ("a", 3L, ts("2024-01-01 00:01:10")),
+      ("b", 4L, ts("2024-01-01 05:00:00"))
+    ).toDF("user", "event_id", "t")
+    val got = EventSeq.interEventStats(ev, "user", "t", "event_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) === 3L)
+    assert(a.getDouble(2) === 70.0) // span
+    assert(a.getDouble(3) === 35.0) // mean of gaps 10, 60
+    assert(a.getDouble(4) === 60.0)
+    val b = got("b")
+    assert(b.getLong(1) === 1L)
+    assert(b.getDouble(2) === 0.0)
+    assert(b.isNullAt(3) && b.isNullAt(4))
+  }
 }

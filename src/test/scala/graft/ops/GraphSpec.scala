@@ -120,6 +120,75 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(3) === 1L)
   }
 
+  test("labelPropagation: two cliques bridged by one edge form two communities") {
+    val cliqueA = Seq("a1", "a2", "a3", "a4")
+    val cliqueB = Seq("b1", "b2", "b3", "b4")
+    def clique(ns: Seq[String]) =
+      for (x <- ns; y <- ns if x != y) yield (x, y)
+    val edges = (clique(cliqueA) ++ clique(cliqueB) ++
+      Seq(("a1", "b1"), ("b1", "a1"))).toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // each clique converges to its own min label
+    cliqueA.foreach(n => assert(got(n) === "a1", n))
+    cliqueB.drop(1).foreach(n => assert(got(n) === "b1", n))
+  }
+
+  test("labelPropagation: ties adopt the smallest label deterministically") {
+    // c points at a and b equally; after round 1 both still carry their
+    // own labels, so c must adopt min(a, b) = a
+    val edges = Seq(("c", "a"), ("c", "b"), ("a", "c"), ("b", "c"))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("c") === "a")
+  }
+
+  test("labelPropagation: sinks keep their own label; result covers all nodes") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got("c") === "c") // pure sink never updates
+  }
+
+  test("labelPropagation checkpointed run equals the plain run") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val plain = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val ck = Graph.labelPropagation(edges, rounds = 3, checkpointEvery = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ck === plain)
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative (-1)") {
+    val star = (1 to 5).map(i => ("hub", s"leaf$i")).toDF("u", "v")
+    val r = Graph.degreeAssortativity(star).head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getDouble(1) === -1.0)
+  }
+
+  test("degreeAssortativity: regular graphs have no degree variance (null)") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("u", "v")
+    assert(Graph.degreeAssortativity(cycle).head().isNullAt(1))
+  }
+
+  test("degreeAssortativity matches a local Pearson over stubs") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap
+    val stubs = und.flatMap { case (x, y) =>
+      Seq((deg(x), deg(y)), (deg(y), deg(x))) }
+    val n = stubs.size.toDouble
+    val sx = stubs.map(_._1).sum
+    val sxy = stubs.map(p => p._1 * p._2).sum
+    val sxx = stubs.map(p => p._1 * p._1).sum
+    val expect = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    val got = Graph.degreeAssortativity(und.toDF("u", "v")).head().getDouble(1)
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
   test("triangleStats counts each triangle once under skewed degrees") {
     // hub h connected to k spokes, spokes chained pairwise: triangles =
     // number of chain edges; the hub's orientation must not double count

@@ -121,4 +121,26 @@ class ProfileSpec extends SparkSpec {
     assert(out.agg(org.apache.spark.sql.functions.sum("n"))
       .head().getLong(0) === 3L)
   }
+
+  test("fkCandidates: full containment on a real FK, partial otherwise") {
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(2L), None).toDF("fk")
+    val r = Profile.fkCandidates(child, "fk", parent, "pk").head()
+    assert(r.getLong(0) === 2L) // child distinct (non-null)
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 1.0)
+    assert(r.getLong(4) === 1L) // null child rows
+    val stray = Seq(1L, 9L).toDF("fk")
+    val r2 = Profile.fkCandidates(stray, "fk", parent, "pk").head()
+    assert(r2.getDouble(3) === 0.5)
+  }
+
+  test("fkCandidates: an empty child yields null containment") {
+    val parent = Seq(1L).toDF("pk")
+    val child = Seq.empty[Long].toDF("fk")
+    val r = Profile.fkCandidates(child, "fk", parent, "pk").head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(3))
+  }
 }

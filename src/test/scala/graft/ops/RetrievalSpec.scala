@@ -73,4 +73,20 @@ class RetrievalSpec extends SparkSpec {
     // Window.orderBy-without-partition allowed is the bucket-offset frame
     assert(!plan.contains("SinglePartition, Window") || true)
   }
+
+  test("buildIndex: per-doc distinct presence, numeric posting order, minDf") {
+    val docs = Seq(
+      (2L, "apple banana apple"), (10L, "banana cherry"), (1L, "banana")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.buildIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // repeated in-doc terms count once; postings sort numerically (2 < 10)
+    assert(got("apple") === ((1L, "2")))
+    assert(got("banana") === ((3L, "1,2,10")))
+    assert(got("cherry") === ((1L, "10")))
+    val withMin = Retrieval.buildIndex(docs, "doc_id", "text", minDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(withMin === Set("banana"))
+  }
 }
