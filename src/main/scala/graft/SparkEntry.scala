@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, PCA, Robust, Survival}
+import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
 import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
 import graft.streaming.StreamOps
 
@@ -2328,6 +2328,128 @@ object SparkEntry {
     "q186_inter_event" -> ((s, dir) => {
       EventSeq.interEventStats(events(s, dir), "user_id", "ts", "event_id")
         .orderBy("user")
+    }),
+
+    // cross-corpus exact Jaccard join (dedup a new slice against the
+    // existing corpus): PPJoin prefix/length/positional filters, bucket
+    // cap raised above the corpus so the result IS the full relation
+    "q187_cross_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardJoinPairs(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = 5, threshold = 0.4, maxBucketPairs = 10000000L)
+        .select(col("id_a"), col("id_b"), r(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // squared Mahalanobis distance on (quantity, price): one fused
+    // moment aggregation, driver 2×2 inverse, literal-kernel quadratic
+    // form in codegen; the oracle rebuilds the inverse in closed form —
+    // ~1 ulp from the driver's LU, far inside the 6-digit grid
+    "q188_mahalanobis" -> ((s, dir) => {
+      Outliers.mahalanobis(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("md2"), 6).as("md2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // per-type linear forecast 3 days past each type's last observed
+    // day: five exact integer moments per key, closed-form (a, b),
+    // key-cardinality explode for the horizon rows
+    "q189_forecast" -> ((s, dir) => {
+      TimeSeries.forecastLinear(events(s, dir), "event_type", "ts",
+          "value", horizon = 3, originUs = 1704067200000000L)
+        .orderBy("key", "h")
+    }),
+
+    // top event paths: each user's first 3 event types in time order,
+    // ranked by frequency with a path tiebreak
+    "q190_top_paths" -> ((s, dir) => {
+      EventSeq.topPaths(events(s, dir), "user_id", "event_type", "ts",
+          "event_id", maxLen = 3, topK = 15)
+    }),
+
+    // split-conformal 90% intervals for the price model: md5-sixteenth
+    // calibration split, engine-percentile residual quantile, ±q bands
+    "q191_conformal" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("rid",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      Conformal.lmIntervals(li, Seq("l_quantity"), "l_extendedprice",
+          "rid", alpha = 0.1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("prediction"), 4).as("prediction"),
+          r(col("conf_lo"), 4).as("conf_lo"),
+          r(col("conf_hi"), 4).as("conf_hi"),
+          col("is_calib"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // one-vs-rest multinomial on a saturated design: each per-class
+    // binomial fit converges to the exact cell proportions, and over a
+    // cell the class proportions already sum to 1, so the normalized
+    // scores ARE the cell mixtures — closed-form in DuckDB
+    "q192_multinomial" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_quantity") > 25).cast("double").as("hi"),
+        col("l_returnflag").as("cls"))
+      val m = Multinomial.fitOneVsRest(d, Seq("hi"), "cls")
+      m.predict(d.select("hi").distinct())
+        .select(col("hi"), r(col("p_A"), 6).as("p_a"),
+          r(col("p_N"), 6).as("p_n"), r(col("p_R"), 6).as("p_r"),
+          col("predicted"))
+        .orderBy("hi")
+    }),
+
+    // sentence chunking for training data: documents carry no
+    // punctuation, so both engines first rebuild 8-word sentences with
+    // identical list arithmetic; the greedy pack (20-token budget) then
+    // has an exact recursive-CTE oracle
+    "q193_chunks" -> ((s, dir) => {
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+      val ng = ceil(size(toks) / lit(8.0)).cast("int")
+      val text2 = array_join(transform(sequence(lit(1), ng), g =>
+        concat(array_join(slice(toks, (g - 1) * 8 + 1, lit(8)), " "),
+          lit("."))), " ")
+      val sentenced = t(s, dir, "documents")
+        .filter(size(toks) > 0)
+        .select(col("doc_id"), text2.as("text2"))
+      TextOps.chunkBySentence(sentenced, "doc_id", "text2", maxTokens = 20)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // greedy farthest-point diversity sample over the embeddings
+    // (rows-only: float distance argmaxes have no DuckDB analog)
+    "q194_kcenter" -> ((s, dir) => {
+      Sampling.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 12)
+        .select(col("vec_id"), col("pick_order"), r(col("min_dist"), 4)
+          .as("min_dist"))
+        .orderBy("pick_order")
+    }),
+
+    // which columns changed between the q173 snapshots, over matched keys
+    "q195_column_changes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val n = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      Diff.columnChanges(o, n, Seq("o_orderkey"))
+        .orderBy("column")
+    }),
+
+    // joint quantity × discount density grid; identical right-open
+    // binning with clamp and under/overflow cells
+    "q196_histogram2d" -> ((s, dir) => {
+      Profile.histogram2d(t(s, dir, "lineitem"), "l_quantity",
+          "l_discount", 0.0, 50.0, 10, 0.0, 0.1, 5)
+        .orderBy("xbin", "ybin")
     })
   )
 
@@ -5427,6 +5549,240 @@ object SparkEntry {
         |  round(CAST(sum(gap) AS DOUBLE) / count(gap) / 1e6, 6)
         |    AS avg_gap_secs,
         |  round(CAST(max(gap) AS DOUBLE) / 1e6, 6) AS max_gap_secs
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q25's exact shingle relation phrased across the two corpus halves
+    "q187_cross_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 3),
+        |    i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |pairs AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM pairs a JOIN pairs b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same moment pass; the 2x2 inverse in closed form and the quadratic
+    // form in quadFormExpr's exact accumulation order
+    "q188_mahalanobis" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS s0,
+        |    sum(CAST(l_extendedprice AS DOUBLE)) AS s1,
+        |    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS q00,
+        |    sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS q01,
+        |    sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS q11
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT n, s0, s1,
+        |    (q00 - s0 * s0 / n) / (n - 1) AS c00,
+        |    (q01 - s0 * s1 / n) / (n - 1) AS c01,
+        |    (q11 - s1 * s1 / n) / (n - 1) AS c11
+        |  FROM m),
+        |k AS (
+        |  SELECT n, s0, s1,
+        |    c11 / (c00 * c11 - c01 * c01) AS k00,
+        |    -c01 / (c00 * c11 - c01 * c01) AS k01,
+        |    c00 / (c00 * c11 - c01 * c01) AS k11
+        |  FROM c)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(((0.0 + k00 * (CAST(l_quantity AS DOUBLE) - s0 / n) *
+        |    (CAST(l_quantity AS DOUBLE) - s0 / n)) +
+        |    (2 * k01) * (CAST(l_quantity AS DOUBLE) - s0 / n) *
+        |    (CAST(l_extendedprice AS DOUBLE) - s1 / n)) +
+        |    k11 * (CAST(l_extendedprice AS DOUBLE) - s1 / n) *
+        |    (CAST(l_extendedprice AS DOUBLE) - s1 / n), 6) AS md2
+        |FROM lineitem CROSS JOIN k
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // identical exact integer moments and closed-form (a, b) per key
+    "q189_forecast" ->
+      """WITH e AS (
+        |  SELECT event_type AS key,
+        |    (epoch_us(date_trunc('day', ts)) - 1704067200000000)
+        |      // 86400000000 AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT key, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, max(x) AS mx
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT key, mx,
+        |    CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE)
+        |    ELSE 0.0 END AS b, n, sx, sy
+        |  FROM m),
+        |ab AS (
+        |  SELECT key, mx, b, (CAST(sy AS DOUBLE) - b * sx) / n AS a
+        |  FROM f)
+        |SELECT key, CAST(h AS INT) AS h,
+        |  make_timestamp((mx + h) * 86400000000 + 1704067200000000) AS day,
+        |  round((a + b * (mx + h)) / 100.0, 6) AS yhat
+        |FROM ab, UNNEST(generate_series(1, 3)) AS s(h)
+        |ORDER BY key, h""".stripMargin,
+
+    // per-user ordered type heads; identical slice + join + top-k cut
+    "q190_top_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY ts, event_id), 1, 3), '>') AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 15""".stripMargin,
+
+    // train-split Cramer solve + engine-percentile calibration quantile;
+    // the 4-decimal grid absorbs the Cholesky-vs-Cramer beta ulps
+    "q191_conformal" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    substr(md5(l_orderkey || '-' || l_linenumber), 32, 1) < '4'
+        |      AS is_calib
+        |  FROM lineitem),
+        |tr AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM li WHERE NOT is_calib),
+        |beta AS (
+        |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+        |  FROM tr),
+        |scored AS (
+        |  SELECT li.*, b0 + b1 * x AS pred FROM li CROSS JOIN beta),
+        |qq AS (
+        |  SELECT quantile_cont(abs(y - pred), 0.9) AS q
+        |  FROM scored WHERE is_calib)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(pred, 4) AS prediction,
+        |  round(pred - q, 4) AS conf_lo,
+        |  round(pred + q, 4) AS conf_hi,
+        |  is_calib
+        |FROM scored CROSS JOIN qq
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // saturated OvR closed form: normalized per-class scores over a cell
+    // are the cell's class mixture; argmax ties break to the first class
+    "q192_multinomial" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity > 25 AS DOUBLE) AS hi,
+        |    l_returnflag AS cls
+        |  FROM lineitem),
+        |cell AS (
+        |  SELECT hi, cls, count(*) AS n FROM d GROUP BY 1, 2),
+        |tot AS (SELECT hi, sum(n) AS nt FROM cell GROUP BY 1),
+        |p AS (
+        |  SELECT c.hi,
+        |    max(CASE WHEN cls = 'A' THEN CAST(n AS DOUBLE) / nt END) AS ra,
+        |    max(CASE WHEN cls = 'N' THEN CAST(n AS DOUBLE) / nt END) AS rn,
+        |    max(CASE WHEN cls = 'R' THEN CAST(n AS DOUBLE) / nt END) AS rr
+        |  FROM cell c JOIN tot USING (hi) GROUP BY c.hi)
+        |SELECT hi, round(ra, 6) AS p_a, round(rn, 6) AS p_n,
+        |  round(rr, 6) AS p_r,
+        |  CASE WHEN ra >= rn AND ra >= rr THEN 'A'
+        |       WHEN rn >= rr THEN 'N' ELSE 'R' END AS predicted
+        |FROM p ORDER BY hi""".stripMargin,
+
+    // identical 8-word sentence rebuild, then the greedy pack as a
+    // per-doc recursive walk over numbered sentences
+    "q193_chunks" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents WHERE len(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0),
+        |s AS (
+        |  SELECT doc_id, g AS i,
+        |    array_to_string(list_slice(t, (g - 1) * 8 + 1, (g - 1) * 8 + 8),
+        |      ' ') || '.' AS sent,
+        |    len(list_slice(t, (g - 1) * 8 + 1, (g - 1) * 8 + 8)) AS tok
+        |  FROM toks, UNNEST(generate_series(1,
+        |    CAST(ceil(len(t) / 8.0) AS BIGINT))) AS q(g)),
+        |walk AS (
+        |  SELECT doc_id, i, sent, tok, 0 AS chunk_id, tok AS acc
+        |  FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.i, s.sent, s.tok,
+        |    CASE WHEN w.acc + s.tok <= 20 THEN w.chunk_id
+        |         ELSE w.chunk_id + 1 END,
+        |    CASE WHEN w.acc + s.tok <= 20 THEN w.acc + s.tok
+        |         ELSE s.tok END
+        |  FROM walk w JOIN s ON s.doc_id = w.doc_id AND s.i = w.i + 1)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  string_agg(sent, ' ' ORDER BY i) AS chunk,
+        |  CAST(sum(tok) AS INT) AS n_tokens
+        |FROM walk GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same conditional change sums over the inner-joined snapshots
+    "q195_column_changes" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT o.o_custkey AS oc, n.o_custkey AS nc,
+        |    o.o_totalprice AS op, n.o_totalprice AS np,
+        |    o.o_orderstatus AS os, n.o_orderstatus AS ns
+        |  FROM o JOIN n USING (o_orderkey)),
+        |c AS (
+        |  SELECT count(*) AS n_matched,
+        |    sum(CASE WHEN oc IS DISTINCT FROM nc THEN 1 ELSE 0 END) AS c_ck,
+        |    sum(CASE WHEN op IS DISTINCT FROM np THEN 1 ELSE 0 END) AS c_tp,
+        |    sum(CASE WHEN os IS DISTINCT FROM ns THEN 1 ELSE 0 END) AS c_os
+        |  FROM j)
+        |SELECT 'o_custkey' AS "column", CAST(c_ck AS BIGINT) AS n_changed,
+        |  n_matched FROM c
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(c_os AS BIGINT), n_matched FROM c
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(c_tp AS BIGINT), n_matched FROM c
+        |ORDER BY "column"""".stripMargin,
+
+    // identical two-axis binning CASE
+    "q196_histogram2d" ->
+      """WITH b AS (
+        |  SELECT
+        |    CASE WHEN l_quantity < 0.0 THEN -1
+        |         WHEN l_quantity >= 50.0 THEN 10
+        |         ELSE least(CAST(floor((l_quantity - 0.0) / 5.0) AS INT), 9)
+        |    END AS xbin,
+        |    CASE WHEN l_discount < 0.0 THEN -1
+        |         WHEN l_discount >= 0.1 THEN 5
+        |         ELSE least(CAST(floor((l_discount - 0.0) /
+        |           ((CAST(0.1 AS DOUBLE) - 0.0) / 5)) AS INT), 4)
+        |    END AS ybin
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
+        |SELECT xbin, ybin, count(*) AS n FROM b GROUP BY 1, 2
+        |ORDER BY xbin, ybin""".stripMargin
   )
 }

@@ -219,6 +219,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus exact Jaccard join — [[jaccardPairs]] between TWO
+    * corpora (dedup a new crawl against the existing corpus, align two
+    * document collections) instead of within one. Same PPJoin filter
+    * stack (prefix + length + positional, see [[jaccardPairs]]); the
+    * skew guard here caps the candidate PRODUCT per prefix bucket
+    * (|bucket_a| · |bucket_b| ≤ `maxBucketPairs`), since a hot shingle
+    * on both sides is what makes the cross join quadratic.
+    *
+    * @return (id_a, id_b, jaccard): id_a from `a`, id_b from `b`, every
+    *         cross pair with J ≥ threshold (lossless except capped
+    *         buckets)
+    */
+  def jaccardJoinPairs(a: DataFrame, aIdCol: String, aTextCol: String,
+      b: DataFrame, bIdCol: String, bTextCol: String, n: Int = 3,
+      threshold: Double = 0.5, maxBucketPairs: Long = 1000000L): DataFrame = {
+    val shUdf = udf { (toks: Seq[String]) =>
+      val arr = shingleHashes(toks, n)
+      java.util.Arrays.sort(arr)
+      arr
+    }
+    def side(df: DataFrame, id: String, text: String): (DataFrame, DataFrame) = {
+      val sh = fanOut(df).select(col(id).as("id"),
+        shUdf(split(col(text), "\\s+")).as("shs"))
+      val prefix = sh
+        .withColumn("sz", size(col("shs")))
+        .select(col("id"), col("sz"),
+          posexplode(slice(col("shs"), lit(1),
+            (floor((lit(1.0) - threshold) * col("sz")) + 1).cast("int"))))
+        .withColumnRenamed("col", "sh")
+      (sh, prefix)
+    }
+    val (shA, prefA) = side(a, aIdCol, aTextCol)
+    val (shB, prefB) = side(b, bIdCol, bTextCol)
+    val ok = prefA.groupBy("sh").agg(count(lit(1)).as("na"))
+      .join(prefB.groupBy("sh").agg(count(lit(1)).as("nb")), "sh")
+      .filter(col("na") * col("nb") <= maxBucketPairs)
+      .select("sh")
+    val cand = prefA.join(ok, Seq("sh"))
+      .select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"),
+        col("pos").as("pos_a"))
+      .join(prefB
+        .select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"),
+          col("pos").as("pos_b")),
+        Seq("sh"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - 1e-9)
+      .filter(least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - 1e-9)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(shA.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(shB.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash per document, computed per row from the shingle-hash
     * array (no explode, no shuffle): each feature hash votes ±1 per bit,
     * the sign of each bit-sum is the signature bit. `shingleN` > 1 uses

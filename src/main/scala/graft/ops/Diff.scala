@@ -56,6 +56,36 @@ object Diff {
             .otherwise(lit("changed")).as("diff_status"): _*)
   }
 
+  /** Per-column change breakdown over the keys present on BOTH sides:
+    * for each shared non-key column, how many matched keys changed it
+    * (null-safe comparison). One keyed inner-join shuffle + one
+    * conditional-sum aggregation; the melt to long form is a fixed
+    * `inline` projection of the one-row counts.
+    *
+    * @return (column, n_changed, n_matched) — one row per non-key column
+    */
+  def columnChanges(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(valueCols.nonEmpty, "need at least one non-key column")
+    require(valueCols.sorted.sameElements(
+      newDf.columns.filterNot(keys.contains).sorted),
+      "old and new snapshots must share their non-key columns")
+    val o = oldDf.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"__ov_$c")): _*)
+    val nw = newDf.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"__nv_$c")): _*)
+    val counts = o.join(nw, keys).agg(
+      count(lit(1)).as("__n"),
+      valueCols.map(c =>
+        sum(when(!(col(s"__ov_$c") <=> col(s"__nv_$c")), 1L).otherwise(0L))
+          .as(s"__c_$c")): _*)
+    counts.select(inline(array(valueCols.map(c =>
+        struct(lit(c).as("column"), col(s"__c_$c").as("n_changed"),
+          col("__n").as("n_matched"))): _*)))
+  }
+
   /** The one-row rollup of [[tableDiff]]: counts per status. */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String]): DataFrame =

@@ -207,6 +207,36 @@ object EventSeq {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 6))
   }
 
+  /** Most common event paths: each user's first `maxLen` event types in
+    * time order, joined with "&gt;", counted across users, top-k by
+    * frequency — "how do sessions actually start", the product-analytics
+    * path view.
+    *
+    * One (user) aggregation collects each user's ordered head (the
+    * struct sort key is (ts, tiebreak), so colliding timestamps order
+    * deterministically); the path frame is user-count-sized and the
+    * top-k plans as TakeOrdered. Ties in frequency break on the path
+    * string, so the cut is engine-stable.
+    *
+    * @return (path, n_users) ordered by (n_users desc, path), top `topK`
+    */
+  def topPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieBreakCol: String, maxLen: Int,
+      topK: Int): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
+    val paths = df
+      .select(col(userCol).as("user"),
+        struct(col(tsCol).as("ts"), col(tieBreakCol).as("tb"),
+          col(typeCol).as("etype")).as("ev"))
+      .groupBy("user")
+      .agg(array_join(
+        transform(slice(array_sort(collect_list("ev")), 1, maxLen),
+          e => e.getField("etype")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Per-entity inter-arrival statistics: event count, activity span,
     * and the mean/max gap between consecutive events — the engagement-
     * cadence profile (bot detection: sub-second mean gaps; churn risk:

@@ -47,4 +47,51 @@ object Outliers {
           (col("mad") === 0 && col("__adev") > 0), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Multivariate outlier scoring: squared Mahalanobis distance
+    * d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) against the columns' own sample
+    * covariance — the joint-distribution outlier test (a row can be
+    * unremarkable per column yet far off the correlation ridge; d² is
+    * what sees it). Under normality d² ~ χ²(k), so flag at the χ²
+    * quantile of choice downstream.
+    *
+    * Execution is the Gram discipline: ONE fused aggregation collects
+    * n + k means + k(k+1)/2 second moments (a (k²+k)-double driver row),
+    * the k×k inverse is driver math, and the scoring pass is
+    * [[graft.glm.LinAlg.quadFormExpr]] — literal-kernel multiply-adds
+    * inside whole-stage codegen, no join, no second shuffle.
+    *
+    * @return input rows plus `outputCol` = d² (sample covariance,
+    *         n−1 denominator)
+    */
+  def mahalanobis(df: DataFrame, cols: Seq[String],
+      outputCol: String = "md2"): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(!df.columns.contains(outputCol),
+      s"output column '$outputCol' already exists")
+    import breeze.linalg.{DenseMatrix => BDM}
+    def x(c: String) = col(c).cast("double")
+    val k = cols.size
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(x(c)).as(s"s_$c")) ++
+      (for (i <- 0 until k; j <- i until k) yield
+        sum(x(cols(i)) * x(cols(j))).as(s"q_${i}_$j"))
+    val row = df.agg(moments.head, moments.tail: _*).head()
+    val n = row.getLong(0).toDouble
+    require(n > k, s"need more rows ($n) than columns ($k)")
+    val sums = cols.indices.map(i => row.getDouble(1 + i)).toArray
+    val cov = BDM.zeros[Double](k, k)
+    var idx = 1 + k
+    for (i <- 0 until k; j <- i until k) {
+      val c = (row.getDouble(idx) - sums(i) * sums(j) / n) / (n - 1)
+      cov(i, j) = c; cov(j, i) = c
+      idx += 1
+    }
+    val inv = graft.glm.LinAlg.invPD(cov)
+    val centered = cols.indices.map(i =>
+      x(cols(i)) - lit(sums(i) / n)).toArray
+    df.withColumn(outputCol,
+      graft.glm.LinAlg.quadFormExpr(inv, centered))
+  }
 }

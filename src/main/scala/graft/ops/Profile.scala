@@ -123,6 +123,30 @@ object Profile {
       .select("bin", "bin_lo", "bin_hi", "n")
   }
 
+  /** Two-dimensional fixed-width histogram — the joint-density grid
+    * behind heatmaps and drift-surface checks. Same right-open /
+    * clamp-into-last-bin / under-overflow (−1, bins) conventions as
+    * [[histogram]] on each axis, ONE (xbin, ybin) integer-key shuffle.
+    *
+    * @return (xbin, ybin, n) for occupied cells only
+    */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+      xLo: Double, xHi: Double, xBins: Int,
+      yLo: Double, yHi: Double, yBins: Int): DataFrame = {
+    require(xBins >= 1 && yBins >= 1, "need bins >= 1 on both axes")
+    require(xLo < xHi && yLo < yHi, "need lo < hi on both axes")
+    def binOf(c: String, lo: Double, hi: Double, bins: Int) = {
+      val x = col(c).cast("double")
+      val w = (hi - lo) / bins
+      when(x < lo, lit(-1)).when(x >= hi, lit(bins))
+        .otherwise(least(floor((x - lo) / w).cast("int"), lit(bins - 1)))
+    }
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(binOf(xCol, xLo, xHi, xBins).as("xbin"),
+        binOf(yCol, yLo, yHi, yBins).as("ybin"))
+      .groupBy("xbin", "ybin").agg(count(lit(1)).as("n"))
+  }
+
   /** Foreign-key candidate probe: how fully is the child column contained
     * in the parent column? `containment` = |distinct(child) ∩
     * distinct(parent)| / |distinct(child)| — 1.0 means every child value

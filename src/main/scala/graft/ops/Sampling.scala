@@ -293,4 +293,69 @@ object Sampling {
         (col("mean") + lit(z) * col("se")).as("ci_hi"),
         col("n_rows"), col("n_blocks"))
   }
+
+  /** Greedy k-center (farthest-point) selection over an embedding
+    * column — the coreset / diversity-sampling pass (pick k rows that
+    * spread over the embedding space; the classic 2-approximation to
+    * the k-center objective). Start from the deterministic (md5(id), id)
+    * minimum (the repo's content-keyed seed convention), then k−1 times
+    * take the row farthest from everything selected so far.
+    *
+    * Distributed shape: the candidate frame persists with a running
+    * min-distance column; each round adds ONE literal-centroid
+    * `array_dot` distance (codegen'd projection) and takes the argmax
+    * with a (dist desc, id) TakeOrdered — k scans, never a pairwise
+    * matrix. Selected vectors are driver state (k × dim doubles).
+    *
+    * @return (idCol, pick_order, min_dist) for the k selected rows —
+    *         min_dist is the squared distance to the nearest EARLIER
+    *         pick (0 for the seed)
+    */
+  def kCenter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val base = df
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__xx", call_function("array_dot", col("__x"), col("__x")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = base
+        .orderBy(md5(col("__id").cast("string").cast("binary")), col("__id"))
+        .select("__id", "__x").head()
+      var picks = Vector((seed.get(0), 0.0))
+      var centers = Vector(seed.getSeq[Double](1).toArray)
+      var cur = base.withColumn("__d", distTo(centers.last))
+      for (_ <- 1 until k) {
+        val far = cur.orderBy(col("__d").desc, col("__id"))
+          .select("__id", "__x", "__d").head()
+        picks :+= ((far.get(0), far.getDouble(2)))
+        centers :+= far.getSeq[Double](1).toArray
+        cur = cur.withColumn("__d",
+          least(col("__d"), distTo(centers.last)))
+      }
+      val out = picks.zipWithIndex.map { case ((id, d), i) => (i, d, id) }
+      spark.createDataFrame(spark.sparkContext.parallelize(out.map {
+          case (i, d, id) => org.apache.spark.sql.Row(id, i, d) }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("pick_order",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("min_dist",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    } finally base.unpersist()
+  }
+
+  /** ||x - c||^2 = x.x - 2 x.c + c.c against a literal center. */
+  private def distTo(c: Array[Double]): org.apache.spark.sql.Column = {
+    val cLit = array(c.map(lit): _*)
+    val cc = c.map(v => v * v).sum
+    greatest(lit(0.0), col("__xx") -
+      lit(2.0) * call_function("array_dot", col("__x"), cLit) + lit(cc))
+  }
 }

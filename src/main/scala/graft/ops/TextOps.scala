@@ -199,4 +199,38 @@ object TextOps {
         coalesce(col("__top").cast("double") / (col("n_tokens") - 1), lit(0.0)))
       .select("id", "n_tokens", "dup_token_frac", "top_2gram_frac")
   }
+
+  /** Sentence-boundary chunking for training-data preparation: split a
+    * document on sentence ends, then greedily pack consecutive sentences
+    * into chunks of at most `maxTokens` whitespace tokens (a sentence
+    * longer than the budget forms its own oversized chunk — sentences
+    * are never split). Pure per-row higher-order-function fold: no
+    * shuffle at all, one generator pass; order inside the document is
+    * the array fold order, so chunk ids are reproducible on any
+    * partitioning.
+    *
+    * @return one row per chunk: (idCol, chunk_id, chunk, n_tokens)
+    */
+  def chunkBySentence(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    val sentences = filter(
+      split(col(textCol), "(?<=[.!?])\\s+"), s => s =!= "")
+    val acc0 = expr(
+      "CAST(array() AS ARRAY<STRUCT<txt: STRING, n: INT>>)")
+    val packed = aggregate(sentences, acc0, (acc, sent) => {
+      val t = size(filter(split(sent, "\\s+"), w => w =!= ""))
+      val last = element_at(acc, -1)
+      val fits = size(acc) > 0 && (last.getField("n") + t <= maxTokens)
+      when(fits,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(
+            concat(last.getField("txt"), lit(" "), sent).as("txt"),
+            (last.getField("n") + t).as("n")))))
+        .otherwise(concat(acc, array(struct(sent.as("txt"), t.as("n")))))
+    })
+    df.select(col(idCol), posexplode(packed).as(Seq("chunk_id", "ch")))
+      .select(col(idCol), col("chunk_id"),
+        col("ch.txt").as("chunk"), col("ch.n").as("n_tokens"))
+  }
 }

@@ -324,6 +324,49 @@ object TimeSeries {
       .drop("__x", "__y", "__sx", "__sy", "__sxy", "__sxx")
   }
 
+  /** Per-key linear trend forecast: fit y = a + b·t by OLS over each
+    * key's events (t in whole days since `originUs`, y in cents — the
+    * five moments are EXACT integer sums, so a and b divide
+    * exactly-computed longs and are bit-identical on any engine), then
+    * extrapolate `horizon` daily steps past the key's last observed day.
+    *
+    * ONE keyed aggregation carries everything; the forecast rows are a
+    * per-key `sequence` explode of the (key, a, b, last-day) frame —
+    * key-cardinality-sized, never data-sized.
+    *
+    * @return (key, h, day, yhat) for h = 1..horizon; keys with no time
+    *         spread (single day) forecast their flat mean
+    */
+  def forecastLinear(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, horizon: Int, originUs: Long): DataFrame = {
+    require(horizon >= 1, s"need horizon >= 1, got $horizon")
+    val x = ((unix_micros(date_trunc("day", col(tsCol))) - lit(originUs)) /
+      86400000000L).cast("long")
+    val y = round(col(valueCol) * 100, 0).cast("long")
+    val m = df
+      .select(col(keyCol).as("key"), x.as("__x"), y.as("__y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        max("__x").as("mx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val fitted = m
+      .withColumn("b", when(den =!= 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double")).otherwise(lit(0.0)))
+      .withColumn("a",
+        (col("sy").cast("double") - col("b") * col("sx")) / col("n"))
+    fitted
+      .select(col("key"), col("a"), col("b"), col("mx"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("key"), col("h"),
+        timestamp_micros(((col("mx") + col("h")) * 86400000000L +
+          lit(originUs)).cast("long")).as("day"),
+        round((col("a") + col("b") * (col("mx") + col("h"))) / 100.0, 6)
+          .as("yhat"))
+  }
+
   /** Two-window mean-shift change score: per key and row t,
     * score_t = |mean(x_{t−w..t−1}) − mean(x_{t..t+w−1})| — the classic
     * sliding split statistic; local maxima above a threshold are change

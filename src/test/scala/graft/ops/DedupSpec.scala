@@ -207,4 +207,56 @@ class DedupSpec extends SparkSpec {
     assert(got(2).getLong(2) === 0L && got(2).getDouble(3) === 0.0)
     assert(got(3).getInt(1) === 0 && got(3).getLong(2) === 0L && got(3).getDouble(3) === 0.0)
   }
+
+  test("jaccardJoinPairs finds exactly the cross pairs above threshold") {
+    val a = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "z1 z2 z3 z4 z5 z6")
+    ).toDF("id", "text")
+    val b = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6"),        // identical to a1 -> J = 1
+      (11L, "w1 w2 w3 w4 w5 x9"),        // shares 2 of 4+4-2... partial
+      (12L, "q1 q2 q3 q4 q5 q6")         // disjoint
+    ).toDF("id", "text")
+    // 3-gram shingles of 6 tokens -> 4 shingles/doc
+    val got = Dedup.jaccardJoinPairs(a, "id", "text", b, "id", "text",
+        n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet === Set((1L, 10L), (1L, 11L)))
+    assert(got((1L, 10L)) === 1.0)
+    // doc 11 shares shingles w1w2w3, w2w3w4, w3w4w5 -> 3 of (4+4-3)=5
+    assert(math.abs(got((1L, 11L)) - 3.0 / 5) < 1e-12)
+  }
+
+  test("jaccardJoinPairs equals a brute-force cross check on a corpus slice") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val fast = Dedup.jaccardJoinPairs(a, "doc_id", "text", b, "doc_id",
+        "text", n = 5, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: all cross pairs via the self-pair relation on the union
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.2, maxBucketSize = 100000)
+      .collect().flatMap { r =>
+        val (x, y, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (x % 2 == 0 && y % 2 == 1) Some((x, y) -> j)
+        else if (x % 2 == 1 && y % 2 == 0) Some((y, x) -> j)
+        else None
+      }.toMap
+    assert(fast.keySet === all.keySet)
+    fast.foreach { case (k, j) => assert(math.abs(j - all(k)) < 1e-9, k) }
+  }
+
+  test("jaccardJoinPairs: hot-bucket product cap drops pathological shingles") {
+    val a = (1L to 30L).map(i => (i, "h1 h2 h3 common tail" + i))
+      .toDF("id", "text")
+    val b = (100L to 130L).map(i => (i, "h1 h2 h3 common tail" + i))
+      .toDF("id", "text")
+    val capped = Dedup.jaccardJoinPairs(a, "id", "text", b, "id", "text",
+      n = 3, threshold = 0.3, maxBucketPairs = 10)
+    // every prefix shingle is shared by all rows -> all buckets overflow
+    assert(capped.count() === 0L)
+  }
 }

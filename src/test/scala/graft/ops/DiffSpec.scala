@@ -55,4 +55,11 @@ class DiffSpec extends SparkSpec {
       Diff.tableDiff(oldDf, newDf, Seq.empty)
     }
   }
+
+  test("columnChanges counts per-column diffs over matched keys only") {
+    val got = Diff.columnChanges(oldDf, newDf, Seq("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // matched keys: 2, 3, 4; only id 3 changed (name), amt never
+    assert(got === Map("name" -> ((1L, 3L)), "amt" -> ((0L, 3L))))
+  }
 }

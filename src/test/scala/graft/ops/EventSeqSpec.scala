@@ -226,4 +226,34 @@ class EventSeqSpec extends SparkSpec {
     assert(b.getDouble(2) === 0.0)
     assert(b.isNullAt(3) && b.isNullAt(4))
   }
+
+  test("topPaths: ordered heads, frequency ranking, deterministic ties") {
+    val ev = Seq(
+      ("u1", 1L, ts("2024-01-01 10:00:00"), "view"),
+      ("u1", 2L, ts("2024-01-01 10:01:00"), "click"),
+      ("u1", 3L, ts("2024-01-01 10:02:00"), "buy"),
+      ("u2", 4L, ts("2024-01-01 11:00:00"), "view"),
+      ("u2", 5L, ts("2024-01-01 11:01:00"), "click"),
+      ("u3", 6L, ts("2024-01-01 12:00:00"), "view"),
+      ("u3", 7L, ts("2024-01-01 12:01:00"), "click"),
+      ("u4", 8L, ts("2024-01-01 13:00:00"), "search")
+    ).toDF("user", "event_id", "t", "etype")
+    val got = EventSeq.topPaths(ev, "user", "etype", "t", "event_id",
+        maxLen = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head === ("view>click", 3L)) // u1 truncated to 2 steps
+    assert(got.toMap.apply("search") === 1L)
+    // frequency tie between single-user paths breaks on the path string
+    val tied = got.filter(_._2 == 1L).map(_._1)
+    assert(tied.toSeq === tied.toSeq.sorted)
+  }
+
+  test("topPaths: colliding timestamps order by the tiebreak column") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq(("u", 2L, t0, "b"), ("u", 1L, t0, "a"))
+      .toDF("user", "event_id", "t", "etype")
+    val got = EventSeq.topPaths(ev, "user", "etype", "t", "event_id",
+      maxLen = 2, topK = 1).head()
+    assert(got.getString(0) === "a>b")
+  }
 }

@@ -37,4 +37,47 @@ class OutliersSpec extends SparkSpec {
     assert(m("a") === 0L)
     assert(m("b") === 1L)
   }
+
+  test("mahalanobis matches a local 2x2 closed-form computation") {
+    val data = Seq((1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.2),
+      (5.0, 9.8), (2.5, 5.0), (3.5, 7.1))
+    val df = data.toDF("x", "y")
+    val got = Outliers.mahalanobis(df, Seq("x", "y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // local reference
+    val n = data.size.toDouble
+    val mx = data.map(_._1).sum / n
+    val my = data.map(_._2).sum / n
+    def cov(f: ((Double, Double)) => Double, g: ((Double, Double)) => Double) =
+      (data.map(p => f(p) * g(p)).sum -
+        data.map(f).sum * data.map(g).sum / n) / (n - 1)
+    val (sxx, syy, sxy) = (cov(_._1, _._1), cov(_._2, _._2), cov(_._1, _._2))
+    val det = sxx * syy - sxy * sxy
+    data.foreach { case (x, y) =>
+      val (dx, dy) = (x - mx, y - my)
+      val expect = (syy * dx * dx - 2 * sxy * dx * dy + sxx * dy * dy) / det
+      assert(math.abs(got((x, y)) - expect) < 1e-9, (x, y))
+    }
+  }
+
+  test("mahalanobis: an off-ridge point outscores on-ridge points") {
+    // y ~ 2x ridge plus one point inside the marginal ranges but off-ridge
+    val base = (1 to 20).map(i => (i.toDouble, 2.0 * i + (i % 3) * 0.1))
+    val off = (10.0, 2.0) // x typical, y typical-range, correlation broken
+    val df = (base :+ off).toDF("x", "y")
+    val got = Outliers.mahalanobis(df, Seq("x", "y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val ridgeMax = base.map(got(_)).max
+    assert(got(off) > 4 * ridgeMax, "off-ridge point must dominate")
+  }
+
+  test("mahalanobis guards its output column and rank") {
+    val df = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 5.0)).toDF("x", "md2")
+    intercept[IllegalArgumentException] {
+      Outliers.mahalanobis(df, Seq("x", "md2"))
+    }
+    intercept[IllegalArgumentException] {
+      Outliers.mahalanobis(df.limit(2), Seq("x", "md2"), "out")
+    }
+  }
 }

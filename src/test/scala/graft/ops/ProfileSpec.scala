@@ -143,4 +143,22 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(0) === 0L)
     assert(r.isNullAt(3))
   }
+
+  test("histogram2d: right-open cells, clamps, under/overflow, null drop") {
+    val df = Seq(
+      (0.0, 0.0), (0.9, 0.9),      // cell (0,0)
+      (1.0, 0.0),                  // x clamps into bin 0? no: bin 1 of [0,2)x2
+      (2.0, 2.0),                  // hi on both axes -> last bin via clamp? >= hi -> overflow
+      (-1.0, 0.5),                 // x underflow
+      (0.5, Double.NaN)
+    ).toDF("x", "y")
+    val got = Profile.histogram2d(df.filter(!isnan(col("y"))), "x", "y",
+        0.0, 2.0, 2, 0.0, 2.0, 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got(((0, 0))) === 2L)
+    assert(got(((1, 0))) === 1L)
+    assert(got(((2, 2))) === 1L) // overflow bins carry id = bins
+    assert(got(((-1, 0))) === 1L)
+    assert(got.values.sum === 5L)
+  }
 }

@@ -234,4 +234,33 @@ class SamplingSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0, "block means differ, se > 0")
     assert(r.getDouble(2) < 250.5 && r.getDouble(3) > 250.5)
   }
+
+  test("kCenter: one pick per well-separated cluster, deterministic") {
+    val pts = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.1, 0.0)), (3L, Array(0.0, 0.1)),
+      (4L, Array(50.0, 0.0)), (5L, Array(50.1, 0.0)),
+      (6L, Array(0.0, 80.0)), (7L, Array(0.1, 80.0))
+    ).toDF("vec_id", "embedding")
+    val got = Sampling.kCenter(pts, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length === 3)
+    val clusters = got.map { case (id, _, _) =>
+      if (id <= 3) "a" else if (id <= 5) "b" else "c" }.toSet
+    assert(clusters.size === 3, s"picks ${got.toSeq} must cover all clusters")
+    // farthest-point min-dists are non-increasing after the seed
+    val dists = got.sortBy(_._2).map(_._3)
+    assert(dists(0) === 0.0)
+    assert(dists(1) >= dists(2))
+    // determinism under repartition
+    val again = Sampling.kCenter(pts.repartition(5), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again === got.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("kCenter: k = 1 returns only the deterministic seed") {
+    val pts = Seq((1L, Array(1.0)), (2L, Array(2.0))).toDF("vec_id", "embedding")
+    val got = Sampling.kCenter(pts, "vec_id", "embedding", 1).collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(2) === 0.0)
+  }
 }

@@ -101,4 +101,37 @@ class TextOpsSpec extends SparkSpec {
     assert(fr.getDouble(0) >= 0.0 && fr.getDouble(1) <= 1.0)
     assert(fr.getDouble(2) >= 0.0 && fr.getDouble(3) <= 1.0)
   }
+
+  test("chunkBySentence packs greedily and never splits a sentence") {
+    val df = Seq((1L,
+      "One two three. Four five. Six seven eight nine ten eleven. Twelve."
+    )).toDF("doc_id", "text")
+    val got = TextOps.chunkBySentence(df, "doc_id", "text", maxTokens = 6)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    // s1(3) + s2(2) = 5 fits; s3(6) opens chunk 2 exactly at budget;
+    // s4(1) joins? 6+1 > 6 -> new chunk
+    assert(got.length === 3)
+    assert(got(0) === ((0, "One two three. Four five.", 5)))
+    assert(got(1)._3 === 6)
+    assert(got(2) === ((2, "Twelve.", 1)))
+  }
+
+  test("chunkBySentence: oversized sentences form their own chunk; tokens conserve") {
+    val df = Seq((1L, "A b c d e f g h. Short one.")).toDF("doc_id", "text")
+    val got = TextOps.chunkBySentence(df, "doc_id", "text", maxTokens = 3)
+      .orderBy("chunk_id").collect().map(r => r.getInt(3))
+    assert(got.toSeq === Seq(8, 2))
+    assert(got.sum === 10)
+  }
+
+  test("chunkBySentence is partition-invariant") {
+    val docs = (1L to 20L).map(i =>
+      (i, s"Alpha beta $i. Gamma delta epsilon. Zeta. Eta theta iota kappa."))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.chunkBySentence(d, "doc_id", "text", 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(run(docs) === run(docs.repartition(7)))
+  }
 }

@@ -270,4 +270,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2).getLong(0) === 1L)
     assert(out(2).isNullAt(1))
   }
+
+  private val origin2024UsFc = 1704067200000000L
+
+  test("forecastLinear extrapolates an exact daily line per key") {
+    // key a: y = 10 + 2*day (days 0..4); key b flat 7
+    val df = ((0 to 4).map(d =>
+      ("a", ts(f"2024-01-0${d + 1}%d 10:00:00"), 10.0 + 2.0 * d)) ++
+      (0 to 2).map(d => ("b", ts(f"2024-01-0${d + 1}%d 09:00:00"), 7.0)))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.forecastLinear(df, "k", "t", "v", horizon = 2,
+        originUs = origin2024UsFc)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getTimestamp(2).toString.take(10), r.getDouble(3))).toMap
+    assert(got(("a", 1)) === (("2024-01-06", 20.0)))
+    assert(got(("a", 2)) === (("2024-01-07", 22.0)))
+    assert(got(("b", 1))._2 === 7.0)
+    assert(got(("b", 2))._2 === 7.0)
+  }
+
+  test("forecastLinear: single-day keys forecast their mean flat") {
+    val df = Seq(("s", ts("2024-01-01 01:00:00"), 4.0),
+      ("s", ts("2024-01-01 23:00:00"), 6.0)).toDF("k", "t", "v")
+    val got = TimeSeries.forecastLinear(df, "k", "t", "v", horizon = 3,
+        originUs = origin2024UsFc)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(got === Map(1 -> 5.0, 2 -> 5.0, 3 -> 5.0))
+  }
 }
