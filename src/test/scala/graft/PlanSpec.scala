@@ -131,6 +131,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q193: sentence chunking is shuffle-free (generator over a pure projection)") {
+    val p = plan("q193_chunks")
+    // the only exchange allowed is the output ordering's range partition
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking must not shuffle: $exchanges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("q188: mahalanobis scoring is a single-scan projection, no join") {
+    val p = plan("q188_mahalanobis")
+    assert(!p.contains("Join"), "scoring must be a literal-kernel projection")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"expected one scan, got $scans")
+  }
+
+  test("q183: ABC cumulative never funnels data through one task") {
+    val p = plan("q183_abc_classify", execute = true)
+    // the only single-partition window is the bucket-offset pass of the
+    // two-level Cumulative (bucket-count-sized); assert the data-sized
+    // distinct-total frame window is partitioned by bucket
+    assert(p.contains("__b"), "expected the two-level bucket structure")
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined
