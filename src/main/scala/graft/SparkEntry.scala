@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK}
+import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2450,6 +2450,39 @@ object SparkEntry {
       Profile.histogram2d(t(s, dir, "lineitem"), "l_quantity",
           "l_discount", 0.0, 50.0, 10, 0.0, 0.1, 5)
         .orderBy("xbin", "ybin")
+    }),
+
+    // q178's sketch twin (rows-only: HLL estimates): daily sketches,
+    // trailing windows as unions over the day-cardinality sketch frame —
+    // the 100 TB rolling-actives path; EventSeqSpec holds it within 5%
+    // of the exact op
+    "q197_rolling_active_hll" -> ((s, dir) => {
+      EventSeq.rollingActiveApprox(events(s, dir), "user_id", "ts",
+          windowDays = 7)
+        .orderBy("day")
+    }),
+
+    // weighted quantiles (price weighted by quantity): distinct-value
+    // collapse + two-level cumulative mass + conditional-min selection;
+    // integral weights make every comparison exact
+    "q198_weighted_quantiles" -> ((s, dir) => {
+      Weighted.weightedQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+          "l_quantity", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")
+    }),
+
+    // PII scrub over documents with deterministic synthesized contacts
+    // (the corpus carries none): RE2-compatible patterns, byte-identical
+    // replacements on both engines
+    "q199_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+      TextOps.redactPII(d, "t")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("redacted"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5783,6 +5816,42 @@ object SparkEntry {
         |  FROM lineitem
         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
         |SELECT xbin, ybin, count(*) AS n FROM b GROUP BY 1, 2
-        |ORDER BY xbin, ybin""".stripMargin
+        |ORDER BY xbin, ybin""".stripMargin,
+
+    // identical distinct-value mass cumulative + lower-quantile selection
+    "q198_weighted_quantiles" ->
+      """WITH b AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, sum(l_quantity) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT v, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM b),
+        |g AS (SELECT max(cw) AS grand FROM c),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.5),
+        |  (0.75), (0.9), (0.99)) t(q))
+        |SELECT q, min(CASE WHEN CAST(cw AS DOUBLE) >=
+        |  q * CAST(grand AS DOUBLE) THEN v END) AS value
+        |FROM c CROSS JOIN g CROSS JOIN qs
+        |GROUP BY q ORDER BY q""".stripMargin,
+
+    // identical contact synthesis, RE2 regexes, and replacement order
+    "q199_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id ||
+        |    '@example.com or 415-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS INT)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |    'g'), '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

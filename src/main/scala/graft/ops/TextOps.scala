@@ -233,4 +233,32 @@ object TextOps {
       .select(col(idCol), col("chunk_id"),
         col("ch.txt").as("chunk"), col("ch.n").as("n_tokens"))
   }
+
+  /** Email pattern shared by redaction and counting — RE2-compatible
+    * (no lookaround), so the DuckDB oracle runs the identical regex.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN phone shape (the deterministic test-corpus form). */
+  val phonePattern = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing for training corpora: replace emails and
+    * NNN-NNN-NNNN phone numbers with redaction tags and count what was
+    * removed — a pure projection (regex per row, no shuffle), the
+    * standard pre-training scrub pass. Patterns avoid every
+    * Java-regex-only feature so downstream engines agree byte-for-byte.
+    *
+    * @return input plus (redacted, n_emails, n_phones)
+    */
+  def redactPII(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outputCol: String = "redacted"): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains(outputCol),
+      s"output column '$outputCol' already exists")
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(emailPattern)))
+      .withColumn("n_phones", regexp_count(t, lit(phonePattern)))
+      .withColumn(outputCol,
+        regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"),
+          phonePattern, "[PHONE]"))
+  }
 }

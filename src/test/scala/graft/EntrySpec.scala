@@ -19,7 +19,8 @@ class EntrySpec extends SparkSpec {
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
       "q61_distinct_approx", "q68_ann_ivf",
       "q137_profile_approx", "q138_calibration_quantile",
-      "q163_kmeans", "q181_semantic_dedup", "q194_kcenter"))
+      "q163_kmeans", "q181_semantic_dedup", "q194_kcenter",
+      "q197_rolling_active_hll"))
   }
 
   test("approx distinct counts (q61) track the exact counts (q60) within 5%") {

@@ -256,4 +256,20 @@ class EventSeqSpec extends SparkSpec {
       maxLen = 2, topK = 1).head()
     assert(got.getString(0) === "a>b")
   }
+
+  test("rollingActiveApprox tracks the exact rolling actives within 5%") {
+    val rng = new scala.util.Random(7)
+    val ev = (1 to 4000).map { i =>
+      val day = 1 + rng.nextInt(12)
+      (s"u${rng.nextInt(700)}", ts(f"2024-01-$day%02d 12:00:00"))
+    }.toDF("user", "t")
+    val exact = EventSeq.rollingActive(ev, "user", "t", windowDays = 7)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val approx = EventSeq.rollingActiveApprox(ev, "user", "t", windowDays = 7)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(approx(d).toDouble - n) / n < 0.05, s"$d: $n vs ${approx(d)}")
+    }
+  }
 }

@@ -134,4 +134,22 @@ class TextOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(run(docs) === run(docs.repartition(7)))
   }
+
+  test("redactPII replaces emails and phones and counts them") {
+    val df = Seq(
+      (1L, "mail me at a.b-c+1@ex-ample.co.uk or 415-555-0133 now"),
+      (2L, "no pii here"),
+      (3L, "two mails x@y.io z@w.org one phone 212-555-9999")
+    ).toDF("id", "text")
+    val got = TextOps.redactPII(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) === ((1, 1, "mail me at [EMAIL] or [PHONE] now")))
+    assert(got(2L) === ((0, 0, "no pii here")))
+    assert(got(3L)._1 === 2)
+    assert(got(3L)._3 === "two mails [EMAIL] [EMAIL] one phone [PHONE]")
+    intercept[IllegalArgumentException] {
+      TextOps.redactPII(df.withColumnRenamed("text", "redacted"), "redacted")
+    }
+  }
 }
