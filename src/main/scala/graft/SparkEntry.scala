@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Similarity, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2483,6 +2483,78 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           col("redacted"))
         .orderBy("doc_id")
+    }),
+
+    // 27-core of the co-order part graph: iterative peel to the unique
+    // fixed point (7 rounds at sf0.01); the oracle unrolls 10 peel
+    // rounds — idempotent past the fixed point, so the margin is safe
+    "q200_kcore" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.join(lp.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v"))
+      Graph.kCore(edges, k = 27)
+        .orderBy("node")
+    }),
+
+    // BFS hop distances from part p1 over the symmetrized part–supplier
+    // bipartite graph; the oracle is a bounded recursive CTE + min(d)
+    "q201_bfs" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v")).distinct()
+      val edges = pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+      Graph.bfsLevels(edges, "p1", maxDepth = 4)
+        .orderBy("node")
+    }),
+
+    // RFM segmentation over orders: integral cents, rank-based quartile
+    // shares (ceil(4·cum/n) — a total function of the value, unlike
+    // ntile's physical-order tie split)
+    "q202_rfm" -> ((s, dir) => {
+      Segment.rfm(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // first/last/linear attribution of purchases to preceding touches
+    // within a 2-day lookback; (ts, event_id) totalizes the touch order
+    "q203_attribution" -> ((s, dir) => {
+      EventSeq.attribution(events(s, dir), "user_id", "event_type", "ts",
+          "event_id", "purchase", lookbackUs = 2L * 86400 * 1000000)
+        .orderBy("event_type")
+    }),
+
+    // CUSUM over daily order revenue: s_scaled = n·cum − t·G is pure
+    // Long arithmetic (no float summation channel), cusum = s/n
+    "q204_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "orders").select(
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      TimeSeries.cusum(daily, "day", "cents")
+        .orderBy("day")
+    }),
+
+    // Nelson–Aalen cumulative hazard on q126's time-to-conversion frame:
+    // ordered cumulative of identical per-row doubles — hash-stable
+    "q205_nelson_aalen" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"))
+      val dur = per.select(
+        ((unix_micros(coalesce(col("tp"), col("tl"))) - unix_micros(col("t0")))
+          .cast("double") / 3600000000.0).as("dur"),
+        col("tp").isNotNull.cast("int").as("ev"))
+      Survival.nelsonAalen(dur, "dur", "ev")
+        .select(r(col("t"), 6).as("t"), col("n_risk"), col("d"), col("c"),
+          r(col("cum_hazard"), 6).as("cum_hazard"),
+          r(col("var_hazard"), 6).as("var_hazard"))
+        .orderBy("t")
     })
   )
 
@@ -5852,6 +5924,204 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
         |    'g'), '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // 10 unrolled peel rounds — the fixed point lands in 7 at sf0.01 and
+    // peeling is idempotent past it, so rounds 8-10 are no-ops
+    "q200_kcore" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |d0 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT node FROM d0 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d0 WHERE d >= 27)),
+        |d1 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e1 UNION ALL SELECT b FROM e1) t GROUP BY 1),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT node FROM d1 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d1 WHERE d >= 27)),
+        |d2 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e2 UNION ALL SELECT b FROM e2) t GROUP BY 1),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT node FROM d2 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d2 WHERE d >= 27)),
+        |d3 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e3 UNION ALL SELECT b FROM e3) t GROUP BY 1),
+        |e4 AS MATERIALIZED (SELECT a, b FROM e3
+        |  WHERE a IN (SELECT node FROM d3 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d3 WHERE d >= 27)),
+        |d4 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e4 UNION ALL SELECT b FROM e4) t GROUP BY 1),
+        |e5 AS MATERIALIZED (SELECT a, b FROM e4
+        |  WHERE a IN (SELECT node FROM d4 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d4 WHERE d >= 27)),
+        |d5 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e5 UNION ALL SELECT b FROM e5) t GROUP BY 1),
+        |e6 AS MATERIALIZED (SELECT a, b FROM e5
+        |  WHERE a IN (SELECT node FROM d5 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d5 WHERE d >= 27)),
+        |d6 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e6 UNION ALL SELECT b FROM e6) t GROUP BY 1),
+        |e7 AS MATERIALIZED (SELECT a, b FROM e6
+        |  WHERE a IN (SELECT node FROM d6 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d6 WHERE d >= 27)),
+        |d7 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e7 UNION ALL SELECT b FROM e7) t GROUP BY 1),
+        |e8 AS MATERIALIZED (SELECT a, b FROM e7
+        |  WHERE a IN (SELECT node FROM d7 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d7 WHERE d >= 27)),
+        |d8 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e8 UNION ALL SELECT b FROM e8) t GROUP BY 1),
+        |e9 AS MATERIALIZED (SELECT a, b FROM e8
+        |  WHERE a IN (SELECT node FROM d8 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d8 WHERE d >= 27)),
+        |d9 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e9 UNION ALL SELECT b FROM e9) t GROUP BY 1),
+        |e10 AS MATERIALIZED (SELECT a, b FROM e9
+        |  WHERE a IN (SELECT node FROM d9 WHERE d >= 27)
+        |    AND b IN (SELECT node FROM d9 WHERE d >= 27)),
+        |d10 AS MATERIALIZED (SELECT x AS node, count(*) AS d FROM (
+        |  SELECT a AS x FROM e10 UNION ALL SELECT b FROM e10) t GROUP BY 1)
+        |SELECT node, d AS deg FROM d10 WHERE d >= 27
+        |ORDER BY node""".stripMargin,
+
+    // depth-bounded recursive frontier (UNION dedups (node, d) states),
+    // settled at the minimal depth by the min(d) reduction
+    "q201_bfs" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v
+        |  FROM lineitem),
+        |e AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+        |r(node, d) AS (
+        |  SELECT 'p1', 0
+        |  UNION
+        |  SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node WHERE r.d < 4)
+        |SELECT node, CAST(min(d) AS INT) AS dist FROM r
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // identical integral cents + ceil(4·cum/n) rank-share quartiles
+    "q202_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS frequency,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT max(last_d) AS r FROM base),
+        |b2 AS (
+        |  SELECT o_custkey, date_diff('day', last_d, r) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM base CROSS JOIN ref),
+        |rmap AS (
+        |  SELECT v, CAST(5 - ceil(4.0 * cum / n) AS INT) AS s FROM (
+        |    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |        AS cum, sum(c) OVER () AS n
+        |    FROM (SELECT recency_days AS v, count(*) AS c FROM b2
+        |          GROUP BY 1))),
+        |fmap AS (
+        |  SELECT v, CAST(ceil(4.0 * cum / n) AS INT) AS s FROM (
+        |    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |        AS cum, sum(c) OVER () AS n
+        |    FROM (SELECT frequency AS v, count(*) AS c FROM b2
+        |          GROUP BY 1))),
+        |mmap AS (
+        |  SELECT v, CAST(ceil(4.0 * cum / n) AS INT) AS s FROM (
+        |    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |        AS cum, sum(c) OVER () AS n
+        |    FROM (SELECT monetary_cents AS v, count(*) AS c FROM b2
+        |          GROUP BY 1)))
+        |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary_cents,
+        |  rmap.s AS r_score, fmap.s AS f_score, mmap.s AS m_score,
+        |  rmap.s || fmap.s || mmap.s AS rfm
+        |FROM b2
+        |JOIN rmap ON b2.recency_days = rmap.v
+        |JOIN fmap ON b2.frequency = fmap.v
+        |JOIN mmap ON b2.monetary_cents = mmap.v
+        |ORDER BY o_custkey""".stripMargin,
+
+    // identical pair window, earliest-conversion ownership, and
+    // (ts, id) rank tiebreak
+    "q203_attribution" ->
+      """WITH touches AS (
+        |  SELECT user_id AS u, event_type AS etype, epoch_us(ts) AS t_us,
+        |    event_id AS id
+        |  FROM events WHERE event_type <> 'purchase'),
+        |convs AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT t.u, t.etype, t.t_us, t.id, c.c_us
+        |  FROM touches t JOIN convs c ON t.u = c.u
+        |    AND c.c_us > t.t_us AND c.c_us - t.t_us <= 172800000000),
+        |owned AS (
+        |  SELECT u, etype, t_us, id, min(c_us) AS c_us
+        |  FROM pairs GROUP BY 1, 2, 3, 4),
+        |rk AS (
+        |  SELECT etype,
+        |    row_number() OVER (PARTITION BY u, c_us ORDER BY t_us, id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY u, c_us) AS k
+        |  FROM owned)
+        |SELECT etype AS event_type,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch,
+        |  CAST(sum(CASE WHEN rn = k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch,
+        |  round(sum(1.0 / k), 6) AS linear
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical scaled-Long CUSUM identity: s = n·cum − t·G
+    "q204_cusum" ->
+      """WITH d AS (
+        |  SELECT date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |      AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(x) AS g FROM d),
+        |c AS (
+        |  SELECT day, x,
+        |    sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cx,
+        |    row_number() OVER (ORDER BY day) AS tt
+        |  FROM d)
+        |SELECT day, x, CAST(n * cx - tt * g AS BIGINT) AS s_scaled,
+        |  round(CAST(n * cx - tt * g AS DOUBLE) / n, 4) AS cusum
+        |FROM c CROSS JOIN tot ORDER BY day""".stripMargin,
+
+    // q126's duration frame; ordered cumulative of identical per-row
+    // hazard increments
+    "q205_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur,
+        |    CAST(tp IS NOT NULL AS INT) AS ev
+        |  FROM per),
+        |agg AS (
+        |  SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM dur GROUP BY 1),
+        |km AS (
+        |  SELECT t, d, c,
+        |    sum(d + c) OVER ()
+        |      - coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM agg)
+        |SELECT round(t, 6) AS t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  round(sum(CAST(d AS DOUBLE) / n_risk)
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard,
+        |  round(sum(CAST(d AS DOUBLE) /
+        |      (CAST(n_risk AS DOUBLE) * n_risk))
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS var_hazard
+        |FROM km ORDER BY t""".stripMargin
   )
 }

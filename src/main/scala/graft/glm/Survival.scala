@@ -98,4 +98,46 @@ object Survival {
         (col("omE") * col("omE") / col("sumV")).as("chi2"),
         col("obs1"), col("exp1"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator, optionally one curve per
+    * group: H(t) = Σ_{s≤t} d_s/n_s with the standard variance estimate
+    * Σ d_s/n_s² (Aalen 1978). The hazard view of the same right-censored
+    * data [[kaplanMeier]] models as survival — H relates to S by
+    * S ≈ exp(−H), and the increments d/n are the raw hazard rates a
+    * proportional-hazards fit consumes.
+    *
+    * Execution shape is exactly [[kaplanMeier]]'s: ONE (group, duration)
+    * aggregation to the curve frame, risk sets by the prior-rows window
+    * identity, then ordered cumulative sums over per-group
+    * distinct-duration frames (each partition is one curve — bounded by
+    * the time grid, never the data; same caveat as KM for a single group
+    * with a continuous clock at extreme scale).
+    *
+    * @param durationCol numeric time-to-event-or-censoring
+    * @param eventCol    1 = event observed, 0 = right-censored
+    * @return per (group,) distinct duration: (t, n_risk, d, c,
+    *         cum_hazard, var_hazard); censored-only times step n_risk
+    *         down and leave the hazard flat
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val agg = df.groupBy((g :+ col(durationCol).as("t")): _*)
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrior = Window.partitionBy(g: _*).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(g: _*).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("cum_hazard",
+        sum(col("d").cast("double") / col("n_risk")).over(wRun))
+      .withColumn("var_hazard",
+        sum(col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk"))).over(wRun))
+  }
 }

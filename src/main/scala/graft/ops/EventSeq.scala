@@ -331,4 +331,60 @@ object EventSeq {
       .distinct()
       .groupBy("day").agg(count(lit(1)).as("active_users"))
   }
+
+  /** Multi-touch marketing attribution: credit each conversion's
+    * preceding touches under the three standard models at once —
+    * first-touch (1 to the earliest touch), last-touch (1 to the latest),
+    * and linear (1/k to each of the k touches).
+    *
+    * A touch qualifies for a conversion when it STRICTLY precedes it and
+    * falls within `lookbackUs` microseconds; a touch that qualifies for
+    * several conversions is credited only to its EARLIEST one (the
+    * standard no-double-counting rule). Conversion events themselves are
+    * never touches.
+    *
+    * Execution: one user-keyed equi-join between the touch and conversion
+    * frames with the time-range predicate (pair volume is bounded by the
+    * lookback window, the interval-join discipline), one (touch)-keyed
+    * min to resolve multi-qualification, one per-conversion window for
+    * rank/size (conversion-sized partitions), and ONE final (type)
+    * aggregation carrying all three models. First/last ties break on the
+    * (ts, id) total order — deterministic and engine-reproducible.
+    *
+    * @param idCol      unique event id (the tiebreak that totalizes the
+    *                   within-conversion order)
+    * @param convType   the `typeCol` value that marks a conversion
+    * @param lookbackUs attribution window in microseconds
+    * @return per touch type: (event_type, first_touch, last_touch,
+    *         linear) — counts are exact longs; linear is a 6-digit-grid
+    *         double (a sum of 1/k terms)
+    */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String,
+      lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val touches = df.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("u"), col(typeCol).as("etype"),
+        unix_micros(col(tsCol)).as("t_us"), col(idCol).as("id"))
+    val convs = df.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("c_us"))
+      .distinct()
+    val pairs = touches.join(convs, Seq("u"))
+      .filter(col("c_us") > col("t_us") &&
+        col("c_us") - col("t_us") <= lookbackUs)
+    // each touch → its earliest qualifying conversion
+    val owned = pairs.groupBy("u", "etype", "t_us", "id")
+      .agg(min("c_us").as("c_us"))
+    val wConv = Window.partitionBy("u", "c_us")
+      .orderBy(col("t_us"), col("id"))
+    val ranked = owned
+      .withColumn("__rn", row_number().over(wConv))
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy("u", "c_us")))
+    ranked.groupBy(col("etype").as("event_type"))
+      .agg(sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("__rn") === col("__k"), 1L).otherwise(0L))
+          .as("last_touch"),
+        round(sum(lit(1.0) / col("__k")), 6).as("linear"))
+  }
 }

@@ -17,6 +17,114 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** k-core decomposition by iterative peeling on an UNDIRECTED graph
+    * (edge list `(u, v)`; duplicates, self-loops and both orientations
+    * tolerated — canonicalized first). Each round removes every vertex
+    * whose CURRENT degree is below k and the edges incident to it; the
+    * fixed point is the k-core: the maximal subgraph where every vertex
+    * keeps degree ≥ k (Seidman 1983). Deterministic — the fixed point is
+    * unique regardless of peel order.
+    *
+    * One round = one degree aggregation + two semi-joins on the edge
+    * keys; every shuffle carries (node) or (edge) pairs, never anything
+    * data-squared. Each generation materializes through the
+    * [[graft.Checkpointer]] (the edge frame is consumed by the degree
+    * agg, both semi-joins AND the convergence probe — a lazy chain would
+    * replay the whole peel prefix per consumer, the dangling-PageRank
+    * lesson). The convergence probe is one `count()` per round: a driver
+    * scalar, not data.
+    *
+    * @param maxRounds peel-round cap; the loop stops early at the fixed
+    *                  point (almost always long before — peel depth is
+    *                  the graph's degeneracy ordering length, typically
+    *                  tens of rounds even on billion-edge graphs)
+    * @return (node, deg) for every vertex of the k-core, with its degree
+    *         INSIDE the core (≥ k by construction); empty when the graph
+    *         has no k-core
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "need at least one round")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    def degrees(e: DataFrame): DataFrame = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var cur = cp(edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct())
+    var nEdges = cur.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val keep = degrees(cur).filter(col("deg") >= k)
+      val next = cp(cur
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      val nNext = next.count()
+      converged = nNext == nEdges
+      nEdges = nNext
+      cur = next
+      round += 1
+    }
+    val out = degrees(cur).filter(col("deg") >= k)
+    // materialize the result before close() frees the generations
+    val res = cp(out)
+    cp.close()
+    res
+  }
+
+  /** Single-source BFS hop distances on a DIRECTED edge list `(u, v)`
+    * (symmetrize first for undirected semantics). Frontier expansion:
+    * round r joins the current frontier against the edges and anti-joins
+    * the already-visited set, so every node is settled at its FIRST
+    * (minimal) depth — classic distributed BFS, one equi-join + one
+    * distinct + one anti-join per level, all keyed by node id.
+    *
+    * Both the visited set and the frontier are multi-consumer frames
+    * (join + anti-join + empty probe), so each generation materializes
+    * through the [[graft.Checkpointer]]. The per-level empty probe is an
+    * `isEmpty` (driver boolean, not data).
+    *
+    * @param source   the start node id (same type as u/v after Spark's
+    *                 usual literal coercion)
+    * @param maxDepth levels to expand (distances beyond it are absent
+    *                 from the result, as is every unreachable node)
+    * @return (node, dist) with dist in [0, maxDepth]
+    */
+  def bfsLevels(edges: DataFrame, source: Any, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = cp.pin(edges.select(col("u"), col("v")).distinct())
+    // single generation chain: the frontier is a FILTER over the
+    // checkpointed visited frame (dist == depth), never a second live
+    // generation — the Checkpointer frees each superseded generation as
+    // the next lands, so holding two would read freed blocks
+    var visited = cp(e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0).as("dist")))
+    var nVisited = visited.count()
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val frontier = visited.filter(col("dist") === depth)
+      val next = e
+        .join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth + 1).as("dist"))
+      visited = cp(visited.unionByName(next))
+      // convergence probe off the just-materialized generation (a count
+      // over a checkpointed RDD — a driver scalar, no recompute)
+      val n2 = visited.count()
+      done = n2 == nVisited
+      nVisited = n2
+      depth += 1
+    }
+    cp.close()
+    visited
+  }
+
   /** Synchronous label-propagation community detection on a DIRECTED
     * adjacency list `(u, v)` (symmetrize first for undirected semantics —
     * a node adopts labels from nodes it points AT). Every node starts

@@ -391,4 +391,44 @@ object TimeSeries {
           abs(sum(x).over(right) / window - sum(x).over(left) / window)))
       .drop("__ln", "__rn")
   }
+
+  /** CUSUM drift statistic over an INTEGRAL-valued series (cents,
+    * counts): S_t = Σ_{i≤t} (x_i − x̄). The running extreme of |S| marks
+    * the most likely mean-shift point; a monotone drift shows as a
+    * V/Λ-shaped S curve. Complements [[changeScore]] (local split means)
+    * with the global-mean cumulative form.
+    *
+    * Exactness: S_t is carried SCALED BY n — s_scaled = n·Σx_{≤t} − t·G
+    * with G the grand total and t the point's 1-based index — pure Long
+    * arithmetic, no float summation channel, bit-identical on any
+    * engine (headroom: n·G must stay inside 2⁶³ — fine for cents totals
+    * below ~10¹⁴ at a million points). The unscaled double `cusum` =
+    * s_scaled/n is one division per row off the exact Long.
+    *
+    * Execution: duplicate order values collapse through ONE groupBy (their
+    * values sum); the cumulative runs through the two-level
+    * [[Cumulative.runningSums]] pass (no single-task data window); the
+    * grand totals ride a one-row broadcast.
+    *
+    * @param orderCol numeric series order (day index, epoch seconds …)
+    * @param valueCol integral measure; duplicates per order value sum
+    * @return (orderCol, x, s_scaled, cusum) one row per distinct order
+    *         value, `cusum` on a 4-digit grid
+    */
+  def cusum(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val dist = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(orderCol))
+      .agg(sum(col(valueCol).cast("long")).as("x"), lit(1L).as("__one"))
+    val cum = Cumulative.runningSums(dist, orderCol, Seq("x", "__one"))
+    // grand totals from the collapsed frame (not max of the cumulative —
+    // negative values make the running sum non-monotone)
+    val tot = dist.agg(count(lit(1)).as("__n"), sum("x").as("__g"))
+    cum.crossJoin(broadcast(tot))
+      .select(col(orderCol), col("x"),
+        (col("__n") * col("x_cum") - col("__one_cum") * col("__g"))
+          .as("s_scaled"),
+        round((col("__n") * col("x_cum") - col("__one_cum") * col("__g"))
+          .cast("double") / col("__n").cast("double"), 4).as("cusum"))
+  }
 }

@@ -58,4 +58,42 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)  // b: censored at t=1
     assert(math.abs(out(3).getDouble(1) - 0.0) < 1e-12)  // b: last fails
   }
+
+  test("nelsonAalen: textbook cumulative hazard with censoring") {
+    // t=1 event (n=5), t=2 censored, t=3 event (n=3), t=4 event (n=2)
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("dur", "ev")
+    val out = Survival.nelsonAalen(df, "dur", "ev").orderBy("t")
+      .select("t", "n_risk", "d", "c", "cum_hazard", "var_hazard")
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 3L, 2L, 1L))
+    val h = out.map(_.getDouble(4))
+    assert(math.abs(h(0) - 0.25) < 1e-12)
+    assert(math.abs(h(1) - 0.25) < 1e-12)            // censoring: flat
+    assert(math.abs(h(2) - (0.25 + 0.5)) < 1e-12)
+    assert(math.abs(h(3) - (0.25 + 0.5 + 1.0)) < 1e-12)
+    val v = out.map(_.getDouble(5))
+    assert(math.abs(v(3) - (1.0 / 16 + 1.0 / 4 + 1.0)) < 1e-12)
+  }
+
+  test("nelsonAalen: exp(-H) tracks the KM survivor for small hazards") {
+    // many at-risk, few events: S ≈ exp(-H) to first order
+    val df = ((1 to 3).map(t => (t.toDouble, 1)) ++
+      (1 to 97).map(_ => (10.0, 0))).toDF("dur", "ev")
+    val na = Survival.nelsonAalen(df, "dur", "ev")
+      .filter(col("t") === 3.0).select("cum_hazard").head().getDouble(0)
+    val km = Survival.kaplanMeier(df, "dur", "ev")
+      .filter(col("t") === 3.0).select("survival").head().getDouble(0)
+    assert(math.abs(math.exp(-na) - km) < 1e-3)
+  }
+
+  test("nelsonAalen: grouped curves accumulate independently") {
+    val df = (Seq((1.0, 1), (2.0, 1)).map { case (t, e) => ("a", t, e) } ++
+      Seq((1.0, 1)).map { case (t, e) => ("b", t, e) })
+      .toDF("g", "dur", "ev")
+    val out = Survival.nelsonAalen(df, "dur", "ev", Seq("g"))
+      .orderBy("g", "t").select("g", "cum_hazard").collect()
+    assert(math.abs(out(0).getDouble(1) - 0.5) < 1e-12)        // a, t=1
+    assert(math.abs(out(1).getDouble(1) - 1.5) < 1e-12)        // a, t=2
+    assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)        // b, t=1
+  }
 }

@@ -9,6 +9,69 @@ class EventSeqSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("attribution: first/last/linear credits on a closed journey") {
+    val ev = Seq(
+      // u1: ad → email → buy. ad is first touch, email last; linear ½ each
+      (1L, 10L, ts("2024-01-01 00:00:00"), "ad"),
+      (1L, 11L, ts("2024-01-01 01:00:00"), "email"),
+      (1L, 12L, ts("2024-01-01 02:00:00"), "buy"),
+      // u2: email only → buy
+      (2L, 20L, ts("2024-01-01 00:00:00"), "email"),
+      (2L, 21L, ts("2024-01-01 01:00:00"), "buy"),
+      // u3: touch AFTER the conversion gets no credit
+      (3L, 30L, ts("2024-01-01 05:00:00"), "buy"),
+      (3L, 31L, ts("2024-01-01 06:00:00"), "ad")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventSeq.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "buy", lookbackUs = 24L * 3600 * 1000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("ad") === ((1L, 0L, 0.5)))
+    assert(out("email") === ((1L, 2L, 1.5)))
+  }
+
+  test("attribution: lookback excludes stale touches") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "ad"),     // 49h before: stale
+      (1L, 2L, ts("2024-01-02 12:00:00"), "email"),  // 13h before: in
+      (1L, 3L, ts("2024-01-03 01:00:00"), "buy")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventSeq.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "buy", lookbackUs = 24L * 3600 * 1000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains("ad"))
+    assert(out("email") === ((1L, 1L, 1.0)))
+  }
+
+  test("attribution: a touch is credited only to its earliest conversion") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "ad"),
+      (1L, 2L, ts("2024-01-01 01:00:00"), "buy"),
+      (1L, 3L, ts("2024-01-01 02:00:00"), "buy") // second conv: no touches
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventSeq.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "buy", lookbackUs = 24L * 3600 * 1000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // one credited conversion in total, not two
+    assert(out("ad") === ((1L, 1L, 1.0)))
+  }
+
+  test("attribution: simultaneous touches break ties on the id order") {
+    val ev = Seq(
+      (1L, 5L, ts("2024-01-01 00:00:00"), "ad"),
+      (1L, 6L, ts("2024-01-01 00:00:00"), "email"), // same ts, higher id
+      (1L, 7L, ts("2024-01-01 01:00:00"), "buy")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventSeq.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "buy", lookbackUs = 24L * 3600 * 1000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("ad") === ((1L, 0L, 0.5)))    // lower id → first
+    assert(out("email") === ((0L, 1L, 0.5))) // higher id → last
+  }
+
   test("funnel: greedy in-order matching on closed cases") {
     val ev = Seq(
       // u1 full funnel in order

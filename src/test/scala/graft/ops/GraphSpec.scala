@@ -198,4 +198,73 @@ class GraphSpec extends SparkSpec {
     val r = triRow(star ++ chain)
     assert(r.getLong(3) === chain.size.toLong)
   }
+
+  test("kCore: K4 plus a pendant path peels to the 3-core = the K4") {
+    // K4 on {a,b,c,d}; path d-e-f hangs off it. 3-core = exactly the K4
+    // (e, f peel in successive rounds — exercises the iteration).
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    val edges = (k4 ++ Seq(("d", "e"), ("e", "f"))).toDF("u", "v")
+    val core = Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set("a", "b", "c", "d"))
+    // degrees are measured INSIDE the core: d loses its pendant edge
+    assert(core.values.toSet === Set(3L))
+  }
+
+  test("kCore: whole graph survives when min degree already >= k") {
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("u", "v")
+    val core = Graph.kCore(tri, k = 2).collect()
+    assert(core.map(_.getString(0)).toSet === Set("a", "b", "c"))
+    assert(core.forall(_.getLong(1) === 2L))
+  }
+
+  test("kCore: empty result when no k-core exists; input noise normalized") {
+    // a tree has no 2-core; duplicates/self-loops/orientations tolerated
+    val tree = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "c"),
+      ("b", "d"), ("b", "d")).toDF("u", "v")
+    assert(Graph.kCore(tree, k = 2).isEmpty)
+  }
+
+  test("kCore: cascade peel terminates at the fixed point, not maxRounds") {
+    // chain a-b-c-d-e: 2-core empty, found in a few rounds well under cap
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("u", "v")
+    assert(Graph.kCore(chain, k = 2, maxRounds = 50).isEmpty)
+  }
+
+  test("bfsLevels: hop distances on a directed graph; unreachable absent") {
+    // a→b→c, a→d; e isolated (only e→e ignored as self-loop is still an
+    // edge — keep e reachable only from itself)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "d"), ("x", "y"))
+      .toDF("u", "v")
+    val d = Graph.bfsLevels(edges, "a", maxDepth = 5).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d === Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
+
+  test("bfsLevels: a node is settled at its minimal depth (diamond)") {
+    // a→b→d and a→d: d must be depth 1, not 2
+    val edges = Seq(("a", "b"), ("b", "d"), ("a", "d")).toDF("u", "v")
+    val d = Graph.bfsLevels(edges, "a", maxDepth = 5).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d("d") === 1)
+  }
+
+  test("bfsLevels: maxDepth truncates; depth 0 returns just the source") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("u", "v")
+    val d1 = Graph.bfsLevels(edges, "a", maxDepth = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d1 === Map("a" -> 0, "b" -> 1))
+    val d0 = Graph.bfsLevels(edges, "a", maxDepth = 0).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d0 === Map("a" -> 0))
+  }
+
+  test("bfsLevels handles cycles without looping (convergence probe)") {
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("u", "v")
+    val d = Graph.bfsLevels(cyc, "a", maxDepth = 10).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d === Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
 }

@@ -297,4 +297,47 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
     assert(got === Map(1 -> 5.0, 2 -> 5.0, 3 -> 5.0))
   }
+
+  test("cusum: mean-shift series peaks |S| at the change point") {
+    // 4 points at 10 then 4 at 20: x̄ = 15, S dips to its extreme at t=4
+    val df = (1 to 8).map(t => (t.toLong, if (t <= 4) 10L else 20L))
+      .toDF("t", "x")
+    val out = TimeSeries.cusum(df, "t", "x").orderBy("t")
+      .select("t", "x", "s_scaled", "cusum").collect()
+    // s_scaled = n·cum − t·G with n=8, G=120
+    val expected = Seq(
+      1L -> (8 * 10 - 1 * 120), 2L -> (8 * 20 - 2 * 120),
+      3L -> (8 * 30 - 3 * 120), 4L -> (8 * 40 - 4 * 120),
+      5L -> (8 * 60 - 5 * 120), 6L -> (8 * 80 - 6 * 120),
+      7L -> (8 * 100 - 7 * 120), 8L -> (8 * 120 - 8 * 120))
+    assert(out.map(r => r.getLong(0) -> r.getLong(2).toInt).toSeq ===
+      expected.map { case (t, s) => t -> s })
+    // unscaled: s/n; extreme at t=4 = -20
+    assert(out(3).getDouble(3) === -20.0)
+    assert(out(7).getLong(2) === 0L) // S_n = 0 always
+  }
+
+  test("cusum: duplicate order values collapse by summing") {
+    val df = Seq((1L, 3L), (1L, 7L), (2L, 10L)).toDF("t", "x")
+    val out = TimeSeries.cusum(df, "t", "x").orderBy("t").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 10L)
+    // n=2, G=20: s(1) = 2·10 − 1·20 = 0
+    assert(out(0).getLong(2) === 0L)
+  }
+
+  test("cusum: a constant series is identically zero") {
+    val df = (1 to 5).map(t => (t.toLong, 4L)).toDF("t", "x")
+    val out = TimeSeries.cusum(df, "t", "x").collect()
+    assert(out.forall(_.getLong(2) === 0L))
+  }
+
+  test("cusum is invariant to input partitioning") {
+    val df = (1 to 40).map(t => (t.toLong, (t * 13 % 7).toLong))
+      .toDF("t", "x")
+    val a = TimeSeries.cusum(df, "t", "x").orderBy("t").collect().toSeq
+    val b = TimeSeries.cusum(df.repartition(9), "t", "x")
+      .orderBy("t").collect().toSeq
+    assert(a === b)
+  }
 }
