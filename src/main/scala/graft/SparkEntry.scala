@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2555,6 +2555,78 @@ object SparkEntry {
           r(col("cum_hazard"), 6).as("cum_hazard"),
           r(col("var_hazard"), 6).as("var_hazard"))
         .orderBy("t")
+    }),
+
+    // Flesch readability over q193's rebuilt 8-word sentences (the corpus
+    // carries no punctuation); RE2 counts, fixed-order formula arithmetic
+    "q206_readability" -> ((s, dir) => {
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+      val ng = ceil(size(toks) / lit(8.0)).cast("int")
+      val text2 = array_join(transform(sequence(lit(1), ng), g =>
+        concat(array_join(slice(toks, (g - 1) * 8 + 1, lit(8)), " "),
+          lit("."))), " ")
+      val sentenced = t(s, dir, "documents")
+        .filter(size(toks) > 0)
+        .select(col("doc_id"), text2.as("text2"))
+      TextOps.readability(sentenced, "text2")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch"), col("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
+    // HITS on the DIRECTED part→supplier graph (hubs = parts,
+    // authorities = suppliers); 3 L1-normalized power iterations, the
+    // oracle unrolls them with materialized CTEs (the q176 discipline)
+    "q207_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v")).distinct()
+      Graph.hits(edges, iters = 3)
+        .select(col("node"), r(col("hub"), 8).as("hub"),
+          r(col("authority"), 8).as("authority"))
+        .orderBy("node")
+    }),
+
+    // class-balancing oversample of documents by language: per-row copy
+    // counts are a pure function of (class count, md5(doc_id)) —
+    // engine-identical, no window
+    "q208_oversample" -> ((s, dir) => {
+      Sampling.oversample(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")), "lang", "doc_id")
+        .orderBy("lang", "doc_id", "copy")
+    }),
+
+    // Fellegi–Sunter match scores over nation-blocked customer pairs:
+    // u estimated from the pairs (0.5-adjusted), ln-ratio weights in
+    // identical fixed order; the 4-digit grid lands BEFORE the top-k cut
+    "q209_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val pairs = c.join(c.select(col("c_custkey").as("b_key"),
+          col("c_nationkey").as("b_nat"),
+          col("c_mktsegment").as("b_seg"), col("c_acctbal").as("b_bal")),
+          col("c_nationkey") === col("b_nat") &&
+            col("c_custkey") < col("b_key"))
+        .select(col("c_custkey").as("a"), col("b_key").as("b"),
+          (col("c_mktsegment") === col("b_seg")).as("f_seg"),
+          (abs(col("c_acctbal") - col("b_bal")) < 500.0).as("f_bal"))
+      Linkage.fellegiSunter(pairs, Seq("f_seg", "f_bal"), Seq(0.9, 0.85))
+        .select(col("a"), col("b"), col("fs_score"))
+        .orderBy(col("fs_score").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+
+    // isotonic calibration by PAV over 5 score bins (rows-only: the
+    // driver-side pooling has no closed SQL form; EvalSpec carries the
+    // PAV parity cases) — completes the q128/q138 calibration family
+    "q210_isotonic" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") * 10.0).as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.isotonicCalibration(d, "s", "y", nBins = 5, lo = 0.0, hi = 1.0)
+        .select(col("bin"), col("n"), r(col("frac_pos"), 6).as("frac_pos"),
+          r(col("iso_rate"), 6).as("iso_rate"))
+        .orderBy("bin")
     })
   )
 
@@ -6122,6 +6194,134 @@ object SparkEntry {
         |  round(sum(CAST(d AS DOUBLE) /
         |      (CAST(n_risk AS DOUBLE) * n_risk))
         |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS var_hazard
-        |FROM km ORDER BY t""".stripMargin
+        |FROM km ORDER BY t""".stripMargin,
+
+    // q193's sentence rebuild + identical RE2 counts and formula order
+    "q206_readability" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents WHERE len(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0),
+        |t2 AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+        |    g -> array_to_string(list_slice(t, (g - 1) * 8 + 1,
+        |      (g - 1) * 8 + 8), ' ') || '.'), ' ') AS s
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(s, '[A-Za-z]+')) AS INT) AS w,
+        |    greatest(CAST(len(regexp_extract_all(s, '[.!?]+')) AS INT), 1)
+        |      AS sn,
+        |    CAST(len(regexp_extract_all(s, '[aeiouyAEIOUY]+')) AS INT)
+        |      AS syl
+        |  FROM t2)
+        |SELECT doc_id, w AS n_words, sn AS n_sentences, syl AS n_syllables,
+        |  CASE WHEN w > 0 THEN round(206.835
+        |    - 1.015 * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE))
+        |    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4) END
+        |    AS flesch,
+        |  CASE WHEN w > 0 THEN round(
+        |    0.39 * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE))
+        |    + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+        |    - 15.59, 4) END AS fk_grade
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // three unrolled L1-normalized HITS iterations (materialized CTEs —
+    // inlining would replay the scan exponentially, the q200 lesson)
+    "q207_hits" ->
+      """WITH pe AS MATERIALIZED (
+        |  SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v
+        |  FROM lineitem),
+        |nd AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT u AS node FROM pe UNION ALL SELECT v FROM pe) t),
+        |s0 AS MATERIALIZED (
+        |  SELECT node, 1.0 / (SELECT count(*) FROM nd) AS h FROM nd),
+        |a1r AS MATERIALIZED (
+        |  SELECT nd.node, coalesce(x.s, 0.0) AS ar FROM nd LEFT JOIN (
+        |    SELECT pe.v AS node, sum(s0.h) AS s FROM pe
+        |    JOIN s0 ON pe.u = s0.node GROUP BY 1) x USING (node)),
+        |a1 AS MATERIALIZED (
+        |  SELECT node, ar / (SELECT sum(ar) FROM a1r) AS a FROM a1r),
+        |h1r AS MATERIALIZED (
+        |  SELECT nd.node, coalesce(x.s, 0.0) AS hr FROM nd LEFT JOIN (
+        |    SELECT pe.u AS node, sum(a1.a) AS s FROM pe
+        |    JOIN a1 ON pe.v = a1.node GROUP BY 1) x USING (node)),
+        |h1 AS MATERIALIZED (
+        |  SELECT node, hr / (SELECT sum(hr) FROM h1r) AS h FROM h1r),
+        |a2r AS MATERIALIZED (
+        |  SELECT nd.node, coalesce(x.s, 0.0) AS ar FROM nd LEFT JOIN (
+        |    SELECT pe.v AS node, sum(h1.h) AS s FROM pe
+        |    JOIN h1 ON pe.u = h1.node GROUP BY 1) x USING (node)),
+        |a2 AS MATERIALIZED (
+        |  SELECT node, ar / (SELECT sum(ar) FROM a2r) AS a FROM a2r),
+        |h2r AS MATERIALIZED (
+        |  SELECT nd.node, coalesce(x.s, 0.0) AS hr FROM nd LEFT JOIN (
+        |    SELECT pe.u AS node, sum(a2.a) AS s FROM pe
+        |    JOIN a2 ON pe.v = a2.node GROUP BY 1) x USING (node)),
+        |h2 AS MATERIALIZED (
+        |  SELECT node, hr / (SELECT sum(hr) FROM h2r) AS h FROM h2r),
+        |a3r AS MATERIALIZED (
+        |  SELECT nd.node, coalesce(x.s, 0.0) AS ar FROM nd LEFT JOIN (
+        |    SELECT pe.v AS node, sum(h2.h) AS s FROM pe
+        |    JOIN h2 ON pe.u = h2.node GROUP BY 1) x USING (node)),
+        |a3 AS MATERIALIZED (
+        |  SELECT node, ar / (SELECT sum(ar) FROM a3r) AS a FROM a3r),
+        |h3r AS MATERIALIZED (
+        |  SELECT nd.node, coalesce(x.s, 0.0) AS hr FROM nd LEFT JOIN (
+        |    SELECT pe.u AS node, sum(a3.a) AS s FROM pe
+        |    JOIN a3 ON pe.v = a3.node GROUP BY 1) x USING (node)),
+        |h3 AS MATERIALIZED (
+        |  SELECT node, hr / (SELECT sum(hr) FROM h3r) AS h FROM h3r)
+        |SELECT nd.node, round(h3.h, 8) AS hub, round(a3.a, 8) AS authority
+        |FROM nd JOIN h3 USING (node) JOIN a3 USING (node)
+        |ORDER BY node""".stripMargin,
+
+    // identical base+Bernoulli copy arithmetic off the same md5 uniform
+    "q208_oversample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tg AS (SELECT max(n) AS target FROM c),
+        |d AS (
+        |  SELECT doc_id, documents.lang,
+        |    CAST(floor(CAST(target AS DOUBLE) / n) AS BIGINT)
+        |    + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |          1, 15))::BIGINT::DOUBLE + 0.5) / power(16, 15)
+        |        < CAST(target % n AS DOUBLE) / CAST(n AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents JOIN c USING (lang) CROSS JOIN tg)
+        |SELECT lang, doc_id, g AS copy
+        |FROM d, UNNEST(generate_series(1, copies)) AS q(g)
+        |ORDER BY lang, doc_id, copy""".stripMargin,
+
+    // identical 0.5-adjusted u, per-term ln-ratio / ln(2) order, grid
+    // before the top-k cut
+    "q209_linkage" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |    a.c_mktsegment = b.c_mktsegment AS f_seg,
+        |    abs(a.c_acctbal - b.c_acctbal) < 500.0 AS f_bal
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+        |u AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(f_seg AS INT)) AS s_seg,
+        |    sum(CAST(f_bal AS INT)) AS s_bal
+        |  FROM p)
+        |SELECT a, b,
+        |  round(
+        |    (CASE WHEN f_seg THEN
+        |        ln(0.9 / ((CAST(s_seg AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0)))
+        |      ELSE ln((1.0 - 0.9) / (1.0 - (CAST(s_seg AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0))) END / ln(2.0))
+        |    + (CASE WHEN f_bal THEN
+        |        ln(0.85 / ((CAST(s_bal AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0)))
+        |      ELSE ln((1.0 - 0.85) / (1.0 - (CAST(s_bal AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0))) END / ln(2.0)), 4)
+        |    AS fs_score
+        |FROM p CROSS JOIN u
+        |ORDER BY fs_score DESC, a, b LIMIT 100""".stripMargin
   )
 }

@@ -144,6 +144,61 @@ object Eval {
     *
     * @return (bin, n, mean_score, frac_pos) for non-empty bins
     */
+  /** Isotonic (monotone non-decreasing) calibration by
+    * pool-adjacent-violators over score bins — the standard
+    * classifier-recalibration step where [[calibration]] merely reports
+    * the reliability curve.
+    *
+    * Distributed part: ONE fixed-width-bin aggregation (identical
+    * binning to [[calibration]]) reduces the data to ≤ nBins (n, pos)
+    * rows. PAV then runs on the DRIVER over that bounded frame (the
+    * Gram-pass discipline: only bin-count-sized state crosses the
+    * boundary, never data) — exact pooling, no iteration over rows.
+    * The pooled rates rejoin the bin frame as a broadcast literal frame.
+    *
+    * @return per occupied bin: (bin, n, frac_pos, iso_rate) with
+    *         iso_rate monotone non-decreasing in bin
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(scoreCol) - lo) / w).cast("int"), lit(0)), lit(nBins - 1))
+    val binned = df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos"))
+    // ≤ nBins rows to the driver — bounded by the bin grid, not the data
+    val rows = binned.orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // pool adjacent violators: merge any pool whose rate falls below its
+    // predecessor's until rates are non-decreasing
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(List[Int], Long, Long)]
+    rows.foreach { case (b, n, p) =>
+      pools += ((List(b), n, p))
+      var merged = true
+      while (merged && pools.length >= 2) {
+        val (bs2, n2, p2) = pools(pools.length - 1)
+        val (bs1, n1, p1) = pools(pools.length - 2)
+        if (p2.toDouble * n1 < p1.toDouble * n2) { // rate2 < rate1, exact
+          pools.remove(pools.length - 1)
+          pools(pools.length - 1) = (bs1 ++ bs2, n1 + n2, p1 + p2)
+        } else merged = false
+      }
+    }
+    val iso = pools.flatMap { case (bs, n, p) =>
+      bs.map(b => (b, p.toDouble / n))
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val isoFrame = iso.toDF("bin", "iso_rate")
+    binned
+      .withColumn("frac_pos", col("pos").cast("double") / col("n"))
+      .join(broadcast(isoFrame), "bin")
+      .select(col("bin"), col("n"), col("frac_pos"), col("iso_rate"))
+  }
+
   def calibrationQuantile(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int, relativeError: Double = 1e-3): DataFrame = {
     require(nBins >= 1, "need nBins >= 1")

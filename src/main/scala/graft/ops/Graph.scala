@@ -125,6 +125,61 @@ object Graph {
     visited
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) on a DIRECTED edge list
+    * `(u, v)`: good hubs point at good authorities and vice versa. Each
+    * iteration updates a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v),
+    * each L1-normalized (Σ = 1 — the sum-norm variant, which keeps both
+    * vectors probability-like and the oracle arithmetic closed-form).
+    *
+    * Fixed `iters`, no convergence probe — the analytical use runs a
+    * handful of power iterations and a fixed count keeps the result
+    * engine-reproducible and the oracle unrollable (the q176 discipline).
+    * Per iteration: two edge-keyed join+aggregations + two one-row total
+    * frames carried as broadcasts; the (node, h, a) state materializes
+    * through the [[graft.Checkpointer]] every iteration (it is
+    * multi-consumer: both update joins and the totals read it).
+    *
+    * @return (node, hub, authority) over the union of sources and sinks,
+    *         both columns ≥ 0 and summing to 1
+    */
+  def hits(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = cp.pin(edges.select(col("u"), col("v")).distinct())
+    val nodes = cp.pin(e.select(col("u"))
+      .unionAll(e.select(col("v").as("u"))).distinct()
+      .select(col("u").as("node")))
+    val n = nodes.count()
+    var state = cp(nodes.select(col("node"),
+      lit(1.0 / n).as("h"), lit(1.0 / n).as("a")))
+    for (i <- 1 to iters) {
+      val aRaw = nodes.join(
+        e.join(state.select(col("node").as("u"), col("h")), "u")
+          .groupBy(col("v").as("node")).agg(sum("h").as("__x")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__x"), lit(0.0)).as("ar"))
+      val aTot = aRaw.agg(sum("ar").as("__t"))
+      val aN = aRaw.crossJoin(broadcast(aTot))
+        .select(col("node"), (col("ar") / col("__t")).as("a"))
+      val hRaw = nodes.join(
+        e.join(aN.select(col("node").as("v"), col("a")), "v")
+          .groupBy(col("u").as("node")).agg(sum("a").as("__x")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__x"), lit(0.0)).as("hr"))
+      val hTot = hRaw.agg(sum("hr").as("__t"))
+      val hN = hRaw.crossJoin(broadcast(hTot))
+        .select(col("node"), (col("hr") / col("__t")).as("h"))
+      val next = hN.join(aN, "node").select(col("node"), col("h"), col("a"))
+      state =
+        if (i == iters || (checkpointEvery > 0 && i % checkpointEvery == 0))
+          cp(next)
+        else next
+    }
+    cp.close()
+    state.withColumnRenamed("h", "hub").withColumnRenamed("a", "authority")
+  }
+
   /** Synchronous label-propagation community detection on a DIRECTED
     * adjacency list `(u, v)` (symmetrize first for undirected semantics —
     * a node adopts labels from nodes it points AT). Every node starts

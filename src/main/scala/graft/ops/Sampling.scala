@@ -95,6 +95,38 @@ object Sampling {
     * selection is total-ordered and engine-reproducible. Keys with fewer
     * than `maxPerKey` rows pass through whole.
     */
+  /** Class-balancing oversampler: replicate each minority-class row so
+    * every class's expected total matches the majority class — the
+    * standard imbalanced-training rebalance, deterministic instead of
+    * random.
+    *
+    * Each row gets `floor(target/n_c)` copies plus one more when its
+    * md5-uniform falls below the fractional remainder `(target mod
+    * n_c)/n_c` — content-keyed Bernoulli rounding, so the per-class
+    * expected total is exactly `target` (= the max class size) and the
+    * result is reproducible row-by-row on any engine. This is a PURE
+    * per-row decision off one broadcast class-count frame + an `explode`
+    * — no per-class window, no data-sized single task, repartition-proof
+    * (the scale trade: totals are exact-in-expectation, ±O(√n_c) in
+    * realization; an exact-total variant needs a per-class rank).
+    *
+    * @return input rows replicated, with `copy` (1-based replica index)
+    */
+  def oversample(df: DataFrame, classCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val target = counts.agg(max("__n").as("__target"))
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") + 0.5) / math.pow(16.0, 15)
+    df.join(broadcast(counts), Seq(classCol))
+      .crossJoin(broadcast(target))
+      .withColumn("__copies",
+        (col("__target").cast("long") / col("__n")).cast("long") +
+          when(u < (col("__target") % col("__n")).cast("double") /
+            col("__n").cast("double"), 1L).otherwise(0L))
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__n", "__target", "__copies")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       maxPerKey: Int): DataFrame = {
     require(maxPerKey >= 1, "maxPerKey must be >= 1")

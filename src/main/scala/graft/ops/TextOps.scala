@@ -261,4 +261,38 @@ object TextOps {
         regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"),
           phonePattern, "[PHONE]"))
   }
+
+  /** Flesch readability scoring — the classic text-quality feature for
+    * corpus curation (too-hard and too-trivial documents both get
+    * filtered). Counts are RE2-compatible regex counts so the arithmetic
+    * is engine-reproducible:
+    *
+    *  - words      = matches of `[A-Za-z]+`
+    *  - sentences  = matches of `[.!?]+` (floored at 1 so headline-style
+    *    fragments still score)
+    *  - syllables  = matches of `[aeiouyAEIOUY]+` — the standard
+    *    vowel-group heuristic, summed over the text (groups never span a
+    *    word boundary, so this equals the per-word sum)
+    *
+    * Flesch reading ease = 206.835 − 1.015·W/S − 84.6·Syl/W;
+    * Flesch–Kincaid grade = 0.39·W/S + 11.8·Syl/W − 15.59. Pure
+    * projection — no shuffle; scores are fixed-order double expressions
+    * on a 4-digit grid, null when the text has no words.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val w = regexp_count(t, lit("[A-Za-z]+"))
+    val s = greatest(regexp_count(t, lit("[.!?]+")), lit(1))
+    val syl = regexp_count(t, lit("[aeiouyAEIOUY]+"))
+    val wps = w.cast("double") / s.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    df.withColumn("n_words", w)
+      .withColumn("n_sentences", s)
+      .withColumn("n_syllables", syl)
+      .withColumn("flesch", when(w > 0, round(
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)))
+      .withColumn("fk_grade", when(w > 0, round(
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)))
+  }
 }

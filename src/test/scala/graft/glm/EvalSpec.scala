@@ -160,4 +160,60 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(got.getDouble(0) - ref) < 1e-12)
     assert(math.abs(got.getLong(1) - obs1) < 1e-12)
   }
+
+  // one labeled point per (bin, label) need: score in [0,1), 4 bins of 0.25
+  private def isoInput(rates: Seq[(Double, Int, Int)]) = {
+    // (bin center score, positives, negatives)
+    import spark.implicits._
+    rates.flatMap { case (s, p, n) =>
+      Seq.fill(p)((s, 1)) ++ Seq.fill(n)((s, 0))
+    }.toDF("s", "y")
+  }
+
+  test("isotonicCalibration: PAV pools a violating pair") {
+    // raw rates by bin: 0.1, 0.5, 0.3, 0.7 (10 rows each) → pooling bins
+    // 1 and 2 to 0.4 restores monotonicity
+    val df = isoInput(Seq((0.1, 1, 9), (0.35, 5, 5), (0.6, 3, 7),
+      (0.85, 7, 3)))
+    val out = Eval.isotonicCalibration(df, "s", "y", nBins = 4,
+        lo = 0.0, hi = 1.0)
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    val iso = out.map(_.getAs[Double]("iso_rate"))
+    assert(iso.toSeq === Seq(0.1, 0.4, 0.4, 0.7))
+    val raw = out.map(_.getAs[Double]("frac_pos"))
+    assert(raw.toSeq === Seq(0.1, 0.5, 0.3, 0.7))
+  }
+
+  test("isotonicCalibration: already-monotone rates pass through") {
+    val df = isoInput(Seq((0.1, 1, 9), (0.35, 3, 7), (0.6, 5, 5),
+      (0.85, 9, 1)))
+    val out = Eval.isotonicCalibration(df, "s", "y", 4, 0.0, 1.0)
+      .orderBy("bin").collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("iso_rate") === r.getAs[Double]("frac_pos"))
+    }
+  }
+
+  test("isotonicCalibration: pooling is count-weighted, cascades left") {
+    // bins: rate 0.8 (10 rows), 0.2 (30 rows) → single pool at
+    // (8+6)/40 = 0.35; a third bin at 0.9 stays its own pool
+    val df = isoInput(Seq((0.1, 8, 2), (0.35, 6, 24), (0.6, 9, 1)))
+    val out = Eval.isotonicCalibration(df, "s", "y", 4, 0.0, 1.0)
+      .orderBy("bin").collect()
+    val iso = out.map(_.getAs[Double]("iso_rate"))
+    assert(math.abs(iso(0) - 0.35) < 1e-12)
+    assert(math.abs(iso(1) - 0.35) < 1e-12)
+    assert(math.abs(iso(2) - 0.9) < 1e-12)
+  }
+
+  test("isotonicCalibration result is monotone on adversarial rates") {
+    val df = isoInput(Seq((0.1, 9, 1), (0.35, 7, 3), (0.6, 5, 5),
+      (0.85, 1, 9)))
+    val iso = Eval.isotonicCalibration(df, "s", "y", 4, 0.0, 1.0)
+      .orderBy("bin").collect().map(_.getAs[Double]("iso_rate"))
+    assert(iso.sliding(2).forall { case Array(x, y) => x <= y })
+    // total positives are conserved under pooling (weighted mean)
+    assert(math.abs(iso.head - 22.0 / 40) < 1e-12)
+  }
 }

@@ -267,4 +267,41 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(d === Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
+
+  test("hits: closed one-iteration values on a two-authority graph") {
+    // a→x, b→x, c→y: after one L1-normalized iteration
+    // authority: x = 2/3, y = 1/3; hub: a = b = 0.4, c = 0.2
+    val e = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("u", "v")
+    val got = Graph.hits(e, iters = 1).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got("x")._2 - 2.0 / 3) < 1e-12)
+    assert(math.abs(got("y")._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(got("a")._1 - 0.4) < 1e-12)
+    assert(math.abs(got("b")._1 - 0.4) < 1e-12)
+    assert(math.abs(got("c")._1 - 0.2) < 1e-12)
+    // pure sinks have hub 0; pure sources authority 0
+    assert(got("x")._1 === 0.0 && got("a")._2 === 0.0)
+  }
+
+  test("hits: both vectors stay L1-normalized over several iterations") {
+    val e = Seq(("a", "x"), ("b", "x"), ("c", "y"), ("x", "c"))
+      .toDF("u", "v")
+    val out = Graph.hits(e, iters = 4)
+    val sums = out.agg(sum("hub"), sum("authority")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("hits is invariant to input partitioning") {
+    val e = Seq(("a", "x"), ("b", "x"), ("c", "y"), ("x", "y"),
+      ("y", "a")).toDF("u", "v")
+    val p1 = Graph.hits(e, iters = 3).orderBy("node").collect().toSeq
+    val p2 = Graph.hits(e.repartition(5), iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(p1.map(_.getString(0)) === p2.map(_.getString(0)))
+    p1.zip(p2).foreach { case (x, y) =>
+      assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-12)
+      assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-12)
+    }
+  }
 }

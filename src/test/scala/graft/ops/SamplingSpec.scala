@@ -263,4 +263,41 @@ class SamplingSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head.getDouble(2) === 0.0)
   }
+
+  test("oversample: exact replication when the remainder is zero") {
+    // A: 4 rows, B: 2 rows → target 4; every B row gets exactly 2 copies
+    val df = ((1 to 4).map(i => ("A", i.toLong)) ++
+      (5 to 6).map(i => ("B", i.toLong))).toDF("cls", "id")
+    val out = Sampling.oversample(df, "cls", "id")
+    val byClass = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass === Map("A" -> 4L, "B" -> 4L))
+    // copy indices are 1-based and dense
+    val copies = out.filter($"cls" === "B" && $"id" === 5L)
+      .select("copy").collect().map(_.getLong(0)).sorted
+    assert(copies.toSeq === Seq(1L, 2L))
+  }
+
+  test("oversample: fractional remainder adds at most one extra copy") {
+    // A: 3, B: 2 → target 3; B base = 1, remainder frac = 1/2 per row
+    val df = ((1 to 3).map(i => ("A", i.toLong)) ++
+      (4 to 5).map(i => ("B", i.toLong))).toDF("cls", "id")
+    val perRow = Sampling.oversample(df, "cls", "id")
+      .filter($"cls" === "B").groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow.values.forall(c => c == 1L || c == 2L))
+  }
+
+  test("oversample is deterministic and partition-invariant") {
+    val df = ((1 to 9).map(i => ("A", i.toLong)) ++
+      (10 to 13).map(i => ("B", i.toLong)) ++
+      (14 to 15).map(i => ("C", i.toLong))).toDF("cls", "id")
+    val a = Sampling.oversample(df, "cls", "id")
+      .orderBy("cls", "id", "copy").collect().toSeq
+    val b = Sampling.oversample(df.repartition(7), "cls", "id")
+      .orderBy("cls", "id", "copy").collect().toSeq
+    assert(a === b)
+    // majority class is never replicated
+    assert(a.filter(_.getString(0) == "A").forall(_.getLong(2) === 1L))
+  }
 }

@@ -152,4 +152,41 @@ class TextOpsSpec extends SparkSpec {
       TextOps.redactPII(df.withColumnRenamed("text", "redacted"), "redacted")
     }
   }
+
+  test("readability: closed counts and both Flesch formulas") {
+    val df = Seq((1L, "The cat sat. It ran!")).toDF("id", "text")
+    val r = TextOps.readability(df, "text").head()
+    assert(r.getAs[Int]("n_words") === 5)
+    assert(r.getAs[Int]("n_sentences") === 2)
+    assert(r.getAs[Int]("n_syllables") === 5)
+    // W/S = 2.5, Syl/W = 1
+    assert(math.abs(r.getAs[Double]("flesch") -
+      (206.835 - 1.015 * 2.5 - 84.6)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("fk_grade") -
+      (0.39 * 2.5 + 11.8 - 15.59)) < 1e-9)
+  }
+
+  test("readability: no sentence punctuation floors sentences at 1") {
+    val df = Seq((1L, "just some words no stops")).toDF("id", "text")
+    val r = TextOps.readability(df, "text").head()
+    assert(r.getAs[Int]("n_sentences") === 1)
+    assert(r.getAs[Int]("n_words") === 5)
+  }
+
+  test("readability: wordless text scores null, counts stay defined") {
+    val df = Seq((1L, "123 456 !!!"), (2L, "")).toDF("id", "text")
+    val out = TextOps.readability(df, "text").collect()
+    assert(out.forall(_.getAs[Int]("n_words") === 0))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("flesch"))))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("fk_grade"))))
+  }
+
+  test("readability: polysyllabic words score harder than monosyllabic") {
+    val df = Seq(
+      (1L, "incomprehensibility characterization examination."),
+      (2L, "the cat sat on mats.")).toDF("id", "text")
+    val got = TextOps.readability(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("flesch")).toMap
+    assert(got(1L) < got(2L))
+  }
 }
