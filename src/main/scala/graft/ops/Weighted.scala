@@ -34,7 +34,9 @@ object Weighted {
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(sum(col(weightCol)).as("__w"))
     val cum = Cumulative.runningSums(byV, "__v", Seq("__w"))
-    val grand = cum.agg(max("__w_cum").as("__grand"))
+    // grand = total mass off the COLLAPSED frame — reading max(__w_cum)
+    // would execute the whole two-level cumulative chain a second time
+    val grand = byV.agg(sum("__w").as("__grand"))
     val picks = qs.zipWithIndex.map { case (q, i) =>
       min(when(col("__w_cum").cast("double") >=
         lit(q) * col("__grand").cast("double"), col("__v"))).as(s"__p_$i")
