@@ -2627,6 +2627,66 @@ object SparkEntry {
         .select(col("bin"), col("n"), r(col("frac_pos"), 6).as("frac_pos"),
           r(col("iso_rate"), 6).as("iso_rate"))
         .orderBy("bin")
+    }),
+
+    // STL-residual anomaly detection: q171's decomposition feeds q124's
+    // per-group MAD — the composed anomaly pipeline (the resid grid is
+    // 6-digit-exact on both engines, so the medians see identical
+    // multisets)
+    "q211_stl_anomaly" -> ((s, dir) => {
+      val dec = TimeSeries.decompose(events(s, dir), "event_type", "ts",
+          "value", period = 24, halfWindow = 12)
+        .filter(col("resid").isNotNull)
+        .select(col("event_type"), col("resid"))
+      Outliers.madOutliers(dec, "event_type", "resid", k = 3.0)
+        .select(col("event_type"), col("n"), r(col("median"), 6).as("median"),
+          r(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // winsorization at the exact p01/p99 (interpolated percentile parity,
+    // the q124 median precedent) on a deterministic seventh of lineitem
+    "q212_winsorize" -> ((s, dir) => {
+      val f = t(s, dir, "lineitem").filter(col("l_partkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      Normalize.winsorize(f, "l_extendedprice", pLo = 0.01, pHi = 0.99)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), r(col("w"), 4).as("w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // deterministic negative sampling for (supplier, part) training
+    // pairs: md5(user#slot) mod max-id draws, catalog semi-join,
+    // positive anti-join — identical arithmetic in both engines
+    "q213_negative_sampling" -> ((s, dir) => {
+      val pos = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val items = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"))
+      val maxId = items.agg(max("l_partkey")).head().getLong(0)
+      Sampling.negativeSample(pos, items, "l_suppkey", "l_partkey",
+          k = 3, maxItemId = maxId)
+        .orderBy("l_suppkey", "slot")
+    }),
+
+    // weighted one-mode projection: suppliers connected by co-supplied
+    // parts (per-part supplier degree is SF-stable ~30, under the cap)
+    "q214_bipartite_project" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").filter(col("l_partkey") % 5 === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("u"),
+          concat(lit("p"), col("l_partkey")).as("v"))
+      Graph.bipartiteProject(e, maxRightDegree = 80)
+        .orderBy("a", "b")
+    }),
+
+    // bounded-memory grouped quantiles off a shared 100-bin grid — the
+    // grouped twin of q58's sketch trade, exactly reproducible
+    "q215_grouped_quantiles" -> ((s, dir) => {
+      Profile.groupedBinQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", lo = 0.0, hi = 110000.0, nBins = 100,
+          qs = Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("l_returnflag", "q")
     })
   )
 
@@ -6322,6 +6382,126 @@ object SparkEntry {
         |          / (CAST(n AS DOUBLE) + 1.0))) END / ln(2.0)), 4)
         |    AS fs_score
         |FROM p CROSS JOIN u
-        |ORDER BY fs_score DESC, a, b LIMIT 100""".stripMargin
+        |ORDER BY fs_score DESC, a, b LIMIT 100""".stripMargin,
+
+    // q171's decomposition CTEs + q124's MAD arithmetic over the
+    // 6-digit resid grid
+    "q211_stl_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+        |    CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+        |      AS hh
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, count(*) OVER win AS wn, sum(cents) OVER win AS wsum
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hh
+        |                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t AS (
+        |  SELECT *, CASE WHEN wn = 25 THEN cents * 25 - wsum END AS dt_l,
+        |    hh % 24 AS phase
+        |  FROM w),
+        |s AS (
+        |  SELECT event_type AS sk, phase AS sp,
+        |    CAST(sum(dt_l) AS DOUBLE) / count(*) / 2500.0 AS seasonal
+        |  FROM t WHERE dt_l IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT t.event_type,
+        |    round(CAST(t.dt_l AS DOUBLE) / 2500.0 - s.seasonal, 6) AS resid
+        |  FROM t JOIN s ON t.event_type = s.sk AND t.phase = s.sp
+        |  WHERE t.dt_l IS NOT NULL),
+        |med AS (SELECT event_type, median(resid) AS m FROM r GROUP BY 1),
+        |d AS (
+        |  SELECT r.event_type, abs(r.resid - med.m) AS adev
+        |  FROM r JOIN med USING (event_type)),
+        |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(any_value(med.m), 6) AS median,
+        |  round(any_value(md.mad), 6) AS mad,
+        |  CAST(sum(CASE
+        |    WHEN (md.mad > 0 AND
+        |          d.adev > CAST(3.0 AS DOUBLE) * 1.4826 * md.mad)
+        |      OR (md.mad = 0 AND d.adev > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (event_type) JOIN med USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    // interpolated-percentile bounds (quantile_cont ≡ Spark percentile)
+    // + identical clamp, 4-digit output grid
+    "q212_winsorize" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice
+        |  FROM lineitem WHERE l_partkey % 7 = 0),
+        |b AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM f)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round(least(greatest(l_extendedprice, lo), hi), 4) AS w
+        |FROM f CROSS JOIN b
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // identical md5(user#slot) mod max-id draw, catalog semi-join,
+    // positive anti-join
+    "q213_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT l_suppkey AS u, l_partkey AS item
+        |  FROM lineitem),
+        |users AS (SELECT DISTINCT u FROM pos),
+        |mx AS (SELECT max(p_partkey) AS m FROM part),
+        |cand AS (
+        |  SELECT u, g AS slot,
+        |    (('0x' || substr(md5(CAST(u AS VARCHAR) || '#' ||
+        |        CAST(g AS VARCHAR)), 1, 15))::BIGINT
+        |      % (SELECT m FROM mx)) + 1 AS item
+        |  FROM users, UNNEST(generate_series(1, 3)) AS q(g)),
+        |f AS (
+        |  SELECT c.u, c.slot, c.item FROM cand c
+        |  WHERE c.item IN (SELECT p_partkey FROM part)
+        |    AND NOT EXISTS (SELECT 1 FROM pos p
+        |                    WHERE p.u = c.u AND p.item = c.item))
+        |SELECT u AS l_suppkey, CAST(slot AS INT) AS slot,
+        |  item AS l_partkey
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // identical degree cap + co-occurrence count over the pruned
+    // incidence
+    "q214_bipartite_project" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS u, 'p' || l_partkey AS v
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |keep AS (
+        |  SELECT v FROM (SELECT v, count(*) AS d FROM e GROUP BY 1)
+        |  WHERE d <= 80),
+        |pr AS (SELECT u, v FROM e WHERE v IN (SELECT v FROM keep))
+        |SELECT a.u AS a, b.u AS b, count(*) AS weight
+        |FROM pr a JOIN pr b ON a.v = b.v AND a.u < b.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical shared-grid bin cumulative + lower-edge selection
+    "q215_grouped_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS k,
+        |    least(greatest(CAST(floor((l_extendedprice - 0.0) / 1100.0)
+        |      AS INT), 0), 99) AS b,
+        |    count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT k, b,
+        |    sum(c) OVER (PARTITION BY k ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY k) AS n
+        |  FROM c),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.5),
+        |  (0.75), (0.95)) t(q)),
+        |sel AS (
+        |  SELECT k, q,
+        |    min(CASE WHEN CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+        |      THEN b END) AS bin
+        |  FROM cum CROSS JOIN qs GROUP BY 1, 2)
+        |SELECT k AS l_returnflag, q, CAST(bin AS INT) AS bin,
+        |  0.0 + bin * 1100.0 AS value
+        |FROM sel ORDER BY l_returnflag, q""".stripMargin
   )
 }

@@ -125,6 +125,35 @@ object Graph {
     visited
   }
 
+  /** Weighted one-mode projection of a bipartite graph: given left–right
+    * incidences `(u, v)` (customers–products, parts–suppliers,
+    * documents–terms), connect left nodes that share a right node, with
+    * weight = number of shared right nodes — the co-occurrence graph the
+    * community/centrality operators then consume.
+    *
+    * The projection's cost is Σ_v deg(v)² — ONE hub right-node makes it
+    * quadratic, so `maxRightDegree` EXCLUDES right nodes above the cap
+    * before the self-join (the LSH bucket-cap discipline; in co-purchase
+    * practice hubs are stop-products and dropping them is standard).
+    * Execution: one degree aggregation + one count-filter semi-join +
+    * one self-join keyed on the right node + one (a, b) count — all
+    * shuffles are edge- or pair-keyed.
+    *
+    * @return (a, b, weight) with a < b, only pairs that co-occur
+    */
+  def bipartiteProject(edges: DataFrame, maxRightDegree: Int): DataFrame = {
+    require(maxRightDegree >= 2, "maxRightDegree must be >= 2")
+    val e = edges.select(col("u"), col("v")).distinct()
+    val keep = e.groupBy("v").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") <= maxRightDegree)
+      .select(col("v"))
+    val pruned = e.join(keep, Seq("v"), "left_semi")
+    pruned.join(pruned.select(col("v"), col("u").as("u2")), "v")
+      .filter(col("u") < col("u2"))
+      .groupBy(col("u").as("a"), col("u2").as("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) on a DIRECTED edge list
     * `(u, v)`: good hubs point at good authorities and vice versa. Each
     * iteration updates a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling: per-column row/null/distinct counts in ONE aggregation
@@ -161,6 +162,53 @@ object Profile {
     *         containment, n_child_null_rows) — containment on a 6-digit
     *         grid, null when the child has no non-null values
     */
+  /** Per-group quantile estimates from a SHARED fixed-width bin grid —
+    * the bounded-memory grouped-quantile path (exact `percentile` buffers
+    * each group's values; `approx_percentile` keeps a sketch per group;
+    * this keeps ONE integer per occupied (group, bin) cell and is
+    * exactly reproducible cross-engine, the histogram/q58 trade).
+    *
+    * The q-quantile is reported as the lower edge of the first bin whose
+    * cumulative count reaches q·n (values below `lo` clamp into bin 0,
+    * at/above `hi` into the last bin — so edges always bracket the true
+    * quantile to one bin width). All shuffles carry (group, bin) pairs;
+    * the per-group window runs over ≤ nBins rows per group, bounded by
+    * the grid, never the data.
+    *
+    * @param qs quantile levels in (0, 1]
+    * @return (keyCol, q, bin, value) — value = lo + bin·binWidth
+    */
+  def groupedBinQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(nBins >= 1, s"need nBins >= 1, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantile levels must be in (0, 1]: $qs")
+    val x = col(valueCol).cast("double")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((x - lo) / w).cast("int"), lit(0)),
+      lit(nBins - 1))
+    val counts = df.filter(x.isNotNull)
+      .groupBy(col(keyCol), bin.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(keyCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+    val picks = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("__cum").cast("double") >=
+        lit(q) * col("__n").cast("double"), col("__b"))).as(s"__p_$i")
+    }
+    cum.groupBy(col(keyCol)).agg(picks.head, picks.tail: _*)
+      .select(col(keyCol), inline(array(qs.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("q"), col(s"__p_$i").as("bin"),
+          (lit(lo) + col(s"__p_$i") * w).as("value"))
+      }: _*)))
+  }
+
   def fkCandidates(child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): DataFrame = {
     val c = child.select(col(childCol).as("__v")).filter(col("__v").isNotNull)

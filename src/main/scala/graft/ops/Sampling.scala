@@ -95,6 +95,45 @@ object Sampling {
     * selection is total-ordered and engine-reproducible. Keys with fewer
     * than `maxPerKey` rows pass through whole.
     */
+  /** Deterministic negative sampling for retrieval/recommendation
+    * training pairs: for every user with at least one positive, draw k
+    * pseudo-random candidate items by hashing (user, slot), keep those
+    * that exist in the catalog, and drop accidental positives — the
+    * (user, item⁻) complement set skip-gram-style training consumes.
+    *
+    * The draw is md5(user || '#' || slot) mod `maxItemId` — content-keyed
+    * like every split in this engine, so the sample is reproducible
+    * row-by-row on any engine and any partitioning. Slots that hash to a
+    * nonexistent id or to a true positive are DROPPED, not redrawn
+    * (expected yield is k·|catalog|/maxItemId minus the positive-hit
+    * rate; pass a dense id space for ≈k per user). No window, no
+    * driver state: one explode, one semi-join against the catalog, one
+    * anti-join against the positives.
+    *
+    * @param items     catalog frame carrying `itemCol` (ids in
+    *                  [1, maxItemId])
+    * @param maxItemId modulus for the hash draw
+    * @return (userCol, slot, itemCol) — the sampled negatives
+    */
+  def negativeSample(positives: DataFrame, items: DataFrame,
+      userCol: String, itemCol: String, k: Int,
+      maxItemId: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxItemId >= 1, s"maxItemId must be >= 1, got $maxItemId")
+    val users = positives.select(col(userCol)).distinct()
+    val cand = users
+      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn(itemCol,
+        pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+          lit("#"), col("slot").cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(maxItemId)) + 1L)
+    cand
+      .join(items.select(col(itemCol)).distinct(), Seq(itemCol), "left_semi")
+      .join(positives.select(col(userCol), col(itemCol)).distinct(),
+        Seq(userCol, itemCol), "left_anti")
+      .select(col(userCol), col("slot"), col(itemCol))
+  }
+
   /** Class-balancing oversampler: replicate each minority-class row so
     * every class's expected total matches the majority class — the
     * standard imbalanced-training rebalance, deterministic instead of

@@ -292,6 +292,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("bipartiteProject: co-occurrence weights on a closed bipartite graph") {
+    // parts p1,p2 share suppliers s1,s2; p2,p3 share only s3
+    val e = Seq(("p1", "s1"), ("p2", "s1"), ("p1", "s2"), ("p2", "s2"),
+      ("p2", "s3"), ("p3", "s3")).toDF("u", "v")
+    val got = Graph.bipartiteProject(e, maxRightDegree = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("p1", "p2") -> 2L, ("p2", "p3") -> 1L))
+  }
+
+  test("bipartiteProject: hub right nodes above the cap are excluded") {
+    // s_hub connects 4 parts; cap 3 drops it, leaving only the s1 pair
+    val e = Seq(("p1", "s_hub"), ("p2", "s_hub"), ("p3", "s_hub"),
+      ("p4", "s_hub"), ("p1", "s1"), ("p2", "s1")).toDF("u", "v")
+    val got = Graph.bipartiteProject(e, maxRightDegree = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("p1", "p2") -> 1L))
+  }
+
+  test("bipartiteProject normalizes duplicate incidences") {
+    val e = Seq(("p1", "s1"), ("p1", "s1"), ("p2", "s1")).toDF("u", "v")
+    val got = Graph.bipartiteProject(e, 10).collect()
+    assert(got.length === 1 && got.head.getLong(2) === 1L)
+  }
+
   test("hits is invariant to input partitioning") {
     val e = Seq(("a", "x"), ("b", "x"), ("c", "y"), ("x", "y"),
       ("y", "a")).toDF("u", "v")

@@ -161,4 +161,39 @@ class ProfileSpec extends SparkSpec {
     assert(got(((-1, 0))) === 1L)
     assert(got.values.sum === 5L)
   }
+
+  test("groupedBinQuantiles: closed per-group bin selection") {
+    // group a: 10 values in bin 0 ([0,1)), 10 in bin 9 ([9,10)) →
+    // median bin = 0 (cum 10 >= 0.5*20), p90 bin = 9
+    // group b: all 5 values in bin 4 → every quantile bin = 4
+    val rows = (1 to 10).map(_ => ("a", 0.5)) ++
+      (1 to 10).map(_ => ("a", 9.5)) ++ (1 to 5).map(_ => ("b", 4.5))
+    val out = Profile.groupedBinQuantiles(rows.toDF("k", "x"), "k", "x",
+        lo = 0.0, hi = 10.0, nBins = 10, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(out(("a", 0.5)) === ((0, 0.0)))
+    assert(out(("a", 0.9)) === ((9, 9.0)))
+    assert(out(("b", 0.5)) === ((4, 4.0)))
+    assert(out(("b", 0.9)) === ((4, 4.0)))
+  }
+
+  test("groupedBinQuantiles: out-of-range values clamp into edge bins") {
+    val rows = Seq(("g", -5.0), ("g", -4.0), ("g", 99.0))
+    val out = Profile.groupedBinQuantiles(rows.toDF("k", "x"), "k", "x",
+        0.0, 10.0, 5, Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(out(0.5) === 0) // two clamped-low of three
+    assert(out(1.0) === 4) // clamped-high lands in the last bin
+  }
+
+  test("groupedBinQuantiles brackets the exact quantile within one bin") {
+    val rows = (1 to 1000).map(i => ("g", i / 100.0)) // uniform (0, 10]
+    val out = Profile.groupedBinQuantiles(rows.toDF("k", "x"), "k", "x",
+        0.0, 10.0, 100, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(math.abs(out(0.25) - 2.5) <= 0.1)
+    assert(math.abs(out(0.5) - 5.0) <= 0.1)
+    assert(math.abs(out(0.75) - 7.5) <= 0.1)
+  }
 }

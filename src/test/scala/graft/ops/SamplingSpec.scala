@@ -300,4 +300,39 @@ class SamplingSpec extends SparkSpec {
     // majority class is never replicated
     assert(a.filter(_.getString(0) == "A").forall(_.getLong(2) === 1L))
   }
+
+  test("negativeSample: catalog membership and positive exclusion hold") {
+    val pos = Seq((1L, 3L), (1L, 7L), (2L, 5L)).toDF("user", "item")
+    val items = (1L to 10L).map(Tuple1(_)).toDF("item")
+    val out = Sampling.negativeSample(pos, items, "user", "item",
+        k = 20, maxItemId = 10L).collect()
+    assert(out.nonEmpty)
+    val posSet = Set((1L, 3L), (1L, 7L), (2L, 5L))
+    out.foreach { r =>
+      val (u, i) = (r.getLong(0), r.getLong(2))
+      assert(i >= 1L && i <= 10L)
+      assert(!posSet((u, i)), s"positive ($u, $i) leaked into negatives")
+    }
+  }
+
+  test("negativeSample: nonexistent catalog ids are dropped, not redrawn") {
+    val pos = Seq((1L, 2L)).toDF("user", "item")
+    // catalog holds only even ids in [1, 100]: roughly half the slots drop
+    val items = (1L to 100L).filter(_ % 2 == 0).map(Tuple1(_)).toDF("item")
+    val out = Sampling.negativeSample(pos, items, "user", "item",
+        k = 40, maxItemId = 100L).collect()
+    assert(out.length < 40)
+    assert(out.forall(_.getLong(2) % 2 == 0))
+  }
+
+  test("negativeSample is deterministic and partition-invariant") {
+    val pos = (1L to 30L).map(u => (u, u % 7 + 1)).toDF("user", "item")
+    val items = (1L to 50L).map(Tuple1(_)).toDF("item")
+    val a = Sampling.negativeSample(pos, items, "user", "item", 5, 50L)
+      .orderBy("user", "slot").collect().toSeq
+    val b = Sampling.negativeSample(pos.repartition(8), items.repartition(3),
+        "user", "item", 5, 50L)
+      .orderBy("user", "slot").collect().toSeq
+    assert(a === b)
+  }
 }
