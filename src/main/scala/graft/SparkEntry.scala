@@ -2687,6 +2687,20 @@ object SparkEntry {
           "l_extendedprice", lo = 0.0, hi = 110000.0, nBins = 100,
           qs = Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("l_returnflag", "q")
+    }),
+
+    // the REAL stream-static dimension join replayed over events: each
+    // micro-batch broadcast-joins the static customer frame, then a
+    // watermarked hourly count per market segment — the fifth streaming
+    // parity family (stream-static join), hash-checked against the same
+    // batch SQL
+    "q216_enriched_stream" -> ((s, dir) => {
+      StreamOps.enrichedCountsReplay(events(s, dir),
+          t(s, dir, "customer"), "user_id", "c_custkey", "c_mktsegment")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("c_mktsegment"), col("n_events"))
+        .orderBy("hour", "c_mktsegment")
     })
   )
 
@@ -6502,6 +6516,15 @@ object SparkEntry {
         |  FROM cum CROSS JOIN qs GROUP BY 1, 2)
         |SELECT k AS l_returnflag, q, CAST(bin AS INT) AS bin,
         |  0.0 + bin * 1100.0 AS value
-        |FROM sel ORDER BY l_returnflag, q""".stripMargin
+        |FROM sel ORDER BY l_returnflag, q""".stripMargin,
+
+    // batch phrasing of the same static join + hourly segment counts
+    "q216_enriched_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour,
+        |  c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY hour, c_mktsegment""".stripMargin
   )
 }

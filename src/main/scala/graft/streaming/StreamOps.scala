@@ -168,6 +168,65 @@ object StreamOps {
     s.table(name).filter(col("event_type") =!= "__wm")
   }
 
+  /** Stream-static enrichment aggregation — the canonical streaming
+    * dimension join: each micro-batch inner-joins a STATIC dimension
+    * frame (stateless — Structured Streaming re-plans the join per batch,
+    * the broadcast hint keeps it a map-side hash join, no state store),
+    * then the enriched rows feed a watermarked tumbling-window count per
+    * dimension attribute. Bounded state at any scale: only open windows
+    * × attribute cardinality live in the store.
+    *
+    * The watermark is applied to the stream BEFORE the join, so stream
+    * rows with no dimension match still advance event time.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, attr: String, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(attr))),
+        col(streamKey) === col(dimKey))
+      .groupBy(window(col("ts"), window_).as("w"), col(attr))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col(attr), col("n_events"))
+
+  /** Run [[enrichedCounts]] over a MemoryStream replay of a batch events
+    * frame against a real static dimension — the stream-static-join
+    * parity gate (oracle = the same join + hourly count in batch SQL).
+    * Far-future sentinel events flush the watermark; they carry a key
+    * that joins nothing, so they influence event time only.
+    */
+  def enrichedCountsReplay(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String, attr: String): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "enrichedCountsReplay needs at least one event")
+    val maxTs = evs.iterator.map(_.ts.getTime).max
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_enrich_replay_${replaySeq.incrementAndGet()}"
+    val farFuture = maxTs + 30L * 24 * 3600 * 1000
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try enrichedCounts(in.toDF(), dim, streamKey, dimKey, attr)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      in.addData(evs.toIndexedSeq :+
+        Event(-1L, new Timestamp(farFuture), -1L, "__wm", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(farFuture + 3600 * 1000), -1L, "__wm", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** Run [[windowedCounts]] over a FILE-SOURCE stream — the non-driver-fed
     * parity gate. Unlike the MemoryStream replays (driver-collected by
     * definition), nothing here touches the driver except the final result:

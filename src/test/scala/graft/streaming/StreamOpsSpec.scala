@@ -122,6 +122,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length === 3)
   }
 
+  test("enrichedCountsReplay reproduces the batch join+window aggregation") {
+    val ev = Seq(
+      StreamOps.Event(1, ts(5), 1, "click", 1.0),
+      StreamOps.Event(2, ts(10), 2, "click", 2.5),
+      StreamOps.Event(3, ts(20), 1, "view", 3.0),
+      StreamOps.Event(4, Timestamp.valueOf("2024-01-01 11:15:00"), 3, "view", 4.0),
+      StreamOps.Event(5, ts(25), 9, "view", 5.0) // no dim match: dropped
+    ).toDF()
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "gold"))
+      .toDF("cust", "segment")
+    val got = StreamOps.enrichedCountsReplay(ev, dim, "user_id", "cust",
+        "segment")
+      .orderBy("window_start", "segment").collect()
+    val want = StreamOps.enrichedCounts(ev, dim, "user_id", "cust", "segment")
+      .orderBy("window_start", "segment").collect()
+    assert(got.toSeq === want.toSeq)
+    // 10:00 window: gold 2 (u1 click+view), silver 1; 11:00: gold 1
+    assert(got.map(r => r.getString(1) -> r.getLong(2)).toSeq ===
+      Seq("gold" -> 2L, "silver" -> 1L, "gold" -> 1L))
+  }
+
   test("windowedCountsFileStream (file source, no collect) reproduces the batch aggregation") {
     val ev = Seq(
       StreamOps.Event(1, ts(5), 1, "click", 1.0),
