@@ -50,6 +50,18 @@ private[graft] final class Checkpointer(spark: SparkSession,
     out._1
   }
 
+  /** [[apply]], also returning the row count the materialization already
+    * computed — iterative loops with a size-based convergence probe
+    * (k-core peel, BFS frontier) read it for free instead of launching a
+    * second count job per generation.
+    */
+  def applyCounted(df: DataFrame): (DataFrame, Long) = {
+    val out = checkpointRdd(df)
+    clean(last)
+    last = out._2
+    (out._1, out._3)
+  }
+
   /** Checkpoint OUTSIDE the generation chain — for loop-invariant frames
     * (e.g. the edge relation) that every iteration reads. Freed only at
     * `close()`.
@@ -73,11 +85,11 @@ private[graft] final class Checkpointer(spark: SparkSession,
     if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
   }
 
-  private def checkpointRdd(df: DataFrame): (DataFrame, RDD[Row]) = {
+  private def checkpointRdd(df: DataFrame): (DataFrame, RDD[Row], Long) = {
     val rdd = df.rdd
     if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
-    rdd.count() // materialize now so the predecessor can be freed
-    (spark.createDataFrame(rdd, df.schema), rdd)
+    val n = rdd.count() // materialize now so the predecessor can be freed
+    (spark.createDataFrame(rdd, df.schema), rdd, n)
   }
 
   private def clean(r: RDD[Row]): Unit = if (r != null) {

@@ -2701,6 +2701,53 @@ object SparkEntry {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("c_mktsegment"), col("n_events"))
         .orderBy("hour", "c_mktsegment")
+    }),
+
+    // END-TO-END entity resolution: q209's blocked pairs + FS scores →
+    // threshold on the 4-digit grid → LSS connected components →
+    // cluster sizes — the composed record-linkage pipeline (blocking,
+    // scoring, clustering) with a full recursive-CTE oracle
+    "q217_entity_resolution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val pairs = c.join(c.select(col("c_custkey").as("b_key"),
+          col("c_nationkey").as("b_nat"),
+          col("c_mktsegment").as("b_seg"), col("c_acctbal").as("b_bal")),
+          col("c_nationkey") === col("b_nat") &&
+            col("c_custkey") < col("b_key"))
+        .select(col("c_custkey").as("a"), col("b_key").as("b"),
+          (col("c_mktsegment") === col("b_seg")).as("f_seg"),
+          (abs(col("c_acctbal") - col("b_bal")) < 500.0).as("f_bal"))
+      val edges = Linkage
+        .fellegiSunter(pairs, Seq("f_seg", "f_bal"), Seq(0.9, 0.85))
+        .filter(col("fs_score") >= 4.0)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      val cc = Dedup.connectedComponentsLSS(edges)
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "label")
+        .select(col("id").as("c_custkey"), col("label").as("cluster"),
+          col("n_members"))
+        .orderBy("cluster", "c_custkey")
+    }),
+
+    // temporal dedup: at most one event per user per absolute day window
+    // ((ts, event_id)-minimal survivor — the batch twin of q75's
+    // dropDuplicatesWithinWatermark)
+    "q218_once_per_window" -> ((s, dir) => {
+      Dedup.oncePerWindow(events(s, dir), "user_id", "ts",
+          windowUs = 86400L * 1000000, idCol = "event_id")
+        .orderBy("user_id", "window_start")
+    }),
+
+    // Wald SPRT on the daily purchase rate (p0=0.10 vs p1=0.20; the
+    // observed ~0.2 rate crosses the H1 bound decisively on day one, so
+    // the decision column sits far from the thresholds on every row)
+    "q219_sprt" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        datediff(col("ts"), lit("1970-01-01")).cast("long").as("day"),
+        (col("event_type") === "purchase").cast("int").as("s"))
+      Hypothesis.sprt(e, "day", "s", p0 = 0.10, p1 = 0.20)
+        .orderBy("day")
     })
   )
 
@@ -6525,6 +6572,88 @@ object SparkEntry {
         |  c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2
-        |ORDER BY hour, c_mktsegment""".stripMargin
+        |ORDER BY hour, c_mktsegment""".stripMargin,
+
+    // q209's scoring CTEs + threshold + recursive-CTE closure (q73's
+    // pattern) + cluster sizes
+    "q217_entity_resolution" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |    a.c_mktsegment = b.c_mktsegment AS f_seg,
+        |    abs(a.c_acctbal - b.c_acctbal) < 500.0 AS f_bal
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+        |u AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(f_seg AS INT)) AS s_seg,
+        |    sum(CAST(f_bal AS INT)) AS s_bal
+        |  FROM p),
+        |sc AS (
+        |  SELECT a, b, round(
+        |    (CASE WHEN f_seg THEN
+        |        ln(0.9 / ((CAST(s_seg AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0)))
+        |      ELSE ln((1.0 - 0.9) / (1.0 - (CAST(s_seg AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0))) END / ln(2.0))
+        |    + (CASE WHEN f_bal THEN
+        |        ln(0.85 / ((CAST(s_bal AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0)))
+        |      ELSE ln((1.0 - 0.85) / (1.0 - (CAST(s_bal AS DOUBLE) + 0.5)
+        |          / (CAST(n AS DOUBLE) + 1.0))) END / ln(2.0)), 4)
+        |    AS fs_score
+        |  FROM p CROSS JOIN u),
+        |e0 AS MATERIALIZED (SELECT a, b FROM sc WHERE fs_score >= 4.0),
+        |edges AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src),
+        |lab AS (SELECT id, min(label) AS label FROM cc GROUP BY id),
+        |sz AS (SELECT label, count(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT lab.id AS c_custkey, lab.label AS cluster, sz.n_members
+        |FROM lab JOIN sz USING (label)
+        |ORDER BY cluster, c_custkey""".stripMargin,
+
+    // identical absolute-bucket + (ts, id) rank survivor
+    "q218_once_per_window" ->
+      """WITH b AS (
+        |  SELECT *, epoch_us(ts) // 86400000000 AS bk FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, bk
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM b)
+        |SELECT event_id, ts, user_id, event_type, value, props,
+        |  make_timestamp(bk * 86400000000) AS window_start
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, window_start""".stripMargin,
+
+    // identical closed-form LLR off the cumulative integers
+    "q219_sprt" ->
+      """WITH e AS (
+        |  SELECT date_diff('day', TIMESTAMP '1970-01-01', ts) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+        |  FROM events),
+        |p AS (
+        |  SELECT day, CAST(sum(s) AS BIGINT) AS x, count(*) AS n
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT day, x, n,
+        |    sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS xc,
+        |    sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS nc
+        |  FROM p)
+        |SELECT day, x, n, xc AS x_cum, nc AS n_cum,
+        |  round(CAST(xc AS DOUBLE) * ln(0.2 / 0.1)
+        |    + CAST(nc - xc AS DOUBLE) * ln((1.0 - 0.2) / (1.0 - 0.1)), 6)
+        |    AS llr,
+        |  CASE WHEN CAST(xc AS DOUBLE) * ln(0.2 / 0.1)
+        |      + CAST(nc - xc AS DOUBLE) * ln((1.0 - 0.2) / (1.0 - 0.1))
+        |      >= ln((1.0 - 0.2) / 0.05) THEN 'accept_h1'
+        |    WHEN CAST(xc AS DOUBLE) * ln(0.2 / 0.1)
+        |      + CAST(nc - xc AS DOUBLE) * ln((1.0 - 0.2) / (1.0 - 0.1))
+        |      <= ln(0.2 / (1.0 - 0.05)) THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM c ORDER BY day""".stripMargin
   )
 }

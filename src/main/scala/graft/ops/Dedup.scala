@@ -551,4 +551,36 @@ object Dedup {
         when(col("n_grams") > 0,
           col("n_hit").cast("double") / col("n_grams")).otherwise(lit(0.0)))
   }
+
+  /** Temporal dedup: keep AT MOST ONE row per key per tumbling time
+    * window — the recrawl/refresh suppressor (the same content fetched
+    * twice in a window is one observation; across windows it is a new
+    * one). The batch twin of the streaming
+    * `dropDuplicatesWithinWatermark` gate (q75), with deterministic
+    * representative choice where the stream keeps arrival order's first:
+    * the (ts, id)-minimal row of each (key, window) survives.
+    *
+    * Windows are ABSOLUTE epoch-aligned tumbling buckets
+    * (floor(ts/window)) — a pure function of the timestamp, so the
+    * result is partition- and history-independent (an anchored
+    * per-key-first-sighting variant would make yesterday's output depend
+    * on the retention horizon). ONE (key, bucket) shuffle.
+    *
+    * @param idCol unique tiebreak so equal-timestamp duplicates resolve
+    *              deterministically
+    * @return surviving input rows plus their `window_start` timestamp
+    */
+  def oncePerWindow(df: DataFrame, keyCol: String, tsCol: String,
+      windowUs: Long, idCol: String): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    // integer `div` — the `/` operator on longs is a DOUBLE division
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${windowUs}L")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), bucket)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("window_start", timestamp_micros(bucket * windowUs))
+  }
 }

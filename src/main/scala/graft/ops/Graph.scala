@@ -49,20 +49,20 @@ object Graph {
     def degrees(e: DataFrame): DataFrame = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    var cur = cp(edges.filter(col("u") =!= col("v"))
+    // the checkpoint materialization already counts rows — read it for
+    // the convergence probe instead of launching a count job per round
+    var (cur, nEdges) = cp.applyCounted(edges.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct())
-    var nEdges = cur.count()
     var round = 0
     var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
       val keep = degrees(cur).filter(col("deg") >= k)
-      val next = cp(cur
+      val (next, nNext) = cp.applyCounted(cur
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
-      val nNext = next.count()
       converged = nNext == nEdges
       nEdges = nNext
       cur = next
@@ -101,9 +101,8 @@ object Graph {
     // checkpointed visited frame (dist == depth), never a second live
     // generation — the Checkpointer frees each superseded generation as
     // the next lands, so holding two would read freed blocks
-    var visited = cp(e.sparkSession.range(1)
+    var (visited, nVisited) = cp.applyCounted(e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0).as("dist")))
-    var nVisited = visited.count()
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
@@ -113,10 +112,10 @@ object Graph {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(depth + 1).as("dist"))
-      visited = cp(visited.unionByName(next))
-      // convergence probe off the just-materialized generation (a count
-      // over a checkpointed RDD — a driver scalar, no recompute)
-      val n2 = visited.count()
+      // the checkpoint materialization's count doubles as the
+      // convergence probe (no growth → frontier was empty)
+      val (v2, n2) = cp.applyCounted(visited.unionByName(next))
+      visited = v2
       done = n2 == nVisited
       nVisited = n2
       depth += 1

@@ -250,4 +250,50 @@ object Hypothesis {
             (col("n") * col("qy") - col("sy") * col("sy")))).as("rho"),
         col("n"))
   }
+
+  /** Wald's sequential probability ratio test (SPRT) over a Bernoulli
+    * stream — the early-stopping A/B monitor: after each period, the
+    * cumulative log-likelihood ratio of H₁ (p = p1) against H₀ (p = p0)
+    * either crosses ln((1−β)/α) (accept H₁), falls below ln(β/(1−α))
+    * (accept H₀), or the test continues.
+    *
+    * Exactness: observations collapse to per-period integer (successes,
+    * trials); the cumulative runs through the two-level
+    * [[Cumulative.runningSums]] pass on those integers; the LLR is then
+    * CLOSED-FORM per row — llr_t = X_t·ln(p1/p0) + (N_t−X_t)·
+    * ln((1−p1)/(1−p0)) off the exact cumulative counts — so there is no
+    * float accumulation channel at all (unlike a running sum of per-row
+    * LLR terms).
+    *
+    * @param orderCol   numeric period (day index, batch number …);
+    *                   duplicate values collapse
+    * @param successCol 0/1 outcome (sums within a period)
+    * @return per period: (orderCol, x, n, x_cum, n_cum, llr, decision ∈
+    *         {accept_h1, accept_h0, continue}) — llr on a 6-digit grid
+    */
+  def sprt(df: DataFrame, orderCol: String, successCol: String,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0, 1): $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need alpha, beta in (0, 1): $alpha, $beta")
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val per = df
+      .filter(col(orderCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(orderCol))
+      .agg(sum(col(successCol).cast("long")).as("x"),
+        count(lit(1)).as("n"))
+    val cum = Cumulative.runningSums(per, orderCol, Seq("x", "n"))
+    val llr = col("x_cum").cast("double") * lit(l1) +
+      (col("n_cum") - col("x_cum")).cast("double") * lit(l0)
+    cum.select(col(orderCol), col("x"), col("n"),
+      col("x_cum"), col("n_cum"), round(llr, 6).as("llr"),
+      when(llr >= upper, lit("accept_h1"))
+        .when(llr <= lower, lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+  }
 }

@@ -259,4 +259,45 @@ class DedupSpec extends SparkSpec {
     // every prefix shingle is shared by all rows -> all buckets overflow
     assert(capped.count() === 0L)
   }
+
+  test("oncePerWindow keeps the (ts, id)-minimal row per key per window") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hourUs = 3600L * 1000000
+    val df = Seq(
+      // key k1: two rows in the 10:00 window (id 2 earlier), one at 12:05
+      ("k1", ts("2024-01-01 10:20:00"), 1L),
+      ("k1", ts("2024-01-01 10:05:00"), 2L),
+      ("k1", ts("2024-01-01 12:05:00"), 3L),
+      // key k2: same-timestamp duplicates resolve on the id
+      ("k2", ts("2024-01-01 10:20:00"), 5L),
+      ("k2", ts("2024-01-01 10:20:00"), 4L)
+    ).toDF("key", "ts", "id")
+    val out = Dedup.oncePerWindow(df, "key", "ts", hourUs, "id")
+      .orderBy("key", "id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 3L, 4L))
+    // window_start is the epoch-aligned bucket floor
+    assert(out(0).getTimestamp(3) === ts("2024-01-01 10:00:00"))
+    assert(out(1).getTimestamp(3) === ts("2024-01-01 12:00:00"))
+  }
+
+  test("oncePerWindow: windows are absolute, not anchored per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hourUs = 3600L * 1000000
+    // 10:50 and 11:10 are 20 minutes apart but in DIFFERENT hours: both kept
+    val df = Seq(("k", ts("2024-01-01 10:50:00"), 1L),
+      ("k", ts("2024-01-01 11:10:00"), 2L)).toDF("key", "ts", "id")
+    assert(Dedup.oncePerWindow(df, "key", "ts", hourUs, "id").count() === 2L)
+  }
+
+  test("oncePerWindow is invariant to input partitioning") {
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 617000L)
+    val df = (1 to 200).map(i => (s"k${i % 7}", ts(i), i.toLong))
+      .toDF("key", "ts", "id")
+    val a = Dedup.oncePerWindow(df, "key", "ts", 3600L * 1000000, "id")
+      .orderBy("id").collect().toSeq
+    val b = Dedup.oncePerWindow(df.repartition(9), "key", "ts",
+        3600L * 1000000, "id")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
 }

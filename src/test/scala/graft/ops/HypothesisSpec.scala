@@ -218,4 +218,53 @@ class HypothesisSpec extends SparkSpec {
     val ba = Hypothesis.mcnemar(df, "b", "a").head().getDouble(3)
     assert(ab === ba)
   }
+
+  // ---- SPRT ----
+
+  test("sprt: closed-form LLR off cumulative counts, all-success drives H1") {
+    // periods 1..3, 10 trials each, all successes; p0=0.5 vs p1=0.6
+    val df = (1 to 3).flatMap(d => (1 to 10).map(_ => (d, 1)))
+      .toDF("day", "s")
+    val out = Hypothesis.sprt(df, "day", "s", p0 = 0.5, p1 = 0.6)
+      .orderBy("day").collect()
+    val l1 = math.log(0.6 / 0.5)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val want = BigDecimal(10.0 * (i + 1) * l1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("llr") - want) < 1e-9, s"day ${i + 1}")
+    }
+    // upper bound ln(0.8/0.05) = 2.77; 20 successes give llr 3.65
+    assert(out(0).getAs[String]("decision") === "continue")
+    assert(out(1).getAs[String]("decision") === "accept_h1")
+    assert(out(2).getAs[String]("decision") === "accept_h1")
+  }
+
+  test("sprt: all-failure evidence accepts H0") {
+    val df = (1 to 5).flatMap(d => (1 to 20).map(_ => (d, 0)))
+      .toDF("day", "s")
+    val out = Hypothesis.sprt(df, "day", "s", 0.5, 0.6)
+      .orderBy("day").collect()
+    assert(out.last.getAs[String]("decision") === "accept_h0")
+    assert(out.last.getAs[Long]("x_cum") === 0L)
+    assert(out.last.getAs[Long]("n_cum") === 100L)
+  }
+
+  test("sprt: p at the null keeps the test in the continue band") {
+    // exactly half successes per period: llr = n/2·(l1+l0) drifts slowly
+    // negative but stays inside the band for small n
+    val df = (1 to 2).flatMap(d =>
+      (1 to 10).map(i => (d, if (i <= 5) 1 else 0))).toDF("day", "s")
+    val out = Hypothesis.sprt(df, "day", "s", 0.5, 0.6).collect()
+    assert(out.forall(_.getAs[String]("decision") === "continue"))
+  }
+
+  test("sprt validates parameters and collapses duplicate periods") {
+    intercept[IllegalArgumentException] {
+      Hypothesis.sprt(Seq((1, 1)).toDF("d", "s"), "d", "s", 0.5, 0.5)
+    }
+    val df = Seq((1, 1), (1, 0), (2, 1)).toDF("d", "s")
+    val out = Hypothesis.sprt(df, "d", "s", 0.4, 0.6).orderBy("d").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n") === 2L)
+  }
 }

@@ -40,4 +40,33 @@ class NormalizeSpec extends SparkSpec {
     val df = Seq(1.0, 1.0, 2.0, 2.0, 2.0).toDF("x")
     assert(Normalize.ecdf(df, "x").count() === 5L)
   }
+
+  test("winsorize clamps both tails at the interpolated percentiles") {
+    // 1..100: p10 = 10.9, p90 = 90.1 (linear interpolation at (n-1)p)
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val got = Normalize.winsorize(df, "x", pLo = 0.1, pHi = 0.9)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1.0) - 10.9) < 1e-9)   // low tail clamped up
+    assert(math.abs(got(100.0) - 90.1) < 1e-9) // high tail clamped down
+    assert(got(50.0) === 50.0)                 // interior untouched
+  }
+
+  test("winsorize preserves row count and leaves the source column") {
+    val df = Seq(-100.0, 1.0, 2.0, 3.0, 900.0).toDF("x")
+    val out = Normalize.winsorize(df, "x", 0.25, 0.75)
+    assert(out.count() === 5L)
+    assert(out.columns.toSeq === Seq("x", "w"))
+    // clamped output never exceeds the original extremes
+    val w = out.select("w").collect().map(_.getDouble(0))
+    assert(w.min >= -100.0 && w.max <= 900.0)
+  }
+
+  test("winsorize approx variant tracks the exact one on smooth data") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val exact = Normalize.winsorize(df, "x", 0.01, 0.99)
+      .agg(sum("w")).head().getDouble(0)
+    val approx = Normalize.winsorize(df, "x", 0.01, 0.99, approx = true)
+      .agg(sum("w")).head().getDouble(0)
+    assert(math.abs(exact - approx) / exact < 0.01)
+  }
 }
