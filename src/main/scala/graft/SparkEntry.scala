@@ -2748,6 +2748,34 @@ object SparkEntry {
         (col("event_type") === "purchase").cast("int").as("s"))
       Hypothesis.sprt(e, "day", "s", p0 = 0.10, p1 = 0.20)
         .orderBy("day")
+    }),
+
+    // difference-in-differences on orders: urgent-priority orders
+    // (treated) pre/post 1996 vs the rest — integral-cents cell sums,
+    // exact-ratio means, fixed-order estimator
+    "q220_diff_in_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        (col("o_orderpriority") < "3").as("tr"),
+        (col("o_orderdate") >= lit("1996-01-01")).as("po"),
+        col("o_totalprice"))
+      Hypothesis.diffInDiff(o, "tr", "po", "o_totalprice")
+    }),
+
+    // hard-negative mining over the embeddings: closest OTHER-label
+    // vectors per query (contrastive-training pair source); exact twin —
+    // the LSH candidate path is the at-scale route, the q38/q39 pattern
+    "q221_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 3), "vec_id",
+          "embedding", "label", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
+    // per-group mode with the (count desc, value asc) total order
+    "q222_grouped_mode" -> ((s, dir) => {
+      Profile.groupedMode(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity")
+        .orderBy("l_returnflag")
     })
   )
 
@@ -6654,6 +6682,69 @@ object SparkEntry {
         |      + CAST(nc - xc AS DOUBLE) * ln((1.0 - 0.2) / (1.0 - 0.1))
         |      <= ln(0.2 / (1.0 - 0.05)) THEN 'accept_h0'
         |    ELSE 'continue' END AS decision
-        |FROM c ORDER BY day""".stripMargin
+        |FROM c ORDER BY day""".stripMargin,
+
+    // identical conditional cents sums, exact-ratio means, estimator order
+    "q220_diff_in_diff" ->
+      """WITH d AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (o_orderpriority < '3') AS tr,
+        |    (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00') AS po
+        |  FROM orders),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN tr AND NOT po THEN cents END) AS s_tp,
+        |    CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tp,
+        |    sum(CASE WHEN tr AND po THEN cents END) AS s_tq,
+        |    CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tq,
+        |    sum(CASE WHEN NOT tr AND NOT po THEN cents END) AS s_cp,
+        |    CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cp,
+        |    sum(CASE WHEN NOT tr AND po THEN cents END) AS s_cq,
+        |    CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cq
+        |  FROM d),
+        |m AS (
+        |  SELECT n_tp, CAST(s_tp AS DOUBLE) / 100.0 / n_tp AS m_tp,
+        |    n_tq, CAST(s_tq AS DOUBLE) / 100.0 / n_tq AS m_tq,
+        |    n_cp, CAST(s_cp AS DOUBLE) / 100.0 / n_cp AS m_cp,
+        |    n_cq, CAST(s_cq AS DOUBLE) / 100.0 / n_cq AS m_cq
+        |  FROM a)
+        |SELECT n_tp AS n_treat_pre, round(m_tp, 6) AS mean_treat_pre,
+        |  n_tq AS n_treat_post, round(m_tq, 6) AS mean_treat_post,
+        |  n_cp AS n_ctrl_pre, round(m_cp, 6) AS mean_ctrl_pre,
+        |  n_cq AS n_ctrl_post, round(m_cq, 6) AS mean_ctrl_post,
+        |  round((m_tq - m_tp) - (m_cq - m_cp), 6) AS did
+        |FROM m""".stripMargin,
+
+    // q28's cosine parity with the other-label filter
+    "q221_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+        |  FROM embeddings WHERE vec_id < 3),
+        |s AS (
+        |  SELECT q.query_id, q.q_label, e.vec_id, e.label AS neg_label,
+        |    round(list_cosine_similarity(q.qv::DOUBLE[],
+        |      e.embedding::DOUBLE[]), 6) AS cos
+        |  FROM q, embeddings e
+        |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, q_label, vec_id, neg_label, cos,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // identical (count desc, value asc) modal rank
+    "q222_grouped_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode, count(*) AS mode_n
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |GROUP BY 1, 2
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY count(*) DESC, l_quantity) = 1
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -251,6 +251,44 @@ object Hypothesis {
         col("n"))
   }
 
+  /** Difference-in-differences estimator on a 2×2 design: the treated
+    * group's pre→post change minus the control group's — the standard
+    * parallel-trends causal readout for a launch/policy change.
+    *
+    * did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    *
+    * ONE conditional-sum aggregation carries all four cells; values sum
+    * as integral cents so each cell mean is an exact-integer ratio (one
+    * IEEE division — engine-identical), and the estimator is a fixed
+    * -order expression on the one-row frame.
+    *
+    * @param treatCol boolean (or 0/1) treated-group indicator
+    * @param postCol  boolean (or 0/1) post-period indicator
+    * @return one row: per-cell n and mean (6-digit grid) + `did`
+    */
+  def diffInDiff(df: DataFrame, treatCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val tr = col(treatCol).cast("boolean")
+    val po = col(postCol).cast("boolean")
+    val cents = round(col(valueCol) * 100).cast("long")
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(tr === t && po === p, cents)).as(s"__s_$suffix"),
+      sum(when(tr === t && po === p, 1L).otherwise(0L)).as(s"n_$suffix"))
+    val cells = cell(true, false, "treat_pre") ++
+      cell(true, true, "treat_post") ++ cell(false, false, "ctrl_pre") ++
+      cell(false, true, "ctrl_post")
+    val agg = df.agg(cells.head, cells.tail: _*)
+    def mean(s: String) =
+      col(s"__s_$s").cast("double") / 100.0 / col(s"n_$s")
+    agg.select(
+      col("n_treat_pre"), round(mean("treat_pre"), 6).as("mean_treat_pre"),
+      col("n_treat_post"), round(mean("treat_post"), 6).as("mean_treat_post"),
+      col("n_ctrl_pre"), round(mean("ctrl_pre"), 6).as("mean_ctrl_pre"),
+      col("n_ctrl_post"), round(mean("ctrl_post"), 6).as("mean_ctrl_post"),
+      round((mean("treat_post") - mean("treat_pre")) -
+        (mean("ctrl_post") - mean("ctrl_pre")), 6).as("did"))
+  }
+
   /** Wald's sequential probability ratio test (SPRT) over a Bernoulli
     * stream — the early-stopping A/B monitor: after each period, the
     * cumulative log-likelihood ratio of H₁ (p = p1) against H₀ (p = p0)

@@ -209,6 +209,24 @@ object Profile {
       }: _*)))
   }
 
+  /** Per-group mode (most frequent value), ties to the SMALLEST value —
+    * a total order, so the result is deterministic and
+    * engine-reproducible. One (group, value) aggregation + one keyed
+    * rank window over the per-group distinct-value frame.
+    *
+    * @return (keyCol, mode, mode_n)
+    */
+  def groupedMode(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__c").desc, col(valueCol))
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col(valueCol).as("mode"), col("__c").as("mode_n"))
+  }
+
   def fkCandidates(child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): DataFrame = {
     val c = child.select(col(childCol).as("__v")).filter(col("__v").isNotNull)

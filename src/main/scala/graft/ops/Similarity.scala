@@ -55,6 +55,36 @@ object Similarity {
     *         ranking so the selected row set is engine-reproducible;
     *         ties broken by corpus id
     */
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — the "close but wrong" examples a retrieval/embedding model
+    * trains against. Same execution shape as [[bruteTopK]] (broadcast
+    * queries, native codegen'd cosine, per-query rank window); swap in
+    * the LSH candidate path upstream for corpus-scale query sets, the
+    * q38/q39 exact-vs-bucketed twin discipline.
+    *
+    * @return (query_id, q_label, vec_id, neg_label, cos, rn) — rn ≤ k,
+    *         (cos desc, vec_id) total order
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("neg_label"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("neg_label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("neg_label"), round(nativeCosine(col("q_vec"), col("c_vec")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)

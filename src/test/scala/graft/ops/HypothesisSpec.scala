@@ -219,6 +219,37 @@ class HypothesisSpec extends SparkSpec {
     assert(ab === ba)
   }
 
+  // ---- diff-in-diff ----
+
+  test("diffInDiff: closed 2x2 case recovers the planted effect") {
+    // treat pre mean 10, post 25 (Δ 15); ctrl pre 20, post 24 (Δ 4);
+    // did = 11
+    val rows =
+      Seq.fill(4)((true, false, 10.0)) ++ Seq.fill(2)((true, true, 25.0)) ++
+      Seq.fill(3)((false, false, 20.0)) ++ Seq.fill(5)((false, true, 24.0))
+    val r = Hypothesis.diffInDiff(rows.toDF("tr", "po", "v"), "tr", "po", "v")
+      .head()
+    assert(r.getAs[Long]("n_treat_pre") === 4L)
+    assert(r.getAs[Double]("mean_treat_pre") === 10.0)
+    assert(r.getAs[Double]("mean_ctrl_post") === 24.0)
+    assert(r.getAs[Double]("did") === 11.0)
+  }
+
+  test("diffInDiff: parallel trends with no effect gives did = 0") {
+    val rows = Seq((true, false, 5.0), (true, true, 8.0),
+      (false, false, 15.0), (false, true, 18.0))
+    val r = Hypothesis.diffInDiff(rows.toDF("tr", "po", "v"), "tr", "po", "v")
+      .head()
+    assert(r.getAs[Double]("did") === 0.0)
+  }
+
+  test("diffInDiff accepts 0/1 integer indicators") {
+    val rows = Seq((1, 0, 5.0), (1, 1, 9.0), (0, 0, 1.0), (0, 1, 2.0))
+    val r = Hypothesis.diffInDiff(rows.toDF("tr", "po", "v"), "tr", "po", "v")
+      .head()
+    assert(r.getAs[Double]("did") === 3.0)
+  }
+
   // ---- SPRT ----
 
   test("sprt: closed-form LLR off cumulative counts, all-success drives H1") {

@@ -187,6 +187,22 @@ class ProfileSpec extends SparkSpec {
     assert(out(1.0) === 4) // clamped-high lands in the last bin
   }
 
+  test("groupedMode: most frequent value per group, ties to the smallest") {
+    val df = Seq(("a", 2), ("a", 2), ("a", 5), ("b", 7), ("b", 3),
+      ("c", 9)).toDF("k", "v")
+    val got = Profile.groupedMode(df, "k", "v").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got("a") === ((2, 2L)))
+    assert(got("b") === ((3, 1L))) // tie 7 vs 3 at count 1 → smaller value
+    assert(got("c") === ((9, 1L)))
+  }
+
+  test("groupedMode ignores null values") {
+    val df = Seq(("a", Some(1)), ("a", None), ("a", None)).toDF("k", "v")
+    val got = Profile.groupedMode(df, "k", "v").collect()
+    assert(got.length === 1 && got.head.getInt(1) === 1)
+  }
+
   test("groupedBinQuantiles brackets the exact quantile within one bin") {
     val rows = (1 to 1000).map(i => ("g", i / 100.0)) // uniform (0, 10]
     val out = Profile.groupedBinQuantiles(rows.toDF("k", "x"), "k", "x",

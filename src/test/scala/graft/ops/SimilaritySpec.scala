@@ -53,6 +53,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("hardNegatives: closest other-label vectors only, in cosine order") {
+    // axis clusters: label 0 near x-axis, label 1 near y-axis; for the
+    // x query, negatives must be the y-cluster ordered by closeness to x
+    val df = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.99f, 0.14f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.5f, 0.87f), 1),
+      (5L, Array(0.71f, 0.71f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rn").collect()
+    // same-label vec 2 (cos ≈ 0.99) must be absent despite being closest
+    assert(!out.map(_.getAs[Long]("vec_id")).contains(2L))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(5L, 4L))
+    assert(out.forall(_.getAs[Int]("neg_label") === 1))
+    assert(out.forall(_.getAs[Int]("q_label") === 0))
+  }
+
+  test("hardNegatives on the embeddings table: k per query, labels differ") {
+    val q = emb.filter($"vec_id" < 3)
+    val out = Similarity.hardNegatives(emb, q, "vec_id", "embedding",
+        "label", 5).collect()
+    assert(out.length === 15)
+    assert(out.forall(r => r.getAs[Int]("neg_label") != r.getAs[Int]("q_label")))
+  }
+
   test("LSH recall against brute force is reasonable and a strict candidate subset scores identically") {
     val queries = emb.filter($"vec_id" < 10)
     val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
