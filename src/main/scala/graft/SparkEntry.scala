@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2776,6 +2776,36 @@ object SparkEntry {
       Profile.groupedMode(t(s, dir, "lineitem"), "l_returnflag",
           "l_quantity")
         .orderBy("l_returnflag")
+    }),
+
+    // BPE merge learning over the corpus (rows-only: the iterative
+    // merge-apply fold has no closed SQL form; BpeSpec carries the
+    // reference-semantics cases incl. the Sennrich toy corpus) — counts
+    // and tiebreaks are exact integers/strings, fully deterministic
+    "q223_bpe_merges" -> ((s, dir) => {
+      Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
+    // cohort LTV: customers by first-order month, integral-cents revenue
+    // accumulated by months-since — exact month indices, cohort-keyed
+    // cumulative over calendar-bounded partitions
+    "q224_cohort_ltv" -> ((s, dir) => {
+      Segment.cohortLtv(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .orderBy("cohort", "age_months")
+    }),
+
+    // per-document keyword extraction: q41's TF-IDF ranked per doc on
+    // the 6-digit grid BEFORE the top-3 cut (term tiebreak)
+    "q225_keywords" -> ((s, dir) => {
+      val scored = TextOps.tfIdf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("term"), r(col("tfidf"), 6).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("id", "rk")
     })
   )
 
@@ -6745,6 +6775,47 @@ object SparkEntry {
         |GROUP BY 1, 2
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
         |  ORDER BY count(*) DESC, l_quantity) = 1
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // identical exact month-index arithmetic + cohort-keyed cumulative
+    "q224_cohort_ltv" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS key,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    date_trunc('month', o_orderdate) AS mo,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT key, min(m) AS cm, min(mo) AS cohort FROM r
+        |      GROUP BY 1),
+        |a AS (
+        |  SELECT c.cohort, CAST(r.m - c.cm AS BIGINT) AS age_months,
+        |    count(*) AS n_orders, sum(r.cents) AS revenue_cents
+        |  FROM r JOIN c USING (key) GROUP BY 1, 2)
+        |SELECT cohort, age_months, n_orders, revenue_cents,
+        |  sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age_months
+        |    ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents
+        |FROM a ORDER BY cohort, age_months""".stripMargin,
+
+    // q41's TF-IDF, 6-digit grid, per-doc (tfidf desc, term) top-3
+    "q225_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM terms
+        |       GROUP BY id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.id, tf.term,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dfq USING (term), n),
+        |rk AS (
+        |  SELECT id, term, tfidf, row_number() OVER (PARTITION BY id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM sc)
+        |SELECT id, term, tfidf, CAST(rk AS INT) AS rk FROM rk
+        |WHERE rk <= 3 ORDER BY id, rk""".stripMargin
   )
 }

@@ -80,4 +80,35 @@ object Segment {
         col("f_score").cast("string"), col("m_score").cast("string")))
       .withColumnRenamed("key", keyCol)
   }
+
+  /** Cohort lifetime-value curve: entities grouped by their FIRST
+    * activity month (the cohort), revenue accumulated by months-since
+    * (the age) — the standard LTV/retention-revenue matrix.
+    *
+    * Month arithmetic is exact integers (year·12 + month), revenue sums
+    * as integral cents; the cumulative runs per cohort over age-bounded
+    * partitions (≤ the observation span in months — a calendar-sized
+    * window, never data). Shuffles: one (key) agg for cohorts, one
+    * (cohort, age) agg, one cohort-keyed window.
+    *
+    * @return (cohort, age_months, n_orders, revenue_cents,
+    *         cum_revenue_cents) — cohort as the month's first day
+    */
+  def cohortLtv(df: DataFrame, keyCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val monthIdx = (year(col(tsCol)) * 12 + month(col(tsCol))).cast("long")
+    val rows = df.select(col(keyCol).as("key"), monthIdx.as("__m"),
+      date_trunc("month", col(tsCol)).as("__month"),
+      round(col(amountCol) * 100).cast("long").as("__cents"))
+    val cohorts = rows.groupBy("key")
+      .agg(min("__m").as("__cm"), min("__month").as("cohort"))
+    val byAge = rows.join(cohorts, "key")
+      .groupBy(col("cohort"), (col("__m") - col("__cm")).as("age_months"))
+      .agg(count(lit(1)).as("n_orders"), sum("__cents").as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("age_months")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byAge.withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+  }
 }

@@ -73,4 +73,36 @@ class SegmentSpec extends SparkSpec {
       .orderBy("cust").collect().toSeq
     assert(a === b)
   }
+
+  test("cohortLtv: closed cohort/age revenue matrix with cumulative") {
+    val df = Seq(
+      // cust 1: cohort Jan, buys Jan(10), Feb(20), Apr(5)
+      (1L, ts("2024-01-15"), 10.0), (1L, ts("2024-02-20"), 20.0),
+      (1L, ts("2024-04-01"), 5.0),
+      // cust 2: cohort Jan, buys Jan only
+      (2L, ts("2024-01-02"), 7.0),
+      // cust 3: cohort Feb, buys Feb + Mar
+      (3L, ts("2024-02-10"), 3.0), (3L, ts("2024-03-10"), 4.0)
+    ).toDF("cust", "ts", "amount")
+    val out = Segment.cohortLtv(df, "cust", "ts", "amount")
+      .orderBy("cohort", "age_months").collect()
+      .map(r => (r.getTimestamp(0).toString.take(7), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // Jan cohort: age 0 = 1700 (both), age 1 = 2000, age 3 = 500
+    assert(out(("2024-01", 0L)) === ((2L, 1700L, 1700L)))
+    assert(out(("2024-01", 1L)) === ((1L, 2000L, 3700L)))
+    assert(out(("2024-01", 3L)) === ((1L, 500L, 4200L)))
+    // Feb cohort independent
+    assert(out(("2024-02", 0L)) === ((1L, 300L, 300L)))
+    assert(out(("2024-02", 1L)) === ((1L, 400L, 700L)))
+    assert(out.size === 5)
+  }
+
+  test("cohortLtv: year boundaries use exact month indices") {
+    val df = Seq((1L, ts("2023-12-05"), 1.0), (1L, ts("2024-01-05"), 2.0))
+      .toDF("cust", "ts", "amount")
+    val out = Segment.cohortLtv(df, "cust", "ts", "amount")
+      .orderBy("age_months").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+  }
 }
