@@ -2806,6 +2806,28 @@ object SparkEntry {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .orderBy("id", "rk")
+    }),
+
+    // Cox proportional hazards on q126's time-to-conversion frame with
+    // per-user activity covariates (rows-only: Newton fixed point;
+    // CoxSpec carries the independent Breslow-solver parity cases)
+    "q226_cox" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"),
+          avg("value").as("avg_value"),
+          (count(lit(1)) / 100.0).as("n_events_h"))
+      val dur = per.select(
+        ((unix_micros(coalesce(col("tp"), col("tl"))) - unix_micros(col("t0")))
+          .cast("double") / 3600000000.0).as("dur"),
+        col("tp").isNotNull.cast("int").as("ev"),
+        col("avg_value"), col("n_events_h"))
+      val m = glm.Cox.fit(dur, "dur", "ev", Seq("avg_value", "n_events_h"))
+      import s.implicits._
+      m.features.zipWithIndex.map { case (f, i) =>
+        (f, rd(m.beta(i), 6), rd(m.se(i), 6))
+      }.toDF("feature", "beta", "se")
     })
   )
 

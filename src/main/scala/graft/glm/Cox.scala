@@ -1,0 +1,136 @@
+package graft.glm
+
+import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cox proportional-hazards regression (Cox 1972) with the Breslow tie
+  * convention — the time-to-event regression that closes the survival
+  * family ([[Survival.kaplanMeier]] / [[Survival.nelsonAalen]] describe,
+  * [[Survival.logRank]] tests, Cox explains with covariates).
+  *
+  * Partial log-likelihood (Breslow):
+  *   ℓ(β) = Σ_t [ sβ_t − d_t · ln S0(t) ],
+  * with per-distinct-time event count d_t, event covariate sum s_t,
+  * risk-set sums S0(t) = Σ_{T_j ≥ t} w_j, S1(t) = Σ x_j w_j,
+  * S2(t) = Σ x_j x_jᵀ w_j, w_j = exp(x_jᵀβ). Newton–Raphson on the
+  * driver: U = Σ_t [s_t − d_t·S1/S0], H = Σ_t d_t·[S2/S0 − (S1/S0)(S1/S0)ᵀ].
+  *
+  * Execution (the IRLS discipline, one cluster pass per iteration):
+  *  1. w, x·w, x x·w terms are literal-β column expressions — codegen'd,
+  *     recomputed each iteration on the persisted input;
+  *  2. ONE groupBy(duration) collapses the data to the distinct-time
+  *     frame (risk sets change only at distinct times);
+  *  3. the suffix sums S0/S1/S2 run through the two-level
+  *     [[graft.ops.Cumulative.runningSums]] pass ordered by −duration
+  *     (no single-task window; p(p+3)/2+1 cumulated columns);
+  *  4. ONE aggregation reduces the time frame to the p + p(p+1)/2 + 1
+  *     Newton scalars (the Gram-pass contract: only O(p²) reaches the
+  *     driver).
+  *
+  * Convergence: |Δℓ| < tol (the reference's deviance-change criterion,
+  * GLM.scala:281 analog). Standard errors from the inverse of the final
+  * observed information.
+  */
+object Cox {
+
+  final case class CoxModel(features: Seq[String], beta: Array[Double],
+      se: Array[Double], loglik: Double, nullLoglik: Double, nEvents: Long,
+      n: Long, iter: Int) {
+
+    /** Relative risk exp(xᵀβ) as a pure projection. */
+    def predictRisk(df: DataFrame, outputCol: String = "risk"): DataFrame = {
+      val eta = features.zip(beta).map { case (f, b) => col(f) * lit(b) }
+        .reduce(_ + _)
+      df.withColumn(outputCol, exp(eta))
+    }
+  }
+
+
+  def fit(df: DataFrame, durationCol: String, eventCol: String,
+      features: Seq[String], tol: Double = 1e-8, maxIter: Int = 25)
+      : CoxModel = {
+    require(features.nonEmpty, "need at least one covariate")
+    val p = features.length
+    // pack (j, k), j <= k, into the row-major upper-triangular flat index
+    def triIdx(j: Int, k: Int): Int = j * (2 * p - j + 1) / 2 + (k - j)
+    val x = features.map(f => col(f).cast("double"))
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        x.map(_.isNotNull).reduce(_ && _))
+      .select((col(durationCol).cast("double").as("__t") +:
+        col(eventCol).cast("int").as("__e") +: x.zipWithIndex.map {
+          case (c, i) => c.as(s"__x$i") }): _*)
+      .persist()
+    val counts = base.agg(count(lit(1)), sum(when(col("__e") === 1, 1L)
+      .otherwise(0L))).head()
+    val (n, nEvents) = (counts.getLong(0), counts.getLong(1))
+    require(nEvents > 0, "no events observed")
+
+    var beta = BDV.zeros[Double](p)
+    var lastLl = Double.NegativeInfinity
+    var ll = 0.0
+    var iter = 0
+    var converged = false
+    var hess: BDM[Double] = null
+    while (iter < maxIter && !converged) {
+      val eta: Column = (0 until p).map(i =>
+        col(s"__x$i") * lit(beta(i))).reduce(_ + _)
+      val w = exp(eta)
+      // per-distinct-time collapse: risk-set terms + event terms
+      val aggExprs =
+        Seq(sum(w).as("w0")) ++
+        (0 until p).map(i => sum(col(s"__x$i") * w).as(s"w1_$i")) ++
+        (for (j <- 0 until p; k <- j until p) yield
+          sum(col(s"__x$j") * col(s"__x$k") * w).as(s"w2_${triIdx(j, k)}")) ++
+        Seq(sum(when(col("__e") === 1, 1L).otherwise(0L)).as("d"),
+          sum(when(col("__e") === 1, eta).otherwise(lit(0.0))).as("se_eta")) ++
+        (0 until p).map(i => sum(when(col("__e") === 1, col(s"__x$i"))
+          .otherwise(lit(0.0))).as(s"sx_$i"))
+      val byT = base.groupBy(col("__t"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .withColumn("__ord", -col("__t"))
+      // suffix sums over duration = ascending cumulative over −t
+      val cumCols = Seq("w0") ++ (0 until p).map(i => s"w1_$i") ++
+        (0 until p * (p + 1) / 2).map(i => s"w2_$i")
+      val cum = graft.ops.Cumulative.runningSums(byT, "__ord", cumCols)
+      // ONE reduction to the Newton scalars; event-time rows only
+      val s0 = col("w0_cum")
+      val evt = cum.filter(col("d") > 0)
+      val finalExprs =
+        Seq(sum(col("se_eta") - col("d") * log(s0)).as("ll")) ++
+        (0 until p).map(i => sum(col(s"sx_$i") -
+          col("d") * col(s"w1_${i}_cum") / s0).as(s"u_$i")) ++
+        (for (j <- 0 until p; k <- j until p) yield
+          sum(col("d") * (col(s"w2_${triIdx(j, k)}_cum") / s0 -
+            (col(s"w1_${j}_cum") / s0) * (col(s"w1_${k}_cum") / s0)))
+            .as(s"h_${triIdx(j, k)}"))
+      val row = evt.agg(finalExprs.head, finalExprs.tail: _*).head()
+      ll = row.getDouble(0)
+      val u = BDV.tabulate(p)(i => row.getDouble(1 + i))
+      val h = BDM.zeros[Double](p, p)
+      for (j <- 0 until p; k <- j until p) {
+        val v = row.getDouble(1 + p + triIdx(j, k))
+        h(j, k) = v; h(k, j) = v
+      }
+      hess = h
+      iter += 1
+      if (math.abs(ll - lastLl) < tol) converged = true
+      else {
+        lastLl = ll
+        beta = beta + LinAlg.solvePD(h, u)
+      }
+    }
+    // null partial loglik: β = 0 ⇒ w = 1, S0 = n at risk
+    val byT0 = base.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("double").as("w0"),
+        sum(when(col("__e") === 1, 1L).otherwise(0L)).as("d"))
+      .withColumn("__ord", -col("__t"))
+    val cum0 = graft.ops.Cumulative.runningSums(byT0, "__ord", Seq("w0"))
+    val ll0 = cum0.filter(col("d") > 0)
+      .agg(sum(-col("d") * log(col("w0_cum")))).head().getDouble(0)
+    base.unpersist(blocking = false)
+    val se = LinAlg.invDiag(hess).toArray.map(math.sqrt)
+    CoxModel(features, beta.toArray, se, ll, ll0, nEvents, n, iter)
+  }
+}

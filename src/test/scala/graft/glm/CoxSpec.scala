@@ -1,0 +1,109 @@
+package graft.glm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CoxSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-local Breslow partial-likelihood Newton fit —
+    * written directly from the formula, sharing no code with Cox.fit.
+    */
+  private def localCox(rows: Seq[(Double, Int, Array[Double])],
+      p: Int, iters: Int = 50): Array[Double] = {
+    var beta = Array.fill(p)(0.0)
+    for (_ <- 1 to iters) {
+      val u = Array.fill(p)(0.0)
+      val h = Array.fill(p, p)(0.0)
+      val times = rows.filter(_._2 == 1).map(_._1).distinct.sorted
+      for (t <- times) {
+        val risk = rows.filter(_._1 >= t)
+        val evs = rows.filter(r => r._1 == t && r._2 == 1)
+        val w = risk.map(r => math.exp(
+          (0 until p).map(i => r._3(i) * beta(i)).sum))
+        val s0 = w.sum
+        val s1 = (0 until p).map(i =>
+          risk.zip(w).map { case (r, wi) => r._3(i) * wi }.sum)
+        for (i <- 0 until p)
+          u(i) += evs.map(_._3(i)).sum - evs.size * s1(i) / s0
+        for (i <- 0 until p; j <- 0 until p) {
+          val s2 = risk.zip(w).map { case (r, wi) => r._3(i) * r._3(j) * wi }.sum
+          h(i)(j) += evs.size * (s2 / s0 - (s1(i) / s0) * (s1(j) / s0))
+        }
+      }
+      // solve h · delta = u (tiny p: Gaussian elimination)
+      val m = h.map(_.clone)
+      val b = u.clone
+      for (c <- 0 until p) {
+        val piv = m(c)(c)
+        for (r <- c + 1 until p) {
+          val f = m(r)(c) / piv
+          for (cc <- c until p) m(r)(cc) -= f * m(c)(cc)
+          b(r) -= f * b(c)
+        }
+      }
+      val delta = Array.fill(p)(0.0)
+      for (r <- (p - 1) to 0 by -1) {
+        var s = b(r)
+        for (cc <- r + 1 until p) s -= m(r)(cc) * delta(cc)
+        delta(r) = s / m(r)(r)
+      }
+      beta = beta.zip(delta).map { case (x, d) => x + d }
+    }
+    beta
+  }
+
+  private val data = Seq(
+    // (duration, event, x1, x2) — mixed censoring, one tie at t=5
+    (1.0, 1, 1.0, 0.3), (2.0, 1, 0.0, 1.2), (3.0, 0, 1.0, 0.5),
+    (4.0, 1, 0.0, 0.1), (5.0, 1, 1.0, 0.9), (5.0, 1, 0.0, 0.4),
+    (6.0, 0, 1.0, 1.5), (7.0, 1, 0.0, 0.2), (8.0, 0, 0.0, 0.8),
+    (9.0, 1, 1.0, 1.1))
+
+  test("fit matches an independent local Breslow Newton solver") {
+    val df = data.toDF("t", "e", "x1", "x2")
+    val m = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    val ref = localCox(data.map { case (t, e, a, b) =>
+      (t, e, Array(a, b)) }, p = 2)
+    assert(math.abs(m.beta(0) - ref(0)) < 1e-6,
+      s"${m.beta(0)} vs ${ref(0)}")
+    assert(math.abs(m.beta(1) - ref(1)) < 1e-6,
+      s"${m.beta(1)} vs ${ref(1)}")
+    assert(m.loglik > m.nullLoglik - 1e-12)
+    assert(m.nEvents === 7L && m.n === 10L)
+    assert(m.se.forall(s => s > 0 && s.isFinite))
+  }
+
+  test("a hazardous covariate gets a positive coefficient") {
+    // x = 1 rows fail early, x = 0 rows late or censored
+    val rows = Seq((1.0, 1, 1.0), (1.5, 1, 1.0), (2.0, 1, 1.0),
+      (8.0, 1, 0.0), (9.0, 1, 0.0), (10.0, 0, 0.0))
+    val m = Cox.fit(rows.toDF("t", "e", "x"), "t", "e", Seq("x"))
+    assert(m.beta(0) > 1.0)
+  }
+
+  test("a covariate independent of hazard fits near zero") {
+    // alternating x uncorrelated with failure order
+    val rows = (1 to 12).map(i => (i.toDouble, 1, (i % 2).toDouble))
+    val m = Cox.fit(rows.toDF("t", "e", "x"), "t", "e", Seq("x"))
+    val ref = localCox(rows.map { case (t, e, x) => (t, e, Array(x)) }, 1)
+    assert(math.abs(m.beta(0) - ref(0)) < 1e-6)
+  }
+
+  test("fit is invariant to input partitioning") {
+    val df = data.toDF("t", "e", "x1", "x2")
+    val a = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    val b = Cox.fit(df.repartition(7), "t", "e", Seq("x1", "x2"))
+    assert(math.abs(a.beta(0) - b.beta(0)) < 1e-12)
+    assert(math.abs(a.beta(1) - b.beta(1)) < 1e-12)
+  }
+
+  test("predictRisk is a pure projection of exp(x'beta)") {
+    val df = data.toDF("t", "e", "x1", "x2")
+    val m = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    val out = m.predictRisk(df).select("x1", "x2", "risk").head()
+    val want = math.exp(out.getDouble(0) * m.beta(0) +
+      out.getDouble(1) * m.beta(1))
+    assert(math.abs(out.getDouble(2) - want) < 1e-12)
+  }
+}
