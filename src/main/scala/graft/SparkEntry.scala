@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -2828,6 +2828,45 @@ object SparkEntry {
       m.features.zipWithIndex.map { case (f, i) =>
         (f, rd(m.beta(i), 6), rd(m.se(i), 6))
       }.toDF("feature", "beta", "se")
+    }),
+
+    // market-basket association rules over order×part-category baskets:
+    // basket-size cap before the pair join, exact-integer metric ratios
+    // on the 6-digit grid
+    "q227_assoc_rules" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 50).as("item"))
+      Assoc.associationRules(inc, "basket", "item", minCount = 80,
+          maxBasketSize = 50)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // Aalen–Johansen competing risks: first purchase (cause 1) vs first
+    // error (cause 2) per user, censored at the last event — the correct
+    // cumulative incidence under competing events (1−KM per cause
+    // overestimates); ordered ln-cumsum arithmetic, hash-stable like q126
+    "q228_competing_risks" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          min(when(col("event_type") === "error", col("ts"))).as("te"),
+          max("ts").as("tl"))
+      val first = per.select(
+        coalesce(least(col("tp"), col("te")), col("tp"), col("te"),
+          col("tl")).as("tev"),
+        col("t0"),
+        when(col("tp").isNotNull &&
+            (col("te").isNull || col("tp") <= col("te")), 1)
+          .when(col("te").isNotNull, 2).otherwise(0).as("cause"))
+      val dur = first.select(
+        ((unix_micros(col("tev")) - unix_micros(col("t0")))
+          .cast("double") / 3600000000.0).as("dur"),
+        col("cause"))
+      Survival.competingRisks(dur, "dur", "cause")
+        .select(r(col("t"), 6).as("t"), col("cause"), col("n_risk"),
+          col("d"), r(col("cif"), 6).as("cif"))
+        .orderBy("t", "cause")
     })
   )
 
@@ -6838,6 +6877,85 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS rk
         |  FROM sc)
         |SELECT id, term, tfidf, CAST(rk AS INT) AS rk FROM rk
-        |WHERE rk <= 3 ORDER BY id, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY id, rk""".stripMargin,
+
+    // identical cap + pair counts + exact-ratio metric order
+    "q227_assoc_rules" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+        |  FROM lineitem),
+        |keep AS (SELECT b FROM (
+        |  SELECT b, count(*) AS n FROM inc GROUP BY 1) WHERE n <= 50),
+        |pr AS (SELECT b, i FROM inc WHERE b IN (SELECT b FROM keep)),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM pr),
+        |itemn AS (SELECT i, count(*) AS n_i FROM pr GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS i2, count(*) AS n_both
+        |  FROM pr a JOIN pr b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 80),
+        |bi AS (
+        |  SELECT i AS antecedent, i2 AS consequent, n_both FROM pairs
+        |  UNION ALL SELECT i2, i, n_both FROM pairs)
+        |SELECT antecedent, consequent, n_both,
+        |  na.n_i AS n_ante, nc.n_i AS n_cons,
+        |  round(CAST(n_both AS DOUBLE) / (SELECT n FROM nb), 6)
+        |    AS support,
+        |  round(CAST(n_both AS DOUBLE) / na.n_i, 6) AS confidence,
+        |  round(CAST((SELECT n FROM nb) AS DOUBLE) * n_both /
+        |    (CAST(na.n_i AS DOUBLE) * nc.n_i), 6) AS lift
+        |FROM bi
+        |JOIN itemn na ON bi.antecedent = na.i
+        |JOIN itemn nc ON bi.consequent = nc.i
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // identical first-cause frame + layered KM⁻/CIF window cumsum
+    "q228_competing_risks" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+        |    max(ts) AS tl
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT coalesce(least(tp, te), tp, te, tl) AS tev, t0,
+        |    CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+        |         WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause
+        |  FROM per),
+        |dur AS (
+        |  SELECT CAST(epoch_us(tev) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur, cause
+        |  FROM f),
+        |agg AS (SELECT dur AS t, cause, count(*) AS cnt FROM dur
+        |        GROUP BY 1, 2),
+        |byt AS (
+        |  SELECT t, sum(cnt) AS tot,
+        |    sum(CASE WHEN cause <> 0 THEN cnt ELSE 0 END) AS d_all
+        |  FROM agg GROUP BY 1),
+        |r1 AS (
+        |  SELECT t, d_all,
+        |    sum(tot) OVER () - coalesce(sum(tot) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt),
+        |r2 AS (
+        |  SELECT t, n_risk,
+        |    exp(coalesce(sum(CASE WHEN d_all < n_risk
+        |      THEN ln(1 - CAST(d_all AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+        |      AS s_minus
+        |  FROM r1),
+        |ev AS (
+        |  SELECT agg.t, agg.cause, agg.cnt, r2.n_risk, r2.s_minus
+        |  FROM agg JOIN r2 USING (t) WHERE cause <> 0),
+        |c AS (
+        |  SELECT t, cause, n_risk, cnt AS d,
+        |    sum(s_minus * CAST(cnt AS DOUBLE) / n_risk)
+        |      OVER (PARTITION BY cause ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS cif
+        |  FROM ev)
+        |SELECT round(t, 6) AS t, cause, CAST(n_risk AS BIGINT) AS n_risk,
+        |  d, round(cif, 6) AS cif
+        |FROM c ORDER BY t, cause""".stripMargin
   )
 }

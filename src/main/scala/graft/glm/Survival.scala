@@ -119,6 +119,53 @@ object Survival {
     *         cum_hazard, var_hazard); censored-only times step n_risk
     *         down and leave the hazard flat
     */
+  /** Competing-risks cumulative incidence (Aalen–Johansen): with K
+    * mutually exclusive event causes (cause 0 = right-censored), the
+    * naive per-cause "1 − KM" overestimates — the correct cause-k
+    * incidence is
+    *
+    *   CIF_k(t) = Σ_{s ≤ t} S(s⁻) · d_{k,s} / n_s
+    *
+    * where S(s⁻) is the ALL-CAUSE Kaplan–Meier just before s. Same
+    * execution shape as [[kaplanMeier]]: ONE (duration, cause)
+    * aggregation pivoted to per-cause counts, risk sets by the
+    * prior-rows window identity, S(s⁻) as the exclusive ordered
+    * ln-cumsum, CIF as an ordered cumsum per cause — all windows over
+    * the distinct-time frame.
+    *
+    * @param causeCol integer cause: 0 = censored, 1..K = event causes
+    * @return per distinct time and cause k ≥ 1: (t, cause, n_risk, d,
+    *         cif); Σ_k CIF_k(∞) ≤ 1 (the all-cause failure probability)
+    */
+  def competingRisks(df: DataFrame, durationCol: String,
+      causeCol: String): DataFrame = {
+    val agg = df.groupBy(col(durationCol).as("t"), col(causeCol).as("cause"))
+      .agg(count(lit(1)).as("cnt"))
+    val byT = agg.groupBy("t")
+      .agg(sum("cnt").as("tot"),
+        sum(when(col("cause") =!= 0, col("cnt")).otherwise(0L)).as("d_all"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPrior = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // S(t⁻): exclusive all-cause KM product via ordered ln-cumsum
+    val risked = byT
+      .withColumn("n_risk", sum("tot").over(wAll) -
+        coalesce(sum("tot").over(wPrior), lit(0L)))
+      .withColumn("s_minus", exp(coalesce(sum(
+        when(col("d_all") < col("n_risk"),
+          log(lit(1.0) - col("d_all").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0))).over(wPrior), lit(0.0))))
+    val wCum = Window.partitionBy("cause").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.filter(col("cause") =!= 0)
+      .join(risked.select(col("t"), col("n_risk"), col("s_minus")), "t")
+      .withColumn("cif", sum(col("s_minus") *
+        col("cnt").cast("double") / col("n_risk")).over(wCum))
+      .select(col("t"), col("cause"), col("n_risk"),
+        col("cnt").as("d"), col("cif"))
+  }
+
   def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
     val g = groupCols.map(col)

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules — pairwise support / confidence /
+  * lift, the classic co-occurrence mining operator (the 2-itemset core
+  * of Apriori; higher orders are built by re-joining the survivors).
+  *
+  * Scale shape: baskets above `maxBasketSize` are EXCLUDED before the
+  * pair self-join (the bucket-cap discipline — one degenerate
+  * everything-basket otherwise makes the join quadratic in the catalog;
+  * in basket practice such rows are bots/bulk orders and dropping them
+  * is standard). The remaining shuffles carry (basket, item) incidences
+  * and (item, item) pairs only. `minCount` prunes the pair frame before
+  * the metric arithmetic; metrics are exact-integer ratios on a 6-digit
+  * grid.
+  */
+object Assoc {
+
+  /** @param minCount      minimum co-occurrence count for a rule
+    * @param maxBasketSize baskets with more distinct items are dropped
+    * @return one row per ORDERED rule (antecedent → consequent), both
+    *         directions of every qualifying pair: (antecedent,
+    *         consequent, n_both, n_ante, n_cons, support, confidence,
+    *         lift)
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2, maxBasketSize: Int = 200): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    val inc = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val keep = inc.groupBy("b").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select("b")
+    // four consumers (basket count, item margins, both join sides) —
+    // materialize once or each re-runs the distinct + semi-join chain
+    val pruned = inc.join(keep, Seq("b"), "left_semi").persist()
+    val nBaskets = pruned.select("b").distinct().count()
+    val itemN = pruned.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = pruned
+      .join(pruned.select(col("b"), col("i").as("i2")), "b")
+      .filter(col("i") < col("i2"))
+      .groupBy(col("i"), col("i2"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    val both = pairs.select(col("i").as("antecedent"),
+        col("i2").as("consequent"), col("n_both"))
+      .unionByName(pairs.select(col("i2").as("antecedent"),
+        col("i").as("consequent"), col("n_both")))
+    both
+      .join(itemN.select(col("i").as("antecedent"), col("n_i").as("n_ante")),
+        "antecedent")
+      .join(itemN.select(col("i").as("consequent"), col("n_i").as("n_cons")),
+        "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"),
+        round(col("n_both").cast("double") / nBaskets, 6).as("support"),
+        round(col("n_both").cast("double") / col("n_ante"), 6)
+          .as("confidence"),
+        round(lit(nBaskets).cast("double") * col("n_both") /
+          (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
+  }
+}

@@ -96,4 +96,46 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(1) - 1.5) < 1e-12)        // a, t=2
     assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)        // b, t=1
   }
+
+  test("competingRisks: Aalen–Johansen closed case with censoring") {
+    // t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1
+    val df = Seq((1.0, 1), (2.0, 2), (3.0, 0), (4.0, 1)).toDF("t", "c")
+    val out = Survival.competingRisks(df, "t", "c")
+      .orderBy("cause", "t").collect()
+      .map(r => (r.getInt(1), r.getDouble(0)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    assert(out((1, 1.0)) === ((4L, 0.25)))
+    assert(math.abs(out((1, 4.0))._2 - 0.75) < 1e-12)
+    assert(out((1, 4.0))._1 === 1L)
+    assert(math.abs(out((2, 2.0))._2 - 0.25) < 1e-12)
+    // censored-only times carry no CIF rows
+    assert(!out.keySet.exists(_._2 == 3.0))
+  }
+
+  test("competingRisks: total incidence never exceeds 1 and causes sum to 1-KM") {
+    val df = Seq((1.0, 1), (2.0, 2), (3.0, 1), (4.0, 2), (5.0, 0),
+      (6.0, 1)).toDF("t", "c")
+    val cif = Survival.competingRisks(df, "t", "c")
+    val lastPerCause = cif.groupBy("cause")
+      .agg(max("cif").as("m")).collect().map(_.getDouble(1))
+    val total = lastPerCause.sum
+    val km = Survival.kaplanMeier(
+      df.select(col("t").as("dur"), (col("c") =!= 0).cast("int").as("ev")),
+      "dur", "ev")
+      .orderBy(col("t").desc).select("survival").head().getDouble(0)
+    assert(total <= 1.0 + 1e-12)
+    assert(math.abs(total - (1.0 - km)) < 1e-12)
+  }
+
+  test("competingRisks with a single cause reduces to 1 - KM") {
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("t", "c")
+    val cif = Survival.competingRisks(df, "t", "c")
+      .orderBy("t").collect().map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    val km = Survival.kaplanMeier(
+      df.select(col("t").as("dur"), (col("c") =!= 0).cast("int").as("ev")),
+      "dur", "ev")
+      .orderBy("t").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    cif.foreach { case (t, v) => assert(math.abs(v - (1.0 - km(t))) < 1e-12, t) }
+  }
 }
