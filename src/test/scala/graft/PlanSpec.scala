@@ -155,6 +155,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__b"), "expected the two-level bucket structure")
   }
 
+  test("q202: RFM quartile maps ride the two-level bucket pass") {
+    val p = plan("q202_rfm", execute = true)
+    // three metric maps, each through Cumulative's __b bucket ladder —
+    // never an unpartitioned window over the customer frame
+    assert(p.contains("__b"), "expected the two-level bucket structure")
+  }
+
+  test("q219: SPRT cumulative is bucketed, LLR has no join") {
+    val p = plan("q219_sprt", execute = true)
+    assert(p.contains("__b"), "expected the two-level bucket structure")
+  }
+
+  test("q215: grouped quantile windows are partitioned by the group key") {
+    val p = plan("q215_grouped_quantiles", execute = true)
+    // the only windows run per group over <= nBins rows
+    assert(p.contains("partitionBy") || p.contains("PartitionBy") ||
+      p.contains("windowspecdefinition(l_returnflag"),
+      "group-partitioned window expected:\n" + p.take(2000))
+  }
+
+  test("q213: negative sampling is semi+anti joined, never cartesian") {
+    val p = plan("q213_negative_sampling")
+    assert(p.contains("LeftSemi"), "catalog membership should be a semi join")
+    assert(p.contains("LeftAnti"), "positive exclusion should be an anti join")
+  }
+
+  test("q227: basket cap prunes via semi join before the pair join") {
+    val p = plan("q227_assoc_rules")
+    assert(p.contains("LeftSemi"), "cap should prune via semi join")
+  }
+
   test("queries avoid accidental cartesian products") {
     // the ANN/cosine-baseline queries intentionally use a broadcast
     // nested-loop; everything else must be equi-joined
