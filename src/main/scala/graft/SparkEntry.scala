@@ -2867,6 +2867,22 @@ object SparkEntry {
         .select(r(col("t"), 6).as("t"), col("cause"), col("n_risk"),
           col("d"), r(col("cif"), 6).as("cif"))
         .orderBy("t", "cause")
+    }),
+
+    // proportional-odds ordinal regression on quantity bands (rows-only:
+    // BHHH fixed point; OrdinalSpec carries the binomial-reduction parity
+    // and independent-likelihood local-max cases)
+    "q229_ordinal" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        when(col("l_quantity") < 18, 1)
+          .when(col("l_quantity") <= 35, 2).otherwise(3).as("band"),
+        col("l_discount"), col("l_tax"))
+      val m = glm.Ordinal.fit(d, "band", Seq("l_discount", "l_tax"))
+      import s.implicits._
+      ((m.thresholds.zipWithIndex.map { case (v, i) =>
+        (s"theta_${i + 1}", rd(v, 6)) } ++
+        m.features.zip(m.beta).map { case (f, b) => (s"beta_$f", rd(b, 6)) })
+        .toSeq).toDF("param", "value").orderBy("param")
     })
   )
 

@@ -22,7 +22,7 @@ class EntrySpec extends SparkSpec {
       "q137_profile_approx", "q138_calibration_quantile",
       "q163_kmeans", "q181_semantic_dedup", "q194_kcenter",
       "q197_rolling_active_hll", "q210_isotonic", "q223_bpe_merges",
-      "q226_cox"))
+      "q226_cox", "q229_ordinal"))
   }
 
   test("approx distinct counts (q61) track the exact counts (q60) within 5%") {
