@@ -2883,6 +2883,26 @@ object SparkEntry {
         (s"theta_${i + 1}", rd(v, 6)) } ++
         m.features.zip(m.beta).map { case (f, b) => (s"beta_$f", rd(b, 6)) })
         .toSeq).toDF("param", "value").orderBy("param")
+    }),
+
+    // Murphy decomposition of the Brier score on q128's forecast frame:
+    // ONE bin pass carries all five per-bin sums; the identity terms are
+    // arithmetic on the 5-row frame
+    "q230_brier" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") * 10.0).as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.brierDecomposition(d, "s", "y", nBins = 5)
+    }),
+
+    // gains/lift deciles by price against the return flag: rank-share
+    // tiles on the descending two-level cumulative, exact integers to
+    // the final ratio grid
+    "q231_gains" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_extendedprice").as("s"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Eval.gainsTable(d, "s", "y", nTiles = 10)
+        .orderBy("tile")
     })
   )
 
@@ -6972,6 +6992,70 @@ object SparkEntry {
         |  FROM ev)
         |SELECT round(t, 6) AS t, cause, CAST(n_risk AS BIGINT) AS n_risk,
         |  d, round(cif, 6) AS cif
-        |FROM c ORDER BY t, cause""".stripMargin
+        |FROM c ORDER BY t, cause""".stripMargin,
+
+    // identical one-pass bin sums + Murphy-term arithmetic order
+    "q230_brier" ->
+      """WITH d AS (
+        |  SELECT l_discount * 10.0 AS s, CAST(l_quantity > 25 AS INT) AS y
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(greatest(CAST(floor((s - 0.0) / 0.2) AS INT), 0), 4)
+        |      AS bin,
+        |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+        |    sum(s) AS ss, sum(s * s) AS ss2,
+        |    sum(CASE WHEN y = 1 THEN s ELSE 0.0 END) AS ssy
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM b)
+        |SELECT any_value(nn) AS n,
+        |  round(sum(ss2 - 2.0 * ssy + CAST(pos AS DOUBLE)) / any_value(nn),
+        |    6) AS brier,
+        |  round(sum(n * (ss / n - CAST(pos AS DOUBLE) / n) *
+        |    (ss / n - CAST(pos AS DOUBLE) / n)) / any_value(nn), 6)
+        |    AS reliability,
+        |  round(sum(n * (CAST(pos AS DOUBLE) / n -
+        |      CAST(pp AS DOUBLE) / nn) *
+        |    (CAST(pos AS DOUBLE) / n - CAST(pp AS DOUBLE) / nn))
+        |    / any_value(nn), 6) AS resolution,
+        |  round(any_value(CAST(pp AS DOUBLE) / nn *
+        |    (1.0 - CAST(pp AS DOUBLE) / nn)), 6) AS uncertainty,
+        |  round(sum(ss2 - n * (ss / n) * (ss / n)) / any_value(nn), 6)
+        |    AS within_bin_var
+        |FROM b CROSS JOIN t""".stripMargin,
+
+    // identical descending cumulative, ceil rank-share tiles, ratio order
+    "q231_gains" ->
+      """WITH bys AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS s, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM bys),
+        |c AS (
+        |  SELECT n, pos,
+        |    sum(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM bys),
+        |ti AS (
+        |  SELECT CAST(ceil(10.0 * CAST(cn AS DOUBLE) /
+        |      CAST(nn AS DOUBLE)) AS INT) AS tile,
+        |    n, pos, nn, pp
+        |  FROM c CROSS JOIN t),
+        |bt AS (
+        |  SELECT tile, sum(n) AS n, sum(pos) AS n_pos,
+        |    any_value(nn) AS nn, any_value(pp) AS pp
+        |  FROM ti GROUP BY 1),
+        |f AS (
+        |  SELECT tile, n, n_pos,
+        |    sum(n) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING)
+        |      AS cum_pos,
+        |    nn, pp
+        |  FROM bt)
+        |SELECT tile, n, n_pos, cum_n, cum_pos,
+        |  round(CASE WHEN pp > 0 THEN CAST(cum_pos AS DOUBLE) / pp END, 6)
+        |    AS capture,
+        |  round(CASE WHEN pp > 0 THEN (CAST(cum_pos AS DOUBLE) / cum_n) /
+        |    (CAST(pp AS DOUBLE) / nn) END, 6) AS lift
+        |FROM f ORDER BY tile""".stripMargin
   )
 }

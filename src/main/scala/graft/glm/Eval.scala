@@ -1,6 +1,7 @@
 package graft.glm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier evaluation at scale: ROC AUC and calibration, the two
@@ -197,6 +198,97 @@ object Eval {
       .withColumn("frac_pos", col("pos").cast("double") / col("n"))
       .join(broadcast(isoFrame), "bin")
       .select(col("bin"), col("n"), col("frac_pos"), col("iso_rate"))
+  }
+
+  /** Murphy (1973) decomposition of the Brier score over fixed-width
+    * probability bins: BS = REL − RES + UNC with
+    *
+    *   REL = Σ n_k (s̄_k − ō_k)² / N   (calibration error — want small)
+    *   RES = Σ n_k (ō_k − ō)² / N     (discrimination — want large)
+    *   UNC = ō (1 − ō)                (irreducible base-rate variance)
+    *
+    * alongside the exact row-level Brier mean((s − y)²). ONE aggregation
+    * pass: per-bin (n, pos, Σs, Σs², Σs·y) plus grand totals; everything
+    * downstream is arithmetic on the nBins-row frame. (The identity
+    * holds exactly only when forecasts are constant within bins; the gap
+    * between `brier` and `rel − res + unc` is the reported
+    * `within_bin_var`.)
+    *
+    * @return one row: (n, brier, reliability, resolution, uncertainty,
+    *         within_bin_var)
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    val w = (hi - lo) / nBins
+    val s = col(scoreCol).cast("double")
+    val y = when(col(labelCol) === 1, 1L).otherwise(0L)
+    val bin = least(greatest(
+      floor((s - lo) / w).cast("int"), lit(0)), lit(nBins - 1))
+    val byBin = df.groupBy(bin.as("__b"))
+      .agg(count(lit(1)).as("n"), sum(y).as("pos"),
+        sum(s).as("ss"), sum(s * s).as("ss2"),
+        sum(when(col(labelCol) === 1, s).otherwise(lit(0.0))).as("ssy"))
+    val tot = byBin.agg(sum("n").as("__N"), sum("pos").as("__P"))
+    val sbar = col("ss") / col("n")
+    val obar = col("pos").cast("double") / col("n")
+    val obarAll = col("__P").cast("double") / col("__N")
+    byBin.crossJoin(broadcast(tot))
+      .agg(
+        first(col("__N")).as("n"),
+        round(sum(col("ss2") - lit(2.0) * col("ssy") +
+          col("pos").cast("double")).cast("double") / first(col("__N")), 6)
+          .as("brier"),
+        round(sum(col("n") * (sbar - obar) * (sbar - obar)) /
+          first(col("__N")), 6).as("reliability"),
+        round(sum(col("n") * (obar - obarAll) * (obar - obarAll)) /
+          first(col("__N")), 6).as("resolution"),
+        round(first(obarAll * (lit(1.0) - obarAll)), 6).as("uncertainty"),
+        round(sum(col("ss2") - col("n") * sbar * sbar) / first(col("__N")), 6)
+          .as("within_bin_var"))
+  }
+
+  /** Gains / lift table: rank by score DESCENDING, cut into `nTiles`
+    * population tiles, report per-tile capture and cumulative lift — the
+    * campaign-targeting readout ("the top decile captures 34% of
+    * responders at 3.4× lift").
+    *
+    * Scale shape: distinct-score collapse, the two-level descending
+    * [[graft.ops.Cumulative.runningSums]] pass, tile = ceil(T·cum/N)
+    * rank shares (ties share a tile — a total function of the score,
+    * q202's discipline), then per-tile aggregation + windows over the
+    * T-row tile frame. Exact integers until the final ratio grid.
+    *
+    * @return per tile: (tile, n, n_pos, cum_n, cum_pos, capture, lift)
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 1, "need nTiles >= 1")
+    val byS = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos"))
+    val cum = graft.ops.Cumulative.runningSums(byS, "__s", Seq("n", "pos"),
+      descending = true)
+    val tot = byS.agg(sum("n").as("__N"), sum("pos").as("__P"))
+    val tiled = cum.crossJoin(broadcast(tot))
+      .withColumn("tile", ceil(lit(nTiles.toDouble) *
+        col("n_cum").cast("double") / col("__N").cast("double")).cast("int"))
+    val byTile = tiled.groupBy("tile")
+      .agg(sum("n").as("n"), sum("pos").as("n_pos"),
+        first("__N").as("__N"), first("__P").as("__P"))
+    val wc = Window.orderBy("tile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byTile
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .select(col("tile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        round(when(col("__P") > 0,
+          col("cum_pos").cast("double") / col("__P")), 6).as("capture"),
+        round(when(col("__P") > 0,
+          (col("cum_pos").cast("double") / col("cum_n")) /
+            (col("__P").cast("double") / col("__N"))), 6).as("lift"))
   }
 
   def calibrationQuantile(df: DataFrame, scoreCol: String, labelCol: String,

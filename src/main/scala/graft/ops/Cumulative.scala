@@ -99,8 +99,8 @@ object Cumulative {
     *                      parallelism
     */
   def runningSums(df: DataFrame, orderCol: String, valueCols: Seq[String],
-      numPartitions: Int = 0): DataFrame =
-    runningAgg(df, orderCol, valueCols, descending = false, numPartitions,
+      numPartitions: Int = 0, descending: Boolean = false): DataFrame =
+    runningAgg(df, orderCol, valueCols, descending, numPartitions,
       suffix = "_cum", aggFn = c => sum(c),
       // first bucket's offset is null → contribute 0
       combine = (l, o) => l + coalesce(o, lit(0L)))

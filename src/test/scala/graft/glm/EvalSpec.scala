@@ -170,6 +170,61 @@ class EvalSpec extends SparkSpec {
     }.toDF("s", "y")
   }
 
+  test("brierDecomposition: Murphy identity on bin-constant forecasts") {
+    // forecasts constant within bins → brier = rel − res + unc exactly
+    // bin rates: 0.2 @ s=0.1 (10 rows), 0.8 @ s=0.7 (10 rows)
+    val df = isoInput(Seq((0.1, 2, 8), (0.7, 8, 2)))
+    val r = Eval.brierDecomposition(df, "s", "y", nBins = 5).head()
+    val brier = r.getAs[Double]("brier")
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    val unc = r.getAs[Double]("uncertainty")
+    assert(math.abs(brier - (rel - res + unc)) < 1e-6)
+    assert(r.getAs[Double]("within_bin_var") === 0.0)
+    // hand values: obar=0.5 → unc=0.25; rel = ((0.1-0.2)²+(0.7-0.8)²)/2
+    assert(math.abs(unc - 0.25) < 1e-9)
+    assert(math.abs(rel - 0.01) < 1e-9)
+    assert(math.abs(res - (2 * 10 * 0.09) / 20) < 1e-9)
+  }
+
+  test("brierDecomposition: perfect confident forecasts score 0") {
+    val df = isoInput(Seq((0.0, 0, 10), (0.9999, 10, 0)))
+    val r = Eval.brierDecomposition(df, "s", "y", nBins = 10).head()
+    assert(r.getAs[Double]("brier") < 1e-6)
+    assert(r.getAs[Double]("reliability") < 1e-6)
+  }
+
+  test("gainsTable: closed deciles, capture and lift") {
+    // 100 rows, scores 1..100, positives exactly the top 20 scores
+    val df = (1 to 100).map(i => (i.toDouble, if (i > 80) 1 else 0))
+      .toDF("s", "y")
+    val out = Eval.gainsTable(df, "s", "y", nTiles = 10)
+      .orderBy("tile").collect()
+    assert(out.length === 10)
+    val t1 = out.head
+    assert(t1.getAs[Long]("n") === 10L && t1.getAs[Long]("n_pos") === 10L)
+    assert(t1.getAs[Double]("capture") === 0.5)
+    assert(t1.getAs[Double]("lift") === 5.0)
+    val t2 = out(1)
+    assert(t2.getAs[Double]("capture") === 1.0)
+    assert(t2.getAs[Double]("lift") === 5.0)
+    // once all positives are captured lift decays as 1/share
+    assert(out.last.getAs[Double]("lift") === 1.0)
+    assert(out.map(_.getAs[Long]("n")).sum === 100L)
+  }
+
+  test("gainsTable: tied scores share a tile deterministically") {
+    // one score carries 60% of rows: its tile is ceil(10·0.6) = 6
+    val df = ((1 to 60).map(_ => (5.0, 0)) ++
+      (1 to 40).map(i => (10.0 + i, if (i > 20) 1 else 0)))
+      .toDF("s", "y")
+    val out = Eval.gainsTable(df, "s", "y", nTiles = 10)
+      .orderBy("tile").collect()
+    val big = out.find(_.getAs[Long]("n") === 60L).get
+    assert(big.getAs[Int]("tile") === 10) // worst scores, ceil share = 1.0
+    assert(out.map(_.getAs[Long]("n")).sum === 100L)
+  }
+
   test("isotonicCalibration: PAV pools a violating pair") {
     // raw rates by bin: 0.1, 0.5, 0.3, 0.7 (10 rows each) → pooling bins
     // 1 and 2 to 0.4 restores monotonicity
