@@ -47,21 +47,49 @@ object Cox {
   }
 
 
+  /** @param strataCol optional stratification column: each stratum keeps
+    *                  its OWN baseline hazard (risk sets never cross
+    *                  strata) while β is shared — the standard fix when
+    *                  proportionality holds within but not across groups.
+    *                  Stratified suffix sums run as stratum-partitioned
+    *                  windows over per-stratum distinct-time frames (the
+    *                  grouped-KM caveat class); the unstratified path
+    *                  keeps the two-level global pass.
+    */
   def fit(df: DataFrame, durationCol: String, eventCol: String,
-      features: Seq[String], tol: Double = 1e-8, maxIter: Int = 25)
-      : CoxModel = {
+      features: Seq[String], tol: Double = 1e-8, maxIter: Int = 25,
+      strataCol: Option[String] = None): CoxModel = {
     require(features.nonEmpty, "need at least one covariate")
     val p = features.length
     // pack (j, k), j <= k, into the row-major upper-triangular flat index
     def triIdx(j: Int, k: Int): Int = j * (2 * p - j + 1) / 2 + (k - j)
     val x = features.map(f => col(f).cast("double"))
+    val strat = strataCol.map(c => col(c).as("__st")).toSeq
     val base = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
         x.map(_.isNotNull).reduce(_ && _))
-      .select((col(durationCol).cast("double").as("__t") +:
+      .select((strat ++ (col(durationCol).cast("double").as("__t") +:
         col(eventCol).cast("int").as("__e") +: x.zipWithIndex.map {
-          case (c, i) => c.as(s"__x$i") }): _*)
+          case (c, i) => c.as(s"__x$i") })): _*)
       .persist()
+    val timeKeys: Seq[org.apache.spark.sql.Column] =
+      if (strataCol.isDefined) Seq(col("__st"), col("__t"))
+      else Seq(col("__t"))
+    // suffix sums over duration within each stratum: the two-level global
+    // pass when unstratified; stratum-partitioned windows otherwise
+    def suffix(byT: DataFrame, cols: Seq[String]): DataFrame =
+      if (strataCol.isEmpty)
+        graft.ops.Cumulative.runningSums(
+          byT.withColumn("__ord", -col("__t")), "__ord", cols)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__st").orderBy(col("__t").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        cols.foldLeft(byT) { (d, c) =>
+          d.withColumn(s"${c}_cum", sum(c).over(w)) }
+      }
     val counts = base.agg(count(lit(1)), sum(when(col("__e") === 1, 1L)
       .otherwise(0L))).head()
     val (n, nEvents) = (counts.getLong(0), counts.getLong(1))
@@ -87,13 +115,11 @@ object Cox {
           sum(when(col("__e") === 1, eta).otherwise(lit(0.0))).as("se_eta")) ++
         (0 until p).map(i => sum(when(col("__e") === 1, col(s"__x$i"))
           .otherwise(lit(0.0))).as(s"sx_$i"))
-      val byT = base.groupBy(col("__t"))
+      val byT = base.groupBy(timeKeys: _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
-        .withColumn("__ord", -col("__t"))
-      // suffix sums over duration = ascending cumulative over −t
       val cumCols = Seq("w0") ++ (0 until p).map(i => s"w1_$i") ++
         (0 until p * (p + 1) / 2).map(i => s"w2_$i")
-      val cum = graft.ops.Cumulative.runningSums(byT, "__ord", cumCols)
+      val cum = suffix(byT, cumCols)
       // ONE reduction to the Newton scalars; event-time rows only
       val s0 = col("w0_cum")
       val evt = cum.filter(col("d") > 0)
@@ -121,12 +147,11 @@ object Cox {
         beta = beta + LinAlg.solvePD(h, u)
       }
     }
-    // null partial loglik: β = 0 ⇒ w = 1, S0 = n at risk
-    val byT0 = base.groupBy(col("__t"))
+    // null partial loglik: β = 0 ⇒ w = 1, S0 = n at risk (per stratum)
+    val byT0 = base.groupBy(timeKeys: _*)
       .agg(count(lit(1)).cast("double").as("w0"),
         sum(when(col("__e") === 1, 1L).otherwise(0L)).as("d"))
-      .withColumn("__ord", -col("__t"))
-    val cum0 = graft.ops.Cumulative.runningSums(byT0, "__ord", Seq("w0"))
+    val cum0 = suffix(byT0, Seq("w0"))
     val ll0 = cum0.filter(col("d") > 0)
       .agg(sum(-col("d") * log(col("w0_cum")))).head().getDouble(0)
     base.unpersist(blocking = false)

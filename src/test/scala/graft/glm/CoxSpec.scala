@@ -90,6 +90,48 @@ class CoxSpec extends SparkSpec {
     assert(math.abs(m.beta(0) - ref(0)) < 1e-6)
   }
 
+  test("stratified fit with one stratum equals the unstratified fit") {
+    val df = data.toDF("t", "e", "x1", "x2")
+      .withColumn("g", org.apache.spark.sql.functions.lit("all"))
+    val a = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    val b = Cox.fit(df, "t", "e", Seq("x1", "x2"), strataCol = Some("g"))
+    assert(math.abs(a.beta(0) - b.beta(0)) < 1e-10)
+    assert(math.abs(a.beta(1) - b.beta(1)) < 1e-10)
+    assert(math.abs(a.loglik - b.loglik) < 1e-10)
+  }
+
+  test("stratified fit matches a per-stratum local Breslow reference") {
+    // two strata with different baselines, shared effect
+    val strat = Seq(
+      ("a", 1.0, 1, 1.0), ("a", 2.0, 1, 0.0), ("a", 3.0, 1, 1.0),
+      ("a", 4.0, 0, 0.0), ("a", 5.0, 1, 0.0),
+      ("b", 10.0, 1, 1.0), ("b", 20.0, 1, 1.0), ("b", 30.0, 1, 0.0),
+      ("b", 40.0, 1, 0.0), ("b", 50.0, 0, 1.0))
+    val df = strat.toDF("g", "t", "e", "x")
+    val m = Cox.fit(df, "t", "e", Seq("x"), strataCol = Some("g"))
+    // local reference: Newton on the summed per-stratum score/information
+    var beta = 0.0
+    for (_ <- 1 to 60) {
+      var u = 0.0; var h = 0.0
+      for (g <- Seq("a", "b")) {
+        val rows = strat.filter(_._1 == g).map(r => (r._2, r._3, r._4))
+        val times = rows.filter(_._2 == 1).map(_._1).distinct.sorted
+        for (t <- times) {
+          val risk = rows.filter(_._1 >= t)
+          val evs = rows.filter(r => r._1 == t && r._2 == 1)
+          val w = risk.map(r => math.exp(r._3 * beta))
+          val s0 = w.sum
+          val s1 = risk.zip(w).map { case (r, wi) => r._3 * wi }.sum
+          val s2 = risk.zip(w).map { case (r, wi) => r._3 * r._3 * wi }.sum
+          u += evs.map(_._3).sum - evs.size * s1 / s0
+          h += evs.size * (s2 / s0 - (s1 / s0) * (s1 / s0))
+        }
+      }
+      beta += u / h
+    }
+    assert(math.abs(m.beta(0) - beta) < 1e-6, s"${m.beta(0)} vs $beta")
+  }
+
   test("fit is invariant to input partitioning") {
     val df = data.toDF("t", "e", "x1", "x2")
     val a = Cox.fit(df, "t", "e", Seq("x1", "x2"))
