@@ -107,14 +107,16 @@ object Graph {
     var done = false
     while (!done && depth < maxDepth) {
       val frontier = visited.filter(col("dist") === depth)
-      val next = e
+      // candidates need no distinct and no anti-join: the min(dist)
+      // aggregation over (visited ∪ candidates) dedups AND settles every
+      // node at its first depth in the SAME single shuffle
+      val cand = e
         .join(frontier.select(col("node").as("u")), "u")
-        .select(col("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select(col("node"), lit(depth + 1).as("dist"))
+        .select(col("v").as("node"), lit(depth + 1).as("dist"))
+      val (v2, n2) = cp.applyCounted(visited.unionByName(cand)
+        .groupBy("node").agg(min("dist").as("dist")))
       // the checkpoint materialization's count doubles as the
-      // convergence probe (no growth → frontier was empty)
-      val (v2, n2) = cp.applyCounted(visited.unionByName(next))
+      // convergence probe (no growth → frontier added nothing)
       visited = v2
       done = n2 == nVisited
       nVisited = n2
