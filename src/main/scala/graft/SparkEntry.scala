@@ -2903,6 +2903,24 @@ object SparkEntry {
         (col("l_returnflag") === "R").cast("int").as("y"))
       Eval.gainsTable(d, "s", "y", nTiles = 10)
         .orderBy("tile")
+    }),
+
+    // ROUGE-2 of each document against its successor (deterministic
+    // pairing): clipped bigram counts meet in one (id, gram) full-outer
+    // join; exact integers to the ratio grid
+    "q232_rouge" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val paired = d.join(
+        d.select((col("doc_id") - 1).as("doc_id"), col("text").as("cand")),
+        "doc_id")
+      TextOps.rougeN(paired, "doc_id", "text", "cand", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Zipf-law fit of the corpus token frequencies: closed-form OLS on
+    // (ln rank, ln count) over the vocabulary frame
+    "q233_zipf" -> ((s, dir) => {
+      TextOps.zipfFit(t(s, dir, "documents"), "text")
     })
   )
 
@@ -7056,6 +7074,73 @@ object SparkEntry {
         |    AS capture,
         |  round(CASE WHEN pp > 0 THEN (CAST(cum_pos AS DOUBLE) / cum_n) /
         |    (CAST(pp AS DOUBLE) / nn) END, 6) AS lift
-        |FROM f ORDER BY tile""".stripMargin
+        |FROM f ORDER BY tile""".stripMargin,
+
+    // identical successor pairing, bigram slices, clipped-count join and
+    // ratio order
+    "q232_rouge" ->
+      """WITH t1 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id, a.t AS rt, b.t AS ct
+        |  FROM t1 a JOIN t1 b ON b.doc_id = a.doc_id + 1),
+        |rg AS (
+        |  SELECT id, array_to_string(list_slice(rt, i, i + 1), ' ') AS g
+        |  FROM p, UNNEST(generate_series(1, greatest(len(rt) - 1, 0)))
+        |    q(i)),
+        |cg AS (
+        |  SELECT id, array_to_string(list_slice(ct, i, i + 1), ' ') AS g
+        |  FROM p, UNNEST(generate_series(1, greatest(len(ct) - 1, 0)))
+        |    q(i)),
+        |rc AS (SELECT id, g, count(*) AS rcn FROM rg GROUP BY 1, 2),
+        |cc AS (SELECT id, g, count(*) AS ccn FROM cg GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(rc.id, cc.id) AS id,
+        |    coalesce(rc.rcn, 0) AS rcn, coalesce(cc.ccn, 0) AS ccn
+        |  FROM rc FULL OUTER JOIN cc ON rc.id = cc.id AND rc.g = cc.g),
+        |a AS (
+        |  SELECT id, CAST(sum(rcn) AS BIGINT) AS n_ref,
+        |    CAST(sum(ccn) AS BIGINT) AS n_cand,
+        |    CAST(sum(least(rcn, ccn)) AS BIGINT) AS overlap
+        |  FROM j GROUP BY 1)
+        |SELECT id AS doc_id, n_ref, n_cand, overlap,
+        |  round(CASE WHEN n_cand > 0
+        |    THEN CAST(overlap AS DOUBLE) / n_cand END, 6) AS "precision",
+        |  round(CASE WHEN n_ref > 0
+        |    THEN CAST(overlap AS DOUBLE) / n_ref END, 6) AS recall,
+        |  round(CASE WHEN n_ref > 0 AND n_cand > 0 AND overlap > 0 THEN
+        |      2.0 * (CAST(overlap AS DOUBLE) / n_cand) *
+        |        (CAST(overlap AS DOUBLE) / n_ref) /
+        |        (CAST(overlap AS DOUBLE) / n_cand +
+        |          CAST(overlap AS DOUBLE) / n_ref)
+        |    WHEN n_ref > 0 AND n_cand > 0 THEN 0.0 END, 6) AS f1
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // identical tokenization, (cnt desc, token) ranks, closed-form OLS
+    "q233_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y, cnt
+        |  FROM v),
+        |s AS (
+        |  SELECT count(*) AS v, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM r)
+        |SELECT n_tokens, v AS vocab,
+        |  round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (v * sxy - sx * sy) / (v * sxx - sx * sx) * sx) / v,
+        |    6) AS intercept,
+        |  round(pow(v * sxy - sx * sy, 2) /
+        |    ((v * sxx - sx * sx) * (v * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin
   )
 }

@@ -262,6 +262,93 @@ object TextOps {
           phonePattern, "[PHONE]"))
   }
 
+  /** ROUGE-N overlap between paired texts — the summarization/
+    * generation eval metric (recall-oriented n-gram overlap of a
+    * candidate against its reference).
+    *
+    * Clipped-count convention (the standard one): overlap =
+    * Σ_g min(count_ref(g), count_cand(g)) over n-grams g; precision =
+    * overlap/|cand grams|, recall = overlap/|ref grams|, F1 their
+    * harmonic mean. Tokens split on whitespace.
+    *
+    * Execution: both sides explode to (pair id, gram) counts and meet in
+    * ONE full-outer equi-join keyed by (id, gram) — everything shuffles
+    * on the pair id, nothing quadratic, no driver state. Exact integers
+    * until the final ratios (6-digit grid).
+    *
+    * @return (idCol, n_ref, n_cand, overlap, precision, recall, f1)
+    */
+  def rougeN(df: org.apache.spark.sql.DataFrame, idCol: String,
+      refCol: String, candCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    def grams(c: Column) = {
+      val toks = filter(split(c, "\\s+"), t => t =!= "")
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => array_join(slice(toks, i, lit(n)), " "))
+    }
+    def side(c: String, cnt: String) = df
+      .select(col(idCol), explode(grams(col(c))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as(cnt))
+    val joined = side(refCol, "rc")
+      .join(side(candCol, "cc"), Seq(idCol, "g"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("rc"), lit(0L))).as("n_ref"),
+        sum(coalesce(col("cc"), lit(0L))).as("n_cand"),
+        sum(least(coalesce(col("rc"), lit(0L)),
+          coalesce(col("cc"), lit(0L)))).as("overlap"))
+    joined.select(col(idCol), col("n_ref"), col("n_cand"), col("overlap"),
+      round(when(col("n_cand") > 0,
+        col("overlap").cast("double") / col("n_cand")), 6).as("precision"),
+      round(when(col("n_ref") > 0,
+        col("overlap").cast("double") / col("n_ref")), 6).as("recall"),
+      round(when(col("n_ref") > 0 && col("n_cand") > 0 &&
+          col("overlap") > 0,
+        lit(2.0) * (col("overlap").cast("double") / col("n_cand")) *
+          (col("overlap").cast("double") / col("n_ref")) /
+          (col("overlap").cast("double") / col("n_cand") +
+            col("overlap").cast("double") / col("n_ref")))
+        .otherwise(when(col("n_ref") > 0 && col("n_cand") > 0, lit(0.0))),
+        6).as("f1"))
+  }
+
+  /** Zipf-law fit of the token frequency distribution: OLS slope of
+    * ln(count) on ln(rank) over the vocabulary — natural corpora sit
+    * near −1, and the deviation is a cheap quality/synthetic-data signal.
+    *
+    * Ranks use the (count desc, token asc) total order (deterministic
+    * ties); the regression is closed-form from five sums over the
+    * VOCABULARY frame. The rank window is a single ordered pass over
+    * that frame — vocabulary-sized, not data-sized (the q148/q180
+    * category-frame caveat; at web scale feed it `topK` first).
+    *
+    * @return one row: (n_tokens, vocab, slope, intercept, r2) — slope on
+    *         a 6-digit grid
+    */
+  def zipfFit(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val xy = vocab.withColumn("__r", row_number().over(w))
+      .select(log(col("__r").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"), col("cnt"))
+    val s = xy.agg(count(lit(1)).as("v"), sum("cnt").as("n_tokens"),
+      sum("x").as("sx"), sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+    s.select(col("n_tokens"), col("v").as("vocab"),
+      round((col("v") * col("sxy") - col("sx") * col("sy")) /
+        (col("v") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - (col("v") * col("sxy") - col("sx") * col("sy")) /
+        (col("v") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+        col("v"), 6).as("intercept"),
+      round(pow(col("v") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("v") * col("sxx") - col("sx") * col("sx")) *
+          (col("v") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   /** Flesch readability scoring — the classic text-quality feature for
     * corpus curation (too-hard and too-trivial documents both get
     * filtered). Counts are RE2-compatible regex counts so the arithmetic

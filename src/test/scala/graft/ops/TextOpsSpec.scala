@@ -181,6 +181,56 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("fk_grade"))))
   }
 
+  test("rougeN: clipped unigram overlap, closed precision/recall/F1") {
+    val df = Seq((1L, "the cat sat on the mat", "the cat on the mat"))
+      .toDF("id", "ref", "cand")
+    val r = TextOps.rougeN(df, "id", "ref", "cand", n = 1).head()
+    assert(r.getAs[Long]("n_ref") === 6L)
+    assert(r.getAs[Long]("n_cand") === 5L)
+    assert(r.getAs[Long]("overlap") === 5L)
+    assert(r.getAs[Double]("precision") === 1.0)
+    assert(math.abs(r.getAs[Double]("recall") - 5.0 / 6) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f1") - 10.0 / 11) < 1e-6)
+  }
+
+  test("rougeN: bigram overlap counts contiguous pairs only") {
+    val df = Seq((1L, "the cat sat on the mat", "the cat on the mat"))
+      .toDF("id", "ref", "cand")
+    val r = TextOps.rougeN(df, "id", "ref", "cand", n = 2).head()
+    assert(r.getAs[Long]("n_ref") === 5L)
+    assert(r.getAs[Long]("n_cand") === 4L)
+    assert(r.getAs[Long]("overlap") === 3L) // the cat / on the / the mat
+    assert(r.getAs[Double]("precision") === 0.75)
+    assert(r.getAs[Double]("recall") === 0.6)
+  }
+
+  test("rougeN: identical texts score 1; disjoint texts score 0") {
+    val df = Seq((1L, "alpha beta gamma", "alpha beta gamma"),
+      (2L, "alpha beta", "delta epsilon")).toDF("id", "ref", "cand")
+    val got = TextOps.rougeN(df, "id", "ref", "cand", 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("f1") === 1.0)
+    assert(got(2L).getAs[Long]("overlap") === 0L)
+    assert(got(2L).getAs[Double]("f1") === 0.0)
+  }
+
+  test("zipfFit: a near-1/r frequency profile slopes about -1") {
+    // token i repeated round(600/i) times, i = 1..30
+    val text = (1 to 30).flatMap(i =>
+      Seq.fill(math.round(600.0 / i).toInt)(s"w$i")).mkString(" ")
+    val r = TextOps.zipfFit(Seq(text).toDF("text"), "text").head()
+    assert(r.getAs[Long]("vocab") === 30L)
+    assert(math.abs(r.getAs[Double]("slope") - -1.0) < 0.05)
+    assert(r.getAs[Double]("r2") > 0.99)
+  }
+
+  test("zipfFit: a flat distribution slopes 0") {
+    val text = (1 to 20).flatMap(i => Seq.fill(7)(s"t$i")).mkString(" ")
+    val r = TextOps.zipfFit(Seq(text).toDF("text"), "text").head()
+    assert(r.getAs[Double]("slope") === 0.0)
+    assert(r.getAs[Long]("n_tokens") === 140L)
+  }
+
   test("readability: polysyllabic words score harder than monosyllabic") {
     val df = Seq(
       (1L, "incomprehensibility characterization examination."),
