@@ -2921,6 +2921,53 @@ object SparkEntry {
     // (ln rank, ln count) over the vocabulary frame
     "q233_zipf" -> ((s, dir) => {
       TextOps.zipfFit(t(s, dir, "documents"), "text")
+    }),
+
+    // learning curve: the same OLS refit on md5-sixteenth nested subsets
+    // (4/16, 8/16, full) — the data-scaling readout; each point is ONE
+    // Gram pass, the oracle recomputes each fit with DuckDB's regr_*
+    // aggregates over the identical content-keyed subsets (q40's parity)
+    "q234_learning_curve" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val digit = substring(md5(concat_ws("#",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 32, 1)
+      import s.implicits._
+      Seq(4, 8, 16).map { sixteenths =>
+        val sub =
+          if (sixteenths == 16) li
+          else li.filter(digit < lit("0123456789abcdefg"(sixteenths).toString))
+        val m = glm.LM.fit(sub, Seq("l_quantity"), "l_extendedprice")
+        (sixteenths, m.n, rd(m.r2, 6))
+      }.toDF("sixteenths", "n", "r2").orderBy("sixteenths")
+    }),
+
+    // grouped CUSUM peak: per event type, the day where |S| peaks (the
+    // per-key change-point readout; per-key windows over day-bounded
+    // series frames)
+    "q235_cusum_grouped" -> ((s, dir) => {
+      val daily = events(s, dir).groupBy(col("event_type"),
+          datediff(col("ts"), lit("1970-01-01")).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val wCum = wAll.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val scaled = daily
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__g", sum("x").over(wAll))
+        .withColumn("__t", row_number().over(wAll.orderBy("day")).cast("long"))
+        .withColumn("__cx", sum("x").over(wCum))
+        .withColumn("s_scaled",
+          col("__n") * col("__cx") - col("__t") * col("__g"))
+      val wPk = wAll.orderBy(abs(col("s_scaled")).desc, col("day"))
+      scaled.withColumn("__rk", row_number().over(wPk))
+        .filter(col("__rk") === 1)
+        .select(col("event_type"), col("day").as("peak_day"),
+          col("s_scaled"))
+        .orderBy("event_type")
     })
   )
 
@@ -7141,6 +7188,45 @@ object SparkEntry {
         |    6) AS intercept,
         |  round(pow(v * sxy - sx * sy, 2) /
         |    ((v * sxx - sx * sx) * (v * syy - sy * sy)), 6) AS r2
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // identical md5-sixteenth nesting; regr_r2 ≡ OLS R² with intercept
+    "q234_learning_curve" ->
+      """WITH base AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+        |      CAST(l_linenumber AS VARCHAR)), 32, 1) AS d
+        |  FROM lineitem)
+        |SELECT 4 AS sixteenths, CAST(count(*) AS BIGINT) AS n,
+        |  round(regr_r2(y, x), 6) AS r2 FROM base WHERE d < '4'
+        |UNION ALL
+        |SELECT 8, CAST(count(*) AS BIGINT), round(regr_r2(y, x), 6)
+        |FROM base WHERE d < '8'
+        |UNION ALL
+        |SELECT 16, CAST(count(*) AS BIGINT), round(regr_r2(y, x), 6)
+        |FROM base
+        |ORDER BY sixteenths""".stripMargin,
+
+    // identical per-type scaled-Long CUSUM + (|s| desc, day) peak rank
+    "q235_cusum_grouped" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', TIMESTAMP '1970-01-01', ts) AS day,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS g,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cx
+        |  FROM d),
+        |s AS (SELECT event_type, day, n * cx - t * g AS sc FROM w)
+        |SELECT event_type, day AS peak_day, CAST(sc AS BIGINT) AS s_scaled
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(sc) DESC, day) = 1
+        |ORDER BY event_type""".stripMargin
   )
 }
