@@ -2968,6 +2968,20 @@ object SparkEntry {
         .select(col("event_type"), col("day").as("peak_day"),
           col("s_scaled"))
         .orderBy("event_type")
+    }),
+
+    // hashing-trick vectorizer: vocabulary-free md5-mod-64 dims, sparse
+    // (doc, dim, cnt) triplets — engine-identical mapping
+    "q236_hashing_tf" -> ((s, dir) => {
+      TextOps.hashingTf(t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "dim")
+    }),
+
+    // word2vec-style skip-gram pairs, window 2: with distances in {1, 2}
+    // every 1/d weight is dyadic, so even the float sums are exact
+    "q237_skipgrams" -> ((s, dir) => {
+      TextOps.skipGrams(t(s, dir, "documents"), "text", window = 2)
+        .orderBy("center", "context")
     })
   )
 
@@ -7227,6 +7241,37 @@ object SparkEntry {
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY event_type
         |  ORDER BY abs(sc) DESC, day) = 1
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // identical md5-mod-64 dimension mapping
+    "q236_hashing_tf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((('0x' || substr(md5(t), 1, 15))::BIGINT % 64) AS INT)
+        |    AS dim,
+        |  count(*) AS cnt
+        |FROM tok GROUP BY 1, 2
+        |ORDER BY doc_id, dim""".stripMargin,
+
+    // identical position×offset generation with the edge guards
+    "q237_skipgrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT t, i, t[i] AS center
+        |  FROM toks, UNNEST(generate_series(1, len(t))) q(i)),
+        |pr AS (
+        |  SELECT center, t[i + o] AS context, abs(o) AS d
+        |  FROM pos, UNNEST([-2, -1, 1, 2]) r(o)
+        |  WHERE i + o >= 1 AND i + o <= len(t))
+        |SELECT center, context, count(*) AS n_pairs,
+        |  round(sum(1.0 / d), 6) AS sum_weight
+        |FROM pr GROUP BY 1, 2
+        |ORDER BY center, context""".stripMargin
   )
 }

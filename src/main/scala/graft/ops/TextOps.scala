@@ -262,6 +262,68 @@ object TextOps {
           phonePattern, "[PHONE]"))
   }
 
+  /** Hashing-trick term frequencies (Weinberger et al. 2009): tokens map
+    * to a FIXED dimension id by hash — the vocabulary-free vectorizer
+    * (no level discovery, no dictionary state, collisions accepted).
+    * The hash is md5-derived (first 15 hex digits mod dim) so the
+    * mapping is engine-reproducible, the content-keyed-split discipline.
+    *
+    * ONE explode + one (id, dim) aggregation; output is the sparse
+    * triplet form downstream models consume.
+    *
+    * @return (idCol, dim, cnt) — occupied dimensions only
+    */
+  def hashingTf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2, s"need dim >= 2, got $dim")
+    val tok = explode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+    df.select(col(idCol), tok.as("__t"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).cast("int").as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Skip-gram context pairs (word2vec-style training-pair generation):
+    * for every token position, emit (center, context) for contexts
+    * within ±window positions, with the standard 1/distance weight.
+    * Counts and summed weights aggregate per ordered pair — the corpus
+    * co-occurrence table embedding trainers and PMI-style association
+    * measures consume (the adjacent-only special case is
+    * [[Colloc]]'s bigram table).
+    *
+    * Pure per-row generator (position × offset explode, bounded by
+    * window) + ONE (center, context) aggregation — token-keyed shuffles
+    * only.
+    *
+    * @return (center, context, n_pairs, sum_weight) — sum_weight =
+    *         Σ 1/|distance| on a 6-digit grid
+    */
+  def skipGrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val pairs = df
+      .select(toks.as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__i", "center")),
+        col("__t"))
+      .select(col("center"),
+        explode(filter(
+          transform(sequence(lit(-window), lit(window)), o =>
+            // the lower guard matters: a NEGATIVE index would wrap to the
+            // array's tail under element_at semantics
+            when(o =!= 0 && col("__i") + 1 + o >= 1, struct(
+              try_element_at(col("__t"), col("__i") + 1 + o).as("w"),
+              abs(o).as("d")))),
+          s => s.isNotNull && s.getField("w").isNotNull)).as("__c"))
+      .select(col("center"), col("__c.w").as("context"),
+        col("__c.d").as("__d"))
+    pairs.groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(lit(1.0) / col("__d")), 6).as("sum_weight"))
+  }
+
   /** ROUGE-N overlap between paired texts — the summarization/
     * generation eval metric (recall-oriented n-gram overlap of a
     * candidate against its reference).

@@ -181,6 +181,56 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("fk_grade"))))
   }
 
+  test("hashingTf: deterministic dims, counts sum to token count") {
+    val df = Seq((1L, "a b a c"), (2L, "a a")).toDF("id", "text")
+    val out = TextOps.hashingTf(df, "id", "text", dim = 16).collect()
+    // per-doc counts sum to the doc's token count
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).map(_.getLong(2)).sum === 4L)
+    assert(byId(2L).map(_.getLong(2)).sum === 2L)
+    // same token → same dim across docs
+    val dimsA = out.filter(r => r.getLong(0) == 2L).map(_.getInt(1)).toSet
+    assert(dimsA.size === 1)
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    // repartition invariance
+    val b = TextOps.hashingTf(df.repartition(5), "id", "text", 16)
+      .orderBy("id", "dim").collect().toSeq
+    assert(out.sortBy(r => (r.getLong(0), r.getInt(1))).toSeq === b)
+  }
+
+  test("skipGrams: closed window-2 pairs with 1/distance weights") {
+    val df = Seq("a b c").toDF("text")
+    val out = TextOps.skipGrams(df, "text", window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // a: contexts b (d=1), c (d=2); b: a, c (d=1 each); c: a (2), b (1)
+    assert(out(("a", "b")) === ((1L, 1.0)))
+    assert(out(("a", "c")) === ((1L, 0.5)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    assert(out(("b", "c")) === ((1L, 1.0)))
+    assert(out(("c", "a")) === ((1L, 0.5)))
+    assert(out(("c", "b")) === ((1L, 1.0)))
+    assert(out.size === 6)
+  }
+
+  test("skipGrams: repeated co-occurrence accumulates counts and weights") {
+    val df = Seq("x y", "x y", "y x").toDF("text")
+    val out = TextOps.skipGrams(df, "text", 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("x", "y")) === ((3L, 3.0)))
+    assert(out(("y", "x")) === ((3L, 3.0)))
+  }
+
+  test("skipGrams: edges never wrap around the array") {
+    // with window 3 > text length, no pair may appear more than once and
+    // the total pair count is exactly n*(n-1) for n distinct tokens
+    val df = Seq("p q r").toDF("text")
+    val out = TextOps.skipGrams(df, "text", 3).collect()
+    assert(out.map(_.getLong(2)).sum === 6L)
+    assert(out.forall(_.getLong(2) === 1L))
+  }
+
   test("rougeN: clipped unigram overlap, closed precision/recall/F1") {
     val df = Seq((1L, "the cat sat on the mat", "the cat on the mat"))
       .toDF("id", "ref", "cand")
