@@ -2982,6 +2982,29 @@ object SparkEntry {
     "q237_skipgrams" -> ((s, dir) => {
       TextOps.skipGrams(t(s, dir, "documents"), "text", window = 2)
         .orderBy("center", "context")
+    }),
+
+    // item-item collaborative filtering: cosine-normalized co-purchase
+    // counts (w/√(n_a·n_b)) over q214's capped bipartite projection —
+    // the Amazon-style "customers also bought" score
+    "q238_item_cf" -> ((s, dir) => {
+      val inc0 = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 50).as("u"),
+          col("l_orderkey").as("v")).distinct()
+      // item margins over the SAME capped incidence the projection sees,
+      // so the score is a true cosine on the pruned bipartite graph
+      val keep = inc0.groupBy("v").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") <= 50).select("v")
+      val inc = inc0.join(keep, Seq("v"), "left_semi")
+      val proj = Graph.bipartiteProject(inc, maxRightDegree = 50)
+      val deg = inc.groupBy("u").agg(count(lit(1)).as("n_i"))
+      proj
+        .join(deg.select(col("u").as("a"), col("n_i").as("n_a")), "a")
+        .join(deg.select(col("u").as("b"), col("n_i").as("n_b")), "b")
+        .select(col("a"), col("b"), col("weight"), col("n_a"), col("n_b"),
+          r(col("weight").cast("double") /
+            sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("score"))
+        .orderBy("a", "b")
     })
   )
 
@@ -7272,6 +7295,27 @@ object SparkEntry {
         |SELECT center, context, count(*) AS n_pairs,
         |  round(sum(1.0 / d), 6) AS sum_weight
         |FROM pr GROUP BY 1, 2
-        |ORDER BY center, context""".stripMargin
+        |ORDER BY center, context""".stripMargin,
+
+    // identical cap, co-occurrence counts, margins, and cosine order
+    "q238_item_cf" ->
+      """WITH inc0 AS (
+        |  SELECT DISTINCT l_partkey % 50 AS u, l_orderkey AS v
+        |  FROM lineitem),
+        |keep AS (SELECT v FROM (
+        |  SELECT v, count(*) AS d FROM inc0 GROUP BY 1) WHERE d <= 50),
+        |inc AS (SELECT u, v FROM inc0 WHERE v IN (SELECT v FROM keep)),
+        |proj AS (
+        |  SELECT a.u AS a, b.u AS b, count(*) AS weight
+        |  FROM inc a JOIN inc b ON a.v = b.v AND a.u < b.u
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT u, count(*) AS n_i FROM inc GROUP BY 1)
+        |SELECT p.a, p.b, p.weight, da.n_i AS n_a, db.n_i AS n_b,
+        |  round(CAST(p.weight AS DOUBLE) /
+        |    sqrt(CAST(da.n_i * db.n_i AS DOUBLE)), 6) AS score
+        |FROM proj p
+        |JOIN deg da ON p.a = da.u
+        |JOIN deg db ON p.b = db.u
+        |ORDER BY p.a, p.b""".stripMargin
   )
 }
