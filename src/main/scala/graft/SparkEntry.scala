@@ -3005,6 +3005,36 @@ object SparkEntry {
           r(col("weight").cast("double") /
             sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("score"))
         .orderBy("a", "b")
+    }),
+
+    // restricted mean survival time to 400 h on q126's conversion curve:
+    // step integral under the unrounded KM, identical lag windows
+    "q239_rmst" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"))
+      val dur = per.select(
+        ((unix_micros(coalesce(col("tp"), col("tl"))) - unix_micros(col("t0")))
+          .cast("double") / 3600000000.0).as("dur"),
+        col("tp").isNotNull.cast("int").as("ev"))
+      Survival.rmst(dur, "dur", "ev", tau = 400.0)
+        .select(col("tau"), r(col("rmst"), 6).as("rmst"), col("n"),
+          col("n_events"))
+    }),
+
+    // group-fairness audit of a rule classifier across market segments:
+    // conditional counts per segment + max-reference ratios on the
+    // segment frame
+    "q240_fairness" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          (col("o_totalprice") > 150000.0).cast("int").as("y"),
+          (col("o_orderpriority") < "3").cast("int").as("p"))
+      Eval.groupFairness(d, "c_mktsegment", "y", "p")
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -7316,6 +7346,87 @@ object SparkEntry {
         |FROM proj p
         |JOIN deg da ON p.a = da.u
         |JOIN deg db ON p.b = db.u
-        |ORDER BY p.a, p.b""".stripMargin
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    // q126's unrounded KM + identical lag-window step integral and tail
+    "q239_rmst" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl
+        |  FROM events GROUP BY 1),
+        |dur AS (
+        |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur,
+        |    CAST(tp IS NOT NULL AS INT) AS ev
+        |  FROM per),
+        |agg AS (
+        |  SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM dur GROUP BY 1),
+        |km AS (
+        |  SELECT t, d, c,
+        |    sum(d + c) OVER ()
+        |      - coalesce(sum(d + c) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM agg),
+        |sv AS (
+        |  SELECT t, d, c,
+        |    CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d < n_risk
+        |        THEN ln(1 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS s
+        |  FROM km),
+        |st AS (
+        |  SELECT t, d, c, s,
+        |    coalesce(lag(t) OVER (ORDER BY t), 0.0) AS tp,
+        |    coalesce(lag(s) OVER (ORDER BY t), 1.0) AS sp
+        |  FROM sv),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN tp < 400.0
+        |      THEN sp * (least(t, 400.0) - tp) ELSE 0.0 END) AS seg,
+        |    max(t) AS mt, arg_max(s, t) AS ls,
+        |    CAST(sum(d + c) AS BIGINT) AS n, CAST(sum(d) AS BIGINT)
+        |      AS n_events
+        |  FROM st)
+        |SELECT 400.0 AS tau,
+        |  round(seg + CASE WHEN mt < 400.0
+        |    THEN ls * (400.0 - mt) ELSE 0.0 END, 6) AS rmst,
+        |  n, n_events
+        |FROM a""".stripMargin,
+
+    // identical conditional counts + unrounded max-reference ratios
+    "q240_fairness" ->
+      """WITH d AS (
+        |  SELECT c_mktsegment,
+        |    CAST(o_totalprice > 150000.0 AS INT) AS y,
+        |    CAST(o_orderpriority < '3' AS INT) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos_label,
+        |    CAST(sum(p) AS BIGINT) AS sel,
+        |    CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM d GROUP BY 1)
+        |SELECT c_mktsegment, n, n_pos_label,
+        |  round(CAST(sel AS DOUBLE) / n, 6) AS selection_rate,
+        |  round(CASE WHEN n_pos_label > 0
+        |    THEN CAST(tp AS DOUBLE) / n_pos_label END, 6) AS tpr,
+        |  round(CASE WHEN n > n_pos_label
+        |    THEN CAST(fp AS DOUBLE) / (n - n_pos_label) END, 6) AS fpr,
+        |  round((CAST(sel AS DOUBLE) / n) /
+        |    max(CAST(sel AS DOUBLE) / n) OVER (), 6) AS rate_ratio,
+        |  round((CASE WHEN n_pos_label > 0
+        |      THEN CAST(tp AS DOUBLE) / n_pos_label END) /
+        |    max(CASE WHEN n_pos_label > 0
+        |      THEN CAST(tp AS DOUBLE) / n_pos_label END) OVER (), 6)
+        |    AS tpr_ratio
+        |FROM g ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -291,6 +291,46 @@ object Eval {
             (col("__P").cast("double") / col("__N"))), 6).as("lift"))
   }
 
+  /** Group-fairness audit of a binary classifier: per protected group,
+    * selection rate (demographic parity), TPR (equal opportunity) and
+    * FPR (equalized odds), each with its ratio to the group-wise MAX
+    * (the "80% rule" reads `rate_ratio ≥ 0.8`).
+    *
+    * ONE conditional-count aggregation per group; the max-reference
+    * ratios are windows over the group-cardinality frame. Exact
+    * integers until the ratio grid.
+    *
+    * @return per group: (groupCol, n, n_pos_label, selection_rate, tpr,
+    *         fpr, rate_ratio, tpr_ratio)
+    */
+  def groupFairness(df: DataFrame, groupCol: String, labelCol: String,
+      predCol: String): DataFrame = {
+    val y = col(labelCol) === 1
+    val p = col(predCol) === 1
+    val byG = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("n_pos_label"),
+        sum(when(p, 1L).otherwise(0L)).as("__sel"),
+        sum(when(y && p, 1L).otherwise(0L)).as("__tp"),
+        sum(when(!y && p, 1L).otherwise(0L)).as("__fp"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val sel = col("__sel").cast("double") / col("n")
+    val tpr = when(col("n_pos_label") > 0,
+      col("__tp").cast("double") / col("n_pos_label"))
+    val fpr = when(col("n") > col("n_pos_label"),
+      col("__fp").cast("double") / (col("n") - col("n_pos_label")))
+    byG
+      .withColumn("selection_rate", round(sel, 6))
+      .withColumn("tpr", round(tpr, 6))
+      .withColumn("fpr", round(fpr, 6))
+      .withColumn("rate_ratio", round(sel / max(sel).over(w), 6))
+      .withColumn("tpr_ratio", round(tpr / max(tpr).over(w), 6))
+      .select(col(groupCol), col("n"), col("n_pos_label"),
+        col("selection_rate"), col("tpr"), col("fpr"),
+        col("rate_ratio"), col("tpr_ratio"))
+  }
+
   def calibrationQuantile(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int, relativeError: Double = 1e-3): DataFrame = {
     require(nBins >= 1, "need nBins >= 1")

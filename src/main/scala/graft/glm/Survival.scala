@@ -99,6 +99,40 @@ object Survival {
         col("obs1"), col("exp1"))
   }
 
+  /** Restricted mean survival time: RMST(τ) = ∫₀^τ S(t) dt under the
+    * Kaplan–Meier curve — the model-free "average time alive in the
+    * first τ" effect measure (preferred where hazards are
+    * non-proportional and a Cox ratio misleads).
+    *
+    * The step-function integral is an ordered pass over the KM frame:
+    * each distinct event/censoring time contributes S(t₋)·(min(t, τ) −
+    * t_prev); a final tail adds S(t_last)·(τ − t_last) when the curve
+    * outlives τ. Same execution class as [[kaplanMeier]].
+    *
+    * @return one row: (tau, rmst, n, n_events)
+    */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0, s"need tau > 0, got $tau")
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val w = Window.orderBy("t")
+    val stepped = km
+      .withColumn("__tprev", coalesce(lag("t", 1).over(w), lit(0.0)))
+      .withColumn("__sprev", coalesce(lag("survival", 1).over(w), lit(1.0)))
+    val seg = sum(when(col("__tprev") < tau,
+      col("__sprev") * (least(col("t"), lit(tau)) - col("__tprev")))
+      .otherwise(lit(0.0)))
+    // the curve's last point via an argmax struct (max on (t, survival)
+    // orders by t first — t values are distinct)
+    val lastRow = max(struct(col("t"), col("survival")))
+    stepped.agg(
+      lit(tau).as("tau"),
+      (seg + when(lastRow.getField("t") < tau,
+        lastRow.getField("survival") * (lit(tau) - lastRow.getField("t")))
+        .otherwise(lit(0.0))).as("rmst"),
+      sum(col("d") + col("c")).as("n"), sum("d").as("n_events"))
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator, optionally one curve per
     * group: H(t) = Σ_{s≤t} d_s/n_s with the standard variance estimate
     * Σ d_s/n_s² (Aalen 1978). The hazard view of the same right-censored

@@ -170,6 +170,36 @@ class EvalSpec extends SparkSpec {
     }.toDF("s", "y")
   }
 
+  test("groupFairness: closed rates and 80%-rule ratios") {
+    // group A: 10 rows, 5 pos labels, 6 selected (4 TP, 2 FP)
+    // group B: 10 rows, 5 pos labels, 3 selected (3 TP, 0 FP)
+    val rows =
+      (1 to 4).map(_ => ("A", 1, 1)) ++ Seq(("A", 1, 0)) ++
+      (1 to 2).map(_ => ("A", 0, 1)) ++ (1 to 3).map(_ => ("A", 0, 0)) ++
+      (1 to 3).map(_ => ("B", 1, 1)) ++ (1 to 2).map(_ => ("B", 1, 0)) ++
+      (1 to 5).map(_ => ("B", 0, 0))
+    val out = Eval.groupFairness(rows.toDF("g", "y", "p"), "g", "y", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("selection_rate") === 0.6)
+    assert(out("B").getAs[Double]("selection_rate") === 0.3)
+    assert(out("A").getAs[Double]("tpr") === 0.8)
+    assert(out("B").getAs[Double]("tpr") === 0.6)
+    assert(out("A").getAs[Double]("fpr") === 0.4)
+    assert(out("B").getAs[Double]("fpr") === 0.0)
+    assert(out("A").getAs[Double]("rate_ratio") === 1.0)
+    assert(out("B").getAs[Double]("rate_ratio") === 0.5)
+    assert(out("B").getAs[Double]("tpr_ratio") === 0.75)
+  }
+
+  test("groupFairness: degenerate groups yield null rates, not errors") {
+    // group C has no positive labels → tpr null; all-positive → fpr null
+    val rows = Seq(("C", 0, 1), ("C", 0, 0), ("D", 1, 1), ("D", 1, 0))
+    val out = Eval.groupFairness(rows.toDF("g", "y", "p"), "g", "y", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("C").isNullAt(out("C").fieldIndex("tpr")))
+    assert(out("D").isNullAt(out("D").fieldIndex("fpr")))
+  }
+
   test("brierDecomposition: Murphy identity on bin-constant forecasts") {
     // forecasts constant within bins → brier = rel − res + unc exactly
     // bin rates: 0.2 @ s=0.1 (10 rows), 0.8 @ s=0.7 (10 rows)

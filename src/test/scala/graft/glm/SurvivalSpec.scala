@@ -97,6 +97,30 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)        // b, t=1
   }
 
+  test("rmst: closed step integral with censoring and a tail segment") {
+    // events at 1 (n=4) and 3 (n=2); censored at 2 and 4
+    // S: [0,1)=1, [1,2)=3/4, [2,3)=3/4, [3,4)=3/8
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)).toDF("dur", "ev")
+    val r5 = Survival.rmst(df, "dur", "ev", tau = 5.0).head()
+    // segments: 1·1 + .75·1 + .75·1 + .375·1 + tail .375·(5−4)
+    assert(math.abs(r5.getAs[Double]("rmst") -
+      (1.0 + 0.75 + 0.75 + 0.375 + 0.375)) < 1e-12)
+    assert(r5.getAs[Long]("n") === 4L && r5.getAs[Long]("n_events") === 2L)
+  }
+
+  test("rmst: tau inside the curve truncates segments exactly") {
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)).toDF("dur", "ev")
+    val r = Survival.rmst(df, "dur", "ev", tau = 2.5).head()
+    // 1·1 + .75·1 + .75·0.5, no tail
+    assert(math.abs(r.getAs[Double]("rmst") - (1.0 + 0.75 + 0.375)) < 1e-12)
+  }
+
+  test("rmst with no censoring equals the capped sample mean") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map((_, 1)).toDF("dur", "ev")
+    val r = Survival.rmst(df, "dur", "ev", tau = 100.0).head()
+    assert(math.abs(r.getAs[Double]("rmst") - 2.5) < 1e-12)
+  }
+
   test("competingRisks: Aalen–Johansen closed case with censoring") {
     // t=1 cause1, t=2 cause2, t=3 censored, t=4 cause1
     val df = Seq((1.0, 1), (2.0, 2), (3.0, 0), (4.0, 1)).toDF("t", "c")
