@@ -3035,6 +3035,30 @@ object SparkEntry {
           (col("o_orderpriority") < "3").cast("int").as("p"))
       Eval.groupFairness(d, "c_mktsegment", "y", "p")
         .orderBy("c_mktsegment")
+    }),
+
+    // covariate balance (standardized mean differences) between urgent
+    // and other orders — ONE conditional-moment agg, inline-unpivoted
+    "q241_smd" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        (col("o_orderpriority") < "3").as("tr"),
+        col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("double")
+          .as("order_day"))
+      Hypothesis.standardizedMeanDiff(o, "tr",
+          Seq("o_totalprice", "order_day"))
+        .orderBy("covariate")
+    }),
+
+    // per-returnflag AUC via the same doubled-numerator identity with
+    // group-partitioned cumulative windows (bounded per-group score
+    // support — the discount grid)
+    "q242_grouped_auc" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_discount").as("s"),
+        (col("l_quantity") > 25).cast("int").as("y"))
+      Eval.aucByGroup(d, "l_returnflag", "s", "y")
+        .orderBy("l_returnflag")
     })
   )
 
@@ -7427,6 +7451,69 @@ object SparkEntry {
         |    max(CASE WHEN n_pos_label > 0
         |      THEN CAST(tp AS DOUBLE) / n_pos_label END) OVER (), 6)
         |    AS tpr_ratio
-        |FROM g ORDER BY c_mktsegment""".stripMargin
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    // identical conditional moments + sample-variance pooled SMD order
+    "q241_smd" ->
+      """WITH d AS (
+        |  SELECT (o_orderpriority < '3') AS tr,
+        |    o_totalprice AS x1,
+        |    CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |      AS DOUBLE) AS x2
+        |  FROM orders),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    sum(CASE WHEN tr THEN x1 END) AS st1,
+        |    sum(CASE WHEN tr THEN x1 * x1 END) AS qt1,
+        |    sum(CASE WHEN NOT tr THEN x1 END) AS sc1,
+        |    sum(CASE WHEN NOT tr THEN x1 * x1 END) AS qc1,
+        |    sum(CASE WHEN tr THEN x2 END) AS st2,
+        |    sum(CASE WHEN tr THEN x2 * x2 END) AS qt2,
+        |    sum(CASE WHEN NOT tr THEN x2 END) AS sc2,
+        |    sum(CASE WHEN NOT tr THEN x2 * x2 END) AS qc2
+        |  FROM d)
+        |SELECT 'o_totalprice' AS covariate,
+        |  round(st1 / nt, 6) AS mean_treat, round(sc1 / nc, 6)
+        |    AS mean_ctrl,
+        |  round(CASE WHEN sqrt(((qt1 - st1 * st1 / nt) / (nt - 1)
+        |      + (qc1 - sc1 * sc1 / nc) / (nc - 1)) / 2.0) > 0
+        |    THEN (st1 / nt - sc1 / nc) /
+        |      sqrt(((qt1 - st1 * st1 / nt) / (nt - 1)
+        |        + (qc1 - sc1 * sc1 / nc) / (nc - 1)) / 2.0) END, 6) AS smd
+        |FROM a
+        |UNION ALL
+        |SELECT 'order_day',
+        |  round(st2 / nt, 6), round(sc2 / nc, 6),
+        |  round(CASE WHEN sqrt(((qt2 - st2 * st2 / nt) / (nt - 1)
+        |      + (qc2 - sc2 * sc2 / nc) / (nc - 1)) / 2.0) > 0
+        |    THEN (st2 / nt - sc2 / nc) /
+        |      sqrt(((qt2 - st2 * st2 / nt) / (nt - 1)
+        |        + (qc2 - sc2 * sc2 / nc) / (nc - 1)) / 2.0) END, 6)
+        |FROM a
+        |ORDER BY covariate""".stripMargin,
+
+    // q127's rank identity with PARTITION BY group
+    "q242_grouped_auc" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g, l_discount AS s,
+        |    CAST(l_quantity > 25 AS INT) AS y
+        |  FROM lineitem),
+        |bs AS (
+        |  SELECT g, s, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(1 - y) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, p, n,
+        |    sum(n) OVER (PARTITION BY g ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) - n AS nb
+        |  FROM bs)
+        |SELECT g AS l_returnflag,
+        |  round(CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+        |    CAST(sum(p * (2 * nb + n)) AS DOUBLE) /
+        |      (2.0 * sum(p) * sum(n)) END, 6) AS auc,
+        |  CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -46,6 +46,38 @@ object Eval {
         col("n_pos"), col("n_neg"))
   }
 
+  /** [[auc]] per group in one pass — per-segment discrimination (the
+    * fairness/monitoring companion to [[groupFairness]]: equal overall
+    * AUC can hide a segment where the model cannot rank at all).
+    *
+    * Same doubled-numerator Mann–Whitney identity; the cumulative runs
+    * as a GROUP-PARTITIONED window over each group's distinct-score
+    * frame (bounded by the per-group score support — the grouped-KM
+    * caveat class; for one group with continuous scores use the global
+    * [[auc]]'s two-level pass).
+    *
+    * @return per group: (groupCol, auc, n_pos, n_neg) — auc null for
+    *         single-class groups
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n"))
+    val wCum = Window.partitionBy(groupCol).orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("nb", sum("n").over(wCum) - col("n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("p") * (lit(2) * col("nb") + col("n"))).as("num2"),
+        sum("p").as("n_pos"), sum("n").as("n_neg"))
+      .select(col(groupCol),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Reliability curve over fixed-width score bins on [lo, hi): bin i
     * covers [lo + i·w, lo + (i+1)·w), scores at/above hi clamp into the
     * last bin so the range is a closed cover. ONE aggregation; the mean

@@ -251,6 +251,51 @@ object Hypothesis {
         col("n"))
   }
 
+  /** Covariate balance check: standardized mean differences between
+    * treated and control groups — the diagnostic run before any
+    * observational effect estimate ([[diffInDiff]] and friends assume
+    * comparable groups; |SMD| < 0.1 is the usual balance rule):
+    *
+    *   SMD_j = (x̄_treat,j − x̄_ctrl,j) / √((s²_treat,j + s²_ctrl,j)/2)
+    *
+    * ONE aggregation carries every covariate's conditional (n, Σx, Σx²)
+    * for both arms; the SMDs are fixed-order arithmetic on the one-row
+    * frame, inline-unpivoted to a covariate-per-row report. Sample
+    * variances (n−1).
+    *
+    * @return per covariate: (covariate, mean_treat, mean_ctrl, smd) —
+    *         6-digit grid, smd null when a pooled variance is 0
+    */
+  def standardizedMeanDiff(df: DataFrame, treatCol: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val tr = col(treatCol).cast("boolean")
+    val aggs = Seq(
+      sum(when(tr, 1L).otherwise(0L)).as("nt"),
+      sum(when(!tr, 1L).otherwise(0L)).as("nc")) ++
+      covariates.zipWithIndex.flatMap { case (c, i) =>
+        val x = col(c).cast("double")
+        Seq(sum(when(tr, x)).as(s"st_$i"),
+          sum(when(tr, x * x)).as(s"qt_$i"),
+          sum(when(!tr, x)).as(s"sc_$i"),
+          sum(when(!tr, x * x)).as(s"qc_$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = covariates.zipWithIndex.map { case (c, i) =>
+      val mt = col(s"st_$i") / col("nt")
+      val mc = col(s"sc_$i") / col("nc")
+      val vt = (col(s"qt_$i") - col(s"st_$i") * col(s"st_$i") / col("nt")) /
+        (col("nt") - 1)
+      val vc = (col(s"qc_$i") - col(s"sc_$i") * col(s"sc_$i") / col("nc")) /
+        (col("nc") - 1)
+      val pooled = sqrt((vt + vc) / 2.0)
+      struct(lit(c).as("covariate"),
+        round(mt, 6).as("mean_treat"), round(mc, 6).as("mean_ctrl"),
+        round(when(pooled > 0, (mt - mc) / pooled), 6).as("smd"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Difference-in-differences estimator on a 2×2 design: the treated
     * group's pre→post change minus the control group's — the standard
     * parallel-trends causal readout for a launch/policy change.

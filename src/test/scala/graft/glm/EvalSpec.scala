@@ -170,6 +170,31 @@ class EvalSpec extends SparkSpec {
     }.toDF("s", "y")
   }
 
+  test("aucByGroup matches the global auc computed per subset") {
+    val rows = Seq(
+      ("g1", 0.1, 0), ("g1", 0.4, 0), ("g1", 0.35, 1), ("g1", 0.8, 1),
+      ("g2", 0.2, 1), ("g2", 0.3, 0), ("g2", 0.5, 0), ("g2", 0.5, 1))
+    val df = rows.toDF("g", "s", "y")
+    val grouped = Eval.aucByGroup(df, "g", "s", "y").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    for (g <- Seq("g1", "g2")) {
+      val global = Eval.auc(df.filter($"g" === g), "s", "y")
+        .head().getDouble(0)
+      assert(math.abs(grouped(g) -
+        BigDecimal(global).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9, g)
+    }
+  }
+
+  test("aucByGroup: single-class groups yield null") {
+    val df = Seq(("a", 0.5, 1), ("a", 0.6, 1), ("b", 0.1, 0), ("b", 0.9, 1))
+      .toDF("g", "s", "y")
+    val out = Eval.aucByGroup(df, "g", "s", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").isNullAt(out("a").fieldIndex("auc")))
+    assert(out("b").getAs[Double]("auc") === 1.0)
+  }
+
   test("groupFairness: closed rates and 80%-rule ratios") {
     // group A: 10 rows, 5 pos labels, 6 selected (4 TP, 2 FP)
     // group B: 10 rows, 5 pos labels, 3 selected (3 TP, 0 FP)

@@ -219,6 +219,41 @@ class HypothesisSpec extends SparkSpec {
     assert(ab === ba)
   }
 
+  // ---- covariate balance ----
+
+  test("standardizedMeanDiff: closed two-covariate case") {
+    // x1: treat {2,4} vs ctrl {1,3}: means 3 vs 2, both var 2 → smd = 1/√2
+    // x2 identical in both arms → smd 0
+    val rows = Seq((true, 2.0, 5.0), (true, 4.0, 7.0),
+      (false, 1.0, 5.0), (false, 3.0, 7.0))
+    val out = Hypothesis.standardizedMeanDiff(
+        rows.toDF("tr", "x1", "x2"), "tr", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x1").getAs[Double]("mean_treat") === 3.0)
+    assert(out("x1").getAs[Double]("mean_ctrl") === 2.0)
+    assert(math.abs(out("x1").getAs[Double]("smd") - 1.0 / math.sqrt(2))
+      < 1e-6)
+    assert(out("x2").getAs[Double]("smd") === 0.0)
+  }
+
+  test("standardizedMeanDiff: zero pooled variance yields null") {
+    val rows = Seq((true, 5.0), (true, 5.0), (false, 5.0), (false, 5.0))
+    val out = Hypothesis.standardizedMeanDiff(rows.toDF("tr", "x"),
+      "tr", Seq("x")).head()
+    assert(out.isNullAt(out.fieldIndex("smd")))
+  }
+
+  test("standardizedMeanDiff is symmetric up to sign") {
+    val rows = (1 to 40).map(i => (i % 2 == 0, i * 1.0 + (i % 3)))
+    val df = rows.toDF("tr", "x")
+    val a = Hypothesis.standardizedMeanDiff(df, "tr", Seq("x"))
+      .head().getAs[Double]("smd")
+    val flipped = df.select((!$"tr").as("tr"), $"x")
+    val b = Hypothesis.standardizedMeanDiff(flipped, "tr", Seq("x"))
+      .head().getAs[Double]("smd")
+    assert(math.abs(a + b) < 1e-9)
+  }
+
   // ---- diff-in-diff ----
 
   test("diffInDiff: closed 2x2 case recovers the planted effect") {
