@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line. Results are materialized through the `noop`
   * sink so the full plan executes (a bare `count()` would let Catalyst
   * prune projections and skip most of the work being measured).
+  *
+  * Weather instrumentation: a FIXED control query (one lineitem
+  * aggregation) runs before the suite, after every 10th query, and at
+  * the end; its timings ship in the JSON as `control` with
+  * `drift_factor` = max/min. A calm host keeps the factor near 1; CPU
+  * steal storms (MICROBENCH.md documents 10–40% steal on this host)
+  * push it up, flagging single-shot regressions in the same run as
+  * weather rather than code — adjudicate those with
+  * `graft.tools.MicroBench` min-of-3 before believing them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +37,19 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val controlRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runControl(): Unit = {
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_extendedprice * (1 - l_discount)) AS rev",
+          "avg(l_quantity) AS qty", "count(*) AS n")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      controlRuns += (System.nanoTime() - t0) / 1e9
+    }
+    runControl()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -42,8 +63,10 @@ object Bench {
       // queries aren't taxed by earlier queries' garbage
       spark.catalog.clearCache()
       System.gc()
+      if ((idx + 1) % 10 == 0) runControl()
       (name, dt, ok)
     }
+    runControl()
     // a failed query must not make the benchmark look faster: report it as
     // -1 in the per-query map, list it under "failed", exclude from total
     val qs = results.map { case (k, v, ok) =>
@@ -52,7 +75,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","note":"single-shot timings; +/-20pct JVM variance per query - use graft.tools.MicroBench (min-of-3) for before/after comparisons"}""")
+    val cr = controlRuns.toSeq
+    val drift = if (cr.nonEmpty && cr.min > 0) cr.max / cr.min else -1.0
+    val control = f"""{"runs":${cr.map(v => f"$v%.3f").mkString("[", ",", "]")},"min":${cr.min}%.3f,"max":${cr.max}%.3f,"drift_factor":$drift%.2f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"control":$control,"sf":"$sfDir","note":"single-shot timings; +/-20pct JVM variance per query - use graft.tools.MicroBench (min-of-3) for before/after comparisons; control = fixed lineitem agg interleaved every 10 queries, drift_factor near 1 = calm host, >>1 = steal storm (distrust single-shot regressions in this run)"}""")
     spark.stop()
   }
 }

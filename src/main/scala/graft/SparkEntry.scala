@@ -6539,7 +6539,7 @@ object SparkEntry {
         |    FROM (SELECT monetary_cents AS v, count(*) AS c FROM b2
         |          GROUP BY 1)))
         |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
-        |  frequency, monetary_cents,
+        |  frequency, CAST(monetary_cents AS BIGINT) AS monetary_cents,
         |  rmap.s AS r_score, fmap.s AS f_score, mmap.s AS m_score,
         |  rmap.s || fmap.s || mmap.s AS rfm
         |FROM b2
@@ -6592,7 +6592,8 @@ object SparkEntry {
         |    sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cx,
         |    row_number() OVER (ORDER BY day) AS tt
         |  FROM d)
-        |SELECT day, x, CAST(n * cx - tt * g AS BIGINT) AS s_scaled,
+        |SELECT day, CAST(x AS BIGINT) AS x,
+        |  CAST(n * cx - tt * g AS BIGINT) AS s_scaled,
         |  round(CAST(n * cx - tt * g AS DOUBLE) / n, 4) AS cusum
         |FROM c CROSS JOIN tot ORDER BY day""".stripMargin,
 
@@ -6954,7 +6955,8 @@ object SparkEntry {
         |    sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS xc,
         |    sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS nc
         |  FROM p)
-        |SELECT day, x, n, xc AS x_cum, nc AS n_cum,
+        |SELECT day, x, n, CAST(xc AS BIGINT) AS x_cum,
+        |  CAST(nc AS BIGINT) AS n_cum,
         |  round(CAST(xc AS DOUBLE) * ln(0.2 / 0.1)
         |    + CAST(nc - xc AS DOUBLE) * ln((1.0 - 0.2) / (1.0 - 0.1)), 6)
         |    AS llr,
@@ -7030,6 +7032,45 @@ object SparkEntry {
         |  ORDER BY count(*) DESC, l_quantity) = 1
         |ORDER BY l_returnflag""".stripMargin,
 
+    // 8 unrolled merge rounds (the q200 unrolled-peel pattern). Symbol
+    // arrays ride as DOUBLE-space-joined strings wrapped in double
+    // spaces: the pattern ' a  b ' consumes ONE delimiter space per
+    // side, so a single replace() pass IS the leftmost-first
+    // non-overlapping merge fold (adjacent pairs share a double space;
+    // neither match starves the other).
+    "q223_bpe_merges" -> {
+      def rnd(r: Int): String =
+        s"""m$r AS (
+           |  SELECT a, b, cnt FROM (
+           |    SELECT l[i] AS a, l[i+1] AS b, sum(n) AS cnt
+           |    FROM (SELECT string_split(trim(s), '  ') AS l, n FROM v$r),
+           |      UNNEST(generate_series(1, len(l) - 1)) t(i)
+           |    GROUP BY 1, 2)
+           |  WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
+           |v${r + 1} AS (
+           |  SELECT replace(s, ' ' || a || '  ' || b || ' ',
+           |    ' ' || a || b || ' ') AS s, n
+           |  FROM v$r CROSS JOIN m$r)""".stripMargin
+      """WITH toks AS (
+        |  SELECT t AS w FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |v1 AS (
+        |  SELECT '  ' || array_to_string(
+        |      regexp_split_to_array(w || '_', ''), '  ') || '  ' AS s,
+        |    count(*) AS n
+        |  FROM toks GROUP BY 1),
+        |""".stripMargin +
+        (1 to 8).map(rnd).mkString(",\n") +
+        "\nSELECT * FROM (\n" +
+        (1 to 8).map(r =>
+          s"""SELECT $r AS rank, a AS "left", b AS "right",
+             |  CAST(cnt AS BIGINT) AS pair_count FROM m$r""".stripMargin)
+          .mkString("\nUNION ALL ") +
+        "\n) ORDER BY rank"
+    },
+
     // identical exact month-index arithmetic + cohort-keyed cumulative
     "q224_cohort_ltv" ->
       """WITH r AS (
@@ -7044,9 +7085,11 @@ object SparkEntry {
         |  SELECT c.cohort, CAST(r.m - c.cm AS BIGINT) AS age_months,
         |    count(*) AS n_orders, sum(r.cents) AS revenue_cents
         |  FROM r JOIN c USING (key) GROUP BY 1, 2)
-        |SELECT cohort, age_months, n_orders, revenue_cents,
-        |  sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age_months
-        |    ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents
+        |SELECT cohort, age_months, n_orders,
+        |  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort
+        |    ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_revenue_cents
         |FROM a ORDER BY cohort, age_months""".stripMargin,
 
     // q41's TF-IDF, 6-digit grid, per-doc (tfidf desc, term) top-3
@@ -7163,7 +7206,7 @@ object SparkEntry {
         |    sum(CASE WHEN y = 1 THEN s ELSE 0.0 END) AS ssy
         |  FROM d GROUP BY 1),
         |t AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM b)
-        |SELECT any_value(nn) AS n,
+        |SELECT CAST(any_value(nn) AS BIGINT) AS n,
         |  round(sum(ss2 - 2.0 * ssy + CAST(pos AS DOUBLE)) / any_value(nn),
         |    6) AS brier,
         |  round(sum(n * (ss / n - CAST(pos AS DOUBLE) / n) *
@@ -7207,7 +7250,8 @@ object SparkEntry {
         |      AS cum_pos,
         |    nn, pp
         |  FROM bt)
-        |SELECT tile, n, n_pos, cum_n, cum_pos,
+        |SELECT tile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
         |  round(CASE WHEN pp > 0 THEN CAST(cum_pos AS DOUBLE) / pp END, 6)
         |    AS capture,
         |  round(CASE WHEN pp > 0 THEN (CAST(cum_pos AS DOUBLE) / cum_n) /

@@ -168,15 +168,6 @@ object Eval {
         "precision", "recall", "f1", "accuracy")
   }
 
-  /** [[calibration]] for UNBOUNDED / unknown-range scores: bin edges are
-    * the approximate score quantiles (GK sketch via `approxQuantile` — one
-    * extra distributed pass, nBins−1 doubles to the driver), so every bin
-    * holds ≈ n/nBins rows whatever the distribution. Bin i is the count of
-    * edges ≤ score — a literal comparison ladder, fully codegen'd; the
-    * aggregation pass is identical to [[calibration]].
-    *
-    * @return (bin, n, mean_score, frac_pos) for non-empty bins
-    */
   /** Isotonic (monotone non-decreasing) calibration by
     * pool-adjacent-violators over score bins — the standard
     * classifier-recalibration step where [[calibration]] merely reports
@@ -363,6 +354,15 @@ object Eval {
         col("rate_ratio"), col("tpr_ratio"))
   }
 
+  /** [[calibration]] for UNBOUNDED / unknown-range scores: bin edges are
+    * the approximate score quantiles (GK sketch via `approxQuantile` — one
+    * extra distributed pass, nBins−1 doubles to the driver), so every bin
+    * holds ≈ n/nBins rows whatever the distribution. Bin i is the count of
+    * edges ≤ score — a literal comparison ladder, fully codegen'd; the
+    * aggregation pass is identical to [[calibration]].
+    *
+    * @return (bin, n, mean_score, frac_pos) for non-empty bins
+    */
   def calibrationQuantile(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int, relativeError: Double = 1e-3): DataFrame = {
     require(nBins >= 1, "need nBins >= 1")

@@ -103,6 +103,8 @@ object ModelMatrix {
         if (lv.contains(c))
           lv(c).drop(1).toSeq.map(l =>
             (s"${c}_$l", when(col(c) === lit(l), 1.0).otherwise(0.0)))
+        else if (Formula.isTransform(c))
+          Seq((c, FormulaExpr.column(c).cast(DoubleType)))
         else Seq((c, col(c).cast(DoubleType)))
       }
       parts.reduceLeft { (acc, nxt) =>

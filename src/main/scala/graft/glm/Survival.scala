@@ -133,26 +133,6 @@ object Survival {
       sum(col("d") + col("c")).as("n"), sum("d").as("n_events"))
   }
 
-  /** Nelson–Aalen cumulative-hazard estimator, optionally one curve per
-    * group: H(t) = Σ_{s≤t} d_s/n_s with the standard variance estimate
-    * Σ d_s/n_s² (Aalen 1978). The hazard view of the same right-censored
-    * data [[kaplanMeier]] models as survival — H relates to S by
-    * S ≈ exp(−H), and the increments d/n are the raw hazard rates a
-    * proportional-hazards fit consumes.
-    *
-    * Execution shape is exactly [[kaplanMeier]]'s: ONE (group, duration)
-    * aggregation to the curve frame, risk sets by the prior-rows window
-    * identity, then ordered cumulative sums over per-group
-    * distinct-duration frames (each partition is one curve — bounded by
-    * the time grid, never the data; same caveat as KM for a single group
-    * with a continuous clock at extreme scale).
-    *
-    * @param durationCol numeric time-to-event-or-censoring
-    * @param eventCol    1 = event observed, 0 = right-censored
-    * @return per (group,) distinct duration: (t, n_risk, d, c,
-    *         cum_hazard, var_hazard); censored-only times step n_risk
-    *         down and leave the hazard flat
-    */
   /** Competing-risks cumulative incidence (Aalen–Johansen): with K
     * mutually exclusive event causes (cause 0 = right-censored), the
     * naive per-cause "1 − KM" overestimates — the correct cause-k
@@ -200,6 +180,26 @@ object Survival {
         col("cnt").as("d"), col("cif"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator, optionally one curve per
+    * group: H(t) = Σ_{s≤t} d_s/n_s with the standard variance estimate
+    * Σ d_s/n_s² (Aalen 1978). The hazard view of the same right-censored
+    * data [[kaplanMeier]] models as survival — H relates to S by
+    * S ≈ exp(−H), and the increments d/n are the raw hazard rates a
+    * proportional-hazards fit consumes.
+    *
+    * Execution shape is exactly [[kaplanMeier]]'s: ONE (group, duration)
+    * aggregation to the curve frame, risk sets by the prior-rows window
+    * identity, then ordered cumulative sums over per-group
+    * distinct-duration frames (each partition is one curve — bounded by
+    * the time grid, never the data; same caveat as KM for a single group
+    * with a continuous clock at extreme scale).
+    *
+    * @param durationCol numeric time-to-event-or-censoring
+    * @param eventCol    1 = event observed, 0 = right-censored
+    * @return per (group,) distinct duration: (t, n_risk, d, c,
+    *         cum_hazard, var_hazard); censored-only times step n_risk
+    *         down and leave the hazard flat
+    */
   def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
     val g = groupCols.map(col)

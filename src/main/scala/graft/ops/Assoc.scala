@@ -20,13 +20,20 @@ object Assoc {
 
   /** @param minCount      minimum co-occurrence count for a rule
     * @param maxBasketSize baskets with more distinct items are dropped
+    * @param materialize   true (default): persist the pruned incidence
+    *                      frame, compute the rules eagerly, release the
+    *                      cache before returning (no leaked blocks).
+    *                      false: fully lazy — the returned plan re-runs
+    *                      the distinct + semi-join chain per consumer
+    *                      (for plan inspection / one-shot pipelines)
     * @return one row per ORDERED rule (antecedent → consequent), both
     *         directions of every qualifying pair: (antecedent,
     *         consequent, n_both, n_ante, n_cons, support, confidence,
     *         lift)
     */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long = 2, maxBasketSize: Int = 200): DataFrame = {
+      minCount: Long = 2, maxBasketSize: Int = 200,
+      materialize: Boolean = true): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
     val inc = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
@@ -36,30 +43,38 @@ object Assoc {
       .select("b")
     // four consumers (basket count, item margins, both join sides) —
     // materialize once or each re-runs the distinct + semi-join chain
-    val pruned = inc.join(keep, Seq("b"), "left_semi").persist()
-    val nBaskets = pruned.select("b").distinct().count()
-    val itemN = pruned.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val pairs = pruned
-      .join(pruned.select(col("b"), col("i").as("i2")), "b")
-      .filter(col("i") < col("i2"))
-      .groupBy(col("i"), col("i2"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minCount)
-    val both = pairs.select(col("i").as("antecedent"),
-        col("i2").as("consequent"), col("n_both"))
-      .unionByName(pairs.select(col("i2").as("antecedent"),
-        col("i").as("consequent"), col("n_both")))
-    both
-      .join(itemN.select(col("i").as("antecedent"), col("n_i").as("n_ante")),
-        "antecedent")
-      .join(itemN.select(col("i").as("consequent"), col("n_i").as("n_cons")),
-        "consequent")
-      .select(col("antecedent"), col("consequent"), col("n_both"),
-        col("n_ante"), col("n_cons"),
-        round(col("n_both").cast("double") / nBaskets, 6).as("support"),
-        round(col("n_both").cast("double") / col("n_ante"), 6)
-          .as("confidence"),
-        round(lit(nBaskets).cast("double") * col("n_both") /
-          (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
+    val pruned0 = inc.join(keep, Seq("b"), "left_semi")
+    val pruned = if (materialize) pruned0.persist() else pruned0
+    try {
+      val nBaskets = pruned.select("b").distinct().count()
+      val itemN = pruned.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      val pairs = pruned
+        .join(pruned.select(col("b"), col("i").as("i2")), "b")
+        .filter(col("i") < col("i2"))
+        .groupBy(col("i"), col("i2"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= minCount)
+      val both = pairs.select(col("i").as("antecedent"),
+          col("i2").as("consequent"), col("n_both"))
+        .unionByName(pairs.select(col("i2").as("antecedent"),
+          col("i").as("consequent"), col("n_both")))
+      val rules = both
+        .join(itemN.select(col("i").as("antecedent"),
+          col("n_i").as("n_ante")), "antecedent")
+        .join(itemN.select(col("i").as("consequent"),
+          col("n_i").as("n_cons")), "consequent")
+        .select(col("antecedent"), col("consequent"), col("n_both"),
+          col("n_ante"), col("n_cons"),
+          round(col("n_both").cast("double") / nBaskets, 6).as("support"),
+          round(col("n_both").cast("double") / col("n_ante"), 6)
+            .as("confidence"),
+          round(lit(nBaskets).cast("double") * col("n_both") /
+            (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
+      // eager rule-frame materialization (rule frame is surviving-pair-
+      // sized, far smaller than the incidence frame) so `pruned` can be
+      // released before returning; localCheckpoint blocks are reclaimed
+      // by the ContextCleaner once the caller drops the frame.
+      if (materialize) rules.localCheckpoint(true) else rules
+    } finally if (materialize) pruned.unpersist(blocking = false)
   }
 }

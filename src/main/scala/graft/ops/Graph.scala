@@ -304,20 +304,6 @@ object Graph {
         6).as("assortativity"))
   }
 
-  /** Standard damped PageRank on a DIRECTED edge list `(u, v)` (symmetrize
-    * first for undirected graphs). Nodes are the union of sources and
-    * sinks; dangling nodes (no outgoing edge) redistribute their rank
-    * uniformly each iteration, so Σ rank = 1 exactly on ANY directed
-    * graph:
-    *
-    * r₀ = 1/n; rₖ₊₁(v) = (1−d)/n + d · (Σ_{u→v} rₖ(u)/outdeg(u) + Dₖ/n)
-    *
-    * where Dₖ = Σ rₖ over dangling nodes — ONE extra anti-join aggregate
-    * per iteration, carried as a broadcast one-row frame (no driver
-    * action, the loop stays fully declarative).
-    *
-    * @return (u, rank) for every node, Σ rank = 1 (float tolerance)
-    */
   /** Exact triangle count + global clustering coefficient on an
     * UNDIRECTED graph given as an edge list `(u, v)` (duplicates,
     * self-loops and both orientations tolerated — normalized first).
@@ -373,6 +359,20 @@ object Graph {
           6).as("clustering_coeff"))
   }
 
+  /** Standard damped PageRank on a DIRECTED edge list `(u, v)` (symmetrize
+    * first for undirected graphs). Nodes are the union of sources and
+    * sinks; dangling nodes (no outgoing edge) redistribute their rank
+    * uniformly each iteration, so Σ rank = 1 exactly on ANY directed
+    * graph:
+    *
+    * r₀ = 1/n; rₖ₊₁(v) = (1−d)/n + d · (Σ_{u→v} rₖ(u)/outdeg(u) + Dₖ/n)
+    *
+    * where Dₖ = Σ rₖ over dangling nodes — ONE extra anti-join aggregate
+    * per iteration, carried as a broadcast one-row frame (no driver
+    * action, the loop stays fully declarative).
+    *
+    * @return (u, rank) for every node, Σ rank = 1 (float tolerance)
+    */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "need at least one iteration")

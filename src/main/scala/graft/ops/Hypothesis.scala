@@ -85,18 +85,6 @@ object Hypothesis {
         col("na").as("n_a"), col("nb").as("n_b"))
   }
 
-  /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and `b`:
-    * D = max_x |F_a(x) − F_b(x)| over the pooled support.
-    *
-    * ONE groupBy(value) shuffle collapses duplicates to per-distinct-value
-    * (count_a, count_b); the cumulative ECDF pass runs as the two-level
-    * [[Cumulative]] prefix sum, so a continuous `valueCol` (distinct frame
-    * ~n rows) stays parallel end to end. Counts stay integral — the ECDF
-    * difference |c_a·n_b − c_b·n_a| is exact integer arithmetic, divided
-    * once by n_a·n_b at the end.
-    *
-    * @return one row (d_stat, n_a, n_b)
-    */
   /** McNemar's test for paired binary outcomes (the right test for "do
     * classifiers A and B disagree systematically on the SAME rows?" —
     * a two-proportion z on the marginals would ignore the pairing). Only
@@ -125,6 +113,18 @@ object Hypothesis {
             (col("n01") + col("n10"))).as("chi2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `a` and `b`:
+    * D = max_x |F_a(x) − F_b(x)| over the pooled support.
+    *
+    * ONE groupBy(value) shuffle collapses duplicates to per-distinct-value
+    * (count_a, count_b); the cumulative ECDF pass runs as the two-level
+    * [[Cumulative]] prefix sum, so a continuous `valueCol` (distinct frame
+    * ~n rows) stays parallel end to end. Counts stay integral — the ECDF
+    * difference |c_a·n_b − c_b·n_a| is exact integer arithmetic, divided
+    * once by n_a·n_b at the end.
+    *
+    * @return one row (d_stat, n_a, n_b)
+    */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
       a: String, b: String): DataFrame = {
     val inA = col(groupCol) === a

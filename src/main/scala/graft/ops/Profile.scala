@@ -148,20 +148,6 @@ object Profile {
       .groupBy("xbin", "ybin").agg(count(lit(1)).as("n"))
   }
 
-  /** Foreign-key candidate probe: how fully is the child column contained
-    * in the parent column? `containment` = |distinct(child) ∩
-    * distinct(parent)| / |distinct(child)| — 1.0 means every child value
-    * resolves (an FK candidate), and the distinct cardinalities expose
-    * the direction (the parent side of a real FK is the key side).
-    *
-    * Both sides reduce to their distinct-value frames first, so the
-    * intersection join carries distinct values only; nulls are excluded
-    * from containment (SQL FK semantics) and reported separately.
-    *
-    * @return one row (n_child_distinct, n_parent_distinct, n_matched,
-    *         containment, n_child_null_rows) — containment on a 6-digit
-    *         grid, null when the child has no non-null values
-    */
   /** Per-group quantile estimates from a SHARED fixed-width bin grid —
     * the bounded-memory grouped-quantile path (exact `percentile` buffers
     * each group's values; `approx_percentile` keeps a sketch per group;
@@ -227,6 +213,20 @@ object Profile {
       .select(col(keyCol), col(valueCol).as("mode"), col("__c").as("mode_n"))
   }
 
+  /** Foreign-key candidate probe: how fully is the child column contained
+    * in the parent column? `containment` = |distinct(child) ∩
+    * distinct(parent)| / |distinct(child)| — 1.0 means every child value
+    * resolves (an FK candidate), and the distinct cardinalities expose
+    * the direction (the parent side of a real FK is the key side).
+    *
+    * Both sides reduce to their distinct-value frames first, so the
+    * intersection join carries distinct values only; nulls are excluded
+    * from containment (SQL FK semantics) and reported separately.
+    *
+    * @return one row (n_child_distinct, n_parent_distinct, n_matched,
+    *         containment, n_child_null_rows) — containment on a 6-digit
+    *         grid, null when the child has no non-null values
+    */
   def fkCandidates(child: DataFrame, childCol: String,
       parent: DataFrame, parentCol: String): DataFrame = {
     val c = child.select(col(childCol).as("__v")).filter(col("__v").isNotNull)

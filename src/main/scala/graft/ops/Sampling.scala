@@ -84,17 +84,6 @@ object Sampling {
     df.filter(digit < bound)
   }
 
-  /** Per-key quota cap: keep at most `maxPerKey` rows per `keyCol`,
-    * selected deterministically by digest order of `idCol` (so the kept
-    * subset is a stable uniform-ish sample of each key, not "whatever rows
-    * the scan met first"). The domain-balancing move a corpus pipeline
-    * makes when one source would otherwise swamp the mix — the hard-count
-    * twin of [[stratifiedSample]]'s fractional form.
-    *
-    * ONE keyed window shuffle; the sort key is (md5(id), id), so the
-    * selection is total-ordered and engine-reproducible. Keys with fewer
-    * than `maxPerKey` rows pass through whole.
-    */
   /** Deterministic negative sampling for retrieval/recommendation
     * training pairs: for every user with at least one positive, draw k
     * pseudo-random candidate items by hashing (user, slot), keep those
@@ -166,6 +155,17 @@ object Sampling {
       .drop("__n", "__target", "__copies")
   }
 
+  /** Per-key quota cap: keep at most `maxPerKey` rows per `keyCol`,
+    * selected deterministically by digest order of `idCol` (so the kept
+    * subset is a stable uniform-ish sample of each key, not "whatever rows
+    * the scan met first"). The domain-balancing move a corpus pipeline
+    * makes when one source would otherwise swamp the mix — the hard-count
+    * twin of [[stratifiedSample]]'s fractional form.
+    *
+    * ONE keyed window shuffle; the sort key is (md5(id), id), so the
+    * selection is total-ordered and engine-reproducible. Keys with fewer
+    * than `maxPerKey` rows pass through whole.
+    */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       maxPerKey: Int): DataFrame = {
     require(maxPerKey >= 1, "maxPerKey must be >= 1")

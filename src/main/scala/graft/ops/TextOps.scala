@@ -345,8 +345,11 @@ object TextOps {
     require(n >= 1, s"need n >= 1, got $n")
     def grams(c: Column) = {
       val toks = filter(split(c, "\\s+"), t => t =!= "")
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => array_join(slice(toks, i, lit(n)), " "))
+      // sequence(1, 0) is the DESCENDING [1, 0] in Spark, and slice with
+      // start 0 throws — short/empty docs must short-circuit to no grams.
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
     }
     def side(c: String, cnt: String) = df
       .select(col(idCol), explode(grams(col(c))).as("g"))

@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
       "q61_distinct_approx", "q68_ann_ivf",
       "q137_profile_approx", "q138_calibration_quantile",
       "q163_kmeans", "q181_semantic_dedup", "q194_kcenter",
-      "q197_rolling_active_hll", "q210_isotonic", "q223_bpe_merges",
+      "q197_rolling_active_hll", "q210_isotonic",
       "q226_cox", "q229_ordinal"))
   }
 

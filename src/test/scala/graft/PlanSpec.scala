@@ -182,7 +182,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q227: basket cap prunes via semi join before the pair join") {
-    val p = plan("q227_assoc_rules")
+    // q227 itself returns an eagerly-materialized (checkpointed) frame,
+    // so inspect the lazy plan via materialize = false
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey AS basket", "l_partkey % 50 AS item")
+    val p = graft.ops.Assoc.associationRules(li, "basket", "item",
+        minCount = 2, maxBasketSize = 50, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), "cap should prune via semi join")
   }
 
@@ -196,5 +202,39 @@ class PlanSpec extends SparkSpec {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
     }
+  }
+
+  test("no query funnels an UNCOLLAPSED frame through a global window") {
+    // The 100 TB killer pattern: WindowExec with an empty partition spec
+    // directly over data-sized input — every row through ONE task. An
+    // unpartitioned window is tolerable only over a frame already
+    // collapsed by an aggregation (bucket/offset frames, distinct-value
+    // curves) or bounded by a limit; everything else must use the
+    // two-level Cumulative pass or a partitioned window.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      TakeOrderedAndProjectExec}
+    def collapsed(p: SparkPlan): Boolean =
+      p.collectFirst {
+        case a: BaseAggregateExec => a
+        case l: GlobalLimitExec => l
+        case l: LocalLimitExec => l
+        case t: TakeOrderedAndProjectExec => t
+      }.nonEmpty
+    // documented exceptions (each hand-audited as bounded):
+    val allow: Set[String] = Set()
+    val bad = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap {
+      n =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val offenders = df.queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+            !collapsed(w.child) => w
+        }
+        if (offenders.isEmpty) Nil else Seq(n)
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned data-sized window in: ${bad.mkString(", ")}")
   }
 }

@@ -148,4 +148,117 @@ class CoxSpec extends SparkSpec {
       out.getDouble(1) * m.beta(1))
     assert(math.abs(out.getDouble(2) - want) < 1e-12)
   }
+
+  /** Independent driver-local EFRON partial-likelihood Newton fit —
+    * written directly from the formula (Efron 1977), sharing no code
+    * with Cox.fit: per event time, the l-th of d tied events sees the
+    * risk set minus l/d of the tied group's weight.
+    */
+  private def localCoxEfron(rows: Seq[(Double, Int, Array[Double])],
+      p: Int, iters: Int = 50): (Array[Double], Double) = {
+    var beta = Array.fill(p)(0.0)
+    var ll = 0.0
+    for (_ <- 1 to iters) {
+      val u = Array.fill(p)(0.0)
+      val h = Array.fill(p, p)(0.0)
+      ll = 0.0
+      val times = rows.filter(_._2 == 1).map(_._1).distinct.sorted
+      for (t <- times) {
+        val risk = rows.filter(_._1 >= t)
+        val evs = rows.filter(r => r._1 == t && r._2 == 1)
+        val d = evs.size
+        def wOf(r: (Double, Int, Array[Double])) = math.exp(
+          (0 until p).map(i => r._3(i) * beta(i)).sum)
+        val s0 = risk.map(wOf).sum
+        val s1 = (0 until p).map(i => risk.map(r => r._3(i) * wOf(r)).sum)
+        val s2 = Array.tabulate(p, p)((i, j) =>
+          risk.map(r => r._3(i) * r._3(j) * wOf(r)).sum)
+        val e0 = evs.map(wOf).sum
+        val e1 = (0 until p).map(i => evs.map(r => r._3(i) * wOf(r)).sum)
+        val e2 = Array.tabulate(p, p)((i, j) =>
+          evs.map(r => r._3(i) * r._3(j) * wOf(r)).sum)
+        ll += evs.map(r => (0 until p).map(i => r._3(i) * beta(i)).sum).sum
+        for (i <- 0 until p) u(i) += evs.map(_._3(i)).sum
+        for (l <- 0 until d) {
+          val f = l.toDouble / d
+          val s0l = s0 - f * e0
+          ll -= math.log(s0l)
+          for (i <- 0 until p) {
+            val s1l = s1(i) - f * e1(i)
+            u(i) -= s1l / s0l
+            for (j <- 0 until p) {
+              val s1lj = s1(j) - f * e1(j)
+              h(i)(j) += (s2(i)(j) - f * e2(i)(j)) / s0l -
+                (s1l / s0l) * (s1lj / s0l)
+            }
+          }
+        }
+      }
+      // tiny-p Gaussian elimination, as in localCox
+      val m = h.map(_.clone); val b = u.clone
+      for (c <- 0 until p) {
+        val piv = m(c)(c)
+        for (r <- c + 1 until p) {
+          val f = m(r)(c) / piv
+          for (cc <- c until p) m(r)(cc) -= f * m(c)(cc)
+          b(r) -= f * b(c)
+        }
+      }
+      val delta = Array.fill(p)(0.0)
+      for (r <- (p - 1) to 0 by -1) {
+        var s = b(r)
+        for (cc <- r + 1 until p) s -= m(r)(cc) * delta(cc)
+        delta(r) = s / m(r)(r)
+      }
+      beta = beta.zip(delta).map { case (x, dd) => x + dd }
+    }
+    (beta, ll)
+  }
+
+  // heavy ties: three events at t=2, two at t=5 — Breslow and Efron
+  // genuinely disagree here
+  private val tied = Seq(
+    (1.0, 1, 1.0, 0.2), (2.0, 1, 1.0, 0.7), (2.0, 1, 0.0, 1.1),
+    (2.0, 1, 1.0, 0.4), (3.0, 0, 0.0, 0.9), (5.0, 1, 0.0, 0.3),
+    (5.0, 1, 1.0, 1.3), (6.0, 1, 0.0, 0.6), (7.0, 0, 1.0, 0.1),
+    (8.0, 1, 0.0, 1.0))
+
+  test("efron ties match an independent local Efron Newton solver") {
+    val df = tied.toDF("t", "e", "x1", "x2")
+    val m = Cox.fit(df, "t", "e", Seq("x1", "x2"), ties = "efron")
+    val (ref, refLl) = localCoxEfron(tied.map { case (t, e, a, b) =>
+      (t, e, Array(a, b)) }, p = 2)
+    assert(math.abs(m.beta(0) - ref(0)) < 1e-6, s"${m.beta(0)} vs ${ref(0)}")
+    assert(math.abs(m.beta(1) - ref(1)) < 1e-6, s"${m.beta(1)} vs ${ref(1)}")
+    assert(math.abs(m.loglik - refLl) < 1e-6, s"${m.loglik} vs $refLl")
+    assert(m.se.forall(s => s > 0 && s.isFinite))
+  }
+
+  test("efron and breslow disagree on tied data, agree when untied") {
+    val df = tied.toDF("t", "e", "x1", "x2")
+    val eb = Cox.fit(df, "t", "e", Seq("x1", "x2"), ties = "efron")
+    val bb = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    assert(math.abs(eb.beta(0) - bb.beta(0)) > 1e-4,
+      "ties present: conventions must differ")
+    // untied fixture: identical fits to high precision
+    val untied = data.toDF("t", "e", "x1", "x2")
+      .filter(col("x2") =!= 0.9) // drops one of the two t=5 rows
+    val e2 = Cox.fit(untied, "t", "e", Seq("x1", "x2"), ties = "efron")
+    val b2 = Cox.fit(untied, "t", "e", Seq("x1", "x2"))
+    assert(math.abs(e2.beta(0) - b2.beta(0)) < 1e-9)
+    assert(math.abs(e2.beta(1) - b2.beta(1)) < 1e-9)
+    assert(math.abs(e2.loglik - b2.loglik) < 1e-9)
+    assert(math.abs(e2.nullLoglik - b2.nullLoglik) < 1e-9)
+  }
+
+  test("stratified efron matches stratified local reference") {
+    // one stratum reduces to the global fit; check strat machinery + ties
+    val df = tied.toDF("t", "e", "x1", "x2").withColumn("g", lit("s"))
+    val a = Cox.fit(df, "t", "e", Seq("x1", "x2"), ties = "efron")
+    val b = Cox.fit(df, "t", "e", Seq("x1", "x2"), strataCol = Some("g"),
+      ties = "efron")
+    assert(math.abs(a.beta(0) - b.beta(0)) < 1e-10)
+    assert(math.abs(a.beta(1) - b.beta(1)) < 1e-10)
+    assert(math.abs(a.loglik - b.loglik) < 1e-10)
+  }
 }
