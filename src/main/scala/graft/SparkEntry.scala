@@ -3059,6 +3059,30 @@ object SparkEntry {
         (col("l_quantity") > 25).cast("int").as("y"))
       Eval.aucByGroup(d, "l_returnflag", "s", "y")
         .orderBy("l_returnflag")
+    }),
+
+    // named-regex scan (the PII/leak-screen primitive) — patterns chosen
+    // to actually hit the synthetic corpus
+    "q243_pattern_counts" -> ((s, dir) => {
+      TextOps.patternCounts(t(s, dir, "documents"), "doc_id", "text", Seq(
+          "n_data" -> "\\bdata\\b",
+          "n_double_vowel" -> "[aeiou][aeiou]",
+          "n_s_words" -> "[a-z]+s\\b"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus-shift probe between the doc_id-parity halves
+    "q245_unigram_divergence" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Ngram.unigramDivergence(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
+    // mixture-budget solver: equal shares, half the corpus tokens
+    "q246_mixture_rates" -> ((s, dir) => {
+      Sampling.mixtureRates(t(s, dir, "documents"), "source", "text",
+          budgetFrac = 0.5)
+        .orderBy("source")
     })
   )
 
@@ -7558,6 +7582,67 @@ object SparkEntry {
         |    CAST(sum(p * (2 * nb + n)) AS DOUBLE) /
         |      (2.0 * sum(p) * sum(n)) END, 6) AS auc,
         |  CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
-        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin
+        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin,
+
+    // identical RE2-safe patterns; INT cast matches Spark regexp_count
+    "q243_pattern_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bdata\b')) AS INT)
+        |    AS n_data,
+        |  CAST(len(regexp_extract_all(text, '[aeiou][aeiou]')) AS INT)
+        |    AS n_double_vowel,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+s\b')) AS INT)
+        |    AS n_s_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical joint-vocab add-one smoothing; single integer-ratio
+    // divisions then 6-digit sums
+    "q245_unigram_divergence" ->
+      """WITH ca AS (
+        |  SELECT x AS w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS x
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  GROUP BY 1),
+        |cb AS (
+        |  SELECT x AS w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS x
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |t AS (
+        |  SELECT count(*) AS vocab, CAST(sum(cca) AS BIGINT) AS n_a,
+        |    CAST(sum(ccb) AS BIGINT) AS n_b
+        |  FROM j),
+        |pq AS (
+        |  SELECT CAST(cca + 1 AS DOUBLE) / (n_a + vocab) AS p,
+        |    CAST(ccb + 1 AS DOUBLE) / (n_b + vocab) AS q,
+        |    vocab, n_a, n_b
+        |  FROM j CROSS JOIN t)
+        |SELECT vocab, n_a, n_b,
+        |  round(-sum(p * ln(q)), 6) AS cross_entropy,
+        |  round(-sum(p * ln(p)), 6) AS entropy_a,
+        |  round(sum(p * ln(p / q)), 6) AS kl_ab
+        |FROM pq GROUP BY vocab, n_a, n_b""".stripMargin,
+
+    // identical share/budget arithmetic order for bit-equal rates
+    "q246_mixture_rates" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |      count(*) AS nsrc FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(1.0 / nsrc, 6) AS target_share,
+        |  round(least(1.0, 1.0 / nsrc * (0.5 * tot) / n_tokens), 6)
+        |    AS rate,
+        |  CAST(round(least(1.0, 1.0 / nsrc * (0.5 * tot) / n_tokens)
+        |    * n_tokens) AS BIGINT) AS expected_tokens
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

@@ -87,4 +87,47 @@ object Ngram {
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-avg(log(col("p_kn")))), 6).as("ppl"))
   }
+
+  /** Corpus-divergence probe: cross-entropy and KL divergence between
+    * the unigram distributions of two corpora — the distribution-shift
+    * check a data pipeline runs between snapshots/sources/splits
+    * (a drifting KL flags contamination, topic shift, or a broken
+    * extractor upstream).
+    *
+    * Add-one smoothing over the JOINT observed vocabulary V:
+    *   p(w) = (c_a(w)+1)/(n_a+|V|),  q(w) = (c_b(w)+1)/(n_b+|V|)
+    *   H(P,Q) = −Σ_V p·ln q,  KL(P‖Q) = Σ_V p·ln(p/q)
+    *
+    * Both corpora collapse to vocabulary-sized count frames, meet in
+    * ONE full-outer join on the token, and reduce to a single row —
+    * the result frame is O(1), the shuffles are vocab-sized.
+    *
+    * @return one row: (vocab, n_a, n_b, cross_entropy, entropy_a,
+    *         kl_ab) on the 6-digit grid (nats)
+    */
+  def unigramDivergence(dfA: DataFrame, dfB: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, cnt: String) = {
+      val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+      df.select(explode(toks).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as(cnt))
+    }
+    val joined = counts(dfA, "__ca")
+      .join(counts(dfB, "__cb"), Seq("__w"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(count(lit(1)).as("vocab"),
+      sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+    val p = (col("__ca") + 1).cast("double") /
+      (col("n_a") + col("vocab")).cast("double")
+    val q = (col("__cb") + 1).cast("double") /
+      (col("n_b") + col("vocab")).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .agg(any_value(col("vocab")).as("vocab"),
+        any_value(col("n_a")).as("n_a"),
+        any_value(col("n_b")).as("n_b"),
+        round(-sum(p * log(q)), 6).as("cross_entropy"),
+        round(-sum(p * log(p)), 6).as("entropy_a"),
+        round(sum(p * log(p / q)), 6).as("kl_ab"))
+  }
 }

@@ -429,4 +429,57 @@ object Sampling {
     greatest(lit(0.0), col("__xx") -
       lit(2.0) * call_function("array_dot", col("__x"), cLit) + lit(cc))
   }
+
+  /** Mixture-budget solver: given a token budget (a fraction of the
+    * corpus) and per-source target shares, compute each source's
+    * sampling rate — the curriculum/mixture step of training-data
+    * assembly ("web 60%, code 30%, papers 10%, N tokens total").
+    *
+    * rate_s = min(1, share_s · budget / tokens_s): a source without
+    * enough tokens to fill its share caps at 1 (take everything); the
+    * realized mixture then undershoots that share — reported via
+    * `expected_tokens` so the caller can re-normalize or re-weigh.
+    *
+    * ONE aggregation collapses the corpus to the per-source count frame
+    * (source-cardinality-sized); the budget arithmetic joins via a
+    * broadcast one-row total. Apply the rates with
+    * [[stratifiedSample]] (content-keyed, reproducible).
+    *
+    * @param budgetFrac   target total = budgetFrac · total corpus tokens
+    * @param targetShares per-source share of the budget (need not cover
+    *                     every source — absent sources get share 0);
+    *                     None = equal shares across observed sources
+    * @return per source: (sourceCol, n_docs, n_tokens, target_share,
+    *         rate, expected_tokens) — rate/share on the 6-digit grid,
+    *         expected_tokens = round(rate · n_tokens)
+    */
+  def mixtureRates(df: DataFrame, sourceCol: String, textCol: String,
+      budgetFrac: Double,
+      targetShares: Option[Map[String, Double]] = None): DataFrame = {
+    require(budgetFrac > 0, "budgetFrac must be positive")
+    targetShares.foreach { m =>
+      require(m.values.forall(_ >= 0), "shares must be non-negative")
+      require(math.abs(m.values.sum - 1.0) < 1e-9, "shares must sum to 1")
+    }
+    val nTok = size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+    val bySrc = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+    val tot = bySrc.agg(sum("n_tokens").as("__tot"),
+      count(lit(1)).as("__nsrc"))
+    val share = targetShares match {
+      case Some(m) =>
+        m.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+          when(col(sourceCol) === lit(s), lit(w)).otherwise(acc) }
+      case None => lit(1.0) / col("__nsrc").cast("double")
+    }
+    val budget = lit(budgetFrac) * col("__tot").cast("double")
+    val rate = least(lit(1.0),
+      share * budget / col("n_tokens").cast("double"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("target_share"),
+        round(rate, 6).as("rate"),
+        round(rate * col("n_tokens").cast("double")).cast("long")
+          .as("expected_tokens"))
+  }
 }

@@ -447,4 +447,21 @@ object TextOps {
       .withColumn("fk_grade", when(w > 0, round(
         lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)))
   }
+
+  /** Named-pattern scan: one count column per (name, regex) — the
+    * PII/markup/leak-screening primitive of a corpus pipeline (emails,
+    * URLs, phone-ish digit runs, secrets-looking tokens…). Pure
+    * projection via `regexp_count` — codegen'd, no shuffle, full scan
+    * speed. Keep patterns RE2-compatible (no backreferences) so counts
+    * reproduce across engines.
+    *
+    * @param patterns (outputColumn, regex) pairs
+    */
+  def patternCounts(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    df.select(col(idCol) +: patterns.map { case (name, re) =>
+      regexp_count(col(textCol), lit(re)).as(name) }: _*)
+  }
+
 }

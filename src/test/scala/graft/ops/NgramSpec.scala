@@ -72,4 +72,38 @@ class NgramSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got(100L) > got(1L))
   }
+
+  test("unigramDivergence: identical corpora have KL 0, H = entropy") {
+    val a = Seq("x y z x", "y x").toDF("text")
+    val r = Ngram.unigramDivergence(a, a, "text").head()
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("n_a") === 6L && r.getAs[Long]("n_b") === 6L)
+    assert(r.getAs[Double]("kl_ab") === 0.0)
+    assert(r.getAs[Double]("cross_entropy") ===
+      r.getAs[Double]("entropy_a"))
+  }
+
+  test("unigramDivergence matches a hand-computed smoothed KL") {
+    // A: a a b (n=3), B: a c (n=2), V = {a,b,c} -> |V| = 3
+    // p = (2+1)/6, (1+1)/6, (0+1)/6 ; q = (1+1)/5, (0+1)/5, (1+1)/5
+    val a = Seq("a a b").toDF("text")
+    val b = Seq("a c").toDF("text")
+    val r = Ngram.unigramDivergence(a, b, "text").head()
+    val p = Seq(3.0 / 6, 2.0 / 6, 1.0 / 6)
+    val q = Seq(2.0 / 5, 1.0 / 5, 2.0 / 5)
+    def rd(v: Double) = BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kl = p.zip(q).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
+    val ce = -p.zip(q).map { case (pi, qi) => pi * math.log(qi) }.sum
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(math.abs(r.getAs[Double]("kl_ab") - rd(kl)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cross_entropy") - rd(ce)) < 1e-9)
+  }
+
+  test("unigramDivergence is asymmetric and positive on shifted corpora") {
+    val a = Seq("u u u u v").toDF("text")
+    val b = Seq("v v v v u").toDF("text")
+    val ab = Ngram.unigramDivergence(a, b, "text").head().getAs[Double]("kl_ab")
+    assert(ab > 0.0)
+  }
 }

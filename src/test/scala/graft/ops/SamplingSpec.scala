@@ -335,4 +335,31 @@ class SamplingSpec extends SparkSpec {
       .orderBy("user", "slot").collect().toSeq
     assert(a === b)
   }
+
+  test("mixtureRates: equal shares, small source caps at rate 1") {
+    // big: 100 tokens, small: 10 tokens; budget = 0.5 * 110 = 55,
+    // share each = 27.5 -> big rate 0.275, small rate capped at 1
+    val docs = Seq(
+      ("big", ("tok " * 100).trim),
+      ("small", ("tok " * 10).trim)).toDF("src", "text")
+    val got = Sampling.mixtureRates(docs, "src", "text", 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(4), r.getLong(5))).toMap
+    assert(got("big") === ((100L, 0.275, 28L)))
+    assert(got("small") === ((10L, 1.0, 10L)))
+  }
+
+  test("mixtureRates: explicit target shares steer the rates") {
+    val docs = Seq(
+      ("a", ("x " * 50).trim), ("b", ("x " * 50).trim)).toDF("src", "text")
+    // all budget to a: budget = 50; a rate = min(1, 50/50) = 1, b = 0
+    val got = Sampling.mixtureRates(docs, "src", "text", 0.5,
+        Some(Map("a" -> 1.0, "b" -> 0.0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("a") === 1.0 && got("b") === 0.0)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(docs, "src", "text", 0.5,
+        Some(Map("a" -> 0.7, "b" -> 0.7)))
+    }
+  }
 }

@@ -289,4 +289,19 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Double]("flesch")).toMap
     assert(got(1L) < got(2L))
   }
+
+  test("patternCounts: known counts, non-overlapping matches, empty text") {
+    val df = Seq(
+      (1L, "mail me at a@b.com or c@d.org thanks"),
+      (2L, "no contacts here aaaa"),
+      (3L, "")).toDF("id", "text")
+    val got = TextOps.patternCounts(df, "id", "text", Seq(
+        "n_email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "n_aa" -> "aa")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) === ((2, 0)))
+    // "aaaa" = two NON-overlapping "aa" matches
+    assert(got(2L) === ((0, 2)))
+    assert(got(3L) === ((0, 0)))
+  }
 }
