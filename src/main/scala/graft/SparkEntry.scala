@@ -3083,6 +3083,27 @@ object SparkEntry {
       Sampling.mixtureRates(t(s, dir, "documents"), "source", "text",
           budgetFrac = 0.5)
         .orderBy("source")
+    }),
+
+    // K-class precision/recall/F1 vs a rule-based "classifier"
+    "q247_multiclass" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("label"),
+        when(col("l_quantity") > 30, "R")
+          .when(col("l_discount") > 0.05, "A")
+          .otherwise("N").as("pred"))
+      Eval.multiclassMetrics(d, "label", "pred").orderBy("class")
+    }),
+
+    // graded-relevance ranking quality per source (score = n_chars,
+    // relevance from the language)
+    "q248_ndcg" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        col("n_chars").as("score"),
+        when(col("lang") === "en", 3).when(col("lang") === "fr", 2)
+          .when(col("lang") === "de", 1).otherwise(0).as("rel"))
+      Retrieval.ndcgAtK(d, "source", "doc_id", "score", "rel", 10)
+        .orderBy("source")
     })
   )
 
@@ -7643,6 +7664,73 @@ object SparkEntry {
         |    AS rate,
         |  CAST(round(least(1.0, 1.0 / nsrc * (0.5 * tot) / n_tokens)
         |    * n_tokens) AS BIGINT) AS expected_tokens
-        |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // identical cell collapse, one-vs-rest margins, avg-skips-null macro
+    "q247_multiclass" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS l,
+        |    CASE WHEN l_quantity > 30 THEN 'R'
+        |      WHEN l_discount > 0.05 THEN 'A' ELSE 'N' END AS p
+        |  FROM lineitem),
+        |cells AS (SELECT l, p, count(*) AS n FROM d GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT l AS class, CAST(sum(n) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN p = l THEN n ELSE 0 END) AS BIGINT) AS tp
+        |  FROM cells GROUP BY 1),
+        |bp AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS n_pred
+        |       FROM cells GROUP BY 1),
+        |pc AS (
+        |  SELECT class, coalesce(n_true, 0) AS n_true,
+        |    coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+        |  FROM bt FULL OUTER JOIN bp USING (class)),
+        |m AS (
+        |  SELECT class, n_true, n_pred, tp,
+        |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END
+        |      AS precision,
+        |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END
+        |      AS recall,
+        |    CASE WHEN n_pred > 0 AND n_true > 0 THEN
+        |      CASE WHEN tp > 0 THEN 2.0 * tp / (n_pred + n_true)
+        |        ELSE 0.0 END END AS f1
+        |  FROM pc)
+        |SELECT class, n_true, n_pred, tp,
+        |  round(precision, 6) AS precision, round(recall, 6) AS recall,
+        |  round(f1, 6) AS f1
+        |FROM m
+        |UNION ALL
+        |SELECT '__macro__', CAST(sum(n_true) AS BIGINT),
+        |  CAST(sum(n_pred) AS BIGINT), CAST(sum(tp) AS BIGINT),
+        |  round(avg(precision), 6), round(avg(recall), 6),
+        |  round(avg(f1), 6)
+        |FROM m
+        |ORDER BY class""".stripMargin,
+
+    // identical (score desc, doc) / (rel desc, doc) total orders and
+    // exponential-gain arithmetic
+    "q248_ndcg" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars AS score,
+        |    CASE lang WHEN 'en' THEN 3 WHEN 'fr' THEN 2
+        |      WHEN 'de' THEN 1 ELSE 0 END AS rel
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, rel,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rk,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY rel DESC, doc_id) AS rki
+        |  FROM d),
+        |a AS (
+        |  SELECT source, count(*) AS n_candidates,
+        |    sum(CASE WHEN rk <= 10 THEN (pow(2.0, rel) - 1.0)
+        |      / log2(rk + 1.0) ELSE 0.0 END) AS dcg,
+        |    sum(CASE WHEN rki <= 10 THEN (pow(2.0, rel) - 1.0)
+        |      / log2(rki + 1.0) ELSE 0.0 END) AS idcg
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_candidates, round(dcg, 6) AS dcg,
+        |  round(idcg, 6) AS idcg,
+        |  round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+        |FROM a ORDER BY source""".stripMargin
   )
 }

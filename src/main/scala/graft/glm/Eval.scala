@@ -378,4 +378,57 @@ object Eval {
         (sum(when(col(labelCol) === 1, 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("frac_pos"))
   }
+
+  /** Multiclass classifier evaluation: per-class precision / recall /
+    * F1 (one-vs-rest) plus a `__macro__` summary row — the K-class
+    * counterpart of [[thresholdMetrics]] (use [[graft.ops.Contingency]]
+    * for the full confusion matrix itself).
+    *
+    * ONE (label, pred) aggregation collapses the data to ≤ K² cells;
+    * margins and metrics are arithmetic over that bounded frame. Classes
+    * that appear only as a prediction still get a row (recall null);
+    * each macro average runs over the classes where that metric is
+    * defined (SQL avg-skips-null semantics, reproducible cross-engine).
+    *
+    * @return per class + '__macro__': (class, n_true, n_pred, tp,
+    *         precision, recall, f1) on the 6-digit grid
+    */
+  def multiclassMetrics(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("__l"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val byTrue = cells.groupBy(col("__l").as("class"))
+      .agg(sum("__n").as("n_true"),
+        sum(when(col("__p") === col("__l"), col("__n")).otherwise(0L))
+          .as("tp"))
+    val byPred = cells.groupBy(col("__p").as("class"))
+      .agg(sum("__n").as("n_pred"))
+    val perClass = byTrue.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred")))
+      .withColumn("recall", when(col("n_true") > 0,
+        col("tp").cast("double") / col("n_true")))
+      .withColumn("f1", when(col("n_pred") > 0 && col("n_true") > 0 &&
+          col("tp") > 0,
+        lit(2.0) * col("tp") / (col("n_pred") + col("n_true")))
+        .otherwise(when(col("n_pred") > 0 && col("n_true") > 0, lit(0.0))))
+    val macroRow = perClass.agg(
+      lit("__macro__").as("class"),
+      sum("n_true").as("n_true"), sum("n_pred").as("n_pred"),
+      sum("tp").as("tp"),
+      avg("precision").as("precision"), avg("recall").as("recall"),
+      avg("f1").as("f1"))
+    perClass.unionByName(macroRow)
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"))
+  }
 }

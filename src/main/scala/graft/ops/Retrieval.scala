@@ -175,4 +175,47 @@ object Retrieval {
           x => x.cast("string")), ",").as("postings"))
       .filter(col("df") >= minDf)
   }
+
+  /** NDCG@k — the graded-relevance ranking metric (Järvelin &
+    * Kekäläinen 2002, exponential gain): per query,
+    *
+    *   DCG@k = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)  over the ranking
+    *   by (score desc, doc asc); IDCG@k re-ranks by (rel desc, doc asc);
+    *   ndcg = DCG/IDCG.
+    *
+    * The doc-id tiebreak makes both rankings total orders, so the
+    * metric is deterministic and engine-reproducible. Two windows
+    * PARTITIONED BY the query (per-query candidate lists are
+    * retrieval-depth-sized, never corpus-sized) + one per-query
+    * aggregation.
+    *
+    * @param relCol integer graded relevance ≥ 0 (0 = irrelevant)
+    * @return per query: (queryCol, n_candidates, dcg, idcg, ndcg) —
+    *         ndcg null when the query has no relevant docs (idcg 0)
+    */
+  def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreCol).desc, col(docCol))
+    val byRel = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(relCol).desc, col(docCol))
+    val gain = pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)
+    df
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__ri", row_number().over(byRel))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__r") <= k,
+          gain / log2(col("__r").cast("double") + 1.0))
+          .otherwise(lit(0.0))).as("__dcg"),
+        sum(when(col("__ri") <= k,
+          gain / log2(col("__ri").cast("double") + 1.0))
+          .otherwise(lit(0.0))).as("__idcg"))
+      .select(col(queryCol), col("n_candidates"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 6)
+          .as("ndcg"))
+  }
 }

@@ -326,4 +326,30 @@ class EvalSpec extends SparkSpec {
     // total positives are conserved under pooling (weighted mean)
     assert(math.abs(iso.head - 22.0 / 40) < 1e-12)
   }
+
+  test("multiclassMetrics: hand-computed 3-class fixture") {
+    import spark.implicits._
+    // label/pred pairs: A: 3 true (2 hit), B: 2 true (1 hit),
+    // C predicted twice but never true
+    val df = Seq(("A", "A"), ("A", "A"), ("A", "C"), ("B", "B"),
+      ("B", "C")).toDF("y", "p")
+    val got = Eval.multiclassMetrics(df, "y", "p").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) === 3L && a.getLong(2) === 2L && a.getLong(3) === 2L)
+    assert(a.getDouble(4) === 1.0) // precision 2/2
+    assert(math.abs(a.getDouble(5) - rd6(2.0 / 3)) < 1e-12) // recall
+    val c = got("C")
+    assert(c.getLong(1) === 0L && c.getLong(2) === 2L)
+    assert(c.isNullAt(5), "recall undefined for never-true class")
+    assert(c.getDouble(4) === 0.0) // precision 0/2
+    val m = got("__macro__")
+    // macro precision over {A: 1, B: 1, C: 0} = 2/3
+    assert(math.abs(m.getDouble(4) - rd6(2.0 / 3)) < 1e-12)
+    // macro recall over defined {A: 2/3, B: 1/2}
+    assert(math.abs(m.getDouble(5) - rd6((2.0 / 3 + 0.5) / 2)) < 1e-12)
+  }
+
+  private def rd6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

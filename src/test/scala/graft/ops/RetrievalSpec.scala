@@ -89,4 +89,38 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(withMin === Set("banana"))
   }
+
+  test("ndcgAtK: perfect ranking scores 1, inverted ranking less") {
+    val perfect = Seq(("q", 1L, 9.0, 3), ("q", 2L, 8.0, 2), ("q", 3L, 7.0, 0))
+      .toDF("query", "doc", "score", "rel")
+    val p = Retrieval.ndcgAtK(perfect, "query", "doc", "score", "rel", 10)
+      .head()
+    assert(p.getAs[Double]("ndcg") === 1.0)
+    val inverted = Seq(("q", 1L, 7.0, 3), ("q", 2L, 8.0, 2), ("q", 3L, 9.0, 0))
+      .toDF("query", "doc", "score", "rel")
+    val i = Retrieval.ndcgAtK(inverted, "query", "doc", "score", "rel", 10)
+      .head()
+    assert(i.getAs[Double]("ndcg") < 1.0 && i.getAs[Double]("ndcg") > 0.0)
+    // hand-computed: DCG = 0/log2(2) + 3/log2(3) + 7/log2(4),
+    //                IDCG = 7/log2(2) + 3/log2(3) + 0
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 7.0 / 2.0
+    val idcg = 7.0 + 3.0 / (math.log(3) / math.log(2))
+    assert(math.abs(i.getAs[Double]("ndcg") -
+      BigDecimal(dcg / idcg).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("ndcgAtK: no relevant docs yields null ndcg; k truncates") {
+    val none = Seq(("q", 1L, 2.0, 0), ("q", 2L, 1.0, 0))
+      .toDF("query", "doc", "score", "rel")
+    val n = Retrieval.ndcgAtK(none, "query", "doc", "score", "rel", 10).head()
+    assert(n.isNullAt(n.fieldIndex("ndcg")))
+    // k = 1: only the top-ranked doc contributes
+    val two = Seq(("q", 1L, 9.0, 0), ("q", 2L, 1.0, 3))
+      .toDF("query", "doc", "score", "rel")
+    val k1 = Retrieval.ndcgAtK(two, "query", "doc", "score", "rel", 1).head()
+    assert(k1.getAs[Double]("dcg") === 0.0) // top by score has rel 0
+    assert(k1.getAs[Double]("idcg") === 7.0)
+    assert(k1.getAs[Double]("ndcg") === 0.0)
+  }
 }
