@@ -3104,6 +3104,43 @@ object SparkEntry {
           .when(col("lang") === "de", 1).otherwise(0).as("rel"))
       Retrieval.ndcgAtK(d, "source", "doc_id", "score", "rel", 10)
         .orderBy("source")
+    }),
+
+    // cross-document duplicated 8-gram spans (substring-level dedup
+    // signal document-level MinHash misses)
+    "q249_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // nearest purchase (either direction in time) for every click
+    "q250_nearest_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("nearest_purchase_id"))
+      AsofJoin.nearestJoin(clicks, purchases, Seq("user_id"),
+          "t_us", "p_us", Seq("nearest_purchase_id"))
+        .orderBy("event_id")
+    }),
+
+    // k-anonymity release gate over a deliberately fine quasi-identifier
+    "q251_k_anonymity" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("qid_bucket"),
+        year(col("o_orderdate")).as("qid_year"))
+      Profile.kAnonymityViolations(d, Seq("qid_bucket", "qid_year"), 3)
+        .orderBy("qid_bucket", "qid_year")
+    }),
+
+    // canonical normalization (dedup-key preprocessing)
+    "q252_normalize_text" -> ((s, dir) => {
+      TextOps.normalizeText(t(s, dir, "documents"), "text")
+        .select("doc_id", "norm_text", "norm_len")
+        .orderBy("doc_id")
     })
   )
 
@@ -7731,6 +7768,71 @@ object SparkEntry {
         |SELECT source, n_candidates, round(dcg, 6) AS dcg,
         |  round(idcg, 6) AS idcg,
         |  round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+
+    // identical all-position 8-gram explode + doc-frequency join (the
+    // engine counts by 64-bit gram hash; counts agree absent collisions)
+    "q249_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 7)) q(i)),
+        |dfq AS (SELECT g, count(DISTINCT doc_id) AS docs FROM pos
+        |        GROUP BY 1),
+        |prof AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_spans
+        |  FROM pos JOIN dfq USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |  round(CASE WHEN n_spans > 0 THEN
+        |    CAST(n_dup_spans AS DOUBLE) / n_spans END, 6) AS dup_frac
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN prof USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // independent formulation: rank ALL same-user pairs by
+    // (|Δt|, earlier-first) — the engine's merge-window pick must agree
+    "q250_nearest_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id, l.user_id, l.t_us, r.pid, r.p_us,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY abs(r.p_us - l.t_us), r.p_us) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id)
+        |SELECT l.event_id, l.user_id, l.t_us,
+        |  j.pid AS nearest_purchase_id,
+        |  CAST(j.p_us - j.t_us AS DOUBLE) AS nearest_dist
+        |FROM l
+        |LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  USING (event_id, user_id, t_us)
+        |ORDER BY event_id""".stripMargin,
+
+    // identical quasi-identifier collapse and violation filter
+    "q251_k_anonymity" ->
+      """SELECT o_custkey % 997 AS qid_bucket,
+        |  CAST(year(o_orderdate) AS INT) AS qid_year, count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2 HAVING count(*) < 3
+        |ORDER BY qid_bucket, qid_year""".stripMargin,
+
+    // identical lowercase → symbol-to-space → collapse → trim chain
+    "q252_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS INT)
+        |    AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

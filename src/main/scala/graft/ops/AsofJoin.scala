@@ -60,4 +60,82 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         valueCols.map(v => col("__rv").getField(v).as(v)): _*)
   }
+
+  /** Nearest join — for each left row, the single right row with equal
+    * keys minimizing |left.ts − right.ts| (ties break to the EARLIER
+    * right row). The bidirectional sibling of [[asofJoin]] — sensor
+    * alignment, closest-quote matching, nearest-snapshot enrichment.
+    *
+    * Same scale shape as [[asofJoin]]: one keyed shuffle + per-key sort;
+    * the backward candidate rides a running `last(ignoreNulls)`, the
+    * forward candidate a `first(ignoreNulls)` over the mirrored frame,
+    * and a row-local comparison picks the nearer — no range-join
+    * explosion, no per-row probing.
+    *
+    * @param leftTs/rightTs NUMERIC timestamp columns (cast timestamps to
+    *                       epoch first) — the distance is their double
+    *                       difference
+    * @param tolerance      optional max |Δts|; farther matches become
+    *                       null (row is kept)
+    * @return left columns + valueCols + `nearest_dist` — the SIGNED
+    *         right−left offset (negative = matched an earlier right
+    *         row); null when no match within tolerance
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      tolerance: Option[Double] = None): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty)
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      "valueCols must not collide with left columns")
+    require(!leftCols.contains("nearest_dist"),
+      "left must not already have a nearest_dist column")
+
+    val rvType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        org.apache.spark.sql.types.DoubleType) +:
+        valueCols.map(v => right.schema(v)))
+    val l = left
+      .withColumn("__ts", col(leftTs).cast("double"))
+      .withColumn("__side", lit(1))
+      .select(keyCols.map(col) ++ Seq(col("__ts"), col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rvType).as("__rv"): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs).cast("double"))
+      .withColumn("__side", lit(0))
+      .select(keyCols.map(col) ++ Seq(col("__ts"), col("__side")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col("__ts").as("__rts") +: valueCols.map(col): _*)
+          .as("__rv"): _*)
+
+    // right rows at equal ts sort BEFORE the left row (__side 0 < 1), so
+    // an exact-ts right row is the backward candidate at distance 0
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withCand = l.unionByName(r)
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val db = col("__ts") - col("__b").getField("__rts")
+    val df_ = col("__f").getField("__rts") - col("__ts")
+    // backward wins ties (earlier right row)
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(db <= df_, col("__b")).otherwise(col("__f"))
+    val dist = abs(col("__ts") - pick.getField("__rts"))
+    val inTol = tolerance match {
+      case Some(tol) => pick.isNotNull && dist <= tol
+      case None => pick.isNotNull
+    }
+    withCand
+      .withColumn("__pick", when(inTol, pick))
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__pick").getField(v).as(v)) :+
+        (col("__pick").getField("__rts") - col("__ts"))
+          .as("nearest_dist"): _*)
+  }
 }

@@ -53,6 +53,52 @@ object Dedup {
           i => xxhash64(slice(toks, i + 1, lit(n))))))
   }
 
+  /** Cross-document duplicated-span profile — the C4/RefinedWeb
+    * "repeated n-gram" diagnostic at corpus level: for each document,
+    * how many of its n-gram POSITIONS carry a gram that also occurs in
+    * at least `minDocs − 1` other documents? High `dup_frac` marks
+    * boilerplate, mirrored pages, and template text that document-level
+    * near-dedup (MinHash on whole docs) misses.
+    *
+    * Execution: every position explodes to a 64-bit gram hash (tokens
+    * never shuffle as strings), ONE distinct (gram, doc) pass counts
+    * each gram's document frequency, and one hash-keyed join + doc-keyed
+    * aggregation produces the per-doc profile. No self-join anywhere —
+    * the shapes are all aggregations, so no cap is needed; collisions at
+    * 64 bits are negligible for any real corpus.
+    *
+    * @param minDocs a gram is "duplicated" when it appears in >= minDocs
+    *                distinct documents
+    * @return per doc: (idCol, n_spans, n_dup_spans, dup_frac) — docs
+    *         with fewer than n tokens have n_spans 0 and null dup_frac
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // ALL positions (no distinct): dup_frac is a span-position fraction
+    val spans = when(size(toks) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(slice(toks, i + 1, lit(n)))))
+    val pos = df.select(col(idCol).as("__id"), explode(spans).as("__g"))
+    val docFreq = pos.select("__g", "__id").distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+    val profiled = pos.join(docFreq, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+    df.select(col(idCol)).distinct()
+      .join(profiled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans")), 6)
+          .as("dup_frac"))
+  }
+
   /** splitmix64 finalizer — the per-function mix for MinHash. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0

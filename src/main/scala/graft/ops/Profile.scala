@@ -248,4 +248,26 @@ object Profile {
           .as("containment"),
         col("n_child_null_rows"))
   }
+
+  /** k-anonymity audit: the quasi-identifier combinations whose
+    * equivalence class holds FEWER than k rows — each such combo
+    * re-identifies its members (Sweeney 2002). The release gate a data
+    * pipeline runs before publishing "anonymized" records.
+    *
+    * ONE groupBy over the quasi columns; the violating-combo frame is
+    * what a remediation step (suppress / generalize) consumes. Nulls
+    * group as their own value (SQL GROUP BY semantics) — a null quasi
+    * value is still a distinguishing signature.
+    *
+    * @return per violating combo: (quasiCols…, n) with n < k, plus the
+    *         caller can count rows for the headline violation number
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k < 2 is vacuous, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

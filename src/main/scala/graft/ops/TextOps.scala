@@ -464,4 +464,22 @@ object TextOps {
       regexp_count(col(textCol), lit(re)).as(name) }: _*)
   }
 
+  /** Canonical text normalization for dedup keys and training text:
+    * lowercase → punctuation/symbols to spaces → whitespace runs
+    * collapsed → trimmed. The preprocessing step before exact dedup,
+    * shingling, or tokenizer training, kept deliberately simple and
+    * engine-reproducible (ASCII-safe regex classes, no locale-dependent
+    * case folding beyond `lower`).
+    *
+    * Pure projection — codegen'd, no shuffle.
+    *
+    * @return input + `<outputCol>` (normalized text) + `norm_len`
+    */
+  def normalizeText(df: DataFrame, textCol: String,
+      outputCol: String = "norm_text"): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      "[^a-z0-9\\s]", " "), "\\s+", " "))
+    df.withColumn(outputCol, cleaned)
+      .withColumn("norm_len", length(col(outputCol)))
+  }
 }

@@ -44,4 +44,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.columns.toSeq === Seq("k", "ts", "v", "price"))
   }
+
+  test("nearestJoin picks the closer side; ties go to the earlier row") {
+    val l = Seq((1L, 10L), (1L, 100L), (1L, 55L)).toDF("k", "ts")
+    val r = Seq((1L, 40L, "early"), (1L, 70L, "late")).toDF("k", "rts", "tag")
+    val got = AsofJoin.nearestJoin(l, r, Seq("k"), "ts", "rts", Seq("tag"))
+      .collect().map(x => x.getLong(1) ->
+        (x.getString(2), x.getDouble(3))).toMap
+    assert(got(10L) === (("early", 30.0)))  // only forward exists
+    assert(got(100L) === (("late", -30.0))) // only backward
+    // 55 is equidistant (15 both ways): tie -> earlier right row
+    assert(got(55L) === (("early", -15.0)))
+  }
+
+  test("nearestJoin honors tolerance and missing partners") {
+    val l = Seq((1L, 10L), (2L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 500L, "far")).toDF("k", "rts", "tag")
+    val out = AsofJoin.nearestJoin(l, r, Seq("k"), "ts", "rts", Seq("tag"),
+        tolerance = Some(100.0))
+      .collect().map(x => x.getLong(0) -> x.isNullAt(2)).toMap
+    assert(out(1L), "match beyond tolerance must be null")
+    assert(out(2L), "key with no right rows must be null")
+    val noTol = AsofJoin.nearestJoin(l, r, Seq("k"), "ts", "rts", Seq("tag"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) null else x.getString(2))).toMap
+    assert(noTol(1L) === "far" && noTol(2L) === null)
+  }
+
+  test("nearestJoin is partition-invariant") {
+    val l = (1L to 40L).map(i => (i % 3, i * 7)).toDF("k", "ts")
+    val r = (1L to 20L).map(i => (i % 3, i * 13, i)).toDF("k", "rts", "rid")
+    val a = AsofJoin.nearestJoin(l, r, Seq("k"), "ts", "rts", Seq("rid"))
+      .orderBy("k", "ts").collect().toSeq
+    val b = AsofJoin.nearestJoin(l.repartition(7), r.repartition(5),
+        Seq("k"), "ts", "rts", Seq("rid"))
+      .orderBy("k", "ts").collect().toSeq
+    assert(a === b)
+  }
 }

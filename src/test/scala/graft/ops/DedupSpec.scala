@@ -300,4 +300,32 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("duplicateSpans: shared trigram positions flagged, short docs null") {
+    // docs 1 and 2 share the span "a b c" (1 position each);
+    // doc 3 is all-unique; doc 4 too short for n = 3
+    val df = Seq(
+      (1L, "a b c x y"), (2L, "p q a b c"), (3L, "u v w z k"),
+      (4L, "s t")).toDF("id", "text")
+    val got = Dedup.duplicateSpans(df, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 1L, Some(BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(2L) === ((3L, 1L, got(1L)._3)))
+    assert(got(3L) === ((3L, 0L, Some(0.0))))
+    assert(got(4L) === ((0L, 0L, None)))
+  }
+
+  test("duplicateSpans counts REPEATED in-doc positions, docs once") {
+    // "a b a b a b": 3-gram positions [aba, bab, aba, bab] — the gram
+    // "a b a" occurs twice in doc 1; doc 2 shares it once. Both
+    // positions in doc 1 are duplicated spans.
+    val df = Seq((1L, "a b a b a"), (2L, "a b a")).toDF("id", "text")
+    val got = Dedup.duplicateSpans(df, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((3L, 2L))) // positions: aba, bab, aba; aba dup'd
+    assert(got(2L) === ((1L, 1L)))
+  }
 }

@@ -212,4 +212,20 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(out(0.5) - 5.0) <= 0.1)
     assert(math.abs(out(0.75) - 7.5) <= 0.1)
   }
+
+  test("kAnonymityViolations flags classes under k, nulls group as values") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 1),     // class of 3: safe at k = 3
+      ("b", 2), ("b", 2),               // class of 2: violation
+      ("c", 3),                         // singleton: violation
+      (null, 4), (null, 4)              // null quasi: class of 2
+    ).toDF("q1", "q2")
+    val got = Profile.kAnonymityViolations(df, Seq("q1", "q2"), 3)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"),
+        r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("b", 2) -> 2L, ("c", 3) -> 1L, ("<null>", 4) -> 2L))
+    intercept[IllegalArgumentException] {
+      Profile.kAnonymityViolations(df, Nil, 3)
+    }
+  }
 }

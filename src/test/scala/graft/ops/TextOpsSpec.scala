@@ -290,6 +290,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) < got(2L))
   }
 
+  test("normalizeText: lowercase, symbols to space, collapsed, trimmed") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! (x=1) "),
+      (2L, "---"),
+      (3L, "already clean")).toDF("id", "text")
+    val got = TextOps.normalizeText(df, "text")
+      .select("id", "norm_text", "norm_len").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === (("hello world x 1", 15)))
+    assert(got(2L) === (("", 0)))
+    assert(got(3L) === (("already clean", 13)))
+  }
+
   test("patternCounts: known counts, non-overlapping matches, empty text") {
     val df = Seq(
       (1L, "mail me at a@b.com or c@d.org thanks"),
