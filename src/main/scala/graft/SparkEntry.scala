@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3140,6 +3140,25 @@ object SparkEntry {
     "q252_normalize_text" -> ((s, dir) => {
       TextOps.normalizeText(t(s, dir, "documents"), "text")
         .select("doc_id", "norm_text", "norm_len")
+        .orderBy("doc_id")
+    }),
+
+    // stratified nearest-control propensity matching (ATT frame)
+    "q253_ps_match" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("stratum_year"),
+        (col("o_orderpriority") < "3").cast("int").as("treat"),
+        col("o_totalprice"), col("o_orderkey"))
+      Matching.psMatch(d, Seq("stratum_year"), "treat", "o_totalprice",
+          "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // redaction: patternCounts' remediation twin
+    "q254_redact" -> ((s, dir) => {
+      TextOps.redact(t(s, dir, "documents"), "text", Seq(
+          "term" -> "\\bdata\\b", "num" -> "[0-9]+"))
+        .select("doc_id", "redacted", "n_redacted")
         .orderBy("doc_id")
     })
   )
@@ -7833,6 +7852,45 @@ object SparkEntry {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS INT)
         |    AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent formulation: rank deduped controls per treated unit by
+    // (|Δscore|, score) — the engine's strata-keyed merge pick must agree
+    "q253_ps_match" ->
+      """WITH d AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS stratum_year,
+        |    CAST(o_orderpriority < '3' AS INT) AS treat,
+        |    o_totalprice, o_orderkey
+        |  FROM orders),
+        |tr AS (SELECT stratum_year, o_orderkey, o_totalprice AS score
+        |       FROM d WHERE treat = 1),
+        |ct AS (
+        |  SELECT stratum_year, o_totalprice AS control_score,
+        |    min(o_orderkey) AS control_o_orderkey
+        |  FROM d WHERE treat = 0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT tr.o_orderkey, tr.stratum_year, tr.score,
+        |    ct.control_o_orderkey, ct.control_score,
+        |    row_number() OVER (PARTITION BY tr.o_orderkey
+        |      ORDER BY abs(ct.control_score - tr.score),
+        |        ct.control_score) AS rn
+        |  FROM tr JOIN ct ON tr.stratum_year = ct.stratum_year)
+        |SELECT tr.stratum_year, tr.o_orderkey, tr.score,
+        |  j.control_o_orderkey, j.control_score,
+        |  j.control_score - tr.score AS score_diff
+        |FROM tr
+        |LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  USING (o_orderkey, stratum_year, score)
+        |ORDER BY tr.o_orderkey""".stripMargin,
+
+    // identical sequential replace chain + original-text match counts
+    "q254_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '\bdata\b', '<TERM>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '\bdata\b'))
+        |    + len(regexp_extract_all(text, '[0-9]+')) AS INT)
+        |    AS n_redacted
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -464,6 +464,29 @@ object TextOps {
       regexp_count(col(textCol), lit(re)).as(name) }: _*)
   }
 
+  /** Redaction: replace every match of each named pattern with its
+    * `<TAG>` placeholder, applied in sequence — [[patternCounts]]'s
+    * remediation twin (count first, redact before release). Pure
+    * regexp_replace chain — codegen'd, no shuffle. Earlier patterns
+    * win overlaps (their tags are no longer matchable text).
+    *
+    * @param patterns (tag, regex) — matches become `<TAG>`
+    * @return input + `<outputCol>` + `n_redacted` (Σ of each pattern's
+    *         matches in the ORIGINAL text — an upper bound on actual
+    *         replacements when patterns overlap)
+    */
+  def redact(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)],
+      outputCol: String = "redacted"): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val out = patterns.foldLeft(col(textCol)) { case (acc, (tag, re)) =>
+      regexp_replace(acc, re, s"<${tag.toUpperCase}>")
+    }
+    val total = patterns.map { case (_, re) =>
+      regexp_count(col(textCol), lit(re)) }.reduce(_ + _)
+    df.withColumn(outputCol, out).withColumn("n_redacted", total)
+  }
+
   /** Canonical text normalization for dedup keys and training text:
     * lowercase → punctuation/symbols to spaces → whitespace runs
     * collapsed → trimmed. The preprocessing step before exact dedup,

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MatchingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (stratum, treat, score, id)
+  private def rows = Seq(
+    ("s1", 1, 10.0, 1L), ("s1", 1, 20.0, 2L),
+    ("s1", 0, 12.0, 101L), ("s1", 0, 27.0, 102L),
+    ("s2", 1, 5.0, 3L), ("s2", 0, 50.0, 103L),
+    ("s3", 1, 9.0, 4L)) // stratum with no controls
+
+  test("psMatch pairs each treated unit with the nearest in-stratum control") {
+    val df = rows.toDF("g", "treat", "score", "id")
+    val got = Matching.psMatch(df, Seq("g"), "treat", "score", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("control_id"))) None
+         else Some((r.getAs[Long]("control_id"),
+           r.getAs[Double]("score_diff"))))).toMap
+    assert(got(1L) === Some((101L, 2.0)))   // |12-10| < |27-10|
+    assert(got(2L) === Some((102L, 7.0)))   // |27-20| < |12-20|
+    assert(got(3L) === Some((103L, 45.0)))  // only control, far
+    assert(got(4L) === None)                // stratum without controls
+  }
+
+  test("psMatch caliper leaves distant treated units unmatched") {
+    val df = rows.toDF("g", "treat", "score", "id")
+    val got = Matching.psMatch(df, Seq("g"), "treat", "score", "id",
+        caliper = Some(10.0))
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.isNullAt(r.fieldIndex("control_id"))).toMap
+    assert(!got(1L) && !got(2L))
+    assert(got(3L), "45-away control must fall outside the 10 caliper")
+  }
+
+  test("psMatch: equal-score controls collapse to the min id; with replacement") {
+    val df = Seq(
+      ("s", 1, 10.0, 1L), ("s", 1, 11.0, 2L),
+      ("s", 0, 10.5, 100L), ("s", 0, 10.5, 99L)).toDF("g", "treat", "score", "id")
+    val got = Matching.psMatch(df, Seq("g"), "treat", "score", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("control_id")).toMap
+    // both treated match the SAME (deduped, min-id) control
+    assert(got === Map(1L -> 99L, 2L -> 99L))
+  }
+
+  test("psMatch is partition-invariant") {
+    val df = (1L to 60L).map(i =>
+      (s"g${i % 3}", (i % 2).toInt, (i * 13 % 41).toDouble, i))
+      .toDF("g", "treat", "score", "id")
+    val a = Matching.psMatch(df, Seq("g"), "treat", "score", "id")
+      .orderBy("id").collect().toSeq
+    val b = Matching.psMatch(df.repartition(7), Seq("g"), "treat", "score", "id")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+}

@@ -290,6 +290,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) < got(2L))
   }
 
+  test("redact replaces matches with tags and counts original hits") {
+    val df = Seq(
+      (1L, "call 555 1234 about data now"),
+      (2L, "nothing here")).toDF("id", "text")
+    val got = TextOps.redact(df, "text", Seq(
+        "term" -> "\\bdata\\b", "num" -> "[0-9]+"))
+      .select("id", "redacted", "n_redacted").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === (("call <NUM> <NUM> about <TERM> now", 3)))
+    assert(got(2L) === (("nothing here", 0)))
+  }
+
   test("normalizeText: lowercase, symbols to space, collapsed, trimmed") {
     val df = Seq(
       (1L, "  Hello,   WORLD!! (x=1) "),
