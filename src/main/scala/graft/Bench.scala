@@ -38,15 +38,17 @@ object Bench {
       catch { case _: Throwable => }
     }
     val controlRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runControl(): Unit = {
+    def controlOnce(): Double = {
       val t0 = System.nanoTime()
       try spark.read.parquet(s"$sfDir/lineitem.parquet")
         .selectExpr("sum(l_extendedprice * (1 - l_discount)) AS rev",
           "avg(l_quantity) AS qty", "count(*) AS n")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      controlRuns += (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def runControl(): Unit = controlRuns += controlOnce()
+    controlOnce() // unrecorded: absorbs the control's own JIT/codegen cost
     runControl()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
@@ -76,8 +78,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val cr = controlRuns.toSeq
-    val drift = if (cr.nonEmpty && cr.min > 0) cr.max / cr.min else -1.0
-    val control = f"""{"runs":${cr.map(v => f"$v%.3f").mkString("[", ",", "]")},"min":${cr.min}%.3f,"max":${cr.max}%.3f,"drift_factor":$drift%.2f}"""
+    val med = cr.sorted.apply(cr.size / 2)
+    // max/median, not max/min: one lucky fast rep shouldn't read as drift
+    val drift = if (cr.nonEmpty && med > 0) cr.max / med else -1.0
+    val control = f"""{"runs":${cr.map(v => f"$v%.3f").mkString("[", ",", "]")},"min":${cr.min}%.3f,"median":$med%.3f,"max":${cr.max}%.3f,"drift_factor":$drift%.2f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"control":$control,"sf":"$sfDir","note":"single-shot timings; +/-20pct JVM variance per query - use graft.tools.MicroBench (min-of-3) for before/after comparisons; control = fixed lineitem agg interleaved every 10 queries, drift_factor near 1 = calm host, >>1 = steal storm (distrust single-shot regressions in this run)"}""")
     spark.stop()
   }

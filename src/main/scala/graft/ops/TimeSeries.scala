@@ -109,15 +109,19 @@ object TimeSeries {
           expr(s"INTERVAL 1 $unit"))).as("bucket"))
     val sorted = Window.partitionBy(keyCol).orderBy("bucket")
     val wPrev = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = sorted.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward carry over the REVERSED sort: a (currentRow,
+    // unboundedFollowing) aggregate frame re-scans to the partition end
+    // for every row — O(n²) per key on long calendar grids
+    val wNext = Window.partitionBy(keyCol).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val knownT = when(col("value_avg").isNotNull, col("bucket"))
     val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
       .withColumn("is_gap", col("n_events").isNull)
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
       .withColumn("__pv", last("value_avg", ignoreNulls = true).over(wPrev))
       .withColumn("__pt", last(knownT, ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first("value_avg", ignoreNulls = true).over(wNext))
-      .withColumn("__nt", first(knownT, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last("value_avg", ignoreNulls = true).over(wNext))
+      .withColumn("__nt", last(knownT, ignoreNulls = true).over(wNext))
     val frac = (unix_micros(col("bucket")) - unix_micros(col("__pt")))
       .cast("double") /
       (unix_micros(col("__nt")) - unix_micros(col("__pt"))).cast("double")

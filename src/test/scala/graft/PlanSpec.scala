@@ -237,4 +237,34 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"unpartitioned data-sized window in: ${bad.mkString(", ")}")
   }
+
+  test("no query uses a quadratic unbounded-FOLLOWING aggregate frame") {
+    // Spark evaluates an aggregate over (X, unboundedFollowing) frames
+    // (X ≠ unboundedPreceding) by re-scanning to the partition end for
+    // EVERY row — O(n²) per key (UnboundedFollowingWindowFunctionFrame;
+    // cost q253's first draft 146 s vs 1.2 s). Forward carries must run
+    // as running last() over the REVERSED sort instead. Whole-partition
+    // frames (unboundedPreceding, unboundedFollowing) are fine — those
+    // compute once per partition.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame,
+      UnboundedFollowing, UnboundedPreceding, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val offenders = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.windowExpression.exists(_.collectFirst {
+          case we: WindowExpression
+            if (we.windowSpec.frameSpecification match {
+              case SpecifiedWindowFrame(_, lo, UnboundedFollowing) =>
+                lo != UnboundedPreceding
+              case _ => false
+            }) && we.windowFunction.isInstanceOf[AggregateExpression] => we
+        }.nonEmpty) => w
+      }
+      if (offenders.isEmpty) Nil else Seq(n)
+    }
+    assert(bad.isEmpty,
+      s"quadratic unbounded-following aggregate frame in: ${bad.mkString(", ")}")
+  }
 }
