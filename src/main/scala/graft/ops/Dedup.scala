@@ -81,7 +81,9 @@ object Dedup {
     val spans = when(size(toks) < n, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => xxhash64(slice(toks, i + 1, lit(n)))))
-    val pos = df.select(col(idCol).as("__id"), explode(spans).as("__g"))
+    // tokenize+hash is the per-row hot loop — spread a few-partition scan
+    // (single-row-group files) across the cluster first
+    val pos = fanOut(df).select(col(idCol).as("__id"), explode(spans).as("__g"))
     val docFreq = pos.select("__g", "__id").distinct()
       .groupBy("__g").agg(count(lit(1)).as("__docs"))
     val profiled = pos.join(docFreq, Seq("__g"))
