@@ -3160,6 +3160,31 @@ object SparkEntry {
           "term" -> "\\bdata\\b", "num" -> "[0-9]+"))
         .select("doc_id", "redacted", "n_redacted")
         .orderBy("doc_id")
+    }),
+
+    // weighted single-source shortest paths (4 Bellman-Ford rounds) on
+    // the part-supplier graph, w = min quantity (integral doubles —
+    // exact min-plus arithmetic)
+    "q255_sssp" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v"),
+          col("l_quantity").cast("double").as("w"))
+      val edges = pe.unionByName(
+        pe.select(col("v").as("u"), col("u").as("v"), col("w")))
+      Graph.sssp(edges, "p1", rounds = 4)
+        .select(col("node"), r(col("dist"), 6).as("dist"))
+        .orderBy("node")
+    }),
+
+    // deterministic permutation test on integral cents (exact sums)
+    "q256_permutation_test" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") < "3", "hi").otherwise("lo").as("grp"))
+      Hypothesis.permutationTestMeanDiff(d, "cents", "grp", "hi", "lo",
+        "o_orderkey", nPerm = 200)
     })
   )
 
@@ -7891,6 +7916,73 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\bdata\b'))
         |    + len(regexp_extract_all(text, '[0-9]+')) AS INT)
         |    AS n_redacted
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 4 unrolled min-plus relaxation rounds (the q200/q223 unrolled
+    // pattern); integral weights keep the arithmetic exact
+    "q255_sssp" -> {
+      def rnd(r: Int): String =
+        s"""d${r + 1} AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM d$r
+           |    UNION ALL
+           |    SELECT e.v, d$r.dist + e.w FROM d$r
+           |    JOIN e ON e.u = d$r.node)
+           |  GROUP BY 1)""".stripMargin
+      """WITH pe AS (
+        |  SELECT 'p' || l_partkey AS u, 's' || l_suppkey AS v,
+        |    min(CAST(l_quantity AS DOUBLE)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |e AS (SELECT u, v, w FROM pe UNION ALL SELECT v, u, w FROM pe),
+        |d0 AS (SELECT 'p1' AS node, 0.0 AS dist),
+        |""".stripMargin +
+        (0 until 4).map(rnd).mkString(",\n") +
+        "\nSELECT node, round(dist, 6) AS dist FROM d4 ORDER BY node"
+    },
+
+    // identical md5 draw, exact integer sums, double division of the
+    // same integers — the comparison is bit-deterministic
+    "q256_permutation_test" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    (o_orderpriority < '3') AS ia
+        |  FROM orders),
+        |o AS (
+        |  SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN ia THEN v END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN NOT ia THEN v END) AS BIGINT) AS sb
+        |  FROM d),
+        |p AS (
+        |  SELECT g, v,
+        |    (('0x' || substr(md5(id || '#' || CAST(g AS VARCHAR)),
+        |        1, 15))::BIGINT
+        |      % (SELECT na + nb FROM o)) < (SELECT na FROM o) AS sa_side
+        |  FROM d, UNNEST(generate_series(1, 200)) q(g)),
+        |ag AS (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN sa_side THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pna,
+        |    CAST(sum(CASE WHEN sa_side THEN v END) AS BIGINT) AS psa,
+        |    CAST(sum(CASE WHEN NOT sa_side THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pnb,
+        |    CAST(sum(CASE WHEN NOT sa_side THEN v END) AS BIGINT) AS psb
+        |  FROM p GROUP BY 1),
+        |x AS (
+        |  SELECT CAST(sum(CASE WHEN pna > 0 AND pnb > 0 AND
+        |      abs(CAST(psa AS DOUBLE) / pna - CAST(psb AS DOUBLE) / pnb)
+        |        >= abs((SELECT CAST(sa AS DOUBLE) / na FROM o)
+        |          - (SELECT CAST(sb AS DOUBLE) / nb FROM o))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |  FROM ag)
+        |SELECT o.na AS n_a, o.nb AS n_b,
+        |  round(CAST(o.sa AS DOUBLE) / o.na
+        |    - CAST(o.sb AS DOUBLE) / o.nb, 6) AS diff_obs,
+        |  CAST(200 AS INT) AS n_perm, x.n_extreme,
+        |  round(CAST(x.n_extreme + 1 AS DOUBLE) / 201, 6) AS p_value
+        |FROM o CROSS JOIN x""".stripMargin
   )
 }

@@ -126,6 +126,45 @@ object Graph {
     visited
   }
 
+  /** Single-source shortest paths on a WEIGHTED directed edge list
+    * `(u, v, w)` — distributed Bellman–Ford: each round relaxes every
+    * edge once,
+    *
+    *   dist'(v) = min(dist(v), min_{u→v} dist(u) + w(u,v)),
+    *
+    * as ONE frontier-free equi-join + ONE min aggregation keyed by node
+    * (the [[bfsLevels]] settle-in-one-shuffle shape, with + w instead of
+    * + 1). `rounds` bounds the hop count of discovered paths — run it to
+    * the graph's (weighted-path) diameter for exact distances; a fixed
+    * round count keeps the result deterministic and the oracle
+    * closed-form. Parallel edges collapse to their MINIMUM weight first.
+    *
+    * Each generation materializes through [[graft.Checkpointer]] so the
+    * lineage stays flat on long runs.
+    *
+    * @return (node, dist) for every node reached within `rounds` hops
+    */
+  def sssp(edges: DataFrame, source: Any, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = cp.pin(edges
+      .select(col("u"), col("v"), col("w").cast("double").as("w"))
+      .groupBy("u", "v").agg(min("w").as("w")))
+    var dist = cp(e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0.0).as("dist")))
+    var round = 0
+    while (round < rounds) {
+      val cand = e
+        .join(dist.select(col("node").as("u"), col("dist").as("du")), "u")
+        .select(col("v").as("node"), (col("du") + col("w")).as("dist"))
+      dist = cp(dist.unionByName(cand)
+        .groupBy("node").agg(min("dist").as("dist")))
+      round += 1
+    }
+    cp.close()
+    dist
+  }
+
   /** Weighted one-mode projection of a bipartite graph: given left–right
     * incidences `(u, v)` (customers–products, parts–suppliers,
     * documents–terms), connect left nodes that share a right node, with

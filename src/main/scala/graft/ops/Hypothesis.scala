@@ -379,4 +379,66 @@ object Hypothesis {
         .when(llr <= lower, lit("accept_h0"))
         .otherwise(lit("continue")).as("decision"))
   }
+
+  /** Permutation test for a mean difference — the distribution-free
+    * significance check when the t-test's normality/variance assumptions
+    * are in doubt. DETERMINISTIC: permutation p reassigns each row to
+    * side A iff md5(id # p) mod n < n_a (the engine's content-keyed draw
+    * convention) — Bernoulli(n_a/n) label shuffling, reproducible on any
+    * engine and partitioning (the trade vs exact-count permutations: the
+    * per-permutation group sizes vary by ±O(√n), which the difference-
+    * of-MEANS statistic absorbs).
+    *
+    * Execution: one 4-scalar observed pass; the permutation pass is ONE
+    * `explode(1..B)` + ONE (perm, side) aggregation (B·n rows through a
+    * single shuffle of B·2 cells); the comparison frame is B rows.
+    * Feed an INTEGER value column (cents, counts) and the entire
+    * statistic is exact-integer sums + one final division — bit-identical
+    * across engines.
+    *
+    * p = (1 + #{|diff_p| ≥ |diff_obs|}) / (B + 1) (the add-one
+    * permutation convention — never exactly zero).
+    *
+    * @return one row: (n_a, n_b, diff_obs, n_perm, n_extreme, p_value)
+    */
+  def permutationTestMeanDiff(df: DataFrame, valueCol: String,
+      groupCol: String, a: String, b: String, idCol: String,
+      nPerm: Int = 100): DataFrame = {
+    require(nPerm >= 1, s"need nPerm >= 1, got $nPerm")
+    val base = df.filter(both(groupCol, a, b))
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("long").as("__v"),
+        (col(groupCol) === a).as("__ia"))
+    val obs = base.agg(
+      sum(when(col("__ia"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("__ia"), col("__v")).otherwise(0L)).as("sa"),
+      sum(when(!col("__ia"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("__ia"), col("__v")).otherwise(0L)).as("sb")).head()
+    val (na, sa, nb, sb) =
+      (obs.getLong(0), obs.getLong(1), obs.getLong(2), obs.getLong(3))
+    require(na > 0 && nb > 0, s"both groups must be non-empty: $na, $nb")
+    val n = na + nb
+    val diffObs = sa.toDouble / na - sb.toDouble / nb
+    val draw = pmod(conv(substring(md5(concat(col("__id"), lit("#"),
+      col("__p").cast("string"))), 1, 15), 16, 10).cast("long"), lit(n))
+    val perms = base
+      .withColumn("__p", explode(sequence(lit(1), lit(nPerm))))
+      .withColumn("__side_a", draw < na)
+      .groupBy("__p")
+      .agg(sum(when(col("__side_a"), 1L).otherwise(0L)).as("pna"),
+        sum(when(col("__side_a"), col("__v")).otherwise(0L)).as("psa"),
+        sum(when(!col("__side_a"), 1L).otherwise(0L)).as("pnb"),
+        sum(when(!col("__side_a"), col("__v")).otherwise(0L)).as("psb"))
+    val diffP = col("psa").cast("double") / col("pna") -
+      col("psb").cast("double") / col("pnb")
+    perms
+      .agg(sum(when(col("pna") > 0 && col("pnb") > 0 &&
+          abs(diffP) >= math.abs(diffObs), 1L).otherwise(0L))
+        .as("n_extreme"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        round(lit(diffObs), 6).as("diff_obs"),
+        lit(nPerm).as("n_perm"), col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") / (nPerm + 1), 6)
+          .as("p_value"))
+  }
 }

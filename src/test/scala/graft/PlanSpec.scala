@@ -192,30 +192,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "cap should prune via semi join")
   }
 
-  test("queries avoid accidental cartesian products") {
-    // the ANN/cosine-baseline queries intentionally use a broadcast
-    // nested-loop; everything else must be equi-joined
-    val names = SparkEntry.queries.keys.filterNot(_.startsWith("q28"))
-      .filterNot(_.startsWith("q29")).filterNot(_.startsWith("q30"))
-      .filterNot(_.startsWith("q38"))
-    names.foreach { n =>
-      val p = plan(n)
-      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
-    }
-  }
-
-  test("no query funnels an UNCOLLAPSED frame through a global window") {
-    // The 100 TB killer pattern: WindowExec with an empty partition spec
-    // directly over data-sized input — every row through ONE task. An
-    // unpartitioned window is tolerable only over a frame already
-    // collapsed by an aggregation (bucket/offset frames, distinct-value
-    // curves) or bounded by a limit; everything else must use the
-    // two-level Cumulative pass or a partitioned window.
+  test("plan sweep: no cartesian, no global data window, no quadratic frame") {
+    // ONE pass builds every declared query's physical plan and checks
+    // three 100 TB killers at once (building 255 plans — some of which
+    // eagerly materialize checkpoint rounds — is the expensive part, so
+    // the three sweeps share it):
+    //  1. accidental CartesianProduct (ANN/cosine baselines excepted —
+    //     those intentionally broadcast-nested-loop);
+    //  2. WindowExec with an EMPTY partition spec directly over
+    //     un-collapsed (no aggregate/limit below) data — every row
+    //     through one task;
+    //  3. an aggregate over a (X, unboundedFollowing) frame with
+    //     X ≠ unboundedPreceding — Spark re-scans to the partition end
+    //     per row (UnboundedFollowingWindowFunctionFrame), O(n²) per key
+    //     (cost q253's first draft 146 s vs 1.2 s). Whole-partition
+    //     frames compute once and are fine.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
       TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame,
+      UnboundedFollowing, UnboundedPreceding, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
     def collapsed(p: SparkPlan): Boolean =
       p.collectFirst {
         case a: BaseAggregateExec => a
@@ -223,36 +222,17 @@ class PlanSpec extends SparkSpec {
         case l: LocalLimitExec => l
         case t: TakeOrderedAndProjectExec => t
       }.nonEmpty
-    // documented exceptions (each hand-audited as bounded):
-    val allow: Set[String] = Set()
-    val bad = SparkEntry.queries.keys.toSeq.sorted.filterNot(allow).flatMap {
-      n =>
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        val offenders = df.queryExecution.sparkPlan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty &&
-            !collapsed(w.child) => w
-        }
-        if (offenders.isEmpty) Nil else Seq(n)
-    }
-    assert(bad.isEmpty,
-      s"unpartitioned data-sized window in: ${bad.mkString(", ")}")
-  }
-
-  test("no query uses a quadratic unbounded-FOLLOWING aggregate frame") {
-    // Spark evaluates an aggregate over (X, unboundedFollowing) frames
-    // (X ≠ unboundedPreceding) by re-scanning to the partition end for
-    // EVERY row — O(n²) per key (UnboundedFollowingWindowFunctionFrame;
-    // cost q253's first draft 146 s vs 1.2 s). Forward carries must run
-    // as running last() over the REVERSED sort instead. Whole-partition
-    // frames (unboundedPreceding, unboundedFollowing) are fine — those
-    // compute once per partition.
-    import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame,
-      UnboundedFollowing, UnboundedPreceding, WindowExpression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      val offenders = df.queryExecution.sparkPlan.collect {
+    val cartesianAllow = Set("q28", "q29", "q30", "q38")
+    val problems = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val sp = SparkEntry.queries(n)(spark, sfDir).queryExecution.sparkPlan
+      val cart = if (cartesianAllow.exists(n.startsWith)) Nil
+        else if (sp.toString.contains("CartesianProduct"))
+          Seq(s"$n: cartesian product") else Nil
+      val globalWin = sp.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          !collapsed(w.child) => w
+      }.headOption.map(_ => s"$n: unpartitioned data-sized window").toSeq
+      val quadFrame = sp.collect {
         case w: WindowExec if w.windowExpression.exists(_.collectFirst {
           case we: WindowExpression
             if (we.windowSpec.frameSpecification match {
@@ -261,10 +241,9 @@ class PlanSpec extends SparkSpec {
               case _ => false
             }) && we.windowFunction.isInstanceOf[AggregateExpression] => we
         }.nonEmpty) => w
-      }
-      if (offenders.isEmpty) Nil else Seq(n)
+      }.headOption.map(_ => s"$n: quadratic unbounded-following frame").toSeq
+      cart ++ globalWin ++ quadFrame
     }
-    assert(bad.isEmpty,
-      s"quadratic unbounded-following aggregate frame in: ${bad.mkString(", ")}")
+    assert(problems.isEmpty, problems.mkString("; "))
   }
 }

@@ -328,4 +328,35 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-12)
     }
   }
+
+  test("sssp matches local Dijkstra on a weighted graph") {
+    // a->b (1), b->c (1), a->c (5), c->d (1), a->d (10): shortest a->c
+    // is 2 via b, a->d is 3 — the direct heavy edges must lose
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0),
+      ("c", "d", 1.0), ("a", "d", 10.0)).toDF("u", "v", "w")
+    val got = Graph.sssp(edges, "a", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0, "d" -> 3.0))
+  }
+
+  test("sssp: rounds bound hop count; parallel edges keep min weight") {
+    val edges = Seq(("a", "b", 3.0), ("a", "b", 1.0), ("b", "c", 1.0),
+      ("c", "d", 1.0)).toDF("u", "v", "w")
+    val one = Graph.sssp(edges, "a", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one === Map("a" -> 0.0, "b" -> 1.0)) // min parallel edge; 1 hop
+    val three = Graph.sssp(edges, "a", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(three("d") === 3.0)
+  }
+
+  test("sssp is partition-invariant") {
+    val edges = (1L to 50L).map(i =>
+      (s"n${i % 10}", s"n${(i * 3) % 10}", (i % 7 + 1).toDouble))
+      .toDF("u", "v", "w")
+    val a = Graph.sssp(edges, "n1", 5).orderBy("node").collect().toSeq
+    val b = Graph.sssp(edges.repartition(7), "n1", 5)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
 }

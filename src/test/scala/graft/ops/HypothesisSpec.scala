@@ -333,4 +333,38 @@ class HypothesisSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out(0).getAs[Long]("n") === 2L)
   }
+
+  test("permutation test: a planted large effect is significant") {
+    // group A ~ 1000 + i, group B ~ 100 + i: huge separation
+    val rows = (1 to 60).map(i => (i.toLong, 1000L + i % 7, "A")) ++
+      (61 to 120).map(i => (i.toLong, 100L + i % 7, "B"))
+    val df = rows.toDF("id", "v", "g")
+    val r = Hypothesis.permutationTestMeanDiff(df, "v", "g", "A", "B",
+      "id", nPerm = 99).head()
+    assert(r.getAs[Long]("n_a") === 60L && r.getAs[Long]("n_b") === 60L)
+    assert(math.abs(r.getAs[Double]("diff_obs") - 900.0) < 1.0)
+    assert(r.getAs[Double]("p_value") === 0.01) // 1/(99+1): no extremes
+    assert(r.getAs[Long]("n_extreme") === 0L)
+  }
+
+  test("permutation test: identical groups are not significant") {
+    val rows = (1 to 50).map(i => (i.toLong, (i % 11).toLong, "A")) ++
+      (51 to 100).map(i => (i.toLong, (i % 11).toLong, "B"))
+    val df = rows.toDF("id", "v", "g")
+    val r = Hypothesis.permutationTestMeanDiff(df, "v", "g", "A", "B",
+      "id", nPerm = 99).head()
+    assert(r.getAs[Double]("p_value") > 0.1,
+      s"null effect must not look significant: ${r}")
+  }
+
+  test("permutation test is deterministic and partition-invariant") {
+    val rows = (1 to 80).map(i =>
+      (i.toLong, (i * 13 % 40).toLong, if (i % 2 == 0) "A" else "B"))
+    val df = rows.toDF("id", "v", "g")
+    val a = Hypothesis.permutationTestMeanDiff(df, "v", "g", "A", "B",
+      "id", nPerm = 50).head()
+    val b = Hypothesis.permutationTestMeanDiff(df.repartition(9), "v", "g",
+      "A", "B", "id", nPerm = 50).head()
+    assert(a === b)
+  }
 }
