@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3185,6 +3185,44 @@ object SparkEntry {
         when(col("o_orderpriority") < "3", "hi").otherwise("lo").as("grp"))
       Hypothesis.permutationTestMeanDiff(d, "cents", "grp", "hi", "lo",
         "o_orderkey", nPerm = 200)
+    }),
+
+    // one-row corpus card: the dataset-release summary a pipeline
+    // publishes next to the data
+    "q257_corpus_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+      val basic = d.agg(count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val vocab = d.select(explode(filter(split(col("text"), "\\s+"),
+          x => x =!= "")).as("w"))
+        .agg(countDistinct(col("w")).as("vocab"))
+      val dups = d.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg((sum("c") - count(lit(1))).as("n_dup_docs"))
+      basic.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"), col("vocab"),
+          col("n_dup_docs"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6)
+            .as("mean_tokens"))
+    }),
+
+    // Bradley-Terry preference strengths (3 MM updates) over
+    // within-order quantity preferences on 100 part buckets
+    "q258_bradley_terry" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o"),
+        (col("l_partkey") % 100).as("item"), col("l_quantity").as("q"))
+      val prefs = li
+        .join(li.select(col("o"), col("item").as("item2"),
+          col("q").as("q2")), "o")
+        .filter(col("item") =!= col("item2") && col("q") > col("q2"))
+        .select(col("item").as("winner"), col("item2").as("loser"))
+      Preference.bradleyTerry(prefs, "winner", "loser", iters = 3)
+        .orderBy("item")
     })
   )
 
@@ -7983,6 +8021,76 @@ object SparkEntry {
         |    - CAST(o.sb AS DOUBLE) / o.nb, 6) AS diff_obs,
         |  CAST(200 AS INT) AS n_perm, x.n_extreme,
         |  round(CAST(x.n_extreme + 1 AS DOUBLE) / 201, 6) AS p_value
-        |FROM o CROSS JOIN x""".stripMargin
+        |FROM o CROSS JOIN x""".stripMargin,
+
+    // identical aggregates; exact-integer everything but the mean
+    "q257_corpus_card" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, n_chars, lang, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS nt
+        |  FROM documents),
+        |basic AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM toks),
+        |v AS (
+        |  SELECT count(DISTINCT x) AS vocab FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS x FROM documents)),
+        |du AS (
+        |  SELECT CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs FROM (
+        |    SELECT md5(text) AS h, count(*) AS c FROM documents
+        |    GROUP BY 1))
+        |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, vocab,
+        |  n_dup_docs,
+        |  round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens
+        |FROM basic CROSS JOIN v CROSS JOIN du""".stripMargin,
+
+    // 3 unrolled MM updates (the q122 unrolled-iteration pattern);
+    // integer win/game counts, one float division chain per item
+    "q258_bradley_terry" -> {
+      def rnd(r: Int): String =
+        s"""p${r + 1} AS (
+           |  SELECT wm.i, CAST(wm.wi AS DOUBLE) / d.d AS pi
+           |  FROM wm JOIN (
+           |    SELECT pairs.i,
+           |      sum(CAST(n AS DOUBLE) / (pa.pi + pb.pi)) AS d
+           |    FROM pairs
+           |    JOIN p$r pa ON pairs.i = pa.i
+           |    JOIN p$r pb ON pairs.j = pb.i
+           |    GROUP BY 1) d ON wm.i = d.i)""".stripMargin
+      """WITH li AS (
+        |  SELECT l_orderkey AS o, l_partkey % 100 AS item, l_quantity AS q
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT a.item AS w, b.item AS l
+        |  FROM li a JOIN li b ON a.o = b.o AND a.item <> b.item
+        |    AND a.q > b.q),
+        |wins AS (SELECT w AS i, count(*) AS wi FROM g GROUP BY 1),
+        |od AS (SELECT w AS i, l AS j, count(*) AS nij FROM g GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i, j, CAST(sum(nij) AS BIGINT) AS n FROM (
+        |    SELECT i, j, nij FROM od
+        |    UNION ALL SELECT j, i, nij FROM od)
+        |  GROUP BY 1, 2),
+        |items AS (SELECT DISTINCT i FROM pairs),
+        |wm AS (SELECT items.i, CAST(coalesce(wi, 0) AS BIGINT) AS wi
+        |       FROM items LEFT JOIN wins USING (i)),
+        |p0 AS (SELECT i, 1.0 AS pi FROM items),
+        |""".stripMargin +
+        (0 until 3).map(rnd).mkString(",\n") +
+        """
+          |SELECT p3.i AS item, wm.wi AS wins, ng.n_games,
+          |  round(p3.pi / t.t, 6) AS score
+          |FROM p3
+          |JOIN wm USING (i)
+          |JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS n_games FROM pairs
+          |      GROUP BY 1) ng USING (i)
+          |CROSS JOIN (SELECT sum(pi) AS t FROM p3) t
+          |ORDER BY item""".stripMargin
+    }
   )
 }
