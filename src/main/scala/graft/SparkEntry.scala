@@ -3177,14 +3177,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
-    // deterministic permutation test on integral cents (exact sums)
+    // deterministic permutation test on integral cents (exact sums);
+    // customer-sized input — B·n md5 draws are the cost driver, and the
+    // statistic needs rows, not the biggest table
     "q256_permutation_test" -> ((s, dir) => {
-      val d = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        when(col("o_orderpriority") < "3", "hi").otherwise("lo").as("grp"))
-      Hypothesis.permutationTestMeanDiff(d, "cents", "grp", "hi", "lo",
-        "o_orderkey", nPerm = 200)
+      val d = t(s, dir, "customer").select(
+        col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", "b").otherwise("o")
+          .as("grp"))
+      Hypothesis.permutationTestMeanDiff(d, "cents", "grp", "b", "o",
+        "c_custkey", nPerm = 200)
     }),
 
     // one-row corpus card: the dataset-release summary a pipeline
@@ -7982,10 +7985,10 @@ object SparkEntry {
     // same integers — the comparison is bit-deterministic
     "q256_permutation_test" ->
       """WITH d AS (
-        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
-        |    (o_orderpriority < '3') AS ia
-        |  FROM orders),
+        |  SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+        |    (c_mktsegment = 'BUILDING') AS ia
+        |  FROM customer),
         |o AS (
         |  SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
         |      AS na,
