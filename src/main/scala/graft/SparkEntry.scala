@@ -3214,6 +3214,16 @@ object SparkEntry {
             .as("mean_tokens"))
     }),
 
+    // reciprocal rank of the first relevant doc (binary relevance =
+    // English), q248's MRR sibling
+    "q259_mrr" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        col("n_chars").as("score"),
+        (col("lang") === "en").cast("int").as("rel"))
+      Retrieval.reciprocalRankAtK(d, "source", "doc_id", "score", "rel", 10)
+        .orderBy("source")
+    }),
+
     // Bradley-Terry preference strengths (3 MM updates) over
     // within-order quantity preferences on 100 part buckets
     "q258_bradley_terry" -> ((s, dir) => {
@@ -8051,6 +8061,24 @@ object SparkEntry {
         |  n_dup_docs,
         |  round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens
         |FROM basic CROSS JOIN v CROSS JOIN du""".stripMargin,
+
+    // identical (score desc, doc) rank + min-relevant-rank selection
+    "q259_mrr" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars AS score,
+        |    CAST(lang = 'en' AS INT) AS rel
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, rel,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rk
+        |  FROM d)
+        |SELECT source, count(*) AS n_candidates,
+        |  CAST(min(CASE WHEN rel > 0 AND rk <= 10 THEN rk END) AS INT)
+        |    AS first_rel_rank,
+        |  round(1.0 / min(CASE WHEN rel > 0 AND rk <= 10 THEN rk END), 6)
+        |    AS rr
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // 3 unrolled MM updates (the q122 unrolled-iteration pattern);
     // integer win/game counts, one float division chain per item

@@ -193,6 +193,32 @@ object Retrieval {
     * @return per query: (queryCol, n_candidates, dcg, idcg, ndcg) —
     *         ndcg null when the query has no relevant docs (idcg 0)
     */
+  /** Reciprocal rank of the FIRST relevant document per query under the
+    * (score desc, doc asc) total order, truncated at k — MRR's per-query
+    * frame ([[ndcgAtK]]'s binary-relevance sibling; average `rr` for the
+    * headline MRR@k). ONE query-partitioned rank window + ONE per-query
+    * aggregation.
+    *
+    * @param relCol relevance, relevant iff > 0
+    * @return per query: (queryCol, n_candidates, first_rel_rank, rr) —
+    *         both null when no relevant doc lands in the top k
+    */
+  def reciprocalRankAtK(df: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreCol).desc, col(docCol))
+    df
+      .withColumn("__r", row_number().over(byScore))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(when(col(relCol) > 0 && col("__r") <= k, col("__r")))
+          .as("first_rel_rank"))
+      .select(col(queryCol), col("n_candidates"),
+        col("first_rel_rank").cast("int").as("first_rel_rank"),
+        round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
+  }
+
   def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
       scoreCol: String, relCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

@@ -110,6 +110,26 @@ class RetrievalSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("reciprocalRankAtK: first relevant rank, truncation, null cases") {
+    val d = Seq(
+      ("q1", 1L, 9.0, 0), ("q1", 2L, 8.0, 1), ("q1", 3L, 7.0, 1),
+      ("q2", 4L, 5.0, 0), ("q2", 5L, 4.0, 0),
+      ("q3", 6L, 3.0, 1)).toDF("query", "doc", "score", "rel")
+    val got = Retrieval.reciprocalRankAtK(d, "query", "doc", "score",
+        "rel", 10)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getInt(2),
+          r.getDouble(3))))).toMap
+    assert(got("q1") === Some((2, 0.5))) // first relevant at rank 2
+    assert(got("q2") === None)
+    assert(got("q3") === Some((1, 1.0)))
+    // k = 1 truncation: q1's first relevant (rank 2) falls outside
+    val k1 = Retrieval.reciprocalRankAtK(d, "query", "doc", "score",
+        "rel", 1)
+      .collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(k1("q1") && !k1("q3"))
+  }
+
   test("ndcgAtK: no relevant docs yields null ndcg; k truncates") {
     val none = Seq(("q", 1L, 2.0, 0), ("q", 2L, 1.0, 0))
       .toDF("query", "doc", "score", "rel")
