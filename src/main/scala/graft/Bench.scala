@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Weather instrumentation: a FIXED control query (one lineitem
   * aggregation) runs before the suite, after every 10th query, and at
   * the end; its timings ship in the JSON as `control` with
-  * `drift_factor` = max/min. A calm host keeps the factor near 1; CPU
+  * `drift_factor` = max/median. A calm host keeps the factor near 1; CPU
   * steal storms (MICROBENCH.md documents 10–40% steal on this host)
   * push it up, flagging single-shot regressions in the same run as
   * weather rather than code — adjudicate those with

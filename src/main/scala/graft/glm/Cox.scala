@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * S2(t) = Σ x_j x_jᵀ w_j, w_j = exp(x_jᵀβ). Newton–Raphson on the
   * driver: U = Σ_t [s_t − d_t·S1/S0], H = Σ_t d_t·[S2/S0 − (S1/S0)(S1/S0)ᵀ].
   *
-  * Efron ties (`ties = "efron"`, R `coxph`'s default — use it when
-  * porting R models): the d_t tied events at t each see the risk set
+  * Efron ties (`ties = "efron"`, THE default here as in R `coxph` —
+  * `"breslow"` remains the option): the d_t tied events at t each see the risk set
   * with the tied group progressively discounted. With event-only sums
   * E0/E1/E2 (same shape as S0/S1/S2 but over the rows failing AT t) and
   * S0ₗ = S0 − (l/d)·E0, l = 0..d−1:
@@ -67,15 +67,17 @@ object Cox {
     *                  windows over per-stratum distinct-time frames (the
     *                  grouped-KM caveat class); the unstratified path
     *                  keeps the two-level global pass.
-    * @param ties      `"breslow"` (this engine's historical default) or
-    *                  `"efron"` (R `coxph`'s default; exact match for
-    *                  R-ported models on tied data). Identical fits when
-    *                  no two events share a duration.
+    * @param ties      `"efron"` (the DEFAULT, matching R `coxph` — an
+    *                  R-ported model fits identically without touching
+    *                  this knob) or `"breslow"` (the simpler convention
+    *                  most textbooks derive; SAS `phreg`'s default).
+    *                  Identical fits when no two events share a
+    *                  duration.
     */
   def fit(df: DataFrame, durationCol: String, eventCol: String,
       features: Seq[String], tol: Double = 1e-8, maxIter: Int = 25,
       strataCol: Option[String] = None,
-      ties: String = "breslow"): CoxModel = {
+      ties: String = "efron"): CoxModel = {
     require(features.nonEmpty, "need at least one covariate")
     require(ties == "breslow" || ties == "efron",
       s"ties must be 'breslow' or 'efron', got '$ties'")

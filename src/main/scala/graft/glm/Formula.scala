@@ -163,8 +163,10 @@ object Formula {
   *
   *   expr   := term (('+' | '-') term)*
   *   term   := factor (('*' | '/') factor)*
-  *   factor := atom ('^' factor)?                 (right-associative)
-  *   atom   := number | ident | fn '(' expr ')' | '(' expr ')' | '-' atom
+  *   factor := '-' factor | atom ('^' factor)?    (right-associative;
+  *             '^' binds TIGHTER than unary '-', matching R: -x^2 is
+  *             -(x^2), not (-x)^2)
+  *   atom   := number | ident | fn '(' expr ')' | '(' expr ')'
   *   fn     := I | log | log1p | log2 | log10 | exp | sqrt | abs
   *
   * Produces a Catalyst [[org.apache.spark.sql.Column]] — every transform
@@ -227,9 +229,14 @@ object FormulaExpr {
     }
 
     private def factor(): Column = {
-      val b = atom()
       skipWs()
-      if (peek == '^') { pos += 1; F.pow(b, factor()) } else b
+      // unary minus lives HERE, below '^', so -x^2 = -(x^2) as in R
+      if (peek == '-') { pos += 1; -factor() }
+      else {
+        val b = atom()
+        skipWs()
+        if (peek == '^') { pos += 1; F.pow(b, factor()) } else b
+      }
     }
 
     private def atom(): Column = {
@@ -241,8 +248,7 @@ object FormulaExpr {
         require(peek == ')', s"expected ')' at $pos in: $s")
         pos += 1
         c
-      } else if (peek == '-') { pos += 1; -atom() }
-      else if (peek.isDigit || peek == '.') {
+      } else if (peek.isDigit || peek == '.') {
         val start = pos
         while (pos < s.length && (s.charAt(pos).isDigit || s.charAt(pos) == '.'))
           pos += 1

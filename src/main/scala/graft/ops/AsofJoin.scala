@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * survives 100 TB (it is how stream-table temporal joins execute).
   *
   * Ties: a right row at exactly left.ts IS visible (sorts before the left
-  * row), matching ASOF `>=` semantics. Right rows must be unique per
-  * (keys, ts) for a deterministic result.
+  * row), matching ASOF `>=` semantics. Among right rows sharing
+  * (keys, ts), the winner is the row with the LARGEST xxhash64 of its
+  * carried value struct — an arbitrary but deterministic, partitioning-
+  * stable tiebreak (without it, `last` over equal sort keys follows
+  * shuffle order). Keep right unique per (keys, ts) when the pick must
+  * be semantically meaningful rather than merely reproducible.
   */
 object AsofJoin {
 
@@ -52,9 +56,10 @@ object AsofJoin {
         struct(valueCols.map(col): _*).as("__rv"): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    l.withColumn("__tb", lit(0L))
+      .unionByName(r.withColumn("__tb", xxhash64(col("__rv"))))
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
@@ -62,8 +67,12 @@ object AsofJoin {
   }
 
   /** Nearest join — for each left row, the single right row with equal
-    * keys minimizing |left.ts − right.ts| (ties break to the EARLIER
-    * right row). The bidirectional sibling of [[asofJoin]] — sensor
+    * keys minimizing |left.ts − right.ts| (distance ties break to the
+    * EARLIER right row; among right rows sharing the SAME (keys, ts),
+    * the largest xxhash64 of the carried value struct wins — the same
+    * deterministic tiebreak as [[asofJoin]], applied to both carries so
+    * backward and forward agree). The bidirectional sibling of
+    * [[asofJoin]] — sensor
     * alignment, closest-quote matching, nearest-snapshot enrichment.
     *
     * Same scale shape as [[asofJoin]]: one keyed shuffle + per-key sort;
@@ -117,13 +126,17 @@ object AsofJoin {
     // evaluates a (currentRow, unboundedFollowing) aggregate frame by
     // re-scanning to the partition end for EVERY row: O(n²) per key
     // (observed 146 s vs ~2 s on a 21k-row stratum).
+    // __tb breaks ties among right rows at the same (keys, ts): the
+    // forward window keeps __tb ASCENDING under the reversed ts/side
+    // sort so both carries crown the same max-hash row.
     val wb = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").desc, col("__side").desc)
+      .orderBy(col("__ts").desc, col("__side").desc, col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCand = l.unionByName(r)
+    val withCand = l.withColumn("__tb", lit(0L))
+      .unionByName(r.withColumn("__tb", xxhash64(col("__rv"))))
       .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
       .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)

@@ -392,9 +392,12 @@ object Hypothesis {
     * Execution: one 4-scalar observed pass; the permutation pass is ONE
     * `explode(1..B)` + ONE (perm, side) aggregation (B·n rows through a
     * single shuffle of B·2 cells); the comparison frame is B rows.
-    * Feed an INTEGER value column (cents, counts) and the entire
-    * statistic is exact-integer sums + one final division — bit-identical
-    * across engines.
+    * The value column MUST be integral (cents, counts) — enforced with
+    * a `require`, because the entire statistic is then exact-integer
+    * sums + one final division, bit-identical across engines (a double
+    * column would also be silently truncated by the long cast).
+    * Rows with a null value are dropped BEFORE counting, so they
+    * contribute to neither the group sizes nor the sums.
     *
     * p = (1 + #{|diff_p| ≥ |diff_obs|}) / (B + 1) (the add-one
     * permutation convention — never exactly zero).
@@ -405,7 +408,15 @@ object Hypothesis {
       groupCol: String, a: String, b: String, idCol: String,
       nPerm: Int = 100): DataFrame = {
     require(nPerm >= 1, s"need nPerm >= 1, got $nPerm")
-    val base = df.filter(both(groupCol, a, b))
+    val vt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"permutationTestMeanDiff needs an integral '$valueCol' so the " +
+        s"statistic stays exact-integer (got $vt) — pre-scale to " +
+        "cents/counts and cast upstream")
+    val base = df.filter(both(groupCol, a, b) && col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(valueCol).cast("long").as("__v"),
         (col(groupCol) === a).as("__ia"))

@@ -176,23 +176,6 @@ object Retrieval {
       .filter(col("df") >= minDf)
   }
 
-  /** NDCG@k — the graded-relevance ranking metric (Järvelin &
-    * Kekäläinen 2002, exponential gain): per query,
-    *
-    *   DCG@k = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)  over the ranking
-    *   by (score desc, doc asc); IDCG@k re-ranks by (rel desc, doc asc);
-    *   ndcg = DCG/IDCG.
-    *
-    * The doc-id tiebreak makes both rankings total orders, so the
-    * metric is deterministic and engine-reproducible. Two windows
-    * PARTITIONED BY the query (per-query candidate lists are
-    * retrieval-depth-sized, never corpus-sized) + one per-query
-    * aggregation.
-    *
-    * @param relCol integer graded relevance ≥ 0 (0 = irrelevant)
-    * @return per query: (queryCol, n_candidates, dcg, idcg, ndcg) —
-    *         ndcg null when the query has no relevant docs (idcg 0)
-    */
   /** Reciprocal rank of the FIRST relevant document per query under the
     * (score desc, doc asc) total order, truncated at k — MRR's per-query
     * frame ([[ndcgAtK]]'s binary-relevance sibling; average `rr` for the
@@ -219,6 +202,23 @@ object Retrieval {
         round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
   }
 
+  /** NDCG@k — the graded-relevance ranking metric (Järvelin &
+    * Kekäläinen 2002, exponential gain): per query,
+    *
+    *   DCG@k = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)  over the ranking
+    *   by (score desc, doc asc); IDCG@k re-ranks by (rel desc, doc asc);
+    *   ndcg = DCG/IDCG.
+    *
+    * The doc-id tiebreak makes both rankings total orders, so the
+    * metric is deterministic and engine-reproducible. Two windows
+    * PARTITIONED BY the query (per-query candidate lists are
+    * retrieval-depth-sized, never corpus-sized) + one per-query
+    * aggregation.
+    *
+    * @param relCol integer graded relevance ≥ 0 (0 = irrelevant)
+    * @return per query: (queryCol, n_candidates, dcg, idcg, ndcg) —
+    *         ndcg null when the query has no relevant docs (idcg 0)
+    */
   def ndcgAtK(df: DataFrame, queryCol: String, docCol: String,
       scoreCol: String, relCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

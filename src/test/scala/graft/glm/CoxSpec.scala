@@ -62,7 +62,7 @@ class CoxSpec extends SparkSpec {
 
   test("fit matches an independent local Breslow Newton solver") {
     val df = data.toDF("t", "e", "x1", "x2")
-    val m = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    val m = Cox.fit(df, "t", "e", Seq("x1", "x2"), ties = "breslow")
     val ref = localCox(data.map { case (t, e, a, b) =>
       (t, e, Array(a, b)) }, p = 2)
     assert(math.abs(m.beta(0) - ref(0)) < 1e-6,
@@ -236,8 +236,8 @@ class CoxSpec extends SparkSpec {
 
   test("efron and breslow disagree on tied data, agree when untied") {
     val df = tied.toDF("t", "e", "x1", "x2")
-    val eb = Cox.fit(df, "t", "e", Seq("x1", "x2"), ties = "efron")
-    val bb = Cox.fit(df, "t", "e", Seq("x1", "x2"))
+    val eb = Cox.fit(df, "t", "e", Seq("x1", "x2")) // efron IS the default
+    val bb = Cox.fit(df, "t", "e", Seq("x1", "x2"), ties = "breslow")
     assert(math.abs(eb.beta(0) - bb.beta(0)) > 1e-4,
       "ties present: conventions must differ")
     // untied fixture: identical fits to high precision

@@ -96,6 +96,11 @@ class FormulaSpec extends SparkSpec {
     assert(math.abs(evalD("I(-2 + 10 / 4)") - 0.5) < 1e-12)
     assert(math.abs(evalD("log(exp(1))") - 1.0) < 1e-12)
     assert(math.abs(evalD("sqrt(abs(0 - 9))") - 3.0) < 1e-12)
+    // R precedence: '^' binds tighter than unary '-', so -x^2 = -(x^2)
+    assert(math.abs(evalD("I(-3 ^ 2)") - (-9.0)) < 1e-12)
+    assert(math.abs(evalD("I((-3) ^ 2)") - 9.0) < 1e-12)
+    assert(math.abs(evalD("I(2 ^ -1)") - 0.5) < 1e-12)
+    assert(math.abs(evalD("I(-2 * 3 ^ 2)") - (-18.0)) < 1e-12)
   }
 
   test("LM golden fit with transformed terms: y ~ log(x) + I(z^2)") {
