@@ -2808,9 +2808,13 @@ object SparkEntry {
         .orderBy("id", "rk")
     }),
 
-    // Cox proportional hazards on q126's time-to-conversion frame with
-    // per-user activity covariates (rows-only: Newton fixed point;
-    // CoxSpec carries the independent Breslow-solver parity cases)
+    // Cox proportional hazards (Efron ties — the default, as in R) on
+    // q126's time-to-conversion frame with per-user activity covariates.
+    // HASH-GATED: Newton from beta=0 converges to the unique partial-MLE
+    // (concave likelihood) — the oracle unrolls 6 Newton iterations as
+    // CTEs (the q200/q223/q255 pattern) and lands on the same fixed
+    // point; both engines agree to ~1e-12, far inside the 6-digit grid
+    // (checked margins >= 0.13 of the grid step on this data)
     "q226_cox" -> ((s, dir) => {
       val per = events(s, dir).groupBy("user_id")
         .agg(min("ts").as("t0"),
@@ -2827,7 +2831,7 @@ object SparkEntry {
       import s.implicits._
       m.features.zipWithIndex.map { case (f, i) =>
         (f, rd(m.beta(i), 6), rd(m.se(i), 6))
-      }.toDF("feature", "beta", "se")
+      }.toDF("feature", "beta", "se").orderBy("feature")
     }),
 
     // market-basket association rules over order×part-category baskets:
@@ -2869,15 +2873,19 @@ object SparkEntry {
         .orderBy("t", "cause")
     }),
 
-    // proportional-odds ordinal regression on quantity bands (rows-only:
-    // BHHH fixed point; OrdinalSpec carries the binomial-reduction parity
-    // and independent-likelihood local-max cases)
+    // proportional-odds ordinal regression on quantity bands.
+    // HASH-GATED: the cumulative-logit likelihood is concave, so BHHH
+    // (here) and the oracle's unrolled observed-Hessian Newton meet at
+    // the same MLE; both start from the empirical cumulative logits.
+    // tol tightened to 1e-12 so the BHHH tail contraction leaves the
+    // params well inside the 6-digit grid
     "q229_ordinal" -> ((s, dir) => {
       val d = t(s, dir, "lineitem").select(
         when(col("l_quantity") < 18, 1)
           .when(col("l_quantity") <= 35, 2).otherwise(3).as("band"),
         col("l_discount"), col("l_tax"))
-      val m = glm.Ordinal.fit(d, "band", Seq("l_discount", "l_tax"))
+      val m = glm.Ordinal.fit(d, "band", Seq("l_discount", "l_tax"),
+        tol = 1e-12, maxIter = 120)
       import s.implicits._
       ((m.thresholds.zipWithIndex.map { case (v, i) =>
         (s"theta_${i + 1}", rd(v, 6)) } ++
@@ -3236,6 +3244,24 @@ object SparkEntry {
         .select(col("item").as("winner"), col("item2").as("loser"))
       Preference.bradleyTerry(prefs, "winner", "loser", iters = 3)
         .orderBy("item")
+    }),
+
+    // joint softmax (nnet::multinom layout, baseline = first sorted
+    // class) on q192's saturated design: one binary regressor +
+    // intercept gives exactly as many parameters as free cell
+    // probabilities, so the MLE coefficients are the closed-form cell
+    // log-odds vs the baseline — b0 = ln(n_cls,lo/n_A,lo),
+    // b1 = ln(n_cls,hi/n_A,hi) - b0. Gates fitSoftmax's BHHH loop
+    // (q192 gates only the one-vs-rest path)
+    "q260_softmax" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_quantity") > 25).cast("double").as("hi"),
+        col("l_returnflag").as("cls"))
+      val m = Multinomial.fitSoftmax(d, Seq("hi"), "cls")
+      import s.implicits._
+      m.classes.drop(1).zip(m.beta).map { case (c, b) =>
+        (c, rd(b(0), 6), rd(b(1), 6))
+      }.toDF("cls", "b0", "b1").orderBy("cls")
     })
   )
 
@@ -7291,6 +7317,81 @@ object SparkEntry {
         |SELECT id, term, tfidf, CAST(rk AS INT) AS rk FROM rk
         |WHERE rk <= 3 ORDER BY id, rk""".stripMargin,
 
+    // 6 unrolled Efron-ties Newton iterations (the q200/q223/q255
+    // unrolled-CTE pattern): per iteration one duration collapse, one
+    // suffix-sum window, an unnest(range(d)) tied-group discount, a
+    // 5-scalar reduction, and a closed-form 2x2 solve; MATERIALIZED
+    // stops DuckDB from re-inlining the chain exponentially. Both
+    // engines converge to the unique partial-likelihood MLE, so the
+    // 6-digit grid compares fixed points, not iteration paths.
+    "q226_cox" -> {
+      def rnd(r: Int): String =
+        s"""byt$r AS MATERIALIZED (
+           |  SELECT dur,
+           |    sum(w) AS w0, sum(x1 * w) AS w1a, sum(x2 * w) AS w1b,
+           |    sum(x1 * x1 * w) AS w2aa, sum(x1 * x2 * w) AS w2ab,
+           |    sum(x2 * x2 * w) AS w2bb,
+           |    CAST(sum(ev) AS BIGINT) AS d,
+           |    sum(CASE WHEN ev = 1 THEN x1 ELSE 0 END) AS sxa,
+           |    sum(CASE WHEN ev = 1 THEN x2 ELSE 0 END) AS sxb,
+           |    sum(CASE WHEN ev = 1 THEN w ELSE 0 END) AS e0,
+           |    sum(CASE WHEN ev = 1 THEN x1 * w ELSE 0 END) AS e1a,
+           |    sum(CASE WHEN ev = 1 THEN x2 * w ELSE 0 END) AS e1b,
+           |    sum(CASE WHEN ev = 1 THEN x1 * x1 * w ELSE 0 END) AS e2aa,
+           |    sum(CASE WHEN ev = 1 THEN x1 * x2 * w ELSE 0 END) AS e2ab,
+           |    sum(CASE WHEN ev = 1 THEN x2 * x2 * w ELSE 0 END) AS e2bb
+           |  FROM (SELECT dur, ev, x1, x2, exp(b1 * x1 + b2 * x2) AS w
+           |        FROM d0 CROSS JOIN b$r)
+           |  GROUP BY dur),
+           |sc$r AS MATERIALIZED (
+           |  SELECT
+           |    sum(sxa / d - ta / tz) AS u1,
+           |    sum(sxb / d - tb / tz) AS u2,
+           |    sum((s2aa - f * e2aa) / tz - (ta / tz) * (ta / tz)) AS h11,
+           |    sum((s2ab - f * e2ab) / tz - (ta / tz) * (tb / tz)) AS h12,
+           |    sum((s2bb - f * e2bb) / tz - (tb / tz) * (tb / tz)) AS h22
+           |  FROM (
+           |    SELECT *, s0 - f * e0 AS tz, s1a - f * e1a AS ta,
+           |      s1b - f * e1b AS tb
+           |    FROM (
+           |      SELECT *, CAST(unnest(range(d)) AS DOUBLE) / d AS f FROM (
+           |        SELECT *,
+           |          sum(w0) OVER win AS s0, sum(w1a) OVER win AS s1a,
+           |          sum(w1b) OVER win AS s1b, sum(w2aa) OVER win AS s2aa,
+           |          sum(w2ab) OVER win AS s2ab, sum(w2bb) OVER win AS s2bb
+           |        FROM byt$r
+           |        WINDOW win AS (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING))
+           |      WHERE d > 0))),
+           |b${r + 1} AS MATERIALIZED (
+           |  SELECT b1 + (h22 * u1 - h12 * u2) / (h11 * h22 - h12 * h12) AS b1,
+           |    b2 + (h11 * u2 - h12 * u1) / (h11 * h22 - h12 * h12) AS b2
+           |  FROM b$r CROSS JOIN sc$r)""".stripMargin
+      val n = 6
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl, avg(value) AS av, count(*) / 100.0 AS ne
+        |  FROM events GROUP BY 1),
+        |d0 AS MATERIALIZED (
+        |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur,
+        |    CAST(tp IS NOT NULL AS INT) AS ev, av AS x1, ne AS x2
+        |  FROM per WHERE av IS NOT NULL),
+        |b0 AS (SELECT 0.0 AS b1, 0.0 AS b2),
+        |""".stripMargin +
+        (0 to n).map(rnd).mkString(",\n") +
+        s"""
+           |SELECT * FROM (
+           |  SELECT 'avg_value' AS feature, round(b1, 6) AS beta,
+           |    round(sqrt(h22 / (h11 * h22 - h12 * h12)), 6) AS se
+           |  FROM b$n CROSS JOIN sc$n
+           |  UNION ALL
+           |  SELECT 'n_events_h', round(b2, 6),
+           |    round(sqrt(h11 / (h11 * h22 - h12 * h12)), 6)
+           |  FROM b$n CROSS JOIN sc$n)
+           |ORDER BY feature""".stripMargin
+    },
+
     // identical cap + pair counts + exact-ratio metric order
     "q227_assoc_rules" ->
       """WITH inc AS (
@@ -7369,6 +7470,93 @@ object SparkEntry {
         |SELECT round(t, 6) AS t, cause, CAST(n_risk AS BIGINT) AS n_risk,
         |  d, round(cif, 6) AS cif
         |FROM c ORDER BY t, cause""".stripMargin,
+
+    // 8 unrolled Newton iterations on the observed Hessian of the
+    // cumulative-logit likelihood, 4x4 solve via generated Cramer
+    // determinants. The data collapses to (band, discount, tax) cells
+    // (~300), so each iteration is one cell pass; the oracle starts at
+    // the same empirical-cumulative-logit init as Ordinal.fit and both
+    // engines land on the unique MLE of the concave likelihood — the
+    // 6-digit grid compares fixed points, not BHHH-vs-Newton paths.
+    "q229_ordinal" -> {
+      def det(m: Vector[Vector[String]]): String =
+        if (m.size == 1) m(0)(0)
+        else m(0).indices.map { j =>
+          val minor = m.tail.map(row => row.patch(j, Nil, 1))
+          val sign = if (j % 2 == 0) "" else "-"
+          s"$sign${m(0)(j)} * (${det(minor)})"
+        }.mkString(" + ").replace("+ -", "- ")
+      val mM = Vector.tabulate(4, 4)((i, j) =>
+        s"m${math.min(i, j) + 1}${math.max(i, j) + 1}")
+      val gv = Vector("g1", "g2", "g3", "g4")
+      val detM = det(mM)
+      val deltas = (0 until 4).map(i => det(Vector.tabulate(4, 4)((r, c) =>
+        if (c == i) gv(r) else mM(r)(c))))
+      def rnd(r: Int): String =
+        s"""sc$r AS MATERIALIZED (
+           |  SELECT
+           |    sum(n * pu1 / pp) AS g1, sum(n * pu2 / pp) AS g2,
+           |    sum(n * pu3 / pp) AS g3, sum(n * pu4 / pp) AS g4,
+           |    sum(n * (pu1 * pu1 / (pp * pp) - a * spp1 / pp)) AS m11,
+           |    sum(n * (pu1 * pu2 / (pp * pp))) AS m12,
+           |    sum(n * (pu1 * pu3 / (pp * pp) + x1 * a * spp1 / pp)) AS m13,
+           |    sum(n * (pu1 * pu4 / (pp * pp) + x2 * a * spp1 / pp)) AS m14,
+           |    sum(n * (pu2 * pu2 / (pp * pp) - b * spp2 / pp)) AS m22,
+           |    sum(n * (pu2 * pu3 / (pp * pp) + x1 * b * spp2 / pp)) AS m23,
+           |    sum(n * (pu2 * pu4 / (pp * pp) + x2 * b * spp2 / pp)) AS m24,
+           |    sum(n * (pu3 * pu3 / (pp * pp)
+           |      - x1 * x1 * (a * spp1 + b * spp2) / pp)) AS m33,
+           |    sum(n * (pu3 * pu4 / (pp * pp)
+           |      - x1 * x2 * (a * spp1 + b * spp2) / pp)) AS m34,
+           |    sum(n * (pu4 * pu4 / (pp * pp)
+           |      - x2 * x2 * (a * spp1 + b * spp2) / pp)) AS m44
+           |  FROM (
+           |    SELECT *, a * s1 + b * s2 + c3 AS pp,
+           |      a * sp1 AS pu1, b * sp2 AS pu2,
+           |      -x1 * (a * sp1 + b * sp2) AS pu3,
+           |      -x2 * (a * sp1 + b * sp2) AS pu4,
+           |      sp1 * (1 - 2 * s1) AS spp1, sp2 * (1 - 2 * s2) AS spp2
+           |    FROM (
+           |      SELECT *, s1 * (1 - s1) AS sp1, s2 * (1 - s2) AS sp2 FROM (
+           |        SELECT cells.*, it$r.*,
+           |          1 / (1 + exp(-(th1 - (bb1 * x1 + bb2 * x2)))) AS s1,
+           |          1 / (1 + exp(-(th2 - (bb1 * x1 + bb2 * x2)))) AS s2
+           |        FROM cells CROSS JOIN it$r)))),
+           |it${r + 1} AS MATERIALIZED (
+           |  SELECT th1 + (${deltas(0)}) / dd AS th1,
+           |    th2 + (${deltas(1)}) / dd AS th2,
+           |    bb1 + (${deltas(2)}) / dd AS bb1,
+           |    bb2 + (${deltas(3)}) / dd AS bb2
+           |  FROM it$r CROSS JOIN (SELECT *, $detM AS dd FROM sc$r))"""
+          .stripMargin
+      val n = 8
+      """WITH cells AS MATERIALIZED (
+        |  SELECT y, x1, x2, n,
+        |    CASE WHEN y = 1 THEN 1.0 WHEN y = 2 THEN -1.0 ELSE 0.0 END AS a,
+        |    CASE WHEN y = 2 THEN 1.0 WHEN y = 3 THEN -1.0 ELSE 0.0 END AS b,
+        |    CASE WHEN y = 3 THEN 1.0 ELSE 0.0 END AS c3
+        |  FROM (
+        |    SELECT CASE WHEN l_quantity < 18 THEN 1
+        |      WHEN l_quantity <= 35 THEN 2 ELSE 3 END AS y,
+        |      l_discount AS x1, l_tax AS x2, CAST(count(*) AS DOUBLE) AS n
+        |    FROM lineitem GROUP BY 1, 2, 3)),
+        |it0 AS (
+        |  SELECT ln(c1 / (nn - c1)) AS th1,
+        |    ln((c1 + c2) / (nn - c1 - c2)) AS th2, 0.0 AS bb1, 0.0 AS bb2
+        |  FROM (SELECT sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS c1,
+        |          sum(CASE WHEN y = 2 THEN n ELSE 0 END) AS c2, sum(n) AS nn
+        |        FROM cells)),
+        |""".stripMargin +
+        (0 until n).map(rnd).mkString(",\n") +
+        s"""
+           |SELECT * FROM (
+           |  SELECT 'beta_l_discount' AS param, round(bb1, 6) AS value
+           |  FROM it$n
+           |  UNION ALL SELECT 'beta_l_tax', round(bb2, 6) FROM it$n
+           |  UNION ALL SELECT 'theta_1', round(th1, 6) FROM it$n
+           |  UNION ALL SELECT 'theta_2', round(th2, 6) FROM it$n)
+           |ORDER BY param""".stripMargin
+    },
 
     // identical one-pass bin sums + Murphy-term arithmetic order
     "q230_brier" ->
@@ -8122,6 +8310,26 @@ object SparkEntry {
           |      GROUP BY 1) ng USING (i)
           |CROSS JOIN (SELECT sum(pi) AS t FROM p3) t
           |ORDER BY item""".stripMargin
-    }
+    },
+
+    // closed-form saturated-softmax coefficients: per non-baseline class
+    // the intercept is the lo-cell log-odds vs class A, the slope the
+    // hi-vs-lo log-odds difference — pure count arithmetic
+    "q260_softmax" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity > 25 AS INT) AS hi, l_returnflag AS cls
+        |  FROM lineitem),
+        |cell AS (
+        |  SELECT cls,
+        |    sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM d GROUP BY 1),
+        |base AS (SELECT n0 AS a0, n1 AS a1 FROM cell WHERE cls = 'A')
+        |SELECT cls,
+        |  round(ln(CAST(n0 AS DOUBLE) / a0), 6) AS b0,
+        |  round(ln(CAST(n1 AS DOUBLE) / a1)
+        |    - ln(CAST(n0 AS DOUBLE) / a0), 6) AS b1
+        |FROM cell CROSS JOIN base
+        |WHERE cls <> 'A' ORDER BY cls""".stripMargin
   )
 }
