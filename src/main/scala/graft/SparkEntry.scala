@@ -3262,6 +3262,15 @@ object SparkEntry {
       m.classes.drop(1).zip(m.beta).map { case (c, b) =>
         (c, rd(b(0), 6), rd(b(1), 6))
       }.toDF("cls", "b0", "b1").orderBy("cls")
+    }),
+
+    // duplicated-span REMOVAL (the action q249 profiles): every token
+    // covered by a 5-gram occurring in >= 2 documents is dropped and
+    // the doc rebuilt — Lee-et-al-style exact-substring dedup
+    "q261_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 5)
+        .orderBy("doc_id")
     })
   )
 
@@ -8330,6 +8339,44 @@ object SparkEntry {
         |  round(ln(CAST(n1 AS DOUBLE) / a1)
         |    - ln(CAST(n0 AS DOUBLE) / a0), 6) AS b1
         |FROM cell CROSS JOIN base
-        |WHERE cls <> 'A' ORDER BY cls""".stripMargin
+        |WHERE cls <> 'A' ORDER BY cls""".stripMargin,
+
+    // same gram positions (string grams vs 64-bit hashed grams — equal
+    // modulo negligible xxhash64 collisions), same covered-index
+    // expansion, same index-ordered rebuild
+    "q261_span_removal" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, g AS i, array_to_string(t[g + 1 : g + 5], ' ')
+        |    AS gram
+        |  FROM d, unnest(generate_series(0, len(t) - 5)) AS s(g)
+        |  WHERE len(t) >= 5),
+        |dup AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS c FROM grams GROUP BY 1)
+        |  WHERE c >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, cv
+        |  FROM grams JOIN dup USING (gram),
+        |    unnest(generate_series(i, i + 4)) AS u(cv)),
+        |tok AS (
+        |  SELECT doc_id, t[ix + 1] AS tok, CAST(ix AS BIGINT) AS idx
+        |  FROM d, unnest(generate_series(0, len(t) - 1)) AS u(ix)
+        |  WHERE len(t) > 0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.tok, tok.idx FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = tok.doc_id AND cov.cv = tok.idx)),
+        |r AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(text_clean, '') AS text_clean,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -101,6 +101,67 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the action
+    * [[duplicateSpans]] profiles (Lee et al. 2022's exact-substring
+    * dedup, word-level): every token covered by an n-gram that occurs
+    * in >= `minDocs` distinct documents is dropped, and the document is
+    * rebuilt from the surviving tokens. Run after document-level
+    * near-dedup to strip boilerplate/template spans that whole-doc
+    * MinHash can't see.
+    *
+    * Execution (all relational, no per-doc quadratic work):
+    *  1. positions explode to 64-bit gram hashes (strings never
+    *     shuffle);
+    *  2. ONE distinct (gram, doc) pass + groupBy finds duplicated grams
+    *     (doc frequency >= minDocs) — the join back is against this
+    *     FILTERED, much smaller side;
+    *  3. each duplicated position fans out to its n covered token
+    *     indices (bounded n× blow-up of duplicated positions only);
+    *  4. a (doc, index) left-anti join keeps uncovered tokens, and a
+    *     per-doc sort-rebuild emits the cleaned text.
+    * Shapes are keyed aggregations/joins throughout — no self-join, no
+    * cap needed; per-doc state is bounded by document length, the same
+    * bound any row-wise text operator already carries.
+    *
+    * @return per doc: (idCol, text_clean, n_tokens, n_kept) —
+    *         text_clean is "" when every token was covered
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val toksOf = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = fanOut(df).select(col(idCol).as("__id"), toksOf.as("__toks"))
+    val gramArr = when(size(col("__toks")) < n,
+        array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(col("__toks")) - n),
+        i => xxhash64(slice(col("__toks"), i + 1, lit(n)))))
+    val grams = base.select(col("__id"),
+      posexplode(gramArr).as(Seq("__i", "__g")))
+    val dupGrams = grams.select("__g", "__id").distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__g")
+    val covered = grams.join(dupGrams, Seq("__g"))
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__idx"))
+      .distinct()
+    val tok = base.select(col("__id"),
+      posexplode(col("__toks")).as(Seq("__idx", "__tok")))
+    val rebuilt = tok.join(covered, Seq("__id", "__idx"), "left_anti")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text_clean"))
+    df.select(col(idCol), size(toksOf).cast("long").as("n_tokens"))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        coalesce(col("__kept"), lit(0L)).as("n_kept"))
+  }
+
   /** splitmix64 finalizer — the per-function mix for MinHash. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0

@@ -328,4 +328,44 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === ((3L, 2L))) // positions: aba, bab, aba; aba dup'd
     assert(got(2L) === ((1L, 1L)))
   }
+
+  test("removeDuplicateSpans drops covered tokens, keeps the rest") {
+    // docs 1 and 2 share the trigram "a b c": doc 1 loses tokens 0-2,
+    // doc 2 loses tokens 2-4; doc 3 untouched; doc 4 shorter than n
+    val df = Seq(
+      (1L, "a b c x y"), (2L, "p q a b c"), (3L, "u v w z k"),
+      (4L, "s t")).toDF("id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) === (("x y", 5L, 2L)))
+    assert(got(2L) === (("p q", 5L, 2L)))
+    assert(got(3L) === (("u v w z k", 5L, 5L)))
+    assert(got(4L) === (("s t", 2L, 2L)))
+  }
+
+  test("removeDuplicateSpans: overlapping spans union; full wipe -> empty") {
+    // docs share both trigrams of "a b c d" -> all 4 tokens covered in
+    // doc 1; doc 2's copy is also fully covered mid-string
+    val df = Seq((1L, "a b c d"), (2L, "x a b c d y"))
+      .toDF("id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) === (("", 4L, 0L)))
+    assert(got(2L) === (("x y", 6L, 2L)))
+  }
+
+  test("removeDuplicateSpans is partition-invariant") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, if (i % 4 == 0) s"common span here t$i u$i"
+        else s"w$i common span here z$i")).toDF("id", "text")
+    val a = Dedup.removeDuplicateSpans(df, "id", "text", n = 3)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.removeDuplicateSpans(df.repartition(7), "id", "text",
+      n = 3).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
 }
