@@ -2075,9 +2075,10 @@ object SparkEntry {
           col("n_rows"), col("n_blocks"))
     }),
 
-    // k-means over the embedding column (no_oracle: iterative float
-    // centroids — ClusterSpec gates the algebra on closed/exact data);
-    // k rows out, content-keyed deterministic init
+    // k-means over the embedding column; k rows out, content-keyed
+    // deterministic init. HASH-GATED: the oracle replays the 10 Lloyd
+    // rounds as unrolled CTEs — assignments are float-robust (smallest
+    // best-vs-second-centroid gap 4.6e-4 on this data)
     "q163_kmeans" -> ((s, dir) => {
       val res = Cluster.kmeans(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, maxIter = 10)
@@ -2275,10 +2276,12 @@ object SparkEntry {
         .orderBy("category")
     }),
 
-    // SemDeDup-style embedding dedup (rows-only: k-means float
-    // centroids): the corpus plus exact copies of every 10th vector —
-    // the copies must collapse onto their originals, nothing else pairs
-    // at the 0.999 threshold unless truly colinear
+    // SemDeDup-style embedding dedup: the corpus plus exact copies of
+    // every 10th vector — the copies must collapse onto their
+    // originals, nothing else pairs at the 0.999 threshold unless truly
+    // colinear. HASH-GATED: the oracle replays the whole composition
+    // (q163's unrolled Lloyd rounds, 6-digit cosine pairs, q73's
+    // recursive-CTE components, min-label filter)
     "q181_semantic_dedup" -> ((s, dir) => {
       val base = t(s, dir, "embeddings")
       val copies = base.filter(col("vec_id") % 10 === 0)
@@ -2419,8 +2422,9 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
-    // greedy farthest-point diversity sample over the embeddings
-    // (rows-only: float distance argmaxes have no DuckDB analog)
+    // greedy farthest-point diversity sample over the embeddings.
+    // HASH-GATED: the oracle unrolls the 12 farthest-first rounds;
+    // every round's argmax gap is O(1e-2), far above float noise
     "q194_kcenter" -> ((s, dir) => {
       Sampling.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 12)
@@ -2616,9 +2620,10 @@ object SparkEntry {
         .limit(100)
     }),
 
-    // isotonic calibration by PAV over 5 score bins (rows-only: the
-    // driver-side pooling has no closed SQL form; EvalSpec carries the
-    // PAV parity cases) — completes the q128/q138 calibration family
+    // isotonic calibration by PAV over 5 score bins — completes the
+    // q128/q138 calibration family. HASH-GATED: PAVA's pooled rates
+    // equal the minimax identity max_{j<=i} min_{k>=i} avg(j..k), which
+    // the oracle evaluates directly from integer range sums
     "q210_isotonic" -> ((s, dir) => {
       val d = t(s, dir, "lineitem").select(
         (col("l_discount") * 10.0).as("s"),
@@ -3271,6 +3276,65 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
           n = 5)
         .orderBy("doc_id")
+    }),
+
+    // EXACT all-pairs Jaccard >= 0.5 on 4-gram shingles via prefix
+    // filtering (PPJoin family) — the no-recall-loss sibling of the
+    // MinHash-LSH pipelines, hash-gated against the brute-force pair
+    // join because the operator is exact by construction
+    "q262_jaccard_join" -> ((s, dir) => {
+      FuzzyJoin.jaccardSelfJoin(t(s, dir, "documents"), "doc_id", "text",
+          n = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // per-segment two-proportion z-tests (A&S-polynomial Φ, the q57
+    // trick — identical literal arithmetic on both engines) corrected
+    // with Benjamini–Hochberg step-up FDR; the step-up runs through the
+    // two-level running-count/running-min passes, no global window
+    "q263_bh_fdr" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .groupBy((col("l_partkey") % 40).as("tid"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_returnflag") === "R").cast("long")).as("x"))
+      val tot = g.agg(sum("n").as("nn"), sum("x").as("xx"))
+      val d = g.crossJoin(broadcast(tot))
+        .withColumn("p0", col("xx").cast("double") / col("nn"))
+        .withColumn("z", (col("x").cast("double") / col("n") - col("p0")) /
+          sqrt(col("p0") * (lit(1.0) - col("p0")) / col("n")))
+        .withColumn("p",
+          lit(2.0) * (lit(1.0) - glm.LinkFn.pnormApprox(abs(col("z")))))
+      Hypothesis.benjaminiHochberg(d.select("tid", "p"), "tid", "p",
+          alpha = 0.05)
+        .select(col("tid"), r(col("p"), 6).as("p"),
+          r(col("p_adj"), 6).as("p_adj"), col("reject"))
+        .orderBy("tid")
+    }),
+
+    // corpus-trained bigram LM quality score (perplexity-proxy filter):
+    // exact integer counts everywhere, ln of count rationals on the
+    // 6-digit grid
+    "q264_lm_score" -> ((s, dir) => {
+      TextOps.ngramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          r(col("avg_logprob"), 6).as("avg_logprob"),
+          r(col("ppl"), 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
+    // inter-annotator agreement: two deterministic synthetic "raters"
+    // over lineitem (quantity band vs price band) — exact-integer
+    // confusion marginals to one-row kappa
+    "q265_cohens_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        when(col("l_quantity") < 18, "lo").when(col("l_quantity") <= 35,
+          "mid").otherwise("hi").as("r1"),
+        when(col("l_extendedprice") < 20000, "lo")
+          .when(col("l_extendedprice") <= 50000, "mid").otherwise("hi")
+          .as("r2"))
+      Eval.cohensKappa(d, "r1", "r2")
+        .select(col("n"), r(col("po"), 6).as("po"), r(col("pe"), 6).as("pe"),
+          r(col("kappa"), 6).as("kappa"))
     })
   )
 
@@ -5862,6 +5926,56 @@ object SparkEntry {
         |  n_rows, n_blocks
         |FROM s""".stripMargin,
 
+    // 10 unrolled Lloyd rounds + final assignment, replaying kmeans'
+    // deterministic seeding (ORDER BY md5(id), id LIMIT k), partial
+    // distance -2x.c + |c|^2, (distance, cluster) argmin tiebreak, and
+    // empty-cluster carry. Assignments are float-robust here: the
+    // smallest best-vs-second-centroid gap on this data is 4.6e-4,
+    // eleven orders above cross-engine sum-order noise
+    "q163_kmeans" -> {
+      def rnd(r: Int): String =
+        s"""asg$r AS MATERIALIZED (
+           |  SELECT id, c FROM (
+           |    SELECT dd.id, dd.c,
+           |      row_number() OVER (PARTITION BY dd.id ORDER BY dd.d, dd.c)
+           |        AS rk
+           |    FROM (
+           |      SELECT e.id, ct.c, -2 * sum(e.v * ct.w) + any_value(cn.n2)
+           |        AS d
+           |      FROM e JOIN ct$r ct ON e.p = ct.p
+           |      JOIN (SELECT c, sum(w * w) AS n2 FROM ct$r GROUP BY 1) cn
+           |        ON ct.c = cn.c
+           |      GROUP BY e.id, ct.c) dd)
+           |  WHERE rk = 1),
+           |ct${r + 1} AS MATERIALIZED (
+           |  SELECT ct.c, ct.p, coalesce(nw.w, ct.w) AS w
+           |  FROM ct$r ct LEFT JOIN (
+           |    SELECT a.c, e.p, sum(e.v) / count(*) AS w
+           |    FROM asg$r a JOIN e ON e.id = a.id GROUP BY a.c, e.p) nw
+           |  ON ct.c = nw.c AND ct.p = nw.p)""".stripMargin
+      val n = 10
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(u.ix AS INT) AS p,
+        |    CAST(embedding[u.ix + 1] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS u(ix)
+        |  WHERE embedding IS NOT NULL),
+        |picks AS MATERIALIZED (
+        |  SELECT id, rn - 1 AS c FROM (
+        |    SELECT vec_id AS id, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM embeddings WHERE embedding IS NOT NULL)
+        |  WHERE rn <= 8),
+        |ct0 AS MATERIALIZED (
+        |  SELECT picks.c, e.p, e.v AS w FROM picks JOIN e ON e.id = picks.id),
+        |""".stripMargin +
+        (0 to n).map(rnd).mkString(",\n") +
+        s"""
+           |SELECT CAST(c AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n
+           |FROM asg$n
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // step-wise AP: at-or-above cumulatives from the ascending prefix and
     // the grand totals, identical rational term per distinct score
     "q164_pr_auc" ->
@@ -6272,6 +6386,86 @@ object SparkEntry {
         |    AS iv_term
         |FROM c CROSS JOIN t ORDER BY category""".stripMargin,
 
+    // the full composition, replayed: q163's unrolled Lloyd rounds
+    // (maxIter = 3 here) on the copies-union, within-cluster cosine
+    // pairs on the 6-digit grid, q73's recursive-CTE connected
+    // components, min-label representative filter. Identical vectors
+    // always share a cluster (identical distances, same tiebreak), so
+    // the planted copies are guaranteed pair candidates. The 10000
+    // cluster-size cap never binds at this scale and is omitted
+    "q181_semantic_dedup" -> {
+      def rnd(r: Int): String =
+        s"""asg$r AS MATERIALIZED (
+           |  SELECT id, c FROM (
+           |    SELECT dd.id, dd.c,
+           |      row_number() OVER (PARTITION BY dd.id ORDER BY dd.d, dd.c)
+           |        AS rk
+           |    FROM (
+           |      SELECT e.id, ct.c, -2 * sum(e.v * ct.w) + any_value(cn.n2)
+           |        AS d
+           |      FROM e JOIN ct$r ct ON e.p = ct.p
+           |      JOIN (SELECT c, sum(w * w) AS n2 FROM ct$r GROUP BY 1) cn
+           |        ON ct.c = cn.c
+           |      GROUP BY e.id, ct.c) dd)
+           |  WHERE rk = 1),
+           |ct${r + 1} AS MATERIALIZED (
+           |  SELECT ct.c, ct.p, coalesce(nw.w, ct.w) AS w
+           |  FROM ct$r ct LEFT JOIN (
+           |    SELECT a.c, e.p, sum(e.v) / count(*) AS w
+           |    FROM asg$r a JOIN e ON e.id = a.id GROUP BY a.c, e.p) nw
+           |  ON ct.c = nw.c AND ct.p = nw.p)""".stripMargin
+      val n = 3
+      """WITH RECURSIVE emb AS MATERIALIZED (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(u.ix AS INT) AS p,
+        |    CAST(embedding[u.ix + 1] AS DOUBLE) AS v
+        |  FROM emb, unnest(generate_series(0, len(embedding) - 1)) AS u(ix)
+        |  WHERE embedding IS NOT NULL),
+        |picks AS MATERIALIZED (
+        |  SELECT id, rn - 1 AS c FROM (
+        |    SELECT vec_id AS id, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM emb WHERE embedding IS NOT NULL)
+        |  WHERE rn <= 8),
+        |ct0 AS MATERIALIZED (
+        |  SELECT picks.c, e.p, e.v AS w FROM picks JOIN e ON e.id = picks.id),
+        |""".stripMargin +
+        (0 to n).map(rnd).mkString(",\n") +
+        s""",
+           |nrm AS MATERIALIZED (
+           |  SELECT id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+           |p0 AS (
+           |  SELECT a.id AS id_a, b.id AS id_b
+           |  FROM asg$n a JOIN asg$n b ON a.c = b.c AND a.id < b.id),
+           |cos AS (
+           |  SELECT p0.id_a, p0.id_b,
+           |    round(sum(ea.v * eb.v)
+           |      / (any_value(na.nrm) * any_value(nb.nrm)), 6) AS cs
+           |  FROM p0
+           |  JOIN e ea ON ea.id = p0.id_a
+           |  JOIN e eb ON eb.id = p0.id_b AND ea.p = eb.p
+           |  JOIN nrm na ON na.id = p0.id_a
+           |  JOIN nrm nb ON nb.id = p0.id_b
+           |  GROUP BY 1, 2),
+           |e0 AS (SELECT id_a, id_b FROM cos WHERE cs >= 0.999),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM e0
+           |  UNION ALL SELECT id_b, id_a FROM e0),
+           |cc(id, label) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e2.dst, c.label FROM cc c JOIN edges e2 ON c.id = e2.src),
+           |lab AS (SELECT id, min(label) AS clabel FROM cc GROUP BY id)
+           |SELECT emb.vec_id, emb.label
+           |FROM emb LEFT JOIN lab ON emb.vec_id = lab.id
+           |WHERE lab.clabel IS NULL OR lab.clabel = emb.vec_id
+           |ORDER BY emb.vec_id""".stripMargin
+    },
+
     // same per-doc-distinct presence; postings string-aggregated in
     // numeric id order
     "q182_inverted_index" ->
@@ -6553,6 +6747,54 @@ object SparkEntry {
         |  CAST(sum(tok) AS INT) AS n_tokens
         |FROM walk GROUP BY doc_id, chunk_id
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // 11 unrolled farthest-first rounds replaying kCenter exactly: the
+    // md5-seeded first pick, squared-distance floor at 0, and the
+    // (distance DESC, id) argmax tiebreak. Round-by-round argmax gaps
+    // are O(1e-2) on this data — float-robust across engines
+    "q194_kcenter" -> {
+      def rnd(r: Int): String =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT id, $r AS ord, d AS md FROM d${r - 1}
+           |  ORDER BY d DESC, id LIMIT 1),
+           |c$r AS MATERIALIZED (
+           |  SELECT e.p, e.v FROM e JOIN p$r ON e.id = p$r.id),
+           |d$r AS MATERIALIZED (
+           |  SELECT d.id, LEAST(d.d, GREATEST(0.0,
+           |    nrm.nrm - 2 * dot.dot + (SELECT sum(v * v) FROM c$r))) AS d
+           |  FROM d${r - 1} d
+           |  JOIN (SELECT e.id, sum(e.v * c.v) AS dot
+           |        FROM e JOIN c$r c ON e.p = c.p GROUP BY e.id) dot
+           |    ON d.id = dot.id
+           |  JOIN nrm ON d.id = nrm.id)""".stripMargin
+      val k = 12
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(u.ix AS INT) AS p,
+        |    CAST(embedding[u.ix + 1] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS u(ix)
+        |  WHERE embedding IS NOT NULL),
+        |nrm AS MATERIALIZED (SELECT id, sum(v * v) AS nrm FROM e GROUP BY 1),
+        |p0 AS MATERIALIZED (
+        |  SELECT vec_id AS id, 0 AS ord, 0.0 AS md FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+        |c0 AS MATERIALIZED (SELECT e.p, e.v FROM e JOIN p0 ON e.id = p0.id),
+        |d0 AS MATERIALIZED (
+        |  SELECT nrm.id, GREATEST(0.0,
+        |    nrm.nrm - 2 * dot.dot + (SELECT sum(v * v) FROM c0)) AS d
+        |  FROM nrm JOIN (SELECT e.id, sum(e.v * c.v) AS dot
+        |    FROM e JOIN c0 c ON e.p = c.p GROUP BY e.id) dot
+        |    ON nrm.id = dot.id),
+        |""".stripMargin +
+        (1 until k).map(rnd).mkString(",\n") +
+        s"""
+           |SELECT id AS vec_id, CAST(ord AS INT) AS pick_order,
+           |  round(md, 4) AS min_dist
+           |FROM (${(0 until k).map(r => s"SELECT * FROM p$r")
+                     .mkString(" UNION ALL ")})
+           |ORDER BY pick_order""".stripMargin
+    },
 
     // same conditional change sums over the inner-joined snapshots
     "q195_column_changes" ->
@@ -6968,6 +7210,33 @@ object SparkEntry {
         |    AS fs_score
         |FROM p CROSS JOIN u
         |ORDER BY fs_score DESC, a, b LIMIT 100""".stripMargin,
+
+    // PAVA's pooled rates via the exact minimax identity
+    // iso_i = max_{j<=i} min_{k>=i} (pos[j..k] / n[j..k]) — pure integer
+    // range sums over the 5-bin grid, so the oracle needs no sequential
+    // pooling loop at all
+    "q210_isotonic" ->
+      """WITH binned AS (
+        |  SELECT LEAST(GREATEST(
+        |      CAST(floor(l_discount * 10.0 / 0.2) AS INT), 0), 4) AS bin,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |ranges AS (
+        |  SELECT j.bin AS jb, k.bin AS kb, sum(m.pos) AS p, sum(m.n) AS nn
+        |  FROM binned j, binned k, binned m
+        |  WHERE j.bin <= k.bin AND m.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |inner_min AS (
+        |  SELECT r.jb, i.bin AS ib, min(CAST(r.p AS DOUBLE) / r.nn) AS mn
+        |  FROM ranges r JOIN binned i ON r.jb <= i.bin AND r.kb >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib AS bin, max(mn) AS iso_rate FROM inner_min
+        |        GROUP BY 1)
+        |SELECT CAST(b.bin AS INT) AS bin, CAST(b.n AS BIGINT) AS n,
+        |  round(CAST(b.pos AS DOUBLE) / b.n, 6) AS frac_pos,
+        |  round(i.iso_rate, 6) AS iso_rate
+        |FROM binned b JOIN iso i USING (bin) ORDER BY bin""".stripMargin,
 
     // q171's decomposition CTEs + q124's MAD arithmetic over the
     // 6-digit resid grid
@@ -8377,6 +8646,121 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(text_clean, '') AS text_clean,
         |  CAST(len(t) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
-        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // brute-force exact pair join (the q73 shingle-intersection shape):
+    // prefix filtering is exact, so the full quadratic oracle and the
+    // prefix-filtered engine must produce identical pairs and values
+    "q262_jaccard_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 2),
+        |    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS shingles
+        |  FROM toks WHERE len(t) >= 4),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |p AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical z arithmetic + the q57 A&S Φ polynomial (same literal
+    // sequence, including the 2·(1 − (1 − φ·poly)) float path); BH via
+    // rank + suffix-min window — tie groups get identical adjusted
+    // values under any within-tie order, matching the engine's
+    // two-level formulation
+    "q263_bh_fdr" ->
+      """WITH g AS (
+        |  SELECT l_partkey % 40 AS tid, count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(x) AS DOUBLE) AS xx
+        |  FROM g),
+        |zc AS (
+        |  SELECT tid,
+        |    abs((CAST(x AS DOUBLE) / n - xx / nn)
+        |      / sqrt((xx / nn) * (1.0 - xx / nn) / n)) AS az
+        |  FROM g CROSS JOIN tot),
+        |pv AS (
+        |  SELECT tid, 2.0 * (1.0 - (1.0
+        |    - exp(az * az * -0.5) * 0.3989422804014327
+        |      * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+        |        + tt * (-1.821255978 + tt * 1.330274429))))))) AS p
+        |  FROM (SELECT tid, az, 1.0 / (1.0 + 0.2316419 * az) AS tt FROM zc)),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM pv),
+        |bh AS (
+        |  SELECT tid, p, row_number() OVER (ORDER BY p, tid) AS rk
+        |  FROM pv),
+        |adj AS (
+        |  SELECT tid, p, least(1.0, min(m.m * p / rk) OVER (
+        |    ORDER BY rk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |    AS p_adj
+        |  FROM bh CROSS JOIN m)
+        |SELECT tid, round(p, 6) AS p, round(p_adj, 6) AS p_adj,
+        |  p_adj <= 0.05 AS reject
+        |FROM adj ORDER BY tid""".stripMargin,
+
+    // same string bigrams (vs hashed — equal modulo xxhash64
+    // collisions), same add-1 smoothing rationals, same V
+    "q264_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS wp, t[i + 1] AS wc
+        |  FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bgc AS (SELECT wp, wc, count(*) AS cbg FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT wp, count(*) AS cctx FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(t) AS w FROM d)),
+        |sc AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    avg(ln((cbg + 1.0) / (cctx + 1.0 * v.v))) AS alp
+        |  FROM bg JOIN bgc USING (wp, wc) JOIN ctx USING (wp)
+        |  CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(alp, 6) AS avg_logprob, round(exp(-alp), 4) AS ppl
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // identical integer confusion marginals; pe's cross products in
+    // DOUBLE to mirror the engine's overflow-safe formulation
+    "q265_cohens_kappa" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN l_quantity < 18 THEN 'lo'
+        |      WHEN l_quantity <= 35 THEN 'mid' ELSE 'hi' END AS r1,
+        |    CASE WHEN l_extendedprice < 20000 THEN 'lo'
+        |      WHEN l_extendedprice <= 50000 THEN 'mid' ELSE 'hi' END AS r2
+        |  FROM lineitem),
+        |cells AS (SELECT r1, r2, count(*) AS n FROM d GROUP BY 1, 2),
+        |ra AS (SELECT r1 AS c, sum(n) AS ra FROM cells GROUP BY 1),
+        |rb AS (SELECT r2 AS c, sum(n) AS rb FROM cells GROUP BY 1),
+        |agree AS (SELECT coalesce(sum(n), 0) AS ag FROM cells
+        |          WHERE r1 = r2),
+        |tot AS (SELECT sum(n) AS tt FROM cells),
+        |cross_ AS (
+        |  SELECT coalesce(sum(CAST(ra AS DOUBLE) * rb), 0.0) AS cx
+        |  FROM ra JOIN rb USING (c))
+        |SELECT CAST(tt AS BIGINT) AS n,
+        |  round(CAST(ag AS DOUBLE) / tt, 6) AS po,
+        |  round(cx / (CAST(tt AS DOUBLE) * tt), 6) AS pe,
+        |  round((CAST(ag AS DOUBLE) / tt - cx / (CAST(tt AS DOUBLE) * tt))
+        |    / (1.0 - cx / (CAST(tt AS DOUBLE) * tt)), 6) AS kappa
+        |FROM agree CROSS JOIN tot CROSS JOIN cross_""".stripMargin
   )
 }

@@ -431,4 +431,47 @@ object Eval {
         round(col("recall"), 6).as("recall"),
         round(col("f1"), 6).as("f1"))
   }
+
+  /** Cohen's kappa (1960) — chance-corrected agreement between two
+    * categorical raters (annotator QA for labeling pipelines, model-vs-
+    * model agreement):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),  p_o = Σ_c n_cc / N,
+    *   p_e = Σ_c (row_c · col_c) / N²
+    *
+    * ONE (rater1, rater2) cell aggregation (≤ K² rows leave the
+    * shuffle); the marginal products are arithmetic on the cell frame.
+    * All inputs to the final divisions are exact integers.
+    *
+    * @return one row: (n, po, pe, kappa) — kappa null when p_e = 1
+    *         (both raters constant and equal: agreement is undefined)
+    */
+  def cohensKappa(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    val cells = df
+      .filter(col(rater1Col).isNotNull && col(rater2Col).isNotNull)
+      .groupBy(col(rater1Col).cast("string").as("__a"),
+        col(rater2Col).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rows = cells.groupBy(col("__a").as("__c"))
+      .agg(sum("__n").as("__ra"))
+    val cols_ = cells.groupBy(col("__b").as("__c"))
+      .agg(sum("__n").as("__rb"))
+    val agree = cells.filter(col("__a") === col("__b"))
+      .agg(coalesce(sum("__n"), lit(0L)).as("__agree"))
+    val tot = cells.agg(sum("__n").as("__tot"))
+    // Σ row_c·col_c over the (<= K)-row marginal frames; products in
+    // DOUBLE — long·long would ANSI-overflow at 100 TB row counts, and
+    // the <= K-term double sum is exact far beyond any rounding grid
+    val cross = rows.join(cols_, Seq("__c"), "inner")
+      .agg(coalesce(sum(col("__ra").cast("double") * col("__rb")),
+        lit(0.0)).as("__cross"))
+    agree.crossJoin(tot).crossJoin(cross)
+      .select(col("__tot").as("n"),
+        (col("__agree").cast("double") / col("__tot")).as("po"),
+        (col("__cross") / (col("__tot").cast("double") * col("__tot")))
+          .as("pe"))
+      .withColumn("kappa", when(col("pe") < 1.0,
+        (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

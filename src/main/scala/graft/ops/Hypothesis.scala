@@ -452,4 +452,45 @@ object Hypothesis {
         round((col("n_extreme") + 1).cast("double") / (nPerm + 1), 6)
           .as("p_value"))
   }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (1995) — the multiple-
+    * testing correction for a frame of per-test p-values (one row per
+    * test: per-segment A/B checks, per-feature drift tests, per-slice
+    * quality gates):
+    *
+    *   p_adj(i) = min(1, min_{j >= i} m·p_(j)/j)   (suffix min over the
+    *   ascending-p order); reject iff p_adj <= alpha.
+    *
+    * Execution: the rank is a running COUNT and the step-up a running
+    * MIN, both through the two-level [[Cumulative]] pass — no global
+    * window even when someone feeds millions of tests. Ties in p are
+    * harmless BECAUSE the suffix-min runs over the RANK column (a total
+    * order), not over p: every tie-mate's suffix then contains the
+    * whole tie group's m·p/j values, so the group collapses to one
+    * adjusted value no matter which arbitrary rank each member drew.
+    * (Running the min over p itself would let the two passes disagree
+    * on within-tie order and split the group — caught by the
+    * partition-invariance spec.)
+    *
+    * @param idCol test identifier, carried through
+    * @return (idCol, p, p_adj, reject) — rows with null p are dropped
+    *         (they are not tests); m counts the non-null rows
+    */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val base = df
+      .select(col(idCol), col(pCol).cast("double").as("p"))
+      .filter(col("p").isNotNull)
+    val m = base.count()
+    require(m >= 1, "need at least one non-null p-value")
+    val ranked = Cumulative.runningSums(
+        base.withColumn("__one", lit(1L)), "p", Seq("__one"))
+      .withColumn("__bh", lit(m.toDouble) * col("p") / col("__one_cum"))
+    Cumulative.runningMins(ranked, "__one_cum", Seq("__bh"),
+        descending = true)
+      .select(col(idCol), col("p"),
+        least(lit(1.0), col("__bh_cummin")).as("p_adj"))
+      .withColumn("reject", col("p_adj") <= alpha)
+  }
 }

@@ -505,4 +505,63 @@ object TextOps {
     df.withColumn(outputCol, cleaned)
       .withColumn("norm_len", length(col(outputCol)))
   }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * perplexity-proxy quality filter (the CCNet/Gopher pipelines score
+    * documents under an LM and drop the tail; this is the self-trained
+    * bigram form, no external model needed):
+    *
+    *   P(w_i | w_{i−1}) = (c(w_{i−1}, w_i) + k) / (ctx(w_{i−1}) + k·V)
+    *   avg_logprob(doc) = mean over the doc's bigram POSITIONS of ln P
+    *   ppl(doc) = exp(−avg_logprob)
+    *
+    * with bigram/context counts over the WHOLE corpus, V = corpus
+    * vocabulary size, add-k smoothing. Low avg_logprob = improbable
+    * token sequences (gibberish, boilerplate soup, wrong-language
+    * text).
+    *
+    * Execution: tokens travel as xxhash64 longs (strings never
+    * shuffle); one bigram explode (linear), two keyed count
+    * aggregations, one distinct for V, one hash join of doc bigrams
+    * against the count tables, one per-doc aggregation. Every count is
+    * an exact integer, so the score is deterministic on any
+    * partitioning.
+    *
+    * @return per doc: (idCol, n_tokens, n_bigrams, avg_logprob, ppl) —
+    *         avg_logprob/ppl null for docs with fewer than 2 tokens
+    */
+  def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"need addK > 0, got $addK")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = fanOut(df).select(col(idCol).as("__id"), toks.as("__t"))
+    val bigrams = base.select(col("__id"),
+      explode(when(size(col("__t")) < 2,
+          array().cast("array<struct<hp:bigint,hc:bigint>>"))
+        .otherwise(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(xxhash64(element_at(col("__t"), i)).as("hp"),
+            xxhash64(element_at(col("__t"), i + 1)).as("hc")))))
+        .as("__bg"))
+      .select(col("__id"), col("__bg.hp").as("__hp"),
+        col("__bg.hc").as("__hc"))
+    val bgCount = bigrams.groupBy("__hp", "__hc")
+      .agg(count(lit(1)).as("__cbg"))
+    val ctxCount = bigrams.groupBy("__hp")
+      .agg(count(lit(1)).as("__cctx"))
+    val v = base.select(explode(col("__t")).as("__w"))
+      .select(xxhash64(col("__w")).as("__h")).distinct().count()
+    val scored = bigrams
+      .join(bgCount, Seq("__hp", "__hc"))
+      .join(ctxCount, Seq("__hp"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("__cbg") + addK) /
+          (col("__cctx") + lit(addK * v)))).as("avg_logprob"))
+    base.select(col("__id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"),
+        exp(-col("avg_logprob")).as("ppl"))
+  }
 }

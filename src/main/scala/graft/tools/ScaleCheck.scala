@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale evidence: blows the sf directory up by a deterministic
+  * factor (default 10×) and times a structurally diverse set of headline
+  * queries at BOTH scales, so the 100 TB design argument rests on data,
+  * not only on plan shape. A linear operator should show time ratio ≈
+  * the blow-up factor (usually less: fixed job overheads amortize);
+  * anything clearly super-linear is a scale bug to chase.
+  *
+  * The blow-up replicates every table `copies` times, offsetting each
+  * KEY DOMAIN (orderkey, custkey, partkey, suppkey, user/event ids,
+  * doc/vec ids) by `copy * (max_key + 1)` — copies stay join-consistent
+  * with each other and disjoint across copies, exactly like a larger
+  * TPC-H SF (dimension tables scale with SF there too). Timestamps are
+  * NOT shifted: event density per hour grows 10×, the realistic shape
+  * for event-time windows. Values/text are bit-identical per copy, so
+  * per-copy aggregates replicate the base distribution.
+  *
+  * The query set deliberately EXCLUDES the LSH/MinHash pair generators:
+  * exact replication turns every document into a 10-deep duplicate
+  * cluster, so the PAIR OUTPUT grows quadratically in the factor by
+  * construction — a semantic property of replicated data, not an
+  * execution defect (SCALE.md documents this; the banded joins carry
+  * caps for exactly this shape).
+  *
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.ScaleCheck"
+  *   # args: [srcSfDir] [workDir] [copies]
+  */
+object ScaleCheck {
+
+  /** (table, key columns sharing a domain base). */
+  private val tables: Seq[(String, Seq[(String, String)])] = Seq(
+    // table -> (column, domain) pairs; domains resolved to one base each
+    "lineitem" -> Seq("l_orderkey" -> "order", "l_partkey" -> "part",
+      "l_suppkey" -> "supp"),
+    "orders" -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"),
+    "customer" -> Seq("c_custkey" -> "cust"),
+    "part" -> Seq("p_partkey" -> "part"),
+    "supplier" -> Seq("s_suppkey" -> "supp"),
+    "events" -> Seq("event_id" -> "event", "user_id" -> "user"),
+    "documents" -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"),
+    "region" -> Nil,
+    "nation" -> Nil)
+
+  /** Structurally diverse, linear-expected headline queries. */
+  private val queryNames = Seq(
+    "q01_pricing_summary", // scan + agg
+    "q03_join_topk", // 3-way join + agg + top-k
+    "q05_window_rank", // keyed window
+    "q11_events_hourly", // event-time windows
+    "q21_dedup_exact", // hash-groupBy dedup
+    "q56_glm_gaussian_coefs", // IRLS GLM, fused Gram passes
+    "q61_distinct_approx", // HLL sketch
+    "q64_grouped_glm", // per-group IRLS aggregator
+    "q73_cc_labels", // iterative graph (LSS rounds)
+    "q74_heavy_hitters", // token heavy hitters
+    "q81_grouped_poisson", // grouped GLM, different family
+    "q249_duplicate_spans") // gram-hash doc-frequency profile
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val done = new java.io.File(s"$work/_BUILT")
+    if (!done.exists()) {
+      build(spark, src, work, copies)
+      done.getParentFile.mkdirs()
+      done.createNewFile()
+    }
+
+    // min-of-3 with base/big reps INTERLEAVED: this host sees CPU-steal
+    // storms (MICROBENCH.md) that can inflate a single shot 10×+ — the
+    // first scale run "measured" q249 at ratio 61 from exactly that
+    // (calm min-of-3: 2.9). Interleaving + min makes a storm have to
+    // last the whole query to survive into the ratio.
+    val results = queryNames.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val reps = (1 to 3).map(_ => (once(src), once(work)))
+      val base = reps.map(_._1).min
+      val big = reps.map(_._2).min
+      val ratio = big / base
+      println(f"[scale] $name%-24s base=$base%7.2fs x$copies=$big%7.2fs ratio=$ratio%5.2f")
+      (name, base, big, ratio)
+    }
+    val js = results.map { case (n, b, g, r) =>
+      f""""$n":{"base_sec":$b%.3f,"x${copies}_sec":$g%.3f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_check","copies":$copies,"src":"$src","queries":{$js}}""")
+    spark.stop()
+  }
+
+  private def build(spark: SparkSession, src: String, work: String,
+      copies: Int): Unit = {
+    // one base per key domain = max over every column mapped to it, + 1
+    val domainCols: Map[String, Seq[(String, String)]] =
+      tables.flatMap { case (t, cols) =>
+        cols.map { case (c, d) => (d, (t, c)) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bases: Map[String, Long] = domainCols.map { case (d, tcs) =>
+      d -> (tcs.map { case (t, c) =>
+        read(spark, src, t).agg(max(col(c))).head().getLong(0)
+      }.max + 1L)
+    }
+    println(s"[scale] key-domain bases: $bases")
+    tables.foreach { case (t, cols) =>
+      val df = read(spark, src, t)
+      val blown =
+        if (cols.isEmpty) df
+        else df
+          .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
+          .select(df.columns.toSeq.map(c =>
+            cols.collectFirst { case (`c`, d) =>
+              (col(c) + col("__c") * bases(d)).as(c)
+            }.getOrElse(col(c))): _*)
+      blown.write.mode("overwrite").parquet(s"$work/$t.parquet")
+      println(s"[scale] built $t")
+    }
+  }
+
+  private def read(spark: SparkSession, dir: String, t: String): DataFrame =
+    if (t == "events") graft.Events.read(spark, dir)
+    else graft.Events.readTable(spark, s"$dir/$t.parquet")
+}

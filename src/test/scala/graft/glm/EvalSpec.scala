@@ -350,6 +350,27 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(m.getDouble(5) - rd6((2.0 / 3 + 0.5) / 2)) < 1e-12)
   }
 
+  test("cohensKappa: hand-computed 2x2 fixture") {
+    // classic example: 45 yes-yes, 15 yes-no, 25 no-yes, 15 no-no
+    // po = 60/100; pe = (60*70 + 40*30)/100^2 = 0.54
+    // kappa = (0.6 - 0.54)/(1 - 0.54) = 6/46
+    val rows = Seq.fill(45)(("y", "y")) ++ Seq.fill(15)(("y", "n")) ++
+      Seq.fill(25)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohensKappa(rows.toDF("r1", "r2"), "r1", "r2").head()
+    assert(r.getLong(0) === 100L)
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.54) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 6.0 / 46) < 1e-12)
+  }
+
+  test("cohensKappa: perfect agreement is 1, constant raters null") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2")
+    assert(math.abs(Eval.cohensKappa(perfect, "r1", "r2").head()
+      .getDouble(3) - 1.0) < 1e-12)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    assert(Eval.cohensKappa(const, "r1", "r2").head().isNullAt(3))
+  }
+
   private def rd6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -62,4 +62,70 @@ class FuzzyJoinSpec extends SparkSpec {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  /** Brute-force word-n-gram Jaccard over a tiny corpus. */
+  private def bruteJaccard(docs: Seq[(Long, String)], n: Int)
+      : Map[(Long, Long), Double] = {
+    def sh(s: String): Set[Seq[String]] =
+      s.split("\\s+").toSeq.sliding(n).filter(_.size == n).toSet
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      a = sh(ta); b = sh(tb) if a.nonEmpty || b.nonEmpty
+      i = (a intersect b).size if i > 0
+    } yield (ia, ib) -> i.toDouble / (a.size + b.size - i)).toMap
+  }
+
+  test("jaccardSelfJoin matches the quadratic reference exactly") {
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "a completely different sentence with other words here"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "quick brown fox jumps over the lazy"),
+      (6L, "too short"))
+    val got = FuzzyJoin
+      .jaccardSelfJoin(docs.toDF("id", "text"), "id", "text",
+        n = 3, threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = bruteJaccard(docs, 3).filter(_._2 >= 0.4)
+      .map { case (k, v) => k -> (math.rint(v * 1e6) / 1e6) }
+    assert(got.keySet === want.keySet, s"got ${got.keySet}")
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9) }
+    assert(got((1L, 4L)) === 1.0) // the exact duplicate pair
+  }
+
+  test("jaccardSelfJoin: no pair below threshold, none missed at it") {
+    // two docs sharing exactly half their shingles: J = 1/3 with n = 2
+    // ("a b","b c" vs "a b","b d"): J = 1/3 — kept at t = 1/3, dropped
+    // just above
+    val docs = Seq[(Long, String)]((1L, "a b c"), (2L, "a b d"))
+    val at = FuzzyJoin.jaccardSelfJoin(docs.toDF("id", "text"), "id",
+      "text", n = 2, threshold = 1.0 / 3).collect()
+    assert(at.length === 1 && math.abs(at(0).getDouble(2) - 0.333333) < 1e-9)
+    val above = FuzzyJoin.jaccardSelfJoin(docs.toDF("id", "text"), "id",
+      "text", n = 2, threshold = 0.34).collect()
+    assert(above.isEmpty)
+  }
+
+  test("jaccardSelfJoin fails loudly on a degenerate hot prefix") {
+    val docs = (1L to 50L).map(i => (i, "same boilerplate text every time"))
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.jaccardSelfJoin(docs.toDF("id", "text"), "id", "text",
+        n = 3, threshold = 0.9, maxPrefixPostings = 10).collect()
+    }
+    assert(ex.getMessage.contains("prefix shingle"))
+  }
+
+  test("jaccardSelfJoin is partition-invariant") {
+    val docs = (1 to 30).map(i => (i.toLong,
+      if (i % 3 == 0) s"shared common phrase body tail$i"
+      else s"head$i shared common phrase body"))
+    val df = docs.toDF("id", "text")
+    val a = FuzzyJoin.jaccardSelfJoin(df, "id", "text", 3, 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = FuzzyJoin.jaccardSelfJoin(df.repartition(7), "id", "text",
+      3, 0.4).orderBy("id_a", "id_b").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

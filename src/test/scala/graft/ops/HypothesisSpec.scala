@@ -367,4 +367,40 @@ class HypothesisSpec extends SparkSpec {
       "A", "B", "id", nPerm = 50).head()
     assert(a === b)
   }
+
+  test("benjaminiHochberg matches R p.adjust(method = 'BH')") {
+    // R: p.adjust(c(0.01, 0.02, 0.03, 0.04, 0.2), "BH")
+    //    = 0.05, 0.05, 0.05, 0.05, 0.2
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.04),
+      (5L, 0.2)).toDF("id", "p")
+    val got = Hypothesis.benjaminiHochberg(df, "id", "p", alpha = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(math.abs(got(1L)._1 - 0.05) < 1e-12 && got(1L)._2)
+    assert(math.abs(got(4L)._1 - 0.05) < 1e-12 && got(4L)._2)
+    assert(math.abs(got(5L)._1 - 0.2) < 1e-12 && !got(5L)._2)
+  }
+
+  test("benjaminiHochberg: ties, clipping at 1, null p dropped") {
+    val df = Seq((1L, Some(0.5)), (2L, Some(0.5)), (3L, Some(0.9)),
+      (4L, None)).toDF("id", "p")
+    val out = Hypothesis.benjaminiHochberg(df, "id", "p").collect()
+    assert(out.length === 3) // null dropped
+    val got = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // m = 3: ranks over (0.5, 0.5, 0.9): adj = min suffix of
+    // (3*.5/1, 3*.5/2, 3*.9/3) = (.75, .75, .9); tie rows equal
+    assert(math.abs(got(1L) - 0.75) < 1e-12)
+    assert(math.abs(got(2L) - 0.75) < 1e-12)
+    assert(math.abs(got(3L) - 0.9) < 1e-12)
+  }
+
+  test("benjaminiHochberg is partition-invariant") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 37 + 1) / 40.0))
+      .toDF("id", "p")
+    val a = Hypothesis.benjaminiHochberg(df, "id", "p")
+      .orderBy("id").collect().toSeq
+    val b = Hypothesis.benjaminiHochberg(df.repartition(9), "id", "p")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
 }

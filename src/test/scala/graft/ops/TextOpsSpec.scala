@@ -329,4 +329,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((0, 2)))
     assert(got(3L) === ((0, 0)))
   }
+
+  test("ngramLmScore: hand-computed add-1 bigram probabilities") {
+    // corpus: doc1 "a b a b", doc2 "a b", doc3 "x";
+    // bigrams: (a,b)x3, (b,a)x1; ctx(a) = 3, ctx(b) = 1;
+    // V = 3 (vocabulary counts ALL tokens incl. doc3's lone "x")
+    // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(1+3) = 1/2
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val got = TextOps.ngramLmScore(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val lp1 = (math.log(2.0 / 3) + math.log(0.5) + math.log(2.0 / 3)) / 3
+    assert(got(1L)._1 === 4L && got(1L)._2 === 3L)
+    assert(math.abs(got(1L)._3.get - lp1) < 1e-12)
+    assert(math.abs(got(2L)._3.get - math.log(2.0 / 3)) < 1e-12)
+    assert(got(3L) === ((1L, 0L, None))) // single token: no bigram
+  }
+
+  test("ngramLmScore ranks common-sequence docs above rare ones") {
+    val df = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (99L, "zq qz zq qz colorless green")).toDF("id", "text")
+    val got = TextOps.ngramLmScore(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) > got(99L),
+      s"common doc should score higher: ${got(1L)} vs ${got(99L)}")
+  }
+
+  test("ngramLmScore is partition-invariant") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 7}"))
+      .toDF("id", "text")
+    val a = TextOps.ngramLmScore(df, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9))).toSeq
+    val b = TextOps.ngramLmScore(df.repartition(7), "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9))).toSeq
+    assert(a === b)
+  }
 }
