@@ -85,9 +85,12 @@ object SparkEntry {
     "q03_join_topk" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+      // customer scales with SF and the segment filter only trims 5x —
+      // no broadcast hint; planner stats pick broadcast at small SF and a
+      // keyed shuffle join at scale
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1999-01-01"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey")
         .agg(r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -101,8 +104,10 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val rg = t(s, dir, "region")
+      // customer grows with SF (15B rows at 100 TB) — no broadcast hint;
+      // only fixed-cardinality nation/region are hinted
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -468,7 +473,8 @@ object SparkEntry {
         .agg(avg("l_quantity").as("avg_qty"))
       li.join(partAvg, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        // part scales with SF — keyed join, planner/stats decide strategy
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(r(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
           count(lit(1)).as("n_items"))
@@ -3335,6 +3341,25 @@ object SparkEntry {
       Eval.cohensKappa(d, "r1", "r2")
         .select(col("n"), r(col("po"), 6).as("po"), r(col("pe"), 6).as("pe"),
           r(col("kappa"), 6).as("kappa"))
+    }),
+
+    // DSIR importance weights: target = English docs, raw = whole corpus;
+    // per-bucket log-ratios quantized to integer micro-nats so per-doc
+    // weights are EXACT integer sums — partition-order-free
+    "q266_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.importanceWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 512)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR top-k selection: greedy rank on the exact integer weight,
+    // id-tiebroken — runs as TakeOrderedAndProject, never a global sort
+    "q267_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.importanceSelect(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", k = 50, buckets = 512)
+        .orderBy(col("logw_micro").desc, col("doc_id"))
     })
   )
 
@@ -8761,6 +8786,74 @@ object SparkEntry {
         |  round(cx / (CAST(tt AS DOUBLE) * tt), 6) AS pe,
         |  round((CAST(ag AS DOUBLE) / tt - cx / (CAST(tt AS DOUBLE) * tt))
         |    / (1.0 - cx / (CAST(tt AS DOUBLE) * tt)), 6) AS kappa
-        |FROM agree CROSS JOIN tot CROSS JOIN cross_""".stripMargin
+        |FROM agree CROSS JOIN tot CROSS JOIN cross_""".stripMargin,
+
+    // identical md5-mod-512 bucketing, identical λ expression shape
+    // (ln/add order mirrored), identical micro-nat quantization — the
+    // per-doc weight is an exact BIGINT sum on both engines
+    "q266_dsir_weights" ->
+      """WITH tok_t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |tok_r AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |ct AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b,
+        |  count(*) AS ct FROM tok_t GROUP BY 1),
+        |cr AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b,
+        |  count(*) AS cr FROM tok_r GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt,
+        |               (SELECT sum(cr) FROM cr) AS nr),
+        |dom AS (SELECT unnest(generate_series(0, 511)) AS b),
+        |lam AS (
+        |  SELECT dom.b, CAST(round((ln(coalesce(ct, 0) + 1.0)
+        |      - ln(nt + 512.0) - ln(coalesce(cr, 0) + 1.0)
+        |      + ln(nr + 512.0)) * 1e6) AS BIGINT) AS lw
+        |  FROM dom LEFT JOIN ct ON dom.b = ct.b
+        |    LEFT JOIN cr ON dom.b = cr.b CROSS JOIN tot),
+        |doc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lw) AS logw_micro
+        |  FROM (SELECT doc_id,
+        |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b
+        |    FROM tok_r) x JOIN lam USING (b) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(logw_micro, 0) AS logw_micro
+        |FROM documents d LEFT JOIN doc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same pipeline, greedy top-50 on (logw_micro DESC, doc_id)
+    "q267_dsir_select" ->
+      """WITH tok_t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |tok_r AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |ct AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b,
+        |  count(*) AS ct FROM tok_t GROUP BY 1),
+        |cr AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b,
+        |  count(*) AS cr FROM tok_r GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt,
+        |               (SELECT sum(cr) FROM cr) AS nr),
+        |dom AS (SELECT unnest(generate_series(0, 511)) AS b),
+        |lam AS (
+        |  SELECT dom.b, CAST(round((ln(coalesce(ct, 0) + 1.0)
+        |      - ln(nt + 512.0) - ln(coalesce(cr, 0) + 1.0)
+        |      + ln(nr + 512.0)) * 1e6) AS BIGINT) AS lw
+        |  FROM dom LEFT JOIN ct ON dom.b = ct.b
+        |    LEFT JOIN cr ON dom.b = cr.b CROSS JOIN tot),
+        |doc AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lw) AS logw_micro
+        |  FROM (SELECT doc_id,
+        |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b
+        |    FROM tok_r) x JOIN lam USING (b) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(logw_micro, 0) AS logw_micro
+        |FROM documents d LEFT JOIN doc USING (doc_id)
+        |ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin
   )
 }

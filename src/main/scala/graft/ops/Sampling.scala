@@ -482,4 +482,84 @@ object Sampling {
         round(rate * col("n_tokens").cast("double")).cast("long")
           .as("expected_tokens"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET corpus' distribution than under the raw corpus' own —
+    * the principled "pick web documents that look like the high-quality
+    * target" selector, next to [[mixtureRates]]' coarse per-source knob.
+    *
+    * Tokens map to `buckets` hashed features (md5-mod-D, the
+    * [[graft.ops.TextOps.hashingTf]] mapping — engine-reproducible, no
+    * vocabulary state); each bucket's add-1-smoothed log-likelihood
+    * ratio λ_b = ln p̂_target(b) − ln p̂_raw(b) is quantized to an
+    * integer micro-nat grid, so per-document weights are EXACT integer
+    * sums — order-independent on any partitioning (the float-sum
+    * nondeterminism that plagues naive implementations never arises).
+    *
+    * Scale shape: TWO bucket-collapse aggregations (≤ `buckets` rows
+    * each) build the λ table, which broadcast-joins (bounded size) into
+    * ONE explode + per-doc sum over the raw corpus — token-keyed
+    * shuffles only, no driver state, no vocabulary discovery job.
+    *
+    * @param buckets hashed feature dimension (DSIR uses 10k at web
+    *                scale; collisions bias both corpora identically)
+    * @return one row per raw doc: (idCol, n_tokens, logw_micro) —
+    *         logw_micro = Σ_tokens round(λ_bucket(token)·1e6); docs with
+    *         no tokens keep weight 0
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 512): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val toks = (c: Column) => filter(split(c, "\\s+"), t => t =!= "")
+    val bucket = (c: Column) =>
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame = df
+      .select(explode(toks(col(textCol))).as("__t"))
+      .select(bucket(col("__t")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as(cnt))
+    val tc = bucketCounts(target, "__ct")
+    val rc = bucketCounts(raw, "__cr")
+    // totals as one-row frames; the bucket domain is materialized in
+    // full so absent buckets still carry their add-1 smoothing mass
+    val tot = tc.agg(sum("__ct").as("__nt"))
+      .crossJoin(rc.agg(sum("__cr").as("__nr")))
+    val dom = raw.sparkSession.range(buckets).selectExpr("id AS __b")
+    // λ_b in micro-nats; expression shape mirrored verbatim in oracles
+    val lam = dom
+      .join(tc, Seq("__b"), "left").join(rc, Seq("__b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round((log(coalesce(col("__ct"), lit(0L)) + lit(1.0)) -
+               log(col("__nt") + lit(buckets.toDouble)) -
+               log(coalesce(col("__cr"), lit(0L)) + lit(1.0)) +
+               log(col("__nr") + lit(buckets.toDouble))) * lit(1e6))
+          .cast("long").as("__lw"))
+    val perTok = raw
+      .select(col(idCol), explode(toks(col(textCol))).as("__t"))
+      .select(col(idCol), bucket(col("__t")).as("__b"))
+      .join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lw").as("logw_micro"))
+    raw.select(col(idCol)).join(perTok, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+  }
+
+  /** Top-k selection under [[importanceWeights]] (deterministic greedy
+    * variant of DSIR's Gumbel resampling: rank by the exact integer
+    * weight, id-tiebroken). Executes as TakeOrderedAndProject — a
+    * per-partition top-k + driver merge of k·partitions rows, never a
+    * global sort or single-task window.
+    */
+  def importanceSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 512): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    importanceWeights(raw, target, idCol, textCol, buckets)
+      .orderBy(col("logw_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -194,9 +194,9 @@ class PlanSpec extends SparkSpec {
 
   test("plan sweep: no cartesian, no global data window, no quadratic frame") {
     // ONE pass builds every declared query's physical plan and checks
-    // three 100 TB killers at once (building 255 plans — some of which
+    // four 100 TB killers at once (building 255+ plans — some of which
     // eagerly materialize checkpoint rounds — is the expensive part, so
-    // the three sweeps share it):
+    // the sweeps share it):
     //  1. accidental CartesianProduct (ANN/cosine baselines excepted —
     //     those intentionally broadcast-nested-loop);
     //  2. WindowExec with an EMPTY partition spec directly over
@@ -207,6 +207,13 @@ class PlanSpec extends SparkSpec {
     //     per row (UnboundedFollowingWindowFunctionFrame), O(n²) per key
     //     (cost q253's first draft 146 s vs 1.2 s). Whole-partition
     //     frames compute once and are fine.
+    //  4. an EXPLICIT broadcast() hint whose subtree is never reduced
+    //     (no aggregate/limit/filter/sample/distinct below it) and scans
+    //     a table that grows with the data (anything but fixed-cardinality
+    //     region/nation). At test SF it looks fine; at 100 TB the driver
+    //     ships terabytes to every executor. Planner-CHOSEN broadcasts are
+    //     not flagged — they are stats-based and disappear at scale — only
+    //     hints we wrote ourselves, which override stats unconditionally.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -222,9 +229,35 @@ class PlanSpec extends SparkSpec {
         case l: LocalLimitExec => l
         case t: TakeOrderedAndProjectExec => t
       }.nonEmpty
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate,
+      Deduplicate => LDeduplicate, Filter => LFilter, GlobalLimit => LGlobalLimit,
+      LocalLimit => LLocalLimit, LogicalPlan, ResolvedHint, Sample => LSample,
+      BROADCAST => HintBroadcast}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    def logicallyReduced(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: LAggregate => (); case _: LGlobalLimit => ()
+        case _: LLocalLimit => (); case _: LFilter => ()
+        case _: LSample => (); case _: LDeduplicate => ()
+      }.nonEmpty
+    val boundedTables = Set("region", "nation") // fixed cardinality at any SF
+    def unboundedScans(p: LogicalPlan): Seq[String] =
+      p.collectLeaves().collect {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+            .mkString(",").split('/').last.stripSuffix(".parquet")
+      }.filterNot(boundedTables)
     val cartesianAllow = Set("q28", "q29", "q30", "q38")
     val problems = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
-      val sp = SparkEntry.queries(n)(spark, sfDir).queryExecution.sparkPlan
+      val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      val sp = qe.sparkPlan
+      val badHint = qe.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(HintBroadcast) &&
+          !logicallyReduced(h.child) && unboundedScans(h.child).nonEmpty =>
+          s"$n: broadcast hint over un-reduced scan of " +
+            unboundedScans(h.child).mkString("/")
+      }
       val cart = if (cartesianAllow.exists(n.startsWith)) Nil
         else if (sp.toString.contains("CartesianProduct"))
           Seq(s"$n: cartesian product") else Nil
@@ -242,7 +275,7 @@ class PlanSpec extends SparkSpec {
             }) && we.windowFunction.isInstanceOf[AggregateExpression] => we
         }.nonEmpty) => w
       }.headOption.map(_ => s"$n: quadratic unbounded-following frame").toSeq
-      cart ++ globalWin ++ quadFrame
+      cart ++ globalWin ++ quadFrame ++ badHint
     }
     assert(problems.isEmpty, problems.mkString("; "))
   }

@@ -362,4 +362,45 @@ class SamplingSpec extends SparkSpec {
         Some(Map("a" -> 0.7, "b" -> 0.7)))
     }
   }
+
+  test("importanceWeights: target-like docs outscore off-target docs") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha"),  // target vocabulary
+      (2L, "zeta eta theta iota kappa"),    // off-target vocabulary
+      (3L, "")).toDF("id", "text")          // empty → weight 0
+    val target = Seq((10L, "alpha beta alpha alpha beta")).toDF("id", "text")
+    val w = Sampling.importanceWeights(raw, target, "id", "text",
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(w(1L)._2 > w(2L)._2,
+      s"target-vocab doc must outscore off-target: $w")
+    assert(w(3L) === ((0L, 0L)), "empty doc keeps zero tokens and weight")
+    assert(w(1L)._1 === 5L)
+  }
+
+  test("importanceWeights is deterministic and partition-invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val en = docs.filter($"lang" === "en")
+    def run(raw: org.apache.spark.sql.DataFrame) =
+      Sampling.importanceWeights(raw, en, "doc_id", "text", buckets = 128)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(docs) === run(docs.repartition(17)))
+  }
+
+  test("importanceSelect: returns exactly k, ordered by weight then id") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val en = docs.filter($"lang" === "en")
+    val top = Sampling.importanceSelect(docs, en, "doc_id", "text",
+      k = 10, buckets = 128).collect()
+    assert(top.length === 10)
+    val ws = top.map(r => (r.getLong(2), r.getLong(0)))
+    assert(ws.sortBy { case (w, id) => (-w, id) }.toSeq === ws.toSeq)
+    // English docs should dominate the selection: every selected weight
+    // must be at least the corpus median (weights discriminate)
+    val all = Sampling.importanceWeights(docs, en, "doc_id", "text",
+      buckets = 128).select("logw_micro")
+      .collect().map(_.getLong(0)).sorted
+    assert(ws.map(_._1).min >= all(all.length / 2))
+  }
 }
