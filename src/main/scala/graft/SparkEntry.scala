@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3360,6 +3360,57 @@ object SparkEntry {
       Sampling.importanceSelect(docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", k = 50, buckets = 512)
         .orderBy(col("logw_micro").desc, col("doc_id"))
+    }),
+
+    // ALS matrix factorization, rank 1 / "ones" init: each half-sweep is
+    // a per-group 1-D ridge solve with the closed form
+    // u = Σ r·v / (λ + Σ v²), so two unrolled sweeps replay exactly in
+    // SQL; the 6-digit grid absorbs Gram-merge-order ulps
+    "q268_als_factors" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("u"),
+        col("l_partkey").as("i"), col("l_quantity").as("r"))
+      val m = Factorize.als(li, "u", "i", "r", rank = 1, iters = 2,
+        lambda = 0.1, init = "ones")
+      m.userFactors.select(col("u").as("supp"), r(col("f_0"), 6).as("f_0"))
+        .orderBy("supp")
+    }),
+
+    // ALS scoring join: prediction = u·v as a pure column expression over
+    // the two broadcast-able factor frames; top-40 supplier-part pairs by
+    // observed quantity, scored
+    "q269_als_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("u"),
+        col("l_partkey").as("i"), col("l_quantity").as("r"))
+      val m = Factorize.als(li, "u", "i", "r", rank = 1, iters = 2,
+        lambda = 0.1, init = "ones")
+      val probe = li.groupBy("u", "i").agg(sum("r").as("qty"))
+        .orderBy(col("qty").desc, col("u"), col("i")).limit(40)
+      m.predict(probe)
+        .select(col("u").as("supp"), col("i").as("part"), col("qty"),
+          r(col("prediction"), 6).as("prediction"))
+        .orderBy("supp", "part")
+    }),
+
+    // Count-Min sketch build: d×w integer counters, md5-derived cells —
+    // a deterministic bounded-memory sketch, hash-equality-gated (unlike
+    // HLL/approx_percentile, which get tolerance twins)
+    "q270_countmin_cells" -> ((s, dir) => {
+      Sketch.countMin(t(s, dir, "lineitem"), "l_partkey",
+          width = 256, depth = 3)
+        .orderBy("row", "col")
+    }),
+
+    // Count-Min point estimates vs exact counts for the top-20 parts:
+    // estimate >= exact always (collisions only add)
+    "q271_countmin_estimate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sk = Sketch.countMin(li, "l_partkey", width = 256, depth = 3)
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("l_partkey")).limit(20)
+      Sketch.countMinEstimate(sk, top, "l_partkey", 256, 3)
+        .join(top, "l_partkey")
+        .select(col("l_partkey"), col("exact"), col("estimate"))
+        .orderBy("l_partkey")
     })
   )
 
@@ -8854,6 +8905,77 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(logw_micro, 0) AS logw_micro
         |FROM documents d LEFT JOIN doc USING (doc_id)
-        |ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin
+        |ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    // rank-1 ALS with v₀ = 1: each half-sweep is the closed per-group
+    // ridge form u = Σ r·v / (0.1 + Σ v²) — two sweeps unrolled
+    "q268_als_factors" ->
+      """WITH r AS (SELECT l_suppkey AS u, l_partkey AS i,
+        |    CAST(l_quantity AS DOUBLE) AS r FROM lineitem),
+        |v0 AS (SELECT DISTINCT i, 1.0 AS v FROM r),
+        |u1 AS (SELECT u, sum(r * v) / (0.1 + sum(v * v)) AS uf
+        |  FROM r JOIN v0 USING (i) GROUP BY u),
+        |v1 AS (SELECT i, sum(r * uf) / (0.1 + sum(uf * uf)) AS v
+        |  FROM r JOIN u1 USING (u) GROUP BY i),
+        |u2 AS (SELECT u, sum(r * v) / (0.1 + sum(v * v)) AS uf
+        |  FROM r JOIN v1 USING (i) GROUP BY u)
+        |SELECT u AS supp, round(uf, 6) AS f_0 FROM u2
+        |ORDER BY supp""".stripMargin,
+
+    // same unrolled fit, finished by the second item half-step and the
+    // u·v scoring join over the top-40 observed pairs
+    "q269_als_predict" ->
+      """WITH r AS (SELECT l_suppkey AS u, l_partkey AS i,
+        |    CAST(l_quantity AS DOUBLE) AS r FROM lineitem),
+        |v0 AS (SELECT DISTINCT i, 1.0 AS v FROM r),
+        |u1 AS (SELECT u, sum(r * v) / (0.1 + sum(v * v)) AS uf
+        |  FROM r JOIN v0 USING (i) GROUP BY u),
+        |v1 AS (SELECT i, sum(r * uf) / (0.1 + sum(uf * uf)) AS v
+        |  FROM r JOIN u1 USING (u) GROUP BY i),
+        |u2 AS (SELECT u, sum(r * v) / (0.1 + sum(v * v)) AS uf
+        |  FROM r JOIN v1 USING (i) GROUP BY u),
+        |v2 AS (SELECT i, sum(r * uf) / (0.1 + sum(uf * uf)) AS v
+        |  FROM r JOIN u2 USING (u) GROUP BY i),
+        |probe AS (
+        |  SELECT u, i, sum(r) AS qty FROM r GROUP BY u, i
+        |  ORDER BY qty DESC, u, i LIMIT 40)
+        |SELECT probe.u AS supp, probe.i AS part, qty,
+        |  round(uf * v, 6) AS prediction
+        |FROM probe JOIN u2 USING (u) JOIN v2 USING (i)
+        |ORDER BY supp, part""".stripMargin,
+
+    // identical md5("row#key") mod 256 cell mapping, exact BIGINT sums
+    "q270_countmin_cells" ->
+      """WITH cells AS (
+        |  SELECT r.rw AS row,
+        |    ('0x' || substr(md5(r.rw || '#' || l_partkey), 1, 15))::BIGINT
+        |      % 256 AS col
+        |  FROM lineitem, UNNEST([0, 1, 2]) r(rw)
+        |  WHERE l_partkey IS NOT NULL)
+        |SELECT row, col, count(*) AS counter
+        |FROM cells GROUP BY row, col
+        |ORDER BY row, col""".stripMargin,
+
+    // same cells, estimate = min over the 3 rows, joined to exact
+    "q271_countmin_estimate" ->
+      """WITH cells AS (
+        |  SELECT r.rw AS row,
+        |    ('0x' || substr(md5(r.rw || '#' || l_partkey), 1, 15))::BIGINT
+        |      % 256 AS col
+        |  FROM lineitem, UNNEST([0, 1, 2]) r(rw)),
+        |sk AS (SELECT row, col, count(*) AS counter
+        |  FROM cells GROUP BY row, col),
+        |top AS (SELECT l_partkey, count(*) AS exact FROM lineitem
+        |  GROUP BY 1 ORDER BY exact DESC, l_partkey LIMIT 20),
+        |probe AS (
+        |  SELECT l_partkey, r.rw AS row,
+        |    ('0x' || substr(md5(r.rw || '#' || l_partkey), 1, 15))::BIGINT
+        |      % 256 AS col
+        |  FROM top, UNNEST([0, 1, 2]) r(rw))
+        |SELECT p.l_partkey, t.exact,
+        |  min(coalesce(sk.counter, 0)) AS estimate
+        |FROM probe p LEFT JOIN sk USING (row, col)
+        |  JOIN top t ON p.l_partkey = t.l_partkey
+        |GROUP BY 1, 2 ORDER BY p.l_partkey""".stripMargin
   )
 }

@@ -30,7 +30,8 @@ object GroupedLM {
     * standard errors se_j = σ·sqrt(diag_j), the packed kernel the
     * per-row scoring standard errors ([[predictWithSe]]).
     */
-  private final class GramAgg(p: Int, intercept: Boolean)
+  private final class GramAgg(p: Int, intercept: Boolean,
+      ridge: Double = 0.0)
       extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     private val pp = if (intercept) p + 1 else p
     private val nUp = pp * (pp + 1) / 2
@@ -71,8 +72,9 @@ object GroupedLM {
       val out = new Array[Double](2 * pp + 3 + nUp)
       // n == pp is exactly-determined: a well-defined zero-residual fit
       // (what DuckDB's regr_slope/regr_intercept returns for 2 points /
-      // 1 feature). Only underdetermined groups are hopeless.
-      if (n < pp) {
+      // 1 feature). Only underdetermined groups are hopeless — unless the
+      // solve is ridge-penalized, which is PD (hence defined) for any n.
+      if (n < pp && ridge == 0.0) {
         java.util.Arrays.fill(out, Double.NaN)
         out(pp + 1) = n
         return out.toSeq
@@ -83,6 +85,7 @@ object GroupedLM {
       while (i < pp) {
         var j = i
         while (j < pp) { xtx(i, j) = b(k); xtx(j, i) = b(k); k += 1; j += 1 }
+        xtx(i, i) += ridge
         i += 1
       }
       val xty = BDV.tabulate(pp)(i => b(4 + i))
@@ -90,8 +93,12 @@ object GroupedLM {
         val beta = LinAlg.solvePD(xtx, xty)
         val inv = LinAlg.invPD(xtx)
         // exactly-determined groups have zero residual by construction —
-        // force it so r2 is exactly 1 instead of 1 ± float noise
-        val sse = if (n == pp) 0.0 else math.max(0.0, b(3) - (beta dot xty))
+        // force it so r2 is exactly 1 instead of 1 ± float noise. Under
+        // ridge the OLS identity sse = yᵀy − βᵀXᵀy picks up a λ‖β‖² term
+        // (from (XᵀX+λI)β = Xᵀy).
+        val sse =
+          if (n == pp && ridge == 0.0) 0.0
+          else math.max(0.0, b(3) - (beta dot xty) - ridge * (beta dot beta))
         val tss = if (intercept) b(3) - b(2) * b(2) / b(1) else b(3)
         i = 0
         while (i < pp) {
@@ -132,6 +139,12 @@ object GroupedLM {
     *               — the input [[predictWithSe]] needs for per-row scoring
     *               standard errors. Off by default so existing consumers
     *               see an unchanged schema.
+    * @param ridge  L2 penalty λ added to the XᵀWX diagonal before the
+    *               solve (per-group ridge regression; the building block
+    *               [[graft.ops.Factorize.als]] alternates). With λ > 0
+    *               the solve is defined for ANY group size — no NaN
+    *               underdetermined rows — and r2/sigma/se_* describe the
+    *               PENALIZED fit.
     * @return one row per group: keyCols ++ (b_0.. coefficient columns named
     *         after the features, with `b_intercept` first when intercept),
     *         plus r2, n_rows, sigma, and matching `se_*` standard errors
@@ -145,11 +158,13 @@ object GroupedLM {
       yCol: String,
       intercept: Boolean = true,
       weightCol: Option[String] = None,
-      kernel: Boolean = false): DataFrame = {
+      kernel: Boolean = false,
+      ridge: Double = 0.0): DataFrame = {
     require(keyCols.nonEmpty && xCols.nonEmpty)
+    require(ridge >= 0.0, s"ridge must be >= 0, got $ridge")
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
-    val agg = udaf(new GramAgg(p, intercept))
+    val agg = udaf(new GramAgg(p, intercept, ridge))
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val input = array((xCols.map(c => col(c).cast("double")) :+
       col(yCol).cast("double")) :+ w: _*)

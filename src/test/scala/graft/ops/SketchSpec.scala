@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"k$i"))
+    .toDF("k")
+
+  test("estimates always over-count, never under-count") {
+    val sk = Sketch.countMin(keys, "k", width = 32, depth = 3)
+    val exact = keys.groupBy("k").count()
+    val est = Sketch.countMinEstimate(sk, exact, "k", width = 32, depth = 3)
+    val bad = est.join(exact, "k")
+      .filter(col("estimate") < col("count")).count()
+    assert(bad === 0, "count-min must never under-estimate")
+  }
+
+  test("a wide sketch is exact for a small key set") {
+    val sk = Sketch.countMin(keys, "k", width = 4096, depth = 4)
+    val exact = keys.groupBy("k").count()
+    val diff = Sketch.countMinEstimate(sk, exact, "k", 4096, 4)
+      .join(exact, "k")
+      .filter(col("estimate") =!= col("count")).count()
+    assert(diff === 0, "with w >> keys, all 4 rows should be collision-free")
+  }
+
+  test("unseen keys estimate zero (wide sketch) and sketch size is bounded") {
+    val sk = Sketch.countMin(keys, "k", width = 4096, depth = 3)
+    assert(sk.count() <= 3L * 4096)
+    val unseen = Seq("never-seen-a", "never-seen-b").toDF("k")
+    val est = Sketch.countMinEstimate(sk, unseen, "k", 4096, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.values.forall(_ === 0L))
+  }
+
+  test("weighted build counts each row weight times") {
+    val wdf = Seq(("a", 5L), ("a", 2L), ("b", 1L)).toDF("k", "w")
+    val sk = Sketch.countMin(wdf, "k", width = 1024, depth = 3,
+      weightCol = Some("w"))
+    val est = Sketch.countMinEstimate(sk, Seq("a", "b").toDF("k"), "k",
+      1024, 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") === 7L && est("b") === 1L)
+  }
+
+  test("sketch build is deterministic and partition-invariant") {
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketch.countMin(df, "k", width = 64, depth = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(cells(keys) === cells(keys.repartition(11)))
+  }
+}
