@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
-import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3411,6 +3411,43 @@ object SparkEntry {
         .join(top, "l_partkey")
         .select(col("l_partkey"), col("exact"), col("estimate"))
         .orderBy("l_partkey")
+    }),
+
+    // Johnson–Lindenstrauss random projection 64 → 8: the md5-derived
+    // ±1/√d matrix lands as plan literals — a codegen'd pure projection,
+    // no runtime hashing; 6-digit grid absorbs sum-order ulps
+    "q272_random_projection" -> ((s, dir) => {
+      Similarity.randomProject(t(s, dir, "embeddings"), "embedding",
+          inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("projection")).as(Seq("j", "val")))
+        .select(col("vec_id"), col("j"), r(col("val"), 6).as("val"))
+        .orderBy("vec_id", "j")
+    }),
+
+    // product quantization encode, seeded codebook (closed-form — the
+    // Lloyd-trained path shares the same encode/search code, spec-gated):
+    // per-subspace argmin by partial distance over literal centroids
+    "q273_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Quantize.trainSeeded(e, "vec_id", "embedding", 64,
+        m = 8, k = 16)
+      Quantize.encode(e, "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+        .orderBy("vec_id", "s")
+    }),
+
+    // PQ asymmetric-distance top-5: exploded codes × broadcast per-query
+    // LUT, ONE (query, id) sum, rank on the 6-digit distance grid with an
+    // id tiebreak — the codes-only search path (never touches vectors)
+    "q274_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = Quantize.trainSeeded(e, "vec_id", "embedding", 64,
+        m = 8, k = 16)
+      val codes = Quantize.encode(e, "embedding", cb)
+      val queries = e.orderBy("vec_id").limit(3)
+      Quantize.topK(codes, queries, "vec_id", "embedding", "codes", cb,
+          k = 5)
+        .orderBy("query_id", "vec_id")
     })
   )
 
@@ -8976,6 +9013,111 @@ object SparkEntry {
         |  min(coalesce(sk.counter, 0)) AS estimate
         |FROM probe p LEFT JOIN sk USING (row, col)
         |  JOIN top t ON p.l_partkey = t.l_partkey
-        |GROUP BY 1, 2 ORDER BY p.l_partkey""".stripMargin
+        |GROUP BY 1, 2 ORDER BY p.l_partkey""".stripMargin,
+
+    // identical md5("j#k")-parity ±1 signs, double-cast elements,
+    // /√8 scale, 6-digit grid
+    "q272_random_projection" ->
+      """WITH g AS (
+        |  SELECT vec_id, j.j AS j,
+        |    CASE WHEN ('0x' || substr(md5(j.j || '#' || k.k), 1, 15))
+        |        ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END
+        |      * CAST(embedding[k.k + 1] AS DOUBLE) AS term
+        |  FROM embeddings,
+        |    UNNEST(generate_series(0, 7)) j(j),
+        |    UNNEST(generate_series(0, 63)) k(k))
+        |SELECT vec_id, j, round(sum(term) / sqrt(8.0), 6) AS val
+        |FROM g GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
+
+    // seeds = 16 lowest vec_ids; per-subspace partial-distance argmin
+    // (−2·x·c + ‖c‖², the q163 discipline) with (d, c) tiebreak
+    "q273_pq_encode" ->
+      """WITH seeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+        |cells AS MATERIALIZED (
+        |  SELECT s.s, c, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS w
+        |  FROM seeds, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |x AS MATERIALIZED (
+        |  SELECT vec_id, s.s, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |pd AS (
+        |  SELECT x.vec_id, x.s, cells.c,
+        |    -2 * sum(x.v * cells.w) + any_value(cn.n2) AS d
+        |  FROM x JOIN cells ON x.s = cells.s AND x.j = cells.j
+        |  JOIN (SELECT s, c, sum(w * w) AS n2 FROM cells GROUP BY 1, 2) cn
+        |    ON cells.s = cn.s AND cells.c = cn.c
+        |  GROUP BY x.vec_id, x.s, cells.c)
+        |SELECT vec_id, s, CAST(c AS INT) AS code FROM (
+        |  SELECT vec_id, s, c, row_number() OVER (
+        |    PARTITION BY vec_id, s ORDER BY d, c) AS rk
+        |  FROM pd)
+        |WHERE rk = 1 ORDER BY vec_id, s""".stripMargin,
+
+    // same codes; per-query LUT = partial distances of the query
+    // subvectors to every centroid; rank on round(Σ pd + ‖q‖², 6) with
+    // the id tiebreak, exactly the engine's grid
+    "q274_pq_topk" ->
+      """WITH seeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+        |cells AS MATERIALIZED (
+        |  SELECT s.s, c, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS w
+        |  FROM seeds, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |cn AS MATERIALIZED (
+        |  SELECT s, c, sum(w * w) AS n2 FROM cells GROUP BY 1, 2),
+        |x AS MATERIALIZED (
+        |  SELECT vec_id, s.s, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, s, c FROM (
+        |    SELECT x.vec_id, x.s, cells.c, row_number() OVER (
+        |      PARTITION BY x.vec_id, x.s ORDER BY
+        |        -2 * sum(x.v * cells.w) + any_value(cn.n2), cells.c) AS rk
+        |    FROM x JOIN cells ON x.s = cells.s AND x.j = cells.j
+        |    JOIN cn ON cells.s = cn.s AND cells.c = cn.c
+        |    GROUP BY x.vec_id, x.s, cells.c)
+        |  WHERE rk = 1),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 3),
+        |qq AS (
+        |  SELECT query_id,
+        |    sum(CAST(embedding[u.ix + 1] AS DOUBLE)
+        |      * CAST(embedding[u.ix + 1] AS DOUBLE)) AS qq
+        |  FROM q, UNNEST(generate_series(0, 63)) u(ix) GROUP BY 1),
+        |qx AS (
+        |  SELECT query_id, s.s, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS v
+        |  FROM q, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |lut AS (
+        |  SELECT qx.query_id, qx.s, cells.c,
+        |    -2 * sum(qx.v * cells.w) + any_value(cn.n2) AS pd
+        |  FROM qx JOIN cells ON qx.s = cells.s AND qx.j = cells.j
+        |  JOIN cn ON cells.s = cn.s AND cells.c = cn.c
+        |  GROUP BY qx.query_id, qx.s, cells.c),
+        |sc AS (
+        |  SELECT l.query_id, codes.vec_id,
+        |    round(sum(l.pd) + any_value(qq.qq), 6) AS adist2
+        |  FROM codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
+        |  JOIN qq ON qq.query_id = l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, vec_id, adist2, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist2, vec_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin
   )
 }

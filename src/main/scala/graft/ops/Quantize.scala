@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search"): compress `inDim`-dim
+  * embeddings to `m` small integer codes — one per disjoint subspace —
+  * by nearest-centroid assignment against per-subspace codebooks of `k`
+  * centroids. At 100 TB this is THE memory path for similarity search:
+  * a 64-dim float vector (256 B) becomes m = 8 bytes of codes, and
+  * query scoring touches only the codes plus an m×k lookup table per
+  * query — never the original vectors.
+  *
+  * Spark-first shapes:
+  *  - training = m independent per-subspace Lloyd fits, reusing
+  *    [[Cluster.kmeans]] (literal-centroid codegen'd assignment, ONE
+  *    (cluster, dim) aggregation per iteration);
+  *  - encoding = a pure projection: per subspace, argmin over k literal
+  *    centroids by PARTIAL distance (−2·x·c + ‖c‖²; ‖x‖² shifts every
+  *    candidate equally), the q163 struct-array_min trick — no UDF, no
+  *    shuffle;
+  *  - search = the codes frame exploded to (id, s, code), broadcast-join
+  *    the per-query m×k lookup table, ONE (query, id) sum, rank window.
+  *    Per-subspace constant shifts cancel across documents (every doc
+  *    contributes exactly one code per subspace), so partial-distance
+  *    LUTs rank identically to true distances; the true squared distance
+  *    is restored by adding ‖q‖² at the end.
+  */
+object Quantize {
+
+  /** Per-subspace codebooks: `centroids(s)(c)` is the `subDim`-dim
+    * centroid for code `c` of subspace `s`.
+    */
+  final case class PQCodebook(m: Int, k: Int, subDim: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    require(centroids.length == m &&
+      centroids.forall(s => s.length == k && s.forall(_.length == subDim)))
+  }
+
+  private def checkDims(inDim: Int, m: Int): Int = {
+    require(m >= 1 && inDim >= m && inDim % m == 0,
+      s"m must divide inDim, got inDim=$inDim m=$m")
+    inDim / m
+  }
+
+  /** Train per-subspace codebooks by Lloyd's (m independent
+    * [[Cluster.kmeans]] fits over the sliced subvectors — md5-seeded,
+    * deterministic). m is small (8–16), so the m sequential fits cost
+    * m·iters scans of an `inDim/m`-wide projection.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, inDim: Int,
+      m: Int, k: Int, maxIter: Int = 10): PQCodebook = {
+    val d = checkDims(inDim, m)
+    val cents = (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * d + 1, d).as("__sub"))
+      Cluster.kmeans(sub, idCol, "__sub", k, maxIter).centroids
+    }.toArray
+    PQCodebook(m, k, d, cents)
+  }
+
+  /** Closed-form codebooks from the k smallest ids' subvectors — no
+    * iteration, exactly replayable in SQL (the oracle-gate path; k-means
+    * codebooks are strictly better quantizers, same encode/search code).
+    */
+  def trainSeeded(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, m: Int, k: Int): PQCodebook = {
+    val d = checkDims(inDim, m)
+    require(k >= 1, s"need k >= 1, got $k")
+    val seeds = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"fewer than $k non-null vectors")
+    PQCodebook(m, k, d,
+      Array.tabulate(m)(s => seeds.map(_.slice(s * d, s * d + d))))
+  }
+
+  /** Quantize every vector to its m nearest-centroid codes — a pure
+    * literal-codebook projection (`outCol` = array<int> of length m).
+    * Argmin ties break to the LOWER code, deterministically.
+    */
+  def encode(df: DataFrame, vecCol: String, cb: PQCodebook,
+      outCol: String = "codes"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val codes = (0 until cb.m).map { s =>
+      val sub = slice(col(vecCol).cast("array<double>"),
+        s * cb.subDim + 1, cb.subDim)
+      array_min(array((0 until cb.k).map { c =>
+        val ct = cb.centroids(s)(c)
+        struct(
+          (lit(-2.0) * call_function("array_dot", sub, typedLit(ct.toSeq))
+            + lit(ct.map(x => x * x).sum)).as("d"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    }
+    df.withColumn(outCol, array(codes: _*))
+  }
+
+  /** Asymmetric-distance top-k: rank every encoded vector against every
+    * query by the PQ approximation ‖q − decode(codes)‖², computed from
+    * the codes alone. The per-query lookup table ((query, s, c) →
+    * partial distance, m·k rows per query) broadcast-joins the exploded
+    * codes; ONE (query, id) aggregation sums the m table hits; a
+    * query-partitioned rank window takes k. Rank order uses the 6-digit
+    * distance grid with an id tiebreak — deterministic on any
+    * partitioning.
+    *
+    * @param queries small frame (idCol, vecCol) — one LUT row set each
+    * @return (query_id, vec_id, adist2, rn) — adist2 = approximate
+    *         squared distance on the 6-digit grid, rn = 1..k
+    */
+  def topK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codesCol: String, cb: PQCodebook, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.plans.GraftExtensions.ensureRegistered(codes.sparkSession)
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__q"))
+    // per-query LUT: pd(s, c) = −2·q_s·ct + ‖ct‖²  (+ ‖q‖²/m restores the
+    // true squared distance after the m-term sum)
+    val lut = q0.select(col("query_id"),
+        call_function("array_dot", col("__q"), col("__q")).as("__qq"),
+        posexplode(array((0 until cb.m).map { s =>
+          val sub = slice(col("__q"), s * cb.subDim + 1, cb.subDim)
+          array((0 until cb.k).map { c =>
+            val ct = cb.centroids(s)(c)
+            lit(-2.0) * call_function("array_dot", sub, typedLit(ct.toSeq)) +
+              lit(ct.map(x => x * x).sum)
+          }: _*)
+        }: _*)).as(Seq("s", "__row")))
+      .select(col("query_id"), col("__qq"),
+        col("s"), posexplode(col("__row")).as(Seq("c", "__pd")))
+    val long = codes.select(col(idCol).as("vec_id"),
+      posexplode(col(codesCol)).as(Seq("s", "c")))
+    val scored = long.join(broadcast(lut), Seq("s", "c"))
+      .groupBy("query_id", "vec_id")
+      .agg((sum("__pd") + first("__qq")).as("__ad"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("__ad"), 6).as("adist2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist2"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

@@ -408,4 +408,43 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** md5-derived Rademacher sign for projection cell (j, k): ±1 from the
+    * parity of the q236 15-hex-digit mapping of "j#k". Computed DRIVER
+    * side — the projection matrix becomes plan literals.
+    */
+  private def rademacherSign(j: Int, k: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j#$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    * variant): compress `inDim`-dim embeddings to `outDim` dims with
+    * pairwise distances preserved to within ε ≈ √(8·ln n / outDim) —
+    * the cheap front-end that makes downstream k-means / LSH / exact
+    * rescoring run on a fraction of the bytes at 100 TB.
+    *
+    * The ±1/√outDim projection matrix is md5-derived (deterministic,
+    * engine-reproducible, no RNG state) and materializes as PLAN
+    * LITERALS: each output component is a codegen'd signed sum of
+    * element_at terms — a pure projection, no UDF, no shuffle, no
+    * runtime hashing.
+    *
+    * @return `df` with `outCol` = array<double> of size `outDim`
+    */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int,
+      outDim: Int, outCol: String = "projection"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      (0 until inDim).map { k =>
+        lit(rademacherSign(j, k)) *
+          element_at(col(vecCol), k + 1).cast("double")
+      }.reduce(_ + _) * lit(scale)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
 }

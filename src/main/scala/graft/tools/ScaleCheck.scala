@@ -59,7 +59,14 @@ object ScaleCheck {
     "q73_cc_labels", // iterative graph (LSS rounds)
     "q74_heavy_hitters", // token heavy hitters
     "q81_grouped_poisson", // grouped GLM, different family
-    "q249_duplicate_spans") // gram-hash doc-frequency profile
+    "q249_duplicate_spans", // gram-hash doc-frequency profile
+    // round-10 additions (q262 jaccard join is EXCLUDED for the same
+    // reason as the LSH pair generators: exact replication makes every
+    // doc a 10-deep duplicate cluster, so its pair output is
+    // quadratic-in-factor by construction)
+    "q266_dsir_weights", // bucket collapses + broadcast λ + token explode
+    "q268_als_factors", // iterative: 2 ALS sweeps of join + Gram solve
+    "q270_countmin_cells") // sketch build: explode + partial agg
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // 4-dim vectors, m=2 subspaces; subspace clusters are unambiguous
+  private def tiny = Seq(
+    (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+    (2L, Seq(0.1, 0.0, 10.1, 10.0)),
+    (3L, Seq(5.0, 5.0, 0.0, 0.0)),
+    (4L, Seq(5.1, 5.0, 0.1, 0.0))).toDF("id", "v")
+
+  test("encode assigns each subvector to its nearest centroid") {
+    val cb = Quantize.PQCodebook(2, 2, 2, Array(
+      Array(Array(0.0, 0.0), Array(5.0, 5.0)),      // subspace 0
+      Array(Array(10.0, 10.0), Array(0.0, 0.0))))   // subspace 1
+    val got = Quantize.encode(tiny, "v", cb)
+      .select($"id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) === Seq(0, 0) && got(2L) === Seq(0, 0))
+    assert(got(3L) === Seq(1, 1) && got(4L) === Seq(1, 1))
+  }
+
+  test("seeded codebook: each seed encodes to its own code") {
+    val cb = Quantize.trainSeeded(tiny, "id", "v", inDim = 4, m = 2, k = 2)
+    assert(cb.subDim === 2)
+    val got = Quantize.encode(tiny, "v", cb)
+      .select($"id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // seeds are ids 1 and 2 (the two lowest); each quantizes to itself
+    assert(got(1L) === Seq(0, 0) && got(2L) === Seq(1, 1))
+  }
+
+  test("topK: a corpus vector queries itself back at rank 1") {
+    val cb = Quantize.trainSeeded(tiny, "id", "v", 4, m = 2, k = 4)
+    val codes = Quantize.encode(tiny, "v", cb)
+    val top = Quantize.topK(codes, tiny.filter($"id" === 3L), "id", "v",
+        "codes", cb, k = 4)
+      .orderBy("rn").collect()
+    assert(top.head.getLong(1) === 3L, "self must rank first")
+    assert(top.head.getDouble(2) === 0.0, "self PQ distance must be 0")
+    // distances are non-decreasing in rank
+    val ds = top.map(_.getDouble(2)).toSeq
+    assert(ds === ds.sorted)
+  }
+
+  test("encode is deterministic and partition-invariant on embeddings") {
+    val cb = Quantize.trainSeeded(emb, "vec_id", "embedding", 64,
+      m = 8, k = 16)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Quantize.encode(df, "embedding", cb)
+        .select($"vec_id", $"codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val a = run(emb)
+    assert(a === run(emb.repartition(13)))
+    assert(a.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("Lloyd training beats the seeded codebook on reconstruction error") {
+    def sqErr(cb: Quantize.PQCodebook): Double = {
+      val codes = Quantize.encode(emb, "embedding", cb)
+      // decode each vector from its codes and measure ‖x − x̂‖² exactly
+      val dec = codes.select($"vec_id",
+        $"embedding".cast("array<double>").as("x"),
+        flatten(transform($"codes",
+          (c, s) => element_at(element_at(
+            typedLit(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq), s + 1),
+            c + 1))).as("xhat"))
+      dec.select(sum(aggregate(zip_with($"x", $"xhat",
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, e) => acc + e)))
+        .head.getDouble(0)
+    }
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val seeded = sqErr(Quantize.trainSeeded(emb, "vec_id", "embedding",
+      64, m = 4, k = 8))
+    val trained = sqErr(Quantize.train(emb, "vec_id", "embedding",
+      64, m = 4, k = 8, maxIter = 5))
+    assert(trained < seeded,
+      s"k-means codebook must reconstruct better: $trained vs $seeded")
+  }
+}

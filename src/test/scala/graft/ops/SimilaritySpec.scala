@@ -231,4 +231,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getSeq[Int](0))
     assert(sig.toSeq == sig2.toSeq)
   }
+
+  test("randomProject: JL norms are preserved on average (64 -> 32)") {
+    import org.apache.spark.sql.functions._
+    def sqNorm(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val rel = Similarity.randomProject(emb, "embedding", 64, 32, "p")
+      .select((abs(sqNorm($"p") - sqNorm($"embedding")) /
+        sqNorm($"embedding")).as("rel"))
+      .agg(avg($"rel")).head.getDouble(0)
+    assert(rel < 0.25, s"mean relative sq-norm error too high: $rel")
+  }
+
+  test("randomProject is deterministic, partition-invariant, and linear") {
+    import org.apache.spark.sql.functions._
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.randomProject(df, "embedding", 64, 8, "p")
+        .select($"vec_id", $"p").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val base = run(emb)
+    assert(base === run(emb.repartition(9)))
+    // P(2x) = 2·P(x) exactly: power-of-two scaling is IEEE-exact
+    val doubled = run(emb.select($"vec_id",
+      transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+    assert(base.forall { case (id, v) =>
+      v.map(_ * 2.0) == doubled(id) })
+  }
 }
