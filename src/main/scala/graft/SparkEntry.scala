@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival}
+import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival, ZeroInfl}
 import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
@@ -3448,6 +3448,50 @@ object SparkEntry {
       Quantize.topK(codes, queries, "vec_id", "embedding", "codes", cb,
           k = 5)
         .orderBy("query_id", "vec_id")
+    }),
+
+    // zero-inflated Poisson on a saturated binary design: 6 fixed EM
+    // rounds whose M-steps have closed per-cell forms (weighted means) —
+    // the oracle unrolls the same rounds; both engines land on the EM
+    // fixed point, compared on the 6-digit grid
+    "q275_zip" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") > 0.05).cast("double").as("x"),
+        greatest(col("l_linenumber") - 3, lit(0)).cast("double").as("y"))
+      val m = ZeroInfl.fitZip(d, Seq("x"), "y", emIters = 6)
+      m.predict(d.select("x").distinct())
+        .select(col("x"), r(lit(m.pi), 6).as("pi"),
+          r(col("prediction"), 6).as("ey"), r(col("p_zero"), 6).as("p_zero"))
+        .orderBy("x")
+    }),
+
+    // inverse-propensity-weighted ATE: saturated per-stratum propensities
+    // (cell shares), Hájek-normalized 1/e weights — closed-form causal
+    // estimate, exact arithmetic replay
+    "q276_ipw" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("strat"),
+        (col("l_discount") > 0.05).cast("int").as("treat"),
+        col("l_extendedprice").as("y"))
+      Matching.ipwAte(d, Seq("strat"), "treat", "y")
+        .select(col("n_used"), col("n_treated"), col("n_control"),
+          r(col("ate_ipw"), 6).as("ate_ipw"),
+          r(col("mean_treated"), 6).as("mean_treated"),
+          r(col("mean_control"), 6).as("mean_control"),
+          col("n_excluded"))
+    }),
+
+    // 2-D raking / IPF: per-(lang, source) weights hitting equal target
+    // shares on BOTH margins after 10 fixed rounds — the oracle unrolls
+    // the same alternating scalings over the identical cell frame
+    "q277_rake" -> ((s, dir) => {
+      val langs = Seq("en", "zh", "es", "de", "fr").map(_ -> 0.2).toMap
+      val srcs = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+      Sampling.rake2d(t(s, dir, "documents"), "lang", "source",
+          langs, srcs, iters = 10)
+        .select(col("lang"), col("source"), col("n"),
+          r(col("weight"), 6).as("weight"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -9118,6 +9162,91 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adist2, vec_id) AS rn
         |  FROM sc)
-        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin
+        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin,
+
+    // 6 unrolled EM rounds; saturated M-steps are per-cell weighted
+    // means, so each round is closed-form (init: plain Poisson MLE =
+    // cell means, π₀ = 0.25 — mirrors the engine exactly)
+    "q275_zip" -> {
+      def rnd(i: Int): String =
+        s"""z$i AS MATERIALIZED (
+           |  SELECT b.x, b.y,
+           |    CASE WHEN b.y > 0 THEN 0.0
+           |      ELSE p${i - 1}.pi /
+           |        (p${i - 1}.pi + (1 - p${i - 1}.pi) * exp(-m.mu))
+           |    END AS z
+           |  FROM base b JOIN m${i - 1} m USING (x) CROSS JOIN p${i - 1}),
+           |p$i AS MATERIALIZED (SELECT avg(z) AS pi FROM z$i),
+           |m$i AS MATERIALIZED (SELECT x, sum((1 - z) * y) / sum(1 - z) AS mu
+           |  FROM z$i GROUP BY x)""".stripMargin
+      """WITH base AS MATERIALIZED (
+        |  SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CAST(greatest(l_linenumber - 3, 0) AS DOUBLE) AS y
+        |  FROM lineitem),
+        |m0 AS MATERIALIZED (SELECT x, avg(y) AS mu FROM base GROUP BY x),
+        |p0 AS MATERIALIZED (SELECT 0.25 AS pi),
+        |""".stripMargin + (1 to 6).map(rnd).mkString(",\n") +
+        """
+          |SELECT x, round(pi, 6) AS pi,
+          |  round((1 - pi) * mu, 6) AS ey,
+          |  round(pi + (1 - pi) * exp(-mu), 6) AS p_zero
+          |FROM m6 CROSS JOIN p6
+          |ORDER BY x""".stripMargin
+    },
+
+    // identical cell propensities (exact integer share), identical
+    // weight CASE and Hájek divisions
+    "q276_ipw" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS s,
+        |    CAST(l_discount > 0.05 AS INT) AS t, l_extendedprice AS y
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT s, CAST(sum(t) AS DOUBLE) / count(*) AS e
+        |  FROM base GROUP BY s),
+        |w AS (
+        |  SELECT t, y,
+        |    CASE WHEN t = 1 THEN 1.0 / e ELSE 1.0 / (1 - e) END AS w
+        |  FROM base JOIN cells USING (s) WHERE e > 0 AND e < 1),
+        |ex AS (
+        |  SELECT count(*) AS n_excluded
+        |  FROM base JOIN cells USING (s) WHERE e = 0 OR e = 1),
+        |agg AS (
+        |  SELECT count(*) AS n_used,
+        |    CAST(sum(t) AS BIGINT) AS n_treated,
+        |    CAST(sum(1 - t) AS BIGINT) AS n_control,
+        |    sum(CASE WHEN t = 1 THEN w * y ELSE 0.0 END)
+        |      / sum(CASE WHEN t = 1 THEN w ELSE 0.0 END) AS mt,
+        |    sum(CASE WHEN t = 0 THEN w * y ELSE 0.0 END)
+        |      / sum(CASE WHEN t = 0 THEN w ELSE 0.0 END) AS mc
+        |  FROM w)
+        |SELECT n_used, n_treated, n_control,
+        |  round(mt - mc, 6) AS ate_ipw, round(mt, 6) AS mean_treated,
+        |  round(mc, 6) AS mean_control, n_excluded
+        |FROM agg CROSS JOIN ex""".stripMargin,
+
+    // 10 unrolled IPF rounds over the identical observed-cell frame,
+    // equal target shares as literals, same multiply/divide order
+    "q277_rake" -> {
+      def rnd(i: Int): String =
+        s"""ra$i AS MATERIALIZED (
+           |  SELECT lang, sum(w * n) AS m FROM w${i - 1} GROUP BY lang),
+           |xa$i AS MATERIALIZED (SELECT w.lang, w.source, w.n,
+           |    w.w * 0.2 * tot.t / ra$i.m AS w
+           |  FROM w${i - 1} w JOIN ra$i USING (lang) CROSS JOIN tot),
+           |rb$i AS MATERIALIZED (
+           |  SELECT source, sum(w * n) AS m FROM xa$i GROUP BY source),
+           |w$i AS MATERIALIZED (SELECT x.lang, x.source, x.n,
+           |    x.w * 0.05 * tot.t / rb$i.m AS w
+           |  FROM xa$i x JOIN rb$i USING (source) CROSS JOIN tot)""".stripMargin
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells),
+        |w0 AS MATERIALIZED (SELECT lang, source, n, 1.0 AS w FROM cells),
+        |""".stripMargin + (1 to 10).map(rnd).mkString(",\n") +
+        """
+          |SELECT lang, source, n, round(w, 6) AS weight FROM w10
+          |ORDER BY lang, source""".stripMargin
+    }
   )
 }

@@ -51,4 +51,61 @@ object Matching {
       .withColumnRenamed("__score", "score")
       .withColumnRenamed("nearest_dist", "score_diff")
   }
+
+  /** Inverse-propensity-weighted ATE (Horvitz–Thompson weights 1/e and
+    * 1/(1−e) with Hájek normalization — the normalization makes the
+    * estimate identical to the stabilized-weight form, since the
+    * stabilizing constants cancel) — [[psMatch]]'s estimator
+    * sibling: instead of pairing units it reweights them so the treated
+    * and control groups both look like the full population, and the
+    * weighted outcome difference estimates the AVERAGE TREATMENT EFFECT.
+    *
+    * Propensities are the saturated nonparametric fit over the strata
+    * cells: e(s) = share treated in cell s — exactly the MLE a logistic
+    * regression on the cell dummies would produce, with no iteration and
+    * an exact closed replay. Cells where e ∈ {0, 1} (positivity
+    * violations: nobody/everybody treated) cannot be reweighted; their
+    * rows are excluded and counted.
+    *
+    * Scale shape: ONE cell aggregation (≤ distinct-strata rows,
+    * broadcast back) + ONE weighted aggregate — no iteration, no window,
+    * no driver state.
+    *
+    * @return one row: (n_used, n_treated, n_control, ate_ipw,
+    *         mean_treated, mean_control, n_excluded) — means are the
+    *         Hájek-normalized weighted means; ate_ipw their difference
+    */
+  def ipwAte(df: DataFrame, strataCols: Seq[String], treatCol: String,
+      outcomeCol: String): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val base = df.select((strataCols.map(col) :+
+        col(treatCol).cast("int").as("__t") :+
+        col(outcomeCol).cast("double").as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(strataCols.map(col): _*)
+      .agg((sum("__t").cast("double") / count(lit(1))).as("__e"))
+    val w = base.join(broadcast(cells), strataCols)
+      .filter(col("__e") > 0.0 && col("__e") < 1.0)
+      .withColumn("__w", when(col("__t") === 1, lit(1.0) / col("__e"))
+        .otherwise(lit(1.0) / (lit(1.0) - col("__e"))))
+    val excluded = base.join(broadcast(cells), strataCols)
+      .filter(col("__e") === 0.0 || col("__e") === 1.0)
+      .agg(count(lit(1)).as("n_excluded"))
+    w.agg(
+        count(lit(1)).as("n_used"),
+        sum(col("__t")).cast("long").as("n_treated"),
+        sum(lit(1) - col("__t")).cast("long").as("n_control"),
+        (sum(when(col("__t") === 1, col("__w") * col("__y"))
+            .otherwise(lit(0.0))) /
+          sum(when(col("__t") === 1, col("__w")).otherwise(lit(0.0))))
+          .as("mean_treated"),
+        (sum(when(col("__t") === 0, col("__w") * col("__y"))
+            .otherwise(lit(0.0))) /
+          sum(when(col("__t") === 0, col("__w")).otherwise(lit(0.0))))
+          .as("mean_control"))
+      .withColumn("ate_ipw", col("mean_treated") - col("mean_control"))
+      .crossJoin(broadcast(excluded))
+      .select("n_used", "n_treated", "n_control", "ate_ipw",
+        "mean_treated", "mean_control", "n_excluded")
+  }
 }

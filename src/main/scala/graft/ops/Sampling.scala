@@ -549,6 +549,78 @@ object Sampling {
         coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
   }
 
+  /** 2-D raking / iterative proportional fitting (Deming & Stephan
+    * 1940): per-(a, b) cell weights scaled in alternating passes until
+    * the WEIGHTED marginals match the target shares on both dimensions —
+    * the corpus-mixture balancer when two attributes (language × source,
+    * domain × time-bucket) must hit target shares SIMULTANEOUSLY and the
+    * 1-D [[mixtureRates]] knob can't (scaling one margin un-scales the
+    * other; IPF alternates until both hold).
+    *
+    * Scale shape: ONE cell aggregation collapses the corpus to the
+    * (a, b) cell-count frame — bounded by the level-product, enforced by
+    * `maxCells` — and the IPF rounds run on those driver rows (the
+    * ≤nBins-frame discipline of isotonic/PAV). Apply the returned
+    * per-cell weights with [[stratifiedSample]] keyed on (a, b), or as a
+    * training-loss weight column via a broadcast join.
+    *
+    * Levels absent from a target map get share 0 (their cells rake to
+    * weight 0). Every POSITIVE-share level must have data rows —
+    * raking cannot conjure mass into an empty margin (require'd).
+    *
+    * @param targetA/targetB shares per level, each summing to 1
+    * @param iters fixed IPF round count (deterministic; IPF converges
+    *              geometrically when all positive-share margins overlap)
+    * @return one row per observed cell: (aCol, bCol, n, weight) — a
+    *         row-level multiplier; Σ_cells n·weight = Σ n, with weighted
+    *         marginals at the targets on both dimensions
+    */
+  def rake2d(df: DataFrame, aCol: String, bCol: String,
+      targetA: Map[String, Double], targetB: Map[String, Double],
+      iters: Int = 10, maxCells: Int = 100000): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    Seq(("targetA", targetA), ("targetB", targetB)).foreach { case (n, m) =>
+      require(m.nonEmpty && m.values.forall(_ >= 0) &&
+        math.abs(m.values.sum - 1.0) < 1e-9, s"$n shares must sum to 1")
+    }
+    val spark = df.sparkSession
+    val cells = df.groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"${cells.length} cells exceed maxCells=$maxCells — coarsen the levels")
+    val total = cells.map(_._3).sum.toDouble
+    val obsA = cells.map(_._1).toSet
+    val obsB = cells.map(_._2).toSet
+    require(targetA.forall { case (k, v) => v == 0.0 || obsA(k) },
+      s"positive-share targetA levels missing from data: ${
+        targetA.keys.filter(k => targetA(k) > 0 && !obsA(k)).mkString(",")}")
+    require(targetB.forall { case (k, v) => v == 0.0 || obsB(k) },
+      s"positive-share targetB levels missing from data: ${
+        targetB.keys.filter(k => targetB(k) > 0 && !obsB(k)).mkString(",")}")
+    var w = cells.map(_ => 1.0)
+    for (_ <- 1 to iters) {
+      val rowMass = cells.indices.groupBy(i => cells(i)._1)
+        .map { case (a, is) => a -> is.map(i => w(i) * cells(i)._3).sum }
+      w = cells.indices.toArray.map { i =>
+        val m = rowMass(cells(i)._1)
+        if (m > 0) w(i) * targetA.getOrElse(cells(i)._1, 0.0) * total / m
+        else 0.0
+      }
+      val colMass = cells.indices.groupBy(i => cells(i)._2)
+        .map { case (b, is) => b -> is.map(i => w(i) * cells(i)._3).sum }
+      w = cells.indices.toArray.map { i =>
+        val m = colMass(cells(i)._2)
+        if (m > 0) w(i) * targetB.getOrElse(cells(i)._2, 0.0) * total / m
+        else 0.0
+      }
+    }
+    import spark.implicits._
+    cells.zip(w).map { case ((a, b, n), wt) => (a, b, n, wt) }
+      .toSeq.toDF(aCol, bCol, "n", "weight")
+  }
+
   /** Top-k selection under [[importanceWeights]] (deterministic greedy
     * variant of DSIR's Gumbel resampling: rank by the exact integer
     * weight, id-tiebroken). Executes as TakeOrderedAndProject — a

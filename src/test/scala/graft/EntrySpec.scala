@@ -11,18 +11,16 @@ class EntrySpec extends SparkSpec {
   test("rows-only queries are the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // each of these is rows-only for a structural reason (xxhash64 /
-    // recall<1 / byte-level decode / sketch-determined bins / iterative
-    // float centroids (q163) / driver-side PAV pooling (q210) have no
-    // DuckDB analog); q20/q64 graduated to saturated-design closed-form
-    // oracles in round 8
+    // recall<1 / byte-level decode / sketch-determined bins have no
+    // DuckDB analog); the iterative fits graduated to unrolled
+    // fixed-point oracles over rounds 8–10 (q20/q64/q163/q181/q194/
+    // q210/q226/q229)
     assert(rowsOnly === Set("q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
       "q61_distinct_approx", "q68_ann_ivf",
       "q137_profile_approx", "q138_calibration_quantile",
-      "q163_kmeans", "q181_semantic_dedup", "q194_kcenter",
-      "q197_rolling_active_hll", "q210_isotonic",
-      "q226_cox", "q229_ordinal"))
+      "q197_rolling_active_hll"))
   }
 
   test("approx distinct counts (q61) track the exact counts (q60) within 5%") {

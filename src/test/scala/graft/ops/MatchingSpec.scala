@@ -57,4 +57,41 @@ class MatchingSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  // confounded two-stratum fixture: treatment effect is exactly 2 in both
+  // strata, but treatment probability differs (0.8 vs 0.2), so the naive
+  // difference is biased; IPW recovers 2 exactly (closed-form arithmetic)
+  private def confounded = (
+    Seq.fill(8)(("s1", 1, 3.0)) ++ Seq.fill(2)(("s1", 0, 1.0)) ++
+    Seq.fill(2)(("s2", 1, 5.0)) ++ Seq.fill(8)(("s2", 0, 3.0))
+  ).toDF("s", "treat", "y")
+
+  test("ipwAte removes confounding the naive difference keeps") {
+    val row = Matching.ipwAte(confounded, Seq("s"), "treat", "y").head
+    assert(row.getAs[Long]("n_used") === 20L)
+    assert(math.abs(row.getAs[Double]("ate_ipw") - 2.0) < 1e-12)
+    assert(math.abs(row.getAs[Double]("mean_treated") - 4.0) < 1e-12)
+    assert(math.abs(row.getAs[Double]("mean_control") - 2.0) < 1e-12)
+    // the naive difference is 3.4 - 2.6 = 0.8 — confounded
+    val naive = confounded.groupBy("treat").agg(avg("y").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs((naive(1) - naive(0)) - 0.8) < 1e-12)
+  }
+
+  test("ipwAte excludes positivity-violating strata and counts them") {
+    val withBad = confounded.unionByName(
+      Seq.fill(5)(("s3", 1, 9.0)).toDF("s", "treat", "y"))
+    val row = Matching.ipwAte(withBad, Seq("s"), "treat", "y").head
+    assert(row.getAs[Long]("n_excluded") === 5L)
+    assert(row.getAs[Long]("n_used") === 20L)
+    assert(math.abs(row.getAs[Double]("ate_ipw") - 2.0) < 1e-12)
+  }
+
+  test("ipwAte is partition-invariant") {
+    val a = Matching.ipwAte(confounded, Seq("s"), "treat", "y").head
+    val b = Matching.ipwAte(confounded.repartition(11), Seq("s"),
+      "treat", "y").head
+    assert(math.abs(a.getAs[Double]("ate_ipw") -
+      b.getAs[Double]("ate_ipw")) < 1e-12)
+  }
 }

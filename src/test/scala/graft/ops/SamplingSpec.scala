@@ -388,6 +388,46 @@ class SamplingSpec extends SparkSpec {
     assert(run(docs) === run(docs.repartition(17)))
   }
 
+  test("rake2d: weighted marginals hit both targets simultaneously") {
+    val rows = Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(50)(("a2", "b2"))
+    val df = rows.toDF("a", "b")
+    val raked = Sampling.rake2d(df, "a", "b",
+      Map("a1" -> 0.5, "a2" -> 0.5), Map("b1" -> 0.5, "b2" -> 0.5),
+      iters = 20)
+    val cells = raked.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def margin(f: ((String, String)) => String, lvl: String) =
+      cells.collect { case (k, (n, w)) if f(k) == lvl => n * w }.sum
+    assert(math.abs(margin(_._1, "a1") - 50.0) < 1e-6)
+    assert(math.abs(margin(_._2, "b1") - 50.0) < 1e-6)
+    assert(math.abs(cells.map { case (_, (n, w)) => n * w }.sum - 100.0) < 1e-6)
+  }
+
+  test("rake2d: targets equal to observed marginals of an independent table leave weights at 1") {
+    // independent 2x2: n_ab = rowShare*colShare*N
+    val rows = Seq.fill(12)(("a1", "b1")) ++ Seq.fill(28)(("a1", "b2")) ++
+      Seq.fill(18)(("a2", "b1")) ++ Seq.fill(42)(("a2", "b2"))
+    val raked = Sampling.rake2d(rows.toDF("a", "b"), "a", "b",
+      Map("a1" -> 0.4, "a2" -> 0.6), Map("b1" -> 0.3, "b2" -> 0.7))
+    raked.collect().foreach(r =>
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString))
+  }
+
+  test("rake2d: zero-share levels rake to weight 0; missing positive levels reject") {
+    val df = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b1")))
+      .toDF("a", "b")
+    val raked = Sampling.rake2d(df, "a", "b",
+      Map("a1" -> 1.0, "a2" -> 0.0), Map("b1" -> 1.0))
+    val w = raked.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(w("a2") === 0.0 && math.abs(w("a1") - 2.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Sampling.rake2d(df, "a", "b",
+        Map("a1" -> 0.5, "a9" -> 0.5), Map("b1" -> 1.0))
+    }
+  }
+
   test("importanceSelect: returns exactly k, ordered by weight then id") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val en = docs.filter($"lang" === "en")
