@@ -304,6 +304,12 @@ object GLM {
     *                  row (same β/se/deviance; n still counts rows)
     * @param tol       relative deviance-change convergence threshold:
     *                  |ΔD| / (|D| + 0.1) < tol (see object doc)
+    * @param initCoefs optional warm-start coefficients (intercept first
+    *                  when `intercept`) — the first IRLS pass linearizes
+    *                  at these instead of the μ₀ heuristic. Same fixed
+    *                  point, fewer iterations; the lever that makes
+    *                  outer loops re-fitting similar models cheap
+    *                  ([[ZeroInfl.fitZip]]'s EM rounds)
     */
   def fit(
       df: DataFrame,
@@ -317,7 +323,9 @@ object GLM {
       weightCol: Option[String] = None,
       tol: Double = 1e-10,
       maxIter: Int = 50,
-      verbose: Boolean = false): GLMModel = {
+      verbose: Boolean = false,
+      initCoefs: Option[BDV[Double]] = None,
+      computeStats: Boolean = true): GLMModel = {
     val fam = Family(family)
     val link = LinkFn(if (linkName.isEmpty) fam.defaultLink else linkName)
 
@@ -341,13 +349,15 @@ object GLM {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ xsNames.map(col)
+    initCoefs.foreach(b => require(b.length == xs.size,
+      s"initCoefs length ${b.length} != coefficient count ${xs.size}"))
     val names = ((if (intercept) Seq("(Intercept)") else Nil) ++ xCols).toArray
     val y = col("y"); val m = col("m"); val off = col("off"); val pw = col("pw")
 
     def clamp(mu: Column): Column = fam.clampMu(mu, m)
 
     try {
-      var beta: BDV[Double] = null
+      var beta: BDV[Double] = initCoefs.orNull
       var dev = Double.NaN
       var devOld = Double.NaN
       var lastGram: Normal = null
@@ -389,6 +399,16 @@ object GLM {
       val p = lastGram.p
       val ixtwx = LinAlg.invPD(lastGram.xtx)
       val se = BDV.tabulate(p)(i => math.sqrt(ixtwx(i, i)))
+
+      // Intermediate fits inside outer loops (EM rounds) only need β and
+      // the deviance the IRLS pass already computed — skip the two stats
+      // jobs (Pearson/loglik pass + null-deviance pass) and mark the
+      // derived statistics NaN/0
+      if (!computeStats) {
+        return new GLMModel(names, yCol, intercept, fam.name, link, beta,
+          se, dev, Double.NaN, Double.NaN, Double.NaN, 0L, iterations,
+          ixtwx)
+      }
 
       // Final statistics: μ at the converged β.
       val etaF = xs.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }.reduce(_ + _) + off

@@ -57,8 +57,8 @@ object ZeroInfl {
     try {
       var pi = 0.25
       var model = GLM.fit(work, xCols, "__y", family = "poisson",
-        intercept = intercept, tol = tol)
-      for (_ <- 1 to emIters) {
+        intercept = intercept, tol = tol, computeStats = false)
+      for (it <- 1 to emIters) {
         // E-step with the PREVIOUS (π, β); M-step refreshes both
         val withZ = model.predict(work, "__mu")
           .withColumn("__z", when(col("__y") > 0, lit(0.0))
@@ -66,8 +66,12 @@ object ZeroInfl {
               (lit(pi) + lit(1.0 - pi) * exp(-col("__mu")))))
           .withColumn("__w", lit(1.0) - col("__z"))
         pi = withZ.agg(avg("__z")).head().getDouble(0)
+        // warm-start at the previous round's β (same per-round MLE fixed
+        // point, far fewer IRLS passes — β barely moves between rounds)
+        // and skip the derived-statistics jobs on all but the last round
         model = GLM.fit(withZ, xCols, "__y", family = "poisson",
-          weightCol = Some("__w"), intercept = intercept, tol = tol)
+          weightCol = Some("__w"), intercept = intercept, tol = tol,
+          initCoefs = Some(model.coefs), computeStats = it == emIters)
       }
       ZipModel(pi, model, emIters)
     } finally work.unpersist()
