@@ -3492,6 +3492,26 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("n"),
           r(col("weight"), 6).as("weight"))
         .orderBy("lang", "source")
+    }),
+
+    // ENGINE-PORTABLE MinHash signatures (md5-mod-Mersenne shingle hash +
+    // universal hashing, exact integer arithmetic end-to-end) — the
+    // hash-equality gate the xxhash64 path (q26) structurally can't have
+    "q278_minhash_portable" -> ((s, dir) => {
+      val sig = Dedup.minhashSignaturesPortable(t(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, numHashes = 16)
+      sig.select(col("id"), posexplode(array(
+          (0 until 16).map(i => col(s"sig_$i")): _*)).as(Seq("i", "sig")))
+        .orderBy("id", "i")
+    }),
+
+    // banded LSH candidate pairs from the portable signatures — the full
+    // near-dup candidate pipeline (shingle → minhash → band → bucket
+    // join → cap) under hash equality
+    "q279_minhash_pairs_portable" -> ((s, dir) => {
+      Dedup.minhashPairsPortable(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -9247,6 +9267,70 @@ object SparkEntry {
         """
           |SELECT lang, source, n, round(w, 6) AS weight FROM w10
           |ORDER BY lang, source""".stripMargin
-    }
+    },
+
+    // identical distinct shingle strings, md5-mod-(2^31−1) base hash,
+    // identical (aᵢ·h + bᵢ) mod p universal hashes — exact integers
+    "q278_minhash_portable" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) i(i)
+        |  WHERE len(t) >= 3),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM grams),
+        |params AS MATERIALIZED (
+        |  SELECT i.i AS i,
+        |    CASE WHEN (2654435761 * (i.i + 1)) % 2147483647 = 0 THEN 1
+        |      ELSE (2654435761 * (i.i + 1)) % 2147483647 END AS a,
+        |    (97531 * (i.i + 1)) % 2147483647 AS b
+        |  FROM UNNEST(generate_series(0, 15)) i(i))
+        |SELECT h.doc_id AS id, p.i,
+        |  min((h.h * p.a + p.b) % 2147483647) AS sig
+        |FROM h CROSS JOIN params p
+        |GROUP BY 1, 2 ORDER BY id, i""".stripMargin,
+
+    // same signatures → 4-row string band keys → capped bucket self-join
+    "q279_minhash_pairs_portable" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) i(i)
+        |  WHERE len(t) >= 3),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM grams),
+        |params AS MATERIALIZED (
+        |  SELECT i.i AS i,
+        |    CASE WHEN (2654435761 * (i.i + 1)) % 2147483647 = 0 THEN 1
+        |      ELSE (2654435761 * (i.i + 1)) % 2147483647 END AS a,
+        |    (97531 * (i.i + 1)) % 2147483647 AS b
+        |  FROM UNNEST(generate_series(0, 15)) i(i)),
+        |sigl AS MATERIALIZED (
+        |  SELECT h.doc_id AS id, p.i,
+        |    min((h.h * p.a + p.b) % 2147483647) AS sig
+        |  FROM h CROSS JOIN params p GROUP BY 1, 2),
+        |bk AS MATERIALIZED (
+        |  SELECT id, i // 4 AS band,
+        |    string_agg(CAST(sig AS VARCHAR), '#' ORDER BY i) AS bkey
+        |  FROM sigl GROUP BY id, i // 4),
+        |small AS (
+        |  SELECT band, bkey FROM bk GROUP BY band, bkey
+        |  HAVING count(*) <= 200),
+        |pr AS MATERIALIZED (
+        |  SELECT b.band, b.bkey, b.id FROM bk b JOIN small USING (band, bkey))
+        |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands_shared
+        |FROM pr a JOIN pr b ON a.band = b.band AND a.bkey = b.bkey
+        |  AND a.id < b.id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -229,6 +229,77 @@ object Dedup {
       sigUdf(split(col(textCol), "\\s+")).as("sig"))
   }
 
+  private val MersenneP = 2147483647L // 2^31 − 1
+
+  /** Universal-hash parameters for portable-minhash row `i`: a odd-ish
+    * multiplier and offset below the Mersenne prime, both closed-form in
+    * `i` so any engine reproduces them (no RNG state).
+    */
+  private def portableAB(i: Int): (Long, Long) = {
+    val a0 = (2654435761L * (i + 1)) % MersenneP
+    ((if (a0 == 0) 1L else a0), (97531L * (i + 1)) % MersenneP)
+  }
+
+  /** ENGINE-PORTABLE MinHash signatures: one md5 per distinct shingle
+    * string (the engine-reproducible q236 mapping, reduced mod the
+    * Mersenne prime 2³¹−1), then `numHashes` universal hashes
+    * (aᵢ·h + bᵢ) mod p whose products stay below 2⁶² — every step is
+    * exact integer arithmetic ANY engine replays bit-for-bit, so
+    * near-dup candidate generation gets a full hash-equality oracle
+    * (the xxhash64 [[minhashSignatureArray]] path stays the fast
+    * default; its mix64 wraps mod 2⁶⁴, which ANSI engines can't
+    * express).
+    *
+    * Shape: ONE shingle explode + ONE groupBy(doc) carrying `numHashes`
+    * min-aggregates — map-side combine reduces every partition to one
+    * `numHashes`-long buffer per doc before the shuffle.
+    *
+    * @return (id, sig_0 … sig_{numHashes−1}); docs with fewer than
+    *         `shingleN` tokens drop (no shingles → no signature)
+    */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
+    require(numHashes >= 1, s"need numHashes >= 1, got $numHashes")
+    val h = pmod(conv(substring(md5(col("__sh")), 1, 15), 16, 10)
+      .cast("long"), lit(MersenneP))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = portableAB(i)
+      min(pmod(col("__h") * lit(a) + lit(b), lit(MersenneP))).as(s"sig_$i")
+    }
+    fanOut(df).select(col(idCol).as("id"),
+        explode(shingleExpr(col(textCol), shingleN)).as("__sh"))
+      .select(col("id"), h.as("__h"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from the PORTABLE signatures (banding identical
+    * to [[minhashPairs]], band keys as joined strings so the oracle
+    * replays them): (id_a, id_b, n_bands_shared), id_a < id_b, hot
+    * buckets capped like every banded join here.
+    */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignaturesPortable(df, idCol, textCol, shingleN,
+      numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("#", (0 until rows).map(r =>
+          col(s"sig_${b * rows + r}")): _*).as("bkey"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    val small = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("band", "bkey")
+    val pruned = buckets.join(small, Seq("band", "bkey"))
+    val l = pruned.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = pruned.select(col("band"), col("bkey"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands_shared"))
+  }
+
   /** MinHash signatures as `numHashes` columns (`sig_0` … ) — thin view
     * over [[minhashSignatureArray]].
     */

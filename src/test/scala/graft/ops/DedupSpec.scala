@@ -368,4 +368,38 @@ class DedupSpec extends SparkSpec {
       n = 3).orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("portable minhash: identical docs share every signature component") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("id", "text")
+    val sig = Dedup.minhashSignaturesPortable(df, "id", "text",
+        shingleN = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getLong).toSeq).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    assert(sig.values.forall(_.forall(v => v >= 0 && v < 2147483647L)))
+  }
+
+  test("portable minhash signatures are deterministic and partition-invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesPortable(df, "doc_id", "text", 3, 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(run(docs) === run(docs.repartition(13)))
+  }
+
+  test("portable pairs: exact duplicates pair with all bands shared") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("id", "text")
+    val pairs = Dedup.minhashPairsPortable(df, "id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(4L),
+      s"duplicates must share all 4 bands: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
