@@ -3512,6 +3512,15 @@ object SparkEntry {
       Dedup.minhashPairsPortable(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 16, bands = 4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // engine-portable SimHash: per-bit votes over md5 shingle hashes —
+    // shift/mask arithmetic, exact integer fingerprints (q27's
+    // hash-equality twin)
+    "q280_simhash_portable" -> ((s, dir) => {
+      Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, bits = 24)
+        .orderBy("id")
     })
   )
 
@@ -9331,6 +9340,31 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands_shared
         |FROM pr a JOIN pr b ON a.band = b.band AND a.bkey = b.bkey
         |  AND a.id < b.id
-        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // identical md5-mod-2^24 shingle hashes, identical per-bit ±1 votes
+    // and sign-bit assembly — exact integer fingerprints
+    "q280_simhash_portable" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(0, len(t) - 3)) i(i)
+        |  WHERE len(t) >= 3),
+        |h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 16777216 AS h
+        |  FROM grams),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, UNNEST(generate_series(0, 23)) b(b)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id AS id,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+        |    AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY id""".stripMargin
   )
 }

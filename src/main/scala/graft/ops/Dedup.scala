@@ -300,6 +300,35 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands_shared"))
   }
 
+  /** ENGINE-PORTABLE SimHash: per-bit ±1 votes over the md5-derived
+    * shingle hashes (reduced to `bits` low bits), fingerprint = the
+    * sign bits — shift/mask/conditional-sum arithmetic any engine
+    * replays exactly (the [[simhash]] 64-bit fnv/mix path stays the
+    * fast default). ONE shingle explode + ONE groupBy(doc) carrying
+    * `bits` conditional sums; ties (vote 0) resolve to bit 0, matching
+    * [[simhash]].
+    *
+    * @return (id, simhash) — docs with fewer than `shingleN` tokens drop
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bits: Int = 24): DataFrame = {
+    require(bits >= 1 && bits <= 48, s"need 1 <= bits <= 48, got $bits")
+    val h = pmod(conv(substring(md5(col("__sh")), 1, 15), 16, 10)
+      .cast("long"), lit(1L << bits))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L,
+        lit(1)).otherwise(lit(-1))).as(s"__v$b")
+    }
+    val fp = (0 until bits).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    fanOut(df).select(col(idCol).as("id"),
+        explode(shingleExpr(col(textCol), shingleN)).as("__sh"))
+      .select(col("id"), h.as("__h"))
+      .groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
   /** MinHash signatures as `numHashes` columns (`sig_0` … ) — thin view
     * over [[minhashSignatureArray]].
     */

@@ -402,4 +402,23 @@ class DedupSpec extends SparkSpec {
       s"duplicates must share all 4 bands: $pairs")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("portable simhash: identical docs get identical fingerprints; near docs are close in hamming") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"), // 1 token off
+      (4L, "one two three four five six seven eight")).toDF("id", "text")
+    val fp = Dedup.simhashPortable(df, "id", "text", 3, bits = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) === fp(2L))
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)),
+      s"near dup must be closer: $fp")
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 24)))
+    // partition invariance
+    val fp2 = Dedup.simhashPortable(df.repartition(7), "id", "text", 3, 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp === fp2)
+  }
 }
