@@ -3521,6 +3521,16 @@ object SparkEntry {
       Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, bits = 24)
         .orderBy("id")
+    }),
+
+    // STREAMING Count-Min build: the q270 sketch as a complete-mode
+    // streaming aggregation whose state IS the bounded d×w counter table
+    // — sixth streaming/batch parity family, hash-equal to the batch
+    // sketch cell-for-cell
+    "q281_countmin_stream" -> ((s, dir) => {
+      StreamOps.countMinStreamReplay(events(s, dir), width = 256,
+          depth = 3)
+        .orderBy("row", "col")
     })
   )
 
@@ -9365,6 +9375,19 @@ object SparkEntry {
         |SELECT doc_id AS id,
         |  CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
         |    AS BIGINT) AS simhash
-        |FROM bits GROUP BY 1 ORDER BY id""".stripMargin
+        |FROM bits GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // batch replay of the identical md5 cell mapping over events.user_id
+    // — the streaming complete-mode emission must match cell-for-cell
+    "q281_countmin_stream" ->
+      """WITH cells AS (
+        |  SELECT r.rw AS row,
+        |    ('0x' || substr(md5(r.rw || '#' || user_id), 1, 15))::BIGINT
+        |      % 256 AS col
+        |  FROM events, UNNEST([0, 1, 2]) r(rw)
+        |  WHERE user_id IS NOT NULL)
+        |SELECT row, col, count(*) AS counter
+        |FROM cells GROUP BY row, col
+        |ORDER BY row, col""".stripMargin
   )
 }

@@ -418,6 +418,55 @@ object StreamOps {
     s.table(name).select(keyCols.map(col): _*).distinct()
   }
 
+  /** Streaming Count-Min sketch build — [[graft.ops.Sketch.countMin]]
+    * over an unbounded stream: the same explode + (row, col) aggregation
+    * in COMPLETE output mode. The aggregation state is the sketch itself
+    * — at most d·w integer counters regardless of stream length or key
+    * cardinality — so the sketch's fixed-memory guarantee carries
+    * directly into the state store (the SIXTH streaming/batch parity
+    * family, and the only one whose state is bounded by construction
+    * rather than by a watermark).
+    */
+  def countMinStream(events: DataFrame, keyCol: String, width: Int,
+      depth: Int): DataFrame =
+    graft.ops.Sketch.countMin(events, keyCol, width, depth)
+
+  /** Run [[countMinStream]] over a MemoryStream replay of a batch events
+    * frame (keyed on user_id) — parity gate: the final complete-mode
+    * emission must equal the batch sketch cell-for-cell (exact integer
+    * counters, hash equality).
+    */
+  def countMinStreamReplay(events: DataFrame, width: Int,
+      depth: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "countMinStreamReplay needs at least one event")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_cms_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try countMinStream(in.toDF(), "user_id", width, depth)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      // two chunks: the second trigger must UPDATE the same bounded cell
+      // state, not append — complete mode re-emits the whole sketch
+      val (a, b) = evs.splitAt(evs.length / 2)
+      in.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** The [[parquetSink]] foreachBatch body, factored out so the spec can
     * invoke it directly with an already-seen batch id — the crash-replay
     * path — and assert idempotence without having to kill a JVM mid-commit.

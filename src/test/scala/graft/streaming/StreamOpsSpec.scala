@@ -343,4 +343,17 @@ class StreamOpsSpec extends SparkSpec {
         unix_millis($"session_start") - unix_millis($"prev_end") <= gap)
     assert(overlaps.count() === 0)
   }
+
+  test("streaming count-min sketch equals the batch sketch cell-for-cell") {
+    val rows = (1 to 60).map(i =>
+      StreamOps.Event(i.toLong, ts(i % 50), (i % 7).toLong, "e", 1.0))
+    val batch = rows.toDF()
+    val expected = graft.ops.Sketch.countMin(batch, "user_id", 64, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = StreamOps.countMinStreamReplay(batch, width = 64, depth = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // bounded state: cells never exceed depth * width
+    assert(got.size <= 3 * 64)
+  }
 }
