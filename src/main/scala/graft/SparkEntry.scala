@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, PCA, Robust, Survival, ZeroInfl}
+import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, Robust, Survival, ZeroInfl}
 import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
 import graft.streaming.StreamOps
 
@@ -3531,6 +3531,23 @@ object SparkEntry {
       StreamOps.countMinStreamReplay(events(s, dir), width = 256,
           depth = 3)
         .orderBy("row", "col")
+    }),
+
+    // glm.nb-style negative binomial with ESTIMATED dispersion: on the
+    // saturated design the per-round IRLS μ̂ is the cell mean for ANY θ,
+    // so the 4×3 alternation degenerates to 12 pure Newton steps on the
+    // Pearson moment equation — each exactly replayed, θ on the 1e-8
+    // grid at every step
+    "q282_negbin_theta" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        (col("l_discount") > 0.05).cast("double").as("x"),
+        greatest(col("l_linenumber") - 2, lit(0)).cast("double").as("y"))
+      val m = NegBin.fit(d, Seq("x"), "y", outerIters = 4,
+        newtonSteps = 3)
+      m.predict(d.select("x").distinct())
+        .select(col("x"), r(lit(m.theta), 6).as("theta"),
+          r(col("prediction"), 6).as("mu"))
+        .orderBy("x")
     })
   )
 
@@ -9388,6 +9405,38 @@ object SparkEntry {
         |  WHERE user_id IS NOT NULL)
         |SELECT row, col, count(*) AS counter
         |FROM cells GROUP BY row, col
-        |ORDER BY row, col""".stripMargin
+        |ORDER BY row, col""".stripMargin,
+
+    // 12 unrolled Pearson-moment Newton steps (μ = cell means on the
+    // saturated design for any θ); θ clamped at 1e-4 and rounded to the
+    // 1e-8 grid after every step, mirroring the engine exactly
+    "q282_negbin_theta" -> {
+      def stp(i: Int): String =
+        s"""f$i AS MATERIALIZED (
+           |  SELECT
+           |    sum((b.y - m.mu) * (b.y - m.mu)
+           |      / (m.mu + m.mu * m.mu / t${i - 1}.th)) AS s,
+           |    sum((b.y - m.mu) * (b.y - m.mu) * m.mu * m.mu
+           |      / (t${i - 1}.th * t${i - 1}.th
+           |         * (m.mu + m.mu * m.mu / t${i - 1}.th)
+           |         * (m.mu + m.mu * m.mu / t${i - 1}.th))) AS sp,
+           |    count(*) AS n
+           |  FROM base b JOIN m USING (x) CROSS JOIN t${i - 1}),
+           |t$i AS MATERIALIZED (
+           |  SELECT round(greatest(1e-4,
+           |    t${i - 1}.th - (f$i.s - (f$i.n - 2)) / f$i.sp), 8) AS th
+           |  FROM t${i - 1} CROSS JOIN f$i)""".stripMargin
+      """WITH base AS MATERIALIZED (
+        |  SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS x,
+        |    CAST(greatest(l_linenumber - 2, 0) AS DOUBLE) AS y
+        |  FROM lineitem),
+        |m AS MATERIALIZED (SELECT x, avg(y) AS mu FROM base GROUP BY x),
+        |t0 AS MATERIALIZED (SELECT 1.0 AS th),
+        |""".stripMargin + (1 to 12).map(stp).mkString(",\n") +
+        """
+          |SELECT x, round(th, 6) AS theta, round(mu, 6) AS mu
+          |FROM m CROSS JOIN t12
+          |ORDER BY x""".stripMargin
+    }
   )
 }
