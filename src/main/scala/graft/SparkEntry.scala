@@ -3548,6 +3548,19 @@ object SparkEntry {
         .select(col("x"), r(lit(m.theta), 6).as("theta"),
           r(col("prediction"), 6).as("mu"))
         .orderBy("x")
+    }),
+
+    // uplift / Qini deciles: score-collapse + two-level cumulative tiling
+    // + per-tile windows over the ≤10-row frame — exact integer counts to
+    // the 6-digit ratio grid (the treatment-model evaluation next to the
+    // IPW/psMatch estimators)
+    "q283_uplift_qini" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_extendedprice").as("score"),
+        (col("l_discount") > 0.05).cast("int").as("treat"),
+        (col("l_quantity") > 30).cast("int").as("label"))
+      Eval.upliftByTile(d, "score", "treat", "label", nTiles = 10)
+        .orderBy("tile")
     })
   )
 
@@ -9437,6 +9450,47 @@ object SparkEntry {
           |SELECT x, round(th, 6) AS theta, round(mu, 6) AS mu
           |FROM m CROSS JOIN t12
           |ORDER BY x""".stripMargin
-    }
+    },
+
+    // identical score collapse, descending cumulative tiling, per-tile
+    // running sums and division shapes
+    "q283_uplift_qini" ->
+      """WITH bys AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS s, count(*) AS n,
+        |    sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN l_discount > 0.05 AND l_quantity > 30
+        |      THEN 1 ELSE 0 END) AS post,
+        |    sum(CASE WHEN l_discount > 0.05 THEN 0 ELSE 1 END) AS nc,
+        |    sum(CASE WHEN NOT l_discount > 0.05 AND l_quantity > 30
+        |      THEN 1 ELSE 0 END) AS posc
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT *, sum(n) OVER (ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS n_cum,
+        |    sum(n) OVER () AS nn
+        |  FROM bys),
+        |tiled AS (
+        |  SELECT *, CAST(ceil(10.0 * n_cum / nn) AS INT) AS tile FROM cum),
+        |bt AS (
+        |  SELECT tile, CAST(sum(n) AS BIGINT) AS n, sum(nt) AS nt,
+        |    sum(post) AS post, sum(nc) AS nc, sum(posc) AS posc
+        |  FROM tiled GROUP BY 1),
+        |c AS (
+        |  SELECT tile, n,
+        |    sum(nt) OVER w AS cnt, sum(post) OVER w AS cpt,
+        |    sum(nc) OVER w AS cnc, sum(posc) OVER w AS cpc
+        |  FROM bt WINDOW w AS (ORDER BY tile ROWS UNBOUNDED PRECEDING))
+        |SELECT tile, n,
+        |  CAST(cnt AS BIGINT) AS cum_n_treat,
+        |  CAST(cpt AS BIGINT) AS cum_pos_treat,
+        |  CAST(cnc AS BIGINT) AS cum_n_ctrl,
+        |  CAST(cpc AS BIGINT) AS cum_pos_ctrl,
+        |  round(CASE WHEN cnt > 0 AND cnc > 0 THEN
+        |    CAST(cpt AS DOUBLE) / cnt - CAST(cpc AS DOUBLE) / cnc END, 6)
+        |    AS uplift,
+        |  round(CASE WHEN cnc > 0 THEN
+        |    CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE) * cnt / cnc END, 6)
+        |    AS qini
+        |FROM c ORDER BY tile""".stripMargin
   )
 }

@@ -314,6 +314,66 @@ object Eval {
             (col("__P").cast("double") / col("__N"))), 6).as("lift"))
   }
 
+  /** Uplift / Qini table — the treatment-model companion to
+    * [[gainsTable]]: rank the population by the uplift score (descending),
+    * cut into `nTiles` equal-count tiles, and report at each cumulative
+    * depth the treated/control response rates, their difference
+    * (`uplift`), and the Qini value
+    * `cum_treat_pos − cum_ctrl_pos · cum_n_treat / cum_n_ctrl` —
+    * incremental conversions versus a scaled control. A model that
+    * targets persuadables front-loads the Qini curve; random targeting
+    * is linear to the same endpoint.
+    *
+    * Scale shape: score-collapse (like [[gainsTable]]) → the two-level
+    * [[graft.ops.Cumulative]] pass for tiling → per-tile sums with
+    * windows over the ≤ nTiles frame. Counts stay exact integers until
+    * the 6-digit ratio grid.
+    *
+    * @return per tile: (tile, n, cum_n_treat, cum_pos_treat, cum_n_ctrl,
+    *         cum_pos_ctrl, uplift, qini) — uplift/qini null when a
+    *         cumulative arm is empty
+    */
+  def upliftByTile(df: DataFrame, scoreCol: String, treatCol: String,
+      labelCol: String, nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 1, "need nTiles >= 1")
+    val byS = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(treatCol) === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col(treatCol) === 1 && col(labelCol) === 1, 1L)
+          .otherwise(0L)).as("post"),
+        sum(when(col(treatCol) === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col(treatCol) === 0 && col(labelCol) === 1, 1L)
+          .otherwise(0L)).as("posc"))
+    val cum = graft.ops.Cumulative.runningSums(byS, "__s", Seq("n"),
+      descending = true)
+    val tot = byS.agg(sum("n").as("__N"))
+    val tiled = cum.crossJoin(broadcast(tot))
+      .withColumn("tile", ceil(lit(nTiles.toDouble) *
+        col("n_cum").cast("double") / col("__N").cast("double")).cast("int"))
+    val byTile = tiled.groupBy("tile")
+      .agg(sum("n").as("n"), sum("nt").as("nt"), sum("post").as("post"),
+        sum("nc").as("nc"), sum("posc").as("posc"))
+    val wc = Window.orderBy("tile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cnt = byTile
+      .withColumn("cum_n_treat", sum("nt").over(wc))
+      .withColumn("cum_pos_treat", sum("post").over(wc))
+      .withColumn("cum_n_ctrl", sum("nc").over(wc))
+      .withColumn("cum_pos_ctrl", sum("posc").over(wc))
+    cnt.select(col("tile"), col("n"),
+      col("cum_n_treat"), col("cum_pos_treat"),
+      col("cum_n_ctrl"), col("cum_pos_ctrl"),
+      round(when(col("cum_n_treat") > 0 && col("cum_n_ctrl") > 0,
+        col("cum_pos_treat").cast("double") / col("cum_n_treat") -
+          col("cum_pos_ctrl").cast("double") / col("cum_n_ctrl")), 6)
+        .as("uplift"),
+      round(when(col("cum_n_ctrl") > 0,
+        col("cum_pos_treat").cast("double") -
+          col("cum_pos_ctrl").cast("double") * col("cum_n_treat") /
+            col("cum_n_ctrl")), 6).as("qini"))
+  }
+
   /** Group-fairness audit of a binary classifier: per protected group,
     * selection rate (demographic parity), TPR (equal opportunity) and
     * FPR (equalized odds), each with its ratio to the group-wise MAX

@@ -371,6 +371,36 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cohensKappa(const, "r1", "r2").head().isNullAt(3))
   }
 
+  test("upliftByTile: persuadables front-load uplift and qini") {
+    // score 2 = persuadables (treated respond, control don't);
+    // score 1 = lost causes (nobody responds)
+    val rows =
+      Seq.fill(10)((2.0, 1, 1)) ++ Seq.fill(10)((2.0, 0, 0)) ++
+      Seq.fill(10)((1.0, 1, 0)) ++ Seq.fill(10)((1.0, 0, 0))
+    val df = rows.toDF("score", "treat", "label")
+    val t = Eval.upliftByTile(df, "score", "treat", "label", nTiles = 2)
+      .orderBy("tile").collect()
+    assert(t.length === 2)
+    val t1 = t.head
+    assert(t1.getAs[Long]("cum_n_treat") === 10L &&
+      t1.getAs[Long]("cum_pos_treat") === 10L)
+    assert(t1.getAs[Double]("uplift") === 1.0)
+    assert(t1.getAs[Double]("qini") === 10.0)
+    val t2 = t(1)
+    assert(t2.getAs[Double]("uplift") === 0.5)
+    assert(t2.getAs[Double]("qini") === 10.0) // no extra lift in tile 2
+  }
+
+  test("upliftByTile: empty control arm yields null uplift, exact counts invariant") {
+    val all = (1 to 30).map(i => (i.toDouble, 1, i % 2)).toDF("score", "treat", "label")
+    val t = Eval.upliftByTile(all, "score", "treat", "label", nTiles = 3)
+      .orderBy("tile").collect()
+    assert(t.forall(_.isNullAt(6)), "no control rows -> null uplift")
+    val again = Eval.upliftByTile(all.repartition(7), "score", "treat",
+      "label", nTiles = 3).orderBy("tile").collect()
+    assert(t.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   private def rd6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
