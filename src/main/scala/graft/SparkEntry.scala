@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3561,6 +3561,44 @@ object SparkEntry {
         (col("l_quantity") > 30).cast("int").as("label"))
       Eval.upliftByTile(d, "score", "treat", "label", nTiles = 10)
         .orderBy("tile")
+    }),
+
+    // CART decision stump (Gini): one melt-explode + ONE (feature, value)
+    // collapse + cumulative windows partitioned by feature — the split
+    // search is pure counting, so the statistic replays exactly; majority
+    // leaves, strict-improvement gate, (score desc, feature, value) ties
+    "q284_stump" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Tree.fit(d, Seq("l_discount", "l_quantity", "l_tax"), "y",
+          maxDepth = 1).toDF(s)
+        .orderBy("path")
+    }),
+
+    // depth-2 CART tree: per level ONE (node, feature, value) collapse;
+    // node assignment is a literal nested-CASE projection (no join);
+    // driver state = the ≤7-row node table
+    "q285_tree" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Tree.fit(d, Seq("l_discount", "l_quantity", "l_tax"), "y",
+          maxDepth = 2).toDF(s)
+        .orderBy("path")
+    }),
+
+    // binned-candidate stump on a high-cardinality continuous feature:
+    // fixed-width edges off one (min, max) pass bound the candidate frame
+    // at `bins` rows per (node, feature) — the 100 TB mode where the
+    // distinct-value collapse would otherwise be data-sized
+    "q286_stump_binned" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_extendedprice"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Tree.fit(d, Seq("l_extendedprice"), "y", maxDepth = 1,
+          bins = Some(16)).toDF(s)
+        .orderBy("path")
     })
   )
 
@@ -9491,6 +9529,229 @@ object SparkEntry {
         |  round(CASE WHEN cnc > 0 THEN
         |    CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE) * cnt / cnc END, 6)
         |    AS qini
-        |FROM c ORDER BY tile""".stripMargin
+        |FROM c ORDER BY tile""".stripMargin,
+
+    // identical melt + (feature, value) collapse + cumulative windows;
+    // score = (posL²+negL²)/nL + (posR²+negR²)/nR in the same division
+    // order; strict > parent; (score desc, feature, value) tie order
+    "q284_stump" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    l_quantity AS f1, l_discount AS f2, l_tax AS f3
+        |  FROM lineitem),
+        |melt AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, y FROM base
+        |  UNION ALL SELECT 'l_discount', f2, y FROM base
+        |  UNION ALL SELECT 'l_tax', f3, y FROM base),
+        |agg AS (
+        |  SELECT feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM melt GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(pos) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS posl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(pos) OVER (PARTITION BY feature) AS post
+        |  FROM agg),
+        |sc AS (
+        |  SELECT feature, v, nl, posl, nt - nl AS nr, post - posl AS posr,
+        |    (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+        |      + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+        |      / CAST(nl AS DOUBLE)
+        |    + (CAST(post - posl AS DOUBLE) * CAST(post - posl AS DOUBLE)
+        |      + CAST((nt - nl) - (post - posl) AS DOUBLE)
+        |        * CAST((nt - nl) - (post - posl) AS DOUBLE))
+        |      / CAST(nt - nl AS DOUBLE) AS score
+        |  FROM cum WHERE nl >= 1 AND nt - nl >= 1),
+        |par AS (
+        |  SELECT count(*) AS n, sum(y) AS pos,
+        |    (CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |      + CAST(count(*) - sum(y) AS DOUBLE)
+        |        * CAST(count(*) - sum(y) AS DOUBLE))
+        |      / CAST(count(*) AS DOUBLE) AS pscore
+        |  FROM base),
+        |best AS (
+        |  SELECT feature, v, nl, posl, nr, posr
+        |  FROM sc CROSS JOIN par WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1)
+        |SELECT '' AS path, 0 AS depth, CAST(par.n AS BIGINT) AS n,
+        |    CAST(par.pos AS BIGINT) AS pos, best.feature,
+        |    CAST(best.v AS DOUBLE) AS threshold,
+        |    CASE WHEN 2 * par.pos > par.n THEN 1 ELSE 0 END AS pred
+        |  FROM par CROSS JOIN best
+        |UNION ALL
+        |SELECT 'L', 1, CAST(nl AS BIGINT), CAST(posl AS BIGINT), NULL, NULL,
+        |    CASE WHEN 2 * posl > nl THEN 1 ELSE 0 END FROM best
+        |UNION ALL
+        |SELECT 'R', 1, CAST(nr AS BIGINT), CAST(posr AS BIGINT), NULL, NULL,
+        |    CASE WHEN 2 * posr > nr THEN 1 ELSE 0 END FROM best
+        |ORDER BY path""".stripMargin,
+
+    // level 2 replays level 1's winner as the node-assignment CASE, then
+    // reruns the identical pipeline PARTITIONED BY (node, feature); LEFT
+    // JOINs keep unsplit children as leaves
+    "q285_tree" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    l_quantity AS f1, l_discount AS f2, l_tax AS f3
+        |  FROM lineitem),
+        |melt AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, y FROM base
+        |  UNION ALL SELECT 'l_discount', f2, y FROM base
+        |  UNION ALL SELECT 'l_tax', f3, y FROM base),
+        |agg AS (
+        |  SELECT feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM melt GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(pos) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS posl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(pos) OVER (PARTITION BY feature) AS post
+        |  FROM agg),
+        |sc AS (
+        |  SELECT feature, v, nl, posl, nt - nl AS nr, post - posl AS posr,
+        |    (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+        |      + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+        |      / CAST(nl AS DOUBLE)
+        |    + (CAST(post - posl AS DOUBLE) * CAST(post - posl AS DOUBLE)
+        |      + CAST((nt - nl) - (post - posl) AS DOUBLE)
+        |        * CAST((nt - nl) - (post - posl) AS DOUBLE))
+        |      / CAST(nt - nl AS DOUBLE) AS score
+        |  FROM cum WHERE nl >= 1 AND nt - nl >= 1),
+        |par AS (
+        |  SELECT count(*) AS n, sum(y) AS pos,
+        |    (CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |      + CAST(count(*) - sum(y) AS DOUBLE)
+        |        * CAST(count(*) - sum(y) AS DOUBLE))
+        |      / CAST(count(*) AS DOUBLE) AS pscore
+        |  FROM base),
+        |best AS (
+        |  SELECT feature, v, nl, posl, nr, posr
+        |  FROM sc CROSS JOIN par WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1),
+        |lvl1 AS (
+        |  SELECT CASE WHEN (CASE best.feature WHEN 'l_quantity' THEN f1
+        |      WHEN 'l_discount' THEN f2 ELSE f3 END) <= best.v
+        |    THEN 'L' ELSE 'R' END AS node, y, f1, f2, f3
+        |  FROM base CROSS JOIN best),
+        |melt2 AS (
+        |  SELECT node, 'l_quantity' AS feature, f1 AS v, y FROM lvl1
+        |  UNION ALL SELECT node, 'l_discount', f2, y FROM lvl1
+        |  UNION ALL SELECT node, 'l_tax', f3, y FROM lvl1),
+        |agg2 AS (
+        |  SELECT node, feature, v, count(*) AS n, sum(y) AS pos
+        |  FROM melt2 GROUP BY 1, 2, 3),
+        |cum2 AS (
+        |  SELECT node, feature, v,
+        |    sum(n) OVER (PARTITION BY node, feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(pos) OVER (PARTITION BY node, feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS posl,
+        |    sum(n) OVER (PARTITION BY node, feature) AS nt,
+        |    sum(pos) OVER (PARTITION BY node, feature) AS post
+        |  FROM agg2),
+        |par2 AS (
+        |  SELECT node, count(*) AS n, sum(y) AS pos,
+        |    (CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |      + CAST(count(*) - sum(y) AS DOUBLE)
+        |        * CAST(count(*) - sum(y) AS DOUBLE))
+        |      / CAST(count(*) AS DOUBLE) AS pscore
+        |  FROM lvl1 GROUP BY 1),
+        |sc2 AS (
+        |  SELECT node, feature, v, nl, posl, nt - nl AS nr,
+        |    post - posl AS posr,
+        |    (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+        |      + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+        |      / CAST(nl AS DOUBLE)
+        |    + (CAST(post - posl AS DOUBLE) * CAST(post - posl AS DOUBLE)
+        |      + CAST((nt - nl) - (post - posl) AS DOUBLE)
+        |        * CAST((nt - nl) - (post - posl) AS DOUBLE))
+        |      / CAST(nt - nl AS DOUBLE) AS score
+        |  FROM cum2 WHERE nl >= 1 AND nt - nl >= 1),
+        |best2 AS (
+        |  SELECT node, feature, v, nl, posl, nr, posr FROM (
+        |    SELECT sc2.*, row_number() OVER (PARTITION BY sc2.node
+        |        ORDER BY score DESC, feature, v) AS rk
+        |    FROM sc2 JOIN par2 USING (node) WHERE score > pscore)
+        |  WHERE rk = 1)
+        |SELECT '' AS path, 0 AS depth, CAST(par.n AS BIGINT) AS n,
+        |    CAST(par.pos AS BIGINT) AS pos, best.feature,
+        |    CAST(best.v AS DOUBLE) AS threshold,
+        |    CASE WHEN 2 * par.pos > par.n THEN 1 ELSE 0 END AS pred
+        |  FROM par CROSS JOIN best
+        |UNION ALL
+        |SELECT p2.node, 1, CAST(p2.n AS BIGINT), CAST(p2.pos AS BIGINT),
+        |    b2.feature, CAST(b2.v AS DOUBLE),
+        |    CASE WHEN 2 * p2.pos > p2.n THEN 1 ELSE 0 END
+        |  FROM par2 p2 LEFT JOIN best2 b2 ON b2.node = p2.node
+        |UNION ALL
+        |SELECT b2.node || 'L', 2, CAST(b2.nl AS BIGINT),
+        |    CAST(b2.posl AS BIGINT), NULL, NULL,
+        |    CASE WHEN 2 * b2.posl > b2.nl THEN 1 ELSE 0 END FROM best2 b2
+        |UNION ALL
+        |SELECT b2.node || 'R', 2, CAST(b2.nr AS BIGINT),
+        |    CAST(b2.posr AS BIGINT), NULL, NULL,
+        |    CASE WHEN 2 * b2.posr > b2.nr THEN 1 ELSE 0 END FROM best2 b2
+        |ORDER BY path""".stripMargin,
+
+    // identical (min, max) pass, fixed-width upper-edge mapping
+    // lo + (least(floor((x−lo)/w), b−1) + 1)·w with w = (hi−lo)/b, then
+    // the q284 stump pipeline on the ≤16-value collapse
+    "q286_stump_binned" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem),
+        |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
+        |binned AS (
+        |  SELECT y, lo + (least(floor((x - lo) / ((hi - lo) / 16)), 15.0)
+        |    + 1.0) * ((hi - lo) / 16) AS v
+        |  FROM base CROSS JOIN mm),
+        |agg AS (SELECT v, count(*) AS n, sum(y) AS pos
+        |  FROM binned GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |    sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS posl,
+        |    sum(n) OVER () AS nt, sum(pos) OVER () AS post
+        |  FROM agg),
+        |sc AS (
+        |  SELECT v, nl, posl, nt - nl AS nr, post - posl AS posr,
+        |    (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+        |      + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+        |      / CAST(nl AS DOUBLE)
+        |    + (CAST(post - posl AS DOUBLE) * CAST(post - posl AS DOUBLE)
+        |      + CAST((nt - nl) - (post - posl) AS DOUBLE)
+        |        * CAST((nt - nl) - (post - posl) AS DOUBLE))
+        |      / CAST(nt - nl AS DOUBLE) AS score
+        |  FROM cum WHERE nl >= 1 AND nt - nl >= 1),
+        |par AS (
+        |  SELECT count(*) AS n, sum(y) AS pos,
+        |    (CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |      + CAST(count(*) - sum(y) AS DOUBLE)
+        |        * CAST(count(*) - sum(y) AS DOUBLE))
+        |      / CAST(count(*) AS DOUBLE) AS pscore
+        |  FROM base),
+        |best AS (
+        |  SELECT v, nl, posl, nr, posr
+        |  FROM sc CROSS JOIN par WHERE score > pscore
+        |  ORDER BY score DESC, v LIMIT 1)
+        |SELECT '' AS path, 0 AS depth, CAST(par.n AS BIGINT) AS n,
+        |    CAST(par.pos AS BIGINT) AS pos,
+        |    'l_extendedprice' AS feature, CAST(best.v AS DOUBLE) AS threshold,
+        |    CASE WHEN 2 * par.pos > par.n THEN 1 ELSE 0 END AS pred
+        |  FROM par CROSS JOIN best
+        |UNION ALL
+        |SELECT 'L', 1, CAST(nl AS BIGINT), CAST(posl AS BIGINT), NULL, NULL,
+        |    CASE WHEN 2 * posl > nl THEN 1 ELSE 0 END FROM best
+        |UNION ALL
+        |SELECT 'R', 1, CAST(nr AS BIGINT), CAST(posr AS BIGINT), NULL, NULL,
+        |    CASE WHEN 2 * posr > nr THEN 1 ELSE 0 END FROM best
+        |ORDER BY path""".stripMargin
   )
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // y = 1 iff x1 > 5 (x2 is noise constant enough to never win)
+    (1.0, 10.0, 0), (2.0, 10.0, 0), (3.0, 10.0, 0), (4.0, 10.0, 0),
+    (5.0, 20.0, 0), (6.0, 10.0, 1), (7.0, 20.0, 1), (8.0, 10.0, 1),
+    (9.0, 20.0, 1), (10.0, 10.0, 1)
+  ).toDF("x1", "x2", "y")
+
+  test("stump finds the separating threshold and pure leaves") {
+    val m = Tree.fit(fixture, Seq("x1", "x2"), "y", maxDepth = 1)
+    val root = m.nodes.find(_.path == "").get
+    assert(root.feature.contains("x1"))
+    assert(root.threshold.contains(5.0))
+    val l = m.nodes.find(_.path == "L").get
+    val r = m.nodes.find(_.path == "R").get
+    assert(l.n == 5 && l.pos == 0 && l.pred == 0)
+    assert(r.n == 5 && r.pos == 5 && r.pred == 1)
+  }
+
+  test("predict is a pure projection matching the training labels") {
+    val m = Tree.fit(fixture, Seq("x1", "x2"), "y", maxDepth = 1)
+    val wrong = m.predict(fixture)
+      .where(col("pred") =!= col("y")).count()
+    assert(wrong == 0)
+    // no join/shuffle in the scoring plan
+    val plan = m.predict(fixture).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("depth-2 recovers a nested rule: y = (x1 > 5) && (x2 > 3)") {
+    val rows = for (x1 <- 1 to 10; x2 <- 1 to 6)
+      yield (x1.toDouble, x2.toDouble, if (x1 > 5 && x2 > 3) 1 else 0)
+    val df = rows.toDF("x1", "x2", "y")
+    val m = Tree.fit(df, Seq("x1", "x2"), "y", maxDepth = 2)
+    val root = m.nodes.find(_.path == "").get
+    assert(root.feature.contains("x1") && root.threshold.contains(5.0))
+    // left child is pure (x1 <= 5 → y = 0): no further split
+    assert(m.nodes.find(_.path == "L").get.feature.isEmpty)
+    val r = m.nodes.find(_.path == "R").get
+    assert(r.feature.contains("x2") && r.threshold.contains(3.0))
+    assert(m.predict(df).where(col("pred") =!= col("y")).count() == 0)
+  }
+
+  test("pure and too-small nodes do not split; minLeaf respected") {
+    val pure = Seq((1.0, 0), (2.0, 0), (3.0, 0)).toDF("x1", "y")
+    assert(Tree.fit(pure, Seq("x1"), "y").nodes.map(_.path) == Seq(""))
+    val m = Tree.fit(fixture, Seq("x1", "x2"), "y", maxDepth = 1,
+      minLeaf = 6L)
+    assert(m.nodes.find(_.path == "").get.feature.isEmpty)
+  }
+
+  test("tie-break is (score desc, feature asc, value asc)") {
+    // x1 and xa give identical perfect splits; 'x1' < 'xa' lexicographically
+    val df = Seq((1.0, 1.0, 0), (2.0, 2.0, 0), (3.0, 3.0, 1), (4.0, 4.0, 1))
+      .toDF("xa", "x1", "y")
+    val m = Tree.fit(df, Seq("xa", "x1"), "y", maxDepth = 1)
+    assert(m.nodes.find(_.path == "").get.feature.contains("x1"))
+  }
+
+  test("binned mode bounds candidates and still separates clean data") {
+    val rows = (1 to 400).map(i => (i.toDouble, if (i > 200) 1 else 0))
+    val df = rows.toDF("x1", "y")
+    val m = Tree.fit(df, Seq("x1"), "y", maxDepth = 1, bins = Some(8))
+    val root = m.nodes.find(_.path == "").get
+    assert(root.feature.contains("x1"))
+    // 8 fixed-width bins over [1, 400]: the chosen edge is a bin edge and
+    // the split is within one bin width of the true boundary
+    val th = root.threshold.get
+    assert(math.abs(th - 200.0) <= (400.0 - 1.0) / 8 + 1e-9)
+    assert(m.predict(df).where(col("pred") =!= col("y")).count() <= 50)
+  }
+
+  test("partition invariance") {
+    val df = fixture
+    val a = Tree.fit(df.repartition(1), Seq("x1", "x2"), "y").toDF(spark)
+    val b = Tree.fit(df.repartition(7), Seq("x1", "x2"), "y").toDF(spark)
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+}
