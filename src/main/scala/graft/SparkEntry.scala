@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3599,6 +3599,57 @@ object SparkEntry {
       Tree.fit(d, Seq("l_extendedprice"), "y", maxDepth = 1,
           bins = Some(16)).toDF(s)
         .orderBy("path")
+    }),
+
+    // instrumental-variables Wald / just-identified 2SLS per group: ONE
+    // conditional-moment aggregation; integral-cents inputs make every
+    // sum exact, so the cross-moment ratios replay bit-for-bit
+    "q287_iv_wald" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        (col("l_tax") < 0.04).cast("int").as("z"),
+        round(col("l_discount") * 100).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      Causal.ivWald(d, "y", "x", "z", groupCols = Seq("flag"))
+        .select(col("flag"), col("n"), r(col("itt"), 6).as("itt"),
+          r(col("first_stage"), 6).as("first_stage"),
+          r(col("beta_iv"), 6).as("beta_iv"))
+        .orderBy("flag")
+    }),
+
+    // CUPED variance reduction: per-user pre/post integral-cents collapse,
+    // pooled theta off ONE global aggregate broadcast onto the per-arm
+    // aggregate — the experiment-readout companion to q220's DiD
+    "q288_cuped" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < cut,
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut,
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      Causal.cuped(perUser, "y", "x", "arm")
+        .select(col("arm"), col("n"), r(col("mean_y"), 6).as("mean_y"),
+          r(col("mean_x"), 6).as("mean_x"),
+          r(col("mean_y_adj"), 6).as("mean_y_adj"))
+        .orderBy("arm")
+    }),
+
+    // sharp regression discontinuity (rectangular kernel, local linear on
+    // both sides of the cutoff): ONE side-conditional aggregation, whole-
+    // dollar running variable keeps Σx² inside the exact-double range
+    "q289_rdd" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(
+        round(col("o_totalprice")).cast("long").as("run"),
+        (col("o_orderstatus") === "F").cast("int").as("y"))
+      Causal.regressionDiscontinuity(d, "run", "y",
+          cutoff = 250000.0, bandwidth = 100000.0)
+        .select(col("n_l"), col("n_r"), r(col("slope_l") * 1e6, 6)
+            .as("slope_l_ppm"), r(col("slope_r") * 1e6, 6).as("slope_r_ppm"),
+          r(col("lim_l"), 6).as("lim_l"), r(col("lim_r"), 6).as("lim_r"),
+          r(col("tau"), 6).as("tau"))
     })
   )
 
@@ -9752,6 +9803,104 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'R', 1, CAST(nr AS BIGINT), CAST(posr AS BIGINT), NULL, NULL,
         |    CASE WHEN 2 * posr > nr THEN 1 ELSE 0 END FROM best
-        |ORDER BY path""".stripMargin
+        |ORDER BY path""".stripMargin,
+
+    // identical integral-cents inputs (exact sums), identical cross-moment
+    // order nn·Σzy − Σz·Σy etc., ratios rounded on the 6-digit grid
+    "q287_iv_wald" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CASE WHEN l_tax < 0.04 THEN 1 ELSE 0 END AS DOUBLE) AS z,
+        |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS DOUBLE) AS x,
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+        |      AS y
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT flag, count(*) AS n, sum(z) AS sz, sum(y) AS sy,
+        |    sum(x) AS sx, sum(z * y) AS szy, sum(z * x) AS szx,
+        |    sum(z * z) AS szz
+        |  FROM base GROUP BY 1)
+        |SELECT flag, n,
+        |  round((CAST(n AS DOUBLE) * szy - sz * sy)
+        |    / (CAST(n AS DOUBLE) * szz - sz * sz), 6) AS itt,
+        |  round((CAST(n AS DOUBLE) * szx - sz * sx)
+        |    / (CAST(n AS DOUBLE) * szz - sz * sz), 6) AS first_stage,
+        |  round((CAST(n AS DOUBLE) * szy - sz * sy)
+        |    / (CAST(n AS DOUBLE) * szx - sz * sx), 6) AS beta_iv
+        |FROM agg ORDER BY flag""".stripMargin,
+
+    // identical per-user integral-cents pre/post collapse, pooled theta
+    // from the same one-row moments, identical adjusted-mean order
+    "q288_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS DOUBLE) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT count(*) AS gn, sum(x) AS gsx, sum(y) AS gsy,
+        |    sum(x * y) AS gsxy, sum(x * x) AS gsxx FROM pu),
+        |th AS (
+        |  SELECT (CAST(gn AS DOUBLE) * gsxy - gsx * gsy)
+        |      / (CAST(gn AS DOUBLE) * gsxx - gsx * gsx) AS theta,
+        |    gsx / CAST(gn AS DOUBLE) AS gmx FROM g),
+        |a AS (
+        |  SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx
+        |  FROM pu GROUP BY 1)
+        |SELECT arm, n,
+        |  round(sy / CAST(n AS DOUBLE), 6) AS mean_y,
+        |  round(sx / CAST(n AS DOUBLE), 6) AS mean_x,
+        |  round(sy / CAST(n AS DOUBLE)
+        |    - theta * (sx / CAST(n AS DOUBLE) - gmx), 6) AS mean_y_adj
+        |FROM a CROSS JOIN th ORDER BY arm""".stripMargin,
+
+    // identical whole-dollar running variable, side-conditional sums, and
+    // two-sided local-linear closed forms; slopes reported in ppm so the
+    // 6-digit grid keeps significant digits
+    "q289_rdd" ->
+      """WITH pts AS (
+        |  SELECT CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE)
+        |      - 250000.0 AS x,
+        |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+        |      AS DOUBLE) AS y
+        |  FROM orders
+        |  WHERE abs(CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE)
+        |    - 250000.0) <= 100000.0),
+        |agg AS (
+        |  SELECT
+        |    sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS n_l,
+        |    sum(CASE WHEN x < 0 THEN y ELSE 0.0 END) AS sy_l,
+        |    sum(CASE WHEN x < 0 THEN x ELSE 0.0 END) AS sx_l,
+        |    sum(CASE WHEN x < 0 THEN x * y ELSE 0.0 END) AS sxy_l,
+        |    sum(CASE WHEN x < 0 THEN x * x ELSE 0.0 END) AS sxx_l,
+        |    sum(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS n_r,
+        |    sum(CASE WHEN x >= 0 THEN y ELSE 0.0 END) AS sy_r,
+        |    sum(CASE WHEN x >= 0 THEN x ELSE 0.0 END) AS sx_r,
+        |    sum(CASE WHEN x >= 0 THEN x * y ELSE 0.0 END) AS sxy_r,
+        |    sum(CASE WHEN x >= 0 THEN x * x ELSE 0.0 END) AS sxx_r
+        |  FROM pts),
+        |ab AS (
+        |  SELECT n_l, n_r,
+        |    (CAST(n_l AS DOUBLE) * sxy_l - sx_l * sy_l)
+        |      / (CAST(n_l AS DOUBLE) * sxx_l - sx_l * sx_l) AS b_l,
+        |    (CAST(n_r AS DOUBLE) * sxy_r - sx_r * sy_r)
+        |      / (CAST(n_r AS DOUBLE) * sxx_r - sx_r * sx_r) AS b_r,
+        |    sy_l, sx_l, sy_r, sx_r
+        |  FROM agg),
+        |fin AS (
+        |  SELECT n_l, n_r, b_l, b_r,
+        |    (sy_l - b_l * sx_l) / CAST(n_l AS DOUBLE) AS a_l,
+        |    (sy_r - b_r * sx_r) / CAST(n_r AS DOUBLE) AS a_r
+        |  FROM ab)
+        |SELECT CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
+        |  round(b_l * 1000000.0, 6) AS slope_l_ppm,
+        |  round(b_r * 1000000.0, 6) AS slope_r_ppm,
+        |  round(a_l, 6) AS lim_l, round(a_r, 6) AS lim_r,
+        |  round(a_r - a_l, 6) AS tau
+        |FROM fin""".stripMargin
   )
 }
