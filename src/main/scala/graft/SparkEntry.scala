@@ -3650,6 +3650,18 @@ object SparkEntry {
             .as("slope_l_ppm"), r(col("slope_r") * 1e6, 6).as("slope_r_ppm"),
           r(col("lim_l"), 6).as("lim_l"), r(col("lim_r"), 6).as("lim_r"),
           r(col("tau"), 6).as("tau"))
+    }),
+
+    // DBSCAN density clustering (grid-blocked 9-cell candidate join, core
+    // threshold, LSS components over core-core edges, min-label border
+    // attachment) — arbitrary-shape clustering with a noise class next to
+    // q163's k-means; oracle = brute-force ε-graph + recursive-CTE closure
+    "q290_dbscan" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings").select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      Cluster.dbscan(d, "vec_id", "x", "y", eps = 0.02, minPts = 5)
+        .orderBy("vec_id")
     })
   )
 
@@ -9901,6 +9913,47 @@ object SparkEntry {
         |  round(b_r * 1000000.0, 6) AS slope_r_ppm,
         |  round(a_l, 6) AS lim_l, round(a_r, 6) AS lim_r,
         |  round(a_r - a_l, 6) AS tau
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    // brute-force ε-graph over the same float→double coordinates (the
+    // grid is only candidate blocking — recall is complete either way),
+    // identical (dx² + dy²) ≤ eps·eps predicate, same core threshold,
+    // recursive-CTE closure with min labels, min-label border attachment
+    "q290_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+        |nb AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM p a JOIN p b
+        |  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)),
+        |deg AS (SELECT id_a, count(*) AS d FROM nb GROUP BY 1),
+        |cores AS (SELECT id_a AS id FROM deg WHERE d >= 5),
+        |ce AS (
+        |  SELECT id_a, id_b FROM nb
+        |  WHERE id_a < id_b AND id_a IN (SELECT id FROM cores)
+        |    AND id_b IN (SELECT id FROM cores)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+        |  UNION ALL SELECT id_b, id_a FROM ce),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src),
+        |clab AS (SELECT id, min(label) AS lbl FROM cc GROUP BY id),
+        |corelab AS (
+        |  SELECT c.id, coalesce(cl.lbl, c.id) AS lbl
+        |  FROM cores c LEFT JOIN clab cl ON cl.id = c.id),
+        |border AS (
+        |  SELECT nb.id_a, min(k.lbl) AS lbl
+        |  FROM nb JOIN corelab k ON k.id = nb.id_b
+        |  WHERE nb.id_a NOT IN (SELECT id FROM cores)
+        |  GROUP BY 1)
+        |SELECT p.vec_id, cl.id IS NOT NULL AS is_core,
+        |  coalesce(cl.lbl, b.lbl) AS cluster
+        |FROM p
+        |LEFT JOIN corelab cl ON cl.id = p.vec_id
+        |LEFT JOIN border b ON b.id_a = p.vec_id
+        |ORDER BY p.vec_id""".stripMargin
   )
 }

@@ -199,4 +199,96 @@ object Cluster {
       .filter(col("__sd_label").isNull || col("__sd_label") === col(idCol))
       .drop("__sd_label")
   }
+
+  /** DBSCAN density clustering in 2-D (Ester et al. 1996) — the
+    * arbitrary-shape / noise-aware companion to [[kmeans]] (for vectors,
+    * project first: `Similarity.randomProject` or `glm.PCA` to 2-D).
+    *
+    * Spark-first shape — grid-blocked, never a self-cross-join:
+    *  1. each point gets its ⌊x/eps⌋×⌊y/eps⌋ grid cell; one side of the
+    *     neighbor join fans out to its 9 adjacent cells (explode of a
+    *     9-literal offset array), the other keeps its own cell — the join
+    *     is a plain equi-join on the cell key, and since every point
+    *     belongs to exactly ONE cell each neighbor pair is produced
+    *     exactly once; the ε-disc predicate then filters the candidates;
+    *  2. core points = neighbor count ≥ minPts (ONE groupBy; a point is
+    *     its own neighbor, per the standard definition);
+    *  3. clusters = connected components over CORE–CORE ε-edges
+    *     ([[Dedup.connectedComponentsLSS]], checkpointed generations) —
+    *     labels are component-minimum ids, so deterministic;
+    *  4. border points (non-core with a core ε-neighbor) take the MINIMUM
+    *     cluster label among their core neighbors — the one ambiguity in
+    *     classic DBSCAN, resolved to a total order; everything else is
+    *     noise (`cluster` null).
+    *
+    * Hot cells are a density property the grid cannot fix (a cell denser
+    * than `maxCellSize` makes the candidate join quadratic in that cell):
+    * the operator fails LOUDLY with the measured max instead of running a
+    * silent blow-up — shrink eps or thin the data first.
+    *
+    * @return (idCol, is_core, cluster) — cluster is the minimum member id
+    *         of the density-connected component, null for noise
+    */
+  def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double, minPts: Int, maxCellSize: Int = 100000,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = df.select(col(idCol).as("__id"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__cx", floor(col("__x") / eps).cast("long"))
+      .withColumn("__cy", floor(col("__y") / eps).cast("long"))
+    val cellMax = pts.groupBy("__cx", "__cy").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    require(cellMax <= maxCellSize,
+      s"densest eps-cell holds $cellMax points (> maxCellSize $maxCellSize)" +
+        " — the candidate join would be quadratic in that cell; shrink eps" +
+        " or thin the input first")
+    val offsets = explode(array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*))
+    val probes = pts.select(col("__id").as("id_a"), col("__x").as("xa"),
+        col("__y").as("ya"), col("__cx"), col("__cy"), offsets.as("o"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("__cx") + col("o.dx")).as("__cx"),
+        (col("__cy") + col("o.dy")).as("__cy"))
+    val nbrs = probes.join(
+        pts.select(col("__id").as("id_b"), col("__x").as("xb"),
+          col("__y").as("yb"), col("__cx"), col("__cy")),
+        Seq("__cx", "__cy"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
+      .select("id_a", "id_b")
+    val cp = new graft.Checkpointer(df.sparkSession, checkpointDir)
+    val nb = cp.pin(nbrs) // counts + core edges + border both reuse it
+    val cores = nb.groupBy("id_a").agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts).select(col("id_a").as("__core_id"))
+    val coreEdges = nb
+      .join(cores.select(col("__core_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(cores.select(col("__core_id").as("id_b")), Seq("id_b"), "left_semi")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val coreLabels = Dedup.connectedComponentsLSS(coreEdges,
+        checkpointDir = checkpointDir)
+      .select(col("id").as("__core_id"), col("label").as("__lbl"))
+    // isolated cores (no other core in range) label themselves
+    val allCoreLabels = cores.join(coreLabels, Seq("__core_id"), "left")
+      .select(col("__core_id"),
+        coalesce(col("__lbl"), col("__core_id")).as("__lbl"))
+    val borderLabels = nb
+      .join(cores.withColumnRenamed("__core_id", "id_a"),
+        Seq("id_a"), "left_anti") // id_a not core
+      .join(allCoreLabels.withColumnRenamed("__core_id", "id_b"), Seq("id_b"))
+      .groupBy(col("id_a")).agg(min("__lbl").as("__lbl"))
+    val out = pts.select(col("__id"))
+      .join(allCoreLabels.withColumnRenamed("__core_id", "__id")
+        .withColumn("is_core", lit(true)), Seq("__id"), "left")
+      .join(borderLabels.withColumnRenamed("id_a", "__id")
+        .withColumnRenamed("__lbl", "__blbl"), Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("is_core"), lit(false)).as("is_core"),
+        coalesce(col("__lbl"), col("__blbl")).as("cluster"))
+    val materialized = cp(out)
+    cp.close()
+    materialized
+  }
 }

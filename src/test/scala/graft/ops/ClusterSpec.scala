@@ -104,4 +104,78 @@ class ClusterSpec extends SparkSpec {
       threshold = 0.9995, maxIter = 2).collect().map(_.getLong(0)).toSet
     assert(out === Set(10L, 13L))
   }
+
+  // --- DBSCAN ---
+
+  private def dbscanFixture = {
+    // two dense blobs + one far-out noise point; eps = 1.5, minPts = 3
+    // blob A: unit cross around (0,0); blob B: around (10,10); noise (50,50)
+    Seq(
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, -1.0, 0.0),
+      (5L, 10.0, 10.0), (6L, 11.0, 10.0), (7L, 10.0, 11.0),
+      (8L, 50.0, 50.0)
+    ).toDF("id", "x", "y")
+  }
+
+  test("dbscan: two blobs cluster, far point is noise, labels are min ids") {
+    val out = Cluster.dbscan(dbscanFixture, "id", "x", "y",
+        eps = 1.5, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert((1L to 4L).forall(i => out(i)._2.contains(1L)))
+    assert((5L to 7L).forall(i => out(i)._2.contains(5L)))
+    assert(out(8L) == (false, None))
+    assert(out(1L)._1, "hub of blob A is core")
+  }
+
+  test("dbscan: border point attaches to the min core neighbor's cluster") {
+    // degrees at eps=1.5 (self counts): 1→2, 2→3, 3→3, 9→2; cores {2, 3}
+    // form one component with min label 2; 1 and 9 are border points of it
+    val df = Seq(
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 2.0, 0.0), (9L, 3.2, 0.0)
+    ).toDF("id", "x", "y")
+    val out = Cluster.dbscan(df, "id", "x", "y", eps = 1.5, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(2L)._1 && out(2L)._2.contains(2L))
+    assert(out(3L)._1 && out(3L)._2.contains(2L))
+    assert(!out(1L)._1 && out(1L)._2.contains(2L), "border joins cluster 2")
+    assert(!out(9L)._1 && out(9L)._2.contains(2L), "border joins cluster 2")
+  }
+
+  test("dbscan: isolated core (minPts=1 singleton) labels itself") {
+    val df = Seq((7L, 0.0, 0.0), (8L, 100.0, 100.0)).toDF("id", "x", "y")
+    val out = Cluster.dbscan(df, "id", "x", "y", eps = 1.0, minPts = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("dbscan: hot-cell guard fails loudly") {
+    val df = (1L to 50L).map(i => (i, 0.0, 0.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.dbscan(df, "id", "x", "y", eps = 1.0, minPts = 3,
+        maxCellSize = 10)
+    }
+    assert(e.getMessage.contains("maxCellSize"))
+  }
+
+  test("dbscan: cross-cell neighbors are found (grid is only blocking)") {
+    // points straddle a cell boundary at x = eps
+    val df = Seq((1L, 0.9, 0.0), (2L, 1.1, 0.0), (3L, 1.3, 0.0))
+      .toDF("id", "x", "y")
+    val out = Cluster.dbscan(df, "id", "x", "y", eps = 1.0, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.values.forall(_.contains(1L)), s"all one cluster: $out")
+  }
+
+  test("dbscan is partition-invariant") {
+    val a = Cluster.dbscan(dbscanFixture.repartition(1), "id", "x", "y",
+      eps = 1.5, minPts = 3).orderBy("id").collect().toSeq
+    val b = Cluster.dbscan(dbscanFixture.repartition(5), "id", "x", "y",
+      eps = 1.5, minPts = 3).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
