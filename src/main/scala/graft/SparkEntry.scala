@@ -3662,6 +3662,26 @@ object SparkEntry {
         element_at(col("embedding"), 2).cast("double").as("y"))
       Cluster.dbscan(d, "vec_id", "x", "y", eps = 0.02, minPts = 5)
         .orderBy("vec_id")
+    }),
+
+    // EXACT edit-distance self-join via PassJoin segment filtering —
+    // recall-complete typo/near-identity matching next to the blocked
+    // (recall-by-blocking-key) selfPairs and the Jaccard prefix filter
+    "q291_edit_join" -> ((s, dir) => {
+      FuzzyJoin.editDistanceSelfJoin(t(s, dir, "supplier"),
+          "s_suppkey", "s_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // average precision @ 10 per source (MAP's per-query term): binary
+    // relevance over the same (score desc, doc) total order as q248/q259
+    "q292_map" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        col("n_chars").as("score"),
+        (col("lang") === "en").cast("int").as("rel"))
+      Retrieval.averagePrecisionAtK(d, "source", "doc_id", "score",
+          "rel", 10)
+        .orderBy("source")
     })
   )
 
@@ -9954,6 +9974,38 @@ object SparkEntry {
         |FROM p
         |LEFT JOIN corelab cl ON cl.id = p.vec_id
         |LEFT JOIN border b ON b.id_a = p.vec_id
-        |ORDER BY p.vec_id""".stripMargin
+        |ORDER BY p.vec_id""".stripMargin,
+
+    // brute-force length-banded reference — the segment filter is only
+    // candidate generation (recall-complete by the pigeonhole theorem),
+    // the verify step applies the same levenshtein predicate
+    "q291_edit_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        |  AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical (score desc, doc) total order, running-relevant window,
+    // exact small-integer precision ratios on the 6-digit grid
+    "q292_map" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS r,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, count(*) AS n_candidates,
+        |  CAST(sum(rel) AS BIGINT) AS n_rel,
+        |  round(CASE WHEN sum(rel) > 0 THEN
+        |    sum(CASE WHEN r <= 10 AND rel = 1
+        |      THEN CAST(cum AS DOUBLE) / CAST(r AS DOUBLE) ELSE 0.0 END)
+        |    / CAST(least(sum(rel), 10) AS DOUBLE) END, 6) AS ap
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -244,4 +244,45 @@ object Retrieval {
         round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")), 6)
           .as("ndcg"))
   }
+
+  /** Average precision @ k per query (whose mean over queries is MAP@k) —
+    * the binary-relevance ranking metric between [[reciprocalRankAtK]]
+    * (first hit only) and [[ndcgAtK]] (graded gains):
+    *
+    *   AP@k = Σ_{r ≤ k, rel_r} (Σ_{j ≤ r} rel_j) / r  ÷  min(R, k)
+    *
+    * over the (score desc, doc asc) total order, R = the query's relevant
+    * count. Same shapes as NDCG: one query-partitioned rank window, one
+    * running-relevant window over it, one per-query aggregation. Each
+    * precision term is an exact small-integer ratio, so the metric
+    * replays across engines on the 6-digit grid.
+    *
+    * @param relCol relevance; > 0 counts as relevant
+    * @return per query: (queryCol, n_candidates, n_rel, ap) — ap null
+    *         when the query has no relevant docs
+    */
+  def averagePrecisionAtK(df: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(scoreCol).desc, col(docCol))
+    val isRel = (col(relCol) > 0).cast("int")
+    df
+      .withColumn("__rel", isRel)
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__cum", sum(col("__rel")).over(byScore
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("__rel")).as("n_rel"),
+        sum(when(col("__r") <= k && col("__rel") === 1,
+          col("__cum").cast("double") / col("__r").cast("double"))
+          .otherwise(lit(0.0))).as("__sump"))
+      .select(col(queryCol), col("n_candidates"),
+        col("n_rel").cast("long").as("n_rel"),
+        round(when(col("n_rel") > 0,
+          col("__sump") / least(col("n_rel"), lit(k)).cast("double")), 6)
+          .as("ap"))
+  }
 }

@@ -128,4 +128,69 @@ class FuzzyJoinSpec extends SparkSpec {
       3, 0.4).orderBy("id_a", "id_b").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  // --- editDistanceSelfJoin (PassJoin segment filtering) ---
+
+  private def bruteForce(rows: Seq[(Long, String)], d: Int) = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist)).sorted
+  }
+
+  private def edPairs(rows: Seq[(Long, String)], d: Int) =
+    FuzzyJoin.editDistanceSelfJoin(rows.toDF("id", "s"), "id", "s", d)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  test("editDistanceSelfJoin matches brute force (mixed edits, d=1 and 2)") {
+    val rows = Seq(
+      1L -> "kitten", 2L -> "sitten", 3L -> "sittin", 4L -> "sitting",
+      5L -> "mitten", 6L -> "flour", 7L -> "flower", 8L -> "flowers",
+      9L -> "totally unrelated string", 10L -> "kitten"
+    )
+    assert(edPairs(rows, 1) == bruteForce(rows, 1))
+    assert(edPairs(rows, 2) == bruteForce(rows, 2))
+  }
+
+  test("editDistanceSelfJoin: short strings (below k chars) are not lost") {
+    val rows = Seq(1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "abc",
+      5L -> "", 6L -> "abcd", 7L -> "xyz")
+    assert(edPairs(rows, 2) == bruteForce(rows, 2))
+  }
+
+  test("editDistanceSelfJoin: length-band boundaries are exact") {
+    // deletions at segment boundaries are the classic PassJoin trap
+    val rows = Seq(1L -> "abcdefgh", 2L -> "abcdfgh", 3L -> "bcdefgh",
+      4L -> "abcdefghx", 5L -> "aabcdefgh")
+    assert(edPairs(rows, 1) == bruteForce(rows, 1))
+  }
+
+  test("editDistanceSelfJoin fails loudly on a degenerate hot segment") {
+    val rows = (1L to 60L).map(i => (i, "identical-string"))
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceSelfJoin(rows.toDF("id", "s"), "id", "s",
+        maxDist = 1, maxSegPostings = 10).collect()
+    }
+    assert(ex.getMessage.contains("segment key"))
+  }
+
+  test("editDistanceSelfJoin is partition-invariant") {
+    val rows = (1 to 40).map(i => (i.toLong, f"Item#${i / 3}%05d"))
+    val df = rows.toDF("id", "s")
+    val a = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", 1)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = FuzzyJoin.editDistanceSelfJoin(df.repartition(7), "id", "s", 1)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -143,4 +143,35 @@ class RetrievalSpec extends SparkSpec {
     assert(k1.getAs[Double]("idcg") === 7.0)
     assert(k1.getAs[Double]("ndcg") === 0.0)
   }
+
+  test("averagePrecisionAtK: hand-computed, perfect, and null cases") {
+    // ranking by score desc: docs 1(rel),2,3(rel),4 → precisions at
+    // relevant ranks: 1/1, 2/3; R=2 → AP = (1 + 2/3)/2 = 0.833333
+    val d = Seq(("q", 1L, 9.0, 1), ("q", 2L, 8.0, 0),
+      ("q", 3L, 7.0, 1), ("q", 4L, 6.0, 0))
+      .toDF("query", "doc", "score", "rel")
+    val ap = Retrieval.averagePrecisionAtK(d, "query", "doc", "score",
+      "rel", 10).head()
+    assert(ap.getAs[Long]("n_rel") == 2L)
+    assert(math.abs(ap.getAs[Double]("ap") - 0.833333) < 1e-9)
+    // all-relevant top ranks → AP = 1
+    val perfect = Seq(("q", 1L, 9.0, 1), ("q", 2L, 8.0, 1),
+      ("q", 3L, 7.0, 0)).toDF("query", "doc", "score", "rel")
+    assert(Retrieval.averagePrecisionAtK(perfect, "query", "doc", "score",
+      "rel", 10).head().getAs[Double]("ap") == 1.0)
+    // no relevant docs → null
+    val none = Seq(("q", 1L, 9.0, 0)).toDF("query", "doc", "score", "rel")
+    val n = Retrieval.averagePrecisionAtK(none, "query", "doc", "score",
+      "rel", 10).head()
+    assert(n.isNullAt(n.fieldIndex("ap")))
+  }
+
+  test("averagePrecisionAtK: k truncates both hits and the divisor") {
+    // rel docs at ranks 1 and 3; k = 2 sees only rank 1, min(R, k) = 2
+    val d = Seq(("q", 1L, 9.0, 1), ("q", 2L, 8.0, 0), ("q", 3L, 7.0, 1))
+      .toDF("query", "doc", "score", "rel")
+    val ap = Retrieval.averagePrecisionAtK(d, "query", "doc", "score",
+      "rel", 2).head().getAs[Double]("ap")
+    assert(math.abs(ap - 0.5) < 1e-9) // (1/1)/min(2,2)
+  }
 }
