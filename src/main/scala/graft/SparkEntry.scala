@@ -3682,6 +3682,19 @@ object SparkEntry {
       Retrieval.averagePrecisionAtK(d, "source", "doc_id", "score",
           "rel", 10)
         .orderBy("source")
+    }),
+
+    // gradient-boosted stumps (squared loss): per round ONE (feature,
+    // value) collapse over a literal-CASE residual — no materialized
+    // state; integer micro-unit leaf updates keep residual sums exact,
+    // so three unrolled rounds replay as CTEs
+    "q293_gbm_stumps" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Tree.fitBoostedStumps(d, Seq("l_discount", "l_quantity", "l_tax"),
+          "y", rounds = 3, learningRate = 0.5).toDF(s)
+        .orderBy("round")
     })
   )
 
@@ -10006,6 +10019,121 @@ object SparkEntry {
         |    sum(CASE WHEN r <= 10 AND rel = 1
         |      THEN CAST(cum AS DOUBLE) / CAST(r AS DOUBLE) ELSE 0.0 END)
         |    / CAST(least(sum(rel), 10) AS DOUBLE) END, 6) AS ap
-        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    // three unrolled boosting rounds: each = the identical melt +
+    // (feature, value) collapse + cumulative windows + SSE-reduction
+    // score (Sl²/nl + Sr²/nr, strict > root S²/n), leaf updates
+    // floor(0.5·S/n) in integer micro-units so residuals stay exact
+    "q293_gbm_stumps" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1000000 ELSE 0
+        |      END AS BIGINT) AS y6,
+        |    l_quantity AS f1, l_discount AS f2, l_tax AS f3
+        |  FROM lineitem),
+        |m1 AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, y6 AS r FROM base
+        |  UNION ALL SELECT 'l_discount', f2, y6 FROM base
+        |  UNION ALL SELECT 'l_tax', f3, y6 FROM base),
+        |a1 AS (SELECT feature, v, count(*) AS n, sum(r) AS s
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM a1),
+        |s1 AS (SELECT feature, v, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS score,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS pscore
+        |  FROM c1 WHERE nl >= 1 AND nt - nl >= 1),
+        |b1 AS (SELECT feature, v, nl, nr, sl, sr,
+        |    CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      AS BIGINT) AS dl,
+        |    CAST(floor(0.5 * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS BIGINT) AS dr
+        |  FROM s1 WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1),
+        |res2 AS MATERIALIZED (
+        |  SELECT f1, f2, f3, y6 - (CASE WHEN (CASE b.feature
+        |      WHEN 'l_quantity' THEN f1 WHEN 'l_discount' THEN f2
+        |      ELSE f3 END) <= b.v THEN b.dl ELSE b.dr END) AS r
+        |  FROM base CROSS JOIN b1 b),
+        |m2 AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, r FROM res2
+        |  UNION ALL SELECT 'l_discount', f2, r FROM res2
+        |  UNION ALL SELECT 'l_tax', f3, r FROM res2),
+        |a2 AS (SELECT feature, v, count(*) AS n, sum(r) AS s
+        |  FROM m2 GROUP BY 1, 2),
+        |c2 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM a2),
+        |s2 AS (SELECT feature, v, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS score,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS pscore
+        |  FROM c2 WHERE nl >= 1 AND nt - nl >= 1),
+        |b2 AS (SELECT feature, v, nl, nr, sl, sr,
+        |    CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      AS BIGINT) AS dl,
+        |    CAST(floor(0.5 * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS BIGINT) AS dr
+        |  FROM s2 WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1),
+        |res3 AS MATERIALIZED (
+        |  SELECT f1, f2, f3, r - (CASE WHEN (CASE b.feature
+        |      WHEN 'l_quantity' THEN f1 WHEN 'l_discount' THEN f2
+        |      ELSE f3 END) <= b.v THEN b.dl ELSE b.dr END) AS r
+        |  FROM res2 CROSS JOIN b2 b),
+        |m3 AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, r FROM res3
+        |  UNION ALL SELECT 'l_discount', f2, r FROM res3
+        |  UNION ALL SELECT 'l_tax', f3, r FROM res3),
+        |a3 AS (SELECT feature, v, count(*) AS n, sum(r) AS s
+        |  FROM m3 GROUP BY 1, 2),
+        |c3 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM a3),
+        |s3 AS (SELECT feature, v, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS score,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS pscore
+        |  FROM c3 WHERE nl >= 1 AND nt - nl >= 1),
+        |b3 AS (SELECT feature, v, nl, nr, sl, sr,
+        |    CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      AS BIGINT) AS dl,
+        |    CAST(floor(0.5 * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS BIGINT) AS dr
+        |  FROM s3 WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1)
+        |SELECT 1 AS round, feature, CAST(v AS DOUBLE) AS threshold,
+        |    CAST(nl AS BIGINT) AS n_l, CAST(nr AS BIGINT) AS n_r,
+        |    dl AS delta_l, dr AS delta_r FROM b1
+        |UNION ALL
+        |SELECT 2, feature, CAST(v AS DOUBLE), CAST(nl AS BIGINT),
+        |    CAST(nr AS BIGINT), dl, dr FROM b2
+        |UNION ALL
+        |SELECT 3, feature, CAST(v AS DOUBLE), CAST(nl AS BIGINT),
+        |    CAST(nr AS BIGINT), dl, dr FROM b3
+        |ORDER BY round""".stripMargin
   )
 }

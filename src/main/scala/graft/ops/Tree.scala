@@ -96,6 +96,143 @@ object Tree {
     }
   }
 
+  /** The (feature, candidate-value) melt expression shared by the tree
+    * and boosting fitters: every row fans out to one struct per feature.
+    * Candidate value = the raw value (exact mode), or the upper edge of
+    * its fixed-width bin — edges lo + k·width with width = (hi − lo)/b
+    * off one (min, max) pass, a value mapping to the smallest edge ≥ it
+    * under the same floor both engines compute.
+    */
+  private def meltExpr(df: DataFrame, features: Seq[String],
+      bins: Option[Int]): Column = {
+    val valueOf: Map[String, Column] = bins match {
+      case None => features.map(f => f -> col(f).cast("double")).toMap
+      case Some(b) =>
+        require(b >= 2, s"bins must be >= 2, got $b")
+        val aggs = features.flatMap(f => Seq(
+          min(col(f).cast("double")).as(s"__min_$f"),
+          max(col(f).cast("double")).as(s"__max_$f")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        features.zipWithIndex.map { case (f, i) =>
+          val lo = row.getDouble(2 * i); val hi = row.getDouble(2 * i + 1)
+          val width = (hi - lo) / b
+          val c =
+            if (width == 0.0) col(f).cast("double")
+            else lit(lo) + (least(floor((col(f).cast("double") - lit(lo))
+              / lit(width)), lit(b - 1.0)) + lit(1.0)) * lit(width)
+          f -> c
+        }.toMap
+    }
+    explode(array(features.map(f =>
+      struct(lit(f).as("feature"), valueOf(f).as("v"))): _*))
+  }
+
+  /** One boosted stump: split + the (micro-unit) leaf updates it adds. */
+  final case class Stump(round: Int, feature: String, threshold: Double,
+      nL: Long, nR: Long, deltaL: Long, deltaR: Long)
+
+  /** Gradient-boosted stumps model. Predictions accumulate the per-round
+    * leaf updates, which are kept in integer MICRO-units (1e-6 of the
+    * label scale) — the DSIR trick: integer state sums exactly on any
+    * partitioning and replays exactly on any engine.
+    */
+  final case class BoostedModel(stumps: Seq[Stump]) {
+    /** Σ_m Δ_m(x) in micro-units — a literal CASE chain, codegen'd. */
+    def predictMicroExpr: Column =
+      if (stumps.isEmpty) lit(0L)
+      else stumps.map(st =>
+        when(col(st.feature).cast("double") <= lit(st.threshold),
+          lit(st.deltaL)).otherwise(lit(st.deltaR))).reduce(_ + _)
+
+    /** Prediction on the label scale. */
+    def predictExpr: Column = predictMicroExpr.cast("double") / lit(1e6)
+
+    def predict(df: DataFrame, outputCol: String = "pred"): DataFrame =
+      df.withColumn(outputCol, predictExpr)
+
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      stumps.map(st => (st.round, st.feature, st.threshold, st.nL, st.nR,
+          st.deltaL, st.deltaR))
+        .toDF("round", "feature", "threshold", "n_l", "n_r",
+          "delta_l", "delta_r")
+    }
+  }
+
+  /** Gradient boosting with depth-1 regression stumps under squared loss
+    * (Friedman 2001): each round fits a stump to the current residuals
+    * and adds `learningRate` times its leaf means to the model.
+    *
+    * Determinism/scale design:
+    *  - labels enter as exact integer micro-units (round(y·1e6)); every
+    *    leaf update is floored to an integer micro-unit, so RESIDUALS
+    *    STAY INTEGRAL — per-round candidate statistics are exact long
+    *    sums, immune to partitioning and engine;
+    *  - the split criterion is the SSE-reduction identity: maximize
+    *    S_L²/n_L + S_R²/n_R (S = residual sum), strict improvement over
+    *    the root's S²/n, ties (score desc, feature asc, value asc);
+    *  - each round costs ONE (feature, value) collapse — the residual is
+    *    a literal CASE chain over the stumps so far, no materialized
+    *    state, no join;
+    *  - stops early when no split strictly improves (residual constant).
+    *
+    * @param bins as in [[fit]]: cap candidate thresholds per feature
+    */
+  def fitBoostedStumps(df: DataFrame, features: Seq[String],
+      labelCol: String, rounds: Int = 3, learningRate: Double = 0.5,
+      minLeaf: Long = 1L, bins: Option[Int] = None): BoostedModel = {
+    require(features.nonEmpty, "need at least one feature")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(learningRate > 0 && learningRate <= 1,
+      s"learningRate must be in (0, 1], got $learningRate")
+    val y6 = round(col(labelCol).cast("double") * 1e6).cast("long")
+    val melted = meltExpr(df, features, bins)
+
+    var stumps = Vector.empty[Stump]
+    var stopped = false
+    for (round <- 1 to rounds if !stopped) {
+      val residual = y6 - BoostedModel(stumps).predictMicroExpr
+      val wCum = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("feature")
+      def sq(s: Column, n: Column) = {
+        val sd = s.cast("double")
+        sd * sd / n.cast("double")
+      }
+      val best = df
+        .select(melted.as("fv"), residual.as("r"))
+        .groupBy(col("fv.feature").as("feature"), col("fv.v").as("v"))
+        .agg(count(lit(1)).as("n"), sum("r").as("s"))
+        .withColumn("nl", sum("n").over(wCum))
+        .withColumn("sl", sum("s").over(wCum))
+        .withColumn("nt", sum("n").over(wAll))
+        .withColumn("st", sum("s").over(wAll))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("sr", col("st") - col("sl"))
+        .where(col("nl") >= minLeaf && col("nr") >= minLeaf)
+        .withColumn("score", sq(col("sl"), col("nl")) +
+          sq(col("sr"), col("nr")))
+        .where(col("score") > sq(col("st"), col("nt")))
+        .orderBy(col("score").desc, col("feature"), col("v"))
+        .limit(1)
+        .select("feature", "v", "nl", "nr", "sl", "sr")
+        .collect()
+      best.headOption match {
+        case None => stopped = true
+        case Some(b) =>
+          val (nl, nr) = (b.getLong(2), b.getLong(3))
+          val (sl, sr) = (b.getLong(4), b.getLong(5))
+          // leaf update = floor(lr · mean residual), in micro-units —
+          // floor (not round) so both engines agree at exact halves
+          val dl = math.floor(learningRate * (sl.toDouble / nl.toDouble)).toLong
+          val dr = math.floor(learningRate * (sr.toDouble / nr.toDouble)).toLong
+          stumps = stumps :+ Stump(round, b.getString(0), b.getDouble(1),
+            nl, nr, dl, dr)
+      }
+    }
+    BoostedModel(stumps)
+  }
+
   /** Fit a depth-≤`maxDepth` CART tree on integer 0/1 `labelCol` over
     * numeric `features`.
     *
@@ -119,28 +256,7 @@ object Tree {
     val spark = df.sparkSession
 
     val y = col(labelCol).cast("long")
-    // candidate-value expression per feature: raw value, or the upper edge
-    // of its fixed-width bin (edges = min + k·width, k = 1..b; a value maps
-    // to the smallest edge ≥ it under the same floor both engines compute)
-    val valueOf: Map[String, Column] = bins match {
-      case None => features.map(f => f -> col(f).cast("double")).toMap
-      case Some(b) =>
-        val aggs = features.flatMap(f => Seq(
-          min(col(f).cast("double")).as(s"__min_$f"),
-          max(col(f).cast("double")).as(s"__max_$f")))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        features.zipWithIndex.map { case (f, i) =>
-          val lo = row.getDouble(2 * i); val hi = row.getDouble(2 * i + 1)
-          val width = (hi - lo) / b
-          val c =
-            if (width == 0.0) col(f).cast("double")
-            else lit(lo) + (least(floor((col(f).cast("double") - lit(lo))
-              / lit(width)), lit(b - 1.0)) + lit(1.0)) * lit(width)
-          f -> c
-        }.toMap
-    }
-    val melted = explode(array(features.map(f =>
-      struct(lit(f).as("feature"), valueOf(f).as("v"))): _*))
+    val melted = meltExpr(df, features, bins)
 
     var model = {
       val r0 = df.agg(count(lit(1)).as("n"), sum(y).as("pos")).head()

@@ -66,7 +66,14 @@ object ScaleCheck {
     // quadratic-in-factor by construction)
     "q266_dsir_weights", // bucket collapses + broadcast λ + token explode
     "q268_als_factors", // iterative: 2 ALS sweeps of join + Gram solve
-    "q270_countmin_cells") // sketch build: explode + partial agg
+    "q270_countmin_cells", // sketch build: explode + partial agg
+    // round-10 second batch (q290 dbscan and q291 edit-join are EXCLUDED
+    // like the pair generators: replication clones every point/string 10
+    // deep, so their neighbor/pair outputs grow quadratically in the
+    // factor by construction)
+    "q285_tree", // 2 levels × (melt + (node, feature, value) collapse)
+    "q287_iv_wald", // one conditional-moment aggregation
+    "q293_gbm_stumps") // 3 boosting rounds × (melt + collapse)
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

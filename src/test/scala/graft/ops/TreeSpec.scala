@@ -83,4 +83,59 @@ class TreeSpec extends SparkSpec {
     val b = Tree.fit(df.repartition(7), Seq("x1", "x2"), "y").toDF(spark)
     assert(a.collect().toSeq == b.collect().toSeq)
   }
+
+  // --- gradient-boosted stumps ---
+
+  test("boosted stumps: one round at lr=1 nails a separable step") {
+    val m = Tree.fitBoostedStumps(fixture, Seq("x1", "x2"), "y",
+      rounds = 1, learningRate = 1.0)
+    assert(m.stumps.length == 1)
+    val st = m.stumps.head
+    assert(st.feature == "x1" && st.threshold == 5.0)
+    assert(st.deltaL == 0L && st.deltaR == 1000000L)
+    val wrong = m.predict(fixture)
+      .where(abs(col("pred") - col("y")) > 1e-9).count()
+    assert(wrong == 0)
+  }
+
+  test("boosted stumps: residual fitting reduces SSE round over round") {
+    // y has two steps — one stump can't fit both, three rounds get close
+    val rows = (1 to 60).map { i =>
+      val x = i.toDouble
+      (x, if (x > 40) 2.0 else if (x > 20) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x1", "y")
+    def sse(rounds: Int): Double = {
+      val m = Tree.fitBoostedStumps(df, Seq("x1"), "y", rounds = rounds,
+        learningRate = 1.0)
+      m.predict(df).select(
+        sum(pow(col("pred") - col("y"), 2.0))).head().getDouble(0)
+    }
+    val s1 = sse(1); val s2 = sse(2); val s3 = sse(3)
+    assert(s2 < s1 && s3 < s2)
+    // each round fits one boundary of the other step's residual pattern:
+    // SSE shrinks geometrically (×1/4 here), not to zero in finite rounds
+    assert(s3 <= s1 / 10.0, s"expected ≥10x SSE reduction, got $s1 -> $s3")
+  }
+
+  test("boosted stumps: constant label stops immediately") {
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0)).toDF("x1", "y")
+    val m = Tree.fitBoostedStumps(df, Seq("x1"), "y", rounds = 3)
+    assert(m.stumps.isEmpty)
+    // prediction falls back to 0 (the F_0 baseline)
+    assert(m.predict(df).select(max(abs(col("pred")))).head()
+      .getDouble(0) == 0.0)
+  }
+
+  test("boosted stumps are partition-invariant") {
+    val rows = (1 to 60).map { i =>
+      (i.toDouble, (i % 7).toDouble, if (i > 30) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val a = Tree.fitBoostedStumps(df.repartition(1), Seq("x1", "x2"), "y",
+      rounds = 3).stumps
+    val b = Tree.fitBoostedStumps(df.repartition(7), Seq("x1", "x2"), "y",
+      rounds = 3).stumps
+    assert(a == b && a.nonEmpty)
+  }
 }
