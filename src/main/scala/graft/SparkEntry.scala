@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, Robust, Survival, ZeroInfl}
+import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
 import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Weighted}
 import graft.streaming.StreamOps
 
@@ -3695,6 +3695,20 @@ object SparkEntry {
       Tree.fitBoostedStumps(d, Seq("l_discount", "l_quantity", "l_tax"),
           "y", rounds = 3, learningRate = 0.5).toDF(s)
         .orderBy("round")
+    }),
+
+    // median (quantile) regression by IRLS on the pinball loss: per
+    // iteration ONE weighted Gram pass with literal-beta weights; betas
+    // quantized to the 1e-8 grid each solve so the fixed point replays;
+    // tau = 0.5 makes the weight sign-free (no residual-sign knife edge)
+    "q294_quantreg" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+      val m = QuantReg.fit(d, Seq("l_quantity"), "l_extendedprice",
+        tau = 0.5, iters = 3)
+      import s.implicits._
+      Seq((m.tau, rd(m.coefs(0), 6), rd(m.coefs(1), 6),
+          rd(m.pinball, 4)))
+        .toDF("tau", "intercept", "slope", "pinball")
     })
   )
 
@@ -10134,6 +10148,81 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, feature, CAST(v AS DOUBLE), CAST(nl AS BIGINT),
         |    CAST(nr AS BIGINT), dl, dr FROM b3
-        |ORDER BY round""".stripMargin
+        |ORDER BY round""".stripMargin,
+
+    // OLS init + 3 unrolled IRLS steps with the delta continuation
+    // (delta_1 = quantized mean |OLS residual|, delta_{t+1} = max(1e-6,
+    // delta_t·0.1) — chained multiplications, no pow); betas floored to
+    // the 1e-8 grid after every 2x2 solve (Cramer here, Cholesky
+    // engine-side — they agree far inside half a grid cell, so the
+    // quantized fixed point is identical); tau = 0.5 weights are
+    // sign-free
+    "q294_quantreg" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |g0 AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS sw, sum(x) AS swx,
+        |    sum(x * x) AS swxx, sum(y) AS swy, sum(x * y) AS swxy
+        |  FROM d),
+        |b0 AS (
+        |  SELECT
+        |    floor(((swy * swxx - swx * swxy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c0,
+        |    floor(((sw * swxy - swx * swy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c1
+        |  FROM g0),
+        |s0 AS (
+        |  SELECT greatest(1e-6, floor(avg(abs(y - (c0 + c1 * x))) * 1e8
+        |    + 0.5) / 1e8) AS d1
+        |  FROM d CROSS JOIN b0),
+        |g1 AS (
+        |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+        |    sum(w * y) AS swy, sum(w * x * y) AS swxy
+        |  FROM (SELECT x, y,
+        |      0.5 / greatest(abs(y - (c0 + c1 * x)), d1) AS w
+        |    FROM d CROSS JOIN b0 CROSS JOIN s0)),
+        |b1 AS (
+        |  SELECT
+        |    floor(((swy * swxx - swx * swxy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c0,
+        |    floor(((sw * swxy - swx * swy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c1
+        |  FROM g1),
+        |g2 AS (
+        |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+        |    sum(w * y) AS swy, sum(w * x * y) AS swxy
+        |  FROM (SELECT x, y,
+        |      0.5 / greatest(abs(y - (c0 + c1 * x)),
+        |        greatest(1e-6, d1 * 0.1)) AS w
+        |    FROM d CROSS JOIN b1 CROSS JOIN s0)),
+        |b2 AS (
+        |  SELECT
+        |    floor(((swy * swxx - swx * swxy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c0,
+        |    floor(((sw * swxy - swx * swy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c1
+        |  FROM g2),
+        |g3 AS (
+        |  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+        |    sum(w * y) AS swy, sum(w * x * y) AS swxy
+        |  FROM (SELECT x, y,
+        |      0.5 / greatest(abs(y - (c0 + c1 * x)),
+        |        greatest(1e-6, greatest(1e-6, d1 * 0.1) * 0.1)) AS w
+        |    FROM d CROSS JOIN b2 CROSS JOIN s0)),
+        |b3 AS (
+        |  SELECT
+        |    floor(((swy * swxx - swx * swxy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c0,
+        |    floor(((sw * swxy - swx * swy)
+        |      / (sw * swxx - swx * swx)) * 1e8 + 0.5) / 1e8 AS c1
+        |  FROM g3)
+        |SELECT CAST(0.5 AS DOUBLE) AS tau, round(c0, 6) AS intercept,
+        |  round(c1, 6) AS slope,
+        |  round((SELECT avg(greatest(0.5 * (y - (c0 + c1 * x)),
+        |    -0.5 * (y - (c0 + c1 * x)))) FROM d CROSS JOIN b3), 4)
+        |    AS pinball
+        |FROM b3""".stripMargin
   )
 }
