@@ -39,7 +39,16 @@ final case class Normal(
 
 object Gram {
 
-  val maxExprWidth = 64
+  /** Widest p taking the expression (codegen) path; above it the packed
+    * `treeAggregate` runs instead. At p = 64 the p(p+1)/2 + p + 4 ≈ 2148
+    * sum expressions overflow janino's 64 KB method limit — the agg then
+    * SILENTLY falls back to interpreted per-expression eval (observed:
+    * "Code grows beyond 64 KB" on the q101 embedding Gram), which is the
+    * wrong trade at scale. 32 (≈ 564 exprs) compiles comfortably and
+    * measures identical to the fallback at bench SF, without the
+    * ERROR-level noise or the interpreted hot path.
+    */
+  val maxExprWidth = 32
 
   /** Upper-triangular packed index for (i,j), i <= j. */
   @inline private def utIndex(i: Int, j: Int, p: Int): Int = i * p - i * (i - 1) / 2 + (j - i)
