@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
+import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
 import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Weighted}
 import graft.streaming.StreamOps
 
@@ -3709,6 +3709,37 @@ object SparkEntry {
       Seq((m.tau, rd(m.coefs(0), 6), rd(m.coefs(1), 6),
           rd(m.pinball, 4)))
         .toDF("tau", "intercept", "slope", "pinball")
+    }),
+
+    // exact Shapley attribution for the linear model (phi_j = beta_j·(x_j
+    // − mean x_j) exactly, by linearity): global importance table off two
+    // fused aggregation passes — the explanation companion to q18
+    "q295_lm_attribution" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+      val m = LM.fit(d, Seq("l_quantity", "l_discount"), "l_extendedprice")
+      Explain.linearAttribution(d, Seq("l_quantity", "l_discount"),
+          m.coefs.toArray)
+        .select(col("feature"), r(col("beta"), 3).as("beta"),
+          r(col("mean_abs_phi"), 3).as("mean_abs_phi"),
+          r(col("share"), 6).as("share"))
+        .orderBy("feature")
+    }),
+
+    // partial dependence of the boosted-stump model on l_quantity: the
+    // whole grid in ONE aggregation (each grid point = one avg column of
+    // the intervened literal-CASE scorer); exact long sums to the divide
+    "q296_pd_gbm" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      val m = Tree.fitBoostedStumps(d,
+        Seq("l_discount", "l_quantity", "l_tax"), "y",
+        rounds = 3, learningRate = 0.5)
+      Explain.partialDependence(d, (5 to 50 by 5).map(_.toDouble),
+          g => m.predictMicroExprWith(f =>
+            if (f == "l_quantity") g else col(f)))
+        .select(col("value"), r(col("pd") / 1e6, 6).as("pd"))
+        .orderBy("value")
     })
   )
 
@@ -10223,6 +10254,166 @@ object SparkEntry {
         |  round((SELECT avg(greatest(0.5 * (y - (c0 + c1 * x)),
         |    -0.5 * (y - (c0 + c1 * x)))) FROM d CROSS JOIN b3), 4)
         |    AS pinball
-        |FROM b3""".stripMargin
+        |FROM b3""".stripMargin,
+
+    // q18's centered-moment Cramer betas + one mean-absolute-deviation
+    // pass; |beta|·dev products and the quantity-first share sum in the
+    // same order
+    "q295_lm_attribution" ->
+      """WITH m AS (
+        |  SELECT avg(l_quantity) AS mx1, avg(l_discount) AS mx2,
+        |    avg(l_extendedprice) AS my,
+        |    avg(l_quantity * l_quantity) AS x11,
+        |    avg(l_quantity * l_discount) AS x12,
+        |    avg(l_discount * l_discount) AS x22,
+        |    avg(l_quantity * l_extendedprice) AS x1y,
+        |    avg(l_discount * l_extendedprice) AS x2y
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT x11 - mx1 * mx1 AS s11, x12 - mx1 * mx2 AS s12,
+        |    x22 - mx2 * mx2 AS s22, x1y - mx1 * my AS s1y,
+        |    x2y - mx2 * my AS s2y, mx1, mx2
+        |  FROM m),
+        |b AS (
+        |  SELECT mx1, mx2,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM c),
+        |dev AS (
+        |  SELECT avg(abs(l_quantity - mx1)) AS d1,
+        |    avg(abs(l_discount - mx2)) AS d2
+        |  FROM lineitem CROSS JOIN b),
+        |f AS (
+        |  SELECT b1, b2, abs(b1) * d1 AS m1, abs(b2) * d2 AS m2
+        |  FROM b CROSS JOIN dev)
+        |SELECT 'l_quantity' AS feature, round(b1, 3) AS beta,
+        |  round(m1, 3) AS mean_abs_phi, round(m1 / (m1 + m2), 6) AS share
+        |FROM f
+        |UNION ALL
+        |SELECT 'l_discount', round(b2, 3), round(m2, 3),
+        |  round(m2 / (m1 + m2), 6)
+        |FROM f
+        |ORDER BY feature""".stripMargin,
+
+    // q293's three unrolled boosting rounds + the intervened scorer
+    // averaged per grid value: substitute g for l_quantity inside each
+    // round's split CASE, exact integer micro-unit sums to the divide
+    "q296_pd_gbm" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1000000 ELSE 0
+        |      END AS BIGINT) AS y6,
+        |    l_quantity AS f1, l_discount AS f2, l_tax AS f3
+        |  FROM lineitem),
+        |m1 AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, y6 AS r FROM base
+        |  UNION ALL SELECT 'l_discount', f2, y6 FROM base
+        |  UNION ALL SELECT 'l_tax', f3, y6 FROM base),
+        |a1 AS (SELECT feature, v, count(*) AS n, sum(r) AS s
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM a1),
+        |s1 AS (SELECT feature, v, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS score,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS pscore
+        |  FROM c1 WHERE nl >= 1 AND nt - nl >= 1),
+        |b1 AS (SELECT feature, v,
+        |    CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      AS BIGINT) AS dl,
+        |    CAST(floor(0.5 * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS BIGINT) AS dr
+        |  FROM s1 WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1),
+        |res2 AS MATERIALIZED (
+        |  SELECT f1, f2, f3, y6 - (CASE WHEN (CASE b.feature
+        |      WHEN 'l_quantity' THEN f1 WHEN 'l_discount' THEN f2
+        |      ELSE f3 END) <= b.v THEN b.dl ELSE b.dr END) AS r
+        |  FROM base CROSS JOIN b1 b),
+        |m2 AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, r FROM res2
+        |  UNION ALL SELECT 'l_discount', f2, r FROM res2
+        |  UNION ALL SELECT 'l_tax', f3, r FROM res2),
+        |a2 AS (SELECT feature, v, count(*) AS n, sum(r) AS s
+        |  FROM m2 GROUP BY 1, 2),
+        |c2 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM a2),
+        |s2 AS (SELECT feature, v, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS score,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS pscore
+        |  FROM c2 WHERE nl >= 1 AND nt - nl >= 1),
+        |b2 AS (SELECT feature, v,
+        |    CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      AS BIGINT) AS dl,
+        |    CAST(floor(0.5 * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS BIGINT) AS dr
+        |  FROM s2 WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1),
+        |res3 AS MATERIALIZED (
+        |  SELECT f1, f2, f3, r - (CASE WHEN (CASE b.feature
+        |      WHEN 'l_quantity' THEN f1 WHEN 'l_discount' THEN f2
+        |      ELSE f3 END) <= b.v THEN b.dl ELSE b.dr END) AS r
+        |  FROM res2 CROSS JOIN b2 b),
+        |m3 AS (
+        |  SELECT 'l_quantity' AS feature, f1 AS v, r FROM res3
+        |  UNION ALL SELECT 'l_discount', f2, r FROM res3
+        |  UNION ALL SELECT 'l_tax', f3, r FROM res3),
+        |a3 AS (SELECT feature, v, count(*) AS n, sum(r) AS s
+        |  FROM m3 GROUP BY 1, 2),
+        |c3 AS (SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(s) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS sl,
+        |    sum(n) OVER (PARTITION BY feature) AS nt,
+        |    sum(s) OVER (PARTITION BY feature) AS st
+        |  FROM a3),
+        |s3 AS (SELECT feature, v, nl, nt - nl AS nr, sl, st - sl AS sr,
+        |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS score,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS pscore
+        |  FROM c3 WHERE nl >= 1 AND nt - nl >= 1),
+        |b3 AS (SELECT feature, v,
+        |    CAST(floor(0.5 * (CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      AS BIGINT) AS dl,
+        |    CAST(floor(0.5 * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS BIGINT) AS dr
+        |  FROM s3 WHERE score > pscore
+        |  ORDER BY score DESC, feature, v LIMIT 1),
+        |grid AS (
+        |  SELECT CAST(v * 5 AS DOUBLE) AS g
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS v))
+        |SELECT g AS value,
+        |  round(avg(
+        |    (CASE WHEN (CASE b1.feature WHEN 'l_quantity' THEN g
+        |        WHEN 'l_discount' THEN f2 ELSE f3 END) <= b1.v
+        |      THEN b1.dl ELSE b1.dr END)
+        |    + (CASE WHEN (CASE b2.feature WHEN 'l_quantity' THEN g
+        |        WHEN 'l_discount' THEN f2 ELSE f3 END) <= b2.v
+        |      THEN b2.dl ELSE b2.dr END)
+        |    + (CASE WHEN (CASE b3.feature WHEN 'l_quantity' THEN g
+        |        WHEN 'l_discount' THEN f2 ELSE f3 END) <= b3.v
+        |      THEN b3.dl ELSE b3.dr END)) / 1e6, 6) AS pd
+        |FROM base CROSS JOIN grid
+        |CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+        |GROUP BY g ORDER BY value""".stripMargin
   )
 }

@@ -138,10 +138,16 @@ object Tree {
     */
   final case class BoostedModel(stumps: Seq[Stump]) {
     /** Σ_m Δ_m(x) in micro-units — a literal CASE chain, codegen'd. */
-    def predictMicroExpr: Column =
+    def predictMicroExpr: Column = predictMicroExprWith(col)
+
+    /** Same, but feature references resolve through `resolve` — the hook
+      * partial-dependence style interventions use (substitute one feature
+      * with a grid literal, keep the rest from the row).
+      */
+    def predictMicroExprWith(resolve: String => Column): Column =
       if (stumps.isEmpty) lit(0L)
       else stumps.map(st =>
-        when(col(st.feature).cast("double") <= lit(st.threshold),
+        when(resolve(st.feature).cast("double") <= lit(st.threshold),
           lit(st.deltaL)).otherwise(lit(st.deltaR))).reduce(_ + _)
 
     /** Prediction on the label scale. */
