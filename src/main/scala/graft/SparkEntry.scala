@@ -3740,6 +3740,17 @@ object SparkEntry {
             if (f == "l_quantity") g else col(f)))
         .select(col("value"), r(col("pd") / 1e6, 6).as("pd"))
         .orderBy("value")
+    }),
+
+    // deterministic Poisson(1) percentile bootstrap for a mean: md5(id#b)
+    // 60-bit draws against exact-long cumulative thresholds (no float in
+    // the randomness path), integral cents keep replicate sums exact,
+    // order statistics over the 200-row replicate frame
+    "q297_bootstrap_ci" -> ((s, dir) => {
+      val d = t(s, dir, "customer").select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      Hypothesis.bootstrapMeanCI(d, "bal_cents", "c_custkey",
+        nBoot = 200, level = 0.95)
     })
   )
 
@@ -10414,6 +10425,47 @@ object SparkEntry {
         |      THEN b3.dl ELSE b3.dr END)) / 1e6, 6) AS pd
         |FROM base CROSS JOIN grid
         |CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
-        |GROUP BY g ORDER BY value""".stripMargin
+        |GROUP BY g ORDER BY value""".stripMargin,
+
+    // identical md5 60-bit draws against the same exact-long Poisson(1)
+    // cumulative thresholds, identical replicate sums and (mean_b, b)
+    // order statistics
+    "q297_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s FROM base),
+        |drawn AS (
+        |  SELECT b, v,
+        |    CASE WHEN u < 424136118829305344 THEN 0
+        |      WHEN u < 848272237658610688 THEN 1
+        |      WHEN u < 1060340297073263360 THEN 2
+        |      WHEN u < 1131029650211480960 THEN 3
+        |      WHEN u < 1148701988496035328 THEN 4
+        |      WHEN u < 1152236456152946176 THEN 5
+        |      WHEN u < 1152825534095764608 THEN 6
+        |      ELSE 7 END AS w
+        |  FROM (
+        |    SELECT v, b, ('0x' || substr(md5(id || '#' ||
+        |      CAST(b AS VARCHAR)), 1, 15))::BIGINT AS u
+        |    FROM base, UNNEST(generate_series(1, 200)) q(b))),
+        |reps AS (
+        |  SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w * v) AS BIGINT) AS swv
+        |  FROM drawn GROUP BY 1 HAVING sum(w) > 0),
+        |ranked AS (
+        |  SELECT CAST(swv AS DOUBLE) / sw AS mean_b,
+        |    row_number() OVER (ORDER BY CAST(swv AS DOUBLE) / sw, b)
+        |      AS rk,
+        |    count(*) OVER () AS kept
+        |  FROM reps)
+        |SELECT obs.n, round(CAST(obs.s AS DOUBLE) / obs.n, 6) AS mean,
+        |  200 AS n_boot,
+        |  (SELECT CAST(max(kept) AS BIGINT) FROM ranked) AS n_boot_kept,
+        |  round((SELECT mean_b FROM ranked WHERE rk = 5), 6) AS ci_lo,
+        |  round((SELECT mean_b FROM ranked WHERE rk = 195), 6) AS ci_hi
+        |FROM obs""".stripMargin
   )
 }

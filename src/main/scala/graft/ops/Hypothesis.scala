@@ -493,4 +493,83 @@ object Hypothesis {
         least(lit(1.0), col("__bh_cummin")).as("p_adj"))
       .withColumn("reject", col("p_adj") <= alpha)
   }
+
+  /** Poisson(1) cumulative thresholds scaled to 2⁶⁰ — exact longs, so the
+    * bootstrap draw is a pure integer-ladder comparison on the 60-bit
+    * md5 value (no float anywhere in the randomness path). floor(P(X ≤ k)
+    * · 2⁶⁰) for k = 0..6; draws past the ladder get weight 7
+    * (P ≈ 8e-5 per draw).
+    */
+  private val poisson1Cut60: Array[Long] = Array(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L)
+
+  /** Deterministic percentile-bootstrap confidence interval for a mean
+    * (Efron) — the resampling companion to [[permutationTestMeanDiff]]:
+    * resample weights are POISSON(1) counts (the classic distributed
+    * bootstrap approximation of multinomial resampling — exactly the
+    * scheme used when n is too big to resample by index), drawn from
+    * md5(id#replicate): content-keyed, partition-invariant, engine-
+    * reproducible. Integral values keep every replicate sum exact.
+    *
+    * Execution: ONE explode(1..B) + ONE per-replicate aggregation (B·n
+    * rows through a B-cell shuffle), then order statistics over the
+    * B-row replicate frame (a window over a collapsed frame). No
+    * driver-side resampling, no RNG state.
+    *
+    * @return one row: (n, mean, n_boot, ci_lo, ci_hi) — percentile CI at
+    *         `level` via the ceil(α·B) order statistics, (mean, replicate)
+    *         tie order
+    */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, idCol: String,
+      nBoot: Int = 200, level: Double = 0.95): DataFrame = {
+    require(nBoot >= 2, s"need nBoot >= 2, got $nBoot")
+    require(level > 0 && level < 1, s"level must be in (0, 1), got $level")
+    val vt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"bootstrapMeanCI needs an integral '$valueCol' so replicate sums " +
+        s"stay exact (got $vt) — pre-scale to cents/counts upstream")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("long").as("__v"))
+    val obs = base.agg(count(lit(1)).as("n"), sum("__v").as("s")).head()
+    val (n, s) = (obs.getLong(0), obs.getLong(1))
+    require(n > 0, "need at least one non-null value")
+    val draw = conv(substring(md5(concat(col("__id"), lit("#"),
+      col("__b").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = poisson1Cut60.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((cut, k), rest) => when(draw < cut, lit(k.toLong)).otherwise(rest)
+    }
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(1), lit(nBoot))))
+      .withColumn("__w", w)
+      .groupBy("__b")
+      .agg(sum("__w").as("sw"), sum(col("__w") * col("__v")).as("swv"))
+      .filter(col("sw") > 0)
+      .withColumn("mean_b", col("swv").cast("double") / col("sw"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_b"), col("__b"))
+    // ceil with the 1e-9 slack (the jaccardSelfJoin convention): float
+    // products like 0.025·200 land at 5.000000000000001, and a naive
+    // ceil would take rank 6 instead of the intended 5
+    val kLo = math.max(1,
+      math.ceil((1.0 - level) / 2.0 * nBoot - 1e-9).toInt)
+    val kHi = math.ceil((1.0 + level) / 2.0 * nBoot - 1e-9).toInt
+    reps
+      .withColumn("__rk", row_number().over(wRank))
+      .agg(
+        min(when(col("__rk") === kLo, col("mean_b"))).as("ci_lo"),
+        min(when(col("__rk") === math.min(kHi, nBoot), col("mean_b")))
+          .as("ci_hi"),
+        count(lit(1)).as("n_boot_kept"))
+      .select(lit(n).as("n"),
+        round(lit(s.toDouble / n), 6).as("mean"),
+        lit(nBoot).as("n_boot"), col("n_boot_kept"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
+  }
 }

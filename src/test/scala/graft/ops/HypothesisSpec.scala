@@ -403,4 +403,30 @@ class HypothesisSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("bootstrapMeanCI: interval brackets the mean, width tracks spread") {
+    // values 0..99 (mean 49.5, sd ~29): CI must bracket the sample mean
+    val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val r = Hypothesis.bootstrapMeanCI(df, "v", "id", nBoot = 200).head()
+    val (mean, lo, hi) = (r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < mean && mean < hi, s"$lo !< $mean !< $hi")
+    assert(hi - lo > 1.0 && hi - lo < 30.0, s"width ${hi - lo}")
+    // a constant column has a zero-width interval at the constant
+    val const = (0 until 100).map(i => (i.toLong, 7L)).toDF("id", "v")
+    val c = Hypothesis.bootstrapMeanCI(const, "v", "id", nBoot = 50).head()
+    assert(c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
+  }
+
+  test("bootstrapMeanCI rejects non-integral values; partition-invariant") {
+    val dbl = Seq((1L, 1.5)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Hypothesis.bootstrapMeanCI(dbl, "v", "id")
+    }
+    val df = (0 until 60).map(i => (i.toLong, (i * 13 % 101).toLong))
+      .toDF("id", "v")
+    val a = Hypothesis.bootstrapMeanCI(df.repartition(1), "v", "id").head()
+    val b = Hypothesis.bootstrapMeanCI(df.repartition(7), "v", "id").head()
+    assert(a == b)
+  }
 }
