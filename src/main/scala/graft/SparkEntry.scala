@@ -3751,6 +3751,14 @@ object SparkEntry {
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
       Hypothesis.bootstrapMeanCI(d, "bal_cents", "c_custkey",
         nBoot = 200, level = 0.95)
+    }),
+
+    // count-based word embeddings: PPMI rows over window-1 contexts +
+    // cosine of the sparse rows (Levy-Goldberg — what word2vec implicitly
+    // factorizes); vocab-bounded frames, context-keyed dot self-join
+    "q298_ppmi_similarity" -> ((s, dir) => {
+      Colloc.ppmiSimilarity(t(s, dir, "documents"), "text",
+        topV = 50, topK = 20)
     })
   )
 
@@ -10466,6 +10474,52 @@ object SparkEntry {
         |  (SELECT CAST(max(kept) AS BIGINT) FROM ranked) AS n_boot_kept,
         |  round((SELECT mean_b FROM ranked WHERE rk = 5), 6) AS ci_lo,
         |  round((SELECT mean_b FROM ranked WHERE rk = 195), 6) AS ci_hi
-        |FROM obs""".stripMargin
+        |FROM obs""".stripMargin,
+
+    // identical adjacency explode, (count desc, word) vocab order, PPMI
+    // on 6-digit grid BEFORE the cosine, context-keyed dot self-join,
+    // dot/sqrt(na·nb) division order, (cosine desc, w1, w2) rank
+    "q298_ppmi_similarity" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |adj AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+        |  WHERE len(t) >= 2),
+        |pairs AS (
+        |  SELECT a AS w, b AS c FROM adj
+        |  UNION ALL SELECT b, a FROM adj),
+        |tc AS (SELECT unnest(t) AS w FROM toks),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        |    FROM tc GROUP BY 1)
+        |  WHERE rk <= 50),
+        |vp AS (
+        |  SELECT w, c, count(*) AS n FROM pairs
+        |  WHERE w IN (SELECT w FROM vocab) AND c IN (SELECT w FROM vocab)
+        |  GROUP BY 1, 2),
+        |rw AS (SELECT w, CAST(sum(n) AS BIGINT) AS rn FROM vp GROUP BY 1),
+        |rc AS (SELECT c, CAST(sum(n) AS BIGINT) AS cn FROM vp GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM vp),
+        |vecs AS (
+        |  SELECT w, c, p FROM (
+        |    SELECT w, c, round(greatest(0.0,
+        |      ln(CAST(n AS DOUBLE) * nt
+        |        / (CAST(rn AS DOUBLE) * cn))), 6) AS p
+        |    FROM vp JOIN rw USING (w) JOIN rc USING (c) CROSS JOIN tot)
+        |  WHERE p > 0),
+        |norms AS (SELECT w, sum(p * p) AS n2 FROM vecs GROUP BY 1),
+        |dots AS (
+        |  SELECT x.w AS w1, y.w AS w2, sum(x.p * y.p) AS dt
+        |  FROM vecs x JOIN vecs y ON x.c = y.c AND x.w < y.w
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, round(dt / sqrt(na.n2 * nb.n2), 6) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.w = w1
+        |JOIN norms nb ON nb.w = w2
+        |ORDER BY cosine DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

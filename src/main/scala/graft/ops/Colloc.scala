@@ -49,4 +49,66 @@ object Colloc {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Count-based word embeddings from scratch: each vocabulary word's
+    * vector is its PPMI row over window-1 contexts (Levy & Goldberg 2014
+    * — PPMI factorization is what word2vec implicitly approximates), and
+    * similarity is the cosine of those sparse rows. Returns the top-K
+    * most similar word pairs — the distributional-similarity readout a
+    * corpus pipeline uses for synonym mining / near-duplicate phrasing.
+    *
+    * Shapes: ONE adjacency explode + (w, c) collapse; vocabulary = the
+    * `topV` most frequent tokens under the (count desc, word) total
+    * order, so every later frame is vocab-bounded — context postings are
+    * ≤ topV by construction and the context-keyed dot-product self-join
+    * is capped at topV² pairs. PPMI and cosine are rounded to 6 digits
+    * BEFORE ordering (the [[pmiBigrams]] ln convention) with (w1, w2)
+    * tiebreaks, so the ranking replays across engines.
+    *
+    * @return (w1, w2, cosine) with w1 < w2, ordered (cosine desc, w1, w2)
+    */
+  def ppmiSimilarity(df: DataFrame, textCol: String, topV: Int = 50,
+      topK: Int = 20): DataFrame = {
+    require(topV >= 2 && topK >= 1, "topV must be >= 2, topK >= 1")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val left = slice(toks, lit(1), size(toks) - 1)
+    val right = slice(toks, lit(2), size(toks) - 1)
+    val adj = df
+      .select(explode(zip_with(left, right,
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val pairs = adj.select(col("a").as("w"), col("b").as("c"))
+      .union(adj.select(col("b").as("w"), col("a").as("c")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("w"))
+    val vocab = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= topV).select("w")
+    val vp = pairs
+      .join(vocab, Seq("w"), "left_semi")
+      .join(vocab.withColumnRenamed("w", "c"), Seq("c"), "left_semi")
+      .groupBy("w", "c").agg(count(lit(1)).as("n"))
+    val rw = vp.groupBy("w").agg(sum("n").as("rn"))
+    val rc = vp.groupBy("c").agg(sum("n").as("cn"))
+    val tot = vp.agg(sum("n").as("nt"))
+    val vecs = vp.join(rw, "w").join(rc, "c").crossJoin(broadcast(tot))
+      .select(col("w"), col("c"),
+        round(greatest(lit(0.0),
+          log(col("n").cast("double") * col("nt") /
+            (col("rn").cast("double") * col("cn")))), 6).as("p"))
+      .filter(col("p") > 0)
+    val norms = vecs.groupBy("w").agg(sum(col("p") * col("p")).as("n2"))
+    vecs.select(col("c"), col("w").as("w1"), col("p").as("pa"))
+      .join(vecs.select(col("c"), col("w").as("w2"), col("p").as("pb")),
+        "c")
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2").agg(sum(col("pa") * col("pb")).as("dt"))
+      .join(norms.select(col("w").as("w1"), col("n2").as("na")), "w1")
+      .join(norms.select(col("w").as("w2"), col("n2").as("nb")), "w2")
+      .select(col("w1"), col("w2"),
+        round(col("dt") / sqrt(col("na") * col("nb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -41,4 +41,33 @@ class CollocSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(("x", "y")))
   }
+
+  test("ppmiSimilarity: words with identical context rows hit cosine 1") {
+    // "cat" and "dog" appear in exactly the same contexts; "rock" doesn't
+    val docs = Seq(
+      "the cat sat", "the dog sat", "the cat sat", "the dog sat",
+      "a rock fell", "a rock fell", "a rock fell"
+    ).toDF("text")
+    val out = Colloc.ppmiSimilarity(docs, "text", topV = 10, topK = 50)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getDouble(2))).toMap
+    assert(out(("cat", "dog")) == 1.0, s"identical contexts: $out")
+    // no shared contexts → the pair is absent (dot over empty support)
+    assert(!out.contains(("cat", "rock")) && !out.contains(("rock", "sat")))
+  }
+
+  test("ppmiSimilarity is vocab-bounded and partition-invariant") {
+    val docs = (1 to 40).map(i =>
+      s"alpha beta w$i gamma delta").toDF("text")
+    val a = Colloc.ppmiSimilarity(docs.repartition(1), "text",
+      topV = 6, topK = 10).collect().toSeq
+    val b = Colloc.ppmiSimilarity(docs.repartition(7), "text",
+      topV = 6, topK = 10).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // only vocab words may appear
+    val words = a.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(words.subsetOf(Set("alpha", "beta", "gamma", "delta") ++
+      (1 to 40).map(i => s"w$i")))
+    assert(words.count(_.startsWith("w")) <= 2) // rare w_i mostly cut
+  }
 }
