@@ -3759,6 +3759,16 @@ object SparkEntry {
     "q298_ppmi_similarity" -> ((s, dir) => {
       Colloc.ppmiSimilarity(t(s, dir, "documents"), "text",
         topV = 50, topK = 20)
+    }),
+
+    // STREAMING conversion funnel (the seventh streaming/batch parity
+    // family): per-user greedy step matching as flatMapGroupsWithState
+    // O(1) state, reached counts emitted on event-time timeout, rolled up
+    // to the exact batch step table — oracle = q113's batch funnel SQL
+    "q299_funnel_stream" -> ((s, dir) => {
+      StreamOps.funnelStepsReplay(events(s, dir),
+          Seq("view", "click", "purchase"))
+        .orderBy("step_no")
     })
   )
 
@@ -10520,6 +10530,34 @@ object SparkEntry {
         |FROM dots
         |JOIN norms na ON na.w = w1
         |JOIN norms nb ON nb.w = w2
-        |ORDER BY cosine DESC, w1, w2 LIMIT 20""".stripMargin
+        |ORDER BY cosine DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // q113's batch funnel SQL verbatim — the streaming state fold must
+    // reproduce the greedy first-touch walk exactly
+    "q299_funnel_stream" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT CAST(1 AS INT) AS step_no, 'view' AS step, u1 AS users,
+        |  round(CAST(1.0 AS DOUBLE), 6) AS frac_first,
+        |  round(CAST(1.0 AS DOUBLE), 6) AS frac_prev FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', u2,
+        |  round(CAST(u2 AS DOUBLE) / u1, 6), round(CAST(u2 AS DOUBLE) / u1, 6)
+        |FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', u3,
+        |  round(CAST(u3 AS DOUBLE) / u1, 6), round(CAST(u3 AS DOUBLE) / u2, 6)
+        |FROM c
+        |ORDER BY step_no""".stripMargin
   )
 }

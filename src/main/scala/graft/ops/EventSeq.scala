@@ -84,12 +84,21 @@ object EventSeq {
     * not searched.
     */
   def funnelWindowed(df: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String], maxGapUs: Long): DataFrame = {
-    val walked = walkSteps(df, userCol, typeCol, tsCol, steps, maxGapUs)
-      .withColumn("n_steps", size(col("steps")))
+      tsCol: String, steps: Seq[String], maxGapUs: Long): DataFrame =
+    stepTable(
+      walkSteps(df, userCol, typeCol, tsCol, steps, maxGapUs)
+        .withColumn("n_steps", size(col("steps"))),
+      steps)
+
+  /** Funnel step table from a per-user reached-step-count frame (one row
+    * per user carrying `n_steps`) — shared by the batch walk above and
+    * the streaming per-user state fold (StreamOps.funnelStepsReplay).
+    */
+  private[graft] def stepTable(perUser: DataFrame,
+      steps: Seq[String]): DataFrame = {
     // |users| rows → k+1 count rows → k step rows (all tiny frames)
-    val byN = walked.groupBy("n_steps").agg(count(lit(1)).as("cnt"))
-    val stepFrame = df.sparkSession.createDataFrame(
+    val byN = perUser.groupBy("n_steps").agg(count(lit(1)).as("cnt"))
+    val stepFrame = perUser.sparkSession.createDataFrame(
       steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
     ).toDF("step_no", "step")
     val reached = stepFrame

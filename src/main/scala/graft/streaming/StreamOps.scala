@@ -467,6 +467,98 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Per-user funnel progress emitted at stream end. */
+  case class FunnelHit(user_id: Long, n_steps: Int)
+  // public: Spark's state-store encoder instantiates it reflectively
+  case class FunnelProgress(nextIdx: Int, lastTsUs: Long)
+
+  /** STREAMING conversion funnel — the seventh streaming/batch parity
+    * family: per-user greedy first-touch step matching as
+    * flatMapGroupsWithState custom state (O(1) per user: the next
+    * expected step index + the last matched timestamp), emitting each
+    * user's reached-step count when the watermark passes their horizon.
+    * Semantics mirror [[graft.ops.EventSeq.funnel]] exactly: events
+    * processed in (ts, event_type) order, a step matches only STRICTLY
+    * after the previously matched one.
+    */
+  def funnelSteps(events: Dataset[Event], steps: Seq[String],
+      quietMs: Long = 60000L): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+    def micros(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .withWatermark("ts", "1 second")
+      .filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelHit(uid, s.nextIdx))
+          } else {
+            // (ts, event_type) order — array_sort's struct order in the
+            // batch walk; strictly-after matching via the micros compare
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+            var s = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              if (s.nextIdx < steps.length &&
+                  e.event_type == steps(s.nextIdx) &&
+                  (s.nextIdx == 0 || t > s.lastTsUs))
+                s = FunnelProgress(s.nextIdx + 1, t)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              sorted.last.ts.getTime + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run [[funnelSteps]] over a MemoryStream replay of a batch events
+    * frame and roll the per-user hits up to the SAME step table as the
+    * batch [[graft.ops.EventSeq.funnel]] — parity gate with q113's
+    * oracle. Same two-batch sentinel mechanics as [[sessionizeReplay]].
+    */
+  def funnelStepsReplay(events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "funnelStepsReplay needs at least one event")
+    val maxTs = evs.iterator.map(_.ts.getTime).max
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_funnel_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try funnelSteps(in.toDS(), steps)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      // the sentinel carries the FIRST step type so it passes the filter
+      // and advances the watermark; its reserved negative user is dropped
+      in.addData(evs.toIndexedSeq :+
+        Event(-1L, new Timestamp(maxTs + 86400000L), -1L, steps.head, 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2L, new Timestamp(maxTs + 2 * 86400000L), -1L,
+        steps.head, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.ops.EventSeq.stepTable(
+      s.table(name).filter(col("user_id") >= 0).select("n_steps"), steps)
+  }
+
   /** The [[parquetSink]] foreachBatch body, factored out so the spec can
     * invoke it directly with an already-seen batch id — the crash-replay
     * path — and assert idempotence without having to kill a JVM mid-commit.

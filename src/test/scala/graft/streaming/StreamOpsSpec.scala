@@ -356,4 +356,37 @@ class StreamOpsSpec extends SparkSpec {
     // bounded state: cells never exceed depth * width
     assert(got.size <= 3 * 64)
   }
+
+  test("streaming funnel equals the batch funnel (parity on real events)") {
+    val ev = graft.Events.read(spark, sfDir)
+    val steps = Seq("view", "click", "purchase")
+    val batch = graft.ops.EventSeq.funnel(ev, "user_id", "event_type",
+      "ts", steps).orderBy("step_no").collect().toSeq
+    val stream = StreamOps.funnelStepsReplay(ev, steps)
+      .orderBy("step_no").collect().toSeq
+    assert(stream === batch)
+  }
+
+  test("streaming funnel: strictly-after matching and same-ts tie order") {
+    // user 1: click at t5 then view at t5 (tie): sorted (ts, type) puts
+    // click first → no match; view matches step 1; a click STRICTLY
+    // after (t6) matches step 2. user 2: view and click both at t5 —
+    // click processed before view, so it cannot match after the view.
+    val rows = Seq(
+      StreamOps.Event(1L, ts(5), 1L, "click", 0.0),
+      StreamOps.Event(2L, ts(5), 1L, "view", 0.0),
+      StreamOps.Event(3L, ts(6), 1L, "click", 0.0),
+      StreamOps.Event(4L, ts(5), 2L, "view", 0.0),
+      StreamOps.Event(5L, ts(5), 2L, "click", 0.0))
+    val steps = Seq("view", "click")
+    val out = StreamOps.funnelStepsReplay(rows.toDF(), steps)
+      .orderBy("step_no").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 2L, 2 -> 1L)) // both reach view; only u1 clicks
+    val batch = graft.ops.EventSeq.funnel(rows.toDF(), "user_id",
+        "event_type", "ts", steps)
+      .orderBy("step_no").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batch === out)
+  }
 }
