@@ -3769,6 +3769,19 @@ object SparkEntry {
       StreamOps.funnelStepsReplay(events(s, dir),
           Seq("view", "click", "purchase"))
         .orderBy("step_no")
+    }),
+
+    // Markov-chain multi-touch attribution: first-order chain over the
+    // pre-conversion journeys, per-channel removal effects via ALL
+    // knockout variants iterated together (one join + one (variant,
+    // state) agg per round over ≤ variants·(channels+3)-row vectors,
+    // masses on the 1e-12 grid) — the data-driven companion to q203's
+    // positional rules
+    "q300_markov_attribution" -> ((s, dir) => {
+      EventSeq.markovAttribution(events(s, dir), "user_id", "event_type",
+          "ts", "event_id", Seq("view", "click", "signup", "error"),
+          "purchase", rounds = 8)
+        .orderBy("channel")
     })
   )
 
@@ -10558,6 +10571,120 @@ object SparkEntry {
         |SELECT CAST(3 AS INT), 'purchase', u3,
         |  round(CAST(u3 AS DOUBLE) / u1, 6), round(CAST(u3 AS DOUBLE) / u2, 6)
         |FROM c
-        |ORDER BY step_no""".stripMargin
+        |ORDER BY step_no""".stripMargin,
+
+    // identical journey extraction ((ts, id)-ordered touches strictly
+    // before the first conversion), exact count-ratio chain, 8 unrolled
+    // knockout-variant chain rounds on the same 1e-12 mass grid
+    "q300_markov_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS et, ts, event_id AS eid
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup', 'error',
+        |    'purchase')),
+        |conv AS (
+        |  SELECT u, ts AS cts, eid AS cid FROM (
+        |    SELECT u, ts, eid,
+        |      row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rk
+        |    FROM ev WHERE et = 'purchase')
+        |  WHERE rk = 1),
+        |touches AS (
+        |  SELECT e.u, e.et, e.ts, e.eid, (c.u IS NOT NULL) AS cv
+        |  FROM ev e LEFT JOIN conv c ON c.u = e.u
+        |  WHERE e.et <> 'purchase'
+        |    AND (c.u IS NULL OR (e.ts, e.eid) < (c.cts, c.cid))),
+        |seq AS (
+        |  SELECT u, et, cv,
+        |    row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS pos,
+        |    lead(et) OVER (PARTITION BY u ORDER BY ts, eid) AS nxt
+        |  FROM touches),
+        |tl AS (
+        |  SELECT u, u IN (SELECT u FROM conv) AS cv
+        |  FROM (SELECT DISTINCT u FROM ev)
+        |  WHERE u NOT IN (SELECT DISTINCT u FROM touches)),
+        |edges AS (
+        |  SELECT '__start' AS src, et AS dst FROM seq WHERE pos = 1
+        |  UNION ALL SELECT et, nxt FROM seq WHERE nxt IS NOT NULL
+        |  UNION ALL SELECT et,
+        |    CASE WHEN cv THEN '__conv' ELSE '__null' END
+        |  FROM seq WHERE nxt IS NULL
+        |  UNION ALL SELECT '__start',
+        |    CASE WHEN cv THEN '__conv' ELSE '__null' END FROM tl),
+        |cnt AS (SELECT src, dst, count(*) AS n FROM edges GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT src, dst,
+        |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        |  FROM cnt),
+        |ch AS (
+        |  SELECT src AS c FROM tr
+        |  WHERE src NOT IN ('__start', '__conv', '__null')
+        |  UNION
+        |  SELECT dst FROM tr
+        |  WHERE dst NOT IN ('__start', '__conv', '__null')),
+        |va AS (SELECT c AS v FROM ch UNION ALL SELECT '__none'),
+        |vt AS (
+        |  SELECT va.v, tr.src,
+        |    CASE WHEN tr.dst = va.v THEN '__null' ELSE tr.dst END AS dst,
+        |    tr.p
+        |  FROM tr CROSS JOIN va WHERE tr.src <> va.v
+        |  UNION ALL SELECT v, '__conv', '__conv', 1.0 FROM va
+        |  UNION ALL SELECT v, '__null', '__null', 1.0 FROM va),
+        |v0 AS (
+        |  SELECT v, '__start' AS state, CAST(1.0 AS DOUBLE) AS mass
+        |  FROM va),
+        |v1 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v0.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v0 JOIN vt ON vt.v = v0.v AND vt.src = v0.state
+        |  GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v1.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v1 JOIN vt ON vt.v = v1.v AND vt.src = v1.state
+        |  GROUP BY 1, 2),
+        |v3 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v2.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v2 JOIN vt ON vt.v = v2.v AND vt.src = v2.state
+        |  GROUP BY 1, 2),
+        |v4 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v3.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v3 JOIN vt ON vt.v = v3.v AND vt.src = v3.state
+        |  GROUP BY 1, 2),
+        |v5 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v4.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v4 JOIN vt ON vt.v = v4.v AND vt.src = v4.state
+        |  GROUP BY 1, 2),
+        |v6 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v5.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v5 JOIN vt ON vt.v = v5.v AND vt.src = v5.state
+        |  GROUP BY 1, 2),
+        |v7 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v6.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v6 JOIN vt ON vt.v = v6.v AND vt.src = v6.state
+        |  GROUP BY 1, 2),
+        |v8 AS (
+        |  SELECT vt.v, vt.dst AS state,
+        |    floor(sum(v7.mass * vt.p) * 1e12 + 0.5) / 1e12 AS mass
+        |  FROM v7 JOIN vt ON vt.v = v7.v AND vt.src = v7.state
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT v, mass FROM v8 WHERE state = '__conv'),
+        |b AS (SELECT mass AS p0 FROM pc WHERE v = '__none'),
+        |re AS (
+        |  SELECT ch.c AS channel, b.p0,
+        |    CASE WHEN b.p0 > 0
+        |      THEN 1.0 - coalesce(pc.mass, 0.0) / b.p0
+        |      ELSE 0.0 END AS re
+        |  FROM ch CROSS JOIN b LEFT JOIN pc ON pc.v = ch.c),
+        |rt AS (SELECT sum(re) AS ret FROM re)
+        |SELECT channel, round(p0, 6) AS p_conv,
+        |  round(re, 6) AS removal_effect,
+        |  round(CASE WHEN rt.ret > 0 THEN re / rt.ret ELSE 0.0 END, 6)
+        |    AS attribution
+        |FROM re CROSS JOIN rt ORDER BY channel""".stripMargin
   )
 }

@@ -396,4 +396,123 @@ object EventSeq {
           .as("last_touch"),
         round(sum(lit(1.0) / col("__k")), 6).as("linear"))
   }
+
+  /** Markov-chain multi-touch attribution with removal effects (the
+    * data-driven alternative to [[attribution]]'s positional rules):
+    * journeys become a first-order chain over channel states plus
+    * `__start` / absorbing `__conv` / `__null`; a channel's credit is its
+    * REMOVAL EFFECT — how much the chain's conversion probability drops
+    * when the channel is knocked out (its inbound edges redirected to
+    * `__null`, outbound dropped) — normalized over channels.
+    *
+    * Journey semantics (mirrored exactly by the oracle): per user, touch
+    * events strictly before the first `convType` event under the
+    * (ts, id) total order, in that order; consecutive repeats kept;
+    * users with no touches still contribute `__start` → end mass.
+    *
+    * Execution: ONE keyed collapse builds the transition counts; exact
+    * count ratios give the probabilities; ALL removal variants iterate
+    * TOGETHER — the (variant, src, dst, p) frame is the base chain cross
+    * the (none + channels) variant set, and each of the `rounds` steps is
+    * ONE join + ONE (variant, state) aggregation over state vectors of
+    * ≤ variants·(channels+3) rows. Absorbing states carry self-loops, so
+    * conversion mass accumulates in the vector itself. Masses are
+    * quantized to the 1e-12 grid per round (floor(x·1e12 + 0.5)) so the
+    * fixed-round chain replays across engines. No driver state — the
+    * channel set can be unbounded.
+    *
+    * @return one row per channel: (channel, p_conv — the base chain's
+    *         conversion probability, removal_effect, attribution), both
+    *         rounded to 6 digits, attribution normalized over channels
+    */
+  def markovAttribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, touchTypes: Seq[String],
+      convType: String, rounds: Int = 12): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType),
+      "convType must not be a touch type")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val spark = df.sparkSession
+    val ev = df
+      .filter(col(typeCol).isin((touchTypes :+ convType): _*))
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        struct(col(tsCol), col(idCol)).as("ord"))
+    val conv = ev.filter(col("et") === convType)
+      .groupBy("u").agg(min("ord").as("cord"))
+    val touches = ev.filter(col("et") =!= convType)
+      .join(conv, Seq("u"), "left")
+      .filter(col("cord").isNull || col("ord") < col("cord"))
+    val wSeq = Window.partitionBy("u").orderBy("ord")
+    val seq0 = touches
+      .withColumn("pos", row_number().over(wSeq))
+      .withColumn("nxt", lead(col("et"), 1).over(wSeq))
+    val endOf = when(col("cord").isNotNull, lit("__conv"))
+      .otherwise(lit("__null"))
+    val users = ev.select("u").distinct().join(conv, Seq("u"), "left")
+    val touchless = users.join(touches.select("u").distinct(),
+      Seq("u"), "left_anti")
+    val edges = seq0.filter(col("pos") === 1)
+        .select(lit("__start").as("src"), col("et").as("dst"))
+      .unionByName(seq0.filter(col("nxt").isNotNull)
+        .select(col("et").as("src"), col("nxt").as("dst")))
+      .unionByName(seq0.filter(col("nxt").isNull)
+        .select(col("et").as("src"), endOf.as("dst")))
+      .unionByName(touchless
+        .select(lit("__start").as("src"), endOf.as("dst")))
+    val counts = edges.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val outTot = counts.groupBy("src").agg(sum("n").as("nt"))
+    val trans = counts.join(outTot, "src")
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") / col("nt")).as("p"))
+    val channels = trans.select(col("src").as("channel"))
+      .unionByName(trans.select(col("dst").as("channel")))
+      .filter(!col("channel").isin("__start", "__conv", "__null"))
+      .distinct()
+    val variants = channels.select(col("channel").as("variant"))
+      .unionByName(spark.range(1).select(lit("__none").as("variant")))
+    val cp = new graft.Checkpointer(spark, None)
+    // knocked-out chain per variant + absorbing self-loops, built once
+    val vt = cp.pin(trans.crossJoin(variants)
+      .filter(col("src") =!= col("variant"))
+      .select(col("variant"), col("src"),
+        when(col("dst") === col("variant"), lit("__null"))
+          .otherwise(col("dst")).as("dst"), col("p"))
+      .unionByName(variants.crossJoin(
+        spark.createDataFrame(Seq(("__conv", "__conv", 1.0),
+          ("__null", "__null", 1.0))).toDF("src", "dst", "p"))
+        .select(col("variant"), col("src"), col("dst"), col("p"))))
+    val q12 = (c: Column) => floor(c * 1e12 + lit(0.5)) / 1e12
+    var vec = cp(variants.select(col("variant"),
+      lit("__start").as("state"), lit(1.0).as("mass")))
+    for (_ <- 1 to rounds) {
+      vec = cp(vec
+        .join(vt, vec("variant") === vt("variant") &&
+          vec("state") === vt("src"))
+        .select(vt("variant"), vt("dst").as("state"),
+          (col("mass") * col("p")).as("m"))
+        .groupBy("variant", "state")
+        .agg(q12(sum("m")).as("mass")))
+    }
+    val pConv = vec.filter(col("state") === "__conv")
+      .select(col("variant"), col("mass"))
+    val base = pConv.filter(col("variant") === "__none")
+      .select(col("mass").as("p0"))
+    val removal = channels
+      .join(pConv.withColumnRenamed("variant", "channel"),
+        Seq("channel"), "left")
+      .crossJoin(broadcast(base))
+      .select(col("channel"), col("p0"),
+        when(col("p0") > 0,
+          lit(1.0) - coalesce(col("mass"), lit(0.0)) / col("p0"))
+          .otherwise(lit(0.0)).as("re"))
+    val reTot = removal.agg(sum("re").as("ret"))
+    val res = removal.crossJoin(broadcast(reTot))
+      .select(col("channel"), round(col("p0"), 6).as("p_conv"),
+        round(col("re"), 6).as("removal_effect"),
+        round(when(col("ret") > 0, col("re") / col("ret"))
+          .otherwise(lit(0.0)), 6).as("attribution"))
+      .localCheckpoint(true) // materialize before close() frees generations
+    cp.close()
+    res
+  }
 }

@@ -335,4 +335,60 @@ class EventSeqSpec extends SparkSpec {
       assert(math.abs(approx(d).toDouble - n) / n < 0.05, s"$d: $n vs ${approx(d)}")
     }
   }
+
+  test("markovAttribution: closed two-channel removal effects") {
+    // journeys: A→conv, A→null, B→conv, B→conv
+    //   p_conv = 0.5·0.5 + 0.5·1 = 0.75
+    //   remove A: 0.5·0 + 0.5·1 = 0.5  → re_A = 1 − 0.5/0.75 = 1/3
+    //   remove B: 0.5·0.5 + 0   = 0.25 → re_B = 1 − 0.25/0.75 = 2/3
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "buy", ts("2024-01-01 11:00:00"), 2L),
+      (2L, "A", ts("2024-01-01 10:00:00"), 3L),
+      (3L, "B", ts("2024-01-01 10:00:00"), 4L),
+      (3L, "buy", ts("2024-01-01 11:00:00"), 5L),
+      (4L, "B", ts("2024-01-01 10:00:00"), 6L),
+      (4L, "buy", ts("2024-01-01 11:00:00"), 7L)
+    ).toDF("user", "etype", "t", "eid")
+    val out = EventSeq.markovAttribution(ev, "user", "etype", "t", "eid",
+        Seq("A", "B"), "buy", rounds = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("A")._1 == 0.75 && out("B")._1 == 0.75)
+    assert(math.abs(out("A")._2 - 1.0 / 3) < 1e-6)
+    assert(math.abs(out("B")._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(out("A")._3 - 1.0 / 3) < 1e-6)
+    assert(math.abs(out("B")._3 - 2.0 / 3) < 1e-6)
+  }
+
+  test("markovAttribution: touchless users feed start mass; post-conv " +
+      "touches ignored") {
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "buy", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "A", ts("2024-01-01 12:00:00"), 3L), // after conversion: ignored
+      (2L, "buy", ts("2024-01-01 10:00:00"), 4L), // converts with no touch
+      (3L, "A", ts("2024-01-01 10:00:00"), 5L)  // touch, no conversion
+    ).toDF("user", "etype", "t", "eid")
+    val out = EventSeq.markovAttribution(ev, "user", "etype", "t", "eid",
+        Seq("A", "B"), "buy", rounds = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // chain: start→A 2/3, start→conv 1/3; A→conv 1/2, A→null 1/2
+    //   p = 1/3 + 2/3·1/2 = 2/3; remove A: p = 1/3 → re_A = 1/2
+    assert(math.abs(out("A")._1 - 2.0 / 3) < 1e-6)
+    assert(math.abs(out("A")._2 - 0.5) < 1e-6)
+  }
+
+  test("markovAttribution is partition-invariant") {
+    val ev = (1 to 120).map { i =>
+      val t = if (i % 3 == 0) "buy" else if (i % 2 == 0) "A" else "B"
+      ((i % 10).toLong, t, ts(f"2024-01-01 ${8 + i % 12}%02d:00:00"), i.toLong)
+    }.toDF("user", "etype", "t", "eid")
+    val a = EventSeq.markovAttribution(ev.repartition(1), "user", "etype",
+      "t", "eid", Seq("A", "B"), "buy").orderBy("channel").collect().toSeq
+    val b = EventSeq.markovAttribution(ev.repartition(7), "user", "etype",
+      "t", "eid", Seq("A", "B"), "buy").orderBy("channel").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
