@@ -3782,6 +3782,31 @@ object SparkEntry {
           "ts", "event_id", Seq("view", "click", "signup", "error"),
           "purchase", rounds = 8)
         .orderBy("channel")
+    }),
+
+    // exponential AFT survival regression (survreg dist="exponential"
+    // parity) via the Poisson-offset identity: training IS the fused-Gram
+    // IRLS with offset log(duration); saturated binary covariate gives
+    // the closed-form cell-rate oracle with analytic information SEs
+    "q301_aft_exponential" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"), avg("value").as("av"))
+      val d = per
+        .filter(col("av").isNotNull)
+        .select(
+          ((unix_micros(coalesce(col("tp"), col("tl"))) -
+            unix_micros(col("t0"))).cast("double") / 3600000000.0)
+            .as("dur"),
+          col("tp").isNotNull.cast("int").as("ev"),
+          (col("av") > 49).cast("int").as("x_high"))
+        .filter(col("dur") > 0)
+      val m = Survival.aftExponential(d, "dur", "ev", Seq("x_high"))
+      import s.implicits._
+      m.features.zipWithIndex.map { case (f, i) =>
+        (f, rd(m.coefs(i), 6), rd(m.se(i), 6))
+      }.toDF("feature", "beta", "se").orderBy("feature")
     })
   )
 
@@ -10685,6 +10710,38 @@ object SparkEntry {
         |  round(re, 6) AS removal_effect,
         |  round(CASE WHEN rt.ret > 0 THEN re / rt.ret ELSE 0.0 END, 6)
         |    AS attribution
-        |FROM re CROSS JOIN rt ORDER BY channel""".stripMargin
+        |FROM re CROSS JOIN rt ORDER BY channel""".stripMargin,
+
+    // saturated exponential-AFT MLE: per-cell rate = events/exposure,
+    // AFT beta = negated log-rate contrasts, SEs from the analytic
+    // information (1/e0, 1/e0 + 1/e1) — the q20 closed-cell discipline
+    "q301_aft_exponential" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl, avg(value) AS av
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur,
+        |    CAST(tp IS NOT NULL AS INT) AS ev,
+        |    CASE WHEN av > 49 THEN 1 ELSE 0 END AS xh
+        |  FROM per WHERE av IS NOT NULL),
+        |f AS (
+        |  SELECT xh, CAST(sum(ev) AS DOUBLE) AS e, sum(dur) AS tt
+        |  FROM d WHERE dur > 0 GROUP BY 1),
+        |g AS (
+        |  SELECT
+        |    max(CASE WHEN xh = 0 THEN ln(e / tt) END) AS g0,
+        |    max(CASE WHEN xh = 1 THEN ln(e / tt) END) AS g1,
+        |    max(CASE WHEN xh = 0 THEN e END) AS e0,
+        |    max(CASE WHEN xh = 1 THEN e END) AS e1
+        |  FROM f)
+        |SELECT '(Intercept)' AS feature, round(-g0, 6) AS beta,
+        |  round(1.0 / sqrt(e0), 6) AS se FROM g
+        |UNION ALL
+        |SELECT 'x_high', round(-(g1 - g0), 6),
+        |  round(sqrt(1.0 / e0 + 1.0 / e1), 6) FROM g
+        |ORDER BY feature""".stripMargin
   )
 }

@@ -221,4 +221,56 @@ object Survival {
         sum(col("d").cast("double") /
           (col("n_risk").cast("double") * col("n_risk"))).over(wRun))
   }
+
+  /** Fitted exponential accelerated-failure-time model: log T = x'β + W
+    * (W standard extreme value, scale fixed at 1). `coefs(0)` is the
+    * intercept, on the LOG-TIME scale: positive β_j ⇒ covariate j
+    * lengthens survival by the factor exp(β_j).
+    */
+  final case class AftExpModel(features: Seq[String],
+      coefs: Array[Double], se: Array[Double], n: Long, events: Long) {
+    /** Median survival time: exp(x'β)·ln 2 — a pure projection. */
+    def predictMedianExpr: org.apache.spark.sql.Column = {
+      val linear = features.tail.zipWithIndex
+        .map { case (f, i) => col(f).cast("double") * lit(coefs(i + 1)) }
+        .foldLeft(lit(coefs(0)): org.apache.spark.sql.Column)(_ + _)
+      exp(linear) * lit(math.log(2.0))
+    }
+    def predictMedian(df: DataFrame,
+        outputCol: String = "median_time"): DataFrame =
+      df.withColumn(outputCol, predictMedianExpr)
+  }
+
+  /** Exponential accelerated-failure-time regression (parametric
+    * survival — R `survreg(dist = "exponential")`): the PARAMETRIC
+    * companion to the semi-parametric [[Cox]], completing the family
+    * (KM / Nelson–Aalen / Aalen–Johansen / RMST / log-rank / Cox / AFT).
+    *
+    * Fit by the classic identity: the exponential-AFT censored
+    * likelihood equals a POISSON GLM of the event indicator on the
+    * covariates with offset log(duration) — so training IS the existing
+    * fused-Gram IRLS ([[GLM.fit]]), one aggregation per iteration,
+    * and the AFT coefficients are the NEGATED Poisson coefficients
+    * (hazard up = time down). Standard errors carry over unchanged.
+    *
+    * Durations must be strictly positive (the offset is log t) — the fit
+    * fails loudly otherwise rather than silently dropping rows.
+    */
+  def aftExponential(df: DataFrame, durationCol: String, eventCol: String,
+      xCols: Seq[String]): AftExpModel = {
+    require(xCols.nonEmpty, "need at least one covariate")
+    val minDur = df.agg(min(col(durationCol).cast("double"))).head()
+    require(!minDur.isNullAt(0) && minDur.getDouble(0) > 0.0,
+      s"durations must be strictly positive (offset is log t); " +
+        s"min = ${minDur.get(0)} — filter or shift zero durations upstream")
+    val work = df.select((xCols.map(col) :+
+      col(eventCol).cast("double").as("__ev") :+
+      log(col(durationCol).cast("double")).as("__logt")): _*)
+    val m = GLM.fit(work, xCols, "__ev", family = "poisson",
+      offsetCol = Some("__logt"))
+    val evRow = work.agg(count(lit(1)), sum("__ev")).head()
+    AftExpModel("(Intercept)" +: xCols,
+      m.coefs.toArray.map(-_), m.stdErr.toArray,
+      evRow.getLong(0), evRow.getDouble(1).toLong)
+  }
 }

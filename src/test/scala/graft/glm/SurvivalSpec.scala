@@ -162,4 +162,31 @@ class SurvivalSpec extends SparkSpec {
       .map(r => r.getDouble(0) -> r.getDouble(4)).toMap
     cif.foreach { case (t, v) => assert(math.abs(v - (1.0 - km(t))) < 1e-12, t) }
   }
+
+  test("aftExponential: saturated binary design hits the cell-rate MLE") {
+    // cell x=0: events 2, exposure 10 → rate 0.2; x=1: 3 events, exp 5
+    val df = Seq(
+      (4.0, 1, 0), (3.0, 1, 0), (2.0, 0, 0), (1.0, 0, 0),
+      (1.0, 1, 1), (2.0, 1, 1), (1.5, 1, 1), (0.5, 0, 1)
+    ).toDF("dur", "ev", "x")
+    val m = Survival.aftExponential(df, "dur", "ev", Seq("x"))
+    val g0 = math.log(2.0 / 10.0); val g1 = math.log(3.0 / 5.0)
+    assert(math.abs(m.coefs(0) - (-g0)) < 1e-8)
+    assert(math.abs(m.coefs(1) - (-(g1 - g0))) < 1e-8)
+    // analytic information SEs: 1/sqrt(e0), sqrt(1/e0 + 1/e1)
+    assert(math.abs(m.se(0) - 1.0 / math.sqrt(2.0)) < 1e-8)
+    assert(math.abs(m.se(1) - math.sqrt(1.0 / 2 + 1.0 / 3)) < 1e-8)
+    assert(m.n == 8 && m.events == 5)
+    // median prediction at x=0: exp(-g0)·ln2 = 5·ln2
+    val med = m.predictMedian(Seq(0).toDF("x")).head().getDouble(1)
+    assert(math.abs(med - 5.0 * math.log(2.0)) < 1e-6)
+  }
+
+  test("aftExponential fails loudly on non-positive durations") {
+    val df = Seq((0.0, 1, 0), (2.0, 1, 1)).toDF("dur", "ev", "x")
+    val e = intercept[IllegalArgumentException] {
+      Survival.aftExponential(df, "dur", "ev", Seq("x"))
+    }
+    assert(e.getMessage.contains("strictly positive"))
+  }
 }
