@@ -484,14 +484,23 @@ object EventSeq {
     val q12 = (c: Column) => floor(c * 1e12 + lit(0.5)) / 1e12
     var vec = cp(variants.select(col("variant"),
       lit("__start").as("state"), lit(1.0).as("mass")))
-    for (_ <- 1 to rounds) {
-      vec = cp(vec
-        .join(vt, vec("variant") === vt("variant") &&
-          vec("state") === vt("src"))
-        .select(vt("variant"), vt("dst").as("state"),
-          (col("mass") * col("p")).as("m"))
+    for (r <- 1 to rounds) {
+      // disjoint aliases on BOTH sides: un-checkpointed rounds derive
+      // from vt, so any df-reference join key is an ambiguous self-join
+      val nxt = vec
+        .select(col("variant").as("__vv"), col("state").as("__vs"),
+          col("mass").as("__vm"))
+        .join(vt.select(col("variant").as("__tv"), col("src").as("__ts"),
+            col("dst").as("__td"), col("p").as("__tp")),
+          col("__vv") === col("__tv") && col("__vs") === col("__ts"))
+        .select(col("__tv").as("variant"), col("__td").as("state"),
+          (col("__vm") * col("__tp")).as("m"))
         .groupBy("variant", "state")
-        .agg(q12(sum("m")).as("mass")))
+        .agg(q12(sum("m")).as("mass"))
+      // materialize every third generation (and the last): one join+agg
+      // per round keeps the un-checkpointed lineage shallow, and skipping
+      // the intermediate materializations saves two jobs in three
+      vec = if (r % 3 == 0 || r == rounds) cp(nxt) else nxt
     }
     val pConv = vec.filter(col("state") === "__conv")
       .select(col("variant"), col("mass"))
