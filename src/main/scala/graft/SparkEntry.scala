@@ -3807,6 +3807,24 @@ object SparkEntry {
       m.features.zipWithIndex.map { case (f, i) =>
         (f, rd(m.coefs(i), 6), rd(m.se(i), 6))
       }.toDF("feature", "beta", "se").orderBy("feature")
+    }),
+
+    // personalized PageRank / random walk with restart over the q122
+    // part-supplier graph, seeded at every 100th part: teleport AND
+    // dangling mass return to the seeds, per-round masses on the 1e-12
+    // grid — the related-item / seed-expansion proximity readout
+    "q302_ppr" -> ((s, dir) => {
+      val pe = t(s, dir, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+          concat(lit("s"), col("l_suppkey")).as("v")).distinct()
+      val edges = pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+      val seeds = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 100 === 0)
+        .select(concat(lit("p"), col("l_partkey")).as("u")).distinct()
+      Graph.personalizedPageRank(edges, seeds, iters = 3)
+        .filter(col("u").startsWith("s"))
+        .select(col("u").as("node"), r(col("r") * 1000, 6).as("ppr_k"))
+        .orderBy("node")
     })
   )
 
@@ -10742,6 +10760,69 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'x_high', round(-(g1 - g0), 6),
         |  round(sqrt(1.0 / e0 + 1.0 / e1), 6) FROM g
-        |ORDER BY feature""".stripMargin
+        |ORDER BY feature""".stripMargin,
+
+    // identical graph + seed set, restart value 1/|S|, 3 unrolled rounds
+    // of rst·((1−d) + d·dm) + d·in-mass on the same 1e-12 grid (dangling
+    // mass computed each round — identically zero on the symmetrized
+    // graph but the arithmetic replays either way)
+    "q302_ppr" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v
+        |  FROM lineitem),
+        |e AS (SELECT u, v FROM pe UNION ALL SELECT v AS u, u AS v FROM pe),
+        |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+        |src AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS u FROM lineitem
+        |  WHERE l_partkey % 100 = 0),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM src),
+        |restart AS (
+        |  SELECT u, CAST(1.0 AS DOUBLE) / ns AS rst FROM src, ns),
+        |r0 AS (SELECT u, rst AS r FROM restart),
+        |dm0 AS (
+        |  SELECT coalesce(sum(r), 0.0) AS dm FROM r0
+        |  WHERE u NOT IN (SELECT u FROM deg)),
+        |im1 AS (
+        |  SELECT e.v AS u, sum(p.r / deg.d) AS im
+        |  FROM e JOIN r0 p USING (u) JOIN deg USING (u) GROUP BY 1),
+        |r1 AS (
+        |  SELECT u, r FROM (
+        |    SELECT u,
+        |      floor((coalesce(rst, 0.0)
+        |        * ((CAST(1.0 AS DOUBLE) - 0.85) + 0.85 * dm)
+        |        + 0.85 * coalesce(im, 0.0)) * 1e12 + 0.5) / 1e12 AS r
+        |    FROM restart FULL JOIN im1 USING (u) CROSS JOIN dm0)
+        |  WHERE r > 0),
+        |dm1 AS (
+        |  SELECT coalesce(sum(r), 0.0) AS dm FROM r1
+        |  WHERE u NOT IN (SELECT u FROM deg)),
+        |im2 AS (
+        |  SELECT e.v AS u, sum(p.r / deg.d) AS im
+        |  FROM e JOIN r1 p USING (u) JOIN deg USING (u) GROUP BY 1),
+        |r2 AS (
+        |  SELECT u, r FROM (
+        |    SELECT u,
+        |      floor((coalesce(rst, 0.0)
+        |        * ((CAST(1.0 AS DOUBLE) - 0.85) + 0.85 * dm)
+        |        + 0.85 * coalesce(im, 0.0)) * 1e12 + 0.5) / 1e12 AS r
+        |    FROM restart FULL JOIN im2 USING (u) CROSS JOIN dm1)
+        |  WHERE r > 0),
+        |dm2 AS (
+        |  SELECT coalesce(sum(r), 0.0) AS dm FROM r2
+        |  WHERE u NOT IN (SELECT u FROM deg)),
+        |im3 AS (
+        |  SELECT e.v AS u, sum(p.r / deg.d) AS im
+        |  FROM e JOIN r2 p USING (u) JOIN deg USING (u) GROUP BY 1),
+        |r3 AS (
+        |  SELECT u, r FROM (
+        |    SELECT u,
+        |      floor((coalesce(rst, 0.0)
+        |        * ((CAST(1.0 AS DOUBLE) - 0.85) + 0.85 * dm)
+        |        + 0.85 * coalesce(im, 0.0)) * 1e12 + 0.5) / 1e12 AS r
+        |    FROM restart FULL JOIN im3 USING (u) CROSS JOIN dm2)
+        |  WHERE r > 0)
+        |SELECT u AS node, round(r * 1000, 6) AS ppr_k
+        |FROM r3 WHERE u LIKE 's%'
+        |ORDER BY node""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -487,5 +487,63 @@ object Graph {
       cp.close() // the final generation backs `ranks` and stays alive
       ranks
     }
+  }
+
+  /** Personalized PageRank / random walk with restart (Haveliwala 2002) —
+    * proximity of every node to a SOURCE set, the random-walk similarity
+    * primitive behind related-item recommendation and seed expansion
+    * ("people also bought", fraud-ring neighborhoods). [[pageRank]]'s
+    * uniform teleport becomes a restart to the sources only, and dangling
+    * mass returns to the sources too, so Σ rank = 1 exactly and mass is
+    * CONCENTRATED around the seeds instead of spread globally.
+    *
+    * Same execution discipline as [[pageRank]]'s dangling branch: per
+    * iteration ONE contribution join + aggregation, a tiny dangling
+    * aggregate carried as a broadcast one-row frame, every generation
+    * through the checkpointer (two consumers read each ranks frame).
+    * Masses are quantized to the 1e-12 grid per round (the fixed-round
+    * replay discipline); nodes with zero mass are dropped each round, so
+    * the vector only ever holds the walk's reachable neighborhood.
+    *
+    * @param sources one-column frame of seed node ids (its first column
+    *                is used); seeds absent from the graph are ignored
+    * @return (u, r) over nodes with positive mass after `iters` rounds
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = cp.pin(edges)
+    val deg = cp.pin(e.groupBy("u").agg(count(lit(1)).as("d")))
+    val withDeg = cp.pin(e.join(deg, "u"))
+    val nodes = e.select(col("u"))
+      .union(e.select(col("v").as("u"))).distinct()
+    val src = cp.pin(nodes.join(
+      sources.select(col(sources.columns.head).as("u")).distinct(),
+      Seq("u"), "left_semi"))
+    val nS = src.count()
+    require(nS > 0, "no source node appears in the graph")
+    val restart = cp.pin(src.select(col("u"), lit(1.0 / nS).as("rst")))
+    val q12 = (c: Column) => floor(c * 1e12 + lit(0.5)) / 1e12
+    var ranks = cp(restart.select(col("u"), col("rst").as("r")))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(deg, Seq("u"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      val inMass = withDeg
+        .join(ranks.select(col("u"), col("r").as("__r")), "u")
+        .groupBy(col("v"))
+        .agg(sum(col("__r") / col("d")).as("im"))
+        .select(col("v").as("u"), col("im"))
+      ranks = cp(restart.join(inMass, Seq("u"), "full")
+        .crossJoin(broadcast(dangling))
+        .select(col("u"), q12(
+          coalesce(col("rst"), lit(0.0)) *
+            (lit(1.0 - damping) + lit(damping) * col("dm")) +
+            lit(damping) * coalesce(col("im"), lit(0.0))).as("r"))
+        .filter(col("r") > 0))
+    }
+    cp.close()
+    ranks
   }
 }

@@ -359,4 +359,46 @@ class GraphSpec extends SparkSpec {
       .orderBy("node").collect().toSeq
     assert(a === b)
   }
+
+  test("personalizedPageRank: two-node cycle converges to the closed form") {
+    // a ↔ b, restart at a: fixed point r(a) = 1/(1+d), r(b) = d/(1+d)
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("u", "v")
+    val src = Seq("a").toDF("u")
+    val out = Graph.personalizedPageRank(edges, src, iters = 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d = 0.85
+    assert(math.abs(out("a") - 1.0 / (1 + d)) < 1e-3, out.toString)
+    assert(math.abs(out("b") - d / (1 + d)) < 1e-3)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, "mass conserved")
+  }
+
+  test("personalizedPageRank: mass stays near the seeds; dangling returns") {
+    // chain a→b→c (c dangling) plus a far component x↔y; seed = a
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"))
+      .toDF("u", "v")
+    val out = Graph.personalizedPageRank(edges, Seq("a").toDF("u"),
+        iters = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!out.contains("x") && !out.contains("y"), "unreachable stays 0")
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, "dangling mass restarts")
+    assert(out("a") > out("b") && out("b") > out("c"))
+  }
+
+  test("personalizedPageRank rejects seeds absent from the graph") {
+    val edges = Seq(("a", "b")).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq("zzz").toDF("u"), iters = 2)
+    }
+  }
+
+  test("personalizedPageRank is partition-invariant") {
+    val edges = (1L to 60L).map(i =>
+      (s"n${i % 12}", s"n${(i * 5) % 12}")).toDF("u", "v")
+    val src = Seq("n1", "n2").toDF("u")
+    val a = Graph.personalizedPageRank(edges.repartition(1), src, 6)
+      .orderBy("u").collect().toSeq
+    val b = Graph.personalizedPageRank(edges.repartition(7), src, 6)
+      .orderBy("u").collect().toSeq
+    assert(a === b)
+  }
 }
