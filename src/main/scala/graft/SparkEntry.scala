@@ -3825,6 +3825,33 @@ object SparkEntry {
         .filter(col("u").startsWith("s"))
         .select(col("u").as("node"), r(col("r") * 1000, 6).as("ppr_k"))
         .orderBy("node")
+    }),
+
+    // per-segment exponential AFT (grouped parametric survival): one
+    // independent Poisson-offset IRLS per stratum via the GroupedGLM
+    // aggregator; saturated binary design gives per-stratum closed-form
+    // cell rates and information SEs
+    "q303_grouped_aft" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"), avg("value").as("av"))
+      val d = per
+        .filter(col("av").isNotNull)
+        .select((col("user_id") % 3).as("stratum"),
+          ((unix_micros(coalesce(col("tp"), col("tl"))) -
+            unix_micros(col("t0"))).cast("double") / 3600000000.0)
+            .as("dur"),
+          col("tp").isNotNull.cast("int").as("ev"),
+          (col("av") > 49).cast("int").as("x_high"))
+        .filter(col("dur") > 0)
+      Survival.aftExponentialByGroup(d, Seq("stratum"), "dur", "ev",
+          Seq("x_high"))
+        .select(col("stratum"), r(col("beta_intercept"), 6).as("beta_intercept"),
+          r(col("beta_x_high"), 6).as("beta_x_high"),
+          r(col("se_intercept"), 6).as("se_intercept"),
+          r(col("se_x_high"), 6).as("se_x_high"), col("n_rows"))
+        .orderBy("stratum")
     })
   )
 
@@ -10823,6 +10850,39 @@ object SparkEntry {
         |  WHERE r > 0)
         |SELECT u AS node, round(r * 1000, 6) AS ppr_k
         |FROM r3 WHERE u LIKE 's%'
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    // per-stratum saturated exponential-AFT MLE: the q301 closed cell
+    // rates and information SEs with a GROUP BY stratum
+    "q303_grouped_aft" ->
+      """WITH per AS (
+        |  SELECT user_id, min(ts) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+        |    max(ts) AS tl, avg(value) AS av
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT user_id % 3 AS g,
+        |    CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+        |      / 3600000000.0 AS dur,
+        |    CAST(tp IS NOT NULL AS INT) AS ev,
+        |    CASE WHEN av > 49 THEN 1 ELSE 0 END AS xh
+        |  FROM per WHERE av IS NOT NULL),
+        |f AS (
+        |  SELECT g, xh, CAST(sum(ev) AS DOUBLE) AS e, sum(dur) AS tt,
+        |    CAST(count(*) AS BIGINT) AS nn
+        |  FROM d WHERE dur > 0 GROUP BY 1, 2),
+        |gg AS (
+        |  SELECT g,
+        |    max(CASE WHEN xh = 0 THEN ln(e / tt) END) AS g0,
+        |    max(CASE WHEN xh = 1 THEN ln(e / tt) END) AS g1,
+        |    max(CASE WHEN xh = 0 THEN e END) AS e0,
+        |    max(CASE WHEN xh = 1 THEN e END) AS e1,
+        |    CAST(sum(nn) AS BIGINT) AS n_rows
+        |  FROM f GROUP BY 1)
+        |SELECT g AS stratum, round(-g0, 6) AS beta_intercept,
+        |  round(-(g1 - g0), 6) AS beta_x_high,
+        |  round(1.0 / sqrt(e0), 6) AS se_intercept,
+        |  round(sqrt(1.0 / e0 + 1.0 / e1), 6) AS se_x_high, n_rows
+        |FROM gg ORDER BY stratum""".stripMargin
   )
 }

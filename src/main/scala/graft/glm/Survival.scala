@@ -273,4 +273,36 @@ object Survival {
       m.coefs.toArray.map(-_), m.stdErr.toArray,
       evRow.getLong(0), evRow.getDouble(1).toLong)
   }
+
+  /** Per-segment exponential AFT — one independent parametric survival
+    * model per key (the thousands-of-segments regime: per-cohort,
+    * per-product, per-region time-to-event effects). Same Poisson-offset
+    * identity as [[aftExponential]], fitted by the [[GroupedGLM]] grouped
+    * IRLS: betas broadcast-joined per iteration, per-group solve inside
+    * the aggregate finish, no driver state. AFT coefficients are the
+    * negated per-group Poisson ones; SEs carry over.
+    *
+    * @return one row per group: keyCols ++ beta_intercept,
+    *         beta_<feature>..., se_intercept, se_<feature>..., n_rows
+    */
+  def aftExponentialByGroup(df: DataFrame, keyCols: Seq[String],
+      durationCol: String, eventCol: String,
+      xCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(xCols.nonEmpty, "need at least one covariate")
+    val minDur = df.agg(min(col(durationCol).cast("double"))).head()
+    require(!minDur.isNullAt(0) && minDur.getDouble(0) > 0.0,
+      s"durations must be strictly positive (offset is log t); " +
+        s"min = ${minDur.get(0)} — filter or shift zero durations upstream")
+    val work = df.select((keyCols.map(col) ++ xCols.map(col) :+
+      col(eventCol).cast("double").as("__ev") :+
+      log(col(durationCol).cast("double")).as("__logt")): _*)
+    val fitted = GroupedGLM.fit(work, keyCols, xCols, "__ev",
+      family = "poisson", offsetCol = Some("__logt"))
+    fitted.select((keyCols.map(col) :+
+      (-col("b_intercept")).as("beta_intercept")) ++
+      xCols.map(c => (-col(s"b_$c")).as(s"beta_$c")) ++
+      (col("se_intercept") +:
+        xCols.map(c => col(s"se_$c"))) :+ col("n_rows"): _*)
+  }
 }

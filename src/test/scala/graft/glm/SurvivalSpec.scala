@@ -189,4 +189,27 @@ class SurvivalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("strictly positive"))
   }
+
+  test("aftExponentialByGroup: per-group fits equal per-subset fits") {
+    val rows = Seq(
+      // group "a": cells (2 ev / 10), (3 ev / 5); group "b": different mix
+      ("a", 4.0, 1, 0), ("a", 3.0, 1, 0), ("a", 2.0, 0, 0), ("a", 1.0, 0, 0),
+      ("a", 1.0, 1, 1), ("a", 2.0, 1, 1), ("a", 1.5, 1, 1), ("a", 0.5, 0, 1),
+      ("b", 2.0, 1, 0), ("b", 6.0, 0, 0), ("b", 1.0, 1, 1), ("b", 3.0, 1, 1)
+    )
+    val df = rows.toDF("g", "dur", "ev", "x")
+    val grouped = Survival.aftExponentialByGroup(df, Seq("g"), "dur", "ev",
+        Seq("x")).orderBy("g").collect()
+    for ((g, i) <- Seq("a", "b").zipWithIndex) {
+      val sub = rows.filter(_._1 == g)
+      val single = Survival.aftExponential(
+        sub.toDF("g", "dur", "ev", "x"), "dur", "ev", Seq("x"))
+      assert(math.abs(grouped(i).getAs[Double]("beta_intercept") -
+        single.coefs(0)) < 1e-8, g)
+      assert(math.abs(grouped(i).getAs[Double]("beta_x") -
+        single.coefs(1)) < 1e-8, g)
+      assert(math.abs(grouped(i).getAs[Double]("se_x") -
+        single.se(1)) < 1e-8, g)
+    }
+  }
 }
