@@ -73,7 +73,10 @@ object ScaleCheck {
     // factor by construction)
     "q285_tree", // 2 levels × (melt + (node, feature, value) collapse)
     "q287_iv_wald", // one conditional-moment aggregation
-    "q293_gbm_stumps") // 3 boosting rounds × (melt + collapse)
+    "q293_gbm_stumps", // 3 boosting rounds × (melt + collapse)
+    "q294_quantreg", // OLS + 3 weighted Gram IRLS passes
+    "q297_bootstrap_ci", // deliberate B·n explode through one shuffle
+    "q300_markov_attribution") // journey windows + knockout chain rounds
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
