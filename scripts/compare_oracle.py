@@ -64,7 +64,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: rows {len(a)} vs oracle {len(b)}"); n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            print(f"PASS  {name}: rows={len(a)}"); n_pass += 1
+            # strict pass 2: mimic the driver's value HASH, which is dtype- and
+            # bit-sensitive. Catches (a) DuckDB HUGEINT sums surfacing as
+            # float64 against Spark's int64, (b) IEEE -0.0 vs +0.0 in rounded
+            # doubles — both invisible to value equality but red on the driver.
+            strict = []
+            for c in a.columns:
+                ka, kb = a[c].dtype.kind, b[c].dtype.kind
+                if ka != kb:
+                    strict.append(f"{c}: dtype kind {a[c].dtype} vs {b[c].dtype}")
+                elif ka == "f" and a[c].values.tobytes() != b[c].values.tobytes():
+                    strict.append(f"{c}: float bit pattern (e.g. -0.0 vs 0.0)")
+            if strict:
+                print(f"STRICT-FAIL  {name}: {'; '.join(strict)}")
+                n_fail += 1
+            else:
+                print(f"PASS  {name}: rows={len(a)}"); n_pass += 1
         except AssertionError as e:
             diffs = (a != b) & ~(a.isna() & b.isna())
             cols = [c for c in a.columns if diffs[c].any()]

@@ -9311,7 +9311,7 @@ object SparkEntry {
         |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b
         |    FROM tok_r) x JOIN lam USING (b) GROUP BY 1)
         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-        |  coalesce(logw_micro, 0) AS logw_micro
+        |  CAST(coalesce(logw_micro, 0) AS BIGINT) AS logw_micro
         |FROM documents d LEFT JOIN doc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
@@ -9344,7 +9344,7 @@ object SparkEntry {
         |      ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS b
         |    FROM tok_r) x JOIN lam USING (b) GROUP BY 1)
         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-        |  coalesce(logw_micro, 0) AS logw_micro
+        |  CAST(coalesce(logw_micro, 0) AS BIGINT) AS logw_micro
         |FROM documents d LEFT JOIN doc USING (doc_id)
         |ORDER BY logw_micro DESC, doc_id LIMIT 50""".stripMargin,
 
@@ -9514,7 +9514,7 @@ object SparkEntry {
         |  GROUP BY qx.query_id, qx.s, cells.c),
         |sc AS (
         |  SELECT l.query_id, codes.vec_id,
-        |    round(sum(l.pd) + any_value(qq.qq), 6) AS adist2
+        |    round(sum(l.pd) + any_value(qq.qq), 6) + 0.0 AS adist2
         |  FROM codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
         |  JOIN qq ON qq.query_id = l.query_id
         |  GROUP BY 1, 2)

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  - training = m independent per-subspace Lloyd fits, reusing
   *    [[Cluster.kmeans]] (literal-centroid codegen'd assignment, ONE
   *    (cluster, dim) aggregation per iteration);
-  *  - encoding = a pure projection: per subspace, argmin over k literal
+  *  - encoding = a pure projection: per subspace, argmin over k
   *    centroids by PARTIAL distance (−2·x·c + ‖c‖²; ‖x‖² shifts every
-  *    candidate equally), the q163 struct-array_min trick — no UDF, no
-  *    shuffle;
+  *    candidate equally) via the native `pq_codes` kernel
+  *    ([[graft.functions.PQCodes]]) — codebook as a reference object, so
+  *    generated code is O(1) in m·k; no UDF, no shuffle;
   *  - search = the codes frame exploded to (id, s, code), broadcast-join
   *    the per-query m×k lookup table, ONE (query, id) sum, rank window.
   *    Per-subspace constant shifts cancel across documents (every doc
@@ -85,19 +86,17 @@ object Quantize {
   def encode(df: DataFrame, vecCol: String, cb: PQCodebook,
       outCol: String = "codes"): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
-    val codes = (0 until cb.m).map { s =>
-      val sub = slice(col(vecCol).cast("array<double>"),
-        s * cb.subDim + 1, cb.subDim)
-      array_min(array((0 until cb.k).map { c =>
-        val ct = cb.centroids(s)(c)
-        struct(
-          (lit(-2.0) * call_function("array_dot", sub, typedLit(ct.toSeq))
-            + lit(ct.map(x => x * x).sum)).as("d"),
-          lit(c).as("c"))
-      }: _*)).getField("c")
-    }
-    df.withColumn(outCol, array(codes: _*))
+    df.withColumn(outCol, call_function("pq_codes",
+      col(vecCol).cast("array<double>"), cbLit(cb)))
   }
+
+  /** Codebook as one nested literal — the native pq_* kernels iterate it
+    * as a reference object, so generated code stays O(1) in m·k (the
+    * previous m·k unrolled struct-argmin blew janino's 64 KB method limit
+    * at m·k = 128).
+    */
+  private def cbLit(cb: PQCodebook): Column =
+    typedLit(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Asymmetric-distance top-k: rank every encoded vector against every
     * query by the PQ approximation ‖q − decode(codes)‖², computed from
@@ -122,14 +121,8 @@ object Quantize {
     // true squared distance after the m-term sum)
     val lut = q0.select(col("query_id"),
         call_function("array_dot", col("__q"), col("__q")).as("__qq"),
-        posexplode(array((0 until cb.m).map { s =>
-          val sub = slice(col("__q"), s * cb.subDim + 1, cb.subDim)
-          array((0 until cb.k).map { c =>
-            val ct = cb.centroids(s)(c)
-            lit(-2.0) * call_function("array_dot", sub, typedLit(ct.toSeq)) +
-              lit(ct.map(x => x * x).sum)
-          }: _*)
-        }: _*)).as(Seq("s", "__row")))
+        posexplode(call_function("pq_partial_dists", col("__q"), cbLit(cb)))
+          .as(Seq("s", "__row")))
       .select(col("query_id"), col("__qq"),
         col("s"), posexplode(col("__row")).as(Seq("c", "__pd")))
     val long = codes.select(col(idCol).as("vec_id"),

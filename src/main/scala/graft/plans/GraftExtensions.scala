@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, PQCodes, PQPartialDists}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)` on the builder, or
@@ -15,26 +15,38 @@ import graft.functions.ArrayDot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.arrayDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
   }
 }
 
 object GraftExtensions {
-  private[graft] val arrayDotDescriptor = (
-    FunctionIdentifier("array_dot"),
-    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+  private type Descriptor = (FunctionIdentifier, ExpressionInfo,
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)
+
+  private def binary(name: String, cls: Class[_],
+      mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+           org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-      require(children.size == 2, "array_dot takes exactly 2 arguments")
-      ArrayDot(children.head, children(1))
+      require(children.size == 2, s"$name takes exactly 2 arguments")
+      mk(children.head, children(1))
     })
+
+  private[graft] val descriptors: Seq[Descriptor] = Seq(
+    binary("array_dot", classOf[ArrayDot], ArrayDot.apply),
+    binary("pq_codes", classOf[PQCodes], PQCodes.apply),
+    binary("pq_partial_dists", classOf[PQPartialDists], PQPartialDists.apply))
 
   /** Idempotent per-session registration for sessions not built with
     * `.withExtensions` (e.g. one handed to us by a driver harness).
     */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = arrayDotDescriptor
-    if (!spark.catalog.functionExists(id.funcName)) {
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+  def ensureRegistered(spark: SparkSession): Unit = descriptors.foreach {
+    case (id, info, builder) =>
+      if (!spark.catalog.functionExists(id.funcName)) {
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 }

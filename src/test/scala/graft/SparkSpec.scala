@@ -11,6 +11,12 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // strict codegen: a janino compile failure (e.g. a fused stage
+      // blowing the 64 KB method limit) THROWS instead of silently
+      // running interpreted — the whole suite is the regression net.
+      // (CodegenFallback expressions are unaffected; only compilation
+      // failures of generated code trip this.)
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
