@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Unigram, Weighted}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -3852,6 +3852,20 @@ object SparkEntry {
           r(col("se_intercept"), 6).as("se_intercept"),
           r(col("se_x_high"), 6).as("se_x_high"), col("n_rows"))
         .orderBy("stratum")
+    }),
+
+    // unigram-LM tokenizer training (Kudo 2018 / SentencePiece lineage —
+    // BPE's q223 sibling): candidate-substring seed vocab + 2 soft-EM
+    // rounds of forward-backward expected counts over the distinct-word
+    // frame. Exact replay: every float chain is order-pinned, per-position
+    // posteriors quantize to integer micro-units BEFORE any shuffle, and
+    // M-step probs are exact integer ratios — so the oracle's unrolled
+    // lattice recurrences land on identical bits
+    "q304_unigram_lm" -> ((s, dir) => {
+      Unigram.train(t(s, dir, "documents"), "text", vocabSize = 150,
+          maxPieceLen = 3, maxWordLen = 8, minCount = 2, emIters = 2)
+        .select(col("piece"), col("weight_micro"), r(col("p"), 6).as("p"))
+        .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     })
   )
 
@@ -10024,11 +10038,11 @@ object SparkEntry {
         |  FROM base GROUP BY 1)
         |SELECT flag, n,
         |  round((CAST(n AS DOUBLE) * szy - sz * sy)
-        |    / (CAST(n AS DOUBLE) * szz - sz * sz), 6) AS itt,
+        |    / nullif(CAST(n AS DOUBLE) * szz - sz * sz, 0), 6) AS itt,
         |  round((CAST(n AS DOUBLE) * szx - sz * sx)
-        |    / (CAST(n AS DOUBLE) * szz - sz * sz), 6) AS first_stage,
+        |    / nullif(CAST(n AS DOUBLE) * szz - sz * sz, 0), 6) AS first_stage,
         |  round((CAST(n AS DOUBLE) * szy - sz * sy)
-        |    / (CAST(n AS DOUBLE) * szx - sz * sx), 6) AS beta_iv
+        |    / nullif(CAST(n AS DOUBLE) * szx - sz * sx, 0), 6) AS beta_iv
         |FROM agg ORDER BY flag""".stripMargin,
 
     // identical per-user integral-cents pre/post collapse, pooled theta
@@ -10883,6 +10897,96 @@ object SparkEntry {
         |  round(-(g1 - g0), 6) AS beta_x_high,
         |  round(1.0 / sqrt(e0), 6) AS se_intercept,
         |  round(sqrt(1.0 / e0 + 1.0 / e1), 6) AS se_x_high, n_rows
-        |FROM gg ORDER BY stratum""".stripMargin
+        |FROM gg ORDER BY stratum""".stripMargin,
+
+    // unigram-LM EM unrolled: the lattice forward/backward recurrences
+    // become chained CTEs with the engine's EXACT float association
+    // order; per-position posteriors quantize to integer micro-units
+    // before any aggregation (so sum order is moot) and M-step probs are
+    // exact integer ratios — identical bits both engines. Counts CAST to
+    // BIGINT (DuckDB HUGEINT sums surface as float64 — the q266 lesson).
+    "q304_unigram_lm" -> {
+      val L = 8; val G = 3; val VS = 150; val MC = 2; val TOPN = 40
+      val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
+        yield (j, i)
+      val posVals = pos.map { case (j, i) => s"($j, $i)" }.mkString(", ")
+      def emRound(idx: Int, pr: String): String = {
+        val pCols = pos.map { case (j, i) =>
+          s"max(CASE WHEN j = $j AND i = $i THEN p END) AS p_${j}_$i"
+        }.mkString(", ")
+        val alphas = (1 to L).map { i =>
+          val terms = (math.max(0, i - G) until i).map { j =>
+            val aj = if (j == 0) "1.0" else s"a_$j"
+            s"coalesce($aj * p_${j}_$i, 0.0)"
+          }.reduceLeft((x, y) => s"($x + $y)")
+          val src = if (i == 1) s"px$idx" else s"al$idx${i - 1}"
+          s"al$idx$i AS (SELECT *, $terms AS a_$i FROM $src)"
+        }.mkString(",\n")
+        val betas = (L to 0 by -1).map { j =>
+          val body =
+            if (j == L) "0.0"
+            else ((j + 1) to math.min(L, j + G)).map { i =>
+              s"coalesce(p_${j}_$i * b_$i, 0.0)"
+            }.reduceLeft((x, y) => s"($x + $y)")
+          val src = if (j == L) s"al$idx$L" else s"bt$idx${j + 1}"
+          s"bt$idx$j AS (SELECT *, CASE WHEN length(w) = $j THEN 1.0 " +
+            s"ELSE $body END AS b_$j FROM $src)"
+        }.mkString(",\n")
+        val zCase = (1 to L).map(l => s"WHEN length(w) = $l THEN a_$l")
+          .mkString(" ")
+        val arms = pos.map { case (j, i) =>
+          val aj = if (j == 0) "1.0" else s"a_$j"
+          s"SELECT substr(w, ${j + 1}, ${i - j}) AS piece, " +
+            s"CAST(round((((($aj * p_${j}_$i) * b_$i) / z) " +
+            s"* CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS c FROM zz$idx"
+        }.mkString(" UNION ALL ")
+        s"""sub$idx AS (
+           |  SELECT s.w, s.n, s.j, s.i, pp.p
+           |  FROM subpos s LEFT JOIN $pr pp ON pp.piece = s.piece),
+           |px$idx AS MATERIALIZED (
+           |  SELECT w, n, $pCols FROM sub$idx GROUP BY w, n),
+           |$alphas,
+           |$betas,
+           |zz$idx AS MATERIALIZED (
+           |  SELECT *, CASE $zCase END AS z FROM bt${idx}0),
+           |c$idx AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(c) AS BIGINT) AS c FROM ($arms)
+           |  WHERE c IS NOT NULL AND c > 0 GROUP BY 1),
+           |pr$idx AS (
+           |  SELECT piece, CAST(c AS DOUBLE)
+           |    / (SELECT CAST(sum(c) AS DOUBLE) FROM c$idx) AS p
+           |  FROM c$idx)""".stripMargin
+      }
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT substr(t, 1, $L) AS w, count(*) AS n FROM (
+         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> '' GROUP BY 1),
+         |subpos AS MATERIALIZED (
+         |  SELECT w.w, w.n, pos.j, pos.i,
+         |    substr(w.w, pos.j + 1, pos.i - pos.j) AS piece
+         |  FROM w, (VALUES $posVals) pos(j, i)
+         |  WHERE length(w.w) >= pos.i),
+         |seed AS MATERIALIZED (
+         |  SELECT piece, sum(n) AS cnt FROM subpos GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, max(cnt) AS cnt FROM (
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt FROM seed
+         |      WHERE cnt >= $MC OR length(piece) = 1
+         |      ORDER BY cnt DESC, piece LIMIT $VS)
+         |    UNION ALL
+         |    SELECT piece, cnt FROM seed WHERE length(piece) = 1
+         |  ) GROUP BY 1),
+         |pr0 AS (
+         |  SELECT piece, CAST(cnt AS DOUBLE)
+         |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0) AS p FROM v0),
+         |${emRound(1, "pr0")},
+         |${emRound(2, "pr1")}
+         |SELECT piece, c AS weight_micro,
+         |  round(CAST(c AS DOUBLE)
+         |    / (SELECT CAST(sum(c) AS DOUBLE) FROM c2), 6) AS p
+         |FROM c2 ORDER BY weight_micro DESC, piece LIMIT $TOPN""".stripMargin
+    }
   )
 }

@@ -33,7 +33,7 @@ object Explain {
       avg(col(xCols.head).cast("double")).as("m0"),
       xCols.tail.zipWithIndex.map { case (c, i) =>
         avg(col(c).cast("double")).as(s"m${i + 1}") }: _*).head()
-    val means = xCols.indices.map(meansRow.getDouble)
+    val means = xCols.indices.map(reqDouble(meansRow, _, "feature mean"))
     val devRow = df.agg(
       avg(abs(col(xCols.head).cast("double") - lit(means(0)))).as("d0"),
       xCols.tail.zipWithIndex.map { case (c, i) =>
@@ -41,7 +41,7 @@ object Explain {
       }: _*).head()
     val rows = xCols.zipWithIndex.map { case (c, j) =>
       val beta = coefs(j + 1)
-      (c, beta, math.abs(beta) * devRow.getDouble(j))
+      (c, beta, math.abs(beta) * reqDouble(devRow, j, s"mean |$c - mean|"))
     }
     val total = rows.map(_._3).sum // xCols order — mirrored by oracles
     import spark.implicits._
@@ -65,7 +65,18 @@ object Explain {
       avg(scoreAt(lit(g))).as(s"pd_$i") }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     import spark.implicits._
-    grid.zipWithIndex.map { case (g, i) => (g, row.getDouble(i)) }
+    grid.zipWithIndex.map { case (g, i) =>
+        (g, reqDouble(row, i, s"partial dependence at grid $g")) }
       .toDF("value", "pd")
+  }
+
+  /** Loud failure on the null an empty frame / all-null column yields
+    * from an `avg` aggregate, instead of a bare NullPointerException.
+    */
+  private def reqDouble(row: org.apache.spark.sql.Row, i: Int,
+      what: String): Double = {
+    require(!row.isNullAt(i),
+      s"$what is null — empty input or all-null feature column")
+    row.getDouble(i)
   }
 }

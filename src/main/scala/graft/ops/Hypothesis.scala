@@ -569,7 +569,20 @@ object Hypothesis {
       .select(lit(n).as("n"),
         round(lit(s.toDouble / n), 6).as("mean"),
         lit(nBoot).as("n_boot"), col("n_boot_kept"),
-        round(col("ci_lo"), 6).as("ci_lo"),
-        round(col("ci_hi"), 6).as("ci_hi"))
+        when(keptGuard(n, nBoot).isNull, round(col("ci_lo"), 6)).as("ci_lo"),
+        when(keptGuard(n, nBoot).isNull, round(col("ci_hi"), 6)).as("ci_hi"))
   }
+
+  /** kLo/kHi are order statistics of nBoot replicates, but ranking only
+    * sees KEPT ones (a replicate whose n draws are all zero vanishes —
+    * P = e^{−n} each, so only conceivable for tiny n). Without this
+    * guard a dropped replicate silently nulls ci_hi; with it the query
+    * fails loudly. assert_true returns null on success, so the `when`
+    * wrapper passes values through untouched.
+    */
+  private def keptGuard(n: Long, nBoot: Int): Column =
+    assert_true(col("n_boot_kept") === lit(nBoot.toLong),
+      lit(s"bootstrapMeanCI: a bootstrap replicate drew all-zero Poisson " +
+        s"weights (kept < nBoot=$nBoot at n=$n) — the CI order statistics " +
+        "would be misranked; use a larger sample or fewer replicates"))
 }

@@ -114,6 +114,8 @@ object Tree {
           max(col(f).cast("double")).as(s"__max_$f")))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         features.zipWithIndex.map { case (f, i) =>
+          require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+            s"binned range for '$f' is null — empty input or all-null column")
           val lo = row.getDouble(2 * i); val hi = row.getDouble(2 * i + 1)
           val width = (hi - lo) / b
           val c =

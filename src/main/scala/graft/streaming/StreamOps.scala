@@ -469,7 +469,11 @@ object StreamOps {
 
   /** Per-user funnel progress emitted at stream end. */
   case class FunnelHit(user_id: Long, n_steps: Int)
-  // public: Spark's state-store encoder instantiates it reflectively
+  // public: Spark's state-store encoder instantiates it reflectively.
+  // nextIdx == -1 is the post-emission TOMBSTONE: the user has already
+  // produced their FunnelHit; later stragglers must not restart the
+  // funnel and double-count them. The tombstone itself expires one quiet
+  // period after the last straggler, so state stays bounded.
   case class FunnelProgress(nextIdx: Int, lastTsUs: Long)
 
   /** STREAMING conversion funnel — the seventh streaming/batch parity
@@ -498,21 +502,32 @@ object StreamOps {
         (uid: Long, it: Iterator[Event], state: GroupState[FunnelProgress]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(FunnelHit(uid, s.nextIdx))
+            if (s.nextIdx >= 0) {
+              // live → emit once, then tombstone for one more quiet
+              // period so stragglers can't restart the funnel
+              state.update(FunnelProgress(-1, s.lastTsUs))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + quietMs)
+              Iterator.single(FunnelHit(uid, s.nextIdx))
+            } else {
+              state.remove() // tombstone expired quietly
+              Iterator.empty
+            }
           } else {
             // (ts, event_type) order — array_sort's struct order in the
             // batch walk; strictly-after matching via the micros compare
             val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_type))
             var s = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              if (s.nextIdx < steps.length &&
-                  e.event_type == steps(s.nextIdx) &&
-                  (s.nextIdx == 0 || t > s.lastTsUs))
-                s = FunnelProgress(s.nextIdx + 1, t)
-            }
-            state.update(s)
+            if (s.nextIdx >= 0) {
+              sorted.foreach { e =>
+                val t = micros(e.ts)
+                if (s.nextIdx < steps.length &&
+                    e.event_type == steps(s.nextIdx) &&
+                    (s.nextIdx == 0 || t > s.lastTsUs))
+                  s = FunnelProgress(s.nextIdx + 1, t)
+              }
+              state.update(s)
+            } // tombstoned: swallow stragglers, just refresh the horizon
             state.setTimeoutTimestamp(
               sorted.last.ts.getTime + quietMs)
             Iterator.empty

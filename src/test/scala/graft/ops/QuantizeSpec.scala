@@ -49,6 +49,34 @@ class QuantizeSpec extends SparkSpec {
     assert(ds === ds.sorted)
   }
 
+  test("pq_codes breaks argmin ties to the LOWER code") {
+    // both centroids of subspace 0 are identical → tie → code 0
+    val cb = Quantize.PQCodebook(1, 3, 2, Array(
+      Array(Array(1.0, 1.0), Array(1.0, 1.0), Array(0.0, 0.0))))
+    val got = Quantize.encode(Seq((1L, Seq(1.0, 1.0))).toDF("id", "v"),
+        "v", cb)
+      .select($"codes").collect().head.getSeq[Int](0)
+    assert(got === Seq(0))
+  }
+
+  test("pq_partial_dists matches the hand-computed -2<x,c>+|c|^2 table") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val cb = Quantize.PQCodebook(2, 2, 2, Array(
+      Array(Array(1.0, 2.0), Array(0.0, 0.0)),
+      Array(Array(3.0, 1.0), Array(1.0, 1.0))))
+    val cbLit = typedLit(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val v = Seq(1.0, 1.0, 2.0, 2.0)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(call_function("pq_partial_dists",
+        $"v".cast("array<double>"), cbLit).as("pd"))
+      .collect().head.getSeq[Seq[Double]](0)
+    def pd(x: Seq[Double], c: Seq[Double]) =
+      -2.0 * x.zip(c).map { case (a, b) => a * b }.sum + c.map(z => z * z).sum
+    assert(got === Seq(
+      Seq(pd(Seq(1.0, 1.0), Seq(1.0, 2.0)), pd(Seq(1.0, 1.0), Seq(0.0, 0.0))),
+      Seq(pd(Seq(2.0, 2.0), Seq(3.0, 1.0)), pd(Seq(2.0, 2.0), Seq(1.0, 1.0)))))
+  }
+
   test("encode is deterministic and partition-invariant on embeddings") {
     val cb = Quantize.trainSeeded(emb, "vec_id", "embedding", 64,
       m = 8, k = 16)

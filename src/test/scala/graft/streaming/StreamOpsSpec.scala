@@ -367,6 +367,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming funnel: a user emits at most once (post-emission tombstone)") {
+    // u1 reaches step 1, times out and emits; a STRAGGLER event arrives
+    // after emission — without the tombstone it would restart the funnel
+    // at step 0 and double-count u1 in the step table.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.Event]
+    val q = StreamOps.funnelSteps(in.toDS(), Seq("view", "click"),
+        quietMs = 30000L)
+      .writeStream.format("memory").queryName("graft_funnel_tomb")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      in.addData(StreamOps.Event(1L, ts(5), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // watermark sentinel → u1 passes its quiet horizon, emits n_steps=1
+      in.addData(StreamOps.Event(2L, ts(20), -1L, "view", 0.0))
+      q.processAllAvailable()
+      // straggler for u1 — must be swallowed by the tombstone
+      in.addData(StreamOps.Event(3L, ts(30), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // advance far enough that the tombstone itself expires silently
+      in.addData(StreamOps.Event(4L, ts(50), -1L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("graft_funnel_tomb")
+      .filter($"user_id" === 1L).collect()
+    assert(hits.length === 1, s"expected one FunnelHit for u1, got ${hits.toSeq}")
+    assert(hits.head.getAs[Int]("n_steps") === 1)
+  }
+
   test("streaming funnel: strictly-after matching and same-ts tie order") {
     // user 1: click at t5 then view at t5 (tie): sorted (ts, type) puts
     // click first → no match; view matches step 1; a click STRICTLY
