@@ -31,6 +31,21 @@ object SparkEntry {
 
   private def r(c: Column, d: Int): Column = round(c, d)
 
+  /** Fixed unigram segmentation vocab for q305 (integer micro-nat
+    * scores — shared verbatim by the query and its oracle's VALUES
+    * list; training itself is gated separately by q304).
+    */
+  private val unigramScores: Seq[(String, Long)] = Seq(
+    "the" -> -3000000L, "ing" -> -3500000L, "ion" -> -4000000L,
+    "ent" -> -4200000L, "er" -> -4300000L, "in" -> -4400000L,
+    "an" -> -4500000L, "th" -> -4600000L, "re" -> -4700000L,
+    "he" -> -4800000L, "on" -> -4900000L, "at" -> -5000000L,
+    "e" -> -5200000L, "t" -> -5400000L, "a" -> -5500000L,
+    "o" -> -5600000L, "i" -> -5700000L, "n" -> -5800000L,
+    "s" -> -5900000L, "r" -> -6000000L, "h" -> -6100000L,
+    "l" -> -6200000L, "d" -> -6300000L, "c" -> -6400000L,
+    "u" -> -6500000L, "m" -> -6600000L)
+
   /** Round driver-side doubles the way SQL round does (half away from zero). */
   private def rd(v: Double, d: Int): Double =
     BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -3852,6 +3867,21 @@ object SparkEntry {
           r(col("se_intercept"), 6).as("se_intercept"),
           r(col("se_x_high"), 6).as("se_x_high"), col("n_rows"))
         .orderBy("stratum")
+    }),
+
+    // Viterbi unigram segmentation (SentencePiece encode) under a FIXED
+    // integer micro-nat vocab — exact integer DP, first-max-wins
+    // tie-break, OOV single chars at the unk penalty; runs once per
+    // DISTINCT word (the dictionary-join tokenization shape)
+    "q305_unigram_segment" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("w0"))
+        .filter(length(col("w0")) > 0)
+        .select(substring(col("w0"), 1, 8).as("w")).distinct()
+      Unigram.segmentWordsViterbi(words, "w", unigramScores.toMap,
+          maxPieceLen = 3, maxWordLen = 8)
+        .select(col("w"), array_join(col("tokens"), "|").as("toks"))
+        .orderBy("w")
     }),
 
     // unigram-LM tokenizer training (Kudo 2018 / SentencePiece lineage —
@@ -10987,6 +11017,73 @@ object SparkEntry {
          |  round(CAST(c AS DOUBLE)
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM c2), 6) AS p
          |FROM c2 ORDER BY weight_micro DESC, piece LIMIT $TOPN""".stripMargin
+    },
+
+    // Viterbi unigram segmentation replay: the integer-score DP unrolls
+    // as chained CTEs with the engine's exact first-max-wins tie-break
+    // (fold over j ascending, strict >); OOV single chars take the unk
+    // penalty, OOV multi-char pieces have no edge. Integer arithmetic
+    // end-to-end — FULL hash equality.
+    "q305_unigram_segment" -> {
+      val L = 8; val G = 3; val UNK = -20000000L
+      val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
+        yield (j, i)
+      val vocVals = unigramScores
+        .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
+      val pCols = pos.map { case (j, i) =>
+        s"max(CASE WHEN j = $j AND i = $i THEN v END) AS sc_${j}_$i"
+      }.mkString(", ")
+      // DP levels: fold over candidates j ASCENDING, strict > — textual
+      // acc nesting is bounded by maxPieceLen
+      val dp = (1 to L).map { i =>
+        val js = math.max(0, i - G) until i
+        val (bExpr, jExpr) = js.foldLeft(
+          ("CAST(NULL AS BIGINT)", "-1")) { case ((ab, aj), j) =>
+          val base = if (j == 0) "0" else s"v_${j}_b"
+          val cand = s"($base + sc_${j}_$i)"
+          (s"CASE WHEN $cand IS NOT NULL AND (($ab) IS NULL OR $cand > " +
+            s"($ab)) THEN $cand ELSE $ab END",
+            s"CASE WHEN $cand IS NOT NULL AND (($ab) IS NULL OR $cand > " +
+              s"($ab)) THEN $j ELSE $aj END")
+        }
+        val src = if (i == 1) "px" else s"v${i - 1}"
+        s"v$i AS (SELECT *, $bExpr AS v_${i}_b, $jExpr AS v_${i}_j FROM $src)"
+      }.mkString(",\n")
+      // backpointer walk e_k = v_{e_{k-1}}_j
+      val walk = (1 to L).map { k =>
+        val look = (1 to L).map(i => s"WHEN $i THEN v_${i}_j").mkString(" ")
+        val src = if (k == 1) "e0" else s"e${k - 1}"
+        s"e$k AS (SELECT *, CASE WHEN e_${k - 1} > 0 THEN " +
+          s"(CASE e_${k - 1} $look END) END AS e_$k FROM $src)"
+      }.mkString(",\n")
+      val toks = (L to 1 by -1).map { k =>
+        s"CASE WHEN e_$k IS NOT NULL THEN " +
+          s"substr(w, e_$k + 1, e_${k - 1} - e_$k) END"
+      }.mkString(", ")
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT DISTINCT substr(t, 1, $L) AS w FROM (
+         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |voc(piece, s) AS (VALUES $vocVals),
+         |sub0 AS (
+         |  SELECT w.w, pos.j, pos.i,
+         |    substr(w.w, pos.j + 1, pos.i - pos.j) AS piece
+         |  FROM w, (VALUES ${pos.map { case (j, i) => s"($j, $i)" }
+             .mkString(", ")}) pos(j, i)
+         |  WHERE length(w.w) >= pos.i),
+         |sub AS (
+         |  SELECT s0.w, s0.j, s0.i,
+         |    CASE WHEN s0.i - s0.j = 1
+         |      THEN coalesce(voc.s, ${UNK}::BIGINT) ELSE voc.s END AS v
+         |  FROM sub0 s0 LEFT JOIN voc ON voc.piece = s0.piece),
+         |px AS MATERIALIZED (
+         |  SELECT w, $pCols FROM sub GROUP BY w),
+         |$dp,
+         |e0 AS (SELECT *, CAST(length(w) AS INT) AS e_0 FROM v$L),
+         |$walk
+         |SELECT w, concat_ws('|', $toks) AS toks
+         |FROM e$L ORDER BY w""".stripMargin
     }
   )
 }

@@ -125,6 +125,109 @@ object Unigram {
     } finally w.unpersist(blocking = false)
   }
 
+  /** Viterbi segmentation of a DISTINCT-WORD frame under integer
+    * micro-nat piece scores — the decode half of the unigram tokenizer
+    * (SentencePiece's `encode`; scores are typically
+    * round(ln(p)·1e6) of a [[train]]ed model, kept as EXACT integers so
+    * the DP — max of integer sums — replays identically in any engine).
+    *
+    * Best path = argmax Σ scores; ties prefer the SMALLEST split point j
+    * at each lattice node (first-max-wins over j ascending —
+    * deterministic on any partitioning). Out-of-vocab SINGLE chars get
+    * `unkMicro` (so every word segments); multi-char pieces must be in
+    * vocab. Pure projection: the same named-column lattice staging as
+    * the E-step, plus a bounded backpointer walk — no UDF, no shuffle.
+    *
+    * @param words frame with `wordCol` (expected ≤ maxWordLen chars —
+    *              longer words are truncated like [[train]] does)
+    * @return input plus `outputCol`: array<string> of pieces, in order
+    */
+  def segmentWordsViterbi(words: DataFrame, wordCol: String,
+      scoresMicro: Map[String, Long], maxPieceLen: Int = 3,
+      maxWordLen: Int = 8, unkMicro: Long = -20000000L,
+      outputCol: String = "tokens"): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
+      s"bad config: maxPieceLen=$maxPieceLen maxWordLen=$maxWordLen")
+    require(wordCol == "w" || !words.columns.contains("w"),
+      "segmentWordsViterbi stages the truncated word as column 'w' — " +
+        s"rename the existing 'w' column (wordCol=$wordCol)")
+    val sm = typedLit(scoresMicro)
+    val pos = positions(maxWordLen, maxPieceLen)
+    val passthru = words.columns.toSeq.map(col)
+    var cur = words.withColumn("w", substring(col(wordCol), 1, maxWordLen))
+    // edge scores: vocab lookup; OOV single chars fall back to unkMicro,
+    // OOV multi-char pieces have no edge (null)
+    cur = cur.select((cur.columns.toSeq.map(col) ++ pos.map { case (j, i) =>
+      val hit = element_at(sm, pieceAt(j, i))
+      when(length(col("w")) >= i,
+        if (i - j == 1) coalesce(hit, lit(unkMicro)) else hit)
+        .as(s"sc_${j}_$i")
+    }): _*)
+    // DP: v(i) = struct(best score, argmax j) — fold over j ASCENDING
+    // with strict >, so the first maximum (smallest j) wins ties
+    def best(j: Int): Column =
+      if (j == 0) lit(0L) else col(s"v_$j").getField("b")
+    for (i <- 1 to maxWordLen) {
+      val init = struct(lit(null).cast("long").as("b"),
+        lit(-1).cast("int").as("j"))
+      val v = (math.max(0, i - maxPieceLen) until i).foldLeft(init) {
+        (acc, j) =>
+          val cand = best(j) + col(s"sc_${j}_$i")
+          when(cand.isNotNull &&
+              (acc.getField("b").isNull || cand > acc.getField("b")),
+            struct(cand.as("b"), lit(j).cast("int").as("j"))).otherwise(acc)
+      }
+      cur = cur.withColumn(s"v_$i", v)
+    }
+    // backpointer walk: boundaries e(0) = L, e(k) = bp(e(k-1)), stopping
+    // at 0 — at most maxWordLen steps, each a named column
+    cur = cur.withColumn("bp_arr",
+      array((1 to maxWordLen).map(i => col(s"v_$i").getField("j")): _*))
+    cur = cur.withColumn("e_0", length(col("w")).cast("int"))
+    for (k <- 1 to maxWordLen) {
+      cur = cur.withColumn(s"e_$k",
+        when(col(s"e_${k - 1}") > 0,
+          element_at(col("bp_arr"), col(s"e_${k - 1}"))))
+    }
+    // tokens left-to-right: the deepest non-null boundary is 0 (every
+    // piece ≥ 1 char), so walking k = L..1 emits first piece first
+    val toks = (maxWordLen to 1 by -1).map { k =>
+      when(col(s"e_$k").isNotNull,
+        expr(s"substr(w, e_$k + 1, e_${k - 1} - e_$k)"))
+    }
+    cur.withColumn(outputCol,
+        filter(array(toks: _*), t => t.isNotNull))
+      .select((passthru :+ col(outputCol)): _*)
+  }
+
+  /** Tokenize a text column with a trained score map: the corpus
+    * collapses to the distinct-word frame, [[segmentWordsViterbi]] runs
+    * ONCE per distinct word, and a dictionary join fans the tokens back
+    * out — at 100 TB the word frame is natural-language-bounded, so the
+    * expensive DP never touches the corpus-sized side.
+    */
+  def tokenize(df: DataFrame, textCol: String,
+      scoresMicro: Map[String, Long], maxPieceLen: Int = 3,
+      maxWordLen: Int = 8, outputCol: String = "tokens"): DataFrame = {
+    val withId = df.withColumn("__row", monotonically_increasing_id())
+    val exploded = withId.select(col("__row"),
+      posexplode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+        .as(Seq("__pos", "__w0")))
+      .select(col("__row"), col("__pos"),
+        substring(col("__w0"), 1, maxWordLen).as("__w"))
+    val dict = segmentWordsViterbi(
+      exploded.select(col("__w")).distinct(), "__w", scoresMicro,
+      maxPieceLen, maxWordLen, outputCol = "__toks")
+    val back = exploded.join(dict, "__w")
+      .groupBy("__row")
+      .agg(flatten(array_sort(collect_list(struct(col("__pos"),
+        col("__toks")))).getField("__toks")).as(outputCol))
+    withId.join(back, Seq("__row"), "left")
+      .drop("__row")
+      .withColumn(outputCol,
+        coalesce(col(outputCol), array().cast("array<string>")))
+  }
+
   /** One E-step: expected piece counts over all segmentations,
     * forward–backward on the lattice, quantized per POSITION to integer
     * micro-units (round(x·1e6) — bit-identical in any ANSI engine since

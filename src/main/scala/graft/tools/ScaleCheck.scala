@@ -76,12 +76,22 @@ object ScaleCheck {
     "q293_gbm_stumps", // 3 boosting rounds × (melt + collapse)
     "q294_quantreg", // OLS + 3 weighted Gram IRLS passes
     "q297_bootstrap_ci", // deliberate B·n explode through one shuffle
-    "q300_markov_attribution") // journey windows + knockout chain rounds
+    "q300_markov_attribution", // journey windows + knockout chain rounds
+    // round-10 tail + round-11 (VERDICT r10 #4)
+    "q298_ppmi_similarity", // vocab-bounded context-keyed dot self-join
+    "q299_funnel_stream", // stateful streaming funnel at 10x event density
+    "q301_aft_exponential", // Poisson-offset fused-Gram IRLS
+    "q302_ppr", // iterative contribution join + agg rounds
+    "q303_grouped_aft", // per-segment GroupedGLM aggregator
+    "q304_unigram_lm") // distinct-word EM: corpus collapse + lattice rounds
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th+ args: measure only the named queries (incremental
+    // SCALE.md rows without re-timing the whole set)
+    val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -105,7 +115,9 @@ object ScaleCheck {
     // first scale run "measured" q249 at ratio 61 from exactly that
     // (calm min-of-3: 2.9). Interleaving + min makes a storm have to
     // last the whole query to survive into the ratio.
-    val results = queryNames.map { name =>
+    val results = queryNames
+      .filter(n => only.isEmpty || only(n))
+      .map { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(dir: String): Double = {
         val t0 = System.nanoTime()

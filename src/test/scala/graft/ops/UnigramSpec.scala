@@ -63,6 +63,57 @@ class UnigramSpec extends SparkSpec {
     assert(out.contains("z"), s"single-char coverage lost: $out")
   }
 
+  private val segScores = Map(
+    "the" -> -3000000L, "th" -> -4600000L, "he" -> -4800000L,
+    "t" -> -5400000L, "h" -> -6100000L, "e" -> -5200000L,
+    "c" -> -6400000L, "a" -> -5500000L)
+
+  test("segmentWordsViterbi picks the best-scoring path") {
+    // "the" as one piece (-3.0M) beats th+e (-9.8M) and t+h+e (-16.7M)
+    val out = Unigram.segmentWordsViterbi(Seq("the").toDF("w"), "w",
+        segScores)
+      .select($"tokens").collect().head.getSeq[String](0)
+    assert(out === Seq("the"))
+  }
+
+  test("segmentWordsViterbi: OOV single chars fall back to unk") {
+    val out = Unigram.segmentWordsViterbi(Seq("xq").toDF("w"), "w",
+        segScores)
+      .select($"tokens").collect().head.getSeq[String](0)
+    assert(out === Seq("x", "q"))
+  }
+
+  test("segmentWordsViterbi ties break to the smallest split point") {
+    // "ab" (-2) exactly ties a+b (-1 + -1): first-max-wins over j
+    // ascending keeps j = 0 — the single piece
+    val scores = Map("ab" -> -2L, "a" -> -1L, "b" -> -1L)
+    val out = Unigram.segmentWordsViterbi(Seq("ab").toDF("w"), "w", scores)
+      .select($"tokens").collect().head.getSeq[String](0)
+    assert(out === Seq("ab"))
+  }
+
+  test("tokenize flattens per-word segmentations in text order") {
+    val out = Unigram.tokenize(Seq("the cat", "", "he he").toDF("text"),
+        "text", segScores)
+      .select($"text", $"tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("the cat") === Seq("the", "c", "a", "t"))
+    assert(out("") === Seq.empty)
+    assert(out("he he") === Seq("he", "he"))
+  }
+
+  test("segmentation is partition-invariant on documents") {
+    val words = docs
+      .select(explode(split($"text", "\\s+")).as("w0"))
+      .filter(length($"w0") > 0)
+      .select(substring($"w0", 1, 8).as("w")).distinct()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Unigram.segmentWordsViterbi(df, "w", segScores)
+        .select($"w", array_join($"tokens", "|"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run(words) === run(words.repartition(17)))
+  }
+
   test("train is deterministic and partition-invariant on documents") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Unigram.train(df, "text", vocabSize = 60, maxPieceLen = 3,
