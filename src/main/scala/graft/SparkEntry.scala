@@ -3884,6 +3884,17 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    // per-document unigram-LM fit score: per-word Viterbi best-path
+    // micro-nat totals dictionary-joined back onto the corpus — exact
+    // integer sums, the model-based quality-filter signal
+    "q306_unigram_score" -> ((s, dir) => {
+      Unigram.scoreDocs(t(s, dir, "documents"), "doc_id", "text",
+          unigramScores.toMap, maxPieceLen = 3, maxWordLen = 8)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("score_micro"), r(col("avg_nats"), 6).as("avg_nats"))
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM tokenizer training (Kudo 2018 / SentencePiece lineage —
     // BPE's q223 sibling): candidate-substring seed vocab + 2 soft-EM
     // rounds of forward-backward expected counts over the distinct-word
@@ -3894,6 +3905,16 @@ object SparkEntry {
     "q304_unigram_lm" -> ((s, dir) => {
       Unigram.train(t(s, dir, "documents"), "text", vocabSize = 150,
           maxPieceLen = 3, maxWordLen = 8, minCount = 2, emIters = 2)
+        .select(col("piece"), col("weight_micro"), r(col("p"), 6).as("p"))
+        .orderBy(col("weight_micro").desc, col("piece")).limit(40)
+    }),
+
+    // the full Kudo train loop: EM ×2 → prune (all singles + top-40
+    // multi-char by exact count) → EM ×2 — SentencePiece-lite end to end
+    "q307_unigram_pruned" -> ((s, dir) => {
+      Unigram.train(t(s, dir, "documents"), "text", vocabSize = 150,
+          maxPieceLen = 3, maxWordLen = 8, minCount = 2, emIters = 2,
+          pruneTo = Some(40), postPruneIters = 2)
         .select(col("piece"), col("weight_micro"), r(col("p"), 6).as("p"))
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     })
@@ -10936,87 +10957,37 @@ object SparkEntry {
     // exact integer ratios — identical bits both engines. Counts CAST to
     // BIGINT (DuckDB HUGEINT sums surface as float64 — the q266 lesson).
     "q304_unigram_lm" -> {
-      val L = 8; val G = 3; val VS = 150; val MC = 2; val TOPN = 40
-      val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
-        yield (j, i)
-      val posVals = pos.map { case (j, i) => s"($j, $i)" }.mkString(", ")
-      def emRound(idx: Int, pr: String): String = {
-        val pCols = pos.map { case (j, i) =>
-          s"max(CASE WHEN j = $j AND i = $i THEN p END) AS p_${j}_$i"
-        }.mkString(", ")
-        val alphas = (1 to L).map { i =>
-          val terms = (math.max(0, i - G) until i).map { j =>
-            val aj = if (j == 0) "1.0" else s"a_$j"
-            s"coalesce($aj * p_${j}_$i, 0.0)"
-          }.reduceLeft((x, y) => s"($x + $y)")
-          val src = if (i == 1) s"px$idx" else s"al$idx${i - 1}"
-          s"al$idx$i AS (SELECT *, $terms AS a_$i FROM $src)"
-        }.mkString(",\n")
-        val betas = (L to 0 by -1).map { j =>
-          val body =
-            if (j == L) "0.0"
-            else ((j + 1) to math.min(L, j + G)).map { i =>
-              s"coalesce(p_${j}_$i * b_$i, 0.0)"
-            }.reduceLeft((x, y) => s"($x + $y)")
-          val src = if (j == L) s"al$idx$L" else s"bt$idx${j + 1}"
-          s"bt$idx$j AS (SELECT *, CASE WHEN length(w) = $j THEN 1.0 " +
-            s"ELSE $body END AS b_$j FROM $src)"
-        }.mkString(",\n")
-        val zCase = (1 to L).map(l => s"WHEN length(w) = $l THEN a_$l")
-          .mkString(" ")
-        val arms = pos.map { case (j, i) =>
-          val aj = if (j == 0) "1.0" else s"a_$j"
-          s"SELECT substr(w, ${j + 1}, ${i - j}) AS piece, " +
-            s"CAST(round((((($aj * p_${j}_$i) * b_$i) / z) " +
-            s"* CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS c FROM zz$idx"
-        }.mkString(" UNION ALL ")
-        s"""sub$idx AS (
-           |  SELECT s.w, s.n, s.j, s.i, pp.p
-           |  FROM subpos s LEFT JOIN $pr pp ON pp.piece = s.piece),
-           |px$idx AS MATERIALIZED (
-           |  SELECT w, n, $pCols FROM sub$idx GROUP BY w, n),
-           |$alphas,
-           |$betas,
-           |zz$idx AS MATERIALIZED (
-           |  SELECT *, CASE $zCase END AS z FROM bt${idx}0),
-           |c$idx AS MATERIALIZED (
-           |  SELECT piece, CAST(sum(c) AS BIGINT) AS c FROM ($arms)
-           |  WHERE c IS NOT NULL AND c > 0 GROUP BY 1),
-           |pr$idx AS (
-           |  SELECT piece, CAST(c AS DOUBLE)
-           |    / (SELECT CAST(sum(c) AS DOUBLE) FROM c$idx) AS p
-           |  FROM c$idx)""".stripMargin
-      }
-      s"""WITH w AS MATERIALIZED (
-         |  SELECT substr(t, 1, $L) AS w, count(*) AS n FROM (
-         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
-         |    FROM documents)
-         |  WHERE t <> '' GROUP BY 1),
-         |subpos AS MATERIALIZED (
-         |  SELECT w.w, w.n, pos.j, pos.i,
-         |    substr(w.w, pos.j + 1, pos.i - pos.j) AS piece
-         |  FROM w, (VALUES $posVals) pos(j, i)
-         |  WHERE length(w.w) >= pos.i),
-         |seed AS MATERIALIZED (
-         |  SELECT piece, sum(n) AS cnt FROM subpos GROUP BY 1),
-         |v0 AS MATERIALIZED (
-         |  SELECT piece, max(cnt) AS cnt FROM (
-         |    SELECT piece, cnt FROM (
-         |      SELECT piece, cnt FROM seed
-         |      WHERE cnt >= $MC OR length(piece) = 1
-         |      ORDER BY cnt DESC, piece LIMIT $VS)
-         |    UNION ALL
-         |    SELECT piece, cnt FROM seed WHERE length(piece) = 1
-         |  ) GROUP BY 1),
-         |pr0 AS (
-         |  SELECT piece, CAST(cnt AS DOUBLE)
-         |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0) AS p FROM v0),
-         |${emRound(1, "pr0")},
-         |${emRound(2, "pr1")}
+      s"""WITH $unigramSeedCtes,
+         |${unigramEmRound(1, "pr0")},
+         |${unigramEmRound(2, "pr1")}
          |SELECT piece, c AS weight_micro,
          |  round(CAST(c AS DOUBLE)
-         |    / (SELECT CAST(sum(c) AS DOUBLE) FROM c2), 6) AS p
-         |FROM c2 ORDER BY weight_micro DESC, piece LIMIT $TOPN""".stripMargin
+         |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
+         |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
+    },
+
+    // the full Kudo loop: 2 EM rounds, PRUNE (keep all singles + top-40
+    // multi-char pieces by exact integer count — the deterministic
+    // stand-in for the likelihood-loss ranking), 2 more EM rounds
+    "q307_unigram_pruned" -> {
+      s"""WITH $unigramSeedCtes,
+         |${unigramEmRound(1, "pr0")},
+         |${unigramEmRound(2, "pr1")},
+         |k2 AS MATERIALIZED (
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c FROM cf2 WHERE length(piece) > 1
+         |    ORDER BY c DESC, piece LIMIT 40)
+         |  UNION ALL
+         |  SELECT piece, c FROM cf2 WHERE length(piece) = 1),
+         |prk AS (
+         |  SELECT piece, CAST(c AS DOUBLE)
+         |    / (SELECT CAST(sum(c) AS DOUBLE) FROM k2) AS p FROM k2),
+         |${unigramEmRound(3, "prk")},
+         |${unigramEmRound(4, "pr3")}
+         |SELECT piece, c AS weight_micro,
+         |  round(CAST(c AS DOUBLE)
+         |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf4), 6) AS p
+         |FROM cf4 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
     },
 
     // Viterbi unigram segmentation replay: the integer-score DP unrolls
@@ -11025,65 +10996,211 @@ object SparkEntry {
     // penalty, OOV multi-char pieces have no edge. Integer arithmetic
     // end-to-end — FULL hash equality.
     "q305_unigram_segment" -> {
-      val L = 8; val G = 3; val UNK = -20000000L
-      val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
-        yield (j, i)
-      val vocVals = unigramScores
-        .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
-      val pCols = pos.map { case (j, i) =>
-        s"max(CASE WHEN j = $j AND i = $i THEN v END) AS sc_${j}_$i"
-      }.mkString(", ")
-      // DP levels: fold over candidates j ASCENDING, strict > — textual
-      // acc nesting is bounded by maxPieceLen
-      val dp = (1 to L).map { i =>
-        val js = math.max(0, i - G) until i
-        val (bExpr, jExpr) = js.foldLeft(
-          ("CAST(NULL AS BIGINT)", "-1")) { case ((ab, aj), j) =>
-          val base = if (j == 0) "0" else s"v_${j}_b"
-          val cand = s"($base + sc_${j}_$i)"
-          (s"CASE WHEN $cand IS NOT NULL AND (($ab) IS NULL OR $cand > " +
-            s"($ab)) THEN $cand ELSE $ab END",
-            s"CASE WHEN $cand IS NOT NULL AND (($ab) IS NULL OR $cand > " +
-              s"($ab)) THEN $j ELSE $aj END")
-        }
-        val src = if (i == 1) "px" else s"v${i - 1}"
-        s"v$i AS (SELECT *, $bExpr AS v_${i}_b, $jExpr AS v_${i}_j FROM $src)"
-      }.mkString(",\n")
-      // backpointer walk e_k = v_{e_{k-1}}_j
-      val walk = (1 to L).map { k =>
-        val look = (1 to L).map(i => s"WHEN $i THEN v_${i}_j").mkString(" ")
-        val src = if (k == 1) "e0" else s"e${k - 1}"
-        s"e$k AS (SELECT *, CASE WHEN e_${k - 1} > 0 THEN " +
-          s"(CASE e_${k - 1} $look END) END AS e_$k FROM $src)"
-      }.mkString(",\n")
-      val toks = (L to 1 by -1).map { k =>
+      val toks = (unigramL to 1 by -1).map { k =>
         s"CASE WHEN e_$k IS NOT NULL THEN " +
           s"substr(w, e_$k + 1, e_${k - 1} - e_$k) END"
       }.mkString(", ")
       s"""WITH w AS MATERIALIZED (
-         |  SELECT DISTINCT substr(t, 1, $L) AS w FROM (
+         |  SELECT DISTINCT substr(t, 1, $unigramL) AS w FROM (
          |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
          |    FROM documents)
          |  WHERE t <> ''),
-         |voc(piece, s) AS (VALUES $vocVals),
-         |sub0 AS (
-         |  SELECT w.w, pos.j, pos.i,
-         |    substr(w.w, pos.j + 1, pos.i - pos.j) AS piece
-         |  FROM w, (VALUES ${pos.map { case (j, i) => s"($j, $i)" }
-             .mkString(", ")}) pos(j, i)
-         |  WHERE length(w.w) >= pos.i),
-         |sub AS (
-         |  SELECT s0.w, s0.j, s0.i,
-         |    CASE WHEN s0.i - s0.j = 1
-         |      THEN coalesce(voc.s, ${UNK}::BIGINT) ELSE voc.s END AS v
-         |  FROM sub0 s0 LEFT JOIN voc ON voc.piece = s0.piece),
-         |px AS MATERIALIZED (
-         |  SELECT w, $pCols FROM sub GROUP BY w),
-         |$dp,
-         |e0 AS (SELECT *, CAST(length(w) AS INT) AS e_0 FROM v$L),
-         |$walk
+         |$unigramVitCtes
          |SELECT w, concat_ws('|', $toks) AS toks
-         |FROM e$L ORDER BY w""".stripMargin
+         |FROM e$unigramL ORDER BY w""".stripMargin
+    },
+
+    // per-document unigram-LM fit: the same DP, per-word best-path
+    // micro-nat totals and piece counts dictionary-joined back onto the
+    // (doc, word) frame — exact integer sums, one pinned double division
+    "q306_unigram_score" -> {
+      val scoreCase = (1 to unigramL)
+        .map(l => s"WHEN $l THEN v_${l}_b").mkString(" ")
+      val nPieces = (1 to unigramL)
+        .map(k => s"(CASE WHEN e_$k IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH wd AS MATERIALIZED (
+         |  SELECT doc_id, substr(t, 1, $unigramL) AS w FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> ''),
+         |w AS MATERIALIZED (SELECT DISTINCT w FROM wd),
+         |$unigramVitCtes,
+         |dict AS (
+         |  SELECT w, CASE length(w) $scoreCase END AS score_micro,
+         |    $nPieces AS n_pieces
+         |  FROM e$unigramL),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(score_micro) AS BIGINT) AS score_micro
+         |  FROM wd JOIN dict USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+         |  coalesce(n_pieces, 0) AS n_pieces,
+         |  coalesce(score_micro, 0) AS score_micro,
+         |  CASE WHEN coalesce(n_pieces, 0) > 0
+         |    THEN round(CAST(score_micro AS DOUBLE)
+         |      / CAST(n_pieces AS DOUBLE) / 1e6, 6) END AS avg_nats
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     }
   )
+
+  private val unigramL = 8
+
+  /** q304/q307 shared seed CTEs: distinct-word frame, (j, i) lattice
+    * positions, seed substring counts, seed vocab v0 (top-by-count over
+    * minCount ∪ all single chars) and its exact-ratio probs pr0.
+    */
+  private def unigramSeedCtes: String = {
+    val L = unigramL; val G = 3; val VS = 150; val MC = 2
+    val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
+      yield (j, i)
+    val posVals = pos.map { case (j, i) => s"($j, $i)" }.mkString(", ")
+    s"""w AS MATERIALIZED (
+       |  SELECT substr(t, 1, $L) AS w, count(*) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+       |    FROM documents)
+       |  WHERE t <> '' GROUP BY 1),
+       |subpos AS MATERIALIZED (
+       |  SELECT w.w, w.n, pos.j, pos.i,
+       |    substr(w.w, pos.j + 1, pos.i - pos.j) AS piece
+       |  FROM w, (VALUES $posVals) pos(j, i)
+       |  WHERE length(w.w) >= pos.i),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, sum(n) AS cnt FROM subpos GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, max(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM (
+       |      SELECT piece, cnt FROM seed
+       |      WHERE cnt >= $MC OR length(piece) = 1
+       |      ORDER BY cnt DESC, piece LIMIT $VS)
+       |    UNION ALL
+       |    SELECT piece, cnt FROM seed WHERE length(piece) = 1
+       |  ) GROUP BY 1),
+       |pr0 AS (
+       |  SELECT piece, CAST(cnt AS DOUBLE)
+       |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0) AS p FROM v0)"""
+      .stripMargin
+  }
+
+  /** One unrolled EM round for the q304/q307 oracles: pivot the piece
+    * probs of `pr` onto the word frame, chain the α/β recurrences with
+    * the engine's exact float association order, quantize per-position
+    * posteriors to integer micro-units, aggregate — then cf$idx applies
+    * the singles count floor (max(c, 1) — the engine's coverage rule)
+    * and pr$idx takes exact integer-ratio probs.
+    */
+  private def unigramEmRound(idx: Int, pr: String): String = {
+    val L = unigramL; val G = 3
+    val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
+      yield (j, i)
+    val pCols = pos.map { case (j, i) =>
+      s"max(CASE WHEN j = $j AND i = $i THEN p END) AS p_${j}_$i"
+    }.mkString(", ")
+    val alphas = (1 to L).map { i =>
+      val terms = (math.max(0, i - G) until i).map { j =>
+        val aj = if (j == 0) "1.0" else s"a_$j"
+        s"coalesce($aj * p_${j}_$i, 0.0)"
+      }.reduceLeft((x, y) => s"($x + $y)")
+      val src = if (i == 1) s"px$idx" else s"al$idx${i - 1}"
+      s"al$idx$i AS (SELECT *, $terms AS a_$i FROM $src)"
+    }.mkString(",\n")
+    val betas = (L to 0 by -1).map { j =>
+      val body =
+        if (j == L) "0.0"
+        else ((j + 1) to math.min(L, j + G)).map { i =>
+          s"coalesce(p_${j}_$i * b_$i, 0.0)"
+        }.reduceLeft((x, y) => s"($x + $y)")
+      val src = if (j == L) s"al$idx$L" else s"bt$idx${j + 1}"
+      s"bt$idx$j AS (SELECT *, CASE WHEN length(w) = $j THEN 1.0 " +
+        s"ELSE $body END AS b_$j FROM $src)"
+    }.mkString(",\n")
+    val zCase = (1 to L).map(l => s"WHEN length(w) = $l THEN a_$l")
+      .mkString(" ")
+    val arms = pos.map { case (j, i) =>
+      val aj = if (j == 0) "1.0" else s"a_$j"
+      s"SELECT substr(w, ${j + 1}, ${i - j}) AS piece, " +
+        s"CAST(round((((($aj * p_${j}_$i) * b_$i) / z) " +
+        s"* CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS c FROM zz$idx"
+    }.mkString(" UNION ALL ")
+    s"""sub$idx AS (
+       |  SELECT s.w, s.n, s.j, s.i, pp.p
+       |  FROM subpos s LEFT JOIN $pr pp ON pp.piece = s.piece),
+       |px$idx AS MATERIALIZED (
+       |  SELECT w, n, $pCols FROM sub$idx GROUP BY w, n),
+       |$alphas,
+       |$betas,
+       |zz$idx AS MATERIALIZED (
+       |  SELECT *, CASE $zCase END AS z FROM bt${idx}0),
+       |c$idx AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS c FROM ($arms)
+       |  WHERE c IS NOT NULL AND c > 0 GROUP BY 1),
+       |cf$idx AS MATERIALIZED (
+       |  SELECT piece, max(c) AS c FROM (
+       |    SELECT piece, c FROM c$idx
+       |    UNION ALL
+       |    SELECT piece, 1::BIGINT AS c FROM v0 WHERE length(piece) = 1
+       |  ) GROUP BY 1),
+       |pr$idx AS (
+       |  SELECT piece, CAST(c AS DOUBLE)
+       |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf$idx) AS p
+       |  FROM cf$idx)""".stripMargin
+  }
+
+  /** Shared q305/q306 oracle CTE chain: lattice scores (voc/sub/px), DP
+    * levels v1..vL (fold over j ascending, strict > — the engine's
+    * first-max-wins tie-break verbatim) and the backpointer walk e0..eL.
+    * Callers must define a CTE `w(w)` of distinct (truncated) words
+    * FIRST, and close the WITH list after.
+    */
+  private def unigramVitCtes: String = {
+    val L = unigramL; val G = 3; val UNK = -20000000L
+    val pos = for { i <- 1 to L; j <- math.max(0, i - G) until i }
+      yield (j, i)
+    val vocVals = unigramScores
+      .map { case (p, s) => s"('$p', ${s}::BIGINT)" }.mkString(", ")
+    val pCols = pos.map { case (j, i) =>
+      s"max(CASE WHEN j = $j AND i = $i THEN v END) AS sc_${j}_$i"
+    }.mkString(", ")
+    // DP levels: textual acc nesting is bounded by maxPieceLen
+    val dp = (1 to L).map { i =>
+      val js = math.max(0, i - G) until i
+      val (bExpr, jExpr) = js.foldLeft(
+        ("CAST(NULL AS BIGINT)", "-1")) { case ((ab, aj), j) =>
+        val base = if (j == 0) "0" else s"v_${j}_b"
+        val cand = s"($base + sc_${j}_$i)"
+        (s"CASE WHEN $cand IS NOT NULL AND (($ab) IS NULL OR $cand > " +
+          s"($ab)) THEN $cand ELSE $ab END",
+          s"CASE WHEN $cand IS NOT NULL AND (($ab) IS NULL OR $cand > " +
+            s"($ab)) THEN $j ELSE $aj END")
+      }
+      val src = if (i == 1) "px" else s"v${i - 1}"
+      s"v$i AS (SELECT *, $bExpr AS v_${i}_b, $jExpr AS v_${i}_j FROM $src)"
+    }.mkString(",\n")
+    // backpointer walk e_k = v_{e_{k-1}}_j
+    val walk = (1 to L).map { k =>
+      val look = (1 to L).map(i => s"WHEN $i THEN v_${i}_j").mkString(" ")
+      val src = if (k == 1) "e0" else s"e${k - 1}"
+      s"e$k AS (SELECT *, CASE WHEN e_${k - 1} > 0 THEN " +
+        s"(CASE e_${k - 1} $look END) END AS e_$k FROM $src)"
+    }.mkString(",\n")
+    s"""voc(piece, s) AS (VALUES $vocVals),
+       |sub0 AS (
+       |  SELECT w.w, pos.j, pos.i,
+       |    substr(w.w, pos.j + 1, pos.i - pos.j) AS piece
+       |  FROM w, (VALUES ${pos.map { case (j, i) => s"($j, $i)" }
+           .mkString(", ")}) pos(j, i)
+       |  WHERE length(w.w) >= pos.i),
+       |sub AS (
+       |  SELECT s0.w, s0.j, s0.i,
+       |    CASE WHEN s0.i - s0.j = 1
+       |      THEN coalesce(voc.s, ${UNK}::BIGINT) ELSE voc.s END AS v
+       |  FROM sub0 s0 LEFT JOIN voc ON voc.piece = s0.piece),
+       |px AS MATERIALIZED (
+       |  SELECT w, $pCols FROM sub GROUP BY w),
+       |$dp,
+       |e0 AS (SELECT *, CAST(length(w) AS INT) AS e_0 FROM v$L),
+       |$walk""".stripMargin
+  }
 }

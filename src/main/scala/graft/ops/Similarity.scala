@@ -428,9 +428,12 @@ object Similarity {
     *
     * The ±1/√outDim projection matrix is md5-derived (deterministic,
     * engine-reproducible, no RNG state) and materializes as PLAN
-    * LITERALS: each output component is a codegen'd signed sum of
-    * element_at terms — a pure projection, no UDF, no shuffle, no
-    * runtime hashing.
+    * LITERALS: each output component is one [[graft.functions.ArrayDot]]
+    * against a literal sign row — a pure projection, no UDF, no shuffle,
+    * no runtime hashing, and O(outDim) generated code (the previous
+    * outDim·inDim unrolled signed sum blew janino's 64 KB method limit
+    * at 8×64 = 512 terms; the native dot loop is bit-identical —
+    * left-to-right accumulation, commutative per-element product).
     *
     * @return `df` with `outCol` = array<double> of size `outDim`
     */
@@ -438,12 +441,12 @@ object Similarity {
       outDim: Int, outCol: String = "projection"): DataFrame = {
     require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
       s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val vecD = col(vecCol).cast("array<double>")
     val comps = (0 until outDim).map { j =>
-      (0 until inDim).map { k =>
-        lit(rademacherSign(j, k)) *
-          element_at(col(vecCol), k + 1).cast("double")
-      }.reduce(_ + _) * lit(scale)
+      val signs = (0 until inDim).map(k => rademacherSign(j, k))
+      call_function("array_dot", vecD, typedLit(signs)) * lit(scale)
     }
     df.withColumn(outCol, array(comps: _*))
   }

@@ -84,13 +84,21 @@ object Unigram {
     *         probability it implies — ordered (weight_micro DESC, piece),
     *         pieces whose expected count quantized to zero excluded.
     */
+  /** @param pruneTo if set, a Kudo prune step runs after the first
+    *                 `emIters` rounds: keep the top `pruneTo` MULTI-char
+    *                 pieces by (count desc, piece) plus ALL single chars
+    *                 (coverage), then run `postPruneIters` more EM rounds
+    */
   def train(df: DataFrame, textCol: String, vocabSize: Int = 150,
       maxPieceLen: Int = 3, maxWordLen: Int = 8, minCount: Int = 2,
-      emIters: Int = 2): DataFrame = {
+      emIters: Int = 2, pruneTo: Option[Int] = None,
+      postPruneIters: Int = 2): DataFrame = {
     require(vocabSize >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen
-      && minCount >= 1 && emIters >= 1,
+      && minCount >= 1 && emIters >= 1 && pruneTo.forall(_ >= 1)
+      && postPruneIters >= 1,
       s"bad config: vocabSize=$vocabSize maxPieceLen=$maxPieceLen " +
-        s"maxWordLen=$maxWordLen minCount=$minCount emIters=$emIters")
+        s"maxWordLen=$maxWordLen minCount=$minCount emIters=$emIters " +
+        s"pruneTo=$pruneTo postPruneIters=$postPruneIters")
     val spark = df.sparkSession
     val w = words(df, textCol, maxWordLen).persist()
     w.count()
@@ -101,20 +109,45 @@ object Unigram {
       val top = seeds
         .filter(col("cnt") >= minCount || length(col("piece")) === 1)
         .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
-      val singles = seeds.filter(length(col("piece")) === 1)
-      val vocab0 = top.unionByName(singles).groupBy("piece")
+      val singles0 = seeds.filter(length(col("piece")) === 1)
+      val vocab0 = top.unionByName(singles0).groupBy("piece")
         .agg(max("cnt").as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       seeds.unpersist(blocking = false)
+      val singles = vocab0.keySet.filter(_.length == 1)
       val tot0 = vocab0.values.sum
       var probs: Map[String, Double] =
         vocab0.map { case (p, c) => p -> c.toDouble / tot0.toDouble }
 
+      // singles never drop: a char whose expected count quantizes to 0
+      // would otherwise leave later rounds with a ZERO-mass lattice for
+      // any word containing it (Z = 0 → NaN) — the SentencePiece
+      // always-keep-characters rule, as a 1-micro-unit count floor
+      def floored(c: Map[String, Long]): Map[String, Long] =
+        c ++ singles.filterNot(c.contains).map(_ -> 1L)
+      def normalize(c: Map[String, Long]): Map[String, Double] = {
+        val tot = c.values.sum
+        c.map { case (p, n) => p -> n.toDouble / tot.toDouble }
+      }
+
       var counts: Map[String, Long] = Map.empty
       for (_ <- 1 to emIters) {
-        counts = eStepMicro(w, probs, maxWordLen, maxPieceLen)
-        val tot = counts.values.sum
-        probs = counts.map { case (p, c) => p -> c.toDouble / tot.toDouble }
+        counts = floored(eStepMicro(w, probs, maxWordLen, maxPieceLen))
+        probs = normalize(counts)
+      }
+      pruneTo.foreach { k =>
+        // keep all singles + the top-k multi-char pieces — the
+        // deterministic integer stand-in for Kudo's likelihood-loss
+        // ranking (expected count IS the piece's likelihood mass here)
+        val keptMulti = counts.toSeq.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }.take(k).map(_._1).toSet
+        counts = counts.filter { case (p, _) =>
+          p.length == 1 || keptMulti(p) }
+        probs = normalize(counts)
+        for (_ <- 1 to postPruneIters) {
+          counts = floored(eStepMicro(w, probs, maxWordLen, maxPieceLen))
+          probs = normalize(counts)
+        }
       }
       import spark.implicits._
       val totD = counts.values.sum.toDouble
@@ -140,12 +173,14 @@ object Unigram {
     *
     * @param words frame with `wordCol` (expected ≤ maxWordLen chars —
     *              longer words are truncated like [[train]] does)
+    * @param withScore also emit `score_micro`: the best path's total
+    *                  integer micro-nat score (the word's LM fit)
     * @return input plus `outputCol`: array<string> of pieces, in order
     */
   def segmentWordsViterbi(words: DataFrame, wordCol: String,
       scoresMicro: Map[String, Long], maxPieceLen: Int = 3,
       maxWordLen: Int = 8, unkMicro: Long = -20000000L,
-      outputCol: String = "tokens"): DataFrame = {
+      outputCol: String = "tokens", withScore: Boolean = false): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen,
       s"bad config: maxPieceLen=$maxPieceLen maxWordLen=$maxWordLen")
     require(wordCol == "w" || !words.columns.contains("w"),
@@ -195,9 +230,55 @@ object Unigram {
       when(col(s"e_$k").isNotNull,
         expr(s"substr(w, e_$k + 1, e_${k - 1} - e_$k)"))
     }
-    cur.withColumn(outputCol,
-        filter(array(toks: _*), t => t.isNotNull))
-      .select((passthru :+ col(outputCol)): _*)
+    cur = cur.withColumn(outputCol,
+      filter(array(toks: _*), t => t.isNotNull))
+    val outCols =
+      if (!withScore) passthru :+ col(outputCol)
+      else passthru :+ col(outputCol) :+
+        (1 to maxWordLen).foldLeft(lit(null).cast("long")) { (acc, l) =>
+          when(length(col("w")) === l, col(s"v_$l").getField("b"))
+            .otherwise(acc)
+        }.as("score_micro")
+    cur.select(outCols: _*)
+  }
+
+  /** Per-document unigram-LM fit score — the model-based quality signal
+    * this tokenizer family gives for free: each word's Viterbi best-path
+    * micro-nat total, summed over the document (EXACT integers on any
+    * partitioning), plus token/piece counts and the per-piece average in
+    * nats. Low (very negative) averages flag texts the LM cannot
+    * compress: boilerplate, non-language, wrong-language, encoding junk.
+    *
+    * Dictionary-join shape like [[tokenize]]: the DP runs once per
+    * DISTINCT word; the corpus-sized side only explodes, joins and sums.
+    *
+    * @return (idCol, n_words, n_pieces, score_micro, avg_nats) — docs
+    *         with no tokens keep zero counts and a null average
+    */
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
+      scoresMicro: Map[String, Long], maxPieceLen: Int = 3,
+      maxWordLen: Int = 8, unkMicro: Long = -20000000L): DataFrame = {
+    val wordsOf = df.select(col(idCol),
+      explode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+        .as("__w0"))
+      .select(col(idCol), substring(col("__w0"), 1, maxWordLen).as("__w"))
+    val dict = segmentWordsViterbi(wordsOf.select("__w").distinct(), "__w",
+      scoresMicro, maxPieceLen, maxWordLen, unkMicro,
+      outputCol = "__toks", withScore = true)
+    val per = wordsOf.join(dict, "__w")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("__toks"))).as("n_pieces"),
+        sum("score_micro").as("score_micro"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+      .withColumn("avg_nats",
+        when(col("n_pieces") > 0,
+          col("score_micro").cast("double") / col("n_pieces").cast("double")
+            / lit(1e6)))
   }
 
   /** Tokenize a text column with a trained score map: the corpus

@@ -63,6 +63,19 @@ class UnigramSpec extends SparkSpec {
     assert(out.contains("z"), s"single-char coverage lost: $out")
   }
 
+  test("prune keeps all singles plus exactly the top-k multi-char pieces") {
+    val out = Unigram.train(
+        Seq("banana bandana banana", "ban ban banana").toDF("text"), "text",
+        vocabSize = 50, maxPieceLen = 3, maxWordLen = 8, minCount = 1,
+        emIters = 2, pruneTo = Some(1), postPruneIters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val multi = out.keySet.filter(_.length > 1)
+    assert(multi.size === 1, s"expected one surviving multi-char: $multi")
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // singles coverage intact after pruning
+    assert(Set("b", "a", "n").subsetOf(out.keySet))
+  }
+
   private val segScores = Map(
     "the" -> -3000000L, "th" -> -4600000L, "he" -> -4800000L,
     "t" -> -5400000L, "h" -> -6100000L, "e" -> -5200000L,
@@ -100,6 +113,19 @@ class UnigramSpec extends SparkSpec {
     assert(out("the cat") === Seq("the", "c", "a", "t"))
     assert(out("") === Seq.empty)
     assert(out("he he") === Seq("he", "he"))
+  }
+
+  test("scoreDocs: exact micro-nat totals, counts, and empty-doc nulls") {
+    // "the" = one piece at -3.0M; "xq" = two unk singles at -20M each
+    val out = Unigram.scoreDocs(
+        Seq((1L, "the xq"), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", segScores)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(1L) === ((2L, 3L, -43000000L,
+      Some(-43000000.0 / 3.0 / 1e6))))
+    assert(out(2L) === ((0L, 0L, 0L, None)))
   }
 
   test("segmentation is partition-invariant on documents") {
