@@ -3909,6 +3909,22 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     }),
 
+    // IVF-PQ search (the faiss-standard scale path): m=1 coarse
+    // quantizer buckets the corpus, each query probes its 2 nearest
+    // cells, PQ asymmetric rescoring runs on the candidate slice only —
+    // the composition capstone over q163/q273/q274
+    "q308_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = Quantize.trainSeeded(e, "vec_id", "embedding", 64,
+        m = 1, k = 8)
+      val cb = Quantize.trainSeeded(e, "vec_id", "embedding", 64,
+        m = 8, k = 16)
+      val queries = e.orderBy("vec_id").limit(3)
+      Quantize.topKIvf(e, queries, "vec_id", "embedding", coarse, cb,
+          nProbe = 2, k = 5)
+        .orderBy("query_id", "vec_id")
+    }),
+
     // the full Kudo train loop: EM ×2 → prune (all singles + top-40
     // multi-char by exact count) → EM ×2 — SentencePiece-lite end to end
     "q307_unigram_pruned" -> ((s, dir) => {
@@ -10965,6 +10981,109 @@ object SparkEntry {
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
          |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
     },
+
+    // IVF-PQ: q273's seeded-codebook machinery twice over — an m=1/8-cell
+    // coarse quantizer for assignment + probes (argmin / rank<=2 on the
+    // raw partial distance with the cell tiebreak, the q163 discipline),
+    // then q274's LUT rescoring restricted to the probed candidates; the
+    // final grid round carries q274's `+ 0.0` signed-zero normalization
+    "q308_ivfpq_topk" ->
+      """WITH seeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+        |cells AS MATERIALIZED (
+        |  SELECT s.s, c, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS w
+        |  FROM seeds, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |cn AS MATERIALIZED (
+        |  SELECT s, c, sum(w * w) AS n2 FROM cells GROUP BY 1, 2),
+        |x AS MATERIALIZED (
+        |  SELECT vec_id, s.s, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, s, c FROM (
+        |    SELECT x.vec_id, x.s, cells.c, row_number() OVER (
+        |      PARTITION BY x.vec_id, x.s ORDER BY
+        |        -2 * sum(x.v * cells.w) + any_value(cn.n2), cells.c) AS rk
+        |    FROM x JOIN cells ON x.s = cells.s AND x.j = cells.j
+        |    JOIN cn ON cells.s = cn.s AND cells.c = cn.c
+        |    GROUP BY x.vec_id, x.s, cells.c)
+        |  WHERE rk = 1),
+        |cseeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+        |ccells AS MATERIALIZED (
+        |  SELECT c, j.j AS j, CAST(embedding[j.j + 1] AS DOUBLE) AS w
+        |  FROM cseeds, UNNEST(generate_series(0, 63)) j(j)),
+        |ccn AS MATERIALIZED (
+        |  SELECT c, sum(w * w) AS n2 FROM ccells GROUP BY 1),
+        |cx AS MATERIALIZED (
+        |  SELECT vec_id, j.j AS j, CAST(embedding[j.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(0, 63)) j(j)),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, c AS cluster FROM (
+        |    SELECT cx.vec_id, ccells.c, row_number() OVER (
+        |      PARTITION BY cx.vec_id ORDER BY
+        |        -2 * sum(cx.v * ccells.w) + any_value(ccn.n2), ccells.c)
+        |      AS rk
+        |    FROM cx JOIN ccells ON cx.j = ccells.j
+        |    JOIN ccn ON ccells.c = ccn.c
+        |    GROUP BY cx.vec_id, ccells.c)
+        |  WHERE rk = 1),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 3),
+        |qq AS (
+        |  SELECT query_id,
+        |    sum(CAST(embedding[u.ix + 1] AS DOUBLE)
+        |      * CAST(embedding[u.ix + 1] AS DOUBLE)) AS qq
+        |  FROM q, UNNEST(generate_series(0, 63)) u(ix) GROUP BY 1),
+        |qcx AS MATERIALIZED (
+        |  SELECT query_id, j.j AS j,
+        |    CAST(embedding[j.j + 1] AS DOUBLE) AS v
+        |  FROM q, UNNEST(generate_series(0, 63)) j(j)),
+        |probes AS MATERIALIZED (
+        |  SELECT query_id, c AS cluster FROM (
+        |    SELECT qcx.query_id, ccells.c, row_number() OVER (
+        |      PARTITION BY qcx.query_id ORDER BY
+        |        -2 * sum(qcx.v * ccells.w) + any_value(ccn.n2), ccells.c)
+        |      AS rk
+        |    FROM qcx JOIN ccells ON qcx.j = ccells.j
+        |    JOIN ccn ON ccells.c = ccn.c
+        |    GROUP BY qcx.query_id, ccells.c)
+        |  WHERE rk <= 2),
+        |qx AS (
+        |  SELECT query_id, s.s, j.j AS j,
+        |    CAST(embedding[s.s * 8 + j.j + 1] AS DOUBLE) AS v
+        |  FROM q, UNNEST(generate_series(0, 7)) s(s),
+        |    UNNEST(generate_series(0, 7)) j(j)),
+        |lut AS MATERIALIZED (
+        |  SELECT qx.query_id, qx.s, cells.c,
+        |    -2 * sum(qx.v * cells.w) + any_value(cn.n2) AS pd
+        |  FROM qx JOIN cells ON qx.s = cells.s AND qx.j = cells.j
+        |  JOIN cn ON cells.s = cn.s AND cells.c = cn.c
+        |  GROUP BY qx.query_id, qx.s, cells.c),
+        |cand AS MATERIALIZED (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a ON a.cluster = p.cluster),
+        |sc AS (
+        |  SELECT cand.query_id, codes.vec_id,
+        |    round(sum(l.pd) + any_value(qq.qq), 6) + 0.0 AS adist2
+        |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+        |  JOIN lut l ON codes.s = l.s AND codes.c = l.c
+        |    AND l.query_id = cand.query_id
+        |  JOIN qq ON qq.query_id = cand.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, vec_id, adist2, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist2, vec_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin,
 
     // the full Kudo loop: 2 EM rounds, PRUNE (keep all singles + top-40
     // multi-char pieces by exact integer count — the deterministic

@@ -115,19 +115,82 @@ object Quantize {
       vecCol: String, codesCol: String, cb: PQCodebook, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     graft.plans.GraftExtensions.ensureRegistered(codes.sparkSession)
+    val long = codes.select(col(idCol).as("vec_id"),
+      posexplode(col(codesCol)).as(Seq("s", "c")))
+    rescore(long, queryLut(queries, idCol, vecCol, cb),
+      joinKeys = Seq("s", "c"), k)
+  }
+
+  /** IVF-PQ search (the faiss-standard scale path): a coarse m=1
+    * quantizer buckets every vector; each query probes only its
+    * `nProbe` nearest coarse cells, and PQ asymmetric-distance
+    * rescoring runs on that candidate slice alone. At 100 TB this is
+    * the difference between scanning every code and scanning
+    * nProbe/k_coarse of them — with recall bounded by how often the true
+    * neighbor's cell is probed (raise nProbe to trade time for recall).
+    *
+    * Shapes: assignment is the same pq_codes projection (m=1 codebook);
+    * the probe list is queries×nProbe rows (broadcast); candidates come
+    * from ONE equi-join on the cluster id; rescoring reuses the q274
+    * LUT machinery with the query id folded into the join key.
+    *
+    * @return (query_id, vec_id, adist2, rn) like [[topK]] — rn ranks
+    *         only within the PROBED cells
+    */
+  def topKIvf(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarse: PQCodebook, cb: PQCodebook, nProbe: Int,
+      k: Int): DataFrame = {
+    require(coarse.m == 1, s"coarse quantizer must have m=1, got ${coarse.m}")
+    require(nProbe >= 1 && nProbe <= coarse.k,
+      s"need 1 <= nProbe <= ${coarse.k}, got $nProbe")
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    // inverted-file assignment: one coarse code per vector
+    val assigned = encode(df, vecCol, coarse, outCol = "__coarse")
+      .withColumn("__cluster", element_at(col("__coarse"), 1))
+    val codes = encode(assigned, vecCol, cb)
+    // probe list: per query the nProbe nearest coarse cells, ranked on
+    // the raw partial distance with the lower-cell tiebreak (the q163
+    // argmin discipline, extended to rank <= nProbe)
     val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__q"))
-    // per-query LUT: pd(s, c) = −2·q_s·ct + ‖ct‖²  (+ ‖q‖²/m restores the
-    // true squared distance after the m-term sum)
-    val lut = q0.select(col("query_id"),
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("__d"), col("__cluster"))
+    val probes = q0.select(col("query_id"),
+        posexplode(element_at(
+          call_function("pq_partial_dists", col("__q"), cbLit(coarse)), 1))
+          .as(Seq("__cluster", "__d")))
+      .withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("__cluster"))
+    val long = codes.join(broadcast(probes), Seq("__cluster"))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        posexplode(col("codes")).as(Seq("s", "c")))
+    rescore(long, queryLut(queries, idCol, vecCol, cb),
+      joinKeys = Seq("query_id", "s", "c"), k)
+  }
+
+  /** Per-query LUT: pd(s, c) = −2·q_s·ct + ‖ct‖² (+ ‖q‖² restores the
+    * true squared distance after the m-term sum).
+    */
+  private def queryLut(queries: DataFrame, idCol: String, vecCol: String,
+      cb: PQCodebook): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__q"))
+    q0.select(col("query_id"),
         call_function("array_dot", col("__q"), col("__q")).as("__qq"),
         posexplode(call_function("pq_partial_dists", col("__q"), cbLit(cb)))
           .as(Seq("s", "__row")))
       .select(col("query_id"), col("__qq"),
         col("s"), posexplode(col("__row")).as(Seq("c", "__pd")))
-    val long = codes.select(col(idCol).as("vec_id"),
-      posexplode(col(codesCol)).as(Seq("s", "c")))
-    val scored = long.join(broadcast(lut), Seq("s", "c"))
+  }
+
+  /** Shared rescoring tail: broadcast-join the LUT, ONE (query, id)
+    * aggregation, rank on the 6-digit grid with the id tiebreak.
+    */
+  private def rescore(long: DataFrame, lut: DataFrame,
+      joinKeys: Seq[String], k: Int): DataFrame = {
+    val scored = long.join(broadcast(lut), joinKeys)
       .groupBy("query_id", "vec_id")
       .agg((sum("__pd") + first("__qq")).as("__ad"))
       .select(col("query_id"), col("vec_id"),

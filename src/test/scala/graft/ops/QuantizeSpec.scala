@@ -49,6 +49,31 @@ class QuantizeSpec extends SparkSpec {
     assert(ds === ds.sorted)
   }
 
+  test("topKIvf with every cell probed equals full topK") {
+    val coarse = Quantize.trainSeeded(tiny, "id", "v", 4, m = 1, k = 2)
+    val cb = Quantize.trainSeeded(tiny, "id", "v", 4, m = 2, k = 4)
+    val codes = Quantize.encode(tiny, "v", cb)
+    val q = tiny.filter($"id" === 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val full = rows(Quantize.topK(codes, q, "id", "v", "codes", cb, k = 4))
+    val ivf = rows(Quantize.topKIvf(tiny, q, "id", "v", coarse, cb,
+      nProbe = 2, k = 4))
+    assert(ivf === full)
+  }
+
+  test("topKIvf at nProbe=1 retrieves the query from its own cell") {
+    val coarse = Quantize.trainSeeded(tiny, "id", "v", 4, m = 1, k = 2)
+    val cb = Quantize.trainSeeded(tiny, "id", "v", 4, m = 2, k = 4)
+    val top = Quantize.topKIvf(tiny, tiny.filter($"id" === 4L), "id", "v",
+        coarse, cb, nProbe = 1, k = 4)
+      .orderBy("rn").collect()
+    assert(top.head.getLong(1) === 4L && top.head.getDouble(2) === 0.0)
+    // candidates are restricted to the probed cell — fewer than the corpus
+    assert(top.length < 4)
+  }
+
   test("pq_codes breaks argmin ties to the LOWER code") {
     // both centroids of subspace 0 are identical → tie → code 0
     val cb = Quantize.PQCodebook(1, 3, 2, Array(
