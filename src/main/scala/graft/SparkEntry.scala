@@ -3909,6 +3909,15 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     }),
 
+    // sliding-stride token windows: the standard pretraining chunk
+    // layout (fixed windowSize, stride < windowSize overlap, short-tail
+    // drop) — pure projection + one generator, exact strings
+    "q309_sliding_chunks" -> ((s, dir) => {
+      TextOps.slidingChunks(t(s, dir, "documents"), "doc_id", "text",
+          windowSize = 32, stride = 24, minTokens = 4)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // IVF-PQ search (the faiss-standard scale path): m=1 coarse
     // quantizer buckets the corpus, each query probes its 2 nearest
     // cells, PQ asymmetric rescoring runs on the candidate slice only —
@@ -10981,6 +10990,24 @@ object SparkEntry {
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
          |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
     },
+
+    // identical token filter, window starts every 24, 1-based list
+    // slicing, short tails (< 4 tokens) dropped
+    "q309_sliding_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(st.s / 24 AS INT) AS chunk_id,
+        |    l[st.s + 1 : least(len(l), st.s + 32)] AS w
+        |  FROM toks,
+        |    UNNEST(generate_series(0, greatest(len(l) - 1, 0), 24)) st(s))
+        |SELECT doc_id, chunk_id, CAST(len(w) AS INT) AS n_tokens,
+        |  array_to_string(w, ' ') AS chunk
+        |FROM win WHERE len(w) >= 4
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // IVF-PQ: q273's seeded-codebook machinery twice over — an m=1/8-cell
     // coarse quantizer for assignment + probes (argmin / rank<=2 on the

@@ -200,6 +200,35 @@ object TextOps {
       .select("id", "n_tokens", "dup_token_frac", "top_2gram_frac")
   }
 
+  /** Sliding-stride token windowing — the standard pretraining chunk
+    * layout: each document's whitespace tokens explode into fixed-size
+    * windows starting every `stride` tokens (stride < windowSize gives
+    * the usual overlap so no span is ever cut at only one boundary).
+    * Pure projection + one generator: starts = sequence(0, n−1, stride),
+    * window = slice — no shuffle, no state, chunk ids reproducible on
+    * any partitioning. The tail window may be shorter; windows under
+    * `minTokens` are dropped.
+    *
+    * @return one row per window: (idCol, chunk_id, n_tokens, chunk)
+    */
+  def slidingChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowSize: Int, stride: Int,
+      minTokens: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(windowSize >= 1 && stride >= 1 && stride <= windowSize
+      && minTokens >= 1,
+      s"need 1 <= stride <= windowSize and minTokens >= 1, got " +
+        s"windowSize=$windowSize stride=$stride minTokens=$minTokens")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val windows = transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      st => slice(toks, st + 1, lit(windowSize)))
+    df.select(col(idCol), posexplode(windows).as(Seq("chunk_id", "__w")))
+      .filter(size(col("__w")) >= minTokens)
+      .select(col(idCol), col("chunk_id"),
+        size(col("__w")).as("n_tokens"),
+        array_join(col("__w"), " ").as("chunk"))
+  }
+
   /** Sentence-boundary chunking for training-data preparation: split a
     * document on sentence ends, then greedily pack consecutive sentences
     * into chunks of at most `maxTokens` whitespace tokens (a sentence

@@ -83,7 +83,9 @@ object ScaleCheck {
     "q301_aft_exponential", // Poisson-offset fused-Gram IRLS
     "q302_ppr", // iterative contribution join + agg rounds
     "q303_grouped_aft", // per-segment GroupedGLM aggregator
-    "q304_unigram_lm") // distinct-word EM: corpus collapse + lattice rounds
+    "q304_unigram_lm", // distinct-word EM: corpus collapse + lattice rounds
+    "q306_unigram_score", // Viterbi DP per distinct word + dictionary join
+    "q308_ivfpq_topk") // coarse assign + probe + candidate-sliced rescoring
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -102,6 +102,20 @@ class TextOpsSpec extends SparkSpec {
     assert(fr.getDouble(2) >= 0.0 && fr.getDouble(3) <= 1.0)
   }
 
+  test("slidingChunks: stride overlap, tail shortening, min-token drop") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.slidingChunks(df, "doc_id", "text",
+        windowSize = 4, stride = 3, minTokens = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // starts 0,3,6,9 → the last window has 1 token and is dropped
+    assert(got === Array(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10")))
+  }
+
   test("chunkBySentence packs greedily and never splits a sentence") {
     val df = Seq((1L,
       "One two three. Four five. Six seven eight nine ten eleven. Twelve."
