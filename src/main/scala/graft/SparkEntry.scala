@@ -3909,6 +3909,20 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     }),
 
+    // STREAMING PSI drift monitor — the EIGHTH streaming/batch parity
+    // family: complete-mode bin-count aggregation (state ≤ cuts+2 rows
+    // by construction) replayed over the post-split events, PSI readout
+    // against the frozen pre-split reference — equals batch Drift.psi
+    // bit for bit (exact integer counts)
+    "q310_psi_stream" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      StreamOps.psiStreamReplay(ev.filter(col("ts") < split),
+          ev.filter(col("ts") >= split), "value",
+          cuts = Seq(15.0, 35.0, 70.0))
+        .select(r(col("psi"), 8).as("psi"), col("n_bins"))
+    }),
+
     // sliding-stride token windows: the standard pretraining chunk
     // layout (fixed windowSize, stride < windowSize overlap, short-tail
     // drop) — pure projection + one generator, exact strings
@@ -10990,6 +11004,34 @@ object SparkEntry {
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
          |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
     },
+
+    // q105's PSI arithmetic over the events time split — the streaming
+    // replay aggregates exact integer bin counts, so batch SQL is the
+    // oracle verbatim (the q113↔q299 parity-gate pattern)
+    "q310_psi_stream" ->
+      """WITH b AS (
+        |  SELECT ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
+        |    CASE WHEN value IS NULL THEN -1
+        |         WHEN value <= 15.0 THEN 0
+        |         WHEN value <= 35.0 THEN 1
+        |         WHEN value <= 70.0 THEN 2
+        |         ELSE 3 END AS bin
+        |  FROM events),
+        |pr AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE)
+        |      / sum(count(*)) OVER () AS p
+        |  FROM b WHERE is_ref GROUP BY bin),
+        |pc AS (
+        |  SELECT bin, CAST(count(*) AS DOUBLE)
+        |      / sum(count(*)) OVER () AS p
+        |  FROM b WHERE NOT is_ref GROUP BY bin),
+        |j AS (
+        |  SELECT greatest(coalesce(pr.p, 0.0), 0.000001) AS a,
+        |    greatest(coalesce(pc.p, 0.0), 0.000001) AS c
+        |  FROM pr FULL OUTER JOIN pc USING (bin))
+        |SELECT round(sum((a - c) * ln(a / c)), 8) AS psi,
+        |  count(*) AS n_bins
+        |FROM j""".stripMargin,
 
     // identical token filter, window starts every 24, 1-based list
     // slicing, short tails (< 4 tokens) dropped

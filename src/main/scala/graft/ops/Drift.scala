@@ -42,9 +42,36 @@ object Drift {
   }
 
   private def proportions(df: DataFrame, bin: org.apache.spark.sql.Column) = {
-    val counts = df.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum("c").as("t"))
-    counts.crossJoin(tot).select(col("bin"), (col("c") / col("t")).as("p"))
+    val tot = binnedCounts(df, bin).agg(sum("c").as("t"))
+    binnedCounts(df, bin).crossJoin(tot)
+      .select(col("bin"), (col("c") / col("t")).as("p"))
+  }
+
+  private def binnedCounts(df: DataFrame, bin: org.apache.spark.sql.Column) =
+    df.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+
+  /** Exact per-bin counts for explicit numeric cuts — streaming-safe:
+    * ONE aggregation whose state is at most cuts.size + 2 rows, however
+    * long the stream ([[graft.streaming.StreamOps.psiStream]] builds the
+    * live drift monitor on this).
+    */
+  def binCounts(df: DataFrame, valueCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "at least one cut point required")
+    require(cuts == cuts.sorted, "cut points must be ascending")
+    binnedCounts(df, binExpr(valueCol, cuts))
+  }
+
+  /** PSI off two pre-aggregated (bin, c) count frames — the readout half
+    * of the streaming monitor; identical arithmetic to [[psi]].
+    */
+  def psiOfCounts(refCounts: DataFrame, curCounts: DataFrame,
+      eps: Double = defaultEps): DataFrame = {
+    def toP(c: DataFrame) = {
+      val tot = c.agg(sum("c").as("t"))
+      c.crossJoin(tot).select(col("bin"), (col("c") / col("t")).as("p"))
+    }
+    psiOf(toP(refCounts), toP(curCounts), eps)
   }
 
   /** PSI of `cur` against `ref` over explicit numeric cut points.

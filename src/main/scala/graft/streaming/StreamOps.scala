@@ -467,6 +467,57 @@ object StreamOps {
     s.table(name)
   }
 
+  /** STREAMING PSI drift monitor — the EIGHTH streaming/batch parity
+    * family: live population-stability tracking of a value column
+    * against a frozen reference. The streaming half is ONE complete-mode
+    * aggregation whose state is the bin-count table (≤ cuts+2 rows
+    * regardless of stream length — bounded by construction, like the
+    * Count-Min family); each trigger re-emits the counts and the PSI
+    * readout is a constant-size batch computation over them
+    * ([[graft.ops.Drift.psiOfCounts]] against the broadcast reference).
+    */
+  def psiStream(cur: DataFrame, valueCol: String,
+      cuts: Seq[Double]): DataFrame =
+    graft.ops.Drift.binCounts(cur, valueCol, cuts)
+
+  /** Run [[psiStream]] over a MemoryStream replay of the CURRENT side
+    * and compute PSI against the batch reference — parity gate: exact
+    * integer bin counts make the streamed PSI equal the batch
+    * [[graft.ops.Drift.psi]] bit for bit.
+    */
+  def psiStreamReplay(ref: DataFrame, curEvents: DataFrame,
+      valueCol: String, cuts: Seq[Double]): DataFrame = {
+    val s = curEvents.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = curEvents
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col(valueCol).cast("double").as("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "psiStreamReplay needs at least one event")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_psi_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try psiStream(in.toDF(), "value", cuts)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      // two chunks: the second trigger must UPDATE the bounded bin
+      // state in place — complete mode re-emits the whole count table
+      val (a, b) = evs.splitAt(evs.length / 2)
+      in.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.ops.Drift.psiOfCounts(
+      graft.ops.Drift.binCounts(ref, valueCol, cuts), s.table(name))
+  }
+
   /** Per-user funnel progress emitted at stream end. */
   case class FunnelHit(user_id: Long, n_steps: Int)
   // public: Spark's state-store encoder instantiates it reflectively.

@@ -357,6 +357,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.size <= 3 * 64)
   }
 
+  test("streaming PSI drift monitor equals the batch PSI bit for bit") {
+    val ev = graft.Events.read(spark, sfDir)
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ref = ev.filter($"ts" < split)
+    val cur = ev.filter($"ts" >= split)
+    val cuts = Seq(15.0, 35.0, 70.0)
+    val batch = graft.ops.Drift.psi(ref, cur, "value", cuts)
+      .collect().head
+    val stream = StreamOps.psiStreamReplay(ref, cur, "value", cuts)
+      .collect().head
+    assert(stream.getDouble(0) === batch.getDouble(0))
+    assert(stream.getLong(1) === batch.getLong(1))
+  }
+
   test("streaming funnel equals the batch funnel (parity on real events)") {
     val ev = graft.Events.read(spark, sfDir)
     val steps = Seq("view", "click", "purchase")
