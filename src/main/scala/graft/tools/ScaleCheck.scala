@@ -85,7 +85,9 @@ object ScaleCheck {
     "q303_grouped_aft", // per-segment GroupedGLM aggregator
     "q304_unigram_lm", // distinct-word EM: corpus collapse + lattice rounds
     "q306_unigram_score", // Viterbi DP per distinct word + dictionary join
-    "q308_ivfpq_topk") // coarse assign + probe + candidate-sliced rescoring
+    "q308_ivfpq_topk", // coarse assign + probe + candidate-sliced rescoring
+    "q309_sliding_chunks", // corpus window explode (pure generator)
+    "q310_psi_stream") // bounded bin-count state at 10x event density
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -16,6 +16,14 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("the shared test session runs with strict codegen (no silent fallback)") {
+    // EntrySpec's all-queries sweep is the codegen regression net ONLY
+    // while this conf stays false — a janino 64 KB blowout must THROW,
+    // not silently run interpreted (q272/q273/q274 did exactly that in
+    // r10 and cost 4-6x until caught)
+    assert(spark.conf.get("spark.sql.codegen.fallback") === "false")
+  }
+
   test("q02: filter is pushed to the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters:"), p.take(800))
