@@ -3909,6 +3909,16 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     }),
 
+    // corpus tokenization through the trained-vocab dictionary join —
+    // the production fan-out path: the Viterbi DP runs once per DISTINCT
+    // word, tokens rejoin the corpus in text order, one row per token
+    "q311_unigram_tokenize" -> ((s, dir) => {
+      Unigram.tokenize(t(s, dir, "documents").select("doc_id", "text"),
+          "text", unigramScores.toMap, maxPieceLen = 3, maxWordLen = 8)
+        .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // STREAMING PSI drift monitor — the EIGHTH streaming/batch parity
     // family: complete-mode bin-count aggregation (state ≤ cuts+2 rows
     // by construction) replayed over the post-split events, PSI readout
@@ -11003,6 +11013,39 @@ object SparkEntry {
          |  round(CAST(c AS DOUBLE)
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
          |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
+    },
+
+    // q305's DP per distinct word; tokens rejoin the corpus in word
+    // order (row_number over the pre-filter ordinality), then the
+    // per-word piece strings re-split to one row per token
+    "q311_unigram_tokenize" -> {
+      val toks = (unigramL to 1 by -1).map { k =>
+        s"CASE WHEN e_$k IS NOT NULL THEN " +
+          s"substr(w, e_$k + 1, e_${k - 1} - e_$k) END"
+      }.mkString(", ")
+      s"""WITH wd0 AS (
+         |  SELECT doc_id, unnest(l) AS t0,
+         |    unnest(generate_series(1, len(l))) AS ord
+         |  FROM (SELECT doc_id,
+         |      regexp_split_to_array(text, '\\s+') AS l FROM documents)),
+         |wd AS MATERIALIZED (
+         |  SELECT doc_id, substr(t0, 1, $unigramL) AS w,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS wpos
+         |  FROM wd0 WHERE t0 <> ''),
+         |w AS MATERIALIZED (SELECT DISTINCT w FROM wd),
+         |$unigramVitCtes,
+         |dict AS (
+         |  SELECT w, concat_ws('|', $toks) AS toks FROM e$unigramL),
+         |per AS (
+         |  SELECT wd.doc_id,
+         |    string_agg(dict.toks, '|' ORDER BY wd.wpos) AS alltoks
+         |  FROM wd JOIN dict USING (w) GROUP BY 1),
+         |px2 AS (SELECT doc_id, string_split(alltoks, '|') AS tl FROM per)
+         |SELECT doc_id, CAST(ord - 1 AS INT) AS pos, token FROM (
+         |  SELECT doc_id, unnest(tl) AS token,
+         |    unnest(generate_series(1, len(tl))) AS ord
+         |  FROM px2)
+         |ORDER BY doc_id, pos""".stripMargin
     },
 
     // q105's PSI arithmetic over the events time split — the streaming
