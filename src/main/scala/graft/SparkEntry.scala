@@ -11017,7 +11017,9 @@ object SparkEntry {
 
     // q305's DP per distinct word; tokens rejoin the corpus in word
     // order (row_number over the pre-filter ordinality), then the
-    // per-word piece strings re-split to one row per token
+    // per-word piece strings re-split to one row per token. NOTE the
+    // oracle's '|' join/re-split assumes no '|' inside a token (true of
+    // this corpus; the ENGINE needs no delimiter — tokens stay arrays)
     "q311_unigram_tokenize" -> {
       val toks = (unigramL to 1 by -1).map { k =>
         s"CASE WHEN e_$k IS NOT NULL THEN " +

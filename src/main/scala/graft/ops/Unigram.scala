@@ -114,6 +114,8 @@ object Unigram {
         .agg(max("cnt").as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       seeds.unpersist(blocking = false)
+      require(vocab0.nonEmpty,
+        "unigram train: corpus has no words (empty or all-whitespace text)")
       val singles = vocab0.keySet.filter(_.length == 1)
       val tot0 = vocab0.values.sum
       var probs: Map[String, Double] =
