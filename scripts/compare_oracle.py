@@ -56,6 +56,9 @@ def main(sf_dir, out_dir):
             ref = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        raw_kinds = {c: (ours[c].dtype.kind if c in ours else "?",
+                         ref[c].dtype.kind if c in ref else "?")
+                     for c in set(ours.columns) | set(ref.columns)}
         a, b = norm(ours), norm(ref)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs oracle {list(b.columns)}")
@@ -70,9 +73,13 @@ def main(sf_dir, out_dir):
             # doubles — both invisible to value equality but red on the driver.
             strict = []
             for c in a.columns:
-                ka, kb = a[c].dtype.kind, b[c].dtype.kind
+                # kinds from the RAW frames: norm()'s int64/float64
+                # coercion would otherwise hide the very mismatches the
+                # driver's hash sees (e.g. DuckDB HUGEINT -> float64 vs
+                # Spark int64)
+                ka, kb = raw_kinds[c]
                 if ka != kb:
-                    strict.append(f"{c}: dtype kind {a[c].dtype} vs {b[c].dtype}")
+                    strict.append(f"{c}: dtype kind {ka} vs {kb}")
                 elif ka == "f" and a[c].values.tobytes() != b[c].values.tobytes():
                     strict.append(f"{c}: float bit pattern (e.g. -0.0 vs 0.0)")
             if strict:

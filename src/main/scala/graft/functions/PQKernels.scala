@@ -42,13 +42,22 @@ abstract class PQKernelBase extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
 
-  /** Codebook materialized once on the driver (it is foldable by check). */
+  /** Codebook materialized once on the driver (it is foldable by check).
+    * Must be RECTANGULAR: the generated code indexes every subspace with
+    * subspace-0's k and subDim, so a ragged literal would read wrong
+    * cells (or throw) in codegen while interpreting fine — validate
+    * loudly instead.
+    */
   @transient protected lazy val cb: Array[Array[Array[Double]]] = {
     val a = codebook.eval(null).asInstanceOf[ArrayData]
-    Array.tabulate(a.numElements()) { s =>
+    val out = Array.tabulate(a.numElements()) { s =>
       val as = a.getArray(s)
       Array.tabulate(as.numElements())(c => as.getArray(c).toDoubleArray())
     }
+    require(out.nonEmpty && out.forall(s => s.length == out(0).length &&
+      s.forall(_.length == out(0)(0).length)),
+      s"$prettyName codebook must be rectangular m x k x subDim")
+    out
   }
 
   /** ‖cb[s][c]‖², summed left-to-right like the literal `.map(sq).sum`. */

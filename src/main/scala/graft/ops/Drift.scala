@@ -41,14 +41,19 @@ object Drift {
     base.otherwise(lit(cuts.size))
   }
 
-  private def proportions(df: DataFrame, bin: org.apache.spark.sql.Column) = {
-    val tot = binnedCounts(df, bin).agg(sum("c").as("t"))
-    binnedCounts(df, bin).crossJoin(tot)
-      .select(col("bin"), (col("c") / col("t")).as("p"))
-  }
+  private def proportions(df: DataFrame, bin: org.apache.spark.sql.Column) =
+    countsToProportions(binnedCounts(df, bin))
 
   private def binnedCounts(df: DataFrame, bin: org.apache.spark.sql.Column) =
     df.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+
+  /** The ONE count→proportion normalization both the batch and streaming
+    * PSI paths share — bit-for-bit parity depends on this staying single.
+    */
+  private def countsToProportions(c: DataFrame) = {
+    val tot = c.agg(sum("c").as("t"))
+    c.crossJoin(tot).select(col("bin"), (col("c") / col("t")).as("p"))
+  }
 
   /** Exact per-bin counts for explicit numeric cuts — streaming-safe:
     * ONE aggregation whose state is at most cuts.size + 2 rows, however
@@ -66,13 +71,8 @@ object Drift {
     * of the streaming monitor; identical arithmetic to [[psi]].
     */
   def psiOfCounts(refCounts: DataFrame, curCounts: DataFrame,
-      eps: Double = defaultEps): DataFrame = {
-    def toP(c: DataFrame) = {
-      val tot = c.agg(sum("c").as("t"))
-      c.crossJoin(tot).select(col("bin"), (col("c") / col("t")).as("p"))
-    }
-    psiOf(toP(refCounts), toP(curCounts), eps)
-  }
+      eps: Double = defaultEps): DataFrame =
+    psiOf(countsToProportions(refCounts), countsToProportions(curCounts), eps)
 
   /** PSI of `cur` against `ref` over explicit numeric cut points.
     * Returns one row: psi, n_bins (bins populated on either side).

@@ -444,9 +444,13 @@ object Similarity {
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val vecD = col(vecCol).cast("array<double>")
+    // short vectors project to NULL components (array_dot would silently
+    // truncate; the unrolled element_at form this replaced propagated
+    // null — keep that malformed-row visibility)
     val comps = (0 until outDim).map { j =>
       val signs = (0 until inDim).map(k => rademacherSign(j, k))
-      call_function("array_dot", vecD, typedLit(signs)) * lit(scale)
+      when(size(vecD) >= inDim,
+        call_function("array_dot", vecD, typedLit(signs)) * lit(scale))
     }
     df.withColumn(outCol, array(comps: _*))
   }

@@ -188,6 +188,11 @@ object Unigram {
     require(wordCol == "w" || !words.columns.contains("w"),
       "segmentWordsViterbi stages the truncated word as column 'w' — " +
         s"rename the existing 'w' column (wordCol=$wordCol)")
+    val reserved = words.columns.filter(c => c == "bp_arr" ||
+      c == outputCol || c.matches("(sc_\\d+_\\d+|v_\\d+|e_\\d+)"))
+    require(reserved.isEmpty,
+      s"segmentWordsViterbi stages internal columns that clash with " +
+        s"input columns ${reserved.mkString(", ")} — rename them")
     val sm = typedLit(scoresMicro)
     val pos = positions(maxWordLen, maxPieceLen)
     val passthru = words.columns.toSeq.map(col)
@@ -292,21 +297,27 @@ object Unigram {
   def tokenize(df: DataFrame, textCol: String,
       scoresMicro: Map[String, Long], maxPieceLen: Int = 3,
       maxWordLen: Int = 8, outputCol: String = "tokens"): DataFrame = {
-    val withId = df.withColumn("__row", monotonically_increasing_id())
-    val exploded = withId.select(col("__row"),
-      posexplode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
+    // keyed on the TEXT value, not a generated row id: tokens are a pure
+    // function of the text, so identical texts share one DP + assembly,
+    // and the join-back is deterministic under recomputation (a
+    // monotonically_increasing_id key would be re-assigned differently
+    // on each side of the self-join under task retry / AQE replans)
+    val texts = df.select(col(textCol).as("__txt"))
+      .filter(col("__txt").isNotNull).distinct()
+    val exploded = texts.select(col("__txt"),
+      posexplode(filter(split(col("__txt"), "\\s+"), w => length(w) > 0))
         .as(Seq("__pos", "__w0")))
-      .select(col("__row"), col("__pos"),
+      .select(col("__txt"), col("__pos"),
         substring(col("__w0"), 1, maxWordLen).as("__w"))
     val dict = segmentWordsViterbi(
       exploded.select(col("__w")).distinct(), "__w", scoresMicro,
       maxPieceLen, maxWordLen, outputCol = "__toks")
-    val back = exploded.join(dict, "__w")
-      .groupBy("__row")
+    val perText = exploded.join(dict, "__w")
+      .groupBy("__txt")
       .agg(flatten(array_sort(collect_list(struct(col("__pos"),
         col("__toks")))).getField("__toks")).as(outputCol))
-    withId.join(back, Seq("__row"), "left")
-      .drop("__row")
+    df.join(perText, col(textCol) === col("__txt"), "left")
+      .drop("__txt")
       .withColumn(outputCol,
         coalesce(col(outputCol), array().cast("array<string>")))
   }

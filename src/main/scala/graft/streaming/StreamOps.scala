@@ -523,8 +523,9 @@ object StreamOps {
   // public: Spark's state-store encoder instantiates it reflectively.
   // nextIdx == -1 is the post-emission TOMBSTONE: the user has already
   // produced their FunnelHit; later stragglers must not restart the
-  // funnel and double-count them. The tombstone itself expires one quiet
-  // period after the last straggler, so state stays bounded.
+  // funnel and double-count them. The tombstone expires tombstoneMs
+  // after the last straggler (state stays bounded); a user silent past
+  // that window counts as a NEW journey by design.
   case class FunnelProgress(nextIdx: Int, lastTsUs: Long)
 
   /** STREAMING conversion funnel — the seventh streaming/batch parity
@@ -537,9 +538,13 @@ object StreamOps {
     * after the previously matched one.
     */
   def funnelSteps(events: Dataset[Event], steps: Seq[String],
-      quietMs: Long = 60000L): Dataset[FunnelHit] = {
+      quietMs: Long = 60000L,
+      tombstoneMs: Long = 86400000L): Dataset[FunnelHit] = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(tombstoneMs >= quietMs,
+      s"tombstoneMs ($tombstoneMs) must cover at least one quiet period " +
+        s"($quietMs) or post-emission stragglers restart the funnel")
     import events.sparkSession.implicits._
     val stepSet = steps.toSet
     def micros(t: Timestamp): Long =
@@ -554,11 +559,13 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             if (s.nextIdx >= 0) {
-              // live → emit once, then tombstone for one more quiet
-              // period so stragglers can't restart the funnel
+              // live → emit once, then tombstone for tombstoneMs (a day
+              // by default) so stragglers can't restart the funnel; a
+              // user silent past that window is BY DESIGN a new journey
+              // — the bounded alternative to an everlasting state leak
               state.update(FunnelProgress(-1, s.lastTsUs))
               state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + quietMs)
+                state.getCurrentWatermarkMs() + tombstoneMs)
               Iterator.single(FunnelHit(uid, s.nextIdx))
             } else {
               state.remove() // tombstone expired quietly
@@ -579,8 +586,8 @@ object StreamOps {
               }
               state.update(s)
             } // tombstoned: swallow stragglers, just refresh the horizon
-            state.setTimeoutTimestamp(
-              sorted.last.ts.getTime + quietMs)
+            state.setTimeoutTimestamp(sorted.last.ts.getTime +
+              (if (s.nextIdx < 0) tombstoneMs else quietMs))
             Iterator.empty
           }
       }

@@ -96,6 +96,10 @@ object ScaleCheck {
     // optional 4th+ args: measure only the named queries (incremental
     // SCALE.md rows without re-timing the whole set)
     val only = args.drop(3).toSet
+    val unknown = only -- queryNames.toSet
+    require(unknown.isEmpty,
+      s"unknown query filter(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise measure nothing and exit green")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -388,7 +388,7 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.Event]
     val q = StreamOps.funnelSteps(in.toDS(), Seq("view", "click"),
-        quietMs = 30000L)
+        quietMs = 30000L, tombstoneMs = 30000L)
       .writeStream.format("memory").queryName("graft_funnel_tomb")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
