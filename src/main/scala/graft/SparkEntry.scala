@@ -3909,6 +3909,17 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     }),
 
+    // engine-portable hyperplane-LSH ANN: md5-parity ±1 hyperplanes so
+    // the whole pipeline — sign bits, band buckets, candidate set,
+    // cosine rescoring — replays exactly; q29's hash-equality twin (the
+    // q278/q279 portable-MinHash discipline)
+    "q312_ann_lsh_portable" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopKPortable(e, e.filter(col("vec_id") < 3), "vec_id",
+          "embedding", k = 10, inDim = 64, nBits = 16, bands = 4)
+        .orderBy("query_id", "rn")
+    }),
+
     // corpus tokenization through the trained-vocab dictionary join —
     // the production fan-out path: the Viterbi DP runs once per DISTINCT
     // word, tokens rejoin the corpus in text order, one row per token
@@ -11014,6 +11025,54 @@ object SparkEntry {
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
          |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
     },
+
+    // identical md5("b#j")-parity signs (the q272 replay), sign-bit
+    // signatures, 4-bit band buckets as strings (engine joins on the
+    // sliced arrays — same candidate SET), exact cosine on the 6-digit
+    // grid with the id tiebreak
+    "q312_ann_lsh_portable" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT vec_id AS id, embedding FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT id, b.b AS b,
+        |    CASE WHEN sum(
+        |      (CASE WHEN ('0x' || substr(md5(b.b || '#' || k.k), 1, 15))
+        |          ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |      * CAST(embedding[k.k + 1] AS DOUBLE)) >= 0
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM g, UNNEST(generate_series(0, 15)) b(b),
+        |    UNNEST(generate_series(0, 63)) k(k)
+        |  GROUP BY id, b.b),
+        |bk AS MATERIALIZED (
+        |  SELECT id, CAST(b // 4 AS INT) AS band,
+        |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT q.id AS query_id, c.id AS vec_id
+        |  FROM bk q JOIN bk c ON q.band = c.band AND q.bkey = c.bkey
+        |    AND c.id <> q.id
+        |  WHERE q.id < 3),
+        |nrm AS MATERIALIZED (
+        |  SELECT id, sqrt(sum(CAST(embedding[k.k + 1] AS DOUBLE)
+        |    * CAST(embedding[k.k + 1] AS DOUBLE))) AS nn
+        |  FROM g, UNNEST(generate_series(0, 63)) k(k) GROUP BY 1),
+        |sc AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    round(sum(CAST(qe.embedding[k.k + 1] AS DOUBLE)
+        |        * CAST(ce.embedding[k.k + 1] AS DOUBLE))
+        |      / (any_value(qn.nn) * any_value(cn.nn)), 6) AS cos
+        |  FROM cand
+        |  JOIN g qe ON qe.id = cand.query_id
+        |  JOIN g ce ON ce.id = cand.vec_id
+        |  JOIN nrm qn ON qn.id = cand.query_id
+        |  JOIN nrm cn ON cn.id = cand.vec_id
+        |  CROSS JOIN UNNEST(generate_series(0, 63)) k(k)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     // q305's DP per distinct word; tokens rejoin the corpus in word
     // order (row_number over the pre-filter ordinality), then the

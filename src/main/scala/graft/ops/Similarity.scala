@@ -409,6 +409,54 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Engine-portable hyperplane-LSH top-k — [[lshTopK]]'s exact-replay
+    * twin (the q278/q279 portable-MinHash discipline): hyperplanes are
+    * md5-parity Rademacher ±1 rows (the [[randomProject]] matrix), so
+    * signature bits, band buckets, the candidate set, and the cosine
+    * rescoring all replay verbatim in any ANSI engine — a FULL
+    * hash-equality oracle for the LSH search path, where the splitmix64
+    * planes of [[lshTopK]] (the fast default) are not expressible.
+    *
+    * Same shapes as [[lshTopK]]: signature = nBits codegen'd array_dot
+    * sign tests against literal ±1 rows, band slices explode to a
+    * (band, bucket) equi-join against the broadcast queries, exact
+    * cosine rescoring on the 6-digit grid with the id tiebreak.
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, inDim: Int, nBits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    require(k >= 1 && inDim >= 1 && nBits >= 1,
+      s"need k, inDim, nBits >= 1, got k=$k inDim=$inDim nBits=$nBits")
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val rows = nBits / bands
+    def sigBits(vec: Column): Column = array((0 until nBits).map { b =>
+      val signs = (0 until inDim).map(j => rademacherSign(b, j))
+      when(call_function("array_dot", vec.cast("array<double>"),
+        typedLit(signs)) >= 0, lit(1)).otherwise(lit(0))
+    }: _*)
+    def withBands(df: DataFrame, id: String, vec: String) = {
+      val sig = sigBits(col(vec))
+      df.select(col(id), col(vec), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "bkey")))
+    }
+    val c = withBands(corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("c_vec")), "vec_id", "c_vec")
+    val q = withBands(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")), "query_id", "q_vec")
+    val cand = c.join(broadcast(q), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "q_vec", "c_vec")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(nativeCosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** md5-derived Rademacher sign for projection cell (j, k): ±1 from the
     * parity of the q236 15-hex-digit mapping of "j#k". Computed DRIVER
     * side — the projection matrix becomes plan literals.

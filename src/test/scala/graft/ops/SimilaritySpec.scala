@@ -232,6 +232,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sig.toSeq == sig2.toSeq)
   }
 
+  test("lshTopKPortable: identical twin ranks first with cosine 1") {
+    // a clone shares EVERY band bucket, so it is always a candidate
+    val base = emb.select($"vec_id", $"embedding").limit(8)
+    val clone = base.filter($"vec_id" === 0L)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(clone)
+    val top = Similarity.lshTopKPortable(corpus,
+        corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 5, inDim = 64, nBits = 16, bands = 4)
+      .orderBy("rn").collect()
+    assert(top.head.getLong(1) === 9999L)
+    assert(top.head.getDouble(2) === 1.0)
+    // ranks contiguous from 1, ordered by (cos desc, id)
+    assert(top.map(_.getLong(3)).toSeq === (1L to top.length))
+  }
+
+  test("lshTopKPortable is deterministic and partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.lshTopKPortable(df, df.filter($"vec_id" < 2L), "vec_id",
+          "embedding", k = 10, inDim = 64, nBits = 16, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val a = run(emb)
+    assert(a === run(emb.repartition(11)))
+    assert(a.nonEmpty)
+  }
+
   test("randomProject: JL norms are preserved on average (64 -> 32)") {
     import org.apache.spark.sql.functions._
     def sqNorm(c: org.apache.spark.sql.Column) =
