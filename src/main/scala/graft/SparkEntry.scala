@@ -3909,6 +3909,15 @@ object SparkEntry {
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
     }),
 
+    // engine-portable LSH near-dup PAIRS: q39's hash-equality twin —
+    // md5-parity hyperplanes, band-bucket self-join with the size cap,
+    // cosine grid, id_a < id_b
+    "q313_cosine_pairs_lsh_portable" -> ((s, dir) => {
+      Similarity.cosinePairsLSHPortable(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, inDim = 64, nBits = 16, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // engine-portable hyperplane-LSH ANN: md5-parity ±1 hyperplanes so
     // the whole pipeline — sign bits, band buckets, candidate set,
     // cosine rescoring — replays exactly; q29's hash-equality twin (the
@@ -11025,6 +11034,52 @@ object SparkEntry {
          |    / (SELECT CAST(sum(c) AS DOUBLE) FROM cf2), 6) AS p
          |FROM cf2 ORDER BY weight_micro DESC, piece LIMIT 40""".stripMargin
     },
+
+    // q312's sign/bucket replay, self-joined with the bucket-size cap;
+    // threshold on the rounded cosine, DISTINCT pairs
+    "q313_cosine_pairs_lsh_portable" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT vec_id AS id, embedding FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT id, b.b AS b,
+        |    CASE WHEN sum(
+        |      (CASE WHEN ('0x' || substr(md5(b.b || '#' || k.k), 1, 15))
+        |          ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |      * CAST(embedding[k.k + 1] AS DOUBLE)) >= 0
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM g, UNNEST(generate_series(0, 15)) b(b),
+        |    UNNEST(generate_series(0, 63)) k(k)
+        |  GROUP BY id, b.b),
+        |bk AS MATERIALIZED (
+        |  SELECT id, CAST(b // 4 AS INT) AS band,
+        |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY b) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |small AS (
+        |  SELECT band, bkey FROM bk GROUP BY 1, 2
+        |  HAVING count(*) <= 1000),
+        |pruned AS (SELECT bk.* FROM bk JOIN small USING (band, bkey)),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM pruned a JOIN pruned b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |nrm AS MATERIALIZED (
+        |  SELECT id, sqrt(sum(CAST(embedding[k.k + 1] AS DOUBLE)
+        |    * CAST(embedding[k.k + 1] AS DOUBLE))) AS nn
+        |  FROM g, UNNEST(generate_series(0, 63)) k(k) GROUP BY 1),
+        |sc AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    round(sum(CAST(ae.embedding[k.k + 1] AS DOUBLE)
+        |        * CAST(be.embedding[k.k + 1] AS DOUBLE))
+        |      / (any_value(an.nn) * any_value(bn.nn)), 6) AS cos
+        |  FROM cand
+        |  JOIN g ae ON ae.id = cand.id_a
+        |  JOIN g be ON be.id = cand.id_b
+        |  JOIN nrm an ON an.id = cand.id_a
+        |  JOIN nrm bn ON bn.id = cand.id_b
+        |  CROSS JOIN UNNEST(generate_series(0, 63)) k(k)
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // identical md5("b#j")-parity signs (the q272 replay), sign-bit
     // signatures, 4-bit band buckets as strings (engine joins on the

@@ -430,13 +430,8 @@ object Similarity {
       s"need k, inDim, nBits >= 1, got k=$k inDim=$inDim nBits=$nBits")
     graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val rows = nBits / bands
-    def sigBits(vec: Column): Column = array((0 until nBits).map { b =>
-      val signs = (0 until inDim).map(j => rademacherSign(b, j))
-      when(call_function("array_dot", vec.cast("array<double>"),
-        typedLit(signs)) >= 0, lit(1)).otherwise(lit(0))
-    }: _*)
     def withBands(df: DataFrame, id: String, vec: String) = {
-      val sig = sigBits(col(vec))
+      val sig = portableSigBits(col(vec), inDim, nBits)
       df.select(col(id), col(vec), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "bkey")))
@@ -455,6 +450,47 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+  }
+
+  /** Signature bits for the portable LSH family: bit b = sign of the
+    * dot against the md5-parity ±1 hyperplane row b — one codegen'd
+    * array_dot per bit, exact-replayable in ANSI SQL.
+    */
+  private def portableSigBits(vec: Column, inDim: Int, nBits: Int): Column =
+    array((0 until nBits).map { b =>
+      val signs = (0 until inDim).map(j => rademacherSign(b, j))
+      when(call_function("array_dot", vec.cast("array<double>"),
+        typedLit(signs)) >= 0, lit(1)).otherwise(lit(0))
+    }: _*)
+
+  /** Engine-portable cosine near-duplicate PAIRS — [[cosinePairsLSH]]'s
+    * exact-replay twin, same discipline as [[lshTopKPortable]]: md5-parity
+    * hyperplanes, band-bucket self-join with the bucket-size cap, cosine
+    * on the 6-digit grid, id_a < id_b.
+    */
+  def cosinePairsLSHPortable(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, inDim: Int, nBits: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    require(inDim >= 1 && maxBucketSize >= 1)
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val rows = nBits / bands
+    val sig = portableSigBits(col(vecCol), inDim, nBits)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "bkey")))
+    val small = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("band", "bkey")
+    val pruned = banded.join(small, Seq("band", "bkey"))
+    val a = pruned.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("v").as("va"))
+    val b = pruned.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(nativeCosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** md5-derived Rademacher sign for projection cell (j, k): ±1 from the
