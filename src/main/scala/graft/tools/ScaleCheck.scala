@@ -87,7 +87,9 @@ object ScaleCheck {
     "q306_unigram_score", // Viterbi DP per distinct word + dictionary join
     "q308_ivfpq_topk", // coarse assign + probe + candidate-sliced rescoring
     "q309_sliding_chunks", // corpus window explode (pure generator)
-    "q310_psi_stream") // bounded bin-count state at 10x event density
+    "q310_psi_stream", // bounded bin-count state at 10x event density
+    "q312_ann_lsh_portable", // portable LSH: bucket join + candidate rescoring
+    "q313_cosine_pairs_lsh_portable") // capped band-bucket self-join pairs
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
