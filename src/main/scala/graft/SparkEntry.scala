@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Unigram, Weighted}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Unigram, Weighted, WordPiece}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -45,6 +45,22 @@ object SparkEntry {
     "s" -> -5900000L, "r" -> -6000000L, "h" -> -6100000L,
     "l" -> -6200000L, "d" -> -6300000L, "c" -> -6400000L,
     "u" -> -6500000L, "m" -> -6600000L)
+
+  /** Fixed WordPiece segmentation vocab for q315 (shared verbatim by the
+    * query and its oracle's VALUES list; training itself is gated
+    * separately by q314). Deliberately covers: full-word pieces beating
+    * char walks ("scan" > "s"+"##can"), 2-char starts beating 1-char
+    * ("sp"/"st"/"so"/"sm" > "s"), a mid-word longest-match ("tab"+"##le"),
+    * and an uncovered letter ("j") so "join" exercises the whole-word
+    * [UNK] rule.
+    */
+  private val wordpieceVocab: Seq[String] = Seq(
+    "a", "b", "c", "d", "f", "g", "h", "k", "l", "m", "o", "p", "q",
+    "r", "s", "t", "v", "w", "sp", "st", "so", "sm", "tab", "scan",
+    "##le", "##can", "##low", "##ast", "##ilter", "##gg", "##atch",
+    "##ig", "##olumn", "##ustomer", "##ata", "##roup", "##ash", "##ey",
+    "##ine", "##erge", "##rder", "##art", "##uery", "##ow", "##he",
+    "##alue", "##ector", "##indow", "##ark", "##rt", "##all", "##ream")
 
   /** Round driver-side doubles the way SQL round does (half away from zero). */
   private def rd(v: Double, d: Int): Double =
@@ -3986,6 +4002,73 @@ object SparkEntry {
           pruneTo = Some(40), postPruneIters = 2)
         .select(col("piece"), col("weight_micro"), r(col("p"), 6).as("p"))
         .orderBy(col("weight_micro").desc, col("piece")).limit(40)
+    }),
+
+    // WordPiece tokenizer training (BERT lineage — the tokenizer triad's
+    // third member next to q223 BPE and q304 unigram-LM): BPE's merge
+    // loop scored by LIKELIHOOD, count(ab)/(count(a)·count(b)), with ##
+    // continuation prefixes. Exact replay: the score is ONE pinned float
+    // expression over exact integer counts — identical IEEE754 bits in
+    // both engines — so the per-round argmax replays verbatim
+    "q314_wordpiece_merges" -> ((s, dir) => {
+      WordPiece.learnMerges(t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
+    // WordPiece greedy encoding (HuggingFace longest-match-first walk):
+    // per-position longest vocab piece, ## when non-initial, whole word
+    // → [UNK] on any unmatched position — a pure projection over named
+    // cursor columns, DP once per DISTINCT word (the q305 discipline)
+    "q315_wordpiece_segment" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("w0"))
+        .filter(length(col("w0")) > 0)
+        .select(substring(col("w0"), 1, 12).as("w")).distinct()
+      WordPiece.segmentWordsGreedy(words, "w", wordpieceVocab,
+          maxPieceLen = 7, maxWordLen = 12)
+        .select(col("w"), array_join(col("tokens"), "|").as("toks"))
+        .orderBy("w")
+    }),
+
+    // EXACT quantiles by iterative histogram refinement — the k-th order
+    // statistic WITHOUT sorting: each round ONE aggregation whose
+    // shuffle carries ≤ buckets·|probs| cells (q58's approx-percentile
+    // twin, made hash-gateable by exact integer bucket arithmetic); the
+    // oracle is the sort-based selection it replaces at scale
+    "q316_exact_quantiles" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      Profile.exactQuantiles(cents, "v",
+          Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .select(col("p"), col("rank").as("rnk"), col("value"))
+        .orderBy("p")
+    }),
+
+    // EXACT Jaccard CONTAINMENT self-join (asymmetric near-subset
+    // detection — quotes/excerpts/boilerplate wrappers that symmetric
+    // Jaccard misses when the superset is much larger): q262's ordered
+    // sibling, prefix filter on the subset side only, full postings on
+    // the superset side, exact verification — hash-gated against the
+    // brute-force ordered-pair join
+    "q317_containment_join" -> ((s, dir) => {
+      FuzzyJoin.containmentSelfJoin(t(s, dir, "documents"), "doc_id",
+          "text", n = 4, threshold = 0.4)
+        .orderBy("id_sub", "id_sup")
+    }),
+
+    // bagged CART forest (Breiman bagging, distributed-bootstrap
+    // Poisson(1) weights from md5(rowid#tree) — the q297 ladder): each
+    // tree is a WEIGHTED q284 stump, every bag statistic an exact long
+    // sum; the oracle replays all three bags' melt/collapse/window/
+    // argmax pipelines with the identical integer weights
+    "q318_forest" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rid"),
+        col("l_discount"), col("l_quantity"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      Tree.fitForest(d, Seq("l_discount", "l_quantity"), "y", "rid",
+          nTrees = 3, maxDepth = 1).toDF(s)
+        .orderBy("tree", "path")
     })
   )
 
@@ -8179,7 +8262,7 @@ object SparkEntry {
            |      UNNEST(generate_series(1, len(l) - 1)) t(i)
            |    GROUP BY 1, 2)
            |  WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
-           |v${r + 1} AS (
+           |v${r + 1} AS MATERIALIZED (
            |  SELECT replace(s, ' ' || a || '  ' || b || ' ',
            |    ' ' || a || b || ' ') AS s, n
            |  FROM v$r CROSS JOIN m$r)""".stripMargin
@@ -11390,8 +11473,257 @@ object SparkEntry {
          |      / CAST(n_pieces AS DOUBLE) / 1e6, 6) END AS avg_nats
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // WordPiece training: the q223 space-padded-string replay with the
+    // likelihood score — per round ONE pair collapse, ONE symbol
+    // collapse, the pinned-float argmax, and the ##-stripping replace
+    "q314_wordpiece_merges" -> {
+      def rnd(r: Int): String =
+        s"""sy$r AS (
+           |  SELECT sym, sum(n) AS sc FROM (
+           |    SELECT unnest(string_split(trim(s), '  ')) AS sym, n
+           |    FROM v$r)
+           |  GROUP BY 1),
+           |pc$r AS (
+           |  SELECT l[i] AS a, l[i+1] AS b, sum(n) AS cnt
+           |  FROM (SELECT string_split(trim(s), '  ') AS l, n FROM v$r),
+           |    UNNEST(generate_series(1, len(l) - 1)) t(i)
+           |  GROUP BY 1, 2),
+           |m$r AS (
+           |  SELECT a, b, cnt FROM (
+           |    SELECT p.a, p.b, p.cnt, CAST(p.cnt AS DOUBLE)
+           |      / (CAST(sa.sc AS DOUBLE) * CAST(sb.sc AS DOUBLE)) AS score
+           |    FROM pc$r p
+           |    JOIN sy$r sa ON sa.sym = p.a
+           |    JOIN sy$r sb ON sb.sym = p.b
+           |    WHERE p.cnt >= 2)
+           |  ORDER BY score DESC, a, b LIMIT 1),
+           |v${r + 1} AS MATERIALIZED (
+           |  SELECT replace(s, ' ' || a || '  ' || b || ' ',
+           |    ' ' || a || CASE WHEN b LIKE '##%' THEN substr(b, 3)
+           |      ELSE b END || ' ') AS s, n
+           |  FROM v$r CROSS JOIN m$r)""".stripMargin
+      """WITH toks AS (
+        |  SELECT t AS w FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |v1 AS MATERIALIZED (
+        |  SELECT CASE WHEN length(w) = 1 THEN '  ' || w || '  '
+        |    ELSE '  ' || substr(w, 1, 1) || '  ' || array_to_string(
+        |      list_transform(regexp_split_to_array(substr(w, 2), ''),
+        |        c -> '##' || c), '  ') || '  ' END AS s,
+        |    count(*) AS n
+        |  FROM toks GROUP BY 1),
+        |""".stripMargin +
+        (1 to 8).map(rnd).mkString(",\n") +
+        "\nSELECT * FROM (\n" +
+        (1 to 8).map(r =>
+          s"""SELECT $r AS rank, a AS "left", b AS "right",
+             |  CAST(cnt AS BIGINT) AS pair_count FROM m$r""".stripMargin)
+          .mkString("\nUNION ALL ") +
+        "\n) ORDER BY rank"
+    },
+
+    // WordPiece greedy encoding: per-(position, length) vocab membership
+    // pivoted onto the word frame, the longest-match lengths packed into
+    // one list, then the greedy cursor walk unrolled as chained CTEs —
+    // identical substring/## arithmetic to the engine's named columns
+    "q315_wordpiece_segment" -> wordpieceSegSql,
+
+    // the sort-based selection the engine's histogram refinement
+    // replaces: row_number over the cents column, rank = ceil(p·n) —
+    // identical double arithmetic for the rank, exact integers after
+    "q316_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |p(p) AS (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+        |  (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+        |  (CAST(0.99 AS DOUBLE))),
+        |k AS (
+        |  SELECT p.p,
+        |    GREATEST(CAST(1 AS BIGINT), CAST(ceil(p.p * n.n) AS BIGINT))
+        |      AS rnk
+        |  FROM p, n)
+        |SELECT k.p, k.rnk, r.v AS value
+        |FROM k JOIN r ON r.rn = k.rnk
+        |ORDER BY p""".stripMargin,
+
+    // brute-force ordered-pair containment (q262's oracle shape with
+    // a <> b and the |A|-normalized ratio): prefix filtering is exact,
+    // so the quadratic oracle and the engine must agree pair for pair
+    "q317_containment_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 2),
+        |    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS shingles
+        |  FROM toks WHERE len(t) >= 4),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |p AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_sub, b.doc_id AS id_sup, count(*) AS ni
+        |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_sub, id_sup,
+        |  round(CAST(ni AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6)
+        |    AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_sub
+        |WHERE CAST(ni AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.4
+        |ORDER BY id_sub, id_sup""".stripMargin,
+
+    // three weighted q284 stump pipelines, bag b's weights from the
+    // md5(rid#b) 60-bit draw against the exact Poisson(1) long ladder
+    "q318_forest" -> forestOracleSql
   )
+
+  /** q318 oracle builder: per bag, the q284 melt/collapse/window/argmax
+    * pipeline with integer Poisson weights (w replaces count, w·y
+    * replaces sum(y)); weights from the q297 ladder on md5(rid#bag).
+    */
+  private def forestOracleSql: String = {
+    val ladder =
+      """CASE WHEN u < 424136118829305344 THEN 0
+        |      WHEN u < 848272237658610688 THEN 1
+        |      WHEN u < 1060340297073263360 THEN 2
+        |      WHEN u < 1131029650211480960 THEN 3
+        |      WHEN u < 1148701988496035328 THEN 4
+        |      WHEN u < 1152236456152946176 THEN 5
+        |      WHEN u < 1152825534095764608 THEN 6
+        |      ELSE 7 END""".stripMargin
+    def bag(b: Int): String =
+      s"""bw$b AS MATERIALIZED (
+         |  SELECT y, f1, f2, $ladder AS w
+         |  FROM (SELECT y, f1, f2,
+         |    ('0x' || substr(md5(rid || '#$b'), 1, 15))::BIGINT AS u
+         |    FROM base)
+         |  WHERE $ladder > 0),
+         |melt$b AS (
+         |  SELECT 'l_quantity' AS feature, f1 AS v, y, w FROM bw$b
+         |  UNION ALL SELECT 'l_discount', f2, y, w FROM bw$b),
+         |agg$b AS (
+         |  SELECT feature, v, sum(w) AS n, sum(w * y) AS pos
+         |  FROM melt$b GROUP BY 1, 2),
+         |cum$b AS (
+         |  SELECT feature, v,
+         |    sum(n) OVER (PARTITION BY feature ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS nl,
+         |    sum(pos) OVER (PARTITION BY feature ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS posl,
+         |    sum(n) OVER (PARTITION BY feature) AS nt,
+         |    sum(pos) OVER (PARTITION BY feature) AS post
+         |  FROM agg$b),
+         |sc$b AS (
+         |  SELECT feature, v, nl, posl, nt - nl AS nr, post - posl AS posr,
+         |    (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+         |      + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+         |      / CAST(nl AS DOUBLE)
+         |    + (CAST(post - posl AS DOUBLE) * CAST(post - posl AS DOUBLE)
+         |      + CAST((nt - nl) - (post - posl) AS DOUBLE)
+         |        * CAST((nt - nl) - (post - posl) AS DOUBLE))
+         |      / CAST(nt - nl AS DOUBLE) AS score
+         |  FROM cum$b WHERE nl >= 1 AND nt - nl >= 1),
+         |par$b AS (
+         |  SELECT sum(w) AS n, sum(w * y) AS pos,
+         |    (CAST(sum(w * y) AS DOUBLE) * CAST(sum(w * y) AS DOUBLE)
+         |      + CAST(sum(w) - sum(w * y) AS DOUBLE)
+         |        * CAST(sum(w) - sum(w * y) AS DOUBLE))
+         |      / CAST(sum(w) AS DOUBLE) AS pscore
+         |  FROM bw$b),
+         |best$b AS (
+         |  SELECT feature, v, nl, posl, nr, posr
+         |  FROM sc$b CROSS JOIN par$b WHERE score > pscore
+         |  ORDER BY score DESC, feature, v LIMIT 1)""".stripMargin
+    def rows(b: Int): String =
+      s"""SELECT $b AS tree, '' AS path, 0 AS depth,
+         |    CAST(par$b.n AS BIGINT) AS n, CAST(par$b.pos AS BIGINT) AS pos,
+         |    best$b.feature, CAST(best$b.v AS DOUBLE) AS threshold,
+         |    CASE WHEN 2 * par$b.pos > par$b.n THEN 1 ELSE 0 END AS pred
+         |  FROM par$b CROSS JOIN best$b
+         |UNION ALL
+         |SELECT $b, 'L', 1, CAST(nl AS BIGINT), CAST(posl AS BIGINT),
+         |    NULL, NULL, CASE WHEN 2 * posl > nl THEN 1 ELSE 0 END
+         |  FROM best$b
+         |UNION ALL
+         |SELECT $b, 'R', 1, CAST(nr AS BIGINT), CAST(posr AS BIGINT),
+         |    NULL, NULL, CASE WHEN 2 * posr > nr THEN 1 ELSE 0 END
+         |  FROM best$b""".stripMargin
+    """WITH base AS MATERIALIZED (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |    l_quantity AS f1, l_discount AS f2,
+      |    concat_ws('-', l_orderkey, l_linenumber) AS rid
+      |  FROM lineitem),
+      |""".stripMargin +
+      (1 to 3).map(bag).mkString(",\n") +
+      "\nSELECT * FROM (\n" +
+      (1 to 3).map(rows).mkString("\nUNION ALL\n") +
+      "\n) ORDER BY tree, path"
+  }
+
+  /** q315 oracle: the greedy longest-match walk over the fixed
+    * [[wordpieceVocab]], maxPieceLen 7 / maxWordLen 12 — matches
+    * [[graft.ops.WordPiece.segmentWordsGreedy]] step for step.
+    */
+  private def wordpieceSegSql: String = {
+    val L = 12; val G = 7
+    val pos = for { j <- 0 until L; l <- 1 to math.min(G, L - j) }
+      yield (j, l)
+    val posVals = pos.map { case (j, l) => s"($j, $l)" }.mkString(", ")
+    val vocVals = wordpieceVocab.map(p => s"('$p')").mkString(", ")
+    val hCols = pos.map { case (j, l) =>
+      s"max(CASE WHEN j = $j AND l = $l THEN h END) AS h_${j}_$l"
+    }.mkString(", ")
+    val mCols = (0 until L).map { j =>
+      val arms = (math.min(G, L - j) to 1 by -1)
+        .map(l => s"WHEN h_${j}_$l = 1 THEN $l").mkString(" ")
+      s"CASE $arms END AS m_$j"
+    }.mkString(", ")
+    val mArr = (0 until L).map(j => s"m_$j").mkString(", ")
+    val steps = (1 to L).map { k =>
+      val p = k - 1
+      s"""st$k AS (
+         |  SELECT *, CASE WHEN s_$p IS NOT NULL AND s_$p < length(w)
+         |      THEN m_arr[s_$p + 1] END AS mk_$k,
+         |    CASE WHEN s_$p IS NOT NULL AND s_$p < length(w)
+         |      THEN s_$p + m_arr[s_$p + 1] ELSE s_$p END AS s_$k,
+         |    CASE WHEN s_$p IS NOT NULL AND s_$p < length(w)
+         |        AND m_arr[s_$p + 1] IS NOT NULL
+         |      THEN CASE WHEN s_$p = 0 THEN substr(w, 1, m_arr[s_$p + 1])
+         |        ELSE '##' || substr(w, s_$p + 1, m_arr[s_$p + 1]) END
+         |      END AS tok_$k
+         |  FROM st${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val toks = (1 to L).map(k => s"tok_$k").mkString(", ")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT DISTINCT substr(t, 1, $L) AS w FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+       |    FROM documents)
+       |  WHERE t <> ''),
+       |voc(p) AS (VALUES $vocVals),
+       |sub AS (
+       |  SELECT w.w, pos.j, pos.l,
+       |    CASE WHEN pos.j = 0 THEN substr(w.w, 1, pos.l)
+       |      ELSE '##' || substr(w.w, pos.j + 1, pos.l) END AS piece
+       |  FROM w, (VALUES $posVals) pos(j, l)
+       |  WHERE length(w.w) >= pos.j + pos.l),
+       |hit AS (
+       |  SELECT s.w, s.j, s.l, CASE WHEN v.p IS NOT NULL THEN 1 END AS h
+       |  FROM sub s LEFT JOIN voc v ON v.p = s.piece),
+       |px AS MATERIALIZED (SELECT w, $hCols FROM hit GROUP BY w),
+       |ma AS (SELECT w, $mCols FROM px),
+       |st0 AS (SELECT *, list_value($mArr) AS m_arr, 0 AS s_0 FROM ma),
+       |$steps
+       |SELECT w, CASE WHEN s_$L IS NOT NULL
+       |  THEN concat_ws('|', $toks) ELSE '[UNK]' END AS toks
+       |FROM st$L ORDER BY w""".stripMargin
+  }
 
   private val unigramL = 8
 

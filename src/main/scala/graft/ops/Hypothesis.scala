@@ -500,7 +500,7 @@ object Hypothesis {
     * · 2⁶⁰) for k = 0..6; draws past the ladder get weight 7
     * (P ≈ 8e-5 per draw).
     */
-  private val poisson1Cut60: Array[Long] = Array(
+  private[ops] val poisson1Cut60: Array[Long] = Array(
     424136118829305344L, 848272237658610688L, 1060340297073263360L,
     1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
     1152825534095764608L)

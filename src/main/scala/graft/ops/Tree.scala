@@ -83,6 +83,23 @@ object Tree {
     def predict(df: DataFrame, outputCol: String = "pred"): DataFrame =
       df.withColumn(outputCol, predictExpr)
 
+    /** Leaf POSITIVE-RATE prediction (pos/n of the landed leaf) as a
+      * literal nested-CASE column — the probability-style score
+      * ensembles average. One pinned double division per leaf.
+      */
+    def rateExpr: Column = {
+      def walk(path: String): Column = {
+        val nd = byPath(path)
+        nd.feature match {
+          case Some(f) if byPath.contains(path + "L") =>
+            when(col(f).cast("double") <= lit(nd.threshold.get),
+              walk(path + "L")).otherwise(walk(path + "R"))
+          case _ => lit(nd.pos.toDouble / nd.n)
+        }
+      }
+      walk("")
+    }
+
     /** The node table: (path, depth, n, pos, feature, threshold, pred),
       * one row per node, root first — the gate/serialization surface.
       */
@@ -254,20 +271,43 @@ object Tree {
     * @param minLeaf a split is admissible only if both children have at
     *                least this many rows
     */
+  /** @param weightCol optional INTEGRAL row weights (exact-count
+    *                   semantics: a weight-w row counts as w copies —
+    *                   Poisson bag weights, dedup multiplicities,
+    *                   pre-aggregated frequency tables). Zero-weight
+    *                   rows are dropped before any statistic, including
+    *                   the binned min/max pass. Integral so every count
+    *                   stays an exact long sum on any partitioning.
+    */
   def fit(df: DataFrame, features: Seq[String], labelCol: String,
       maxDepth: Int = 2, minLeaf: Long = 1L,
-      bins: Option[Int] = None): TreeModel = {
+      bins: Option[Int] = None,
+      weightCol: Option[String] = None): TreeModel = {
     require(features.nonEmpty, "need at least one feature")
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     require(minLeaf >= 1L, s"minLeaf must be >= 1, got $minLeaf")
     bins.foreach(b => require(b >= 2, s"bins must be >= 2, got $b"))
+    weightCol.foreach { wc =>
+      val integral = Set("byte", "short", "int", "bigint", "tinyint",
+        "smallint", "integer", "long")
+      require(integral(df.schema(wc).dataType.simpleString),
+        s"weightCol '$wc' must be integral (exact-count semantics), got " +
+          df.schema(wc).dataType.simpleString)
+    }
     val spark = df.sparkSession
 
+    val base = weightCol match {
+      case Some(wc) => df.filter(col(wc) > 0L)
+      case None => df
+    }
+    val wAs: Column = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
     val y = col(labelCol).cast("long")
-    val melted = meltExpr(df, features, bins)
+    val melted = meltExpr(base, features, bins)
 
     var model = {
-      val r0 = df.agg(count(lit(1)).as("n"), sum(y).as("pos")).head()
+      val r0 = base.agg(sum(wAs).as("n"), sum(wAs * y).as("pos")).head()
+      require(!r0.isNullAt(0),
+        "tree fit: no rows (empty input or all weights zero)")
       TreeModel(Seq(TreeNode("", 0, r0.getLong(0), r0.getLong(1),
         None, None)))
     }
@@ -278,12 +318,13 @@ object Tree {
           nd.n >= 2 * minLeaf && nd.pos > 0L && nd.pos < nd.n)
       if (frontier.nonEmpty) {
         val frontierPaths = frontier.map(_.path).toSet
-        val cand = df
-          .select(model.pathExpr(depth).as("node"), melted.as("fv"), y.as("y"))
+        val cand = base
+          .select(model.pathExpr(depth).as("node"), melted.as("fv"),
+            y.as("y"), wAs.as("w"))
           .where(col("node").isin(frontierPaths.toSeq: _*))
           .groupBy(col("node"), col("fv.feature").as("feature"),
             col("fv.v").as("v"))
-          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+          .agg(sum("w").as("n"), sum(col("w") * col("y")).as("pos"))
         val wCum = Window.partitionBy("node", "feature").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.partitionBy("node", "feature")
@@ -339,5 +380,57 @@ object Tree {
       }
     }
     model
+  }
+
+  /** Bagged forest: per-tree leaf-rate scores averaged in tree order. */
+  final case class ForestModel(trees: Seq[TreeModel]) {
+    /** Mean leaf positive rate — tree scores summed in tree order (a
+      * pinned left fold) then divided by the tree count: one documented
+      * float association, engine-replayable.
+      */
+    def predictScoreExpr: Column =
+      trees.map(_.rateExpr).reduceLeft(_ + _) / lit(trees.size.toDouble)
+
+    def predict(df: DataFrame, outputCol: String = "score"): DataFrame =
+      df.withColumn(outputCol, predictScoreExpr)
+
+    /** All node tables stacked with a 1-based `tree` id. */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      trees.zipWithIndex.map { case (t, i) =>
+        t.toDF(spark).select(lit(i + 1).as("tree"), col("*"))
+      }.reduceLeft(_ unionByName _)
+  }
+
+  /** Bagged CART forest (Breiman bagging with the distributed-bootstrap
+    * Poisson(1) approximation): tree b trains on POISSON bag weights
+    * drawn from md5(id#b) — the [[Hypothesis.bootstrapMeanCI]] ladder:
+    * content-keyed, partition-invariant, engine-reproducible, and
+    * INTEGER, so every bag statistic is an exact long sum (the
+    * [[fit]] weighted mode). No per-tree feature subsampling — with the
+    * deterministic-replay discipline the bag randomness is the ensemble
+    * driver, and candidate features stay the caller-chosen set.
+    *
+    * Cost: `nTrees` independent [[fit]] loops — nTrees·maxDepth bounded
+    * candidate collapses over the data, each tree's driver state ≤
+    * 2^maxDepth rows. Scoring is a literal CASE chain per tree, summed
+    * in tree order: pure projection, no join, no UDF.
+    */
+  def fitForest(df: DataFrame, features: Seq[String], labelCol: String,
+      idCol: String, nTrees: Int = 5, maxDepth: Int = 2,
+      minLeaf: Long = 1L, bins: Option[Int] = None): ForestModel = {
+    require(nTrees >= 1, s"need nTrees >= 1, got $nTrees")
+    require(!df.columns.contains("__bagw"),
+      "fitForest stages bag weights as column '__bagw' — rename it")
+    val trees = (1 to nTrees).map { b =>
+      val draw = conv(substring(md5(concat(col(idCol).cast("string"),
+        lit("#"), lit(b.toString))), 1, 15), 16, 10).cast("long")
+      val w = Hypothesis.poisson1Cut60.zipWithIndex
+        .foldRight(lit(7L): Column) { case ((cut, k), rest) =>
+          when(draw < cut, lit(k.toLong)).otherwise(rest)
+        }
+      fit(df.withColumn("__bagw", w), features, labelCol, maxDepth,
+        minLeaf, bins, weightCol = Some("__bagw"))
+    }
+    ForestModel(trees)
   }
 }

@@ -193,4 +193,60 @@ class FuzzyJoinSpec extends SparkSpec {
       .orderBy("id_a", "id_b").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("containmentSelfJoin catches the subset pair symmetric Jaccard misses") {
+    val df = Seq(
+      (1L, "x y z"),                 // 2-gram shingles {xy, yz}
+      (2L, "x y z p q r s t u v")    // superset: 9 shingles
+    ).toDF("id", "text")
+    val got = FuzzyJoin.containmentSelfJoin(df, "id", "text", n = 2,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // C(1→2) = 2/2 = 1.0; C(2→1) = 2/9 — only the sub→sup direction
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // and symmetric Jaccard at the same threshold finds NOTHING
+    assert(FuzzyJoin.jaccardSelfJoin(df, "id", "text", n = 2,
+      threshold = 0.8).count() === 0L)
+  }
+
+  test("containmentSelfJoin matches brute force on real documents") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val sh = docs.select(col("doc_id"),
+        graft.ops.Dedup.shingleHashExpr(col("text"), 4).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toSeq
+      (for {
+        (ia, sa) <- sh; (ib, sb) <- sh
+        if ia != ib && sa.nonEmpty
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= t
+      } yield (ia, ib, BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    }
+    for (t <- Seq(0.4, 0.7)) {
+      val got = FuzzyJoin.containmentSelfJoin(docs, "doc_id", "text",
+          n = 4, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === brute(t), s"threshold=$t")
+    }
+  }
+
+  test("containmentSelfJoin emits both directions for mutual near-subsets") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("id", "text")
+    val got = FuzzyJoin.containmentSelfJoin(df, "id", "text", n = 2,
+        threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("containmentSelfJoin fails loudly on a hot prefix posting") {
+    val rows = (1L to 60L).map(i => (i, "same words every time here"))
+    val ex = intercept[IllegalArgumentException] {
+      FuzzyJoin.containmentSelfJoin(rows.toDF("id", "text"), "id", "text",
+        n = 2, threshold = 0.5, maxPostings = 10).collect()
+    }
+    assert(ex.getMessage.contains("postings"))
+  }
 }

@@ -213,6 +213,50 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(out(0.75) - 7.5) <= 0.1)
   }
 
+  test("exactQuantiles selects the exact order statistics") {
+    val df = (1 to 10).map(_.toLong).toDF("v")
+    val got = Profile.exactQuantiles(df, "v", Seq(0.25, 0.5, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    // ranks ceil(p·10) = 3, 5, 10
+    assert(got.toSeq === Seq((0.25, 3L, 3L), (0.5, 5L, 5L), (1.0, 10L, 10L)))
+  }
+
+  test("exactQuantiles handles duplicates, negatives, and tiny p") {
+    val df = Seq(-5L, -5L, -5L, 0L, 7L, 7L, 9L).toDF("v")
+    val got = Profile.exactQuantiles(df, "v", Seq(0.001, 0.2, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    // ranks: max(1, ceil(.007)) = 1, ceil(1.4) = 2, ceil(3.5) = 4,
+    // ceil(6.3) = 7
+    assert(got === Map(0.001 -> -5L, 0.2 -> -5L, 0.5 -> 0L, 0.9 -> 9L))
+  }
+
+  test("exactQuantiles agrees with a full sort at every bucket width") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val probs = Seq(0.01, 0.5, 0.99)
+    val n = li.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val ranked = li.withColumn("rn", row_number().over(w))
+    val want = probs.map { p =>
+      val k = math.max(1L, math.ceil(p * n).toLong)
+      p -> ranked.filter(col("rn") === k).head().getLong(0)
+    }.toMap
+    for (b <- Seq(2, 16, 1024)) {
+      val got = Profile.exactQuantiles(li, "v", probs, buckets = b)
+        .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+      assert(got === want, s"buckets=$b")
+    }
+  }
+
+  test("exactQuantiles rejects float columns and empty input loudly") {
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantiles(Seq(1.5).toDF("v"), "v", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.exactQuantiles(Seq.empty[Long].toDF("v"), "v", Seq(0.5))
+    }
+  }
+
   test("kAnonymityViolations flags classes under k, nulls group as values") {
     val df = Seq(
       ("a", 1), ("a", 1), ("a", 1),     // class of 3: safe at k = 3

@@ -138,4 +138,58 @@ class TreeSpec extends SparkSpec {
       rounds = 3).stumps
     assert(a == b && a.nonEmpty)
   }
+
+  test("weighted fit equals the unweighted fit on row-expanded data") {
+    val weighted = Seq((1.0, 0, 3L), (2.0, 0, 1L), (3.0, 1, 2L),
+      (2.5, 1, 2L), (1.5, 0, 2L)).toDF("x", "y", "w")
+    val expanded = Seq((1.0, 0, 3L), (2.0, 0, 1L), (3.0, 1, 2L),
+        (2.5, 1, 2L), (1.5, 0, 2L))
+      .flatMap { case (x, y, w) => Seq.fill(w.toInt)((x, y)) }
+      .toDF("x", "y")
+    val a = Tree.fit(weighted, Seq("x"), "y", maxDepth = 2,
+      weightCol = Some("w")).nodes.sortBy(_.path)
+    val b = Tree.fit(expanded, Seq("x"), "y", maxDepth = 2)
+      .nodes.sortBy(_.path)
+    assert(a === b)
+  }
+
+  test("zero-weight rows are invisible, including to the binned range") {
+    val withZero = Seq((1.0, 0, 1L), (2.0, 0, 1L), (3.0, 1, 1L),
+      (4.0, 1, 1L), (100.0, 1, 0L)).toDF("x", "y", "w")
+    val without = Seq((1.0, 0, 1L), (2.0, 0, 1L), (3.0, 1, 1L),
+      (4.0, 1, 1L)).toDF("x", "y", "w")
+    val a = Tree.fit(withZero, Seq("x"), "y", maxDepth = 1,
+      bins = Some(4), weightCol = Some("w")).nodes
+    val b = Tree.fit(without, Seq("x"), "y", maxDepth = 1,
+      bins = Some(4), weightCol = Some("w")).nodes
+    assert(a === b)
+    // a 100-spanning binned range would put the split edge past 4.0
+    assert(a.head.threshold.exists(_ <= 4.0))
+  }
+
+  test("forest: separable data scores the classes 0 and 1 exactly") {
+    val rows = (1 to 80).map(i => (i.toLong, i.toDouble,
+      if (i > 40) 1 else 0))
+    val df = rows.toDF("id", "x", "y")
+    val f = Tree.fitForest(df, Seq("x"), "y", "id", nTrees = 3,
+      maxDepth = 1)
+    assert(f.trees.size === 3)
+    // every bag still separates perfectly → every leaf rate is 0 or 1
+    val scored = f.predict(df).select(col("x"), col("score"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(scored(5.0) === 0.0)
+    assert(scored(75.0) === 1.0)
+  }
+
+  test("forest training is partition-invariant (md5 bag weights)") {
+    val rows = (1 to 60).map(i =>
+      (i.toLong, (i % 13).toDouble, (i % 7).toDouble,
+        if (i % 3 == 0) 1 else 0))
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val a = Tree.fitForest(df.repartition(1), Seq("x1", "x2"), "y", "id",
+      nTrees = 3, maxDepth = 2).trees.map(_.nodes.sortBy(_.path))
+    val b = Tree.fitForest(df.repartition(7), Seq("x1", "x2"), "y", "id",
+      nTrees = 3, maxDepth = 2).trees.map(_.nodes.sortBy(_.path))
+    assert(a === b)
+  }
 }
