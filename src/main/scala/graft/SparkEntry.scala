@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, TopK, Tree, Unigram, Weighted, WordPiece}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -4069,6 +4069,152 @@ object SparkEntry {
       Tree.fitForest(d, Seq("l_discount", "l_quantity"), "y", "rid",
           nTrees = 3, maxDepth = 1).toDF(s)
         .orderBy("tree", "path")
+    }),
+
+    // PLSA topic modeling (Hofmann 1999 — the deterministic count-based
+    // core of the LDA lineage): 2 soft-EM rounds over the (doc, word, n)
+    // frame restricted to the top-50 vocab; per-cell posteriors quantize
+    // to integer micro-units BEFORE any shuffle (the q304 discipline),
+    // θ/φ are exact integer ratios with a 1-micro-unit floor. q319 gates
+    // the topic-word table, q320 the doc-topic mixtures
+    "q319_plsa_topics" -> ((s, dir) => {
+      Topics.fitPlsa(t(s, dir, "documents"), "doc_id", "text", k = 4,
+          topV = 50, iters = 2)
+        .topicWordDF(s)
+        .select(col("topic"), col("word"), col("weight_micro"),
+          r(col("p"), 6).as("p"))
+        .orderBy("topic", "word")
+    }),
+
+    "q320_plsa_docs" -> ((s, dir) => {
+      Topics.fitPlsa(t(s, dir, "documents"), "doc_id", "text", k = 4,
+          topV = 50, iters = 2)
+        .docTopicsDF
+        .select(col("doc_id"), col("topic"), col("weight_micro"),
+          r(col("p"), 6).as("p"))
+        .orderBy("doc_id", "topic")
+    }),
+
+    // Weibull AFT (survreg's DEFAULT distribution — generalizes q301
+    // with an estimated shape): alternating warm-started Poisson-offset
+    // IRLS at the current shape k with 1e-8-grid-quantized k Newton
+    // steps (the q282 θ discipline). Saturated binary design → the
+    // oracle's per-round η is the closed cell MLE e_c/Σ t^k; both
+    // engines land on the identical quantized k sequence and agree on
+    // the 6-digit output grid
+    "q321_aft_weibull" -> ((s, dir) => {
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max("ts").as("tl"), avg("value").as("av"))
+      val d = per
+        .filter(col("av").isNotNull)
+        .select(
+          ((unix_micros(coalesce(col("tp"), col("tl"))) -
+            unix_micros(col("t0"))).cast("double") / 3600000000.0)
+            .as("dur"),
+          col("tp").isNotNull.cast("int").as("ev"),
+          (col("av") > 49).cast("int").as("x_high"))
+        .filter(col("dur") > 0)
+      val m = Survival.aftWeibull(d, "dur", "ev", Seq("x_high"))
+      import s.implicits._
+      (m.features.zipWithIndex.map { case (f, i) =>
+        (f, rd(m.coefs(i), 6))
+      } :+ (("scale", rd(m.scale, 6))))
+        .toDF("term", "estimate").orderBy("term")
+    }),
+
+    // l-diversity audit (k-anonymity's disclosure sibling): quasi
+    // classes whose sensitive attribute carries fewer than l distinct
+    // values — ONE groupBy with an exact distinct count
+    "q322_l_diversity" -> ((s, dir) => {
+      Profile.lDiversityViolations(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), "c_acctbal", l = 12)
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // diagonal GMM by EM (k-means' probabilistic sibling): components
+    // milli-quantized ONCE, responsibilities micro-quantized BEFORE the
+    // moment sums, means/vars/weights exact integer ratios — the q319
+    // float-input extension of the PLSA discipline. q323 gates the
+    // model table, q324 the hard assignment projection
+    "q323_gmm_model" -> ((s, dir) => {
+      Mixture.fitGmmDiag(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 4, k = 3, iters = 2)
+        .toDF(s)
+        .select(col("cluster"), col("weight_micro"), r(col("pi"), 6).as("pi"),
+          col("dim"), r(col("mean"), 6).as("mean"),
+          r(col("variance"), 6).as("variance"))
+        .orderBy("cluster", "dim")
+    }),
+
+    "q324_gmm_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Mixture.fitGmmDiag(e, "vec_id", "embedding", dims = 4, k = 3,
+          iters = 2)
+        .assign(e)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
+    // deterministic isolation forest (Liu et al. 2008 — multivariate
+    // anomaly detection WITHOUT distributional assumptions, next to
+    // MAD/Mahalanobis): md5-drawn features/split fractions, per level
+    // ONE (tree, node) min/max aggregation. Exact replay is stronger
+    // than the EM class: min/max carry exact input doubles, splits are
+    // one pinned product, depths are integers. q325 gates the node
+    // table, q326 the top-50 anomaly scores
+    "q325_isoforest_model" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      val (_, nodes) = Outliers.isolationForest(d,
+        Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+        nTrees = 2, maxDepth = 3)
+      import s.implicits._
+      nodes.map(nd => (nd.tree, nd.path, nd.feature.orNull,
+          nd.split.map(v => rd(v, 6)).map(Double.box).orNull, nd.size))
+        .toDF("tree", "path", "feature", "split", "size")
+        .withColumn("split", col("split").cast("double"))
+        .orderBy("tree", "path")
+    }),
+
+    "q326_isoforest_scores" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      val (scored, _) = Outliers.isolationForest(d,
+        Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+        nTrees = 2, maxDepth = 3)
+      scored.select(col("l_orderkey"), col("l_linenumber"),
+          r(col("iso_score"), 6).as("score"))
+        .orderBy(col("score").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(50)
+    }),
+
+    // doubly-robust AIPW ATE (Robins et al. 1994 — the modern default
+    // estimator, consistent if EITHER the propensity strata or the
+    // outcome strata capture the confounding): two cell collapses +
+    // ONE scoring scan + ONE mean; q276 ipwAte's augmented sibling
+    "q327_aipw_ate" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(
+        col("l_linestatus").as("ps"), (col("l_partkey") % 7).as("om"),
+        (col("l_returnflag") === "R").cast("int").as("treat"),
+        round(col("l_extendedprice") * 100).cast("long")
+          .cast("double").as("y"))
+      Matching.aipwAte(d, Seq("ps"), Seq("om"), "treat", "y")
+        .select(col("n_used"), col("n_excluded"),
+          r(col("ate_aipw"), 4).as("ate_aipw"))
+    }),
+
+    // trimmed + winsorized means off the q316 exact-quantile bounds —
+    // the robust-location readout; integral cents keep every sum exact
+    "q328_trimmed_mean" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      Profile.trimmedMean(cents, "v", 0.05, 0.95)
+        .select(col("n"), col("n_kept"), col("q_lo"), col("q_hi"),
+          r(col("trimmed_mean"), 6).as("trimmed_mean"),
+          r(col("winsorized_mean"), 6).as("winsorized_mean"))
     })
   )
 
@@ -11581,8 +11727,499 @@ object SparkEntry {
 
     // three weighted q284 stump pipelines, bag b's weights from the
     // md5(rid#b) 60-bit draw against the exact Poisson(1) long ladder
-    "q318_forest" -> forestOracleSql
+    "q318_forest" -> forestOracleSql,
+
+    // 2 unrolled PLSA EM rounds (the q304 unrolled-CTE discipline):
+    // md5-mod-k doubled-share init, pinned posterior chain, per-cell
+    // micro quantization, exact-ratio θ/φ with the 1-floor
+    "q319_plsa_topics" -> (plsaOracleCtes +
+      "\nSELECT * FROM (\n" +
+      (0 until 4).map(z =>
+        s"""SELECT $z AS topic, w AS word,
+           |  CAST(c_$z AS BIGINT) AS weight_micro,
+           |  round(CAST(c_$z AS DOUBLE) / CAST(s$z AS DOUBLE), 6) AS p
+           |FROM phw2 CROSS JOIN pt2""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\n) ORDER BY topic, word"),
+
+    "q320_plsa_docs" -> (plsaOracleCtes +
+      "\nSELECT * FROM (\n" +
+      (0 until 4).map(z =>
+        s"""SELECT d AS doc_id, $z AS topic,
+           |  CAST(t_$z AS BIGINT) AS weight_micro,
+           |  round(CAST(t_$z AS DOUBLE)
+           |    / (((CAST(t_0 AS DOUBLE) + CAST(t_1 AS DOUBLE))
+           |      + CAST(t_2 AS DOUBLE)) + CAST(t_3 AS DOUBLE)), 6) AS p
+           |FROM th2""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\n) ORDER BY doc_id, topic"),
+
+    // 6 unrolled alternation rounds (closed saturated-cell η at the
+    // round's k, then 2 quantized k Newton steps — the q282 shape);
+    // identical f/fp association order and the round(greatest(...), 8)
+    // grid; output = negated log cell rates over the final k
+    "q321_aft_weibull" -> weibullOracleSql,
+
+    // identical collapse + exact distinct count (nulls excluded by
+    // COUNT(DISTINCT) semantics in both engines)
+    "q322_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT c_acctbal) < 12
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // 2 unrolled GMM EM rounds (md5-seeded means, global-moment
+    // variances, micro-quantized responsibilities, exact-ratio updates
+    // with the 1-floor) — the q319 CTE discipline over float inputs
+    "q323_gmm_model" -> (gmmOracleCtes +
+      "\nSELECT * FROM (\n" +
+      (for (z <- 0 until 3; j <- 0 until 4) yield
+        s"""SELECT $z AS cluster,
+           |  CAST(greatest(sw_$z, 1) AS BIGINT) AS weight_micro,
+           |  round(pi_$z, 6) AS pi, $j AS dim,
+           |  round(mu_${z}_$j, 6) AS mean,
+           |  round(v_${z}_$j, 6) AS variance
+           |FROM p2 CROSS JOIN m2""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\n) ORDER BY cluster, dim"),
+
+    // unrolled isolation-forest training (2 trees × 3 levels): per level
+    // ONE per-node min/max aggregation pivoted to a one-row split state,
+    // node reassignment as a CASE chain — the md5 feature/fraction draws
+    // are data-independent, so they land as builder literals
+    "q325_isoforest_model" -> (isoOracleCtes +
+      "\nSELECT * FROM (\n" + isoNodeTableSql + "\n) ORDER BY tree, path"),
+
+    // the scoring projection under the q325 forest: depth + c(leaf size)
+    // per tree, averaged in tree order, 2^(−avg/c(n)); ordered by the
+    // ROUNDED score so ulp-level ln/pow differences cannot reorder the
+    // top-50 cut
+    "q326_isoforest_scores" -> (isoOracleCtes + s"""
+       |SELECT okey AS l_orderkey, line AS l_linenumber, score
+       |FROM (
+       |  SELECT okey, line, round(power(2.0, -((
+       |      (length(nd_0) + $isoCSql0) + (length(nd_1) + $isoCSql1)
+       |    ) / 2.0) / (SELECT $isoCSqlN FROM nn)), 6) AS score
+       |  FROM r3
+       |  JOIN lc0 ON lc0.node = r3.nd_0
+       |  JOIN lc1 ON lc1.node = r3.nd_1)
+       |ORDER BY score DESC, okey, line LIMIT 50""".stripMargin),
+
+    // identical two cell collapses + the ψ expression + one mean; the
+    // only float sum is Σψ, rounded at 4 (cents-scale values)
+    "q327_aipw_ate" ->
+      """WITH base AS (
+        |  SELECT l_linestatus AS ps, l_partkey % 7 AS om,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+        |      AS y
+        |  FROM lineitem),
+        |pc AS (
+        |  SELECT ps, CAST(sum(t) AS DOUBLE) / count(*) AS e
+        |  FROM base GROUP BY 1),
+        |oc AS (
+        |  SELECT om,
+        |    sum(CASE WHEN t = 1 THEN y END)
+        |      / sum(CASE WHEN t = 1 THEN 1.0 END) AS m1,
+        |    sum(CASE WHEN t = 0 THEN y END)
+        |      / sum(CASE WHEN t = 0 THEN 1.0 END) AS m0
+        |  FROM base GROUP BY 1),
+        |j AS (
+        |  SELECT t, y, e, m1, m0,
+        |    (e > 0.0 AND e < 1.0 AND m1 IS NOT NULL AND m0 IS NOT NULL)
+        |      AS ok
+        |  FROM base JOIN pc USING (ps) JOIN oc USING (om))
+        |SELECT
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+        |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_excluded,
+        |  round(sum(CASE WHEN ok THEN
+        |      ((m1 - m0) + (CAST(t AS DOUBLE) * (y - m1) / e))
+        |        - ((1.0 - CAST(t AS DOUBLE)) * (y - m0) / (1.0 - e))
+        |    END) / sum(CASE WHEN ok THEN 1.0 END), 4) AS ate_aipw
+        |FROM j""".stripMargin,
+
+    // exact-quantile bounds by sort-based selection (the q316 oracle
+    // shape) + the identical conditional/clamped aggregates
+    "q328_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |k AS (
+        |  SELECT
+        |    (SELECT v FROM r, n WHERE rn = GREATEST(CAST(1 AS BIGINT),
+        |      CAST(ceil(CAST(0.05 AS DOUBLE) * n.n) AS BIGINT))) AS qlo,
+        |    (SELECT v FROM r, n WHERE rn = GREATEST(CAST(1 AS BIGINT),
+        |      CAST(ceil(CAST(0.95 AS DOUBLE) * n.n) AS BIGINT))) AS qhi)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v.v >= qlo AND v.v <= qhi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(qlo AS BIGINT) AS q_lo, CAST(qhi AS BIGINT) AS q_hi,
+        |  round(CAST(sum(CASE WHEN v.v >= qlo AND v.v <= qhi THEN v.v END)
+        |      AS DOUBLE)
+        |    / CAST(sum(CASE WHEN v.v >= qlo AND v.v <= qhi THEN 1 ELSE 0
+        |      END) AS DOUBLE), 6) AS trimmed_mean,
+        |  round(CAST(sum(LEAST(GREATEST(v.v, qlo), qhi)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean
+        |FROM v CROSS JOIN k
+        |GROUP BY qlo, qhi""".stripMargin,
+
+    // hard assignment under the q323 model: per-row log-density chain,
+    // first-max-wins over z ascending (>= comparisons)
+    "q324_gmm_assign" -> (gmmOracleCtes +
+      s"""
+         |SELECT vec_id,
+         |  CASE WHEN ${gmmLl(0)} >= ${gmmLl(1)}
+         |         AND ${gmmLl(0)} >= ${gmmLl(2)} THEN 0
+         |       WHEN ${gmmLl(1)} >= ${gmmLl(2)} THEN 1
+         |       ELSE 2 END AS cluster
+         |FROM base CROSS JOIN p2
+         |ORDER BY vec_id""".stripMargin)
   )
+
+  // ------- q325/q326 isolation-forest oracle builder -------
+
+  private val isoFeats =
+    Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+  private def isoDraw(t: Int, kind: String, path: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$t#$kind#$path").substring(0, 15), 16)
+  private def isoFeatOf(t: Int, path: String): String =
+    isoFeats((isoDraw(t, "f", path) % isoFeats.length).toInt)
+  private def isoFracOf(t: Int, path: String): Double =
+    isoDraw(t, "s", path).toDouble / math.pow(2.0, 60)
+  private def isoPid(p: String): String = if (p.isEmpty) "r" else p
+
+  /** c(m) — average BST path length, identical formula to the engine. */
+  private def isoC(m: String): String =
+    s"(CASE WHEN $m <= 1 THEN 0.0 WHEN $m = 2 THEN 1.0 " +
+      s"ELSE 2.0 * (ln($m - 1.0) + 0.5772156649) " +
+      s"- 2.0 * ($m - 1.0) / $m END)"
+  private def isoCSql0: String = isoC("lc0.m")
+  private def isoCSql1: String = isoC("lc1.m")
+  private def isoCSqlN: String = isoC("nn.n")
+
+  /** Training CTEs (T = 2 trees, D = 3 levels over [[isoFeats]]):
+    * r$l row frames carry per-tree node paths; per level ONE per-node
+    * min/max/count aggregation pivots to a one-row split state with the
+    * builder-literal md5 fractions; lc0/lc1 are the final leaf sizes.
+    */
+  private def isoOracleCtes: String = {
+    val D = 3
+    def paths(l: Int): Seq[String] =
+      if (l == 0) Seq("") else paths(l - 1).flatMap(p =>
+        Seq(p + "L", p + "R"))
+    def level(t: Int, l: Int): String = {
+      val ps = paths(l)
+      val featCase = "CASE nd_" + t + " " + ps.map(p =>
+        s"WHEN '$p' THEN ${isoFeatOf(t, p)}").mkString(" ") + " END"
+      val pivots = ps.map { p =>
+        val frac = isoFracOf(t, p)
+        s"max(CASE WHEN node = '$p' THEN CASE WHEN cnt >= 2 AND mx > mn " +
+          s"THEN mn + $frac * (mx - mn) END END) AS s${t}_${isoPid(p)}"
+      }.mkString(", ")
+      s"""ag${t}_$l AS (
+         |  SELECT node, min(fe) AS mn, max(fe) AS mx, count(*) AS cnt
+         |  FROM (SELECT nd_$t AS node, $featCase AS fe FROM r$l)
+         |  GROUP BY 1),
+         |sp${t}_$l AS MATERIALIZED (SELECT $pivots FROM ag${t}_$l)"""
+        .stripMargin
+    }
+    def ndUpdate(t: Int, l: Int): String = {
+      val arms = paths(l).map { p =>
+        val pid = isoPid(p)
+        s"WHEN '$p' THEN (CASE WHEN s${t}_$pid IS NULL THEN '$p' " +
+          s"WHEN ${isoFeatOf(t, p)} < s${t}_$pid THEN '${p}L' " +
+          s"ELSE '${p}R' END)"
+      }.mkString(" ")
+      s"(CASE nd_$t $arms ELSE nd_$t END) AS nd_$t"
+    }
+    val featsSel = isoFeats.map(f =>
+      s"CAST($f AS DOUBLE) AS $f").mkString(", ")
+    val baseCols = "okey, line, " + isoFeats.mkString(", ")
+    val levels = (0 until D).map { l =>
+      s"""${level(0, l)},
+         |${level(1, l)},
+         |r${l + 1} AS MATERIALIZED (
+         |  SELECT $baseCols, ${ndUpdate(0, l)}, ${ndUpdate(1, l)}
+         |  FROM r$l CROSS JOIN sp0_$l CROSS JOIN sp1_$l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT l_orderkey AS okey, l_linenumber AS line, $featsSel
+       |  FROM lineitem),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |r0 AS (SELECT *, '' AS nd_0, '' AS nd_1 FROM base),
+       |$levels,
+       |lc0 AS MATERIALIZED (
+       |  SELECT nd_0 AS node, count(*) AS m FROM r$D GROUP BY 1),
+       |lc1 AS MATERIALIZED (
+       |  SELECT nd_1 AS node, count(*) AS m FROM r$D GROUP BY 1)"""
+      .stripMargin
+  }
+
+  /** q325 node-table arms: internal rows off each level's split state,
+    * leaf rows off the final-assignment counts.
+    */
+  private def isoNodeTableSql: String = {
+    val D = 3
+    def paths(l: Int): Seq[String] =
+      if (l == 0) Seq("") else paths(l - 1).flatMap(p =>
+        Seq(p + "L", p + "R"))
+    val internals = for (t <- 0 until 2; l <- 0 until D; p <- paths(l))
+      yield {
+        val pid = isoPid(p)
+        s"""SELECT $t AS tree, '$p' AS path,
+           |  '${isoFeatOf(t, p)}' AS feature,
+           |  round(s${t}_$pid, 6) AS split, CAST(-1 AS BIGINT) AS size
+           |FROM sp${t}_$l WHERE s${t}_$pid IS NOT NULL""".stripMargin
+      }
+    val leaves = (0 until 2).map(t =>
+      s"""SELECT $t AS tree, node AS path, CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS DOUBLE), CAST(m AS BIGINT) FROM lc$t"""
+        .stripMargin)
+    (internals ++ leaves).mkString("\nUNION ALL\n")
+  }
+
+  /** The per-cluster log-density chain of the q323/q324 oracles (2π
+    * dropped — per-row constant): ln π_z − 0.5·(((t0+t1)+t2)+t3) with
+    * t_j = ((x_j − μ)² / v + ln v), x_j = xq_j/1e3.
+    */
+  private def gmmLl(z: Int): String = {
+    val terms = (0 until 4).map { j =>
+      s"(((CAST(xq_$j AS DOUBLE) / 1e3 - mu_${z}_$j) " +
+        s"* (CAST(xq_$j AS DOUBLE) / 1e3 - mu_${z}_$j)) / v_${z}_$j " +
+        s"+ ln(v_${z}_$j))"
+    }
+    val fold = terms.reduceLeft((a, b) => s"($a + $b)")
+    s"(ln(pi_$z) - 0.5 * $fold)"
+  }
+
+  /** q323/q324 shared oracle CTEs: milli-quantized components,
+    * (md5(id), id)-ranked seed means, global-moment initial variances,
+    * then 2 unrolled EM rounds mirroring
+    * [[graft.ops.Mixture.fitGmmDiag]] (k = 3, dims = 4).
+    */
+  private def gmmOracleCtes: String = {
+    val K = 3; val D = 4
+    def zs(f: Int => String, sep: String = ", "): String =
+      (0 until K).map(f).mkString(sep)
+    def js(f: Int => String, sep: String = ", "): String =
+      (0 until D).map(f).mkString(sep)
+    def zjs(f: (Int, Int) => String): String =
+      (for (z <- 0 until K; j <- 0 until D) yield f(z, j)).mkString(", ")
+    val wTot = s"((greatest(sw_0, 1) + greatest(sw_1, 1)) " +
+      s"+ greatest(sw_2, 1))"
+    def round(t: Int): String = {
+      val es = zs(z => s"exp(${gmmLl(z)}) AS e_$z")
+      val den = "((e_0 + e_1) + e_2)"
+      s"""r$t AS MATERIALIZED (
+         |  SELECT vec_id, ${js(j => s"xq_$j")},
+         |    ${zs(z =>
+               s"CAST(round((e_$z / $den) * 1e6) AS BIGINT) AS w_$z")}
+         |  FROM (SELECT base.*, $es FROM base CROSS JOIN p${t - 1})),
+         |m$t AS MATERIALIZED (
+         |  SELECT ${zs(z => s"sum(w_$z) AS sw_$z")},
+         |    ${zjs((z, j) => s"sum(w_$z * xq_$j) AS mm_${z}_$j")},
+         |    ${zjs((z, j) => s"sum(w_$z * xq_$j * xq_$j) AS ss_${z}_$j")}
+         |  FROM r$t),
+         |p$t AS MATERIALIZED (
+         |  SELECT ${zs(z =>
+             s"CAST(greatest(sw_$z, 1) AS DOUBLE) " +
+               s"/ CAST($wTot AS DOUBLE) AS pi_$z")},
+         |    ${zjs((z, j) =>
+               s"(CAST(mm_${z}_$j AS DOUBLE) " +
+                 s"/ CAST(greatest(sw_$z, 1) AS DOUBLE)) / 1e3 " +
+                 s"AS mu_${z}_$j")},
+         |    ${zjs((z, j) =>
+               s"greatest((CAST(ss_${z}_$j AS DOUBLE) " +
+                 s"/ CAST(greatest(sw_$z, 1) AS DOUBLE)) / 1e6 " +
+                 s"- ((CAST(mm_${z}_$j AS DOUBLE) " +
+                 s"/ CAST(greatest(sw_$z, 1) AS DOUBLE)) / 1e3) " +
+                 s"* ((CAST(mm_${z}_$j AS DOUBLE) " +
+                 s"/ CAST(greatest(sw_$z, 1) AS DOUBLE)) / 1e3), 1e-6) " +
+                 s"AS v_${z}_$j")}
+         |  FROM m$t)""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id,
+       |    ${js(j => s"CAST(round(CAST(embedding[${j + 1}] AS DOUBLE) " +
+           s"* 1e3) AS BIGINT) AS xq_$j")}
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $D),
+       |sd AS (
+       |  SELECT ${js(j => s"xq_$j")},
+       |    row_number() OVER (ORDER BY md5(id), id) AS rn
+       |  FROM base),
+       |mu0 AS (
+       |  SELECT ${zjs((z, j) =>
+           s"max(CASE WHEN rn = ${z + 1} THEN " +
+             s"CAST(xq_$j AS DOUBLE) / 1e3 END) AS mu_${z}_$j")}
+       |  FROM sd WHERE rn <= $K),
+       |g0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${js(j => s"CAST(sum(xq_$j) AS BIGINT) AS s1_$j")},
+       |    ${js(j => s"CAST(sum(xq_$j * xq_$j) AS BIGINT) AS s2_$j")}
+       |  FROM base),
+       |p0 AS MATERIALIZED (
+       |  SELECT ${zs(z =>
+           s"CAST(1 AS DOUBLE) / CAST($K AS DOUBLE) AS pi_$z")},
+       |    ${zjs((z, j) => s"mu_${z}_$j")},
+       |    ${zjs((z, j) =>
+             s"greatest((CAST(s2_$j AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6" +
+               s" - ((CAST(s1_$j AS DOUBLE) / CAST(n AS DOUBLE)) / 1e3) " +
+               s"* ((CAST(s1_$j AS DOUBLE) / CAST(n AS DOUBLE)) / 1e3), " +
+               s"1e-6) AS v_${z}_$j")}
+       |  FROM mu0 CROSS JOIN g0),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
+  /** q321 oracle builder: the q301 event-duration frame, then 6 rounds
+    * of (closed cell MLE η at current k; 2 Newton k-steps on the 1e-8
+    * grid) mirroring [[graft.glm.Survival.aftWeibull]]'s alternation.
+    */
+  private def weibullOracleSql: String = {
+    def kin(r: Int, s: Int): String =
+      if (s == 1) { if (r == 1) "k0" else s"k${r - 1}_2" } else s"k${r}_1"
+    def step(r: Int, s: Int): String = {
+      val k = kin(r, s)
+      s"""g${r}_$s AS MATERIALIZED (
+         |  SELECT sc.dd / $k.k + sc.ll - sum(
+         |      (CASE WHEN d.xh = 1 THEN eta$r.eh1 ELSE eta$r.eh0 END)
+         |        * exp($k.k * d.lt) * d.lt) AS f,
+         |    -sc.dd / ($k.k * $k.k) - sum(
+         |      (CASE WHEN d.xh = 1 THEN eta$r.eh1 ELSE eta$r.eh0 END)
+         |        * exp($k.k * d.lt) * d.lt * d.lt) AS fp
+         |  FROM d CROSS JOIN eta$r CROSS JOIN $k CROSS JOIN sc
+         |  GROUP BY sc.dd, sc.ll, $k.k),
+         |k${r}_$s AS MATERIALIZED (
+         |  SELECT round(greatest(1e-4,
+         |    CASE WHEN g.fp < 0 THEN $k.k - g.f / g.fp ELSE $k.k END), 8)
+         |    AS k
+         |  FROM g${r}_$s g CROSS JOIN $k)""".stripMargin
+    }
+    def round(r: Int): String = {
+      val k = kin(r, 1)
+      s"""tc$r AS MATERIALIZED (
+         |  SELECT xh, sum(exp($k.k * lt)) AS tt
+         |  FROM d CROSS JOIN $k GROUP BY xh),
+         |eta$r AS MATERIALIZED (
+         |  SELECT
+         |    max(CASE WHEN t.xh = 0 THEN c.e / t.tt END) AS eh0,
+         |    max(CASE WHEN t.xh = 1 THEN c.e / t.tt END) AS eh1
+         |  FROM tc$r t JOIN ce c USING (xh)),
+         |${step(r, 1)},
+         |${step(r, 2)}""".stripMargin
+    }
+    """WITH per AS (
+      |  SELECT user_id, min(ts) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+      |    max(ts) AS tl, avg(value) AS av
+      |  FROM events GROUP BY 1),
+      |d0 AS (
+      |  SELECT CAST(epoch_us(coalesce(tp, tl)) - epoch_us(t0) AS DOUBLE)
+      |      / 3600000000.0 AS dur,
+      |    CAST(tp IS NOT NULL AS INT) AS ev,
+      |    CASE WHEN av > 49 THEN 1 ELSE 0 END AS xh
+      |  FROM per WHERE av IS NOT NULL),
+      |d AS MATERIALIZED (
+      |  SELECT dur, ev, xh, ln(dur) AS lt FROM d0 WHERE dur > 0),
+      |sc AS (SELECT CAST(sum(ev) AS DOUBLE) AS dd,
+      |  sum(ev * lt) AS ll FROM d),
+      |ce AS (SELECT xh, CAST(sum(ev) AS DOUBLE) AS e FROM d GROUP BY xh),
+      |k0 AS (SELECT CAST(1.0 AS DOUBLE) AS k),
+      |""".stripMargin +
+      (1 to 6).map(round).mkString(",\n") +
+      """
+        |SELECT * FROM (
+        |SELECT '(Intercept)' AS term, round(-ln(eh0) / k, 6) AS estimate
+        |  FROM eta6 CROSS JOIN k6_2
+        |UNION ALL
+        |SELECT 'scale', round(1.0 / k, 6) FROM k6_2
+        |UNION ALL
+        |SELECT 'x_high', round(-(ln(eh1) - ln(eh0)) / k, 6)
+        |  FROM eta6 CROSS JOIN k6_2
+        |) ORDER BY term""".stripMargin
+  }
+
+  /** q319/q320 shared oracle CTEs: vocab, counts, md5-mod-k init, and 2
+    * unrolled EM rounds mirroring [[graft.ops.Topics.fitPlsa]] (k = 4,
+    * topV = 50) — identical pinned float chains and micro quantization.
+    */
+  private def plsaOracleCtes: String = {
+    val K = 4
+    def zs(f: Int => String, sep: String = ", "): String =
+      (0 until K).map(f).mkString(sep)
+    def round(r: Int): String = {
+      val prev = r - 1
+      val tot = "(((CAST(t_0 AS DOUBLE) + CAST(t_1 AS DOUBLE)) " +
+        "+ CAST(t_2 AS DOUBLE)) + CAST(t_3 AS DOUBLE))"
+      def num(z: Int) = s"((CAST(t_$z AS DOUBLE) / tot) * p_$z)"
+      val den = s"(((${num(0)} + ${num(1)}) + ${num(2)}) + ${num(3)})"
+      s"""jn$r AS (
+         |  SELECT c.d, c.w, c.n, ${zs(z => s"t.t_$z")},
+         |    ${zs(z => s"p.p_$z")}
+         |  FROM cnt c JOIN th$prev t USING (d) JOIN php$prev p USING (w)),
+         |cell$r AS MATERIALIZED (
+         |  SELECT d, w, ${zs(z =>
+             s"CAST(round((CAST(n AS DOUBLE) * (${num(z)} / $den)) " +
+               s"* 1e6) AS BIGINT) AS c_$z")}
+         |  FROM (SELECT *, $tot AS tot FROM jn$r)),
+         |th$r AS MATERIALIZED (
+         |  SELECT d, ${zs(z =>
+             s"CAST(greatest(sum(c_$z), 1) AS BIGINT) AS t_$z")}
+         |  FROM cell$r GROUP BY d),
+         |phw$r AS MATERIALIZED (
+         |  SELECT w, ${zs(z =>
+             s"CAST(greatest(sum(c_$z), 1) AS BIGINT) AS c_$z")}
+         |  FROM cell$r GROUP BY w),
+         |pt$r AS (SELECT ${zs(z =>
+             s"CAST(sum(c_$z) AS BIGINT) AS s$z")} FROM phw$r),
+         |php$r AS (
+         |  SELECT w, ${zs(z =>
+             s"CAST(c_$z AS DOUBLE) / CAST(s$z AS DOUBLE) AS p_$z")}
+         |  FROM phw$r CROSS JOIN pt$r)""".stripMargin
+    }
+    s"""WITH wn AS (
+       |  SELECT d, w FROM (
+       |    SELECT doc_id AS d,
+       |      unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |voc AS MATERIALIZED (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+       |    FROM wn GROUP BY w)
+       |  WHERE rk <= 50),
+       |cnt AS MATERIALIZED (
+       |  SELECT d, w, count(*) AS n FROM wn JOIN voc USING (w)
+       |  GROUP BY 1, 2),
+       |ph0 AS (
+       |  SELECT w, ${zs(z => s"CASE WHEN hz = $z THEN 2 ELSE 1 END AS c_$z")}
+       |  FROM (SELECT w,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $K AS hz FROM voc)),
+       |pt0 AS (SELECT ${zs(z => s"CAST(sum(c_$z) AS BIGINT) AS s$z")}
+       |  FROM ph0),
+       |php0 AS (
+       |  SELECT w, ${zs(z =>
+           s"CAST(c_$z AS DOUBLE) / CAST(s$z AS DOUBLE) AS p_$z")}
+       |  FROM ph0 CROSS JOIN pt0),
+       |th0 AS MATERIALIZED (
+       |  SELECT d, ${zs(z =>
+           s"CASE WHEN hd = $z THEN 2000000 ELSE 1000000 END AS t_$z")}
+       |  FROM (SELECT DISTINCT d,
+       |    ('0x' || substr(md5(CAST(d AS VARCHAR)), 1, 15))::BIGINT % $K
+       |      AS hd FROM cnt)),
+       |${round(1)},
+       |${round(2)}"""
+      .stripMargin
+  }
 
   /** q318 oracle builder: per bag, the q284 melt/collapse/window/argmax
     * pipeline with integer Poisson weights (w replaces count, w·y

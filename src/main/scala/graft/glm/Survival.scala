@@ -274,6 +274,94 @@ object Survival {
       evRow.getLong(0), evRow.getDouble(1).toLong)
   }
 
+  /** Fitted Weibull AFT model: log T = x'γ + σW (W standard extreme
+    * value) — R `survreg(dist = "weibull")`'s parametrization. `coefs`
+    * are the AFT γ (log-time scale, intercept first); `scale` is σ =
+    * 1/shape.
+    */
+  final case class AftWeibullModel(features: Seq[String],
+      coefs: Array[Double], scale: Double, n: Long, events: Long) {
+    def shape: Double = 1.0 / scale
+    /** Median survival time exp(x'γ)·(ln 2)^σ — a pure projection. */
+    def predictMedianExpr: org.apache.spark.sql.Column = {
+      val linear = features.tail.zipWithIndex
+        .map { case (f, i) => col(f).cast("double") * lit(coefs(i + 1)) }
+        .foldLeft(lit(coefs(0)): org.apache.spark.sql.Column)(_ + _)
+      exp(linear) * lit(math.pow(math.log(2.0), scale))
+    }
+    def predictMedian(df: DataFrame,
+        outputCol: String = "median_time"): DataFrame =
+      df.withColumn(outputCol, predictMedianExpr)
+  }
+
+  /** Weibull accelerated-failure-time regression — `survreg`'s DEFAULT
+    * distribution, generalizing [[aftExponential]] with an estimated
+    * shape k (AFT scale σ = 1/k): hazard λ(t) = k·t^{k−1}·e^{x'β},
+    * so the cumulative-hazard term is exp(x'β + k·log t) — a Poisson
+    * GLM of the event indicator with offset k·log t, the SAME identity
+    * as the exponential case, just at the current shape.
+    *
+    * Alternation (the [[NegBin.fit]] θ discipline): each round runs the
+    * warm-started fused-Gram Poisson IRLS at the current k, then
+    * `newtonSteps` Newton updates of k — each ONE aggregation with
+    * (β, k) as literals over exact per-row arithmetic:
+    *   f(k)  = Σd·(1/k) + Σd·log t − Σ μ·log t,     μ = e^{x'β + k·log t}
+    *   f'(k) = −Σd/k² − Σ μ·(log t)²
+    * k is quantized to the 1e-8 grid after every step so the alternation
+    * replays bit-exactly in any engine (a free-running float k would
+    * drift by ulps across engines and diverge the subsequent refits).
+    * AFT output: γ = −β/k, σ = 1/k. Stats are skipped on all but the
+    * final refit (the ZeroInfl warm-start trick).
+    */
+  def aftWeibull(df: DataFrame, durationCol: String, eventCol: String,
+      xCols: Seq[String], rounds: Int = 6,
+      newtonSteps: Int = 2): AftWeibullModel = {
+    require(xCols.nonEmpty, "need at least one covariate")
+    require(rounds >= 1 && newtonSteps >= 1,
+      s"need rounds >= 1 and newtonSteps >= 1, got $rounds/$newtonSteps")
+    val minDur = df.agg(min(col(durationCol).cast("double"))).head()
+    require(!minDur.isNullAt(0) && minDur.getDouble(0) > 0.0,
+      s"durations must be strictly positive (the hazard term is t^k); " +
+        s"min = ${minDur.get(0)} — filter or shift zero durations upstream")
+    def quantize(x: Double): Double = math.rint(x * 1e8) / 1e8
+    val work = df.select((xCols.map(col) :+
+      col(eventCol).cast("double").as("__ev") :+
+      log(col(durationCol).cast("double")).as("__lt")): _*).persist()
+    try {
+      var k = 1.0
+      var betas: Option[breeze.linalg.DenseVector[Double]] = None
+      var model: GLMModel = null
+      for (r <- 1 to rounds) {
+        val offs = work.withColumn("__off", col("__lt") * lit(k))
+        model = GLM.fit(offs, xCols, "__ev", family = "poisson",
+          offsetCol = Some("__off"), initCoefs = betas,
+          computeStats = r == rounds)
+        betas = Some(model.coefs)
+        val b = model.coefs.toArray
+        val eta = xCols.zipWithIndex
+          .map { case (c, i) => col(c).cast("double") * lit(b(i + 1)) }
+          .foldLeft(lit(b(0)): org.apache.spark.sql.Column)(_ + _)
+        for (_ <- 1 to newtonSteps) {
+          val mu = exp(eta + col("__lt") * lit(k))
+          val row = work.agg(
+            sum("__ev").as("d"),
+            sum(col("__ev") * col("__lt")).as("dlt"),
+            sum(mu * col("__lt")).as("mlt"),
+            sum(mu * col("__lt") * col("__lt")).as("mlt2")).head()
+          val (d, dlt, mlt, mlt2) = (row.getDouble(0), row.getDouble(1),
+            row.getDouble(2), row.getDouble(3))
+          val f = d / k + dlt - mlt
+          val fp = -d / (k * k) - mlt2
+          k = quantize(math.max(1e-4, if (fp < 0) k - f / fp else k))
+        }
+      }
+      val evRow = work.agg(count(lit(1)), sum("__ev")).head()
+      AftWeibullModel("(Intercept)" +: xCols,
+        model.coefs.toArray.map(bi => -bi / k), 1.0 / k,
+        evRow.getLong(0), evRow.getDouble(1).toLong)
+    } finally { work.unpersist(blocking = false); () }
+  }
+
   /** Per-segment exponential AFT — one independent parametric survival
     * model per key (the thousands-of-segments regime: per-cohort,
     * per-product, per-region time-to-event effects). Same Poisson-offset

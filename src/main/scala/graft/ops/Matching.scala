@@ -108,4 +108,56 @@ object Matching {
       .select("n_used", "n_treated", "n_control", "ate_ipw",
         "mean_treated", "mean_control", "n_excluded")
   }
+
+  /** Doubly-robust AIPW ATE (augmented inverse-propensity weighting,
+    * Robins/Rotnitzky/Zhao 1994 — the modern default ATE estimator):
+    * combines a saturated propensity model on `psCols` with a saturated
+    * outcome model on `omCols`; consistent if EITHER stratification
+    * captures the confounding (the two covariate sets are deliberately
+    * independent arguments — with identical sets AIPW degenerates to the
+    * stratified estimator and the robustness is vacuous).
+    *
+    *   ψ_i = m₁(x) − m₀(x) + t·(y − m₁)/e − (1−t)·(y − m₀)/(1−e)
+    *   ATE = mean ψ
+    *
+    * Execution: TWO cell collapses (propensity shares on psCols; per-arm
+    * outcome means on omCols) broadcast back, ONE scoring scan, ONE
+    * mean. Rows in positivity-violating propensity cells (e ∈ {0, 1})
+    * or in outcome cells missing an arm are excluded and counted — the
+    * [[ipwAte]] convention.
+    *
+    * @return one row: (n_used, n_excluded, ate_aipw, mean_psi_treated —
+    *         diagnostic arm means of ψ's correction terms omitted)
+    */
+  def aipwAte(df: DataFrame, psCols: Seq[String], omCols: Seq[String],
+      treatCol: String, outcomeCol: String): DataFrame = {
+    require(psCols.nonEmpty && omCols.nonEmpty,
+      "need at least one propensity and one outcome stratum column")
+    val base = df.select(((psCols ++ omCols).distinct.map(col) :+
+        col(treatCol).cast("int").as("__t") :+
+        col(outcomeCol).cast("double").as("__y")): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    val ps = base.groupBy(psCols.map(col): _*)
+      .agg((sum("__t").cast("double") / count(lit(1))).as("__e"))
+    val om = base.groupBy(omCols.map(col): _*)
+      .agg(
+        (sum(when(col("__t") === 1, col("__y"))) /
+          sum(when(col("__t") === 1, 1.0))).as("__m1"),
+        (sum(when(col("__t") === 0, col("__y"))) /
+          sum(when(col("__t") === 0, 1.0))).as("__m0"))
+    val joined = base
+      .join(broadcast(ps), psCols)
+      .join(broadcast(om), omCols)
+    val ok = col("__e") > 0.0 && col("__e") < 1.0 &&
+      col("__m1").isNotNull && col("__m0").isNotNull
+    val psi = (col("__m1") - col("__m0")) +
+      (col("__t").cast("double") * (col("__y") - col("__m1")) /
+        col("__e")) -
+      ((lit(1.0) - col("__t").cast("double")) *
+        (col("__y") - col("__m0")) / (lit(1.0) - col("__e")))
+    joined.agg(
+      sum(when(ok, 1L).otherwise(0L)).as("n_used"),
+      sum(when(ok, 0L).otherwise(1L)).as("n_excluded"),
+      (sum(when(ok, psi)) / sum(when(ok, 1.0))).as("ate_aipw"))
+  }
 }

@@ -94,4 +94,177 @@ object Outliers {
     df.withColumn(outputCol,
       graft.glm.LinAlg.quadFormExpr(inv, centered))
   }
+
+  /** One fitted isolation-forest node: `feature`/`split` set on
+    * internal nodes (value < split goes left), `size` the node's row
+    * count (filled for leaves, used by the path-length correction).
+    */
+  final case class IsoNode(tree: Int, path: String,
+      feature: Option[String], split: Option[Double], size: Long)
+
+  /** Deterministic isolation forest (Liu/Ting/Zhou 2008) — the
+    * MULTIVARIATE anomaly score next to the univariate [[madOutliers]]
+    * and the Gaussian-shaped [[mahalanobis]]: anomalous rows isolate in
+    * few random axis-aligned splits, so a short expected path depth
+    * marks an outlier WITHOUT any distributional assumption.
+    *
+    * Randomness is content-keyed, not random: node (t, path) draws its
+    * feature as md5(t·"f"·path) mod |features| and its split fraction
+    * as the 60-bit md5(t·"s"·path) over 2⁶⁰ — deterministic,
+    * partition-invariant, identical in any engine. The split VALUE is
+    * min + frac·(max − min) of the node's rows.
+    *
+    * Distribution (per level, ALL trees and frontier nodes at once):
+    * node assignment per tree is a literal nested-CASE projection;
+    * ONE (tree, node) aggregation computes each node's min/max of its
+    * own chosen feature (a per-node literal CASE selects which feature
+    * feeds the agg); ≤ trees·2^depth rows return to the driver. Exact
+    * replay is STRONGER than the EM operators': min/max carry exact
+    * input doubles (never a float sum), split arithmetic is one pinned
+    * product, and path depths are integers — only the final score
+    * chain is float, identical in any engine.
+    *
+    * Scoring: s(x) = 2^(−E_t[h_t(x)] / c(n)) with h = depth +
+    * c(leaf size), c(m) the average BST path length (c(1) = 0,
+    * c(2) = 1, else 2(ln(m−1) + γ) − 2(m−1)/m, γ = 0.5772156649) — a
+    * pure per-tree nested-CASE projection averaged in tree order.
+    *
+    * @return input plus `outputCol` (anomaly score in (0, 1); higher =
+    *         more anomalous) and the model's node table
+    */
+  def isolationForest(df: DataFrame, features: Seq[String],
+      nTrees: Int = 4, maxDepth: Int = 6,
+      outputCol: String = "iso_score"): (DataFrame, Seq[IsoNode]) = {
+    require(features.nonEmpty, "need at least one feature")
+    require(nTrees >= 1 && maxDepth >= 1,
+      s"need nTrees >= 1 and maxDepth >= 1, got $nTrees/$maxDepth")
+    require(!df.columns.contains(outputCol),
+      s"output column '$outputCol' already exists")
+    val spark = df.sparkSession
+    def x(c: String) = col(c).cast("double")
+
+    // content-keyed draws: 60-bit md5 of "t#kind#path"
+    def draw(t: Int, kind: String, path: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$t#$kind#$path").substring(0, 15), 16)
+    def featOf(t: Int, path: String): String =
+      features((draw(t, "f", path) % features.length).toInt)
+    def fracOf(t: Int, path: String): Double =
+      draw(t, "s", path).toDouble / math.pow(2.0, 60)
+
+    val n = df.count()
+    require(n >= 2, s"need at least 2 rows, got $n")
+    // splits(t) = path -> (feature, split value); sizes(t) = leaf sizes
+    val splits = Array.fill(nTrees)(
+      scala.collection.mutable.Map.empty[String, (String, Double)])
+    var frontier: Seq[(Int, String)] =
+      (0 until nTrees).map(t => (t, ""))
+    val leafSize = scala.collection.mutable.Map.empty[(Int, String), Long]
+    ((0 until nTrees)).foreach(t => leafSize((t, "")) = n)
+
+    def nodeExpr(t: Int, depth: Int): org.apache.spark.sql.Column = {
+      def walk(path: String, d: Int): org.apache.spark.sql.Column =
+        splits(t).get(path) match {
+          case Some((f, s)) if d > 0 =>
+            when(x(f) < lit(s), walk(path + "L", d - 1))
+              .otherwise(walk(path + "R", d - 1))
+          case _ => lit(path)
+        }
+      walk("", depth)
+    }
+
+    for (depth <- 0 until maxDepth if frontier.nonEmpty) {
+      // ONE scan for ALL trees: each row fans out to (t, node, v) cells
+      // — the node's OWN drawn feature selected by a literal CASE keyed
+      // on the STAGED node column (staging keeps the 2^depth assignment
+      // case-tree computed once per tree, not once per frontier node)
+      val withNodes = df.select(features.map(x) ++
+        (0 until nTrees).map(t => nodeExpr(t, depth).as(s"__n_$t")): _*)
+      val cells = (0 until nTrees).flatMap { t =>
+        val nodes = frontier.filter(_._1 == t).map(_._2)
+        if (nodes.isEmpty) None
+        else {
+          val featCase = nodes.tail.foldLeft(
+            x(featOf(t, nodes.head))) { (acc, p) =>
+            when(col(s"__n_$t") === p, x(featOf(t, p))).otherwise(acc)
+          }
+          Some(struct(lit(t).as("t"), col(s"__n_$t").as("node"),
+            featCase.as("v")))
+        }
+      }
+      val live = frontier.map { case (t, p) => s"$t#$p" }.toSet
+      val stats = withNodes
+        .select(explode(array(cells: _*)).as("c"))
+        .select(col("c.t").as("t"), col("c.node").as("node"),
+          col("c.v").as("v"))
+        .where(concat(col("t"), lit("#"), col("node"))
+          .isin(live.toSeq: _*))
+        .groupBy("t", "node")
+        .agg(min("v").as("mn"), max("v").as("mx"),
+          count(lit(1)).as("cnt"))
+        .collect() // ≤ trees · 2^depth rows: model-sized
+        .map(r => (r.getInt(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+      val next = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      frontier.foreach { case (t, p) =>
+        stats.get((t, p)) match {
+          case Some((mn, mx, cnt)) if cnt >= 2 && mx > mn =>
+            val f = featOf(t, p)
+            val s = mn + fracOf(t, p) * (mx - mn)
+            splits(t)(p) = (f, s)
+            leafSize.remove((t, p))
+            // children sizes land next level (or at the depth cap below)
+            next += ((t, p + "L")); next += ((t, p + "R"))
+          case Some((_, _, cnt)) =>
+            leafSize((t, p)) = cnt
+          case None => leafSize((t, p)) = 0L
+        }
+      }
+      frontier = next.toSeq
+    }
+    // depth-capped frontier nodes become leaves: ONE counting pass
+    if (frontier.nonEmpty) {
+      val cells = (0 until nTrees).map(t =>
+        struct(lit(t).as("t"), nodeExpr(t, maxDepth).as("node")))
+      val counts = df
+        .select(explode(array(cells: _*)).as("c"))
+        .select(col("c.t").as("t"), col("c.node").as("node"))
+        .groupBy("t", "node").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      frontier.foreach { case (t, p) =>
+        leafSize((t, p)) = counts.getOrElse((t, p), 0L)
+      }
+    }
+
+    // c(m): average BST path length — the Liu et al. correction
+    def cOf(m: Long): Double =
+      if (m <= 1L) 0.0
+      else if (m == 2L) 1.0
+      else 2.0 * (math.log(m - 1.0) + 0.5772156649) -
+        2.0 * (m - 1.0) / m
+    def hExpr(t: Int): org.apache.spark.sql.Column = {
+      def walk(path: String, depth: Int): org.apache.spark.sql.Column =
+        splits(t).get(path) match {
+          case Some((f, s)) =>
+            when(x(f) < lit(s), walk(path + "L", depth + 1))
+              .otherwise(walk(path + "R", depth + 1))
+          case None =>
+            lit(depth.toDouble + cOf(leafSize.getOrElse((t, path), 0L)))
+        }
+      walk("", 0)
+    }
+    val avgH = (0 until nTrees).map(hExpr).reduceLeft(_ + _) /
+      lit(nTrees.toDouble)
+    val score = pow(lit(2.0), -avgH / lit(cOf(n)))
+    val nodesOut = (0 until nTrees).flatMap { t =>
+      splits(t).toSeq.map { case (p, (f, s)) =>
+        IsoNode(t, p, Some(f), Some(s), -1L)
+      } ++ leafSize.collect { case ((`t`, p), m) =>
+        IsoNode(t, p, None, None, m)
+      }
+    }.sortBy(nd => (nd.tree, nd.path))
+    (df.withColumn(outputCol, score), nodesOut)
+  }
 }

@@ -374,4 +374,61 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /** Trimmed and winsorized means off EXACT quantile bounds — the
+    * robust-location pair every metrics pipeline wants once heavy tails
+    * appear (a mean of revenue cents is one whale away from useless):
+    * trim drops values outside the [loP, hiP] quantiles, winsorize
+    * clamps them to the bounds. Bounds come from [[exactQuantiles]]
+    * (histogram-refinement selection, no sort), then ONE conditional
+    * aggregation; with an integral column every sum is exact, so both
+    * means are exact integer ratios.
+    *
+    * @return one row: (n, n_kept, q_lo, q_hi, trimmed_mean,
+    *         winsorized_mean) — bounds inclusive on both sides
+    */
+  def trimmedMean(df: DataFrame, valueCol: String, loP: Double = 0.05,
+      hiP: Double = 0.95): DataFrame = {
+    require(loP > 0 && hiP < 1 && loP < hiP,
+      s"need 0 < loP < hiP < 1, got [$loP, $hiP]")
+    val qs = exactQuantiles(df, valueCol, Seq(loP, hiP))
+      .orderBy("p").collect()
+    val (qLo, qHi) = (qs(0).getLong(2), qs(1).getLong(2))
+    val v = col(valueCol).cast("long")
+    val kept = v >= qLo && v <= qHi
+    val clamped = least(greatest(v, lit(qLo)), lit(qHi))
+    df.filter(v.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+      lit(qLo).as("q_lo"), lit(qHi).as("q_hi"),
+      (sum(when(kept, v)).cast("double") /
+        sum(when(kept, 1L).otherwise(0L)).cast("double"))
+        .as("trimmed_mean"),
+      (sum(clamped).cast("double") / count(lit(1)).cast("double"))
+        .as("winsorized_mean"))
+  }
+
+  /** l-diversity release audit — [[kAnonymityViolations]]'s sibling
+    * (Machanavajjhala et al. 2007): a quasi-identifier class is
+    * l-diverse when its rows carry at least `l` DISTINCT values of the
+    * sensitive attribute; a class of 50 rows that all share one
+    * diagnosis is 50-anonymous yet fully disclosive. ONE groupBy with
+    * an exact distinct count (null sensitive values excluded from the
+    * diversity count — a null is not a disclosed value — but rows still
+    * count toward n).
+    *
+    * @return per violating combo: (quasiCols…, n, n_sensitive) with
+    *         n_sensitive < l
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(l >= 2, s"l < 2 is vacuous, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
 }

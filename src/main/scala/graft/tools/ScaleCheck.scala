@@ -89,7 +89,18 @@ object ScaleCheck {
     "q309_sliding_chunks", // corpus window explode (pure generator)
     "q310_psi_stream", // bounded bin-count state at 10x event density
     "q312_ann_lsh_portable", // portable LSH: bucket join + candidate rescoring
-    "q313_cosine_pairs_lsh_portable") // capped band-bucket self-join pairs
+    "q313_cosine_pairs_lsh_portable", // capped band-bucket self-join pairs
+    // round-11 second batch (q317 containment join is EXCLUDED like q262:
+    // replication clones every doc 10 deep, so its ordered-pair output is
+    // quadratic in the factor by construction)
+    "q314_wordpiece_merges", // distinct-word collapse + 8 bounded rounds
+    "q315_wordpiece_segment", // greedy walk once per DISTINCT word
+    "q316_exact_quantiles", // bounded-histogram refinement rounds
+    "q318_forest", // 3 bags x weighted melt-collapse stump fits
+    "q319_plsa_topics", // 2 EM rounds: keyed join + quantized cell aggs
+    "q321_aft_weibull", // alternating IRLS + shape-Newton aggregations
+    "q323_gmm_model", // 2 GMM EM rounds: projection + one moment agg each
+    "q326_isoforest_scores") // 3 min/max levels + literal-CASE scoring
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -212,4 +212,81 @@ class SurvivalSpec extends SparkSpec {
         single.se(1)) < 1e-8, g)
     }
   }
+
+  // deterministic Weibull(shape, scale=1) quantile sample: the MLE on a
+  // quantile-matched sample sits close to the true parameters
+  private def weibullQuantiles(n: Int, shape: Double): Seq[Double] =
+    (1 to n).map { i =>
+      val p = (i - 0.5) / n
+      math.pow(-math.log1p(-p), 1.0 / shape)
+    }
+
+  test("aftWeibull recovers shape and a planted AFT effect") {
+    val base = weibullQuantiles(200, 2.0)
+    // x = 1 stretches time by e^{0.7} — the AFT shift
+    val rows = base.map(t => (t, 1, 0)) ++
+      base.map(t => (t * math.exp(0.7), 1, 1))
+    val m = Survival.aftWeibull(rows.toDF("dur", "ev", "x"),
+      "dur", "ev", Seq("x"))
+    assert(math.abs(m.shape - 2.0) < 0.1, s"shape=${m.shape}")
+    assert(math.abs(m.coefs(1) - 0.7) < 0.05, s"gamma_x=${m.coefs(1)}")
+    assert(math.abs(m.coefs(0)) < 0.05, s"gamma_0=${m.coefs(0)}")
+  }
+
+  test("aftWeibull reduces to the exponential fit when shape = 1") {
+    val base = weibullQuantiles(200, 1.0)
+    val rows = base.map(t => (t, 1, 0)) ++
+      base.map(t => (t * 2.0, 1, 1))
+    val df = rows.toDF("dur", "ev", "x")
+    val w = Survival.aftWeibull(df, "dur", "ev", Seq("x"))
+    val e = Survival.aftExponential(df, "dur", "ev", Seq("x"))
+    assert(math.abs(w.shape - 1.0) < 0.08, s"shape=${w.shape}")
+    assert(math.abs(w.coefs(0) - e.coefs(0)) < 0.05)
+    assert(math.abs(w.coefs(1) - e.coefs(1)) < 0.02)
+  }
+
+  test("aftWeibull handles censoring and counts events") {
+    val rows = weibullQuantiles(100, 1.5).zipWithIndex.map { case (t, i) =>
+      // censor every 4th observation at its (earlier) time
+      if (i % 4 == 0) (t * 0.5, 0, i % 2) else (t, 1, i % 2)
+    }
+    val m = Survival.aftWeibull(rows.toDF("dur", "ev", "x"),
+      "dur", "ev", Seq("x"))
+    assert(m.n === 100L && m.events === 75L)
+    assert(m.shape > 0.5 && m.shape < 3.0)
+  }
+
+  test("aftWeibull median prediction matches the closed form") {
+    val base = weibullQuantiles(120, 2.0)
+    val rows = base.map(t => (t, 1, 0)) ++ base.map(t => (t * 2, 1, 1))
+    val df = rows.toDF("dur", "ev", "x")
+    val m = Survival.aftWeibull(df, "dur", "ev", Seq("x"))
+    val got = m.predictMedian(df.select("x").distinct()).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val exp0 = math.exp(m.coefs(0)) *
+      math.pow(math.log(2.0), m.scale)
+    assert(math.abs(got(0) - exp0) < 1e-12)
+    assert(math.abs(got(1) - exp0 * math.exp(m.coefs(1))) < 1e-10)
+  }
+
+  test("aftWeibull is partition-invariant (quantized shape alternation)") {
+    val rows = weibullQuantiles(150, 1.7).zipWithIndex
+      .map { case (t, i) => (t * (1 + i % 3), i % 3 min 1, i % 2) }
+    val df = rows.toDF("dur", "ev", "x")
+    val a = Survival.aftWeibull(df.repartition(1), "dur", "ev", Seq("x"))
+    val b = Survival.aftWeibull(df.repartition(7), "dur", "ev", Seq("x"))
+    // the shape path is EXACT (1e-8 grid quantization absorbs the
+    // partition-order ulps); the IRLS betas — like every GLM fit — agree
+    // to summation-order precision, far inside the 6-digit output grid
+    assert(a.scale === b.scale)
+    a.coefs.zip(b.coefs).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9) }
+  }
+
+  test("aftWeibull rejects non-positive durations loudly") {
+    intercept[IllegalArgumentException] {
+      Survival.aftWeibull(Seq((0.0, 1, 0), (1.0, 1, 1)).toDF("dur", "ev", "x"),
+        "dur", "ev", Seq("x"))
+    }
+  }
 }

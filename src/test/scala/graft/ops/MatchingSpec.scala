@@ -94,4 +94,55 @@ class MatchingSpec extends SparkSpec {
     assert(math.abs(a.getAs[Double]("ate_ipw") -
       b.getAs[Double]("ate_ipw")) < 1e-12)
   }
+
+  // noise-free confounded data: y = 2·t + 10·x exactly, treatment share
+  // 0.2 at x = 0 and 0.8 at x = 1; "j" is an irrelevant junk stratum
+  // BALANCED within every (x, t) cell, so the finite-sample AIPW
+  // cancellations are exact (realized share within each (x, j) equals
+  // the x-stratum share). Naive treated-minus-control = 10 − 2 = 8;
+  // the true effect is 2.
+  private lazy val aipwData = {
+    def cell(x: String, j: String, t: Int, y: Double, n: Int) =
+      Seq.fill(n)((x, j, t, y))
+    val rows =
+      cell("x0", "ja", 0, 0.0, 4) ++ cell("x0", "ja", 1, 2.0, 1) ++
+      cell("x0", "jb", 0, 0.0, 4) ++ cell("x0", "jb", 1, 2.0, 1) ++
+      cell("x1", "ja", 0, 10.0, 1) ++ cell("x1", "ja", 1, 12.0, 4) ++
+      cell("x1", "jb", 0, 10.0, 1) ++ cell("x1", "jb", 1, 12.0, 4)
+    rows.toDF("x", "j", "treat", "y")
+  }
+
+  test("aipwAte is doubly robust: either correct model recovers the effect") {
+    // correct propensity, junk outcome model
+    val a = Matching.aipwAte(aipwData, Seq("x"), Seq("j"), "treat", "y")
+      .head
+    assert(math.abs(a.getAs[Double]("ate_aipw") - 2.0) < 1e-12)
+    // junk propensity, correct outcome model
+    val b = Matching.aipwAte(aipwData, Seq("j"), Seq("x"), "treat", "y")
+      .head
+    assert(math.abs(b.getAs[Double]("ate_aipw") - 2.0) < 1e-12)
+    // BOTH junk: biased (sanity that the fixture actually confounds)
+    val c = Matching.aipwAte(aipwData, Seq("j"), Seq("j"), "treat", "y")
+      .head
+    assert(math.abs(c.getAs[Double]("ate_aipw") - 2.0) > 1.0)
+  }
+
+  test("aipwAte excludes positivity violations and missing arms") {
+    val withBad = aipwData.unionByName(
+      Seq.fill(5)(("x2", "j0", 1, 9.0)).toDF("x", "j", "treat", "y"))
+    // x2 is all-treated: e = 1 → its 5 rows are excluded
+    val row = Matching.aipwAte(withBad, Seq("x"), Seq("x"), "treat", "y")
+      .head
+    assert(row.getAs[Long]("n_excluded") === 5L)
+    assert(row.getAs[Long]("n_used") === 20L)
+    assert(math.abs(row.getAs[Double]("ate_aipw") - 2.0) < 1e-12)
+  }
+
+  test("aipwAte is partition-invariant within float-sum precision") {
+    val a = Matching.aipwAte(aipwData, Seq("x"), Seq("j"), "treat", "y")
+      .head.getAs[Double]("ate_aipw")
+    val b = Matching.aipwAte(aipwData.repartition(7), Seq("x"), Seq("j"),
+      "treat", "y").head.getAs[Double]("ate_aipw")
+    assert(math.abs(a - b) < 1e-9)
+  }
 }

@@ -80,4 +80,61 @@ class OutliersSpec extends SparkSpec {
       Outliers.mahalanobis(df.limit(2), Seq("x", "md2"), "out")
     }
   }
+
+  test("isolationForest: the planted outlier gets the top score") {
+    // tight 2-D cluster + one far point
+    val rows = (for (a <- 0 until 6; b <- 0 until 6)
+      yield (a.toLong * 6 + b, 1.0 + a * 0.01, 2.0 + b * 0.01)) :+
+      ((99L, 50.0, -40.0))
+    val df = rows.toDF("id", "f1", "f2")
+    val (scored, nodes) = Outliers.isolationForest(df, Seq("f1", "f2"),
+      nTrees = 4, maxDepth = 6)
+    val top = scored.orderBy(col("iso_score").desc).head()
+    assert(top.getLong(0) === 99L, s"top=${top}")
+    // outlier scores high in absolute terms, inliers clearly lower
+    assert(top.getDouble(3) > 0.6)
+    val inlierMax = scored.filter(col("id") =!= 99L)
+      .agg(max("iso_score")).head().getDouble(0)
+    assert(top.getDouble(3) > inlierMax + 0.1)
+    assert(nodes.nonEmpty)
+  }
+
+  test("isolationForest: scores are in (0, 1) and model is sane") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 13).toDouble,
+      (i % 7).toDouble)).toDF("id", "f1", "f2")
+    val (scored, nodes) = Outliers.isolationForest(df, Seq("f1", "f2"),
+      nTrees = 3, maxDepth = 4)
+    val mm = scored.agg(min("iso_score"), max("iso_score")).head()
+    assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) < 1.0)
+    // internal nodes carry a feature from the requested set
+    assert(nodes.flatMap(_.feature)
+      .forall(f => Seq("f1", "f2").contains(f)))
+    // leaf sizes cover all rows per tree
+    for (t <- 0 until 3)
+      assert(nodes.filter(nd => nd.tree == t && nd.feature.isEmpty)
+        .map(_.size).sum === 100L, s"tree $t")
+  }
+
+  test("isolationForest is partition-invariant (md5 draws, exact min/max)") {
+    val rows = (1 to 80).map(i => (i.toLong, (i % 11).toDouble,
+      (i * 7 % 17).toDouble))
+    val df = rows.toDF("id", "f1", "f2")
+    val (a, na) = Outliers.isolationForest(df.repartition(1),
+      Seq("f1", "f2"), nTrees = 3, maxDepth = 5)
+    val (b, nb) = Outliers.isolationForest(df.repartition(7),
+      Seq("f1", "f2"), nTrees = 3, maxDepth = 5)
+    assert(na === nb)
+    val sa = a.orderBy("id").collect().map(_.getDouble(3)).toSeq
+    val sb = b.orderBy("id").collect().map(_.getDouble(3)).toSeq
+    assert(sa === sb)
+  }
+
+  test("isolationForest: constant data never splits, score is uniform") {
+    val df = (1 to 30).map(i => (i.toLong, 5.0)).toDF("id", "f1")
+    val (scored, nodes) = Outliers.isolationForest(df, Seq("f1"),
+      nTrees = 2, maxDepth = 4)
+    assert(nodes.forall(_.feature.isEmpty)) // roots stay leaves
+    val d = scored.select("iso_score").distinct().collect()
+    assert(d.length === 1)
+  }
 }

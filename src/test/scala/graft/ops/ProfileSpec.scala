@@ -272,4 +272,39 @@ class ProfileSpec extends SparkSpec {
       Profile.kAnonymityViolations(df, Nil, 3)
     }
   }
+
+  test("trimmedMean: closed case with exact quantile bounds") {
+    // 1..20: p05 → rank 1 → 1; p95 → rank 19 → 19
+    val df = (1L to 20L).toDF("v")
+    val r = Profile.trimmedMean(df, "v", 0.05, 0.95).head()
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("q_lo") === 1L && r.getAs[Long]("q_hi") === 19L)
+    assert(r.getAs[Long]("n_kept") === 19L) // only 20 is dropped
+    assert(r.getAs[Double]("trimmed_mean") === (1 to 19).sum / 19.0)
+    // winsorized: 20 clamps to 19
+    assert(r.getAs[Double]("winsorized_mean") ===
+      ((1 to 19).sum + 19) / 20.0)
+  }
+
+  test("trimmedMean resists a whale the plain mean cannot") {
+    val df = ((1L to 99L) :+ 1000000L).toDF("v")
+    val r = Profile.trimmedMean(df, "v", 0.05, 0.95).head()
+    assert(r.getAs[Double]("trimmed_mean") < 60.0)
+    assert(r.getAs[Double]("winsorized_mean") < 60.0)
+  }
+
+  test("lDiversityViolations flags low-diversity classes; nulls excluded") {
+    val df = Seq(
+      ("a", "flu"), ("a", "cold"), ("a", "flu"),   // 2 distinct: ok at l=2
+      ("b", "flu"), ("b", "flu"), ("b", "flu"),    // 1 distinct: violation
+      ("c", null), ("c", "flu")                    // nulls not diverse: 1
+    ).toDF("q", "dx")
+    val got = Profile.lDiversityViolations(df, Seq("q"), "dx", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map("b" -> ((3L, 1L)), "c" -> ((2L, 1L))))
+    intercept[IllegalArgumentException] {
+      Profile.lDiversityViolations(df, Seq("dx"), "dx", 2)
+    }
+  }
 }
