@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -4215,6 +4215,97 @@ object SparkEntry {
         .select(col("n"), col("n_kept"), col("q_lo"), col("q_hi"),
           r(col("trimmed_mean"), 6).as("trimmed_mean"),
           r(col("winsorized_mean"), 6).as("winsorized_mean"))
+    }),
+
+    // t-closeness release audit (the privacy triad's distributional
+    // member next to q_kanon/q322): ordered EMD of each quasi class's
+    // binned-balance distribution vs the table's — exact integer mass
+    // arithmetic on the common denominator N·n_c, ONE division per class
+    "q329_t_closeness" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bin", floor(col("c_acctbal") / 1000).cast("long"))
+      Profile.tClosenessViolations(c, Seq("c_mktsegment", "c_nationkey"),
+          "bal_bin", t = 0.15)
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // Newman modularity of the connected-component partition over the
+    // q73 jaccard-pair graph: TWO label equi-joins + ONE per-community
+    // aggregation, exact stub counts, one pinned division per community
+    "q330_modularity" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id",
+          "text", n = 5, threshold = 0.5, maxBucketSize = 100000)
+        .select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      Graph.modularity(edges, Dedup.connectedComponentsLSS(pairs))
+        .orderBy("label")
+    }),
+
+    // Good–Turing frequency spectrum: corpus → token counts → N_r, the
+    // r+1 lookup a self-join of the O(√corpus) spectrum frame; exact
+    // integers up to the final r* division
+    "q331_good_turing" -> ((s, dir) => {
+      Ngram.goodTuring(t(s, dir, "documents"), "text").orderBy("r")
+    }),
+
+    // mutual-information feature ranking: FOUR features × one label from
+    // ONE scan (stack melt) — which lineitem columns predict returnflag
+    "q332_mi_ranking" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        col("l_linestatus").as("line_status"),
+        floor(col("l_quantity") / 10).cast("long").as("qty_bin"),
+        floor(col("l_tax") * 100).cast("long").as("tax_bin"),
+        floor(col("l_discount") * 100 / 2).cast("long").as("disc_bin"))
+      Contingency.mutualInfoRanking(li,
+          Seq("line_status", "qty_bin", "tax_bin", "disc_bin"),
+          "l_returnflag")
+        .orderBy("feature")
+    }),
+
+    // portable HyperLogLog register table (q60/q61's opaque HLL++ made
+    // hash-gateable): 60-bit md5 hash → p-bit bucket + leading-zero rank
+    // by exact integer bit arithmetic; partial agg collapses each
+    // partition to ≤ 2^p cells pre-shuffle
+    "q333_hll_registers" -> ((s, dir) => {
+      Sketch.hllRegisters(t(s, dir, "lineitem"), "l_orderkey", p = 9)
+        .orderBy("bucket")
+    }),
+
+    // HLL readout for BOTH regimes: ~15k distinct orderkeys (raw
+    // harmonic branch) and 150 distinct users (linear-counting branch);
+    // the 2^-M sum is exact-integer scaled, so the whole estimate
+    // replays bit-for-bit
+    "q334_hll_estimate" -> ((s, dir) => {
+      val big = Sketch.hllEstimate(
+        Sketch.hllRegisters(t(s, dir, "lineitem"), "l_orderkey", 9), 9)
+        .withColumn("key", lit("orderkeys"))
+      val small = Sketch.hllEstimate(
+        Sketch.hllRegisters(events(s, dir), "user_id", 9), 9)
+        .withColumn("key", lit("users"))
+      big.unionByName(small)
+        .select("key", "m", "n_occupied", "v_zero", "s_scaled", "estimate")
+        .orderBy("key")
+    }),
+
+    // PrefixSpan sequential patterns over thinned per-user event streams
+    // (the %13 thinning keeps sequences short enough that support
+    // actually discriminates): earliest-occurrence frontier, per level
+    // ONE keyed join + min-agg, anti-monotone support pruning
+    "q335_prefixspan" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") % 13 === 0)
+      SeqMine.prefixSpan(ev, "user_id", Seq("ts", "event_id"),
+          "event_type", minSupport = 25, maxLen = 3)
+        .orderBy("len", "pattern")
+    }),
+
+    // STREAMING HLL — the NINTH streaming/batch parity family: the
+    // register table from a two-chunk MemoryStream replay of events
+    // equals the batch sketch cell-for-cell (state ≤ 2^p rows by
+    // construction; the mergeable max IS the streaming update)
+    "q336_hll_stream" -> ((s, dir) => {
+      StreamOps.hllStreamReplay(events(s, dir), p = 9).orderBy("bucket")
     })
   )
 
@@ -11868,6 +11959,231 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean
         |FROM v CROSS JOIN k
         |GROUP BY qlo, qhi""".stripMargin,
+
+    // identical binning, dense class × value grid, exact integer
+    // cumulative mass on denominator N·n_c, one division per class
+    "q329_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |vals AS (SELECT v, count(*) AS nv FROM base GROUP BY 1),
+        |tot AS (SELECT sum(nv) AS nn FROM vals),
+        |cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |        FROM base GROUP BY 1, 2),
+        |cells AS (SELECT c_mktsegment, c_nationkey, v, count(*) AS c
+        |          FROM base GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT cls.c_mktsegment, cls.c_nationkey, cls.n, vals.v,
+        |    vals.nv, tot.nn, coalesce(cells.c, 0) AS c
+        |  FROM cls CROSS JOIN vals CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.c_mktsegment = cls.c_mktsegment
+        |    AND cells.c_nationkey = cls.c_nationkey AND cells.v = vals.v),
+        |cum AS (
+        |  SELECT c_mktsegment, c_nationkey, n, nn,
+        |    sum(nv * n - c * nn) OVER (
+        |      PARTITION BY c_mktsegment, c_nationkey ORDER BY v) AS cum
+        |  FROM grid)
+        |SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sum(abs(cum)) AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * CAST(n AS DOUBLE) *
+        |     CAST(count(*) - 1 AS DOUBLE)), 9) AS emd
+        |FROM cum GROUP BY c_mktsegment, c_nationkey, n, nn
+        |HAVING round(CAST(sum(abs(cum)) AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * CAST(n AS DOUBLE) *
+        |     CAST(count(*) - 1 AS DOUBLE)), 9) > 0.15
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // q73's shingle/pair/recursive-CC chain verbatim, then the Newman
+    // contribution arithmetic over symmetrized stubs
+    "q330_modularity" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingles
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |prs AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM prs a JOIN prs b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |e0 AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION ALL SELECT id_b, id_a FROM e0),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src),
+        |lab AS (SELECT id, min(label) AS label FROM cc GROUP BY id),
+        |m2 AS (SELECT count(*) AS m2 FROM edges),
+        |stubs AS (
+        |  SELECT lu.label AS lab_u, lv.label AS lab_v
+        |  FROM edges e JOIN lab lu ON e.src = lu.id
+        |  JOIN lab lv ON e.dst = lv.id),
+        |perc AS (
+        |  SELECT lab_u AS label,
+        |    sum(CASE WHEN lab_u = lab_v THEN 1 ELSE 0 END) AS intra2,
+        |    count(*) AS degree2
+        |  FROM stubs GROUP BY 1),
+        |nnodes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT p.label AS label, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(intra2 AS BIGINT) AS intra2,
+        |  CAST(degree2 AS BIGINT) AS degree2,
+        |  round((CAST(intra2 AS DOUBLE) - CAST(degree2 AS DOUBLE) * degree2 /
+        |    CAST(m2.m2 AS DOUBLE)) / CAST(m2.m2 AS DOUBLE), 9) AS q_contrib
+        |FROM perc p JOIN nnodes USING (label) CROSS JOIN m2
+        |ORDER BY label""".stripMargin,
+
+    // identical spectrum/next-count join; exact integers up to the one
+    // r* division per spectrum row
+    "q331_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, count(*) AS r FROM toks GROUP BY 1),
+        |spec AS (SELECT r, count(*) AS n_r FROM counts GROUP BY 1),
+        |tot AS (SELECT sum(r * n_r) AS n FROM spec),
+        |nxt AS (SELECT r - 1 AS r, n_r AS n_next FROM spec)
+        |SELECT s.r, CAST(s.n_r AS BIGINT) AS n_r,
+        |  round(CAST(s.r + 1 AS DOUBLE) * n.n_next / CAST(s.n_r AS DOUBLE),
+        |    6) AS r_star,
+        |  round(CAST(s.r + 1 AS DOUBLE) * n.n_next /
+        |    (CAST(s.n_r AS DOUBLE) * CAST(t.n AS DOUBLE)), 9) AS p_r
+        |FROM spec s LEFT JOIN nxt n USING (r) CROSS JOIN tot t
+        |ORDER BY s.r""".stripMargin,
+
+    // identical melt/cell/marginal collapses; MI is the one float sum
+    // (6-digit grid)
+    "q332_mi_ranking" ->
+      """WITH m AS (
+        |  SELECT 'line_status' AS feature,
+        |    coalesce(CAST(l_linestatus AS VARCHAR), ' null') AS v,
+        |    CAST(l_returnflag AS VARCHAR) AS l FROM lineitem
+        |  UNION ALL SELECT 'qty_bin',
+        |    coalesce(CAST(CAST(floor(l_quantity / 10) AS BIGINT)
+        |      AS VARCHAR), ' null'),
+        |    CAST(l_returnflag AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'tax_bin',
+        |    coalesce(CAST(CAST(floor(l_tax * 100) AS BIGINT)
+        |      AS VARCHAR), ' null'),
+        |    CAST(l_returnflag AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'disc_bin',
+        |    coalesce(CAST(CAST(floor(l_discount * 100 / 2) AS BIGINT)
+        |      AS VARCHAR), ' null'),
+        |    CAST(l_returnflag AS VARCHAR) FROM lineitem),
+        |mm AS (SELECT feature, v, l FROM m WHERE l IS NOT NULL),
+        |cells AS (SELECT feature, v, l, count(*) AS c FROM mm GROUP BY 1, 2, 3),
+        |fv AS (SELECT feature, v, sum(c) AS cfv FROM cells GROUP BY 1, 2),
+        |fl AS (SELECT feature, l, sum(c) AS cfl FROM cells GROUP BY 1, 2),
+        |f AS (SELECT feature, sum(c) AS n FROM cells GROUP BY 1)
+        |SELECT cells.feature, CAST(any_value(n) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT cells.v) AS BIGINT) AS n_values,
+        |  CAST(count(DISTINCT cells.l) AS BIGINT) AS n_labels,
+        |  round(sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) * n /
+        |    (CAST(cfv AS DOUBLE) * cfl))), 6) AS mi
+        |FROM cells JOIN fv USING (feature, v) JOIN fl USING (feature, l)
+        |JOIN f USING (feature)
+        |GROUP BY cells.feature ORDER BY feature""".stripMargin,
+
+    // identical 60-bit md5 hash, low-bit bucket, bin()-length rank
+    "q333_hll_registers" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL)
+        |SELECT h & 511 AS bucket,
+        |  CAST(max(CASE WHEN (h >> 9) = 0 THEN 52
+        |    ELSE 52 - length(bin(h >> 9)) END) AS INT) AS r
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // identical registers for both sources + the exact-integer-scaled
+    // harmonic sum; raw-vs-linear-counting branch on identical doubles
+    "q334_hll_estimate" ->
+      """WITH hb AS (
+        |  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |rb AS (SELECT h & 511 AS bucket,
+        |    max(CASE WHEN (h >> 9) = 0 THEN 52
+        |      ELSE 52 - length(bin(h >> 9)) END) AS r
+        |  FROM hb GROUP BY 1),
+        |hs AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rs AS (SELECT h & 511 AS bucket,
+        |    max(CASE WHEN (h >> 9) = 0 THEN 52
+        |      ELSE 52 - length(bin(h >> 9)) END) AS r
+        |  FROM hs GROUP BY 1),
+        |eb AS (SELECT 'orderkeys' AS key, count(*) AS n_occupied,
+        |    sum(1::BIGINT << CAST(52 - r AS INT)) AS s_occ FROM rb),
+        |es AS (SELECT 'users' AS key, count(*) AS n_occupied,
+        |    sum(1::BIGINT << CAST(52 - r AS INT)) AS s_occ FROM rs),
+        |u AS (SELECT * FROM eb UNION ALL SELECT * FROM es),
+        |c AS (SELECT key, CAST(512 AS BIGINT) AS m,
+        |    CAST(n_occupied AS BIGINT) AS n_occupied,
+        |    CAST(512 - n_occupied AS BIGINT) AS v_zero,
+        |    CAST(s_occ + (512 - n_occupied) * (1::BIGINT << 52) AS BIGINT)
+        |      AS s_scaled
+        |  FROM u)
+        |SELECT key, m, n_occupied, v_zero, s_scaled,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |      * 4503599627370496.0 / CAST(s_scaled AS DOUBLE)
+        |        <= 2.5 * 512.0 AND v_zero > 0
+        |    THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |      * 4503599627370496.0 / CAST(s_scaled AS DOUBLE) END, 6)
+        |    AS estimate
+        |FROM c ORDER BY key""".stripMargin,
+
+    // 3 unrolled frontier levels: identical row_number positions,
+    // earliest-end min-aggs, and exact distinct-key supports
+    "q335_prefixspan" ->
+      """WITH ev0 AS (
+        |  SELECT user_id AS k, event_type AS i,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS pos
+        |  FROM events WHERE event_id % 13 = 0 AND event_type IS NOT NULL),
+        |f1 AS (SELECT i, count(DISTINCT k) AS support FROM ev0 GROUP BY 1
+        |       HAVING count(DISTINCT k) >= 25),
+        |evf AS (SELECT ev0.k, ev0.i, ev0.pos FROM ev0
+        |        JOIN f1 ON ev0.i = f1.i),
+        |m1 AS (SELECT k, i AS p, min(pos) AS e FROM evf GROUP BY 1, 2),
+        |x2 AS (SELECT m1.k, m1.p || '→' || evf.i AS p, min(evf.pos) AS e
+        |       FROM m1 JOIN evf ON m1.k = evf.k AND evf.pos > m1.e
+        |       GROUP BY 1, 2),
+        |f2 AS (SELECT p, count(DISTINCT k) AS support FROM x2 GROUP BY 1
+        |       HAVING count(DISTINCT k) >= 25),
+        |m2 AS (SELECT x2.k, x2.p, x2.e FROM x2 JOIN f2 ON x2.p = f2.p),
+        |x3 AS (SELECT m2.k, m2.p || '→' || evf.i AS p, min(evf.pos) AS e
+        |       FROM m2 JOIN evf ON m2.k = evf.k AND evf.pos > m2.e
+        |       GROUP BY 1, 2),
+        |f3 AS (SELECT p, count(DISTINCT k) AS support FROM x3 GROUP BY 1
+        |       HAVING count(DISTINCT k) >= 25)
+        |SELECT i AS pattern, 1 AS len, support FROM f1
+        |UNION ALL SELECT p, 2, support FROM f2
+        |UNION ALL SELECT p, 3, support FROM f3
+        |ORDER BY len, pattern""".stripMargin,
+
+    // oracle = the BATCH register SQL over the same events keys — the
+    // streaming/batch parity contract, verbatim q333 arithmetic
+    "q336_hll_stream" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT h & 511 AS bucket,
+        |  CAST(max(CASE WHEN (h >> 9) = 0 THEN 52
+        |    ELSE 52 - length(bin(h >> 9)) END) AS INT) AS r
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // hard assignment under the q323 model: per-row log-density chain,
     // first-max-wins over z ascending (>= comparisons)

@@ -224,4 +224,60 @@ object Contingency {
       .select(col("class"), col("term"),
         col("n_tc").as("n_docs_term_class"), col("chi2"), col("rank"))
   }
+
+  /** Mutual-information feature ranking — [[analyze]]'s k-at-once melt:
+    * MI(feature; label) in nats for EVERY requested categorical feature
+    * against one label, from ONE scan. The standard screening pass before
+    * fitting anything (which metadata columns predict quality? which
+    * leak the label?).
+    *
+    * Shapes: the scan melts to (feature, value, label) triples via one
+    * Expand (×k rows, the [[Profile.summarize]] trick) and collapses to
+    * per-feature contingency cells; marginals are window sums over that
+    * COLLAPSED cell frame (joins of cells-derived frames would re-plan
+    * the scan once per marginal), and the final per-feature combine runs
+    * on cell-cardinality-sized frames. All counts exact integers; ln is
+    * the one pinned float op. Rows with a null label are dropped; null
+    * feature VALUES form their own level (encoded, so the equi-joins
+    * keep them).
+    *
+    * @return per feature: (feature, n, n_values, n_labels, mi) — mi in
+    *         nats on the 6-digit grid (MI is a float SUM over cells, so
+    *         the engines' aggregation orders differ; cells are few and
+    *         the terms O(1), leaving ~1e-15 slack against the grid),
+    *         n = label-non-null rows
+    */
+  def mutualInfoRanking(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(!featureCols.contains(labelCol),
+      s"label column '$labelCol' cannot also be a feature")
+    val nullToken = " null"
+    def enc(c: Column): Column = coalesce(c.cast("string"), lit(nullToken))
+    val stackExpr = featureCols
+      .map(c => s"'$c', __v_$c").mkString(s"stack(${featureCols.size}, ", ", ", ")")
+    val melted = df.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__l") +:
+        featureCols.map(c => enc(col(c)).as(s"__v_$c")): _*)
+      .selectExpr("__l", s"$stackExpr AS (feature, __v)")
+    val cells = melted.groupBy("feature", "__v", "__l")
+      .agg(count(lit(1)).as("__c"))
+    // marginals as window sums over the COLLAPSED cell frame — joins of
+    // frames derived from `cells` would each re-plan the whole scan
+    // (Spark shares no subplans), turning one pass into four
+    import org.apache.spark.sql.expressions.Window
+    cells
+      .withColumn("__cfv",
+        sum("__c").over(Window.partitionBy("feature", "__v")))
+      .withColumn("__cfl",
+        sum("__c").over(Window.partitionBy("feature", "__l")))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("feature")))
+      .groupBy("feature")
+      .agg(any_value(col("__n")).as("n"),
+        countDistinct(col("__v")).as("n_values"),
+        countDistinct(col("__l")).as("n_labels"),
+        round(sum((col("__c").cast("double") / col("__n")) *
+          log(col("__c").cast("double") * col("__n") /
+            (col("__cfv").cast("double") * col("__cfl")))), 6).as("mi"))
+  }
 }

@@ -546,4 +546,47 @@ object Graph {
     cp.close()
     ranks
   }
+
+  /** Newman modularity of a node partition — the quality readout for any
+    * community assignment ([[labelPropagation]], connected components, or
+    * an attribute partition): Q = Σ_c (e_c/M − (d_c/2M)²), where e_c is
+    * the number of intra-community edges and d_c the total degree of
+    * community c. Q ≈ 0 means the partition is no better than random
+    * rewiring with the same degrees; well-separated communities score
+    * 0.3–0.7.
+    *
+    * Input is the repo's symmetrized stub convention (every undirected
+    * edge appears as both (u,v) and (v,u)), so 2M = stub count, intra
+    * stubs = 2·e_c, and Q folds to Σ_c (intra2_c − d_c²/2M) / 2M.
+    * Execution: TWO label equi-joins (labels frame is node-sized; AQE
+    * broadcasts when small) + ONE per-community aggregation — all counts
+    * exact integers, one pinned division per community at the end.
+    *
+    * @param labels (id, label) one row per node; stubs whose endpoint is
+    *               missing from `labels` are dropped (and counted into
+    *               no community)
+    * @return per community: (label, n_nodes, intra2, degree2, q_contrib)
+    *         with q_contrib on the 9-digit grid; sum(q_contrib) = Q
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col(labels.columns(0)).as("__id"),
+      col(labels.columns(1)).as("__lab"))
+    val m2Row = edges.agg(count(lit(1)).as("__m2"))
+    val stubs = edges
+      .join(lab.select(col("__id").as("u"), col("__lab").as("__lu")), "u")
+      .join(lab.select(col("__id").as("v"), col("__lab").as("__lv")), "v")
+    val perC = stubs.groupBy(col("__lu").as("label"))
+      .agg(sum(when(col("__lu") === col("__lv"), 1L).otherwise(0L))
+          .as("intra2"),
+        count(lit(1)).as("degree2"))
+    val nodesPerC = lab.groupBy(col("__lab").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    perC.join(nodesPerC, Seq("label"))
+      .crossJoin(broadcast(m2Row))
+      .select(col("label"), col("n_nodes"), col("intra2"), col("degree2"),
+        round((col("intra2").cast("double") -
+          col("degree2").cast("double") * col("degree2") /
+            col("__m2").cast("double")) /
+          col("__m2").cast("double"), 9).as("q_contrib"))
+  }
 }

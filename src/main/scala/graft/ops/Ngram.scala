@@ -130,4 +130,43 @@ object Ngram {
         round(-sum(p * log(p)), 6).as("entropy_a"),
         round(sum(p * log(p / q)), 6).as("kl_ab"))
   }
+
+  /** Good–Turing frequency smoothing (Gale & Sampson 1995 "simple GT"
+    * without the log-linear fit — the raw Turing estimates): from the
+    * corpus frequency spectrum N_r (how many distinct tokens occur
+    * exactly r times), the adjusted count r* = (r+1)·N_{r+1}/N_r and the
+    * total unseen-mass estimate P₀ = N_1/N. The smoothing family's
+    * count-based member next to [[kneserNeyBigrams]]'s discounting — and
+    * the first thing a tokenizer-vocabulary audit reads (a fat N_1 tail
+    * means the corpus is full of hapax noise).
+    *
+    * Shapes: the corpus collapses to token counts (ONE explode + agg),
+    * then to the frequency spectrum (ONE agg over the vocab frame,
+    * O(√corpus) rows), and r+1 lookup is a self-join of that tiny frame;
+    * the total rides as a broadcast one-row crossJoin. Everything up to
+    * the final r* division is exact integer counts.
+    *
+    * @return per occupied frequency r: (r, n_r, r_star, p_r) — r_star
+    *         null when N_{r+1} = 0 (the spectrum gap; simple GT would
+    *         switch to the fitted proxy there), p_r = probability mass
+    *         a single token of count r gets (r-star over N), 9-digit grid
+    */
+  def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val counts = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__r"))
+    val spectrum = counts.groupBy(col("__r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = spectrum.agg(sum(col("r") * col("n_r")).as("__n"))
+    val next = spectrum.select((col("r") - 1).as("r"),
+      col("n_r").as("__n_next"))
+    spectrum.join(next, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("__n_next") /
+          col("n_r").cast("double"), 6).as("r_star"),
+        round((col("r") + 1).cast("double") * col("__n_next") /
+          (col("n_r").cast("double") * col("__n").cast("double")), 9)
+          .as("p_r"))
+  }
 }

@@ -431,4 +431,66 @@ object Profile {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
   }
+
+  /** t-closeness release audit — the distributional member of the privacy
+    * triad next to [[kAnonymityViolations]] and [[lDiversityViolations]]
+    * (Li, Li & Venkatasubramanian 2007): a class can be l-diverse yet
+    * still disclosive when its sensitive-value DISTRIBUTION skews far
+    * from the table's (all 12 distinct salaries in the class being the 12
+    * highest). Distance is the ordered-attribute Earth Mover's Distance:
+    * EMD(P, Q) = (1/(m−1)) · Σᵢ |Σ_{j≤i} (p_j − q_j)| over the m global
+    * sensitive values in order.
+    *
+    * Shapes: the sensitive attribute collapses to its global value frame
+    * (REQUIRED ≤ maxValues, loudly — t-closeness over an unbounded
+    * domain needs binning first) and classes collapse to one row each, so
+    * the dense class × value grid is a bounded ≤ maxValues-fold
+    * amplification of the class frame, never of the data. All mass
+    * arithmetic is EXACT integers on the common denominator N·n_c
+    * (cum = Σ (n_vj·n_c − c_j·N)); the single division to emd happens
+    * once per class, so the audit replays bit-for-bit on any engine.
+    *
+    * @return per violating combo: (quasiCols…, n, emd) with emd > t,
+    *         emd on the 9-digit grid
+    */
+  def tClosenessViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double, maxValues: Int = 64): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(t > 0 && t < 1, s"need 0 < t < 1, got $t")
+    val s = col(sensitiveCol)
+    val base = df.filter(s.isNotNull)
+    val values = base.groupBy(s.as("__v"))
+      .agg(count(lit(1)).as("__nv"))
+    val nValues = values.count()
+    require(nValues >= 2 && nValues <= maxValues,
+      s"sensitive column '$sensitiveCol' has $nValues distinct values; " +
+        s"need 2..$maxValues (bin a wide domain first)")
+    val totals = values.agg(sum("__nv").as("__nn"))
+    val classes = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val cells = base.groupBy(quasiCols.map(col) :+ s.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // dense grid: every class × every global value (missing cells are
+    // zero-mass); |grid| = |classes| · m with m caller-bounded
+    val grid = classes
+      .crossJoin(broadcast(values.crossJoin(totals)))
+      .join(cells, quasiCols :+ "__v", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    // exact integer cumulative mass difference on denominator N·n_c
+    val w = Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+    val diff = col("__nv") * col("n") - col("__c") * col("__nn")
+    grid
+      .withColumn("__cum", sum(diff).over(w))
+      .groupBy(quasiCols.map(col) :+ col("n") :+ col("__nn"): _*)
+      .agg(sum(abs(col("__cum"))).as("__sumabs"),
+        count(lit(1)).as("__m"))
+      .withColumn("emd",
+        round(col("__sumabs").cast("double") /
+          (col("__nn").cast("double") * col("n").cast("double") *
+            (col("__m") - 1).cast("double")), 9))
+      .filter(col("emd") > t)
+      .select(quasiCols.map(col) :+ col("n") :+ col("emd"): _*)
+  }
 }

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * OVER-estimate (collisions only add), within εN with probability
   * 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
   *
-  * Unlike HLL, the sketch is exactly replayable: hashes are md5-derived
-  * (the engine-reproducible q236 mapping) and counters are exact
-  * integer sums, so estimates are bit-identical on any engine and any
-  * partitioning — the sketch gets a full hash-equality oracle, not a
-  * tolerance band.
+  * Like [[hllRegisters]], the sketch is exactly replayable: hashes are
+  * md5-derived (the engine-reproducible q236 mapping) and counters are
+  * exact integer sums, so estimates are bit-identical on any engine and
+  * any partitioning — both sketches get full hash-equality oracles, not
+  * tolerance bands.
   *
   * Scale shape: the build explodes each row into its d (row, col) cells,
   * but hash partial aggregation collapses every partition to ≤ d·w cells
@@ -68,5 +68,68 @@ object Sketch {
     probes.join(broadcast(sketch), Seq("row", "col"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("counter"), lit(0L))).as("estimate"))
+  }
+
+  /** Portable HyperLogLog registers (Flajolet et al. 2007) — the
+    * engine-replayable twin of `approx_count_distinct`'s opaque HLL++
+    * (the q60/q61 pair is rows-only for exactly that opacity): the
+    * 60-bit md5 hash splits into a p-bit bucket (low bits) and a
+    * (60−p)-bit tail whose leading-zero count feeds the register, all
+    * by exact integer bit arithmetic (`&`, `>>`, and the engines'
+    * shared no-leading-zeros `bin()` string length), so the register
+    * table — and therefore the estimate — is bit-identical in ANSI SQL.
+    *
+    * Scale shape: ONE scan; partial aggregation collapses every
+    * partition to ≤ 2^p register cells before the shuffle, the classic
+    * mergeable-sketch profile (union of sketches = cell-wise max).
+    *
+    * @return occupied registers only: (bucket, r) with r = max over the
+    *         bucket's keys of (leading zeros of the tail + 1), 1..61−p
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
+    val m = 1 << p
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val rest = shiftright(h, p)
+    val rho = when(rest === 0L, lit(61 - p))
+      .otherwise(lit(60 - p) + 1 - length(bin(rest)))
+    df.filter(col(keyCol).isNotNull)
+      .select(h.bitwiseAND(lit(m.toLong - 1)).as("bucket"), rho.as("__rho"))
+      .groupBy("bucket").agg(max("__rho").as("r"))
+  }
+
+  /** The HLL readout: raw harmonic-mean estimate with the small-range
+    * linear-counting correction, from a [[hllRegisters]] table. The
+    * 2^(−M_j) sum is EXACT — terms are scaled to integers 2^(61−p−M_j)
+    * (empty registers contribute 2^(61−p)), whose long sum is ≤ 2^61 —
+    * so the one raw-estimate division and the ln(m/V) branch are the
+    * only float ops, each a single pinned expression.
+    *
+    * @return one row: (m, n_occupied, v_zero, s_scaled, estimate) —
+    *         estimate on the 6-digit grid; linear counting applies when
+    *         raw ≤ 2.5m and zero registers exist (the Flajolet rule)
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
+    val m = 1 << p
+    val scale = 61 - p
+    val md = m.toDouble
+    val agg = registers.agg(
+      count(lit(1)).as("n_occupied"),
+      coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - r)")),
+        lit(0L)).as("__s_occ"))
+    val vZero = lit(m.toLong) - col("n_occupied")
+    val s = col("__s_occ") + vZero * lit(1L << scale)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md))
+    val raw = alpha * lit(md) * lit(md) * lit(math.pow(2.0, scale)) /
+      col("s_scaled").cast("double")
+    val lc = lit(md) * log(lit(md) / col("v_zero").cast("double"))
+    agg
+      .select(lit(m.toLong).as("m"), col("n_occupied"),
+        vZero.as("v_zero"), s.as("s_scaled"))
+      .select(col("m"), col("n_occupied"), col("v_zero"), col("s_scaled"),
+        round(when(raw <= lit(2.5) * lit(md) && col("v_zero") > 0, lc)
+          .otherwise(raw), 6).as("estimate"))
   }
 }

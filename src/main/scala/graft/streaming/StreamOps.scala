@@ -467,6 +467,52 @@ object StreamOps {
     s.table(name)
   }
 
+  /** STREAMING HyperLogLog — the NINTH streaming/batch parity family:
+    * live distinct-count tracking in ≤ 2^p rows of state regardless of
+    * stream length (register state only ever takes cell-wise max — the
+    * mergeable-sketch property IS the streaming-update rule). Exact
+    * integer registers make the streamed table, and therefore the
+    * estimate, equal the batch [[graft.ops.Sketch.hllRegisters]] bit
+    * for bit.
+    */
+  def hllStream(events: DataFrame, keyCol: String, p: Int): DataFrame =
+    graft.ops.Sketch.hllRegisters(events, keyCol, p)
+
+  /** Run [[hllStream]] over a MemoryStream replay of a batch events
+    * frame (keyed on user_id) — parity gate: the final complete-mode
+    * register emission must equal the batch table cell-for-cell.
+    */
+  def hllStreamReplay(events: DataFrame, p: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "hllStreamReplay needs at least one event")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val name = s"graft_hll_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try hllStream(in.toDF(), "user_id", p)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      // two chunks: the second trigger must take cell-wise max against
+      // the bounded register state — complete mode re-emits the table
+      val (a, b) = evs.splitAt(evs.length / 2)
+      in.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** STREAMING PSI drift monitor — the EIGHTH streaming/batch parity
     * family: live population-stability tracking of a value column
     * against a frozen reference. The streaming half is ONE complete-mode

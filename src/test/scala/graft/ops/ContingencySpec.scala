@@ -169,4 +169,46 @@ class ContingencySpec extends SparkSpec {
       assert(r.getInt(4) === 1)
     }
   }
+
+  test("mutualInfoRanking: perfect predictor scores H(label), noise 0") {
+    // label ∈ {x, y} balanced: H = ln 2; copy = label exactly;
+    // junk is constant (MI = 0 exactly, single cell ln(1))
+    val df = Seq(("x", "x", "k"), ("y", "y", "k"), ("x", "x", "k"),
+      ("y", "y", "k")).toDF("lab", "copy", "junk")
+    val got = Contingency.mutualInfoRanking(df, Seq("copy", "junk"), "lab")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("junk") === 0.0)
+    assert(got("copy") === rd6(math.log(2.0)))
+  }
+
+  test("mutualInfoRanking: null labels drop, null values are a level") {
+    val df = Seq((Some("x"), Some("p")), (Some("x"), None),
+      (None, Some("p")), (Some("y"), Some("q"))).toDF("lab", "f")
+    val out = Contingency.mutualInfoRanking(df, Seq("f"), "lab").head()
+    assert(out.getLong(1) === 3L)  // null-label row dropped
+    assert(out.getLong(2) === 3L)  // p, q, and the null level
+    assert(out.getLong(3) === 2L)
+    intercept[IllegalArgumentException] {
+      Contingency.mutualInfoRanking(df, Seq("lab"), "lab")
+    }
+  }
+
+  test("mutualInfoRanking agrees with analyze's pairwise MI") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"))
+    val ranked = Contingency.mutualInfoRanking(li, Seq("l_linestatus"),
+      "l_returnflag").head().getDouble(4)
+    val pair = Contingency.analyze(li, "l_linestatus", "l_returnflag")
+      .head().getAs[Double]("mutual_info")
+    assert(math.abs(ranked - pair) < 1e-6)
+  }
+
+  test("mutualInfoRanking melts through ONE scan of the input") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plan = Contingency.mutualInfoRanking(li,
+      Seq("l_returnflag", "l_linestatus", "l_shipdate"), "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1,
+      plan.take(1500))
+  }
 }

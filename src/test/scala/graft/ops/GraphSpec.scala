@@ -401,4 +401,39 @@ class GraphSpec extends SparkSpec {
       .orderBy("u").collect().toSeq
     assert(a === b)
   }
+
+  test("modularity: closed two-component case") {
+    // triangle {1,2,3} + edge {4,5}: 2M = 8 stubs
+    //   comp A: intra2 = 6, degree2 = 6 → (6 − 36/8)/8 = 0.1875
+    //   comp B: intra2 = 2, degree2 = 2 → (2 − 4/8)/8  = 0.1875
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B")).toDF("id", "label")
+    val got = Graph.modularity(edges, labels).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map("A" -> ((3L, 6L, 6L, 0.1875)),
+      "B" -> ((2L, 2L, 2L, 0.1875))))
+  }
+
+  test("modularity: one community scores exactly zero") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val labels = Seq(1L, 2L, 3L, 4L).toDF("id")
+      .select(col("id"), lit("all").as("label"))
+    val row = Graph.modularity(edges, labels).head()
+    // intra2 = degree2 = 2M → contribution (2M − 2M)/2M = 0
+    assert(row.getDouble(4) === 0.0)
+  }
+
+  test("modularity: cross-community edges lower Q below the CC ideal") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B")).toDF("id", "label")
+    val q = Graph.modularity(edges, labels)
+      .agg(sum("q_contrib")).head().getDouble(0)
+    assert(q > 0.0 && q < 0.375, s"partition with a bridge: got $q")
+  }
 }

@@ -106,4 +106,41 @@ class NgramSpec extends SparkSpec {
     val ab = Ngram.unigramDivergence(a, b, "text").head().getAs[Double]("kl_ab")
     assert(ab > 0.0)
   }
+
+  test("goodTuring: closed spectrum on a tiny corpus") {
+    // "a a a b b c": counts a=3 b=2 c=1 → N_1=N_2=N_3=1, N=6
+    val df = Seq("a a a", "b b c").toDF("text")
+    val got = Ngram.goodTuring(df, "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    def rd(v: Double, d: Int) =
+      BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((1L, Some(rd(2.0, 6)), Some(rd(2.0 / 6, 9)))))
+    assert(got(2L) === ((1L, Some(rd(3.0, 6)), Some(rd(3.0 / 6, 9)))))
+    // spectrum gap: N_4 = 0 → r* undefined (null), simple GT's fit zone
+    assert(got(3L) === ((1L, None, None)))
+  }
+
+  test("goodTuring: spectrum conserves the corpus token count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = Ngram.goodTuring(docs, "text").collect()
+    val n = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val direct = docs.select(explode(filter(
+        split(lower(col("text")), "\\s+"), t => t =!= "")).as("w"))
+      .count()
+    assert(n === direct, "sum r·N_r = token count")
+    // r_star of every non-gap row stays positive and finite
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getDouble(2) > 0.0, s"r*=0 at r=${r.getLong(0)}")
+    }
+  }
+
+  test("goodTuring is partition-invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Ngram.goodTuring(docs.repartition(1), "text")
+      .orderBy("r").collect().toSeq
+    val b = Ngram.goodTuring(docs.repartition(7), "text")
+      .orderBy("r").collect().toSeq
+    assert(a === b)
+  }
 }

@@ -307,4 +307,49 @@ class ProfileSpec extends SparkSpec {
       Profile.lDiversityViolations(df, Seq("dx"), "dx", 2)
     }
   }
+
+  test("tClosenessViolations: closed EMD on two skewed classes") {
+    // global values {1,2,3,4} each mass 1/4; class A holds only {1,2},
+    // class B only {3,4}: cum diffs (±1/4, ±1/2, ±1/4, 0) → EMD = 1/3
+    val df = Seq(
+      ("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 3L), ("B", 3L), ("B", 4L), ("B", 4L)
+    ).toDF("q", "v")
+    val got = Profile.tClosenessViolations(df, Seq("q"), "v", t = 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val emd = BigDecimal(1.0 / 3.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map("A" -> ((4L, emd)), "B" -> ((4L, emd))))
+    // a uniform class is 0-distant and never flagged
+    val uni = df.unionByName(
+      Seq(("C", 1L), ("C", 2L), ("C", 3L), ("C", 4L)).toDF("q", "v"))
+    val flagged = Profile.tClosenessViolations(uni, Seq("q"), "v", 0.01)
+      .collect().map(_.getString(0)).toSet
+    assert(!flagged.contains("C"))
+  }
+
+  test("tClosenessViolations: null sensitive dropped, guards fire") {
+    val df = Seq(("A", Some(1L)), ("A", None), ("B", Some(2L)),
+      ("B", Some(1L))).toDF("q", "v")
+    // nulls drop: global = {1: 2, 2: 1}; class A = {1}, n = 1
+    val a = Profile.tClosenessViolations(df, Seq("q"), "v", 0.1)
+      .filter(col("q") === "A").head()
+    assert(a.getLong(1) === 1L) // n counts only non-null-sensitive rows
+    intercept[IllegalArgumentException] { // sensitive also quasi
+      Profile.tClosenessViolations(df, Seq("v"), "v", 0.1)
+    }
+    intercept[IllegalArgumentException] { // domain too wide
+      Profile.tClosenessViolations(df, Seq("q"), "v", 0.1, maxValues = 1)
+    }
+  }
+
+  test("tClosenessViolations is partition-invariant") {
+    val df = spark.read.parquet(s"$sfDir/customer.parquet")
+      .withColumn("bin", floor(col("c_acctbal") / 1000).cast("long"))
+    val run = (p: Int) => Profile.tClosenessViolations(
+      df.repartition(p), Seq("c_mktsegment"), "bin", 0.01)
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }

@@ -52,4 +52,46 @@ class SketchSpec extends SparkSpec {
         .toMap
     assert(cells(keys) === cells(keys.repartition(11)))
   }
+
+  test("hll: estimate tracks true distinct within the m=512 error band") {
+    val n = 5000L
+    val df = (1L to n).map(i => s"key-$i").toDF("k")
+      .unionByName((1L to n / 2).map(i => s"key-$i").toDF("k")) // dups
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df, "k", 9), 9)
+      .head().getAs[Double]("estimate")
+    // sigma = 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.14, s"estimate $est for true $n")
+  }
+
+  test("hll: linear-counting branch fires for small cardinalities") {
+    val df = (1L to 40L).map(i => s"u$i").toDF("k")
+    val row = Sketch.hllEstimate(Sketch.hllRegisters(df, "k", 9), 9).head()
+    val v = row.getAs[Long]("v_zero")
+    assert(v > 0L)
+    val expected = 512.0 * math.log(512.0 / v)
+    assert(math.abs(row.getAs[Double]("estimate") - expected) < 1e-4,
+      "small range must read m ln(m/V)")
+  }
+
+  test("hll registers are mergeable: max of halves equals whole") {
+    val df = (1L to 1000L).map(i => s"key-$i").toDF("k")
+    val a = Sketch.hllRegisters(df.filter(length(col("k")) <= 6), "k", 7)
+    val b = Sketch.hllRegisters(df.filter(length(col("k")) > 6), "k", 7)
+    val merged = a.unionByName(b).groupBy("bucket")
+      .agg(max("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketch.hllRegisters(df, "k", 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === whole)
+  }
+
+  test("hll registers are partition-invariant with bounded rank range") {
+    val df = (1L to 3000L).map(i => s"id-$i").toDF("k")
+    val a = Sketch.hllRegisters(df.repartition(1), "k", 9)
+      .orderBy("bucket").collect().toSeq
+    val b = Sketch.hllRegisters(df.repartition(13), "k", 9)
+      .orderBy("bucket").collect().toSeq
+    assert(a === b)
+    a.foreach(r => assert(r.getInt(1) >= 1 && r.getInt(1) <= 52))
+  }
 }

@@ -371,6 +371,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(stream.getLong(1) === batch.getLong(1))
   }
 
+  test("streaming HLL registers equal the batch sketch cell for cell") {
+    val ev = graft.Events.read(spark, sfDir)
+    val batch = graft.ops.Sketch.hllRegisters(ev, "user_id", 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stream = StreamOps.hllStreamReplay(ev, 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stream === batch)
+    // bounded state: registers never exceed 2^p
+    assert(stream.size <= 512)
+  }
+
   test("streaming funnel equals the batch funnel (parity on real events)") {
     val ev = graft.Events.read(spark, sfDir)
     val steps = Seq("view", "click", "purchase")
