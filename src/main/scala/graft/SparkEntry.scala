@@ -4306,8 +4306,68 @@ object SparkEntry {
     // construction; the mergeable max IS the streaming update)
     "q336_hll_stream" -> ((s, dir) => {
       StreamOps.hllStreamReplay(events(s, dir), p = 9).orderBy("bucket")
+    }),
+
+    // deterministic DeepWalk walks over the part–supplier graph:
+    // md5("u#w#t") neighbor draws against the id-ranked adjacency —
+    // content-keyed, engine-replayable, two node-keyed joins per step
+    "q337_deepwalk_walks" -> ((s, dir) => {
+      Graph.randomWalks(deepwalkEdges(s, dir), walksPerNode = 2,
+          walkLen = 5)
+        .orderBy("walk_id", "step")
+    }),
+
+    // DeepWalk-as-counts node similarity: window-1 PMI of consecutive
+    // walk pairs (skip-gram factorizes shifted PMI — this is the
+    // exact-arithmetic member of that family), top-50 by (pmi, a, b)
+    "q338_deepwalk_pmi" -> ((s, dir) => {
+      Graph.walkPmi(Graph.randomWalks(deepwalkEdges(s, dir), 2, 5),
+          topK = 50)
+        .orderBy(col("pmi").desc, col("a"), col("b"))
     })
   )
+
+  /** q337/q338's graph: the q122/q176 symmetrized part–supplier
+    * relation. */
+  private def deepwalkEdges(s: SparkSession, dir: String): DataFrame = {
+    val pe = t(s, dir, "lineitem")
+      .select(concat(lit("p"), col("l_partkey")).as("u"),
+        concat(lit("s"), col("l_suppkey")).as("v")).distinct()
+    pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** Shared q337/q338 oracle prefix: the id-ranked adjacency, 2 walks
+    * per node, and 4 unrolled md5-draw steps — verbatim engine
+    * arithmetic. */
+  private val deepwalkOracleCtes: String = {
+    val steps = (1 to 4).map { t =>
+      s"""w$t AS (
+         |  SELECT p.walk_id, nb.v AS node
+         |  FROM w${t - 1} p
+         |  JOIN dg ON p.node = dg.u
+         |  JOIN nb ON p.node = nb.u AND nb.rnk =
+         |    ('0x' || substr(md5(p.walk_id || '#$t'), 1, 15))::BIGINT
+         |      % dg.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS v FROM lineitem),
+       |e AS (SELECT u, v FROM pe UNION SELECT v AS u, u AS v FROM pe),
+       |nb AS (SELECT u, v,
+       |    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk
+       |  FROM e),
+       |dg AS (SELECT u, count(*) AS deg FROM nb GROUP BY 1),
+       |w0 AS (SELECT u || '#' || CAST(ws.w AS VARCHAR) AS walk_id,
+       |         u AS node
+       |       FROM dg CROSS JOIN (SELECT unnest([0, 1]) AS w) ws),
+       |$steps,
+       |allsteps AS (
+       |  SELECT walk_id, 0 AS step, node FROM w0
+       |  UNION ALL SELECT walk_id, 1, node FROM w1
+       |  UNION ALL SELECT walk_id, 2, node FROM w2
+       |  UNION ALL SELECT walk_id, 3, node FROM w3
+       |  UNION ALL SELECT walk_id, 4, node FROM w4)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -12184,6 +12244,31 @@ object SparkEntry {
         |  CAST(max(CASE WHEN (h >> 9) = 0 THEN 52
         |    ELSE 52 - length(bin(h >> 9)) END) AS INT) AS r
         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // 4 unrolled md5-draw walk steps over the id-ranked adjacency
+    "q337_deepwalk_walks" -> (deepwalkOracleCtes + """
+        |SELECT walk_id, step, node FROM allsteps
+        |ORDER BY walk_id, step""".stripMargin),
+
+    // identical walks + lead-window pairs both directions + one pinned
+    // PMI expression; LIMIT under the (pmi desc, a, b) total order
+    "q338_deepwalk_pmi" -> (deepwalkOracleCtes + """,
+        |pr0 AS (
+        |  SELECT node, lead(node) OVER (PARTITION BY walk_id
+        |                                ORDER BY step) AS nxt
+        |  FROM allsteps),
+        |pr AS (SELECT node AS a, nxt AS b FROM pr0 WHERE nxt IS NOT NULL
+        |  UNION ALL
+        |  SELECT nxt AS a, node AS b FROM pr0 WHERE nxt IS NOT NULL),
+        |nab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+        |na AS (SELECT a, sum(n_ab) AS na FROM nab GROUP BY 1),
+        |tot AS (SELECT sum(n_ab) AS n FROM nab)
+        |SELECT nab.a, nab.b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * n /
+        |    (CAST(sa.na AS DOUBLE) * sb.na)), 6) AS pmi
+        |FROM nab JOIN na sa ON nab.a = sa.a JOIN na sb ON nab.b = sb.a
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, nab.a, nab.b LIMIT 50""".stripMargin),
 
     // hard assignment under the q323 model: per-row log-density chain,
     // first-max-wins over z ascending (>= comparisons)

@@ -568,6 +568,98 @@ object Graph {
     * @return per community: (label, n_nodes, intra2, degree2, q_contrib)
     *         with q_contrib on the 9-digit grid; sum(q_contrib) = Q
     */
+  /** Deterministic DeepWalk walks (Perozzi et al. 2014's corpus step):
+    * `walksPerNode` truncated random walks of `walkLen` nodes from every
+    * node, where step t of walk (u, w) draws its neighbor from
+    * md5("u#w#t") — content-keyed like the isolation-forest splits, so
+    * walks are engine-replayable and partition-invariant, no RNG state.
+    * Neighbor choice = 60-bit draw mod degree against the neighbor list
+    * ranked by id (a total order).
+    *
+    * Scale shape: per step TWO node-keyed equi-joins (degree, then the
+    * (node, rank) neighbor pick) over the walk frontier — walk state is
+    * one row per live walk, never a path string; steps land as rows.
+    * Frontiers are pinned through the [[graft.Checkpointer]] so the
+    * final union reads materialized generations, not a re-derivation
+    * chain.
+    *
+    * @param edges symmetrized (u, v) stubs; deduplicated internally so
+    *              ranks are well-defined under duplicate stubs
+    * @return (walk_id, step, node) — walk_id = "u#w", step 0..walkLen−1;
+    *         walks starting at isolated nodes stay at step 0
+    */
+  def randomWalks(edges: DataFrame, walksPerNode: Int,
+      walkLen: Int): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"need 1 <= walksPerNode <= 64, got $walksPerNode")
+    require(walkLen >= 2 && walkLen <= 32,
+      s"need 2 <= walkLen <= 32, got $walkLen")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = edges.select(col("u"), col("v")).distinct()
+    val w = Window.partitionBy("u").orderBy("v")
+    val nbrs = cp.pin(e.withColumn("__rank",
+      row_number().over(w).cast("long") - 1L))
+    val degs = cp.pin(nbrs.groupBy("u").agg(count(lit(1)).as("__deg")))
+    val starts = degs
+      .select(col("u"), explode(sequence(lit(0),
+        lit(walksPerNode - 1))).as("__w"))
+      .select(concat(col("u"), lit("#"), col("__w")).as("walk_id"),
+        col("u").as("node"))
+    val dj = degs.select(col("u").as("__du"), col("__deg"))
+    val nj = nbrs.select(col("u").as("__nu"), col("__rank").as("__nr"),
+      col("v"))
+    var frontier = cp.pin(starts)
+    var out = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("node"))
+    for (t <- 1 until walkLen) {
+      val draw = conv(substring(md5(concat(col("walk_id"), lit("#"),
+        lit(t))), 1, 15), 16, 10).cast("long")
+      frontier = cp.pin(frontier
+        .join(dj, col("node") === col("__du"))
+        .select(col("walk_id"), col("node"),
+          pmod(draw, col("__deg")).as("__rank"))
+        .join(nj, col("node") === col("__nu") &&
+          col("__rank") === col("__nr"))
+        .select(col("walk_id"), col("v").as("node")))
+      out = out.unionByName(frontier.select(col("walk_id"),
+        lit(t).as("step"), col("node")))
+    }
+    val res = cp(out)
+    cp.close()
+    res
+  }
+
+  /** DeepWalk-as-counts node similarity: PMI of consecutive-step node
+    * pairs over a [[randomWalks]] corpus — the count-based readout of
+    * the DeepWalk/node2vec objective (its skip-gram factorizes a
+    * shifted PMI matrix; window-1 counts give the exact-arithmetic
+    * member of that family, like [[graft.ops.Colloc]] for text). Pairs
+    * are counted in both directions, so n_a is each node's total
+    * transition participation.
+    *
+    * @return top-K (a, b, n_ab, pmi) by (pmi desc, a, b) — pmi on the
+    *         6-digit grid; counts exact integers
+    */
+  def walkPmi(walks: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val w = Window.partitionBy("walk_id").orderBy("step")
+    val steps = walks.withColumn("__next", lead("node", 1).over(w))
+      .filter(col("__next").isNotNull)
+    val pairs = steps.select(col("node").as("a"), col("__next").as("b"))
+      .union(steps.select(col("__next").as("a"), col("node").as("b")))
+    val nAB = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val nA = nAB.groupBy("a").agg(sum("n_ab").as("__na"))
+    val tot = nAB.agg(sum("n_ab").as("__n"))
+    nAB.join(nA, Seq("a"))
+      .join(nA.select(col("a").as("b"), col("__na").as("__nb")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__n") /
+          (col("__na").cast("double") * col("__nb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val lab = labels.select(col(labels.columns(0)).as("__id"),
       col(labels.columns(1)).as("__lab"))

@@ -402,6 +402,53 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("randomWalks: forced path on a two-node graph is closed-form") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("u", "v")
+    val got = Graph.randomWalks(edges, walksPerNode = 1, walkLen = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    // degree 1 everywhere: walks alternate regardless of the draws
+    assert(got === Map(
+      ("a#0", 0) -> "a", ("a#0", 1) -> "b", ("a#0", 2) -> "a",
+      ("a#0", 3) -> "b",
+      ("b#0", 0) -> "b", ("b#0", 1) -> "a", ("b#0", 2) -> "b",
+      ("b#0", 3) -> "a"))
+  }
+
+  test("randomWalks: every step follows an edge; counts are exact") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val walks = Graph.randomWalks(edges, walksPerNode = 3, walkLen = 6)
+    assert(walks.count() === 4L * 3 * 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("walk_id").orderBy("step")
+    val trans = walks.withColumn("nxt", lead("node", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("node").as("u"), col("nxt").as("v"))
+    assert(trans.join(edges, Seq("u", "v"), "left_anti").count() === 0L,
+      "every transition must be a graph edge")
+  }
+
+  test("randomWalks are deterministic and partition-invariant") {
+    val und = (1L to 40L).map(i => (s"n${i % 9}", s"n${(i * 7) % 9}"))
+      .filter(p => p._1 != p._2)
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val run = (p: Int) => Graph.randomWalks(edges.repartition(p), 2, 5)
+      .orderBy("walk_id", "step").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("walkPmi: two-node alternation gives pmi = ln 2 both ways") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("u", "v")
+    val got = Graph.walkPmi(Graph.randomWalks(edges, 1, 4), topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // all pairs are a↔b: n_ab = 6, na = nb = 6, N = 12 → ln 2
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map(("a", "b") -> ((6L, ln2)), ("b", "a") -> ((6L, ln2))))
+  }
+
   test("modularity: closed two-component case") {
     // triangle {1,2,3} + edge {4,5}: 2M = 8 stubs
     //   comp A: intra2 = 6, degree2 = 6 → (6 − 36/8)/8 = 0.1875
