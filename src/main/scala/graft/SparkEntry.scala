@@ -4324,6 +4324,17 @@ object SparkEntry {
       Graph.walkPmi(Graph.randomWalks(deepwalkEdges(s, dir), 2, 5),
           topK = 50)
         .orderBy(col("pmi").desc, col("a"), col("b"))
+    }),
+
+    // Cochran–Mantel–Haenszel: does the price–status association
+    // survive stratification by order priority? ONE stratum collapse to
+    // exact 2×2 cells + a one-row reduce of the K-row frame
+    "q339_cmh" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("exposed", col("o_totalprice") > 150000)
+        .withColumn("outcome", col("o_orderstatus") === "F")
+      Contingency.mantelHaenszel(o, "o_orderpriority", "exposed",
+        "outcome")
     })
   )
 
@@ -12269,6 +12280,38 @@ object SparkEntry {
         |FROM nab JOIN na sa ON nab.a = sa.a JOIN na sb ON nab.b = sb.a
         |CROSS JOIN tot
         |ORDER BY pmi DESC, nab.a, nab.b LIMIT 50""".stripMargin),
+
+    // identical stratum 2x2 collapse + pinned E/V/odds sums over the
+    // K-row frame (float sums over K strata -> 6-digit grid)
+    "q339_cmh" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS s, o_totalprice > 150000 AS ex,
+        |    o_orderstatus = 'F' AS oc
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (
+        |  SELECT s,
+        |    sum(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS d
+        |  FROM base GROUP BY 1),
+        |k AS (SELECT a, b, c, d, a + b + c + d AS n_k FROM cells
+        |      WHERE a + b + c + d >= 2),
+        |agg AS (
+        |  SELECT count(*) AS k_strata, sum(n_k) AS n,
+        |    sum(CAST(a AS DOUBLE)
+        |      - CAST(a + b AS DOUBLE) * (a + c) / CAST(n_k AS DOUBLE))
+        |      AS num,
+        |    sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+        |      / (CAST(n_k AS DOUBLE) * n_k * (n_k - 1.0))) AS var,
+        |    sum(CAST(a AS DOUBLE) * d / CAST(n_k AS DOUBLE)) AS ad,
+        |    sum(CAST(b AS DOUBLE) * c / CAST(n_k AS DOUBLE)) AS bc
+        |  FROM k)
+        |SELECT CAST(k_strata AS BIGINT) AS k_strata, CAST(n AS BIGINT) AS n,
+        |  round(num * num / var, 6) AS chi2_cmh,
+        |  round(CASE WHEN bc > 0.0 THEN ad / bc END, 6) AS or_mh
+        |FROM agg""".stripMargin,
 
     // hard assignment under the q323 model: per-row log-density chain,
     // first-max-wins over z ascending (>= comparisons)

@@ -247,6 +247,59 @@ object Contingency {
     *         the terms O(1), leaving ~1e-15 slack against the grid),
     *         n = label-non-null rows
     */
+  /** Cochran–Mantel–Haenszel test + common odds ratio — the STRATIFIED
+    * member of the contingency family ([[analyze]] pools everything;
+    * CMH conditions on a confounder, the textbook Simpson's-paradox
+    * guard): over K 2×2 tables (a_k..d_k per stratum),
+    *
+    *   χ²_CMH = (Σ_k (a_k − E_k))² / Σ_k V_k   (1 df, no continuity
+    *            correction — documented choice),
+    *   E_k = r1_k·c1_k/n_k,
+    *   V_k = r1_k·r0_k·c1_k·c0_k / (n_k²·(n_k−1)),
+    *   OR_MH = Σ_k (a_k·d_k/n_k) / Σ_k (b_k·c_k/n_k).
+    *
+    * ONE groupBy(stratum) collapse to exact integer cell counts, then a
+    * one-row reduce of the K-row frame; strata with n_k < 2 contribute
+    * nothing to the variance (V's n−1 term) and are excluded entirely,
+    * loudly countable via k_used. Float sums run over K strata of O(1)
+    * terms → 6-digit grid.
+    *
+    * @param exposureCol boolean-like (treated as exposed when true)
+    * @param outcomeCol  boolean-like
+    * @return one row: (k_strata, n, chi2_cmh, or_mh) — or_mh null when
+    *         no discordant pairs exist
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposureCol: String, outcomeCol: String): DataFrame = {
+    val ex = col(exposureCol).cast("boolean")
+    val oc = col(outcomeCol).cast("boolean")
+    val cells = df.filter(ex.isNotNull && oc.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(sum(when(ex && oc, 1L).otherwise(0L)).as("a"),
+        sum(when(ex && !oc, 1L).otherwise(0L)).as("b"),
+        sum(when(!ex && oc, 1L).otherwise(0L)).as("c"),
+        sum(when(!ex && !oc, 1L).otherwise(0L)).as("d"))
+      .withColumn("n_k", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n_k") >= 2)
+    val r1 = (col("a") + col("b")).cast("double")
+    val r0 = (col("c") + col("d")).cast("double")
+    val c1 = (col("a") + col("c")).cast("double")
+    val c0 = (col("b") + col("d")).cast("double")
+    val nk = col("n_k").cast("double")
+    cells.agg(
+      count(lit(1)).as("k_strata"),
+      sum("n_k").as("n"),
+      sum(col("a").cast("double") - r1 * c1 / nk).as("__num"),
+      sum(r1 * r0 * c1 * c0 / (nk * nk * (nk - 1.0))).as("__var"),
+      sum(col("a").cast("double") * col("d") / nk).as("__ad"),
+      sum(col("b").cast("double") * col("c") / nk).as("__bc"))
+      .select(col("k_strata"), col("n"),
+        round(col("__num") * col("__num") / col("__var"), 6)
+          .as("chi2_cmh"),
+        round(when(col("__bc") > 0.0, col("__ad") / col("__bc")), 6)
+          .as("or_mh"))
+  }
+
   def mutualInfoRanking(df: DataFrame, featureCols: Seq[String],
       labelCol: String): DataFrame = {
     require(featureCols.nonEmpty, "need at least one feature column")

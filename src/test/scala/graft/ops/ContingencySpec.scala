@@ -170,6 +170,34 @@ class ContingencySpec extends SparkSpec {
     }
   }
 
+  test("mantelHaenszel: closed two-stratum case") {
+    // per stratum: a=10 b=5 c=5 d=10 → E=7.5, V=50625/26100;
+    // two identical strata: chi2 = 25/(2V) = 6.444444…, OR_MH = 4
+    def stratum(s: String) =
+      Seq.fill(10)((s, true, true)) ++ Seq.fill(5)((s, true, false)) ++
+        Seq.fill(5)((s, false, true)) ++ Seq.fill(10)((s, false, false))
+    val df = (stratum("s1") ++ stratum("s2")).toDF("s", "ex", "oc")
+    val row = Contingency.mantelHaenszel(df, "s", "ex", "oc").head()
+    assert(row.getLong(0) === 2L && row.getLong(1) === 60L)
+    val v = 2.0 * (15.0 * 15.0 * 15.0 * 15.0) / (30.0 * 30.0 * 29.0)
+    assert(math.abs(row.getDouble(2) - 25.0 / v) < 1e-5)
+    assert(row.getDouble(3) === 4.0)
+  }
+
+  test("mantelHaenszel: degenerate strata excluded, nulls dropped") {
+    val df = (Seq(("tiny", true, true)) ++ // n_k = 1 → excluded
+      Seq.fill(4)(("s", true, true)) ++ Seq.fill(4)(("s", false, false)) ++
+      Seq.fill(2)(("s", true, false)) ++ Seq.fill(2)(("s", false, true)))
+      .toDF("s", "ex", "oc")
+      .unionByName(Seq(("s", Option.empty[Boolean], Option(true)))
+        .toDF("s", "ex", "oc"))
+    val row = Contingency.mantelHaenszel(df, "s", "ex", "oc").head()
+    assert(row.getLong(0) === 1L, "only the big stratum counts")
+    assert(row.getLong(1) === 12L)
+    // OR = (4·4/12)/(2·2/12) = 4
+    assert(row.getDouble(3) === 4.0)
+  }
+
   test("mutualInfoRanking: perfect predictor scores H(label), noise 0") {
     // label ∈ {x, y} balanced: H = ln 2; copy = label exactly;
     // junk is constant (MI = 0 exactly, single cell ln(1))
