@@ -4335,6 +4335,18 @@ object SparkEntry {
         .withColumn("outcome", col("o_orderstatus") === "F")
       Contingency.mantelHaenszel(o, "o_orderpriority", "exposed",
         "outcome")
+    }),
+
+    // MMR diversified top-5 against vec 7's embedding: distributed
+    // scoring + TakeOrdered candidate cut, model-sized greedy slate
+    // (40 rows), every cosine an ascending-dim fold — engine-replayable
+    "q340_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 7).head()
+        .getSeq[Float](1).map(_.toDouble).toSeq
+      Retrieval.mmrSelect(emb, "vec_id", "embedding", q, k = 5,
+          lambda = 0.7, candidateN = 40)
+        .orderBy("rank")
     })
   )
 
@@ -4345,6 +4357,64 @@ object SparkEntry {
       .select(concat(lit("p"), col("l_partkey")).as("u"),
         concat(lit("s"), col("l_suppkey")).as("v")).distinct()
     pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** q340's oracle: distributed relevance + candidate cut, then the
+    * 5-round greedy MMR unrolled as chained CTEs — the sim frame and all
+    * score arithmetic mirror the driver loop exactly ((1.0 − 0.7) as
+    * written, raw-double ordering with the id tiebreak). */
+  private val mmrOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT c.id, c.rel,
+         |    0.7 * c.rel - (1.0 - 0.7) * max(sim.cos) AS score
+         |  FROM cand c JOIN sim ON sim.ia = c.id
+         |    AND sim.ib IN (SELECT id FROM sel${i - 1})
+         |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+         |  GROUP BY c.id, c.rel ORDER BY score DESC, c.id LIMIT 1),
+         |sel$i AS (SELECT id FROM sel${i - 1}
+         |          UNION ALL SELECT id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to 5).map(i =>
+      s"UNION ALL SELECT $i, id, round(rel, 6), round(score, 6) FROM s$i")
+      .mkString("\n")
+    s"""WITH g AS MATERIALIZED (SELECT vec_id AS id, embedding FROM embeddings),
+       |qv AS MATERIALIZED (SELECT embedding AS qe FROM g WHERE id = 7),
+       |nrm AS MATERIALIZED (
+       |  SELECT id, sqrt(sum(CAST(embedding[k.k + 1] AS DOUBLE)
+       |    * CAST(embedding[k.k + 1] AS DOUBLE))) AS nn
+       |  FROM g, UNNEST(generate_series(0, 63)) k(k) GROUP BY 1),
+       |qn AS (SELECT sqrt(sum(CAST(qe[k.k + 1] AS DOUBLE)
+       |    * CAST(qe[k.k + 1] AS DOUBLE))) AS qn
+       |  FROM qv, UNNEST(generate_series(0, 63)) k(k)),
+       |rel AS MATERIALIZED (
+       |  SELECT g.id, sum(CAST(g.embedding[k.k + 1] AS DOUBLE)
+       |      * CAST(qv.qe[k.k + 1] AS DOUBLE))
+       |    / (any_value(nrm.nn) * any_value(qn.qn)) AS rel
+       |  FROM g CROSS JOIN qv CROSS JOIN qn
+       |  JOIN nrm ON nrm.id = g.id,
+       |  UNNEST(generate_series(0, 63)) k(k)
+       |  GROUP BY g.id),
+       |cand AS MATERIALIZED (
+       |  SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT 40),
+       |sim AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    sum(CAST(ga.embedding[k.k + 1] AS DOUBLE)
+       |        * CAST(gb.embedding[k.k + 1] AS DOUBLE))
+       |      / (any_value(na.nn) * any_value(nb.nn)) AS cos
+       |  FROM cand a JOIN cand b ON a.id <> b.id
+       |  JOIN g ga ON ga.id = a.id JOIN g gb ON gb.id = b.id
+       |  JOIN nrm na ON na.id = a.id JOIN nrm nb ON nb.id = b.id,
+       |  UNNEST(generate_series(0, 63)) k(k)
+       |  GROUP BY a.id, b.id),
+       |s1 AS (SELECT id, rel, 0.7 * rel AS score FROM cand
+       |       ORDER BY rel DESC, id LIMIT 1),
+       |sel1 AS (SELECT id FROM s1),
+       |$rounds
+       |SELECT 1 AS rank, id AS vec_id, round(rel, 6) AS relevance,
+       |  round(score, 6) AS mmr_score FROM s1
+       |$out
+       |ORDER BY rank""".stripMargin
   }
 
   /** Shared q337/q338 oracle prefix: the id-ranked adjacency, 2 walks
@@ -12312,6 +12382,9 @@ object SparkEntry {
         |  round(num * num / var, 6) AS chi2_cmh,
         |  round(CASE WHEN bc > 0.0 THEN ad / bc END, 6) AS or_mh
         |FROM agg""".stripMargin,
+
+    // distributed relevance + candidate cut, 5 unrolled greedy rounds
+    "q340_mmr_select" -> mmrOracle,
 
     // hard assignment under the q323 model: per-row log-density chain,
     // first-max-wins over z ascending (>= comparisons)

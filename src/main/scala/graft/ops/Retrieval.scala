@@ -285,4 +285,80 @@ object Retrieval {
           col("__sump") / least(col("n_rel"), lit(k)).cast("double")), 6)
           .as("ap"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * the diversity-aware top-k every RAG/curation pipeline reaches for —
+    * greedy picks maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s),
+    * so near-duplicates of an already-chosen result are demoted.
+    *
+    * Scale split: relevance scoring and the candidate cut are fully
+    * distributed (one projection + TakeOrderedAndProject under the
+    * (rel desc, id) total order); the greedy loop then runs on the
+    * COLLECTED candidate slate — model-sized, REQUIRED ≤ 256 — because
+    * the k·N pairwise-sim recurrence is inherently sequential. Every
+    * number is engine-replayable: cosines are ascending-dim sequential
+    * folds (the [[Similarity.dot]] order), the (1−λ) factor is computed
+    * as written, selection compares raw doubles with an id tiebreak.
+    *
+    * @param query  literal query embedding
+    * @return k rows: (rank, id, relevance, mmr_score) on the 6-digit
+    *         grid; rank 1's mmr_score is λ·rel (empty selected set)
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, lambda: Double,
+      candidateN: Int = 64): DataFrame = {
+    require(k >= 1 && candidateN >= k,
+      s"need 1 <= k <= candidateN, got k=$k candidateN=$candidateN")
+    require(candidateN <= 256,
+      s"candidate slate $candidateN exceeds the model-sized bound 256")
+    require(lambda > 0 && lambda <= 1, s"need 0 < lambda <= 1, got $lambda")
+    val q = array(query.map(lit): _*)
+    val spark = df.sparkSession
+    val cand = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.cosine(col(vecCol), q).as("__rel"))
+      .orderBy(col("__rel").desc, col("__id"))
+      .limit(candidateN)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray,
+        r.getDouble(2)))
+    // ascending-dim sequential fold — the Similarity.dot / SQL
+    // sum-over-unnest association order, bit-identical across engines
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def normD(a: Array[Double]): Double = math.sqrt(dotD(a, a))
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double)] // (id, rel, mmr)
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c): _*)
+    for (_ <- 1 to math.min(k, cand.length)) {
+      val scored = remaining.values.map { case (id, v, rel) =>
+        val maxSim =
+          if (sel.isEmpty) 0.0
+          else sel.map { case (sid, _, _) =>
+            val other = cand.find(_._1 == sid).get._2
+            dotD(v, other) / (normD(v) * normD(other))
+          }.max
+        val score =
+          if (sel.isEmpty) lambda * rel
+          else lambda * rel - (1.0 - lambda) * maxSim
+        (id, rel, score)
+      }
+      val best = scored.minBy { case (id, _, s) => (-s, id) }
+      sel += best
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    def rd6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    sel.zipWithIndex
+      .map { case ((id, rel, s), i) => (i + 1, id, rd6(rel), rd6(s)) }
+      .toSeq.toDF("rank", idCol, "relevance", "mmr_score")
+  }
 }

@@ -174,4 +174,37 @@ class RetrievalSpec extends SparkSpec {
       "rel", 2).head().getAs[Double]("ap")
     assert(math.abs(ap - 0.5) < 1e-9) // (1/1)/min(2,2)
   }
+
+  private def vecs3 = Seq(
+    (1L, Seq(1.0f, 0.0f)),   // rel 1 — rank 1 (id tiebreak vs 2)
+    (2L, Seq(1.0f, 0.0f)),   // exact duplicate of 1
+    (3L, Seq(0.9f, 0.44f))   // diverse, rel ~0.898
+  ).toDF("vec_id", "embedding")
+
+  test("mmrSelect: low lambda demotes the duplicate for diversity") {
+    val got = Retrieval.mmrSelect(vecs3, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 2, lambda = 0.3, candidateN = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // rank 1 = id 1; rank 2 = the DIVERSE vec 3, not the dup (score
+    // 0.3·0.898 − 0.7·0.898 beats 0.3·1 − 0.7·1)
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("mmrSelect: high lambda keeps pure relevance order") {
+    val got = Retrieval.mmrSelect(vecs3, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 3, lambda = 1.0, candidateN = 3)
+      .orderBy("rank").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got(0)._2 === 1.0 && got(1)._2 === 1.0)
+  }
+
+  test("mmrSelect: k above slate size returns the slate; guards fire") {
+    assert(Retrieval.mmrSelect(vecs3, "vec_id", "embedding",
+      Seq(1.0, 0.0), k = 3, lambda = 0.5, candidateN = 3).count() === 3L)
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrSelect(vecs3, "vec_id", "embedding", Seq(1.0, 0.0),
+        k = 2, lambda = 0.5, candidateN = 500)
+    }
+  }
 }
