@@ -4347,6 +4347,18 @@ object SparkEntry {
       Retrieval.mmrSelect(emb, "vec_id", "embedding", q, k = 5,
           lambda = 0.7, candidateN = 40)
         .orderBy("rank")
+    }),
+
+    // offline policy evaluation: value of a "click when hot else view"
+    // target policy from logged (action, propensity, reward) events —
+    // micro-quantized HT weights, ONE aggregation, exact long sums
+    "q341_policy_value" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("prop", when(col("event_type") === "click", 0.4)
+          .when(col("event_type") === "view", 0.3).otherwise(0.1))
+        .withColumn("target",
+          when(col("value") > 10, lit("click")).otherwise(lit("view")))
+      Causal.policyValue(ev, "event_type", "prop", "value", "target")
     })
   )
 
@@ -12385,6 +12397,46 @@ object SparkEntry {
 
     // distributed relevance + candidate cut, 5 unrolled greedy rounds
     "q340_mmr_select" -> mmrOracle,
+
+    // identical propensity/target projections + micro/milli-quantized
+    // Horvitz–Thompson sums; pinned final divisions
+    "q341_policy_value" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'click' THEN 0.4
+        |         WHEN event_type = 'view' THEN 0.3 ELSE 0.1 END AS p,
+        |    value,
+        |    CASE WHEN value > 10 THEN 'click' ELSE 'view' END AS target
+        |  FROM events),
+        |q AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN event_type = target THEN 1 ELSE 0 END)
+        |      AS n_matched,
+        |    sum(CASE WHEN event_type = target
+        |      THEN CAST(round(value / p * 1e6) AS BIGINT) ELSE 0 END)
+        |      AS srw,
+        |    sum(CASE WHEN event_type = target
+        |      THEN CAST(round(1.0 / p * 1e6) AS BIGINT) ELSE 0 END)
+        |      AS siw,
+        |    sum(CASE WHEN event_type = target
+        |      THEN CAST(round(1.0 / p * 1e3) AS BIGINT) ELSE 0 END)
+        |      AS swm,
+        |    sum(CASE WHEN event_type = target
+        |      THEN CAST(round(1.0 / p * 1e3) AS BIGINT)
+        |         * CAST(round(1.0 / p * 1e3) AS BIGINT) ELSE 0 END)
+        |      AS swm2
+        |  FROM base)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  round(CAST(srw AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        |    AS ips,
+        |  round(CASE WHEN siw > 0
+        |    THEN CAST(srw AS DOUBLE) / CAST(siw AS DOUBLE) END, 6)
+        |    AS snips,
+        |  round(CASE WHEN swm2 > 0
+        |    THEN CAST(swm AS DOUBLE) * swm / CAST(swm2 AS DOUBLE) END, 6)
+        |    AS ess
+        |FROM q""".stripMargin,
 
     // hard assignment under the q323 model: per-row log-density chain,
     // first-max-wins over z ascending (>= comparisons)

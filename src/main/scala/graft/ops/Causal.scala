@@ -126,4 +126,57 @@ object Causal {
       bl.as("slope_l"), br.as("slope_r"),
       al.as("lim_l"), ar.as("lim_r"), (ar - al).as("tau"))
   }
+
+  /** Offline policy evaluation — IPS and SNIPS (Horvitz–Thompson /
+    * self-normalized importance sampling; Swaminathan & Joachims 2015):
+    * estimate a TARGET policy's value from LOGGED (action, propensity,
+    * reward) data without deploying it — the counterfactual readout
+    * every bandit/RLHF data pipeline wants before a policy swap.
+    *
+    *   IPS   = (1/n) Σ 1[a = π(x)] · r / p
+    *   SNIPS = Σ 1[a = π(x)] · r/p  /  Σ 1[a = π(x)] / p
+    *   ESS   = (Σ w)² / Σ w²,  w = 1[match]/p  (how many effective
+    *           samples the match set carries — low ESS = high variance;
+    *           computed on MILLI-quantized weights — ESS is
+    *           scale-invariant in w and the squared milli sums stay
+    *           inside a long past 10¹⁰ rows)
+    *
+    * ONE aggregation. Per-row weights quantize to integer micro-units
+    * BEFORE the sum (the q266 DSIR discipline), so every sum is an
+    * exact long and the estimates replay bit-for-bit on any engine and
+    * partitioning; the only float ops are the final pinned divisions.
+    * Rows with null or non-positive propensity are REQUIRED absent,
+    * loudly — silently dropping them would bias the estimate.
+    *
+    * @param targetActionCol the action π would take for the row
+    * @return one row: (n, n_matched, ips, snips, ess) — 6-digit grid
+    */
+  def policyValue(df: DataFrame, actionCol: String, propensityCol: String,
+      rewardCol: String, targetActionCol: String): DataFrame = {
+    val p = col(propensityCol).cast("double")
+    val mtch = col(actionCol) === col(targetActionCol)
+    val rw = round(col(rewardCol).cast("double") / p * 1e6).cast("long")
+    val iw = round(lit(1.0) / p * 1e6).cast("long")
+    // ESS weights quantize at 1e3, not 1e6: ESS is scale-invariant in w
+    // and the squared milli sum stays inside a long past 1e10 rows
+    val wm = round(lit(1.0) / p * 1e3).cast("long")
+    df.agg(
+      count(lit(1)).as("n"),
+      first(assert_true(p.isNotNull && p > 0.0,
+        lit(s"non-positive or null $propensityCol"))).as("__guard"),
+      sum(when(mtch, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(mtch, rw).otherwise(0L)).as("__srw"),
+      sum(when(mtch, iw).otherwise(0L)).as("__siw"),
+      sum(when(mtch, wm).otherwise(0L)).as("__swm"),
+      sum(when(mtch, wm * wm).otherwise(0L)).as("__swm2"))
+      .select(col("n"), col("n_matched"),
+        round(col("__srw").cast("double") / 1e6 / col("n").cast("double"),
+          6).as("ips"),
+        round(when(col("__siw") > 0,
+          col("__srw").cast("double") / col("__siw").cast("double")), 6)
+          .as("snips"),
+        round(when(col("__swm2") > 0,
+          col("__swm").cast("double") * col("__swm") /
+            col("__swm2").cast("double")), 6).as("ess"))
+  }
 }

@@ -100,7 +100,21 @@ object ScaleCheck {
     "q319_plsa_topics", // 2 EM rounds: keyed join + quantized cell aggs
     "q321_aft_weibull", // alternating IRLS + shape-Newton aggregations
     "q323_gmm_model", // 2 GMM EM rounds: projection + one moment agg each
-    "q326_isoforest_scores") // 3 min/max levels + literal-CASE scoring
+    "q326_isoforest_scores", // 3 min/max levels + literal-CASE scoring
+    // round-11 third batch (q330 modularity rides the q73 pair graph,
+    // which replication makes denser — the label joins themselves are
+    // node-linear; measured, not assumed)
+    "q329_t_closeness", // bounded class × value grid + per-class window
+    "q330_modularity", // CC labels + two label joins + community agg
+    "q331_good_turing", // token counts → O(√corpus) spectrum self-join
+    "q332_mi_ranking", // one melt scan + cell-frame window marginals
+    "q333_hll_registers", // ≤ 2^p-cell partial-agg sketch build
+    "q335_prefixspan", // 3 frontier levels: keyed join + min-agg each
+    "q336_hll_stream", // streaming HLL at 10x key density, bounded state
+    "q337_deepwalk_walks", // 4 steps × two node-keyed joins per step
+    "q338_deepwalk_pmi", // walks + lead pairs + PMI top-k
+    "q339_cmh", // one stratum collapse + one-row reduce
+    "q340_mmr_select") // distributed cut + model-sized greedy
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

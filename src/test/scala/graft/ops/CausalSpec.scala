@@ -86,4 +86,45 @@ class CausalSpec extends SparkSpec {
     val b = Causal.ivWald(df.repartition(7), "y", "x", "z").head()
     assert(a.getAs[Double]("beta_iv") == b.getAs[Double]("beta_iv"))
   }
+
+  test("policyValue: closed IPS/SNIPS/ESS case") {
+    // two matched rows at different propensities, one mismatch:
+    // IPS = (1/0.5 + 1/0.25)/3 = 2, SNIPS = 6/6 = 1,
+    // ESS = (2000+4000)²/(2000²+4000²) = 1.8
+    val df = Seq(
+      ("a", 0.5, 1.0, "a"), ("a", 0.25, 1.0, "a"), ("b", 0.5, 9.0, "a")
+    ).toDF("act", "p", "r", "tgt")
+    val row = Causal.policyValue(df, "act", "p", "r", "tgt").head()
+    assert(row.getLong(0) === 3L && row.getLong(1) === 2L)
+    assert(row.getDouble(2) === 2.0)
+    assert(row.getDouble(3) === 1.0)
+    assert(row.getDouble(4) === 1.8)
+  }
+
+  test("policyValue: uniform propensities make SNIPS the matched mean") {
+    val df = Seq(("a", 0.2, 2.0, "a"), ("a", 0.2, 4.0, "a"),
+      ("b", 0.2, 100.0, "a")).toDF("act", "p", "r", "tgt")
+    val row = Causal.policyValue(df, "act", "p", "r", "tgt").head()
+    assert(row.getDouble(3) === 3.0) // (2+4)/2 — p cancels
+    assert(row.getDouble(4) === 2.0) // uniform weights: ESS = n_matched
+  }
+
+  test("policyValue rejects non-positive propensities loudly") {
+    val df = Seq(("a", 0.0, 1.0, "a")).toDF("act", "p", "r", "tgt")
+    val e = intercept[Exception] {
+      Causal.policyValue(df, "act", "p", "r", "tgt").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("policyValue is partition-invariant on real events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("p", when(col("event_type") === "click", 0.4)
+        .otherwise(0.2))
+      .withColumn("tgt", when(col("value") > 10, lit("click"))
+        .otherwise(lit("view")))
+    val run = (n: Int) => Causal.policyValue(ev.repartition(n),
+      "event_type", "p", "value", "tgt").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
