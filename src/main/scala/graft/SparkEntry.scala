@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hmm, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -4359,8 +4359,100 @@ object SparkEntry {
         .withColumn("target",
           when(col("value") > 10, lit("click")).otherwise(lit("view")))
       Causal.policyValue(ev, "event_type", "prop", "value", "target")
+    }),
+
+    // HMM Viterbi decode: most likely engagement-state path per user
+    // under the fixed literal model — integer micro-nat DP, one keyed
+    // join + k²-candidate projection per step, frontier = one row/key
+    "q342_hmm_decode" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") % 7 === 0)
+      Hmm.viterbiDecode(ev, "user_id", Seq("ts", "event_id"),
+          "event_type", hmmStates, hmmInit, hmmTrans, hmmEmit,
+          unkEmitMicro = hmmUnk, maxSteps = 6)
+        .orderBy("user_id")
     })
   )
+
+  /** q342's shared HMM model (micro-nat log-probs; the oracle builder
+    * reads the SAME maps, so query and SQL can never drift). */
+  private val hmmStates = Seq("calm", "active", "hot")
+  private val hmmInit = Map(
+    "calm" -> -500000L, "active" -> -1200000L, "hot" -> -2000000L)
+  private val hmmTrans: Map[(String, String), Long] = Map(
+    ("calm", "calm") -> -300000L, ("calm", "active") -> -1500000L,
+    ("calm", "hot") -> -3000000L,
+    ("active", "calm") -> -1200000L, ("active", "active") -> -700000L,
+    ("active", "hot") -> -1600000L,
+    ("hot", "calm") -> -2500000L, ("hot", "active") -> -1000000L,
+    ("hot", "hot") -> -900000L)
+  private val hmmEmit: Map[(String, String), Long] = Map(
+    ("calm", "view") -> -400000L, ("calm", "click") -> -1800000L,
+    ("calm", "error") -> -2500000L,
+    ("active", "view") -> -1000000L, ("active", "click") -> -800000L,
+    ("active", "purchase") -> -2200000L,
+    ("hot", "click") -> -1200000L, ("hot", "purchase") -> -600000L,
+    ("hot", "error") -> -2000000L)
+  private val hmmUnk = -3000000L
+
+  /** q342's oracle: the same integer micro-nat Viterbi DP unrolled as
+    * chained pivoted CTEs (candidate layer + frontier layer per step),
+    * generated from the SAME model maps as the query. */
+  private val hmmOracle: String = {
+    val k = hmmStates.size
+    def emitSql(j: Int, o: String): String = {
+      val pairs = hmmEmit.collect {
+        case ((s, ob), v) if s == hmmStates(j) => (ob, v)
+      }.toSeq.sortBy(_._1)
+      pairs.reverse.foldLeft(hmmUnk.toString) { case (acc, (ob, v)) =>
+        s"CASE WHEN $o = '$ob' THEN $v ELSE $acc END"
+      }
+    }
+    def trans(i: Int, j: Int): Long =
+      hmmTrans.getOrElse((hmmStates(i), hmmStates(j)), -1000000000000L)
+    val f1 = s"""f1 AS (SELECT k,
+      ${(0 until k).map(j =>
+        s"${hmmInit(hmmStates(j))} + (${emitSql(j, "o")}) AS s_$j, " +
+          s"'${hmmStates(j)}' AS p_$j").mkString(",\n      ")}
+      FROM ev WHERE pos = 1)"""
+    val steps = (2 to 6).map { t =>
+      val cands = (for (j <- 0 until k; i <- 0 until k)
+        yield s"f.s_$i + ${trans(i, j)} AS c_${i}_$j").mkString(",\n      ")
+      val olds = (0 until k).map(j =>
+        s"f.s_$j AS os_$j, f.p_$j AS op_$j").mkString(", ")
+      val fCols = (0 until k).map { j =>
+        val best = (0 until k).map(i => s"c_${i}_$j")
+          .reduceLeft((a, b) => s"greatest($a, $b)")
+        val argPath = s"""CASE WHEN c_0_$j >= $best THEN op_0
+          WHEN c_1_$j >= $best THEN op_1 ELSE op_2 END"""
+        s"""CASE WHEN o IS NULL THEN os_$j
+          ELSE $best + (${emitSql(j, "o")}) END AS s_$j,
+        CASE WHEN o IS NULL THEN op_$j
+          ELSE ($argPath) || '>' || '${hmmStates(j)}' END AS p_$j"""
+      }.mkString(",\n      ")
+      s"""c$t AS (SELECT f.k, e.o, $olds,
+      $cands
+      FROM f${t - 1} f LEFT JOIN (SELECT k, o FROM ev WHERE pos = $t) e
+        ON f.k = e.k),
+    f$t AS (SELECT k, $fCols FROM c$t)"""
+    }.mkString(",\n    ")
+    val bestS = (0 until k).map(j => s"s_$j")
+      .reduceLeft((a, b) => s"greatest($a, $b)")
+    s"""WITH ev AS (
+      SELECT user_id AS k, event_type AS o,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_id % 7 = 0 AND event_type IS NOT NULL),
+    $f1,
+    $steps,
+    fin AS (SELECT k,
+      CASE WHEN s_0 >= $bestS THEN p_0
+           WHEN s_1 >= $bestS THEN p_1 ELSE p_2 END AS path,
+      $bestS AS score_micro
+      FROM f6)
+    SELECT k AS user_id, len(string_split(path, '>')) AS n_steps,
+      path, CAST(score_micro AS BIGINT) AS score_micro
+    FROM fin ORDER BY user_id"""
+  }
 
   /** q337/q338's graph: the q122/q176 symmetrized part–supplier
     * relation. */
@@ -12397,6 +12489,10 @@ object SparkEntry {
 
     // distributed relevance + candidate cut, 5 unrolled greedy rounds
     "q340_mmr_select" -> mmrOracle,
+
+    // integer micro-nat Viterbi DP unrolled as pivoted CTE rounds,
+    // generated from the same model maps as the query
+    "q342_hmm_decode" -> hmmOracle,
 
     // identical propensity/target projections + micro/milli-quantized
     // Horvitz–Thompson sums; pinned final divisions
