@@ -4370,6 +4370,15 @@ object SparkEntry {
           "event_type", hmmStates, hmmInit, hmmTrans, hmmEmit,
           unkEmitMicro = hmmUnk, maxSteps = 6)
         .orderBy("user_id")
+    }),
+
+    // per-group portable HLL — the grouped shape q61's opaque
+    // approx_count_distinct actually runs, hash-gateable: (group,
+    // bucket) register collapse + per-group exact-integer readout
+    "q343_hll_by_group" -> ((s, dir) => {
+      Sketch.hllEstimateByGroup(t(s, dir, "lineitem"), "l_returnflag",
+          "l_orderkey", p = 9)
+        .orderBy("l_returnflag")
     })
   )
 
@@ -12493,6 +12502,36 @@ object SparkEntry {
     // integer micro-nat Viterbi DP unrolled as pivoted CTE rounds,
     // generated from the same model maps as the query
     "q342_hmm_decode" -> hmmOracle,
+
+    // identical grouped registers + per-group scaled harmonic readout
+    "q343_hll_by_group" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |r AS (SELECT g, h & 511 AS bucket,
+        |    max(CASE WHEN (h >> 9) = 0 THEN 52
+        |      ELSE 52 - length(bin(h >> 9)) END) AS r
+        |  FROM h GROUP BY 1, 2),
+        |a AS (SELECT g, count(*) AS n_occupied,
+        |    sum(1::BIGINT << CAST(52 - r AS INT)) AS s_occ
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT g, CAST(n_occupied AS BIGINT) AS n_occupied,
+        |    CAST(512 - n_occupied AS BIGINT) AS v_zero,
+        |    CAST(s_occ + (512 - n_occupied) * (1::BIGINT << 52) AS BIGINT)
+        |      AS s_scaled
+        |  FROM a)
+        |SELECT g AS l_returnflag, n_occupied, v_zero, s_scaled,
+        |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |      * 4503599627370496.0 / CAST(s_scaled AS DOUBLE)
+        |        <= 2.5 * 512.0 AND v_zero > 0
+        |    THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |      * 4503599627370496.0 / CAST(s_scaled AS DOUBLE) END, 6)
+        |    AS estimate
+        |FROM c ORDER BY l_returnflag""".stripMargin,
 
     // identical propensity/target projections + micro/milli-quantized
     // Horvitz–Thompson sums; pinned final divisions

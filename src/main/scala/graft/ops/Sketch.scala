@@ -110,6 +110,51 @@ object Sketch {
     *         estimate on the 6-digit grid; linear counting applies when
     *         raw ≤ 2.5m and zero registers exist (the Flajolet rule)
     */
+  /** Per-group portable HLL distinct estimates — the grouped shape the
+    * opaque `approx_count_distinct` twins (q60/q61) actually run, made
+    * hash-gateable: ONE scan → (group, bucket) register collapse (the
+    * partial agg bounds every partition's contribution at groups·2^p
+    * cells) → per-group exact-integer-scaled readout with the same
+    * raw-vs-linear-counting branch as [[hllEstimate]].
+    *
+    * @return per group: (groupCol, n_occupied, v_zero, s_scaled,
+    *         estimate) — estimate on the 6-digit grid
+    */
+  def hllEstimateByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
+    val m = 1 << p
+    val scale = 61 - p
+    val md = m.toDouble
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val rest = shiftright(h, p)
+    val rho = when(rest === 0L, lit(61 - p))
+      .otherwise(lit(60 - p) + 1 - length(bin(rest)))
+    val regs = df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol),
+        h.bitwiseAND(lit(m.toLong - 1)).as("__bucket"), rho.as("__rho"))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(max("__rho").as("__r"))
+    val agg = regs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_occupied"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __r)"))
+        .as("__s_occ"))
+    val vZero = lit(m.toLong) - col("n_occupied")
+    val s = col("__s_occ") + vZero * lit(1L << scale)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md))
+    val raw = alpha * lit(md) * lit(md) * lit(math.pow(2.0, scale)) /
+      col("s_scaled").cast("double")
+    val lc = lit(md) * log(lit(md) / col("v_zero").cast("double"))
+    agg
+      .select(col(groupCol), col("n_occupied"), vZero.as("v_zero"),
+        s.as("s_scaled"))
+      .select(col(groupCol), col("n_occupied"), col("v_zero"),
+        col("s_scaled"),
+        round(when(raw <= lit(2.5) * lit(md) && col("v_zero") > 0, lc)
+          .otherwise(raw), 6).as("estimate"))
+  }
+
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
     val m = 1 << p

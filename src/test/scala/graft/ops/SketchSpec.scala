@@ -85,6 +85,25 @@ class SketchSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("hllEstimateByGroup tracks per-group exact distincts") {
+    val df = (1L to 4000L).map(i => (s"g${i % 3}", s"key-$i"))
+      .toDF("g", "k")
+    val est = Sketch.hllEstimateByGroup(df, "g", "k", 9)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("estimate"))
+      .toMap
+    val exact = df.groupBy("g").agg(countDistinct("k").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.14,
+        s"group $g: est ${est(g)} vs exact $n")
+    }
+    // grouped readout ≡ per-group global readout
+    val solo = Sketch.hllEstimate(
+      Sketch.hllRegisters(df.filter(col("g") === "g1"), "k", 9), 9)
+      .head().getAs[Double]("estimate")
+    assert(est("g1") === solo)
+  }
+
   test("hll registers are partition-invariant with bounded rank range") {
     val df = (1L to 3000L).map(i => s"id-$i").toDF("k")
     val a = Sketch.hllRegisters(df.repartition(1), "k", 9)
