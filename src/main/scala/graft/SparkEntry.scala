@@ -4379,6 +4379,18 @@ object SparkEntry {
       Sketch.hllEstimateByGroup(t(s, dir, "lineitem"), "l_returnflag",
           "l_orderkey", p = 9)
         .orderBy("l_returnflag")
+    }),
+
+    // Apriori frequent itemsets through triples over the q227 baskets:
+    // anti-monotone level pruning, capped per-basket fan-out, exact
+    // distinct-basket supports
+    "q344_freq_itemsets" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 50).as("item"))
+      Assoc.frequentItemsets(inc, "basket", "item", minCount = 40,
+          maxBasketSize = 50)
+        .orderBy("size", "itemset")
     })
   )
 
@@ -12532,6 +12544,34 @@ object SparkEntry {
         |      * 4503599627370496.0 / CAST(s_scaled AS DOUBLE) END, 6)
         |    AS estimate
         |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    // identical level-pruned lattice: L1 → pair join → L2 → triple
+    // join → L3, exact distinct-basket supports
+    "q344_freq_itemsets" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+        |  FROM lineitem),
+        |keep AS (SELECT b FROM inc GROUP BY b HAVING count(*) <= 50),
+        |p AS (SELECT inc.b, inc.i FROM inc JOIN keep USING (b)),
+        |l1 AS (SELECT i, count(*) AS support FROM p GROUP BY 1
+        |       HAVING count(*) >= 40),
+        |pf AS (SELECT p.b, p.i FROM p JOIN l1 ON p.i = l1.i),
+        |p2 AS (SELECT a.b, a.i AS i1, c.i AS i2
+        |       FROM pf a JOIN pf c ON a.b = c.b AND a.i < c.i),
+        |l2 AS (SELECT i1, i2, count(*) AS support FROM p2 GROUP BY 1, 2
+        |       HAVING count(*) >= 40),
+        |p2f AS (SELECT p2.b, p2.i1, p2.i2 FROM p2 JOIN l2 USING (i1, i2)),
+        |p3 AS (SELECT a.b, a.i1, a.i2, c.i AS i3
+        |       FROM p2f a JOIN pf c ON a.b = c.b AND c.i > a.i2),
+        |l3 AS (SELECT i1, i2, i3, count(*) AS support FROM p3
+        |       GROUP BY 1, 2, 3 HAVING count(*) >= 40)
+        |SELECT CAST(i AS VARCHAR) AS itemset, 1 AS size,
+        |  CAST(support AS BIGINT) AS support FROM l1
+        |UNION ALL SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR),
+        |  2, CAST(support AS BIGINT) FROM l2
+        |UNION ALL SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR)
+        |  || ',' || CAST(i3 AS VARCHAR), 3, CAST(support AS BIGINT) FROM l3
+        |ORDER BY size, itemset""".stripMargin,
 
     // identical propensity/target projections + micro/milli-quantized
     // Horvitz–Thompson sums; pinned final divisions

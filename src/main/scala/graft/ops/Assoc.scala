@@ -77,4 +77,64 @@ object Assoc {
       if (materialize) rules.localCheckpoint(true) else rules
     } finally if (materialize) pruned.unpersist(blocking = false)
   }
+
+  /** Apriori frequent itemsets through size 3 — [[associationRules]]'
+    * lattice extension (rules stop at pairs; basket analyses routinely
+    * want the triple tier: bundle design, co-failure diagnosis).
+    * Anti-monotone pruning level by level: items below `minCount` leave
+    * the incidence frame before the pair join, pair matches below it
+    * leave before the triple join — the same frontier discipline as
+    * [[SeqMine.prefixSpan]], unordered. The per-basket fan-out is
+    * bounded by the same `maxBasketSize` cap as the rules path (one
+    * degenerate mega-basket would otherwise go quadratic/cubic).
+    *
+    * Support = number of DISTINCT baskets containing the set; itemsets
+    * render canonically ascending, so every level's frame has exact
+    * integer counts and a total output order.
+    *
+    * @return (itemset, size, support) — itemset = ","-joined ascending
+    *         items, size 1..3
+    */
+  def frequentItemsets(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long, maxBasketSize: Int = 200): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(maxBasketSize >= 3, "maxBasketSize must be >= 3")
+    val inc = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val keep = inc.groupBy("b").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select("b")
+    val pruned = inc.join(keep, Seq("b"), "left_semi").persist()
+    try {
+      val l1 = pruned.groupBy("i").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minCount)
+        .localCheckpoint(true)
+      val pf = pruned.join(l1.select("i"), Seq("i"), "left_semi")
+        .persist()
+      try {
+        val p2 = pf
+          .join(pf.select(col("b"), col("i").as("i2")), "b")
+          .filter(col("i") < col("i2"))
+        val l2 = p2.groupBy("i", "i2").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= minCount)
+          .localCheckpoint(true)
+        val p2f = p2.join(l2.select("i", "i2"), Seq("i", "i2"),
+          "left_semi")
+        val l3 = p2f
+          .join(pf.select(col("b"), col("i").as("i3")), "b")
+          .filter(col("i3") > col("i2"))
+          .groupBy("i", "i2", "i3").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= minCount)
+          .localCheckpoint(true)
+        l1.select(col("i").cast("string").as("itemset"),
+            lit(1).as("size"), col("support"))
+          .unionByName(l2.select(
+            concat_ws(",", col("i"), col("i2")).as("itemset"),
+            lit(2).as("size"), col("support")))
+          .unionByName(l3.select(
+            concat_ws(",", col("i"), col("i2"), col("i3")).as("itemset"),
+            lit(3).as("size"), col("support")))
+      } finally pf.unpersist(blocking = false)
+    } finally pruned.unpersist(blocking = false)
+  }
 }

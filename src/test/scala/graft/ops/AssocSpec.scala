@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class AssocSpec extends SparkSpec {
   import spark.implicits._
@@ -56,5 +57,43 @@ class AssocSpec extends SparkSpec {
       .filter($"antecedent" === "a" && $"consequent" === "b").head()
     assert(out.getLong(2) === 2L)  // n_both
     assert(out.getLong(3) === 2L)  // n_ante (not 3)
+  }
+
+  test("frequentItemsets: closed lattice through the triple tier") {
+    val df = Seq((1L, "1"), (1L, "2"), (1L, "3"), (2L, "1"), (2L, "2"),
+      (3L, "1"), (3L, "2"), (3L, "3")).toDF("basket", "item")
+    val got = Assoc.frequentItemsets(df, "basket", "item", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("1", 1) -> 3L, ("2", 1) -> 3L, ("3", 1) -> 2L,
+      ("1,2", 2) -> 3L, ("1,3", 2) -> 2L, ("2,3", 2) -> 2L,
+      ("1,2,3", 3) -> 2L))
+    // raising minCount prunes the triple and the 3-containing pairs
+    val strict = Assoc.frequentItemsets(df, "basket", "item", 3)
+      .collect().map(r => r.getString(0)).toSet
+    assert(strict === Set("1", "2", "1,2"))
+  }
+
+  test("frequentItemsets: infrequent items never reach the pair join") {
+    // 'z' appears once: no pair or triple may contain it even at
+    // minCount 1 for pairs it could have formed in basket 1
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "z"), (2L, "a"), (2L, "b"))
+      .toDF("basket", "item")
+    val got = Assoc.frequentItemsets(df, "basket", "item", minCount = 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got === Set("a", "b", "a,b"))
+  }
+
+  test("frequentItemsets is partition-invariant") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("basket"),
+        (col("l_partkey") % 20).as("item"))
+    val run = (p: Int) => Assoc.frequentItemsets(df.repartition(p),
+        "basket", "item", minCount = 20, maxBasketSize = 50)
+      .orderBy("size", "itemset").collect().toSeq
+    val a = run(1)
+    assert(a === run(7))
+    assert(a.exists(_.getInt(1) === 3), "triples exist at this density")
   }
 }
