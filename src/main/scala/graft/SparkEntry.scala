@@ -4391,6 +4391,18 @@ object SparkEntry {
       Assoc.frequentItemsets(inc, "basket", "item", minCount = 40,
           maxBasketSize = 50)
         .orderBy("size", "itemset")
+    }),
+
+    // Mondrian k-anonymization of (balance cents, nation): 6 median-
+    // split rounds, widest-range attribute, cut allowable iff the right
+    // side keeps >= k — exact integer recursion, released as ranges
+    "q345_mondrian" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          col("c_nationkey"))
+      Profile.mondrianAnonymize(c, Seq("bal_cents", "c_nationkey"),
+          k = 25, rounds = 6)
+        .orderBy("leaf")
     })
   )
 
@@ -4482,6 +4494,47 @@ object SparkEntry {
       .select(concat(lit("p"), col("l_partkey")).as("u"),
         concat(lit("s"), col("l_suppkey")).as("v")).distinct()
     pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** q345's oracle: 6 unrolled Mondrian rounds — per round the leaf
+    * stats, widest-range attribute choice, ceil(n/2) rank median,
+    * left-count, and allowable-cut relabel, all exact integers. */
+  private val mondrianOracle: String = {
+    val rounds = (1 to 6).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT leaf, count(*) AS n, min(a) AS mina,
+         |  max(a) AS maxa, min(b) AS minb, max(b) AS maxb
+         |  FROM r${t - 1} GROUP BY 1),
+         |t$t AS (SELECT leaf, n,
+         |  CASE WHEN maxa - mina >= greatest(maxa - mina, maxb - minb)
+         |    THEN 'a' ELSE 'b' END AS attr FROM s$t),
+         |v$t AS MATERIALIZED (SELECT r.a, r.b, r.leaf, t.n, t.attr,
+         |  CASE WHEN t.attr = 'a' THEN r.a ELSE r.b END AS sv
+         |  FROM r${t - 1} r JOIN t$t t USING (leaf)),
+         |rk$t AS (SELECT leaf, sv, n,
+         |  row_number() OVER (PARTITION BY leaf ORDER BY sv) AS rn
+         |  FROM v$t),
+         |m$t AS MATERIALIZED (SELECT leaf, sv AS med FROM rk$t
+         |  WHERE rn = (n + 1) // 2),
+         |n$t AS (SELECT v.leaf,
+         |  sum(CASE WHEN v.sv <= m.med THEN 1 ELSE 0 END) AS nl
+         |  FROM v$t v JOIN m$t m USING (leaf) GROUP BY 1),
+         |r$t AS MATERIALIZED (SELECT v.a, v.b,
+         |  CASE WHEN v.n >= 50 AND v.n - n.nl >= 25
+         |    THEN v.leaf || (CASE WHEN v.sv <= m.med THEN 'L' ELSE 'R' END)
+         |    ELSE v.leaf END AS leaf
+         |  FROM v$t v JOIN m$t m USING (leaf) JOIN n$t n USING (leaf))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH r0 AS MATERIALIZED (
+       |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS a,
+       |    CAST(c_nationkey AS BIGINT) AS b, 'r' AS leaf
+       |  FROM customer
+       |  WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL),
+       |$rounds
+       |SELECT leaf, CAST(count(*) AS BIGINT) AS n,
+       |  min(a) AS bal_cents_min, max(a) AS bal_cents_max,
+       |  min(b) AS c_nationkey_min, max(b) AS c_nationkey_max
+       |FROM r6 GROUP BY 1 ORDER BY leaf""".stripMargin
   }
 
   /** q340's oracle: distributed relevance + candidate cut, then the
@@ -12544,6 +12597,9 @@ object SparkEntry {
         |      * 4503599627370496.0 / CAST(s_scaled AS DOUBLE) END, 6)
         |    AS estimate
         |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    // 6 unrolled Mondrian median-split rounds, exact integer recursion
+    "q345_mondrian" -> mondrianOracle,
 
     // identical level-pruned lattice: L1 → pair join → L2 → triple
     // join → L3, exact distinct-basket supports

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -453,6 +453,89 @@ object Profile {
     * @return per violating combo: (quasiCols…, n, emd) with emd > t,
     *         emd on the 9-digit grid
     */
+  /** Mondrian k-anonymization (LeFevre et al. 2006, strict top-down
+    * multidimensional partitioning) — the TRANSFORM completing the
+    * privacy family ([[kAnonymityViolations]] / [[lDiversityViolations]]
+    * / [[tClosenessViolations]] audit; this actually generalizes):
+    * recursively median-split the quasi-identifier space until no leaf
+    * can split without a side dropping below k, then release each leaf
+    * as its attribute RANGES. Deterministic variant: each round splits
+    * on the widest-range attribute only (ties to the earlier column —
+    * documented deviation from try-all-attributes Mondrian), at the
+    * ceil(n/2) order statistic (the q316 rank rule), cut allowable iff
+    * the right side keeps ≥ k rows (the left holds ≥ ceil(n/2) ≥ k
+    * automatically when n ≥ 2k).
+    *
+    * Scale shape: per round THREE leaf-keyed aggregations/joins (stats,
+    * median rank, left count) and a leaf-partitioned rank window — never
+    * a global window or a driver collect; leaves are data-partition
+    * parallel and the round count is a fixed driver loop. All
+    * arithmetic is exact integers on the long-cast quasi columns, so
+    * the whole recursion replays bit-for-bit.
+    *
+    * @param rounds fixed split rounds (leaves stop early when no cut is
+    *               allowable); depth ≤ rounds bounds every leaf path
+    * @return per final leaf: (leaf, n, <c>_min/<c>_max per quasi col),
+    *         every leaf holding n ≥ k rows; null quasi values dropped
+    */
+  def mondrianAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long,
+      rounds: Int): DataFrame = {
+    require(quasiCols.size >= 1 && quasiCols.size <= 8,
+      s"need 1..8 quasi columns, got ${quasiCols.size}")
+    require(k >= 2, s"k < 2 is vacuous, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"need 1 <= rounds <= 16, got $rounds")
+    val cp = new graft.Checkpointer(df.sparkSession, None)
+    var cur = cp(df
+      .filter(quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(quasiCols.map(c => col(c).cast("long").as(c)): _*)
+      .withColumn("__leaf", lit("r")))
+    for (_ <- 1 to rounds) {
+      val stats = cur.groupBy("__leaf").agg(
+        count(lit(1)).as("__n"),
+        quasiCols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"),
+          max(col(c)).as(s"__max_$c"))): _*)
+      val ranges: Seq[(String, Column)] = quasiCols.map(c =>
+        c -> (col(s"__max_$c") - col(s"__min_$c")))
+      val maxRange = ranges.map(_._2).reduceLeft((a, b) => greatest(a, b))
+      val splitAttr = ranges.init.foldRight(lit(quasiCols.last)) {
+        case ((c: String, r: Column), acc: Column) =>
+          when(r >= maxRange, lit(c)).otherwise(acc)
+      }
+      val st = stats.select(col("__leaf"), col("__n"),
+        splitAttr.as("__attr"))
+      val splitVal = quasiCols.init.foldRight(col(quasiCols.last)) {
+        case (c: String, acc: Column) =>
+          when(col("__attr") === c, col(c)).otherwise(acc)
+      }
+      val withVal = cur.join(st, "__leaf").withColumn("__sv", splitVal)
+      val wLeaf = Window.partitionBy("__leaf").orderBy("__sv")
+      val medf = withVal
+        .withColumn("__rn", row_number().over(wLeaf))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("__leaf"), col("__sv").as("__med"))
+      val withMed = withVal.join(medf, "__leaf")
+      val nl = withMed.groupBy("__leaf").agg(
+        sum(when(col("__sv") <= col("__med"), 1L).otherwise(0L))
+          .as("__nl"))
+      cur = cp(withMed.join(nl, "__leaf")
+        .withColumn("__leaf",
+          when(col("__n") >= 2 * k && col("__n") - col("__nl") >= k,
+            concat(col("__leaf"),
+              when(col("__sv") <= col("__med"), "L").otherwise("R")))
+            .otherwise(col("__leaf")))
+        .select(col("__leaf") +: quasiCols.map(col): _*))
+    }
+    val out = cur.groupBy("__leaf").agg(
+      count(lit(1)).as("n"),
+      quasiCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))): _*)
+      .withColumnRenamed("__leaf", "leaf")
+    val res = cp(out)
+    cp.close()
+    res
+  }
+
   def tClosenessViolations(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, t: Double, maxValues: Int = 64): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier")

@@ -344,6 +344,52 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("mondrianAnonymize: closed single-attribute recursion") {
+    val df = (1L to 8L).map(v => Tuple1(v)).toDF("v")
+    val got = Profile.mondrianAnonymize(df, Seq("v"), k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // med(1..8) = 4 → L/R; med(1..4) = 2 → LL/LR; n=2 < 2k stops
+    assert(got === Map(
+      "rLL" -> ((2L, 1L, 2L)), "rLR" -> ((2L, 3L, 4L)),
+      "rRL" -> ((2L, 5L, 6L)), "rRR" -> ((2L, 7L, 8L))))
+  }
+
+  test("mondrianAnonymize: splits the widest-range attribute") {
+    val df = (0L until 40L).map(i => (i % 2, i * 10)).toDF("a", "b")
+    val out = Profile.mondrianAnonymize(df, Seq("a", "b"), 10, 1)
+      .collect()
+    // b spans 0..390 vs a 0..1: the cut must be on b
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 1L,
+        "a stays unsplit (full range) in every leaf")
+    }
+    assert(out.map(_.getLong(5)).min < 390L, "b max shrank in one leaf")
+  }
+
+  test("mondrianAnonymize: constant data and k floor block the cut") {
+    val df = Seq.fill(10)(Tuple1(7L)).toDF("v")
+    val out = Profile.mondrianAnonymize(df, Seq("v"), 2, 4).collect()
+    assert(out.length === 1 && out.head.getString(0) === "r")
+    assert(out.head.getLong(1) === 10L)
+    // every released leaf satisfies k on real data
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_acctbal").cast("long").as("bal"), col("c_custkey"))
+    Profile.mondrianAnonymize(cust, Seq("bal", "c_custkey"), 5, 6)
+      .collect().foreach(r => assert(r.getLong(1) >= 5L))
+  }
+
+  test("mondrianAnonymize is partition-invariant") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_acctbal").cast("long").as("bal"),
+        col("c_nationkey"))
+    val run = (p: Int) => Profile.mondrianAnonymize(cust.repartition(p),
+        Seq("bal", "c_nationkey"), 10, 4)
+      .orderBy("leaf").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   test("tClosenessViolations is partition-invariant") {
     val df = spark.read.parquet(s"$sfDir/customer.parquet")
       .withColumn("bin", floor(col("c_acctbal") / 1000).cast("long"))
