@@ -4403,6 +4403,17 @@ object SparkEntry {
       Profile.mondrianAnonymize(c, Seq("bal_cents", "c_nationkey"),
           k = 25, rounds = 6)
         .orderBy("leaf")
+    }),
+
+    // 1-Wasserstein drift between the event-value halves of the month:
+    // binning-free |F_ref − F_cur| integral on exact integer CDF
+    // numerators, Decimal(38,0) term sums, one pinned division
+    "q346_wasserstein" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      Drift.wasserstein1(ev.filter(col("ts") < split),
+        ev.filter(col("ts") >= split), "cents")
     })
   )
 
@@ -12600,6 +12611,31 @@ object SparkEntry {
 
     // 6 unrolled Mondrian median-split rounds, exact integer recursion
     "q345_mondrian" -> mondrianOracle,
+
+    // identical distinct-value collapse, CDF numerators, lead gaps,
+    // exact integer term sums, one pinned division
+    "q346_wasserstein" ->
+      """WITH base AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events WHERE value IS NOT NULL),
+        |byv AS (SELECT v,
+        |    sum(CASE WHEN is_ref = 1 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN is_ref = 1 THEN 0 ELSE 1 END) AS cb
+        |  FROM base GROUP BY 1),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM byv),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v) AS ca_cum,
+        |    sum(cb) OVER (ORDER BY v) AS cb_cum,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM byv),
+        |s AS (SELECT sum(abs(ca_cum * nb - cb_cum * na) * (nv - v)) AS s
+        |  FROM cum CROSS JOIN tot WHERE nv IS NOT NULL)
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  round(CAST(coalesce(s, 0) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1
+        |FROM tot CROSS JOIN s""".stripMargin,
 
     // identical level-pruned lattice: L1 → pair join → L2 → triple
     // join → L3, exact distinct-basket supports

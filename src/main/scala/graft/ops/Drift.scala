@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift measurement between two dataset snapshots — the
@@ -144,5 +145,55 @@ object Drift {
     joined.agg(
       sum((a - b) * log(a / b)).as("psi"),
       count(lit(1)).as("n_bins"))
+  }
+
+  /** 1-Wasserstein (earth mover's) distance between two empirical
+    * distributions of an INTEGRAL column — the drift metric that, unlike
+    * [[psi]]'s binned ratio and KS's max gap, weighs HOW FAR the mass
+    * moved: W₁ = ∫|F_ref − F_cur| dv. Binning-free and exact: the two
+    * sides collapse to one distinct-value count frame (ONE shuffle, the
+    * ksTest shape), CDF numerators ride the two-level
+    * [[Cumulative.runningSums]] pass, the inter-value gap comes from one
+    * lead window over that COLLAPSED frame, and every |F_a·n_b −
+    * F_b·n_a|·gap term is exact — summed in Decimal(38,0) so 128-bit
+    * integer totals survive any scale — with ONE pinned division at the
+    * end.
+    *
+    * @param valueCol integral (cents-quantized) column — REQUIRED; a
+    *                 float column must be quantized by the caller first
+    * @return one row: (n_ref, n_cur, w1) — w1 on the 6-digit grid, in
+    *         the column's integral units
+    */
+  def wasserstein1(ref: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    // integrality guard: per-row cast-and-compare, throws on floats
+    val guard = (c: Column) => assert_true(c.cast("long").cast("double")
+      === c.cast("double"), lit(s"$valueCol must be integral"))
+    val tagged = ref.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"), lit(1L).as("__a"),
+        lit(0L).as("__b"), guard(col(valueCol)).as("__g"))
+      .unionByName(cur.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("long").as("v"), lit(0L).as("__a"),
+          lit(1L).as("__b"), guard(col(valueCol)).as("__g")))
+      .drop("__g")
+    val byV = tagged.groupBy("v")
+      .agg(sum("__a").as("ca"), sum("__b").as("cb"))
+    val totals = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val cums = Cumulative.runningSums(byV, "v", Seq("ca", "cb"))
+    val gap = lead("v", 1).over(Window.orderBy("v")) - col("v")
+    // the term frame is empty when only one distinct value exists (the
+    // degenerate identical-point case) — totals stay authoritative
+    val termSum = cums
+      .withColumn("__gap", gap)
+      .filter(col("__gap").isNotNull)
+      .crossJoin(broadcast(totals))
+      .agg(sum(abs(col("ca_cum") * col("nb") - col("cb_cum") * col("na"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("__gap")).as("__s"))
+    totals.crossJoin(broadcast(termSum))
+      .select(col("na").as("n_ref"), col("nb").as("n_cur"),
+        round(coalesce(col("__s"), lit(0)).cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("w1"))
   }
 }

@@ -68,4 +68,41 @@ class DriftSpec extends SparkSpec {
     assert(Drift.jsd(p, q, "c").head().getDouble(0) ===
       Drift.jsd(q, p, "c").head().getDouble(0))
   }
+
+  test("wasserstein1: closed shift and identity cases") {
+    val ref = Seq(0L, 0L).toDF("v")
+    val cur = Seq(2L, 2L).toDF("v")
+    val row = Drift.wasserstein1(ref, cur, "v").head()
+    assert(row.getLong(0) === 2L && row.getLong(1) === 2L)
+    assert(row.getDouble(2) === 2.0, "all mass moved distance 2")
+    // identical distributions → 0
+    assert(Drift.wasserstein1(ref, ref, "v").head().getDouble(2) === 0.0)
+    // W1 of a pure +c shift is c regardless of shape
+    val shape = Seq(1L, 5L, 5L, 9L).toDF("v")
+    val shifted = shape.select((col("v") + 3L).as("v"))
+    assert(Drift.wasserstein1(shape, shifted, "v").head()
+      .getDouble(2) === 3.0)
+  }
+
+  test("wasserstein1: unequal sizes weight by CDF, floats rejected") {
+    // ref {0}, cur {0, 4}: |F_r − F_c| = 1/2 on [0, 4) → W1 = 2
+    val row = Drift.wasserstein1(Seq(0L).toDF("v"),
+      Seq(0L, 4L).toDF("v"), "v").head()
+    assert(row.getDouble(2) === 2.0)
+    val e = intercept[Exception] {
+      Drift.wasserstein1(Seq(0.5).toDF("v"), Seq(1.0).toDF("v"), "v")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("wasserstein1 is partition-invariant on real event values") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val half = ev.filter(col("event_id") % 2 === 0)
+    val other = ev.filter(col("event_id") % 2 === 1)
+    val run = (p: Int) => Drift.wasserstein1(half.repartition(p),
+      other.repartition(p), "cents").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
