@@ -4414,6 +4414,24 @@ object SparkEntry {
       val split = lit("2024-01-16 00:00:00").cast("timestamp")
       Drift.wasserstein1(ev.filter(col("ts") < split),
         ev.filter(col("ts") >= split), "cents")
+    }),
+
+    // Dirichlet query-likelihood retrieval: common + rare query terms
+    // (collection-absent terms are rejected loudly — zero collection
+    // mass has no finite log-likelihood); docs × |q| bounded grid
+    "q347_query_likelihood" -> ((s, dir) => {
+      Retrieval.queryLikelihood(t(s, dir, "documents"), "doc_id", "text",
+          Seq("query", "join", "dup", "vector"), mu = 2000.0,
+          topK = 20)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // DEFLATE compression-ratio quality signal — rows-only: no DuckDB
+    // analog of the JVM zlib stream (the q30 byte-codec class; the
+    // EntrySpec pin documents it)
+    "q348_compression_quality" -> ((s, dir) => {
+      TextOps.compressionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -12636,6 +12654,35 @@ object SparkEntry {
         |  round(CAST(coalesce(s, 0) AS DOUBLE)
         |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS w1
         |FROM tot CROSS JOIN s""".stripMargin,
+
+    // identical length/cf collapses, bounded docs × terms grid, pinned
+    // Dirichlet ln terms, rounded-score LIMIT order
+    "q347_query_likelihood" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |dlen AS (SELECT id, count(*) AS len FROM toks GROUP BY 1),
+        |cf AS (SELECT w, count(*) AS cf FROM toks GROUP BY 1),
+        |ct AS (SELECT sum(cf) AS ct FROM cf),
+        |q AS (SELECT unnest(['query', 'join', 'dup', 'vector']) AS w),
+        |ts AS (SELECT q.w, coalesce(cf.cf, 0) AS cf
+        |       FROM q LEFT JOIN cf ON q.w = cf.w),
+        |tf AS (SELECT id, w, count(*) AS tf FROM toks JOIN q USING (w)
+        |       GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT dlen.id, dlen.len, ts.w, ts.cf, ct.ct,
+        |    coalesce(tf.tf, 0) AS tf
+        |  FROM dlen CROSS JOIN ts CROSS JOIN ct
+        |  LEFT JOIN tf ON tf.id = dlen.id AND tf.w = ts.w)
+        |SELECT id AS doc_id, CAST(any_value(len) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  round(sum(ln((CAST(tf AS DOUBLE)
+        |      + 2000.0 * CAST(cf AS DOUBLE) / CAST(ct AS DOUBLE))
+        |    / (CAST(len AS DOUBLE) + 2000.0))), 6) AS score
+        |FROM grid GROUP BY id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // identical level-pruned lattice: L1 → pair join → L2 → triple
     // join → L3, exact distinct-basket supports

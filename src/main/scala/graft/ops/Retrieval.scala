@@ -286,6 +286,68 @@ object Retrieval {
           .as("ap"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the language-modeling scorer next to [[bm25]]'s
+    * tf-saturation one; the standard second opinion in hybrid keyword
+    * retrieval:
+    *
+    *   score(q, d) = Σ_{w∈q} ln( (tf_dw + μ·cf_w/|C|) / (|d| + μ) )
+    *
+    * Shapes: doc lengths and collection term frequencies each collapse
+    * in ONE pass; the scoring grid is docs × |q| — a bounded ≤|q|-fold
+    * amplification via a broadcast term frame (zero-tf terms MUST score
+    * too; smoothing is the point — but a term with zero COLLECTION
+    * frequency has no finite log-likelihood and is rejected loudly) —
+    * then one per-doc sum of |q| pinned
+    * ln terms (float sum over ≤|q| O(1) terms → 6-digit grid) and a
+    * TakeOrderedAndProject under the (score desc, id) total order.
+    *
+    * @return top-K (idCol, n_tokens, n_matched, score)
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], mu: Double, topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      s"need 1..16 query terms, got ${queryTerms.size}")
+    require(mu > 0, s"need mu > 0, got $mu")
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val toksC = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(toksC).as("__w"))
+    val dlen = toks.groupBy("__id").agg(count(lit(1)).as("__len"))
+    val cf = toks.groupBy("__w").agg(count(lit(1)).as("__cf"))
+    val ctot = cf.agg(sum("__cf").as("__ct"))
+    val qterms = cf.sparkSession.createDataFrame(
+      queryTerms.distinct.map(Tuple1(_))).toDF("__w")
+    // a term with ZERO collection frequency has no finite
+    // log-likelihood (ln 0) — reject loudly instead of engine-dependent
+    // null/−inf semantics
+    // the assert wraps the kept column — a standalone guard column
+    // would be pruned away by the optimizer and never evaluate
+    val termStats = broadcast(qterms
+      .join(cf, Seq("__w"), "left")
+      .select(col("__w"),
+        when(assert_true(col("__cf").isNotNull && col("__cf") > 0,
+          concat(lit("query term absent from the collection: "),
+            col("__w"))).isNull, col("__cf")).as("__cf"))
+      .crossJoin(ctot))
+    val tf = toks.join(qterms, Seq("__w"), "left_semi")
+      .groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
+    val grid = dlen.crossJoin(termStats)
+      .join(tf, Seq("__id", "__w"), "left")
+      .withColumn("__tf", coalesce(col("__tf"), lit(0L)))
+    val term = log(
+      (col("__tf").cast("double") +
+        lit(mu) * col("__cf").cast("double") / col("__ct").cast("double")) /
+        (col("__len").cast("double") + lit(mu)))
+    grid.groupBy("__id")
+      .agg(any_value(col("__len")).as("n_tokens"),
+        sum(when(col("__tf") > 0, 1L).otherwise(0L)).as("n_matched"),
+        round(sum(term), 6).as("score"))
+      .orderBy(col("score").desc, col("__id"))
+      .limit(topK)
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * the diversity-aware top-k every RAG/curation pipeline reaches for —
     * greedy picks maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s),

@@ -593,4 +593,46 @@ object TextOps {
         col("avg_logprob"),
         exp(-col("avg_logprob")).as("ppl"))
   }
+
+  /** DEFLATE compression-ratio quality signal — the model-free
+    * repetition detector big-corpus filters run alongside
+    * [[repetitionStats]] and the LM scores (Gopher/RefinedWeb lineage):
+    * boilerplate and template spam compress far below natural prose, so
+    * a low `ratio` flags low-information text without tokenizing
+    * anything. zlib at the fixed default level over UTF-8 bytes,
+    * deflater reused per partition — `mapPartitions` because no
+    * Catalyst expression exposes a codec (the [[Multimodal]] byte-level
+    * precedent; the driver gate is rows-only for the same structural
+    * reason: no DuckDB analog of the JVM's zlib stream).
+    *
+    * @return (idCol, n_bytes, n_deflate, ratio) — ratio =
+    *         n_deflate/n_bytes on the 6-digit grid, null for empty text
+    */
+  def compressionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+        val buf = new Array[Byte](16384)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = if (bytes.nonEmpty)
+            Some(BigDecimal(n.toDouble / bytes.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+          (id, bytes.length.toLong, n, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflate", "ratio")
+  }
 }

@@ -20,7 +20,9 @@ class EntrySpec extends SparkSpec {
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
       "q61_distinct_approx", "q68_ann_ivf",
       "q137_profile_approx", "q138_calibration_quantile",
-      "q197_rolling_active_hll"))
+      "q197_rolling_active_hll",
+      // r11: byte-level zlib codec — no DuckDB analog (the q30 class)
+      "q348_compression_quality"))
   }
 
   test("approx distinct counts (q61) track the exact counts (q60) within 5%") {

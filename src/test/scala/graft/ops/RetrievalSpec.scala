@@ -199,6 +199,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0)._2 === 1.0 && got(1)._2 === 1.0)
   }
 
+  test("queryLikelihood: closed two-doc case matches the formula") {
+    // docs: d1 = "a a b", d2 = "b c c"; query = (a, c), mu = 1
+    // cf: a=2, b=2, c=2, |C|=6; p_c = 1/3 for each term
+    val docs = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
+    val got = Retrieval.queryLikelihood(docs, "doc_id", "text",
+        Seq("a", "c"), mu = 1.0, topK = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def rd6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pc = 1.0 * 2.0 / 6.0
+    val d1 = math.log((2 + pc) / 4.0) + math.log((0 + pc) / 4.0)
+    val d2 = math.log((0 + pc) / 4.0) + math.log((2 + pc) / 4.0)
+    assert(got(1L)._1 === 3L && got(1L)._2 === 1L)
+    assert(math.abs(got(1L)._3 - rd6(d1)) < 2e-6)
+    assert(math.abs(got(2L)._3 - rd6(d2)) < 2e-6)
+  }
+
+  test("queryLikelihood: longer matched docs rank higher; absent term " +
+      "rejected") {
+    val docs = Seq((1L, "x x x y"), (2L, "x y y y"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    val top = Retrieval.queryLikelihood(docs, "doc_id", "text",
+      Seq("x"), mu = 0.5, topK = 3).collect()
+    assert(top.head.getLong(0) === 1L, "most x-mass ranks first")
+    assert(top.last.getLong(0) === 3L)
+    intercept[Exception] {
+      Retrieval.queryLikelihood(docs, "doc_id", "text",
+        Seq("zzz"), 1.0, 2).collect()
+    }
+  }
+
   test("mmrSelect: k above slate size returns the slate; guards fire") {
     assert(Retrieval.mmrSelect(vecs3, "vec_id", "embedding",
       Seq(1.0, 0.0), k = 3, lambda = 0.5, candidateN = 3).count() === 3L)

@@ -382,4 +382,30 @@ class TextOpsSpec extends SparkSpec {
         math.rint(r.getDouble(3) * 1e9))).toSeq
     assert(a === b)
   }
+
+  test("compressionSignals: repetitive text compresses far below prose") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a riverbank"),
+      (2L, Seq.fill(12)("spam spam spam spam spam").mkString(" ")),
+      (3L, "")).toDF("id", "text")
+    val got = TextOps.compressionSignals(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(2L)._3.get < got(1L)._3.get,
+      "template spam must compress deeper than prose")
+    assert(got(2L)._3.get < 0.25)
+    assert(got(3L) === ((0L, got(3L)._2, None)), "empty text: null ratio")
+    got.filterKeys(_ != 3L).values.foreach { case (nb, nd, _) =>
+      assert(nb > 0 && nd > 0)
+    }
+  }
+
+  test("compressionSignals is deterministic and partition-invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val run = (p: Int) => TextOps.compressionSignals(
+        docs.repartition(p), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(run(1) === run(5))
+  }
 }
