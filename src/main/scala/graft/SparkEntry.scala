@@ -4432,6 +4432,17 @@ object SparkEntry {
     "q348_compression_quality" -> ((s, dir) => {
       TextOps.compressionSignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // broken-stick segmented regression: price-per-thousand vs quantity
+    // with an 8-candidate breakpoint grid — the whole grid's moments in
+    // ONE fused aggregation, exact integer sums, closed-form argmin
+    "q349_broken_stick" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").as("x"),
+        round(col("l_extendedprice") / 1000).cast("long").as("y"))
+      TimeSeries.brokenStick(li, "x", "y",
+        Seq(10, 15, 20, 25, 30, 35, 40, 45))
     })
   )
 
@@ -4523,6 +4534,59 @@ object SparkEntry {
       .select(concat(lit("p"), col("l_partkey")).as("u"),
         concat(lit("s"), col("l_suppkey")).as("v")).distinct()
     pe.unionByName(pe.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** q349's oracle: per-candidate conditional moments + closed-form
+    * two-piece OLS + the (sse, c) argmin — identical arithmetic order
+    * to the operator's driver combine. */
+  private val brokenStickOracle: String = {
+    val cands = Seq(10, 15, 20, 25, 30, 35, 40, 45)
+    val moments = cands.map { c =>
+      s"""SELECT CAST($c AS DOUBLE) AS c,
+         |  sum(CASE WHEN x <= $c THEN 1 ELSE 0 END) AS nl,
+         |  sum(CASE WHEN x <= $c THEN x ELSE 0 END) AS sxl,
+         |  sum(CASE WHEN x <= $c THEN y ELSE 0 END) AS syl,
+         |  sum(CASE WHEN x <= $c THEN x * x ELSE 0 END) AS sxxl,
+         |  sum(CASE WHEN x <= $c THEN x * y ELSE 0 END) AS sxyl,
+         |  sum(CASE WHEN x <= $c THEN y * y ELSE 0 END) AS syyl,
+         |  sum(CASE WHEN x > $c THEN 1 ELSE 0 END) AS nr,
+         |  sum(CASE WHEN x > $c THEN x ELSE 0 END) AS sxr,
+         |  sum(CASE WHEN x > $c THEN y ELSE 0 END) AS syr,
+         |  sum(CASE WHEN x > $c THEN x * x ELSE 0 END) AS sxxr,
+         |  sum(CASE WHEN x > $c THEN x * y ELSE 0 END) AS sxyr,
+         |  sum(CASE WHEN x > $c THEN y * y ELSE 0 END) AS syyr
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT l_quantity AS x,
+       |    CAST(CAST(round(l_extendedprice / 1000) AS BIGINT) AS DOUBLE)
+       |      AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |m AS (
+       |$moments
+       |),
+       |f AS (
+       |  SELECT c, CAST(nl AS BIGINT) AS n_l, CAST(nr AS BIGINT) AS n_r,
+       |    (nl * sxyl - sxl * syl) / (nl * sxxl - sxl * sxl) AS b1l,
+       |    (nr * sxyr - sxr * syr) / (nr * sxxr - sxr * sxr) AS b1r,
+       |    syl, syr, sxl, sxr, sxyl, sxyr, syyl, syyr, nl, nr
+       |  FROM m
+       |  WHERE nl >= 2 AND nr >= 2
+       |    AND (nl * sxxl - sxl * sxl) <> 0
+       |    AND (nr * sxxr - sxr * sxr) <> 0),
+       |g AS (
+       |  SELECT c, n_l, n_r, b1l, b1r,
+       |    (syl - b1l * sxl) / nl AS b0l,
+       |    (syr - b1r * sxr) / nr AS b0r,
+       |    (syyl - (syl - b1l * sxl) / nl * syl - b1l * sxyl)
+       |      + (syyr - (syr - b1r * sxr) / nr * syr - b1r * sxyr) AS sse
+       |  FROM f)
+       |SELECT c AS breakpoint, n_l, n_r,
+       |  round(b1l, 6) AS slope_l, round(b0l, 6) AS intercept_l,
+       |  round(b1r, 6) AS slope_r, round(b0r, 6) AS intercept_r,
+       |  round(sse, 2) AS sse
+       |FROM g ORDER BY sse, c LIMIT 1""".stripMargin
   }
 
   /** q345's oracle: 6 unrolled Mondrian rounds — per round the leaf
@@ -12629,6 +12693,10 @@ object SparkEntry {
 
     // 6 unrolled Mondrian median-split rounds, exact integer recursion
     "q345_mondrian" -> mondrianOracle,
+
+    // per-candidate conditional moments + closed-form two-piece OLS +
+    // the (sse, c) argmin — identical arithmetic order
+    "q349_broken_stick" -> brokenStickOracle,
 
     // identical distinct-value collapse, CDF numerators, lead gaps,
     // exact integer term sums, one pinned division

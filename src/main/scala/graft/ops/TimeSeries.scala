@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -419,6 +419,92 @@ object TimeSeries {
     * @return (orderCol, x, s_scaled, cusum) one row per distinct order
     *         value, `cusum` on a 4-digit grid
     */
+  /** Broken-stick (two-piece segmented) regression with a literal
+    * breakpoint grid — the structural-break QUANTIFIER next to
+    * [[changeScore]]/[[cusum]]'s detectors: fit y ~ x separately left
+    * and right of each candidate break, pick the SSE-minimizing break
+    * (ties to the smaller candidate). Every candidate's ten conditional
+    * moments ride in ONE aggregation (the fused-Gram discipline), so
+    * the whole grid costs one scan; closed-form OLS identities per side
+    *
+    *   b₁ = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²),  b₀ = (Σy − b₁Σx)/n,
+    *   SSE = Σyy − b₀Σy − b₁Σxy
+    *
+    * run on the collected ONE-ROW moment frame. With integral x/y
+    * (cents discipline) every moment is exact, so the argmin replays
+    * bit-for-bit. Candidates leaving either side with < 2 points are
+    * skipped (no slope).
+    *
+    * @return one row: (breakpoint, n_l, n_r, slope_l, intercept_l,
+    *         slope_r, intercept_r, sse) — coefficients 6-digit grid,
+    *         sse 2-digit
+    */
+  def brokenStick(df: DataFrame, xCol: String, yCol: String,
+      candidates: Seq[Double]): DataFrame = {
+    require(candidates.nonEmpty && candidates.size <= 32,
+      s"need 1..32 candidates, got ${candidates.size}")
+    val spark = df.sparkSession
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val aggs = candidates.distinct.sorted.zipWithIndex.flatMap {
+      case (c, i) =>
+        def side(left: Boolean, e: Column, nm: String) = {
+          val cond = if (left) x <= c else x > c
+          sum(when(cond, e).otherwise(lit(0.0))).as(s"__${nm}_$i")
+        }
+        Seq(
+          sum(when(x <= c, 1L).otherwise(0L)).as(s"__nl_$i"),
+          side(left = true, x, "sxl"), side(left = true, y, "syl"),
+          side(left = true, x * x, "sxxl"),
+          side(left = true, x * y, "sxyl"),
+          side(left = true, y * y, "syyl"),
+          sum(when(x > c, 1L).otherwise(0L)).as(s"__nr_$i"),
+          side(left = false, x, "sxr"), side(left = false, y, "syr"),
+          side(left = false, x * x, "sxxr"),
+          side(left = false, x * y, "sxyr"),
+          side(left = false, y * y, "syyr"))
+    }
+    val row = df.filter(x.isNotNull && y.isNotNull)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val sorted = candidates.distinct.sorted
+    def fitAt(i: Int): Option[(Double, Long, Long, Double, Double,
+        Double, Double, Double)] = {
+      val nl = row.getAs[Long](s"__nl_$i")
+      val nr = row.getAs[Long](s"__nr_$i")
+      if (nl < 2 || nr < 2) None
+      else {
+        def ols(n: Long, sx: Double, sy: Double, sxx: Double,
+            sxy: Double, syy: Double): Option[(Double, Double, Double)] = {
+          val den = n * sxx - sx * sx
+          if (den == 0.0) None
+          else {
+            val b1 = (n * sxy - sx * sy) / den
+            val b0 = (sy - b1 * sx) / n
+            Some((b1, b0, syy - b0 * sy - b1 * sxy))
+          }
+        }
+        def g(nm: String) = row.getAs[Double](s"__${nm}_$i")
+        for {
+          (b1l, b0l, sseL) <- ols(nl, g("sxl"), g("syl"), g("sxxl"),
+            g("sxyl"), g("syyl"))
+          (b1r, b0r, sseR) <- ols(nr, g("sxr"), g("syr"), g("sxxr"),
+            g("sxyr"), g("syyr"))
+        } yield (sorted(i), nl, nr, b1l, b0l, b1r, b0r, sseL + sseR)
+      }
+    }
+    val fits = sorted.indices.flatMap(fitAt)
+    require(fits.nonEmpty,
+      "no candidate leaves >= 2 identifiable points on both sides")
+    val best = fits.minBy { case (c, _, _, _, _, _, _, sse) => (sse, c) }
+    def rd(v: Double, d: Int) =
+      BigDecimal(v).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((best._1, best._2, best._3, rd(best._4, 6), rd(best._5, 6),
+      rd(best._6, 6), rd(best._7, 6), rd(best._8, 2)))
+      .toDF("breakpoint", "n_l", "n_r", "slope_l", "intercept_l",
+        "slope_r", "intercept_r", "sse")
+  }
+
   def cusum(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
     val dist = df
       .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)

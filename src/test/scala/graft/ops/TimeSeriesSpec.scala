@@ -340,4 +340,40 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("t").collect().toSeq
     assert(a === b)
   }
+
+  test("brokenStick recovers a planted break exactly") {
+    // y = 2x + 1 for x <= 12, y = 86 - 3x after: SSE = 0 at the truth
+    val df = (1L to 20L)
+      .map(x => (x, if (x <= 12) 2 * x + 1 else 86 - 3 * x))
+      .toDF("x", "y")
+    val r = TimeSeries.brokenStick(df, "x", "y", Seq(8, 12, 16)).head()
+    assert(r.getDouble(0) === 12.0)
+    assert(r.getLong(1) === 12L && r.getLong(2) === 8L)
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 1.0)
+    assert(r.getDouble(5) === -3.0 && r.getDouble(6) === 86.0)
+    assert(r.getDouble(7) === 0.0)
+  }
+
+  test("brokenStick: degenerate sides are skipped; ties go low") {
+    // candidate 19 leaves one right point -> skipped; 1 leaves one left
+    val df = (1L to 20L).map(x => (x, x)).toDF("x", "y")
+    val r = TimeSeries.brokenStick(df, "x", "y", Seq(1, 10, 19)).head()
+    assert(r.getDouble(0) === 10.0)
+    // pure line: both slopes 1, SSE 0
+    assert(r.getDouble(3) === 1.0 && r.getDouble(5) === 1.0)
+    intercept[IllegalArgumentException] {
+      // every candidate leaves a degenerate side
+      TimeSeries.brokenStick(Seq((1L, 1L), (2L, 2L), (3L, 3L))
+        .toDF("x", "y"), "x", "y", Seq(0, 5))
+    }
+  }
+
+  test("brokenStick is partition-invariant on real data") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_quantity").as("x"),
+        round(col("l_extendedprice") / 1000).cast("long").as("y"))
+    val run = (p: Int) => TimeSeries.brokenStick(li.repartition(p),
+      "x", "y", Seq(10.0, 25.0, 40.0)).collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
