@@ -114,7 +114,16 @@ object ScaleCheck {
     "q337_deepwalk_walks", // 4 steps × two node-keyed joins per step
     "q338_deepwalk_pmi", // walks + lead pairs + PMI top-k
     "q339_cmh", // one stratum collapse + one-row reduce
-    "q340_mmr_select") // distributed cut + model-sized greedy
+    "q340_mmr_select", // distributed cut + model-sized greedy
+    // round-11 fourth batch
+    "q341_policy_value", // one micro-quantized HT aggregation
+    "q342_hmm_decode", // 5 steps × keyed join + k²-candidate projection
+    "q344_freq_itemsets", // level-pruned pair/triple lattice joins
+    "q345_mondrian", // 6 rounds × three leaf-keyed aggs + rank window
+    "q346_wasserstein", // value collapse + cumulative pass + lead gaps
+    "q347_query_likelihood", // two collapses + docs × |q| grid
+    "q348_compression_quality", // per-row zlib via mapPartitions
+    "q349_broken_stick") // whole candidate grid in ONE fused agg
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
