@@ -4443,6 +4443,28 @@ object SparkEntry {
         round(col("l_extendedprice") / 1000).cast("long").as("y"))
       TimeSeries.brokenStick(li, "x", "y",
         Seq(10, 15, 20, 25, 30, 35, 40, 45))
+    }),
+
+    // exact-count stratified holdout: per segment exactly
+    // round(n_s·0.2) test rows under the content-keyed md5 rank
+    "q350_exact_split" -> ((s, dir) => {
+      Sampling.stratifiedExactSplit(t(s, dir, "customer"),
+          Seq("c_mktsegment"), "c_custkey", testFrac = 0.2)
+        .select("c_custkey", "c_mktsegment", "split")
+        .orderBy("c_custkey")
+    }),
+
+    // paired t + Wilcoxon signed-rank on per-user pre/post value sums:
+    // the within-subject design, exact integer moments + doubled
+    // midranks off the cumulative pass
+    "q351_paired_tests" -> ((s, dir) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = events(s, dir)
+        .withColumn("period",
+          when(col("ts") < split, "pre").otherwise("post"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      Hypothesis.pairedTests(ev, "user_id", "cents", "period", "pre",
+        "post")
     })
   )
 
@@ -12697,6 +12719,65 @@ object SparkEntry {
     // per-candidate conditional moments + closed-form two-piece OLS +
     // the (sse, c) argmin — identical arithmetic order
     "q349_broken_stick" -> brokenStickOracle,
+
+    // identical md5 rank + window count + round(n*frac) threshold
+    "q350_exact_split" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN rk <= CAST(round(n * 0.2) AS BIGINT)
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM r ORDER BY c_custkey""".stripMargin,
+
+    // identical per-user collapse, exact moments, |d| collapse +
+    // cumulative doubled midranks, pinned t/z formulas
+    "q351_paired_tests" ->
+      """WITH base AS (
+        |  SELECT user_id AS k,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 'pre' ELSE 'post' END AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT k,
+        |    sum(CASE WHEN g = 'pre' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN g = 'pre' THEN v ELSE 0 END) AS sa,
+        |    sum(CASE WHEN g = 'post' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN g = 'post' THEN v ELSE 0 END) AS sb
+        |  FROM base GROUP BY 1),
+        |d AS (SELECT k, sa - sb AS d FROM p WHERE na > 0 AND nb > 0),
+        |mo AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS m,
+        |    sum(d) AS sd, sum(d * d) AS sdd FROM d),
+        |ab AS (SELECT abs(d) AS av, count(*) AS cnt,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+        |  FROM d WHERE d <> 0 GROUP BY 1),
+        |rk AS (SELECT av, cnt, pos,
+        |    sum(cnt) OVER (ORDER BY av) - cnt AS below FROM ab),
+        |w AS (SELECT coalesce(sum(pos * (2 * below + cnt + 1)), 0) AS w2,
+        |    coalesce(sum(cnt * cnt * cnt - cnt), 0) AS tie3 FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(m AS BIGINT) AS n_nonzero,
+        |  round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_diff,
+        |  round(CASE WHEN n >= 2 AND (CAST(sdd AS DOUBLE)
+        |      - CAST(sd AS DOUBLE) * sd / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) > 0
+        |    THEN (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(((CAST(sdd AS DOUBLE)
+        |        - CAST(sd AS DOUBLE) * sd / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE))
+        |    END, 6) AS t_stat,
+        |  CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+        |  round(CASE WHEN m >= 2
+        |    THEN (CAST(w2 AS DOUBLE) / 2.0
+        |        - CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0) / 4.0)
+        |      / sqrt(CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(m AS DOUBLE) + 1.0) / 24.0
+        |        - CAST(tie3 AS DOUBLE) / 48.0)
+        |    END, 6) AS z_wilcoxon
+        |FROM mo CROSS JOIN w""".stripMargin,
 
     // identical distinct-value collapse, CDF numerators, lead gaps,
     // exact integer term sums, one pinned division

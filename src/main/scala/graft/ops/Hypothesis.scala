@@ -56,6 +56,73 @@ object Hypothesis {
         col("na").as("n_a"), col("nb").as("n_b"))
   }
 
+  /** Paired-sample tests — [[welchT]]'s within-subject twin (the
+    * pre/post per-user design every product experiment actually runs;
+    * treating the halves as independent throws away the pairing):
+    * paired t on the per-key difference of INTEGRAL value sums, plus
+    * the Wilcoxon signed-rank z (tie-corrected midranks via the DOUBLED
+    * rank trick — avg-rank·2 = 2·N_below + t + 1 stays an exact
+    * integer, the [[mannWhitney]] discipline; zero differences drop,
+    * the Pratt-vs-Wilcoxon choice documented as Wilcoxon).
+    *
+    * Shapes: ONE per-key conditional collapse → the pair frame (one row
+    * per key with both sides present); moments in one aggregation (d²
+    * summed in Decimal(38,0) — long-safe at any scale); the signed-rank
+    * pass collapses |d| to its distinct-value frame and rides the
+    * two-level [[Cumulative]] prefix pass. Every float op is a single
+    * pinned expression over exact integer sums.
+    *
+    * @return one row: (n_pairs, n_nonzero, mean_diff, t_stat, w_plus,
+    *         z_wilcoxon) — 6-digit grid; t/z null for degenerate inputs
+    */
+  def pairedTests(df: DataFrame, keyCol: String, valueCol: String,
+      groupCol: String, a: String, b: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val inA = col(groupCol) === a
+    val pairs = df.filter(both(groupCol, a, b) && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__na"),
+        sum(when(inA, v).otherwise(0L)).as("__sa"),
+        sum(when(!inA, 1L).otherwise(0L)).as("__nb"),
+        sum(when(!inA, v).otherwise(0L)).as("__sb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col(keyCol), (col("__sa") - col("__sb")).as("__d"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val moments = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__d") =!= 0L, 1L).otherwise(0L)).as("m"),
+      sum(col("__d")).as("sd"),
+      sum((col("__d") * col("__d")).cast(dec)).as("sdd"))
+    // signed-rank over the |d| distinct-value frame (doubled midranks)
+    val byAbs = pairs.filter(col("__d") =!= 0L)
+      .groupBy(abs(col("__d")).as("av"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("pos"))
+    val ranked = Cumulative.runningSums(byAbs, "av", Seq("cnt"))
+      .withColumn("__below", col("cnt_cum") - col("cnt"))
+    val wAgg = ranked.agg(
+      coalesce(sum(col("pos") *
+        (lit(2L) * col("__below") + col("cnt") + 1L)), lit(0L)).as("w2"),
+      coalesce(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")),
+        lit(0L)).as("tie3"))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val dbar = col("sd").cast("double") / nD
+    val varD = (col("sdd").cast("double") -
+      col("sd").cast("double") * col("sd") / nD) / (nD - 1.0)
+    val wPlus = col("w2").cast("double") / 2.0
+    val zW = (wPlus - mD * (mD + 1.0) / 4.0) /
+      sqrt(mD * (mD + 1.0) * (lit(2.0) * mD + 1.0) / 24.0 -
+        col("tie3").cast("double") / 48.0)
+    moments.crossJoin(broadcast(wAgg))
+      .select(col("n").as("n_pairs"), col("m").as("n_nonzero"),
+        round(dbar, 6).as("mean_diff"),
+        round(when(col("n") >= 2 && varD > 0.0,
+          dbar / sqrt(varD / nD)), 6).as("t_stat"),
+        wPlus.as("w_plus"),
+        round(when(col("m") >= 2, zW), 6).as("z_wilcoxon"))
+  }
+
   /** Pooled two-proportion z-test on a 0/1 `successCol` between groups
     * `a` and `b`: ONE conditional-sum aggregation.
     *

@@ -84,6 +84,37 @@ object Sampling {
     df.filter(digit < bound)
   }
 
+  /** EXACT-count stratified holdout split — [[stratifiedSample]]'s
+    * sixteenths are a per-row Bernoulli (stratum counts only
+    * approximate the fraction); evaluation protocols routinely need the
+    * test count exact per stratum. Rows rank within their stratum by
+    * md5(id) — content-keyed, so the split is reproducible on any
+    * engine/partitioning — and the first round(n_s·frac) ranks land in
+    * the test split. ONE stratum-partitioned rank window over the data
+    * plus a window count: no collect, no second scan.
+    *
+    * @param idCol unique id (md5 rank ties broken by id — total order)
+    * @return input columns + (split) with split ∈ {test, train};
+    *         per stratum exactly round(n_s·testFrac) test rows
+    */
+  def stratifiedExactSplit(df: DataFrame, strataCols: Seq[String],
+      idCol: String, testFrac: Double): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(testFrac > 0 && testFrac < 1,
+      s"need 0 < testFrac < 1, got $testFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .withColumn("split",
+        when(col("__rk") <= round(col("__n") * testFrac).cast("long"),
+          lit("test")).otherwise(lit("train")))
+      .drop("__rk", "__n")
+  }
+
   /** Deterministic negative sampling for retrieval/recommendation
     * training pairs: for every user with at least one positive, draw k
     * pseudo-random candidate items by hashing (user, slot), keep those

@@ -429,4 +429,47 @@ class HypothesisSpec extends SparkSpec {
     val b = Hypothesis.bootstrapMeanCI(df.repartition(7), "v", "id").head()
     assert(a == b)
   }
+
+  test("pairedTests: closed case with a zero difference and no ties") {
+    // per-key diffs: k1 +2, k2 -1, k3 +3, k4 0 (counted in n, dropped
+    // from the signed ranks); k5 appears only pre -> excluded entirely
+    val df = Seq(
+      ("k1", "pre", 5L), ("k1", "post", 3L),
+      ("k2", "pre", 2L), ("k2", "post", 3L),
+      ("k3", "pre", 6L), ("k3", "post", 3L),
+      ("k4", "pre", 3L), ("k4", "post", 3L),
+      ("k5", "pre", 9L)).toDF("k", "g", "v")
+    val r = Hypothesis.pairedTests(df, "k", "v", "g", "pre", "post")
+      .head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0) // mean diff 4/4
+    // t = 1 / sqrt(((14 - 16/4)/3)/4)
+    val t = 1.0 / math.sqrt(((14.0 - 16.0 / 4) / 3) / 4)
+    assert(math.abs(r.getDouble(3) - t) < 1e-6)
+    assert(r.getDouble(4) === 5.0) // W+ = ranks 2 + 3
+    val z = (5.0 - 3.0 * 4 / 4) / math.sqrt(3.0 * 4 * 7 / 24)
+    assert(math.abs(r.getDouble(5) - z) < 1e-6)
+  }
+
+  test("pairedTests: tied |d| values take midranks") {
+    // diffs +2, -2, +4: |d| ties at 2 -> doubled midranks 2*1.5 = 3
+    // W2+ = 3 + 6 -> W+ = 4.5
+    val df = Seq(
+      ("a", "pre", 3L), ("a", "post", 1L),
+      ("b", "pre", 1L), ("b", "post", 3L),
+      ("c", "pre", 5L), ("c", "post", 1L)).toDF("k", "g", "v")
+    val r = Hypothesis.pairedTests(df, "k", "v", "g", "pre", "post")
+      .head()
+    assert(r.getDouble(4) === 4.5)
+  }
+
+  test("pairedTests is partition-invariant on real events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("g", when(col("event_id") % 2 === 0, "pre")
+        .otherwise("post"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val run = (p: Int) => Hypothesis.pairedTests(ev.repartition(p),
+      "user_id", "cents", "g", "pre", "post").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }

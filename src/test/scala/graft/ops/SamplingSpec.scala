@@ -443,4 +443,27 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(ws.map(_._1).min >= all(all.length / 2))
   }
+
+  test("stratifiedExactSplit: per-stratum counts are exactly round(n*f)") {
+    val df = ((1L to 30L).map(i => (i, "big")) ++
+      (31L to 37L).map(i => (i, "small"))).toDF("id", "s")
+    val out = Sampling.stratifiedExactSplit(df, Seq("s"), "id", 0.2)
+    val counts = out.filter(col("split") === "test")
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 6L, "small" -> 1L))
+    assert(out.count() === 37L, "no rows lost")
+  }
+
+  test("stratifiedExactSplit is content-keyed and partition-invariant") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val run = (p: Int) => Sampling.stratifiedExactSplit(
+        cust.repartition(p), Seq("c_mktsegment"), "c_custkey", 0.2)
+      .select("c_custkey", "split").orderBy("c_custkey").collect().toSeq
+    assert(run(1) === run(7))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedExactSplit(cust, Seq("c_mktsegment"),
+        "c_custkey", 1.5)
+    }
+  }
 }
