@@ -4465,6 +4465,13 @@ object SparkEntry {
         .withColumn("cents", round(col("value") * 100).cast("long"))
       Hypothesis.pairedTests(ev, "user_id", "cents", "period", "pre",
         "post")
+    }),
+
+    // key-skew concentration report over orderkeys: the audit a big
+    // join runs before deciding to salt — exact-integer HHI + top-share
+    // masses, count-ordered TakeOrdered, never a global sort
+    "q352_key_skew" -> ((s, dir) => {
+      Profile.keySkew(t(s, dir, "lineitem"), "l_orderkey", topK = 10)
     })
   )
 
@@ -12719,6 +12726,27 @@ object SparkEntry {
     // per-candidate conditional moments + closed-form two-piece OLS +
     // the (sse, c) argmin — identical arithmetic order
     "q349_broken_stick" -> brokenStickOracle,
+
+    // identical count collapse, exact squared-count HHI, top-K mass
+    // under the (count desc, key) total order
+    "q352_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, count(*) AS c FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_keys, sum(c) AS n_rows,
+        |  sum(c * c) AS c2 FROM c),
+        |top AS (SELECT coalesce(max(c), 0) AS top1,
+        |    coalesce(sum(c), 0) AS topk
+        |  FROM (SELECT c FROM c ORDER BY c DESC, l_orderkey LIMIT 10))
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  round(CAST(c2 AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 9) AS hhi,
+        |  round(CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE), 9)
+        |    AS top1_share,
+        |  round(CAST(topk AS DOUBLE) / CAST(n_rows AS DOUBLE), 9)
+        |    AS topk_share
+        |FROM tot CROSS JOIN top""".stripMargin,
 
     // identical md5 rank + window count + round(n*frac) threshold
     "q350_exact_split" ->

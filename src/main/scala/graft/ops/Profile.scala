@@ -453,6 +453,42 @@ object Profile {
     * @return per violating combo: (quasiCols…, n, emd) with emd > t,
     *         emd on the 9-digit grid
     */
+  /** Key-skew concentration report — the audit run BEFORE a big join or
+    * aggregation decides whether it needs [[Skew]]'s salting: per-key
+    * frequencies collapse once, then one exact-integer reduce yields
+    * the Herfindahl index (HHI = Σ(c_i/N)² = Σc_i²/N², squared counts
+    * summed in Decimal(38,0)) and the top-1/top-K mass shares (suffix
+    * of the count-ordered key frame via TakeOrdered — never a global
+    * sort of the data).
+    *
+    * Reading: HHI ≈ 1/n_keys means uniform; top1_share near 1 means one
+    * hot key will pin a shuffle partition at any scale.
+    *
+    * @return one row: (n_rows, n_keys, hhi, top1_share, topk_share) —
+    *         shares and HHI on the 9-digit grid
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum("__c").as("n_rows"),
+      sum((col("__c") * col("__c")).cast(dec)).as("__c2"))
+    val top = counts.orderBy(col("__c").desc, col(keyCol)).limit(topK)
+      .agg(coalesce(max("__c"), lit(0L)).as("__top1"),
+        coalesce(sum("__c"), lit(0L)).as("__topk"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"),
+        round(col("__c2").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")), 9)
+          .as("hhi"),
+        round(col("__top1").cast("double") / col("n_rows").cast("double"),
+          9).as("top1_share"),
+        round(col("__topk").cast("double") / col("n_rows").cast("double"),
+          9).as("topk_share"))
+  }
+
   /** Mondrian k-anonymization (LeFevre et al. 2006, strict top-down
     * multidimensional partitioning) — the TRANSFORM completing the
     * privacy family ([[kAnonymityViolations]] / [[lDiversityViolations]]

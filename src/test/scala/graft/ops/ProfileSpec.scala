@@ -344,6 +344,20 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("keySkew: closed concentration case") {
+    // counts: a=6, b=2, c=1, d=1 over 10 rows
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Profile.keySkew(df, "k", topK = 2).head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.42) // (36+4+1+1)/100
+    assert(r.getDouble(3) === 0.6)
+    assert(r.getDouble(4) === 0.8)  // a + b
+    // uniform keys: hhi = 1/n_keys
+    val uni = (1L to 8L).map(_.toString).toDF("k")
+    assert(Profile.keySkew(uni, "k").head().getDouble(2) === 0.125)
+  }
+
   test("mondrianAnonymize: closed single-attribute recursion") {
     val df = (1L to 8L).map(v => Tuple1(v)).toDF("v")
     val got = Profile.mondrianAnonymize(df, Seq("v"), k = 2, rounds = 3)
