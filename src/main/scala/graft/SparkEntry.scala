@@ -4472,6 +4472,15 @@ object SparkEntry {
     // masses, count-ordered TakeOrdered, never a global sort
     "q352_key_skew" -> ((s, dir) => {
       Profile.keySkew(t(s, dir, "lineitem"), "l_orderkey", topK = 10)
+    }),
+
+    // Theil's U: how much of returnflag's entropy does the quantity
+    // bin explain, and vice versa — the asymmetric association readout
+    "q353_theils_u" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("a"),
+          floor(col("l_quantity") / 10).cast("long").as("b"))
+      Contingency.theilsU(li, "a", "b")
     })
   )
 
@@ -12726,6 +12735,33 @@ object SparkEntry {
     // per-candidate conditional moments + closed-form two-piece OLS +
     // the (sse, c) argmin — identical arithmetic order
     "q349_broken_stick" -> brokenStickOracle,
+
+    // identical contingency collapse, margin entropies, pinned MI sum,
+    // unrounded-ratio U with the zero-entropy guard
+    "q353_theils_u" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS a,
+        |    CAST(floor(l_quantity / 10) AS BIGINT) AS b
+        |  FROM lineitem),
+        |obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM obs),
+        |ha AS (SELECT -coalesce(sum((CAST(ra AS DOUBLE) / n)
+        |    * ln(CAST(ra AS DOUBLE) / n)), 0) AS h_a
+        |  FROM ra CROSS JOIN tot),
+        |hb AS (SELECT -coalesce(sum((CAST(cb AS DOUBLE) / n)
+        |    * ln(CAST(cb AS DOUBLE) / n)), 0) AS h_b
+        |  FROM cb CROSS JOIN tot),
+        |mi AS (SELECT any_value(n) AS n,
+        |    sum((CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) * n
+        |      / (CAST(ra.ra AS DOUBLE) * cb.cb))) AS mi
+        |  FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+        |SELECT CAST(n AS BIGINT) AS n, round(h_a, 6) AS h_a,
+        |  round(h_b, 6) AS h_b, round(mi, 6) AS mi,
+        |  round(CASE WHEN h_a > 0 THEN mi / h_a END, 6) AS u_a_given_b,
+        |  round(CASE WHEN h_b > 0 THEN mi / h_b END, 6) AS u_b_given_a
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
 
     // identical count collapse, exact squared-count HHI, top-K mass
     // under the (count desc, key) total order

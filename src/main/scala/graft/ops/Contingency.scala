@@ -247,6 +247,46 @@ object Contingency {
     *         the terms O(1), leaving ~1e-15 slack against the grid),
     *         n = label-non-null rows
     */
+  /** Theil's uncertainty coefficient — the NORMALIZED, ASYMMETRIC
+    * association readout the symmetric [[analyze]] numbers can't give:
+    * U(a|b) = MI/H(a) is the fraction of a's entropy explained by
+    * knowing b (1 = b determines a; directionality matters — zip code
+    * determines city almost fully, city barely determines zip).
+    *
+    * One contingency collapse (the [[analyze]] shape); entropies from
+    * the margin frames, MI from the cell frame, each a float sum over
+    * cardinality-bounded rows → 6-digit grid.
+    *
+    * @return one row: (n, h_a, h_b, mi, u_a_given_b, u_b_given_a) —
+    *         U null when the conditioned entropy is 0 (constant column)
+    */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(aCol).agg(sum("o").as("ra"))
+    val cb = obs.groupBy(bCol).agg(sum("o").as("cb"))
+    val tot = obs.agg(sum("o").as("n"))
+    def entropy(m: DataFrame, c: String, out: String) = m
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(sum((col(c).cast("double") / col("n")) *
+        log(col(c).cast("double") / col("n"))), lit(0.0)).as(out))
+      .select((-col(out)).as(out))
+    val ha = entropy(ra, "ra", "h_a")
+    val hb = entropy(cb, "cb", "h_b")
+    val mi = obs.join(ra, Seq(aCol)).join(cb, Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .agg(any_value(col("n")).as("n"),
+        sum((col("o").cast("double") / col("n")) *
+          log(col("o").cast("double") * col("n") /
+            (col("ra").cast("double") * col("cb")))).as("mi"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), round(col("h_a"), 6).as("h_a"),
+        round(col("h_b"), 6).as("h_b"), round(col("mi"), 6).as("mi"),
+        round(when(col("h_a") > 0.0, col("mi") / col("h_a")), 6)
+          .as("u_a_given_b"),
+        round(when(col("h_b") > 0.0, col("mi") / col("h_b")), 6)
+          .as("u_b_given_a"))
+  }
+
   /** Cochran–Mantel–Haenszel test + common odds ratio — the STRATIFIED
     * member of the contingency family ([[analyze]] pools everything;
     * CMH conditions on a confounder, the textbook Simpson's-paradox

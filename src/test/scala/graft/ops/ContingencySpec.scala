@@ -170,6 +170,25 @@ class ContingencySpec extends SparkSpec {
     }
   }
 
+  test("theilsU: determination is asymmetric; independence gives 0") {
+    // b determines a (each b value maps to one a), a does NOT
+    // determine b: U(a|b) = 1, U(b|a) = MI/H(b) = H(a)/H(b) < 1
+    val df = Seq(("x", 1), ("x", 2), ("y", 3), ("x", 1), ("y", 3))
+      .toDF("a", "b")
+    val r = Contingency.theilsU(df, "a", "b").head()
+    assert(r.getDouble(4) === 1.0)
+    assert(r.getDouble(5) < 1.0 && r.getDouble(5) > 0.0)
+    // independent balanced design → MI 0, U 0 both ways
+    val ind = (for (a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 1 to 3)
+      yield (a, b)).toDF("a", "b")
+    val ri = Contingency.theilsU(ind, "a", "b").head()
+    assert(ri.getDouble(3) === 0.0)
+    assert(ri.getDouble(4) === 0.0 && ri.getDouble(5) === 0.0)
+    // constant column: its entropy is 0 → U conditioned on it is null
+    val const = Seq(("k", 1), ("k", 2)).toDF("a", "b")
+    assert(Contingency.theilsU(const, "a", "b").head().isNullAt(4))
+  }
+
   test("mantelHaenszel: closed two-stratum case") {
     // per stratum: a=10 b=5 c=5 d=10 → E=7.5, V=50625/26100;
     // two identical strata: chi2 = 25/(2V) = 6.444444…, OR_MH = 4
