@@ -466,6 +466,8 @@ object TimeSeries {
     }
     val row = df.filter(x.isNotNull && y.isNotNull)
       .agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "brokenStick: no non-null (x, y) rows to fit")
     val sorted = candidates.distinct.sorted
     def fitAt(i: Int): Option[(Double, Long, Long, Double, Double,
         Double, Double, Double)] = {
