@@ -4481,6 +4481,20 @@ object SparkEntry {
         .select(col("l_returnflag").as("a"),
           floor(col("l_quantity") / 10).cast("long").as("b"))
       Contingency.theilsU(li, "a", "b")
+    }),
+
+    // vocabulary richness: bias-corrected Chao1 + Good's coverage off
+    // the frequency spectrum — the crawl-saturation readout
+    "q354_vocab_richness" -> ((s, dir) => {
+      Ngram.vocabRichness(t(s, dir, "documents"), "text")
+    }),
+
+    // token dispersion (burstiness): df/cf per token — template-shaped
+    // tokens concentrate in few docs
+    "q355_token_dispersion" -> ((s, dir) => {
+      Ngram.tokenDispersion(t(s, dir, "documents"), "doc_id", "text",
+          minCf = 2)
+        .orderBy("token")
     })
   )
 
@@ -12735,6 +12749,39 @@ object SparkEntry {
     // per-candidate conditional moments + closed-form two-piece OLS +
     // the (sse, c) argmin — identical arithmetic order
     "q349_broken_stick" -> brokenStickOracle,
+
+    // identical spectrum reduce + pinned Chao1/coverage expressions
+    "q354_vocab_richness" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS r FROM toks GROUP BY 1),
+        |a AS (SELECT count(*) AS s_obs, sum(r) AS n_tokens,
+        |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM c)
+        |SELECT CAST(s_obs AS BIGINT) AS s_obs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(CAST(s_obs AS DOUBLE) + CAST(n1 AS DOUBLE) * (n1 - 1)
+        |    / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)), 6) AS chao1,
+        |  round(1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS coverage
+        |FROM a""".stripMargin,
+
+    // identical token/doc collapse + pinned df/cf ratio
+    "q355_token_dispersion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |    lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  round(CAST(count(DISTINCT doc_id) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dispersion
+        |FROM toks GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY token""".stripMargin,
 
     // identical contingency collapse, margin entropies, pinned MI sum,
     // unrounded-ratio U with the zero-entropy guard

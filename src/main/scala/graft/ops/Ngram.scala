@@ -151,6 +151,60 @@ object Ngram {
     *         switch to the fitted proxy there), p_r = probability mass
     *         a single token of count r gets (r-star over N), 9-digit grid
     */
+  /** Vocabulary-richness readout off the [[goodTuring]] spectrum —
+    * bias-corrected Chao1 (Chao 1984/Chiu 2014: Ŝ = S_obs +
+    * N₁(N₁−1)/(2(N₂+1)), defined even without doubletons) and Good's
+    * coverage Ĉ = 1 − N₁/N: how much of the type space has the corpus
+    * actually seen, and how much mass sits on unseen types — the
+    * dedup/crawl-saturation readout (coverage near 1 = more crawling
+    * repeats what you have).
+    *
+    * Same shapes as [[goodTuring]]: token counts → O(√corpus) spectrum,
+    * then a one-row reduce; exact integers up to the two pinned final
+    * expressions.
+    *
+    * @return one row: (s_obs, n_tokens, n1, n2, chao1, coverage) —
+    *         chao1/coverage on the 6-digit grid
+    */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val counts = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__r"))
+    counts.agg(
+      count(lit(1)).as("s_obs"),
+      sum("__r").as("n_tokens"),
+      sum(when(col("__r") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__r") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("s_obs"), col("n_tokens"), col("n1"), col("n2"),
+        round(col("s_obs").cast("double") +
+          col("n1").cast("double") * (col("n1") - 1L) /
+            (lit(2.0) * (col("n2").cast("double") + 1.0)), 6).as("chao1"),
+        round(lit(1.0) - col("n1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("coverage"))
+  }
+
+  /** Token dispersion — the burstiness audit: a token whose collection
+    * frequency concentrates in few documents (low df/cf against its
+    * size) is template/spam-shaped, not language-shaped. ONE exploded
+    * pass collapses to per-token (cf, df = distinct docs); dispersion =
+    * df/cf ∈ (0, 1] with 1 = perfectly spread singletons.
+    *
+    * @param minCf report only tokens with collection frequency ≥ this
+    * @return per token: (token, cf, df, dispersion) — 6-digit grid
+    */
+  def tokenDispersion(df: DataFrame, idCol: String, textCol: String,
+      minCf: Long = 2): DataFrame = {
+    require(minCf >= 1, s"need minCf >= 1, got $minCf")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    df.select(col(idCol).as("__id"), explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cf"), countDistinct("__id").as("df"))
+      .filter(col("cf") >= minCf)
+      .select(col("token"), col("cf"), col("df"),
+        round(col("df").cast("double") / col("cf").cast("double"), 6)
+          .as("dispersion"))
+  }
+
   def goodTuring(df: DataFrame, textCol: String): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
     val counts = df.select(explode(toks).as("__w"))

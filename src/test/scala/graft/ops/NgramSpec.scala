@@ -135,6 +135,31 @@ class NgramSpec extends SparkSpec {
     }
   }
 
+  test("vocabRichness: closed Chao1 and coverage") {
+    // "a a b c": S=3, N=4, N1=2, N2=1 → chao1 = 3 + 2·1/(2·2) = 3.5,
+    // coverage = 1 − 2/4 = 0.5
+    val r = Ngram.vocabRichness(Seq("a a", "b c").toDF("text"), "text")
+      .head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 3.5)
+    assert(r.getDouble(5) === 0.5)
+    // hapax-free corpus: chao1 = S_obs exactly, coverage 1
+    val r2 = Ngram.vocabRichness(Seq("a a b b").toDF("text"), "text")
+      .head()
+    assert(r2.getDouble(4) === 2.0 && r2.getDouble(5) === 1.0)
+  }
+
+  test("tokenDispersion: spread vs concentrated tokens") {
+    val df = Seq((1L, "x x y"), (2L, "x z z")).toDF("id", "text")
+    val got = Ngram.tokenDispersion(df, "id", "text", minCf = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("x") === ((3L, 2L, 0.666667)))
+    assert(got("z") === ((2L, 1L, 0.5)))
+    assert(!got.contains("y"), "minCf filters singletons")
+  }
+
   test("goodTuring is partition-invariant") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Ngram.goodTuring(docs.repartition(1), "text")
