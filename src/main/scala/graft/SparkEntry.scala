@@ -1807,12 +1807,13 @@ object SparkEntry {
         .orderBy("l_returnflag", "fold")
     }),
 
-    // q125's bounded-memory twin: HLL++ sketches instead of the exact
-    // multi-distinct Expand (the q60/q61 pattern at profile level) — the
-    // 100 TB default, where per-column exact distincts are the expensive
-    // half of the pass. Estimator isn't bit-compatible with DuckDB →
-    // rows-only; ProfileSpec asserts tolerance vs the exact pass and that
-    // the plan carries no Expand
+    // q125's bounded-memory twin: PORTABLE per-column HLL register
+    // tables instead of the exact multi-distinct Expand — the 100 TB
+    // default, where per-column exact distincts are the expensive half
+    // of the pass. The md5 registers + exact-integer-scaled readout
+    // replay bit-for-bit in DuckDB (the q333/q334 machinery), so the
+    // estimator is hash-gated, not rows-only; ProfileSpec still asserts
+    // tolerance vs the exact pass and that the plan carries no Expand
     "q137_profile_approx" -> ((s, dir) => {
       Profile.summarize(t(s, dir, "documents"), Seq("lang", "source", "n_chars"),
           approxDistinct = true)
@@ -2493,10 +2494,11 @@ object SparkEntry {
         .orderBy("xbin", "ybin")
     }),
 
-    // q178's sketch twin (rows-only: HLL estimates): daily sketches,
-    // trailing windows as unions over the day-cardinality sketch frame —
-    // the 100 TB rolling-actives path; EventSeqSpec holds it within 5%
-    // of the exact op
+    // q178's sketch twin: PORTABLE daily HLL register tables, trailing
+    // windows as register unions (cell-wise max) over the day × 2^p
+    // frame — the 100 TB rolling-actives path. The portable registers
+    // replay bit-for-bit in DuckDB → full hash oracle; EventSeqSpec
+    // additionally holds it within 5% of the exact op
     "q197_rolling_active_hll" -> ((s, dir) => {
       EventSeq.rollingActiveApprox(events(s, dir), "user_id", "ts",
           windowDays = 7)
@@ -4495,6 +4497,46 @@ object SparkEntry {
       Ngram.tokenDispersion(t(s, dir, "documents"), "doc_id", "text",
           minCf = 2)
         .orderBy("token")
+    }),
+
+    // engine-portable header-codec gate (the q312 discipline applied to
+    // bytes): SYNTHETIC PNG/GIF/WAV payloads assembled from doc_id by
+    // hex arithmetic, decoded by the REAL byte-level decodeHeader; the
+    // oracle re-parses the identical hex layout with substr/endian
+    // folds, so container offsets and endianness are hash-gated even
+    // though q30's entropy floats stay rows-only
+    "q356_header_decode" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull)
+      val w = lit(100) + col("doc_id") % 900
+      val hh = lit(50) + col("doc_id") % 500
+      val ch = lit(1) + col("doc_id") % 2
+      val rate = lit(8000) + lit(1000) * (col("doc_id") % 5)
+      def b1(c: Column): Column =
+        lpad(hex(c.cast("long") % 256), 2, "0")
+      def be32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+      def le16(c: Column): Column =
+        concat(b1(c), b1(shiftright(c.cast("long"), 8)))
+      def le32(c: Column): Column =
+        concat(b1(c), b1(shiftright(c.cast("long"), 8)),
+          b1(shiftright(c.cast("long"), 16)),
+          b1(shiftright(c.cast("long"), 24)))
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be32(w), be32(hh), lit("0802000000"))
+      val gif = concat(lit("474946383761"), le16(w), le16(hh))
+      // RIFF + size + WAVE + "fmt " + subchunk size 16 + PCM tag 1
+      val wav = concat(lit("52494646" + "24000000" + "57415645" +
+        "666D7420" + "10000000" + "0100"), le16(ch), le32(rate),
+        le32(rate * 2), lit("02001000"))
+      val hexp = when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, gif)
+        .otherwise(wav)
+      val media = d.select(col("doc_id").as("media_id"),
+        unhex(hexp).as("payload"))
+      Multimodal.extractFeatures(media, bins = 16)
+        .select(col("media_id"), col("n_bytes"), col("format_detected"),
+          col("width"), col("height"), col("sample_rate"))
+        .orderBy("media_id")
     })
   )
 
@@ -6858,6 +6900,49 @@ object SparkEntry {
         |  round((s_cat - s_cf) / (n_cat - n_cf), 4) AS te
         |FROM e ORDER BY l_returnflag, fold""".stripMargin,
 
+    // identical typed melt + md5 register table (p=9: the q333/q334
+    // constants — mask 511, shift 9, scale 52) + per-column readout;
+    // n_distinct = floor(6-digit estimate + 0.5) on both engines
+    "q137_profile_approx" ->
+      """WITH m AS (
+        |  SELECT 'lang' AS c, CAST(lang AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |    FROM documents
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR)
+        |    FROM documents),
+        |h AS (SELECT c, v,
+        |    CASE WHEN v IS NULL THEN NULL
+        |      ELSE ('0x' || substr(md5(v), 1, 15))::BIGINT END AS h
+        |  FROM m),
+        |l1 AS (SELECT c,
+        |    CASE WHEN v IS NULL THEN -1 ELSE h & 511 END AS bucket,
+        |    count(*) AS cnt,
+        |    max(CASE WHEN v IS NULL THEN NULL
+        |      WHEN (h >> 9) = 0 THEN 52
+        |      ELSE 52 - length(bin(h >> 9)) END) AS r
+        |  FROM h GROUP BY 1, 2),
+        |a AS (SELECT c, sum(cnt) AS n_rows,
+        |    sum(CASE WHEN bucket = -1 THEN cnt ELSE 0 END) AS n_nulls,
+        |    sum(CASE WHEN bucket >= 0 THEN 1 ELSE 0 END) AS occ,
+        |    coalesce(sum(CASE WHEN bucket >= 0
+        |      THEN (1::BIGINT << CAST(52 - r AS INT)) END), 0) AS s_occ
+        |  FROM l1 GROUP BY 1),
+        |sc AS (SELECT c, n_rows, n_nulls,
+        |    CAST(512 - occ AS BIGINT) AS v_zero,
+        |    CAST(s_occ + (512 - occ) * (1::BIGINT << 52) AS BIGINT)
+        |      AS s_scaled
+        |  FROM a)
+        |SELECT c AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(floor(round(CASE WHEN 0.7213 / (1.0 + 1.079 / 512.0)
+        |        * 512.0 * 512.0 * 4503599627370496.0
+        |        / CAST(s_scaled AS DOUBLE) <= 2.5 * 512.0 AND v_zero > 0
+        |      THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+        |      ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |        * 4503599627370496.0 / CAST(s_scaled AS DOUBLE) END, 6)
+        |    + 0.5) AS BIGINT) AS n_distinct
+        |FROM sc ORDER BY "column"""".stripMargin,
+
     // concat-then-chunk packing: exclusive running char sum in doc_id
     // order; chunk/pos/n_chunks are integer arithmetic on it
     "q139_seq_packing" ->
@@ -8282,6 +8367,45 @@ object SparkEntry {
         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
         |SELECT xbin, ybin, count(*) AS n FROM b GROUP BY 1, 2
         |ORDER BY xbin, ybin""".stripMargin,
+
+    // identical daily register table (p=12: mask 4095, shift 12,
+    // scale 49), trailing-window register union as cell-wise max over
+    // the exploded report days, per-day readout; the rounded estimate
+    // lands as floor(x + 0.5) on both engines
+    "q197_rolling_active_hll" ->
+      """WITH dr AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |regs AS (SELECT day, h & 4095 AS bucket,
+        |    max(CASE WHEN (h >> 12) = 0 THEN 49
+        |      ELSE 49 - length(bin(h >> 12)) END) AS r
+        |  FROM dr GROUP BY 1, 2),
+        |b AS (SELECT max(day) AS mx FROM regs),
+        |ex AS (
+        |  SELECT unnest(generate_series(day,
+        |      least(mx, day + INTERVAL 6 DAY), INTERVAL 1 DAY)) AS rday,
+        |    bucket, r
+        |  FROM regs, b),
+        |rolled AS (SELECT rday AS day, bucket, max(r) AS r
+        |  FROM ex GROUP BY 1, 2),
+        |a AS (SELECT day, count(*) AS occ,
+        |    sum(1::BIGINT << CAST(49 - r AS INT)) AS s_occ
+        |  FROM rolled GROUP BY 1),
+        |sc AS (SELECT day, CAST(4096 - occ AS BIGINT) AS v_zero,
+        |    CAST(s_occ + (4096 - occ) * (1::BIGINT << 49) AS BIGINT)
+        |      AS s_scaled
+        |  FROM a)
+        |SELECT day,
+        |  CAST(floor(round(CASE WHEN 0.7213 / (1.0 + 1.079 / 4096.0)
+        |        * 4096.0 * 4096.0 * 562949953421312.0
+        |        / CAST(s_scaled AS DOUBLE) <= 2.5 * 4096.0 AND v_zero > 0
+        |      THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))
+        |      ELSE 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+        |        * 562949953421312.0 / CAST(s_scaled AS DOUBLE) END, 6)
+        |    + 0.5) AS BIGINT) AS active_users_approx
+        |FROM sc ORDER BY day""".stripMargin,
 
     // identical distinct-value mass cumulative + lower-quantile selection
     "q198_weighted_quantiles" ->
@@ -13022,7 +13146,60 @@ object SparkEntry {
          |       WHEN ${gmmLl(1)} >= ${gmmLl(2)} THEN 1
          |       ELSE 2 END AS cluster
          |FROM base CROSS JOIN p2
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin),
+
+    // the same synthetic hex layout re-parsed with substr/endian folds:
+    // PNG width/height = BE32 at bytes 16/20 (hex chars 33/41), GIF =
+    // LE16 at bytes 6/8, WAV sample rate = LE32 at byte 24 — an
+    // independent SQL parse of the identical byte stream
+    "q356_header_decode" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |hx AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '89504E470D0A1A0A0000000D49484452'
+        |        || lpad(to_hex(100 + doc_id % 900), 8, '0')
+        |        || lpad(to_hex(50 + doc_id % 500), 8, '0')
+        |        || '0802000000'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      '474946383761'
+        |        || lpad(to_hex((100 + doc_id % 900) % 256), 2, '0')
+        |        || lpad(to_hex((100 + doc_id % 900) // 256), 2, '0')
+        |        || lpad(to_hex((50 + doc_id % 500) % 256), 2, '0')
+        |        || lpad(to_hex((50 + doc_id % 500) // 256), 2, '0')
+        |    ELSE
+        |      '524946462400000057415645666D7420100000000100'
+        |        || lpad(to_hex((1 + doc_id % 2) % 256), 2, '0') || '00'
+        |        || lpad(to_hex((8000 + 1000 * (doc_id % 5)) % 256), 2, '0')
+        |        || lpad(to_hex((8000 + 1000 * (doc_id % 5)) // 256 % 256),
+        |             2, '0')
+        |        || lpad(to_hex((8000 + 1000 * (doc_id % 5)) // 65536), 2,
+        |             '0') || '00'
+        |        || lpad(to_hex((16000 + 2000 * (doc_id % 5)) % 256), 2, '0')
+        |        || lpad(to_hex((16000 + 2000 * (doc_id % 5)) // 256 % 256),
+        |             2, '0')
+        |        || lpad(to_hex((16000 + 2000 * (doc_id % 5)) // 65536), 2,
+        |             '0') || '00'
+        |        || '02001000'
+        |    END AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |         WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'wav' END AS fmt
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+        |  fmt AS format_detected,
+        |  CAST(CASE WHEN fmt = 'png' THEN ('0x' || substr(h, 33, 8))::BIGINT
+        |    WHEN fmt = 'gif'
+        |      THEN ('0x' || substr(h, 15, 2) || substr(h, 13, 2))::BIGINT
+        |    ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN fmt = 'png' THEN ('0x' || substr(h, 41, 8))::BIGINT
+        |    WHEN fmt = 'gif'
+        |      THEN ('0x' || substr(h, 19, 2) || substr(h, 17, 2))::BIGINT
+        |    ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN fmt = 'wav'
+        |    THEN ('0x' || substr(h, 55, 2) || substr(h, 53, 2)
+        |      || substr(h, 51, 2) || substr(h, 49, 2))::BIGINT
+        |    ELSE -1 END AS INT) AS sample_rate
+        |FROM hx ORDER BY media_id""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

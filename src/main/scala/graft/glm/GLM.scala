@@ -2,7 +2,6 @@ package graft.glm
 
 import breeze.linalg.{DenseVector => BDV}
 import org.apache.commons.math3.distribution.NormalDistribution
-import org.apache.commons.math3.special.Gamma
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -250,23 +249,31 @@ object GLM {
       breeze.linalg.DenseMatrix.tabulate(p, p)((i, j) => flat(i * p + j)))
   }
 
+  /** The shared native log-gamma ([[graft.functions.LogGamma]], a
+    * codegen'd Catalyst expression — these composites stay inside
+    * whole-stage codegen instead of dropping out through the scalar
+    * UDFs they replaced). Callers must have run
+    * [[graft.plans.GraftExtensions.ensureRegistered]] on the session
+    * ([[fit]] does).
+    */
+  private def lgamma(x: Column): Column =
+    call_function("lgamma", x.cast("double"))
+
   /** log C(m, y) via log-gamma, for the binomial log-likelihood
     * (reference computes per-row `Binomial(m, μ).logProbabilityOf(y)`,
     * GLM.scala:132-159). Zero for Bernoulli (m = 1).
     */
-  val logChoose = udf { (m: Double, y: Double) =>
-    Gamma.logGamma(m + 1.0) - Gamma.logGamma(y + 1.0) - Gamma.logGamma(m - y + 1.0)
-  }
+  def logChoose(m: Column, y: Column): Column =
+    lgamma(m + lit(1.0)) - lgamma(y + lit(1.0)) - lgamma(m - y + lit(1.0))
 
   /** ln y! via log-gamma (Poisson log-likelihood). */
-  val logFactorial = udf { (y: Double) => Gamma.logGamma(y + 1.0) }
+  def logFactorial(y: Column): Column = lgamma(y + lit(1.0))
 
   /** ln Γ(y+θ) − ln Γ(θ), for the negative-binomial log-likelihood
     * ([[Family.NegBinFamily]]).
     */
-  val logGammaRatio = udf { (y: Double, theta: Double) =>
-    Gamma.logGamma(y + theta) - Gamma.logGamma(theta)
-  }
+  def logGammaRatio(y: Column, theta: Column): Column =
+    lgamma(y + theta) - lgamma(theta)
 
   /** Binomial deviance contribution of one row
     * (reference: GLM.scala:162-170 `devBinomial`).
@@ -326,6 +333,7 @@ object GLM {
       verbose: Boolean = false,
       initCoefs: Option[BDV[Double]] = None,
       computeStats: Boolean = true): GLMModel = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val fam = Family(family)
     val link = LinkFn(if (linkName.isEmpty) fam.defaultLink else linkName)
 

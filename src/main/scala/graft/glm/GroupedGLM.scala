@@ -97,8 +97,8 @@ object GroupedGLM {
       var z = y
       var dev = 0.0
       var ll = 0.0
-      def lgamma(v: Double): Double =
-        org.apache.commons.math3.special.Gamma.logGamma(v)
+      // the repo's ONE log-gamma (shared with the GLM column path)
+      def lgamma(v: Double): Double = graft.functions.LogGamma.lgamma(v)
       fam match {
         case FamBinomial =>
           // y = successes in [0, m]; μ ∈ (0, m); the link (logit default,

@@ -155,6 +155,13 @@ object Causal {
       rewardCol: String, targetActionCol: String): DataFrame = {
     val p = col(propensityCol).cast("double")
     val mtch = col(actionCol) === col(targetActionCol)
+    // The guard rides `keep`, the condition every summed column consumes:
+    // assert_true is null on success, so `guard.isNull && mtch` evaluates
+    // the assert for EVERY row (And evaluates its left operand first) and
+    // no optimizer rule can prune it the way a dropped first(...) was.
+    val guard = assert_true(p.isNotNull && p > 0.0,
+      lit(s"non-positive or null $propensityCol"))
+    val keep = guard.isNull && mtch
     val rw = round(col(rewardCol).cast("double") / p * 1e6).cast("long")
     val iw = round(lit(1.0) / p * 1e6).cast("long")
     // ESS weights quantize at 1e3, not 1e6: ESS is scale-invariant in w
@@ -162,13 +169,11 @@ object Causal {
     val wm = round(lit(1.0) / p * 1e3).cast("long")
     df.agg(
       count(lit(1)).as("n"),
-      first(assert_true(p.isNotNull && p > 0.0,
-        lit(s"non-positive or null $propensityCol"))).as("__guard"),
-      sum(when(mtch, 1L).otherwise(0L)).as("n_matched"),
-      sum(when(mtch, rw).otherwise(0L)).as("__srw"),
-      sum(when(mtch, iw).otherwise(0L)).as("__siw"),
-      sum(when(mtch, wm).otherwise(0L)).as("__swm"),
-      sum(when(mtch, wm * wm).otherwise(0L)).as("__swm2"))
+      sum(when(keep, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(keep, rw).otherwise(0L)).as("__srw"),
+      sum(when(keep, iw).otherwise(0L)).as("__siw"),
+      sum(when(keep, wm).otherwise(0L)).as("__swm"),
+      sum(when(keep, wm * wm).otherwise(0L)).as("__swm2"))
       .select(col("n"), col("n_matched"),
         round(col("__srw").cast("double") / 1e6 / col("n").cast("double"),
           6).as("ips"),

@@ -345,15 +345,21 @@ object Contingency {
     require(featureCols.nonEmpty, "need at least one feature column")
     require(!featureCols.contains(labelCol),
       s"label column '$labelCol' cannot also be a feature")
-    val nullToken = " null"
-    def enc(c: Column): Column = coalesce(c.cast("string"), lit(nullToken))
-    val stackExpr = featureCols
-      .map(c => s"'$c', __v_$c").mkString(s"stack(${featureCols.size}, ", ", ", ")")
+    // typed melt — an array of (feature, isnull, value) structs +
+    // explode, never a string-interpolated selectExpr stack() (which
+    // broke, or allowed expression injection, for column names holding
+    // quotes). Null feature values carry a DEDICATED flag column
+    // rather than a sentinel string, so no genuine string value can
+    // ever silently merge with SQL NULL.
+    val entries = featureCols.map(c =>
+      struct(lit(c).as("feature"), col(c).isNull.as("__vn"),
+        coalesce(col(c).cast("string"), lit("")).as("__v")))
     val melted = df.filter(col(labelCol).isNotNull)
-      .select(col(labelCol).cast("string").as("__l") +:
-        featureCols.map(c => enc(col(c)).as(s"__v_$c")): _*)
-      .selectExpr("__l", s"$stackExpr AS (feature, __v)")
-    val cells = melted.groupBy("feature", "__v", "__l")
+      .select(col(labelCol).cast("string").as("__l"),
+        explode(array(entries: _*)).as("__e"))
+      .select(col("__l"), col("__e.feature").as("feature"),
+        col("__e.__vn").as("__vn"), col("__e.__v").as("__v"))
+    val cells = melted.groupBy("feature", "__vn", "__v", "__l")
       .agg(count(lit(1)).as("__c"))
     // marginals as window sums over the COLLAPSED cell frame — joins of
     // frames derived from `cells` would each re-plan the whole scan
@@ -361,13 +367,13 @@ object Contingency {
     import org.apache.spark.sql.expressions.Window
     cells
       .withColumn("__cfv",
-        sum("__c").over(Window.partitionBy("feature", "__v")))
+        sum("__c").over(Window.partitionBy("feature", "__vn", "__v")))
       .withColumn("__cfl",
         sum("__c").over(Window.partitionBy("feature", "__l")))
       .withColumn("__n", sum("__c").over(Window.partitionBy("feature")))
       .groupBy("feature")
       .agg(any_value(col("__n")).as("n"),
-        countDistinct(col("__v")).as("n_values"),
+        countDistinct(col("__vn"), col("__v")).as("n_values"),
         countDistinct(col("__l")).as("n_labels"),
         round(sum((col("__c").cast("double") / col("__n")) *
           log(col("__c").cast("double") * col("__n") /

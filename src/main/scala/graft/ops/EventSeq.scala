@@ -277,33 +277,45 @@ object EventSeq {
         round(max("__gap").cast("double") / 1e6, 6).as("max_gap_secs"))
   }
 
-  /** [[rollingActive]]'s sketch twin — the 100 TB path: one HLL sketch
-    * per day (`hll_sketch_agg`, a fixed-size buffer regardless of user
-    * cardinality), trailing windows as sketch UNIONS over the
-    * day-cardinality sketch frame. The data is scanned once and reduced
-    * to |days| × ~KB immediately; the contribution explosion that makes
-    * the exact op shuffle (user, day) × windowDays pairs here explodes
-    * only the tiny sketch frame. Estimate error ~1.6% at the default
-    * lgConfigK = 12.
+  /** [[rollingActive]]'s sketch twin — the 100 TB path: one PORTABLE
+    * HLL register table per day ([[Sketch.hllCoords]], ≤ 2^p cells
+    * regardless of user cardinality), trailing windows as register
+    * UNIONS (cell-wise max) over the day × register frame. The data is
+    * scanned once and reduced to |days| × ≤ 2^p rows immediately; the
+    * contribution explosion that makes the exact op shuffle (user, day)
+    * × windowDays pairs here explodes only the bounded register frame.
+    * Estimate error ~1.6% at the default p = 12. The md5-derived
+    * registers and exact-integer-scaled readout replay bit-for-bit in
+    * ANSI SQL (unlike the opaque `hll_sketch_agg` this replaced), so
+    * the op carries a full hash-equality oracle (q197).
     *
-    * @return (day, active_users_approx)
+    * @return (day, active_users_approx) — the rounded readout as a long
     */
   def rollingActiveApprox(df: DataFrame, userCol: String, tsCol: String,
-      windowDays: Int, lgConfigK: Int = 12): DataFrame = {
+      windowDays: Int, p: Int = 12): DataFrame = {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
-    val daily = df
-      .groupBy(date_trunc("day", col(tsCol)).as("day"))
-      .agg(hll_sketch_agg(col(userCol), lit(lgConfigK)).as("sk"))
+    require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
+    val scale = 61 - p
+    val (bucket, rho) = Sketch.hllCoords(col(userCol), p)
+    val daily = df.filter(col(userCol).isNotNull)
+      .select(date_trunc("day", col(tsCol)).as("day"),
+        bucket.as("__bucket"), rho.as("__rho"))
+      .groupBy("day", "__bucket").agg(max("__rho").as("__r"))
     val bounds = daily.agg(max("day").as("__mx"))
-    daily.crossJoin(broadcast(bounds))
-      .select(col("sk"),
+    val rolled = daily.crossJoin(broadcast(bounds))
+      .select(col("__bucket"), col("__r"),
         explode(sequence(col("day"),
           least(col("__mx"),
             col("day") + expr(s"INTERVAL ${windowDays - 1} DAY")),
           expr("INTERVAL 1 DAY"))).as("day"))
-      .groupBy("day")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-        .as("active_users_approx"))
+      .groupBy("day", "__bucket").agg(max("__r").as("__r"))
+    rolled.groupBy("day")
+      .agg(count(lit(1)).as("__occ"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __r)"))
+          .as("__s_occ"))
+      .select(col("day"),
+        floor(Sketch.hllReadout(col("__occ"), col("__s_occ"), p) +
+          lit(0.5)).cast("long").as("active_users_approx"))
   }
 
   /** Rolling active users (DAU/WAU/MAU family): for every calendar day in

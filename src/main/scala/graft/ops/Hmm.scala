@@ -66,6 +66,14 @@ object Hmm {
       .withColumn("__pos", row_number().over(w))
       .filter(col("__pos") <= maxSteps)
       .select(col(keyCol).as("__k"), col(obsCol).as("__o"), col("__pos"))
+    // early exit on the TRUE max stream length: one cheap scalar agg so
+    // the step loop (one keyed join per step) never builds join stages
+    // past the longest observed stream — maxSteps stays the loud upper
+    // bound, the data decides the actual round count
+    val tMax = {
+      val r = ev.agg(max("__pos")).head()
+      if (r.isNullAt(0)) 1 else math.min(maxSteps, r.getInt(0))
+    }
     def slice(t: Int) = ev.filter(col("__pos") === t)
       .select(col("__k"), col("__o"))
     var frontier = slice(1).select(
@@ -74,7 +82,7 @@ object Hmm {
           Seq((lit(initMicro(states(j))) + emit(j, col("__o")))
             .as(s"__s$j"), lit(states(j)).as(s"__p$j"))
         }: _*)
-    for (t <- 2 to maxSteps) {
+    for (t <- 2 to tMax) {
       val joined = frontier.join(slice(t), Seq("__k"), "left")
       frontier = joined.select(
         col("__k") +:

@@ -11,34 +11,75 @@ import org.apache.spark.sql.functions._
   * Exact mode plans the multi-column `countDistinct` set through a single
   * Expand — k columns cost one scan with a ×k row expansion, not k scans —
   * but that Expand shuffles every distinct value of every column.
-  * `approxDistinct = true` swaps in HLL++ (`approx_count_distinct`, the
-  * q60/q61 twin pattern): fixed-size sketches instead of the value
-  * shuffle, the right default at 100 TB where per-column exact distincts
-  * are the expensive half of the pass.
+  * `approxDistinct = true` swaps in PORTABLE per-column HLL register
+  * tables ([[Sketch.hllCoords]]): a typed melt of the k columns, one
+  * (column, bucket) register collapse — partial aggregation bounds every
+  * partition's shuffle contribution at k·2^p cells — and the
+  * engine-replayable readout, the right default at 100 TB where
+  * per-column exact distincts are the expensive half of the pass. The
+  * md5-derived registers replay bit-for-bit in ANSI SQL (unlike the
+  * opaque HLL++ this replaced), so the approx pass carries a full
+  * hash-equality oracle (q137). The approx estimate counts distinct
+  * STRING RENDERINGS of the values (ties only differ for exotic
+  * numerics like -0.0 vs 0.0).
   */
 object Profile {
 
   /** @return (column, n_rows, n_nulls, n_distinct) — one row per requested
-    *         column; `n_distinct` counts non-null values (±rsd relative
-    *         error when `approxDistinct`)
+    *         column; `n_distinct` counts non-null values (approximately,
+    *         at precision p = ceil(log2((1.04/rsd)^2)) clamped to 4..14,
+    *         when `approxDistinct`)
     */
   def summarize(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     require(cols.forall(df.columns.contains), "unknown column requested")
-    val aggs = cols.flatMap { c =>
-      val nd = if (approxDistinct) approx_count_distinct(col(c), rsd)
-               else countDistinct(col(c))
-      Seq(count(col(c)).as(s"__cnt_$c"), nd.as(s"__nd_$c"))
+    if (!approxDistinct) {
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__cnt_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"))
+      }
+      val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      // single-row frame → one output row per column (tiny, driver-free)
+      val structs = array(cols.map { c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"))
+      }: _*)
+      row.select(explode(structs).as("p")).select("p.*")
+    } else {
+      require(rsd > 0 && rsd < 1, s"need 0 < rsd < 1, got $rsd")
+      // standard error 1.04/sqrt(2^p) <= rsd → p = ceil(log2((1.04/rsd)^2))
+      val p = math.min(14, math.max(4,
+        math.ceil(2.0 * math.log(1.04 / rsd) / math.log(2.0)).toInt))
+      val scale = 61 - p
+      // ONE scan: typed melt to (column, bucket, rho) with nulls parked
+      // in the sentinel bucket −1, then a two-level collapse — level 1
+      // is the register table (≤ k·(2^p + 1) cells after partial agg),
+      // level 2 the per-column counts + readout
+      val (bucket, rho) = Sketch.hllCoords(col("e.__v"), p)
+      val entries = cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("__v")))
+      val lvl1 = df
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.column").as("column"),
+          when(col("e.__v").isNull, lit(-1L)).otherwise(bucket)
+            .as("__bucket"),
+          when(col("e.__v").isNull, lit(null)).otherwise(rho).as("__rho"))
+        .groupBy("column", "__bucket")
+        .agg(count(lit(1)).as("__c"), max("__rho").as("__r"))
+      lvl1.groupBy("column").agg(
+        sum("__c").as("n_rows"),
+        sum(when(col("__bucket") === -1L, col("__c")).otherwise(0L))
+          .as("n_nulls"),
+        sum(when(col("__bucket") >= 0L, 1L).otherwise(0L)).as("__occ"),
+        coalesce(sum(when(col("__bucket") >= 0L,
+          expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __r)"))), lit(0L))
+          .as("__s_occ"))
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          floor(Sketch.hllReadout(col("__occ"), col("__s_occ"), p) +
+            lit(0.5)).cast("long").as("n_distinct"))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    // single-row frame → one output row per column (tiny, driver-free)
-    val structs = array(cols.map { c =>
-      struct(lit(c).as("column"), col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"))
-    }: _*)
-    row.select(explode(structs).as("p")).select("p.*")
   }
 
   /** Benford first-digit audit of a POSITIVE INTEGRAL column (counts, ids,
@@ -562,11 +603,20 @@ object Profile {
             .otherwise(col("__leaf")))
         .select(col("__leaf") +: quasiCols.map(col): _*))
     }
+    // Loud k-contract: splits guarantee children >= k, but a degenerate
+    // input (< k rows after the null filter) would otherwise release the
+    // root leaf as-is — a quiet privacy breach. The guard rides the
+    // released `n` column so no optimizer rule can prune it.
     val out = cur.groupBy("__leaf").agg(
-      count(lit(1)).as("n"),
+      count(lit(1)).as("__nraw"),
       quasiCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"))): _*)
-      .withColumnRenamed("__leaf", "leaf")
+      .withColumn("n", when(assert_true(col("__nraw") >= k,
+        lit(s"mondrianAnonymize: leaf with n < k=$k (input has fewer " +
+          "than k non-null rows) — refusing to release")).isNull,
+        col("__nraw")))
+      .select(col("__leaf").as("leaf") +: col("n") +:
+        quasiCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"))): _*)
     val res = cp(out)
     cp.close()
     res

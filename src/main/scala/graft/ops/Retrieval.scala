@@ -374,11 +374,23 @@ object Retrieval {
     require(candidateN <= 256,
       s"candidate slate $candidateN exceeds the model-sized bound 256")
     require(lambda > 0 && lambda <= 1, s"need 0 < lambda <= 1, got $lambda")
+    // The greedy loop tiebreaks on id ASC, so the id must carry a total
+    // order the oracle can replay: require an integral id LOUDLY (a
+    // string/decimal id would previously ClassCastException at getLong)
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val integralIdTypes = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integralIdTypes.contains(idType),
+      s"mmrSelect needs an integral id column (tiebreak order); " +
+        s"'$idCol' is $idType — cast or surrogate-key it first")
     val q = array(query.map(lit): _*)
     val spark = df.sparkSession
     val cand = df
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        Similarity.cosine(col(vecCol), q).as("__rel"))
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        Similarity.cosine(col(vecCol), q).cast("double").as("__rel"))
       .orderBy(col("__rel").desc, col("__id"))
       .limit(candidateN)
       .collect()

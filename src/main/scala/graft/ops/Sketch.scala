@@ -120,6 +120,56 @@ object Sketch {
     * @return per group: (groupCol, n_occupied, v_zero, s_scaled,
     *         estimate) — estimate on the 6-digit grid
     */
+  /** Bias-correction constant alpha_m from Flajolet et al. 2007: the
+    * paper pins alpha_16 = 0.673, alpha_32 = 0.697, alpha_64 = 0.709
+    * for the small register counts where the asymptotic formula
+    * 0.7213/(1 + 1.079/m) carries a few-percent systematic bias; the
+    * asymptotic form applies from m = 128 (p >= 7). Any engine
+    * replaying the readout must use the same m-dispatched constant.
+    */
+  private[graft] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
+  /** Register coordinates of one key under precision `p`: (bucket, rho)
+    * — the [[hllRegisters]] hash split exposed as reusable expressions
+    * so OTHER operators (rolling actives, per-column profiling) can
+    * build portable, DuckDB-replayable HLL sketches with the identical
+    * bit arithmetic.
+    */
+  private[graft] def hllCoords(key: Column, p: Int): (Column, Column) = {
+    val m = 1 << p
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val rest = shiftright(h, p)
+    val rho = when(rest === 0L, lit(61 - p))
+      .otherwise(lit(60 - p) + 1 - length(bin(rest)))
+    (h.bitwiseAND(lit(m.toLong - 1)), rho)
+  }
+
+  /** The readout estimate (double, 6-digit grid) from a group's occupied
+    * register count and occupied exact-integer-scaled harmonic sum —
+    * the [[hllEstimate]] arithmetic factored out so grouped callers
+    * replay the same raw-vs-linear-counting branch expression-for-
+    * expression (and therefore bit-for-bit in ANSI SQL).
+    */
+  private[graft] def hllReadout(nOccupied: Column, sOcc: Column,
+      p: Int): Column = {
+    val m = 1 << p
+    val scale = 61 - p
+    val md = m.toDouble
+    val vZero = lit(m.toLong) - nOccupied
+    val sScaled = sOcc + vZero * lit(1L << scale)
+    val raw = lit(hllAlpha(m)) * lit(md) * lit(md) *
+      lit(math.pow(2.0, scale)) / sScaled.cast("double")
+    val lc = lit(md) * log(lit(md) / vZero.cast("double"))
+    round(when(raw <= lit(2.5) * lit(md) && vZero > 0, lc).otherwise(raw),
+      6)
+  }
+
   def hllEstimateByGroup(df: DataFrame, groupCol: String, keyCol: String,
       p: Int): DataFrame = {
     require(p >= 4 && p <= 14, s"need 4 <= p <= 14, got $p")
@@ -142,7 +192,7 @@ object Sketch {
         .as("__s_occ"))
     val vZero = lit(m.toLong) - col("n_occupied")
     val s = col("__s_occ") + vZero * lit(1L << scale)
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md))
+    val alpha = lit(hllAlpha(m))
     val raw = alpha * lit(md) * lit(md) * lit(math.pow(2.0, scale)) /
       col("s_scaled").cast("double")
     val lc = lit(md) * log(lit(md) / col("v_zero").cast("double"))
@@ -166,7 +216,7 @@ object Sketch {
         lit(0L)).as("__s_occ"))
     val vZero = lit(m.toLong) - col("n_occupied")
     val s = col("__s_occ") + vZero * lit(1L << scale)
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md))
+    val alpha = lit(hllAlpha(m))
     val raw = alpha * lit(md) * lit(md) * lit(math.pow(2.0, scale)) /
       col("s_scaled").cast("double")
     val lc = lit(md) * log(lit(md) / col("v_zero").cast("double"))

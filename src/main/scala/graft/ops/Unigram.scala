@@ -193,10 +193,19 @@ object Unigram {
     require(reserved.isEmpty,
       s"segmentWordsViterbi stages internal columns that clash with " +
         s"input columns ${reserved.mkString(", ")} — rename them")
+    // early exit on the TRUE max word length (the Hmm.viterbiDecode
+    // discipline): one cheap scalar agg caps the unrolled lattice /
+    // backpointer width, so the generated expression tree tracks the
+    // data, not the declared bound
+    val effWordLen = {
+      val r = words.agg(max(least(length(col(wordCol)),
+        lit(maxWordLen)))).head()
+      if (r.isNullAt(0)) 1 else math.max(1, r.getInt(0))
+    }
     val sm = typedLit(scoresMicro)
-    val pos = positions(maxWordLen, maxPieceLen)
+    val pos = positions(effWordLen, maxPieceLen)
     val passthru = words.columns.toSeq.map(col)
-    var cur = words.withColumn("w", substring(col(wordCol), 1, maxWordLen))
+    var cur = words.withColumn("w", substring(col(wordCol), 1, effWordLen))
     // edge scores: vocab lookup; OOV single chars fall back to unkMicro,
     // OOV multi-char pieces have no edge (null)
     cur = cur.select((cur.columns.toSeq.map(col) ++ pos.map { case (j, i) =>
@@ -209,7 +218,7 @@ object Unigram {
     // with strict >, so the first maximum (smallest j) wins ties
     def best(j: Int): Column =
       if (j == 0) lit(0L) else col(s"v_$j").getField("b")
-    for (i <- 1 to maxWordLen) {
+    for (i <- 1 to effWordLen) {
       val init = struct(lit(null).cast("long").as("b"),
         lit(-1).cast("int").as("j"))
       val v = (math.max(0, i - maxPieceLen) until i).foldLeft(init) {
@@ -222,18 +231,18 @@ object Unigram {
       cur = cur.withColumn(s"v_$i", v)
     }
     // backpointer walk: boundaries e(0) = L, e(k) = bp(e(k-1)), stopping
-    // at 0 — at most maxWordLen steps, each a named column
+    // at 0 — at most effWordLen steps, each a named column
     cur = cur.withColumn("bp_arr",
-      array((1 to maxWordLen).map(i => col(s"v_$i").getField("j")): _*))
+      array((1 to effWordLen).map(i => col(s"v_$i").getField("j")): _*))
     cur = cur.withColumn("e_0", length(col("w")).cast("int"))
-    for (k <- 1 to maxWordLen) {
+    for (k <- 1 to effWordLen) {
       cur = cur.withColumn(s"e_$k",
         when(col(s"e_${k - 1}") > 0,
           element_at(col("bp_arr"), col(s"e_${k - 1}"))))
     }
     // tokens left-to-right: the deepest non-null boundary is 0 (every
     // piece ≥ 1 char), so walking k = L..1 emits first piece first
-    val toks = (maxWordLen to 1 by -1).map { k =>
+    val toks = (effWordLen to 1 by -1).map { k =>
       when(col(s"e_$k").isNotNull,
         expr(s"substr(w, e_$k + 1, e_${k - 1} - e_$k)"))
     }
@@ -242,7 +251,7 @@ object Unigram {
     val outCols =
       if (!withScore) passthru :+ col(outputCol)
       else passthru :+ col(outputCol) :+
-        (1 to maxWordLen).foldLeft(lit(null).cast("long")) { (acc, l) =>
+        (1 to effWordLen).foldLeft(lit(null).cast("long")) { (acc, l) =>
           when(length(col("w")) === l, col(s"v_$l").getField("b"))
             .otherwise(acc)
         }.as("score_micro")

@@ -154,9 +154,16 @@ object WordPiece {
     require(reserved.isEmpty,
       s"segmentWordsGreedy stages internal columns that clash with " +
         s"input columns ${reserved.mkString(", ")} — rename them")
+    // early exit on the TRUE max word length — same discipline as the
+    // unigram lattice: the greedy-cursor unroll width tracks the data
+    val effWordLen = {
+      val r = words.agg(max(least(length(col(wordCol)),
+        lit(maxWordLen)))).head()
+      if (r.isNullAt(0)) 1 else math.max(1, r.getInt(0))
+    }
     val vm = typedLit(vocab.map(_ -> 1).toMap)
     val passthru = words.columns.toSeq.map(col)
-    var cur = words.withColumn("w", substring(col(wordCol), 1, maxWordLen))
+    var cur = words.withColumn("w", substring(col(wordCol), 1, effWordLen))
     val L = length(col("w"))
     // piece at 0-based position j, length l: ## prefix when j > 0
     def pieceAt(j: Int, l: Int): Column =
@@ -164,19 +171,19 @@ object WordPiece {
       else concat(lit("##"), substring(col("w"), j + 1, l))
     // per-position longest match: null when nothing in vocab matches
     def matchLen(j: Int): Column =
-      (math.min(maxPieceLen, maxWordLen - j) to 1 by -1).foldLeft(
+      (math.min(maxPieceLen, effWordLen - j) to 1 by -1).foldLeft(
         lit(null).cast("int")) { (acc, l) =>
         coalesce(acc,
           when(L >= j + l && element_at(vm, pieceAt(j, l)).isNotNull,
             lit(l)))
       }
     cur = cur.withColumn("m_arr",
-      array((0 until maxWordLen).map(matchLen): _*))
+      array((0 until effWordLen).map(matchLen): _*))
     // greedy cursor walk: s_0 = 0; s_k = s_{k-1} + m_arr[s_{k-1}+1]
     // while s_{k-1} < L — a null match poisons the rest of the trail
     // (the whole-word [UNK] rule); a finished cursor carries forward
     cur = cur.withColumn("s_0", lit(0))
-    for (k <- 1 to maxWordLen) {
+    for (k <- 1 to effWordLen) {
       val prev = col(s"s_${k - 1}")
       cur = cur
         .withColumn(s"mk_$k",
@@ -193,10 +200,10 @@ object WordPiece {
     }
     // success iff the final cursor reached L; any OOV position nulled it
     val toks = filter(
-      array((1 to maxWordLen).map(k => col(s"tok_$k")): _*),
+      array((1 to effWordLen).map(k => col(s"tok_$k")): _*),
       t => t.isNotNull)
     cur = cur.withColumn(outputCol,
-      when(col(s"s_$maxWordLen").isNotNull, toks)
+      when(col(s"s_$effWordLen").isNotNull, toks)
         .otherwise(array(lit(unk))))
     cur.select(passthru :+ col(outputCol): _*)
   }

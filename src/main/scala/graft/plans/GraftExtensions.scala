@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, PQCodes, PQPartialDists}
+import graft.functions.{ArrayDot, LogGamma, PQCodes, PQPartialDists}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)` on the builder, or
@@ -35,7 +35,18 @@ object GraftExtensions {
       mk(children.head, children(1))
     })
 
+  private def unary(name: String, cls: Class[_],
+      mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 1, s"$name takes exactly 1 argument")
+      mk(children.head)
+    })
+
   private[graft] val descriptors: Seq[Descriptor] = Seq(
+    unary("lgamma", classOf[LogGamma], LogGamma.ofAny),
     binary("array_dot", classOf[ArrayDot], ArrayDot.apply),
     binary("pq_codes", classOf[PQCodes], PQCodes.apply),
     binary("pq_partial_dists", classOf[PQPartialDists], PQPartialDists.apply))

@@ -14,13 +14,13 @@ class EntrySpec extends SparkSpec {
     // recall<1 / byte-level decode / sketch-determined bins have no
     // DuckDB analog); the iterative fits graduated to unrolled
     // fixed-point oracles over rounds 8–10 (q20/q64/q163/q181/q194/
-    // q210/q226/q229)
+    // q210/q226/q229); the HLL estimators q137/q197 graduated to
+    // portable-register hash oracles in r12 (the q333/q334 machinery)
     assert(rowsOnly === Set("q26_minhash_pairs",
       "q27_simhash_pairs", "q29_ann_lsh", "q30_multimodal_features",
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
       "q61_distinct_approx", "q68_ann_ivf",
-      "q137_profile_approx", "q138_calibration_quantile",
-      "q197_rolling_active_hll",
+      "q138_calibration_quantile",
       // r11: byte-level zlib codec — no DuckDB analog (the q30 class)
       "q348_compression_quality"))
   }

@@ -117,6 +117,28 @@ class CausalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("policyValue rejects NEGATIVE propensities loudly (even unmatched)") {
+    // p = -1 on a NON-matching row: the guard must still fire — a
+    // dropped-aggregate guard would let this through and return ips=-1
+    val df = Seq(("a", 0.5, 1.0, "a"), ("b", -1.0, 1.0, "a"))
+      .toDF("act", "p", "r", "tgt")
+    val e = intercept[Exception] {
+      Causal.policyValue(df, "act", "p", "r", "tgt").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("policyValue rejects null propensities loudly") {
+    // a null p row must fail, not be silently dropped from the weight
+    // sums while still counted in n (which would bias IPS downward)
+    val df = Seq(("a", Some(0.5), 1.0, "a"), ("a", None, 1.0, "a"))
+      .toDF("act", "p", "r", "tgt")
+    val e = intercept[Exception] {
+      Causal.policyValue(df, "act", "p", "r", "tgt").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("policyValue is partition-invariant on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("p", when(col("event_type") === "click", 0.4)

@@ -240,6 +240,18 @@ class ContingencySpec extends SparkSpec {
     }
   }
 
+  test("mutualInfoRanking: sentinel-looking strings stay distinct from " +
+      "NULL and quoted column names are safe") {
+    // a genuine " null" string value must NOT merge with SQL NULL
+    // (the old sentinel encoding did); a quote in the feature column
+    // name must not break the melt (the old selectExpr stack() did)
+    val df = Seq((Some("x"), Some("\u0000null")), (Some("y"), None),
+      (Some("x"), Some("p"))).toDF("lab", "weird'col")
+    val out = Contingency.mutualInfoRanking(df, Seq("weird'col"), "lab")
+      .head()
+    assert(out.getLong(2) === 3L, "three distinct levels, null its own")
+  }
+
   test("mutualInfoRanking agrees with analyze's pairwise MI") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_returnflag"), col("l_linestatus"))

@@ -57,6 +57,23 @@ class HmmSpec extends SparkSpec {
     assert(row.getString(2) === "A>B")
   }
 
+  test("viterbiDecode early-exits on the true max stream length") {
+    // longest stream = 2 events but maxSteps = 16: the step loop must
+    // build exactly ONE join (t = 2), not 15 — the plan's join count
+    // tracks the data, not the bound
+    val df = Seq(("k1", 1, "x"), ("k1", 2, "y"), ("k2", 1, "x"))
+      .toDF("k", "t", "o")
+    val plan = decode(df, 16).queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins === 1, s"expected 1 join round, got $joins:\n" +
+      plan.take(1500))
+    // and the decode itself is unchanged
+    val row = decode(df, 16).orderBy("k").collect()
+    assert(row(0).getString(2) === "A>B" && row(1).getString(2) === "A")
+  }
+
   test("viterbiDecode is partition-invariant on real events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("event_id") % 7 === 0)

@@ -394,6 +394,16 @@ class ProfileSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getLong(1) >= 5L))
   }
 
+  test("mondrianAnonymize refuses a sub-k input loudly") {
+    // 3 non-null rows < k=5: releasing the root leaf would quietly
+    // breach the k-contract — it must throw, not return n=3
+    val df = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("v")
+    val e = intercept[Exception] {
+      Profile.mondrianAnonymize(df, Seq("v"), k = 5, rounds = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("mondrianAnonymize is partition-invariant") {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_acctbal").cast("long").as("bal"),

@@ -239,4 +239,22 @@ class RetrievalSpec extends SparkSpec {
         k = 2, lambda = 0.5, candidateN = 500)
     }
   }
+
+  test("mmrSelect: accepts int ids, rejects string ids loudly") {
+    // an IntegerType id must work (previously getLong(0) would
+    // ClassCastException); a StringType id must fail the require,
+    // not blow up mid-collect
+    val intIds = Seq((1, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrSelect(intIds, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 1, lambda = 1.0, candidateN = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(1L))
+    val strIds = Seq(("a", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrSelect(strIds, "vec_id", "embedding",
+        Seq(1.0, 0.0), k = 1, lambda = 1.0, candidateN = 2)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
 }

@@ -73,6 +73,20 @@ class SketchSpec extends SparkSpec {
       "small range must read m ln(m/V)")
   }
 
+  test("hll small-p readout uses the paper's alpha constants") {
+    // p=4 (m=16): Flajolet et al. pin alpha_16 = 0.673, not the
+    // asymptotic 0.7213/(1+1.079/16) ~ 0.6756 — recompute the raw
+    // readout from the collected registers and require the paper value
+    val df = (1L to 3000L).map(i => s"key-$i").toDF("k")
+    val row = Sketch.hllEstimate(Sketch.hllRegisters(df, "k", 4), 4).head()
+    assert(row.getAs[Long]("v_zero") === 0L, "3000 keys fill 16 buckets")
+    val m = 16.0
+    val sScaled = row.getAs[Long]("s_scaled").toDouble
+    val expected = 0.673 * m * m * math.pow(2.0, 57) / sScaled
+    assert(math.abs(row.getAs[Double]("estimate") - expected) < 1e-4,
+      "p=4 raw estimate must use alpha_16 = 0.673")
+  }
+
   test("hll registers are mergeable: max of halves equals whole") {
     val df = (1L to 1000L).map(i => s"key-$i").toDF("k")
     val a = Sketch.hllRegisters(df.filter(length(col("k")) <= 6), "k", 7)

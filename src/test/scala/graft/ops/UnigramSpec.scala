@@ -105,6 +105,15 @@ class UnigramSpec extends SparkSpec {
     assert(out === Seq("ab"))
   }
 
+  test("lattice width tracks the true max word length, not the bound") {
+    // longest word = 3 chars with maxWordLen = 8: the unrolled DP must
+    // stop at v_3 — no v_4..v_8 columns ride the plan
+    val plan = Unigram.segmentWordsViterbi(
+        Seq("ab", "abc").toDF("w"), "w", segScores, maxWordLen = 8)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("v_3") && !plan.contains("v_4"), plan.take(800))
+  }
+
   test("tokenize flattens per-word segmentations in text order") {
     val out = Unigram.tokenize(Seq("the cat", "", "he he").toDF("text"),
         "text", segScores)

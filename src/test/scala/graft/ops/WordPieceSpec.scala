@@ -50,6 +50,15 @@ class WordPieceSpec extends SparkSpec {
     assert(out("hugs") === Seq("hug", "##s"))
   }
 
+  test("cursor-walk width tracks the true max word length, not the bound") {
+    // longest word = 4 chars with maxWordLen = 12: the greedy unroll
+    // must stop at s_4 — no s_5..s_12 columns ride the plan
+    val plan = WordPiece.segmentWordsGreedy(
+        Seq("hugs").toDF("word"), "word", vocab, maxWordLen = 12)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("s_4") && !plan.contains("s_5"), plan.take(800))
+  }
+
   test("longest match wins over a shorter prefix piece") {
     // "aab": 'a' matches at 0 (no 'aa' in vocab); at pos 1 both ##a-less
     // options: vocab has ##ab (len 2) and ##b — ##ab wins
