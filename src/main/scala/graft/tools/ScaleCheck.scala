@@ -123,7 +123,18 @@ object ScaleCheck {
     "q346_wasserstein", // value collapse + cumulative pass + lead gaps
     "q347_query_likelihood", // two collapses + docs × |q| grid
     "q348_compression_quality", // per-row zlib via mapPartitions
-    "q349_broken_stick") // whole candidate grid in ONE fused agg
+    "q349_broken_stick", // whole candidate grid in ONE fused agg
+    // round-12 batch (q350 rank-window + q352 spectrum collapses should
+    // be sublinear past the scan; measured, not assumed)
+    "q350_exact_split", // stratum-partitioned rank window + count
+    "q351_paired_tests", // key collapse + |d| midrank cumulative pass
+    "q352_key_skew", // count collapse + HHI reduce + TakeOrdered top-K
+    "q353_theils_u", // one contingency collapse + entropy reduces
+    "q354_vocab_richness", // token counts → O(√corpus) spectrum reduce
+    "q355_token_dispersion", // one exploded pass → per-token (cf, df)
+    "q356_header_decode", // hex-assembled payloads + per-row byte parse
+    "q137_profile_approx", // typed melt → k·2^p register collapse
+    "q197_rolling_active_hll") // day × 2^p register union + readout
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
