@@ -4537,6 +4537,24 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"), col("format_detected"),
           col("width"), col("height"), col("sample_rate"))
         .orderBy("media_id")
+    }),
+
+    // Kendall tau-b: does discount trend with quantity in rank terms —
+    // one (x, y) cell collapse (550 cells), the C^2 pair join on the
+    // bounded cell frame, Decimal(38,0) concordance sums
+    "q357_kendall_tau" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_quantity"),
+        floor(col("l_discount") * 100).cast("long").as("disc_pct"))
+      Hypothesis.kendallTau(li, "l_quantity", "disc_pct")
+    }),
+
+    // Cochran-Armitage trend: does the return rate move monotonically
+    // with quantity — five global sums in ONE aggregation, exact
+    // Decimal(38,0) integers up to the two pinned z/chi2 expressions
+    "q358_trend_test" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_returnflag") === "R").as("ret"), col("l_quantity"))
+      Hypothesis.cochranArmitage(li, "ret", "l_quantity")
     })
   )
 
@@ -13199,7 +13217,66 @@ object SparkEntry {
         |    THEN ('0x' || substr(h, 55, 2) || substr(h, 53, 2)
         |      || substr(h, 51, 2) || substr(h, 49, 2))::BIGINT
         |    ELSE -1 END AS INT) AS sample_rate
-        |FROM hx ORDER BY media_id""".stripMargin
+        |FROM hx ORDER BY media_id""".stripMargin,
+
+    // identical cell collapse, strict x1 < x2 pair join, marginal tie
+    // terms; hugeint sums are exact so the one double division matches
+    "q357_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS y, count(*) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT
+        |    coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END), 0)
+        |      AS nc,
+        |    coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END), 0)
+        |      AS nd
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |tx AS (SELECT sum(t * (t - 1) // 2) AS n1 FROM
+        |  (SELECT sum(c) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT sum(t * (t - 1) // 2) AS n2 FROM
+        |  (SELECT sum(c) AS t FROM cells GROUP BY y)),
+        |tot AS (SELECT sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0,
+        |    count(*) AS n_cells
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  round(CASE WHEN CAST(n0 - n1 AS DOUBLE)
+        |        * CAST(n0 - n2 AS DOUBLE) > 0
+        |    THEN CAST(nc - nd AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE)
+        |      * CAST(n0 - n2 AS DOUBLE)) END, 6) AS tau_b
+        |FROM tot CROSS JOIN p CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // identical five global sums; z and chi2 replay the exact
+    // X * (Y / Z) double-op ordering of the query
+    "q358_trend_test" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS s,
+        |    (l_returnflag = 'R') AS y
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS r,
+        |    sum(CASE WHEN y THEN s ELSE 0 END) AS sa,
+        |    sum(s) AS sb, sum(s * s) AS sc,
+        |    count(DISTINCT s) AS k FROM base)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_success,
+        |  CAST(k AS BIGINT) AS k_scores,
+        |  round(CASE WHEN CAST(r * (n - r) AS DOUBLE)
+        |      * (CAST(n * sc - sb * sb AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |    THEN CAST(n * sa - r * sb AS DOUBLE)
+        |      / sqrt(CAST(r * (n - r) AS DOUBLE)
+        |        * (CAST(n * sc - sb * sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    END, 6) AS z_trend,
+        |  round(CASE WHEN CAST(r * (n - r) AS DOUBLE)
+        |      * (CAST(n * sc - sb * sb AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        |    THEN CAST(n * sa - r * sb AS DOUBLE)
+        |      * CAST(n * sa - r * sb AS DOUBLE)
+        |      / (CAST(r * (n - r) AS DOUBLE)
+        |        * (CAST(n * sc - sb * sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    END, 6) AS chi2_trend
+        |FROM a""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

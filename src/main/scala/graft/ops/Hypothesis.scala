@@ -318,6 +318,137 @@ object Hypothesis {
         col("n"))
   }
 
+  /** Kendall's τ-b rank correlation between two INTEGRAL columns — the
+    * concordance member of the rank family ([[spearman]] correlates
+    * average ranks; τ-b counts order agreements, with the standard tie
+    * correction):
+    *
+    *   τ_b = (nc − nd) / √((n0 − n1)(n0 − n2)),
+    *   n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x-/y-tie groups
+    *
+    * Scale shape: ONE groupBy(x, y) collapse to exact integer cell
+    * counts — the only data-sized shuffle — then nc/nd from the cell
+    * frame's self-join on x1 < x2 (strictly; concordant when the y's
+    * agree in direction, discordant when they invert, x-only ties fall
+    * out of both) and the tie terms from the cell marginals. The cell
+    * count is REQUIRED ≤ maxCells loudly: the C² pair join is the
+    * deliberate cost model (value-domain-bounded, like the contingency
+    * family), not an n² row join. Every sum is Decimal(38,0) so the
+    * counts survive 128-bit totals at any scale; τ is the one pinned
+    * float expression → 6-digit grid.
+    *
+    * Float columns are rejected (per-row integrality guard riding the
+    * cell counts): float tie semantics are engine-dependent.
+    *
+    * @return one row: (n, n_cells, tau_b) — tau_b null when either
+    *         denominator factor is 0 (a constant column)
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+      maxCells: Long = 4096): DataFrame = {
+    require(maxCells >= 1, s"need maxCells >= 1, got $maxCells")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val guard = (c: Column) => assert_true(c.cast("long").cast("double")
+      === c.cast("double"), lit(s"kendallTau needs integral columns; " +
+      s"non-integral value in $xCol/$yCol"))
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"),
+        // the guard rides the counted column so it cannot be pruned
+        when(guard(col(xCol)).isNull && guard(col(yCol)).isNull, 1L)
+          .as("__one"))
+      .groupBy("x", "y").agg(sum("__one").as("c"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTau cell frame has $nCells cells > maxCells=$maxCells — " +
+        "bin the domains first (the C^2 pair join is value-domain-bounded " +
+        "by design)")
+    // pair terms: strictly x1 < x2; y direction decides con/discordance
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("c").as("c1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("c").as("c2"))
+    val prod = (col("c1") * col("c2")).cast(dec)
+    val pairs = a.join(b, col("x1") < col("x2"))
+      .agg(
+        coalesce(sum(when(col("y1") < col("y2"), prod)
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("nc"),
+        coalesce(sum(when(col("y1") > col("y2"), prod)
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("nd"))
+    // marginal tie terms + n from the same cell frame
+    def tiePairs(keyCol: String, out: String) = cells
+      .groupBy(keyCol).agg(sum("c").as("t"))
+      .agg(sum((col("t").cast(dec) * (col("t") - 1).cast(dec) / 2)
+        .cast(dec)).as(out))
+    val totals = cells.agg(sum("c").as("n"))
+      .select(col("n"),
+        (col("n").cast(dec) * (col("n") - 1).cast(dec) / 2).cast(dec)
+          .as("n0"))
+    totals
+      .crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(tiePairs("x", "n1")))
+      .crossJoin(broadcast(tiePairs("y", "n2")))
+      .crossJoin(broadcast(cells.agg(count(lit(1)).as("n_cells"))))
+      .select(col("n").cast("long").as("n"), col("n_cells"),
+        round(when(
+          (col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double") > 0,
+          (col("nc") - col("nd")).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double"))), 6).as("tau_b"))
+  }
+
+  /** Cochran–Armitage trend test: does a binary outcome rate move
+    * MONOTONICALLY with an ordered integral score (dose, bucket index,
+    * ordinal tier) — the ordered-alternative member of the contingency
+    * family (chi² asks "any association", this asks "a trend", buying
+    * power when the order is real):
+    *
+    *   z = (N·A − R·B) / √(R(N−R)(N·C − B²)/N),
+    *   A = Σ s·y, B = Σ s, C = Σ s², R = Σ y, over N rows
+    *
+    * ONE aggregation — no per-group collapse needed, the statistic is
+    * five global sums. Integer sums in Decimal(38,0) (s² terms cross
+    * 2⁶³ well before 100 TB); z is the one pinned float expression →
+    * 6-digit grid, null for degenerate inputs (constant score or
+    * all-one-outcome, where the variance is 0).
+    *
+    * @param outcomeCol boolean-like (true = success)
+    * @param scoreCol   integral trend score; higher = later dose
+    * @return one row: (n, n_success, k_scores, z_trend, chi2_trend)
+    */
+  def cochranArmitage(df: DataFrame, outcomeCol: String,
+      scoreCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val guard = assert_true(col(scoreCol).cast("long").cast("double")
+      === col(scoreCol).cast("double"),
+      lit(s"cochranArmitage needs an integral $scoreCol"))
+    val s = col("__s")
+    val y = col("__y")
+    val agg = df
+      .filter(col(outcomeCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        // the guard rides the counted score column — never prunable
+        when(guard.isNull, col(scoreCol).cast("long")).as("__s"),
+        col(outcomeCol).cast("boolean").as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("r"),
+        sum(when(y, s).otherwise(0L).cast(dec)).as("a"),
+        sum(s.cast(dec)).as("b"),
+        sum(s.cast(dec) * s.cast(dec)).as("c"),
+        countDistinct(s).as("k_scores"))
+    val nD = col("n").cast(dec)
+    val rD = col("r").cast(dec)
+    val num = (nD * col("a") - rD * col("b")).cast("double")
+    val varTerm = (rD * (nD - rD)).cast("double") *
+      ((nD * col("c") - col("b") * col("b")).cast("double") /
+        col("n").cast("double"))
+    val z = round(when(varTerm > 0, num / sqrt(varTerm)), 6)
+    agg.select(col("n"), col("r").as("n_success"), col("k_scores"),
+      z.as("z_trend"),
+      round(when(varTerm > 0, num * num / varTerm), 6).as("chi2_trend"))
+  }
+
   /** Covariate balance check: standardized mean differences between
     * treated and control groups — the diagnostic run before any
     * observational effect estimate ([[diffInDiff]] and friends assume

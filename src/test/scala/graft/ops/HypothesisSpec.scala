@@ -472,4 +472,102 @@ class HypothesisSpec extends SparkSpec {
       "user_id", "cents", "g", "pre", "post").collect().toSeq
     assert(run(1) === run(7))
   }
+
+  test("kendallTau: closed no-tie case nc=2 nd=1") {
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val r = row1(Hypothesis.kendallTau(df, "x", "y"))
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    // tau = (2-1)/sqrt(3*3)
+    assert(r.getAs[Double]("tau_b") === rd6kt(1.0 / 3.0))
+  }
+
+  test("kendallTau: tie-corrected case is exactly 0; constant col null") {
+    // x=[1,1,2,2], y=[1,2,1,2]: nc=1, nd=1, n0=6, n1=n2=2 -> tau_b=0
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val r = row1(Hypothesis.kendallTau(df, "x", "y"))
+    assert(r.getAs[Double]("tau_b") === 0.0)
+    val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(row1(Hypothesis.kendallTau(const, "x", "y")).isNullAt(2))
+  }
+
+  test("kendallTau: perfect concordance/reversal hit +/-1; brute parity") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 40L)).toDF("x", "y")
+    assert(row1(Hypothesis.kendallTau(up, "x", "y"))
+      .getAs[Double]("tau_b") === 1.0)
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 60).map(_ => (rng.nextInt(6).toLong,
+      rng.nextInt(5).toLong))
+    val r = row1(Hypothesis.kendallTau(rows.toDF("x", "y"), "x", "y"))
+    // brute-force tau-b over all pairs
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val ((x1, y1), (x2, y2)) = (rows(i), rows(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) nc += 1 else nd += 1
+      } else if (x1 == x2 && y1 != y2) tx += 1
+      else if (x1 != x2 && y1 == y2) ty += 1
+      else { tx += 1; ty += 1 }
+    }
+    val n0 = rows.size.toLong * (rows.size - 1) / 2
+    val tau = (nc - nd).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(r.getAs[Double]("tau_b") === rd6kt(tau))
+  }
+
+  test("kendallTau rejects float values and oversized cell frames loudly") {
+    val fl = Seq((1.5, 2.0), (2.0, 3.0)).toDF("x", "y")
+    intercept[Exception] { Hypothesis.kendallTau(fl, "x", "y").collect() }
+    val many = (1L to 100L).map(i => (i, i)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Hypothesis.kendallTau(many, "x", "y", maxCells = 10)
+    }
+  }
+
+  test("kendallTau is partition-invariant on lineitem") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_quantity"),
+        floor(col("l_discount") * 100).cast("long").as("d"))
+    val run = (p: Int) => Hypothesis.kendallTau(li.repartition(p),
+      "l_quantity", "d").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
+  private def rd6kt(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("cochranArmitage: closed increasing-trend case") {
+    // score 0: 1/4, score 1: 2/4, score 2: 3/4 successes
+    // N=12 R=6 A=8 B=12 C=20: num=24, var=36*(96/12)=288
+    // z = 24/sqrt(288) = sqrt(2), chi2 = 2 exactly
+    val rows = (Seq.fill(1)((true, 0L)) ++ Seq.fill(3)((false, 0L)) ++
+      Seq.fill(2)((true, 1L)) ++ Seq.fill(2)((false, 1L)) ++
+      Seq.fill(3)((true, 2L)) ++ Seq.fill(1)((false, 2L)))
+    val r = row1(Hypothesis.cochranArmitage(rows.toDF("y", "s"), "y", "s"))
+    assert(r.getLong(0) === 12L && r.getLong(1) === 6L && r.getLong(2) === 3L)
+    assert(r.getAs[Double]("z_trend") === rd6kt(math.sqrt(2.0)))
+    assert(r.getAs[Double]("chi2_trend") === 2.0)
+  }
+
+  test("cochranArmitage: flat rates give 0; degenerate inputs null") {
+    val flat = (Seq.fill(2)((true, 0L)) ++ Seq.fill(2)((false, 0L)) ++
+      Seq.fill(2)((true, 1L)) ++ Seq.fill(2)((false, 1L)))
+    val r = row1(Hypothesis.cochranArmitage(flat.toDF("y", "s"), "y", "s"))
+    assert(r.getAs[Double]("z_trend") === 0.0)
+    val const = Seq((true, 5L), (false, 5L)).toDF("y", "s")
+    assert(row1(Hypothesis.cochranArmitage(const, "y", "s")).isNullAt(3))
+    val allTrue = Seq((true, 1L), (true, 2L)).toDF("y", "s")
+    assert(row1(Hypothesis.cochranArmitage(allTrue, "y", "s")).isNullAt(3))
+    val fl = Seq((true, 1.5)).toDF("y", "s")
+    intercept[Exception] {
+      Hypothesis.cochranArmitage(fl, "y", "s").collect()
+    }
+  }
+
+  test("cochranArmitage is partition-invariant on lineitem") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_returnflag") === "R").as("ret"), col("l_quantity"))
+    val run = (p: Int) => Hypothesis.cochranArmitage(li.repartition(p),
+      "ret", "l_quantity").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
