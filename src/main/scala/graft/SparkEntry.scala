@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hmm, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Similarity, Sketch, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hmm, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Similarity, Sketch, SkipGram, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -4555,6 +4555,60 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select((col("l_returnflag") === "R").as("ret"), col("l_quantity"))
       Hypothesis.cochranArmitage(li, "ret", "l_quantity")
+    }),
+
+    // skip-gram positives: ±3 token neighborhood from ONE
+    // doc-partitioned window pass (bounded lead unroll, no self-join) —
+    // the embedding-training pair generator
+    "q359_skipgram_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      SkipGram.pairs(d, "doc_id", "text", window = 3)
+        .orderBy("doc", "pos", "dist", "center", "context")
+    }),
+
+    // deterministic word2vec negative sampling: content-keyed md5 draws
+    // into the unigram^(3/4) inverse-CDF cell table (IEEE-exact sqrt
+    // composition — pow's libm differs across engines); audited as the
+    // per-token draw distribution under the (n desc, token) total order
+    "q360_negative_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val p = SkipGram.pairs(d, "doc_id", "text", window = 2)
+      val tab = SkipGram.unigramTable(d, "text", tableSize = 4096)
+      SkipGram.negativeSamples(p, tab, 4096, negK = 2)
+        .groupBy("negative").agg(count(lit(1)).as("n_draws"))
+        .orderBy(col("n_draws").desc, col("negative"))
+        .limit(100)
+    }),
+
+    // per-query reciprocal-rank fusion of two supplier rankings (balance
+    // + shipment volume) — integer-quantized 10^12 div (k + rank) terms
+    // so the fused sum is an exact long in any aggregation order
+    "q361_rrf_fusion" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val a = sup.select(lit("bal").as("ranker"),
+        col("s_nationkey").as("nation"), col("s_suppkey").as("id"),
+        col("s_acctbal").cast("double").as("score"))
+      val b = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("id"))
+        .agg(count(lit(1)).cast("double").as("score"))
+        .join(sup.select(col("s_suppkey").as("id"),
+          col("s_nationkey").as("nation")), "id")
+        .select(lit("vol").as("ranker"), col("nation"), col("id"),
+          col("score"))
+      Retrieval.rrfFuse(a.unionByName(b), "ranker", "nation", "id",
+          "score", kConst = 60, topK = 5)
+        .orderBy("nation", "rank")
+    }),
+
+    // expected calibration error over micro-quantized scores (the
+    // q138 fixture's scalar readout): exact long bin sums, pinned
+    // per-bin gaps, one <= nBins-term float sum
+    "q362_ece" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("score", col("l_quantity") / lit(50.0))
+        .withColumn("label", when(col("l_returnflag") === "R", 1)
+          .otherwise(0))
+      Eval.expectedCalibrationError(li, "score", "label", nBins = 10)
     })
   )
 
@@ -13276,7 +13330,134 @@ object SparkEntry {
         |      / (CAST(r * (n - r) AS DOUBLE)
         |        * (CAST(n * sc - sb * sb AS DOUBLE) / CAST(n AS DOUBLE)))
         |    END, 6) AS chi2_trend
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // identical filtered-ordinality positions + 3 forward leads, both
+    // orientations as a 6-way UNION ALL
+    "q359_skipgram_pairs" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, unnest(l) AS t0,
+        |    unnest(generate_series(1, len(l))) AS ord
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        |        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL)),
+        |tk AS (SELECT doc_id AS doc,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos,
+        |    t0 AS tok
+        |  FROM tk0 WHERE t0 <> ''),
+        |ld AS (SELECT doc, pos, tok,
+        |    lead(tok, 1) OVER (PARTITION BY doc ORDER BY pos) AS l1,
+        |    lead(tok, 2) OVER (PARTITION BY doc ORDER BY pos) AS l2,
+        |    lead(tok, 3) OVER (PARTITION BY doc ORDER BY pos) AS l3
+        |  FROM tk),
+        |o AS (
+        |  SELECT doc, pos, tok AS center, l1 AS context, 1 AS dist FROM ld
+        |  UNION ALL SELECT doc, pos + 1, l1, tok, 1 FROM ld
+        |  UNION ALL SELECT doc, pos, tok, l2, 2 FROM ld
+        |  UNION ALL SELECT doc, pos + 2, l2, tok, 2 FROM ld
+        |  UNION ALL SELECT doc, pos, tok, l3, 3 FROM ld
+        |  UNION ALL SELECT doc, pos + 3, l3, tok, 3 FROM ld)
+        |SELECT doc, CAST(pos AS INT) AS pos, center, context,
+        |  CAST(dist AS INT) AS dist
+        |FROM o WHERE center IS NOT NULL AND context IS NOT NULL
+        |ORDER BY doc, pos, dist, center, context""".stripMargin,
+
+    // identical pairs (window 2) + 1e3-quantized sqrt-composed x^0.75
+    // weights + token-ascending CDF + integer-ceil cell tiling +
+    // content-keyed md5 cell draws
+    "q360_negative_audit" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, unnest(l) AS t0,
+        |    unnest(generate_series(1, len(l))) AS ord
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        |        FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL)),
+        |tk AS (SELECT doc_id AS doc,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos,
+        |    t0 AS tok
+        |  FROM tk0 WHERE t0 <> ''),
+        |ld AS (SELECT doc, pos, tok,
+        |    lead(tok, 1) OVER (PARTITION BY doc ORDER BY pos) AS l1,
+        |    lead(tok, 2) OVER (PARTITION BY doc ORDER BY pos) AS l2
+        |  FROM tk),
+        |o AS (
+        |  SELECT doc, pos, tok AS center, l1 AS context FROM ld
+        |  UNION ALL SELECT doc, pos + 1, l1, tok FROM ld
+        |  UNION ALL SELECT doc, pos, tok, l2 FROM ld
+        |  UNION ALL SELECT doc, pos + 2, l2, tok FROM ld),
+        |p AS (SELECT doc, pos, center, context FROM o
+        |  WHERE center IS NOT NULL AND context IS NOT NULL),
+        |v AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+        |w AS (SELECT tok, CAST(round(sqrt(CAST(c AS DOUBLE))
+        |    * sqrt(sqrt(CAST(c AS DOUBLE))) * 1000) AS BIGINT) AS w
+        |  FROM v),
+        |cum AS (SELECT tok, w,
+        |    sum(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM w),
+        |cum2 AS (SELECT tok, CAST(hi - w AS BIGINT) AS lo,
+        |    CAST(hi AS BIGINT) AS hi FROM cum),
+        |wt AS (SELECT CAST(max(hi) AS BIGINT) AS wtot FROM cum2),
+        |cells AS (
+        |  SELECT tok, unnest(generate_series(
+        |      (lo * 4096 + wtot - 1) // wtot,
+        |      (hi * 4096 + wtot - 1) // wtot - 1)) AS cell
+        |  FROM cum2, wt
+        |  WHERE (hi * 4096 + wtot - 1) // wtot
+        |      > (lo * 4096 + wtot - 1) // wtot),
+        |d2 AS (SELECT p.*, ks.k FROM p
+        |  CROSS JOIN (VALUES (1), (2)) AS ks(k)),
+        |dr AS (SELECT
+        |    ('0x' || substr(md5(doc || '#' || pos || '#' || center
+        |      || '#' || context || '#' || k), 1, 15))::BIGINT % 4096 AS cell
+        |  FROM d2)
+        |SELECT tok AS negative, count(*) AS n_draws
+        |FROM dr JOIN cells USING (cell)
+        |GROUP BY 1 ORDER BY n_draws DESC, negative LIMIT 100""".stripMargin,
+
+    // identical per-(ranker, nation) row_number ranks + exact integer
+    // 10^12 // (60 + rank) fusion + per-nation top-5 total order
+    "q361_rrf_fusion" ->
+      """WITH a AS (SELECT 'bal' AS ranker, s_nationkey AS nation,
+        |    s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS score
+        |  FROM supplier),
+        |b AS (SELECT 'vol' AS ranker, s_nationkey AS nation,
+        |    l_suppkey AS id, CAST(count(*) AS DOUBLE) AS score
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, l_suppkey),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |r AS (SELECT nation, id,
+        |    row_number() OVER (PARTITION BY ranker, nation
+        |      ORDER BY score DESC, id) AS rnk
+        |  FROM u WHERE score IS NOT NULL AND id IS NOT NULL),
+        |f AS (SELECT nation, id, count(*) AS n_rankers,
+        |    sum(1000000000000 // (60 + rnk)) AS rrf
+        |  FROM r GROUP BY 1, 2),
+        |t2 AS (SELECT nation, id, n_rankers, rrf,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY rrf DESC, id) AS rank
+        |  FROM f)
+        |SELECT nation, CAST(rank AS INT) AS rank, id,
+        |  CAST(n_rankers AS BIGINT) AS n_rankers,
+        |  round(CAST(rrf AS DOUBLE) / 1e12, 9) AS rrf_score
+        |FROM t2 WHERE rank <= 5 ORDER BY nation, rank""".stripMargin,
+
+    // identical micro-quantization, integer bin, pinned per-bin gaps
+    "q362_ece" ->
+      """WITH q AS (
+        |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) / 50.0 * 1e6)
+        |      AS BIGINT) AS sm,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |b AS (SELECT least(sm * 10 // 1000000, 9) AS bin, count(*) AS n,
+        |    sum(sm) AS smt, sum(y) AS pos
+        |  FROM q GROUP BY 1),
+        |t2 AS (SELECT sum(n) AS nn, count(*) AS nb FROM b),
+        |g AS (SELECT n, abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(smt AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) AS gap
+        |  FROM b)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_bins_used,
+        |  round(sum(gap * CAST(n AS DOUBLE)) / CAST(nn AS DOUBLE), 6)
+        |    AS ece,
+        |  round(max(gap), 6) AS mce
+        |FROM g CROSS JOIN t2 GROUP BY nn, nb""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

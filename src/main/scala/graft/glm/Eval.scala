@@ -271,6 +271,49 @@ object Eval {
           .as("within_bin_var"))
   }
 
+  /** Expected Calibration Error (the LLM-eval calibration headline:
+    * confidence-weighted mean |accuracy − confidence| over fixed-width
+    * probability bins; [[brierDecomposition]]'s reliability term is the
+    * squared cousin, [[calibration]] the per-bin detail this reduces):
+    *
+    *   ECE = Σ_b (n_b/N) · |acc_b − conf_b|,  MCE = max_b |acc_b − conf_b|
+    *
+    * Scores are REQUIRED in [0, 1] loudly and MICRO-quantized (round to
+    * 1e−6) before any sum, so per-bin confidence totals are exact longs
+    * and bins are integer arithmetic — (s_micro·B) div 10⁶, clamped —
+    * that replays bit-for-bit. Per-bin gaps are pinned rational
+    * expressions of exact integers; only the final Σ over ≤ nBins terms
+    * reassociates (the mantelHaenszel K-strata float-sum class) →
+    * 6-digit grid.
+    *
+    * @return one row: (n, n_bins_used, ece, mce)
+    */
+  def expectedCalibrationError(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 64, s"need 1 <= nBins <= 64, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val guard = assert_true(s.isNotNull && s >= 0.0 && s <= 1.0,
+      lit(s"$scoreCol must be a probability in [0, 1]"))
+    // the guard rides the quantized score every aggregate consumes
+    val sMicro = when(guard.isNull, round(s * 1e6).cast("long"))
+    val y = when(col(labelCol) === 1, 1L).otherwise(0L)
+    val bin = least(expr(s"(__sm * $nBins) div 1000000"),
+      lit(nBins - 1L))
+    val byBin = df.select(sMicro.as("__sm"), y.as("__y"))
+      .groupBy(bin.as("__b"))
+      .agg(count(lit(1)).as("n"), sum("__sm").as("sm"),
+        sum("__y").as("pos"))
+    val tot = byBin.agg(sum("n").as("__N"))
+    val gap = abs(col("pos").cast("double") / col("n").cast("double") -
+      col("sm").cast("double") / col("n").cast("double") / 1e6)
+    byBin.crossJoin(broadcast(tot))
+      .agg(first(col("__N")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        round(sum(gap * col("n").cast("double")) /
+          first(col("__N")).cast("double"), 6).as("ece"),
+        round(max(gap), 6).as("mce"))
+  }
+
   /** Gains / lift table: rank by score DESCENDING, cut into `nTiles`
     * population tiles, report per-tile capture and cumulative lift — the
     * campaign-targeting readout ("the top decile captures 34% of

@@ -435,4 +435,48 @@ object Retrieval {
       .map { case ((id, rel, s), i) => (i + 1, id, rd6(rel), rd6(s)) }
       .toSeq.toDF("rank", idCol, "relevance", "mmr_score")
   }
+
+  /** Reciprocal-rank fusion in the LONG format — [[rrf]]'s per-QUERY
+    * sibling (rrf fuses score COLUMNS of one global frame; hybrid
+    * retrieval produces (ranker, query, id, score) ROWS — BM25 +
+    * embedding + anything, per query): per ranker and query, rank
+    * candidates under the (score desc, id) total order; a candidate's
+    * fused score is Σ over rankers of 1/(kConst + rank).
+    *
+    * INTEGER-quantized for engine-free replay: each term is
+    * 10¹² div (kConst + rank) — exact integer division, so the fused
+    * sum is an exact long in ANY aggregation order (no float
+    * reassociation), and the top-k cut under (fused desc, id) is a
+    * total order. The emitted `rrf_score` divides once at the end
+    * (9-digit grid); quantization only matters past rank ~10⁶, far
+    * beyond any slate.
+    *
+    * Scale shape: one (ranker, query)-partitioned rank window, one
+    * (query, id) collapse, one query-partitioned top-k window — all
+    * keyed, nothing global.
+    *
+    * @return per query: (queryCol, rank, idCol, n_rankers, rrf_score)
+    */
+  def rrfFuse(df: DataFrame, rankerCol: String, queryCol: String,
+      idCol: String, scoreCol: String, kConst: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(kConst >= 1, s"need kConst >= 1, got $kConst")
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(rankerCol, queryCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__rank", row_number().over(w))
+    val fused = ranked.groupBy(col(queryCol), col(idCol))
+      .agg(count(lit(1)).as("n_rankers"),
+        sum(expr(s"1000000000000L div (${kConst}L + __rank)"))
+          .as("__rrf"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col("__rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col("rank"), col(idCol), col("n_rankers"),
+        round(col("__rrf").cast("double") / 1e12, 9).as("rrf_score"))
+  }
 }

@@ -134,7 +134,13 @@ object ScaleCheck {
     "q355_token_dispersion", // one exploded pass → per-token (cf, df)
     "q356_header_decode", // hex-assembled payloads + per-row byte parse
     "q137_profile_approx", // typed melt → k·2^p register collapse
-    "q197_rolling_active_hll") // day × 2^p register union + readout
+    "q197_rolling_active_hll", // day × 2^p register union + readout
+    "q357_kendall_tau", // (x,y) cell collapse + bounded C^2 pair join
+    "q358_trend_test", // five global sums in one aggregation
+    "q359_skipgram_pairs", // one doc-keyed window, bounded lead unroll
+    "q360_negative_audit", // pairs + vocab CDF + broadcast cell joins
+    "q361_rrf_fusion", // two keyed rank windows + a (query,id) collapse
+    "q362_ece") // micro-quantized bin collapse + <= nBins reduce
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -401,6 +401,47 @@ class EvalSpec extends SparkSpec {
     assert(t.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("expectedCalibrationError: closed two-bin case") {
+    // bin 2 (scores 0.2): conf 0.2, acc 0.5; bin 7 (0.7): conf 0.7,
+    // acc 1.0 — both gaps 0.3 → ece 0.3, mce 0.3
+    val df = Seq((0.2, 1), (0.2, 0), (0.7, 1), (0.7, 1))
+      .toDF("score", "label")
+    val r = Eval.expectedCalibrationError(df, "score", "label", 10).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(math.abs(r.getAs[Double]("ece") - 0.3) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mce") - 0.3) < 1e-9)
+  }
+
+  test("expectedCalibrationError: perfect calibration scores 0; " +
+      "score 1.0 clamps into the last bin") {
+    val df = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0), (1.0, 1))
+      .toDF("score", "label")
+    val r = Eval.expectedCalibrationError(df, "score", "label", 10).head()
+    assert(r.getLong(1) === 2L) // bins 5 and 9 (clamped)
+    assert(r.getAs[Double]("mce") >= 0.0)
+    val perfect = Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0))
+      .toDF("score", "label")
+    assert(Eval.expectedCalibrationError(perfect, "score", "label", 4)
+      .head().getAs[Double]("ece") === 0.0)
+  }
+
+  test("expectedCalibrationError rejects out-of-range scores loudly") {
+    val df = Seq((1.5, 1)).toDF("score", "label")
+    intercept[Exception] {
+      Eval.expectedCalibrationError(df, "score", "label", 10).collect()
+    }
+  }
+
+  test("expectedCalibrationError is partition-invariant on lineitem") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("score", col("l_quantity") / lit(50.0))
+      .withColumn("label", when(col("l_returnflag") === "R", 1)
+        .otherwise(0))
+    val run = (p: Int) => Eval.expectedCalibrationError(
+      li.repartition(p), "score", "label", 10).collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   private def rd6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

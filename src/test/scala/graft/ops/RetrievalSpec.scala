@@ -257,4 +257,44 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral id"))
   }
+
+  test("rrfFuse: closed two-ranker case with an exact-integer tie") {
+    // ranker A ranks 1,2,3; ranker B ranks 3,2,1 — ids 1 and 3 get the
+    // same integer term multiset {1e12/61, 1e12/63}; the tie breaks to
+    // the lower id, which only an EXACT sum can guarantee
+    val df = Seq(
+      ("A", 0L, 1L, 3.0), ("A", 0L, 2L, 2.0), ("A", 0L, 3L, 1.0),
+      ("B", 0L, 3L, 9.0), ("B", 0L, 2L, 5.0), ("B", 0L, 1L, 1.0)
+    ).toDF("ranker", "q", "id", "score")
+    val got = Retrieval.rrfFuse(df, "ranker", "q", "id", "score",
+        kConst = 60, topK = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L))
+    val expect = (1000000000000L / 61 + 1000000000000L / 63) / 1e12
+    assert(got(0).getAs[Double]("rrf_score") ===
+      BigDecimal(expect).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got.forall(_.getAs[Long]("n_rankers") === 2L))
+  }
+
+  test("rrfFuse: a candidate missing from one ranker fuses one term") {
+    val df = Seq(
+      ("A", 0L, 1L, 2.0), ("A", 0L, 2L, 1.0), ("B", 0L, 1L, 1.0)
+    ).toDF("ranker", "q", "id", "score")
+    val got = Retrieval.rrfFuse(df, "ranker", "q", "id", "score")
+      .orderBy("rank").collect()
+    assert(got.map(r => r.getLong(2) -> r.getAs[Long]("n_rankers"))
+      .toSeq === Seq(1L -> 2L, 2L -> 1L))
+  }
+
+  test("rrfFuse is partition-invariant and per-query") {
+    val emb = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val a = emb.select(lit("x").as("ranker"),
+      col("s_nationkey").as("q"), col("s_suppkey").as("id"),
+      col("s_acctbal").cast("double").as("score"))
+    val run = (n: Int) => Retrieval.rrfFuse(a.repartition(n),
+        "ranker", "q", "id", "score", 60, 3)
+      .orderBy("q", "rank").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
