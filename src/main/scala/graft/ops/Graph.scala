@@ -601,13 +601,22 @@ object Graph {
       row_number().over(w).cast("long") - 1L))
     val degs = cp.pin(nbrs.groupBy("u").agg(count(lit(1)).as("__deg")))
     val starts = degs
-      .select(col("u"), explode(sequence(lit(0),
+      .select(col("u"), col("__deg"), explode(sequence(lit(0),
         lit(walksPerNode - 1))).as("__w"))
       .select(concat(col("u"), lit("#"), col("__w")).as("walk_id"),
-        col("u").as("node"))
-    val dj = degs.select(col("u").as("__du"), col("__deg"))
-    val nj = nbrs.select(col("u").as("__nu"), col("__rank").as("__nr"),
-      col("v"))
+        col("u").as("node"), col("__deg"))
+    // neighbor rows carry the DESTINATION's degree (one upfront join),
+    // so the frontier always knows its current node's degree and each
+    // step is ONE (node, rank) compound-key equi-join — not a degree
+    // join followed by a neighbor join. Walks are bit-identical to the
+    // two-join form (same draw, same rank); only the plan changes.
+    // A destination with no out-edges carries a null degree: the next
+    // step's pmod(draw, null) rank matches nothing and the walk ends,
+    // exactly as the inner degree-join ended it before.
+    val degsV = degs.select(col("u").as("__vd"), col("__deg").as("__vdeg"))
+    val nj = cp.pin(nbrs.join(degsV, col("v") === col("__vd"), "left")
+      .select(col("u").as("__nu"), col("__rank").as("__nr"), col("v"),
+        col("__vdeg")))
     var frontier = cp.pin(starts)
     var out = frontier.select(col("walk_id"), lit(0).as("step"),
       col("node"))
@@ -615,12 +624,12 @@ object Graph {
       val draw = conv(substring(md5(concat(col("walk_id"), lit("#"),
         lit(t))), 1, 15), 16, 10).cast("long")
       frontier = cp.pin(frontier
-        .join(dj, col("node") === col("__du"))
-        .select(col("walk_id"), col("node"),
-          pmod(draw, col("__deg")).as("__rank"))
+        .select(col("walk_id"),
+          pmod(draw, col("__deg")).as("__rank"), col("node"))
         .join(nj, col("node") === col("__nu") &&
           col("__rank") === col("__nr"))
-        .select(col("walk_id"), col("v").as("node")))
+        .select(col("walk_id"), col("v").as("node"),
+          col("__vdeg").as("__deg")))
       out = out.unionByName(frontier.select(col("walk_id"),
         lit(t).as("step"), col("node")))
     }
