@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.glm.{Conformal, CrossVal, ElasticNet, Eval, Explain, GLM, Gram, GroupedGLM, GroupedLM, LM, ModelMatrix, Multinomial, NegBin, PCA, QuantReg, Robust, Survival, ZeroInfl}
-import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hmm, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Similarity, Sketch, SkipGram, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
+import graft.ops.{AsofJoin, Assoc, Bpe, Causal, Cluster, Colloc, Consolidate, Contingency, Dedup, Diff, Drift, Encode, EventSeq, Factorize, FuzzyJoin, Graph, Hmm, Hypothesis, JoinOps, Matching, Merge, Mixture, Multimodal, NBayes, Ngram, Normalize, Outliers, Pack, Pareto, Preference, Profile, Quality, Quantize, Retrieval, Sampling, Segment, SeqMine, Shrink, Similarity, Sketch, SkipGram, Linkage, Skew, TextOps, TimeSeries, Topics, TopK, Tree, Unigram, Weighted, WordPiece}
 import graft.streaming.StreamOps
 
 /** Driver contract — the declared query surface checked against the DuckDB
@@ -4609,8 +4609,75 @@ object SparkEntry {
         .withColumn("label", when(col("l_returnflag") === "R", 1)
           .otherwise(0))
       Eval.expectedCalibrationError(li, "score", "label", nBins = 10)
+    }),
+
+    // empirical-Bayes beta-binomial rate shrinkage: per-customer
+    // order-completion rates pulled toward the method-of-moments prior —
+    // micro-quantized rates make the moment sums exact integers
+    "q363_eb_shrinkage" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (col("o_orderstatus") === "F").as("done"))
+      Shrink.betaBinomial(o, "o_custkey", "done").orderBy("o_custkey")
+    }),
+
+    // simplified silhouette of the q163 kmeans fit (centroid-based
+    // O(n·k), the scale form of the O(n²) pairwise score): per-point
+    // scores micro-quantized before the per-cluster mean
+    "q364_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val res = Cluster.kmeans(emb, "vec_id", "embedding", k = 8,
+        maxIter = 10)
+      Cluster.simplifiedSilhouette(emb, "embedding", res.centroids)
+        .orderBy("cluster")
     })
   )
+
+  /** q163/q364's shared k-means oracle: deterministic seeding (ORDER BY
+    * md5(id), id LIMIT k), `kmeansRounds` unrolled Lloyd rounds with the
+    * (distance, cluster) argmin tiebreak and empty-cluster carry — the
+    * final centroid table is `ct<kmeansRounds>`, the final assignment
+    * `asg<kmeansRounds>`. Factored so every kmeans-derived oracle
+    * replays the identical fit.
+    */
+  private val kmeansRounds = 10
+  private lazy val kmeansOracleCtes: String = {
+    def rnd(r: Int): String =
+      s"""asg$r AS MATERIALIZED (
+         |  SELECT id, c FROM (
+         |    SELECT dd.id, dd.c,
+         |      row_number() OVER (PARTITION BY dd.id ORDER BY dd.d, dd.c)
+         |        AS rk
+         |    FROM (
+         |      SELECT e.id, ct.c, -2 * sum(e.v * ct.w) + any_value(cn.n2)
+         |        AS d
+         |      FROM e JOIN ct$r ct ON e.p = ct.p
+         |      JOIN (SELECT c, sum(w * w) AS n2 FROM ct$r GROUP BY 1) cn
+         |        ON ct.c = cn.c
+         |      GROUP BY e.id, ct.c) dd)
+         |  WHERE rk = 1),
+         |ct${r + 1} AS MATERIALIZED (
+         |  SELECT ct.c, ct.p, coalesce(nw.w, ct.w) AS w
+         |  FROM ct$r ct LEFT JOIN (
+         |    SELECT a.c, e.p, sum(e.v) / count(*) AS w
+         |    FROM asg$r a JOIN e ON e.id = a.id GROUP BY a.c, e.p) nw
+         |  ON ct.c = nw.c AND ct.p = nw.p)""".stripMargin
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id AS id, CAST(u.ix AS INT) AS p,
+      |    CAST(embedding[u.ix + 1] AS DOUBLE) AS v
+      |  FROM embeddings,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS u(ix)
+      |  WHERE embedding IS NOT NULL),
+      |picks AS MATERIALIZED (
+      |  SELECT id, rn - 1 AS c FROM (
+      |    SELECT vec_id AS id, row_number() OVER (
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |    FROM embeddings WHERE embedding IS NOT NULL)
+      |  WHERE rn <= 8),
+      |ct0 AS MATERIALIZED (
+      |  SELECT picks.c, e.p, e.v AS w FROM picks JOIN e ON e.id = picks.id),
+      |""".stripMargin +
+      (0 to kmeansRounds).map(rnd).mkString(",\n")
+  }
 
   /** q342's shared HMM model (micro-nat log-probs; the oracle builder
     * reads the SAME maps, so query and SQL can never drift). */
@@ -7524,49 +7591,12 @@ object SparkEntry {
     // empty-cluster carry. Assignments are float-robust here: the
     // smallest best-vs-second-centroid gap on this data is 4.6e-4,
     // eleven orders above cross-engine sum-order noise
-    "q163_kmeans" -> {
-      def rnd(r: Int): String =
-        s"""asg$r AS MATERIALIZED (
-           |  SELECT id, c FROM (
-           |    SELECT dd.id, dd.c,
-           |      row_number() OVER (PARTITION BY dd.id ORDER BY dd.d, dd.c)
-           |        AS rk
-           |    FROM (
-           |      SELECT e.id, ct.c, -2 * sum(e.v * ct.w) + any_value(cn.n2)
-           |        AS d
-           |      FROM e JOIN ct$r ct ON e.p = ct.p
-           |      JOIN (SELECT c, sum(w * w) AS n2 FROM ct$r GROUP BY 1) cn
-           |        ON ct.c = cn.c
-           |      GROUP BY e.id, ct.c) dd)
-           |  WHERE rk = 1),
-           |ct${r + 1} AS MATERIALIZED (
-           |  SELECT ct.c, ct.p, coalesce(nw.w, ct.w) AS w
-           |  FROM ct$r ct LEFT JOIN (
-           |    SELECT a.c, e.p, sum(e.v) / count(*) AS w
-           |    FROM asg$r a JOIN e ON e.id = a.id GROUP BY a.c, e.p) nw
-           |  ON ct.c = nw.c AND ct.p = nw.p)""".stripMargin
-      val n = 10
-      """WITH e AS MATERIALIZED (
-        |  SELECT vec_id AS id, CAST(u.ix AS INT) AS p,
-        |    CAST(embedding[u.ix + 1] AS DOUBLE) AS v
-        |  FROM embeddings,
-        |    unnest(generate_series(0, len(embedding) - 1)) AS u(ix)
-        |  WHERE embedding IS NOT NULL),
-        |picks AS MATERIALIZED (
-        |  SELECT id, rn - 1 AS c FROM (
-        |    SELECT vec_id AS id, row_number() OVER (
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        |    FROM embeddings WHERE embedding IS NOT NULL)
-        |  WHERE rn <= 8),
-        |ct0 AS MATERIALIZED (
-        |  SELECT picks.c, e.p, e.v AS w FROM picks JOIN e ON e.id = picks.id),
-        |""".stripMargin +
-        (0 to n).map(rnd).mkString(",\n") +
+    "q163_kmeans" ->
+      (kmeansOracleCtes +
         s"""
            |SELECT CAST(c AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n
-           |FROM asg$n
-           |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+           |FROM asg$kmeansRounds
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // step-wise AP: at-or-above cumulatives from the ascending prefix and
     // the grand totals, identical rational term per distinct score
@@ -13457,7 +13487,68 @@ object SparkEntry {
         |  round(sum(gap * CAST(n AS DOUBLE)) / CAST(nn AS DOUBLE), 6)
         |    AS ece,
         |  round(max(gap), 6) AS mce
-        |FROM g CROSS JOIN t2 GROUP BY nn, nb""".stripMargin
+        |FROM g CROSS JOIN t2 GROUP BY nn, nb""".stripMargin,
+
+    // identical key collapse, micro-quantized rate moments, pinned MoM
+    // alpha/beta and posterior arithmetic
+    "q363_eb_shrinkage" ->
+      """WITH bk AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |bk2 AS (SELECT o_custkey, n, x, (x * 1000000) // n AS r FROM bk),
+        |m AS (SELECT count(*) AS k, sum(r) AS sr, sum(r * r) AS sr2
+        |  FROM bk2),
+        |p AS (SELECT k,
+        |    CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1e6 AS mu,
+        |    (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |      / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) / 1e12 AS v
+        |  FROM m),
+        |pp AS (SELECT k, mu, v, mu * (1.0 - mu) / v - 1.0 AS mm FROM p),
+        |ab AS (SELECT
+        |    CASE WHEN k >= 2 AND v > 0 AND mm > 0 THEN mu * mm END
+        |      AS alpha,
+        |    CASE WHEN k >= 2 AND v > 0 AND mm > 0 THEN (1.0 - mu) * mm END
+        |      AS beta
+        |  FROM pp)
+        |SELECT o_custkey, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        |  round(CAST(r AS DOUBLE) / 1e6, 6) AS rate,
+        |  round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+        |  round((CAST(x AS DOUBLE) + alpha)
+        |    / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+        |FROM bk2 CROSS JOIN ab ORDER BY o_custkey""".stripMargin,
+
+    // the q163 Lloyd replay + per-point distances to the FINAL
+    // centroids, (d, c) rank for a/b, micro-quantized per-cluster mean
+    "q364_silhouette" ->
+      (kmeansOracleCtes + s""",
+        |n2f AS (SELECT c, sum(w * w) AS n2 FROM ct$kmeansRounds
+        |  GROUP BY 1),
+        |xxf AS (SELECT id, sum(v * v) AS xx FROM e GROUP BY 1),
+        |distf AS (
+        |  SELECT e.id, ct.c,
+        |    sqrt(greatest(any_value(xxf.xx) + (-2.0 * sum(e.v * ct.w))
+        |      + any_value(n2f.n2), 0)) AS d
+        |  FROM e JOIN ct$kmeansRounds ct ON e.p = ct.p
+        |  JOIN n2f ON ct.c = n2f.c JOIN xxf ON xxf.id = e.id
+        |  GROUP BY e.id, ct.c),
+        |rkf AS (SELECT id, c, d,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, c) AS rk
+        |  FROM distf),
+        |abf AS (SELECT r1.id, r1.c AS cluster, r1.d AS a, r2.d AS b
+        |  FROM rkf r1 JOIN rkf r2 ON r1.id = r2.id AND r2.rk = 2
+        |  WHERE r1.rk = 1),
+        |smf AS (SELECT cluster,
+        |    CAST(round(CASE WHEN greatest(a, b) > 0
+        |      THEN (b - a) / greatest(a, b) ELSE 0.0 END * 1e6) AS BIGINT)
+        |      AS sm
+        |  FROM abf)
+        |SELECT CAST(cluster AS INT) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(sm) / CAST(count(*) AS DOUBLE) / 1e6, 4) AS silhouette
+        |FROM smf GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

@@ -118,6 +118,53 @@ object Cluster {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Simplified silhouette of a centroid model (the centroid-based
+    * silhouette of Hruschka et al. — a(x) = distance to the NEAREST
+    * centroid (= the assignment), b(x) = distance to the second-nearest,
+    * s = (b − a)/max(a, b) — the O(n·k) readout the full O(n²) pairwise
+    * silhouette can never be at scale; with nearest-centroid
+    * assignments s is in [0, 1] by construction). Feed it [[kmeans]]'s
+    * centroids (or any literal model).
+    *
+    * Scale shape: distances are literal-centroid codegen'd `array_dot`
+    * projections (one pass, no shuffle beyond the per-cluster collapse);
+    * per-point scores MICRO-quantize before the mean so the per-cluster
+    * sums are exact longs on any partitioning. The (distance, cluster)
+    * sort tiebreak matches [[kmeans]]'s assignment argmin.
+    *
+    * @return per cluster: (cluster, n, silhouette) — the mean simplified
+    *         silhouette on a 4-digit grid
+    */
+  def simplifiedSilhouette(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length >= 2, "need at least 2 centroids")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val base = df.select(col(vecCol).cast("array<double>").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__xx",
+        call_function("array_dot", col("__x"), col("__x")))
+    val dists = centroids.zipWithIndex.map { case (c, j) =>
+      struct(sqrt(greatest(col("__xx") +
+        lit(-2.0) * call_function("array_dot", col("__x"),
+          typedLit(c.toSeq)) + lit(c.map(v => v * v).sum), lit(0.0)))
+        .as("d"), lit(j).as("c"))
+    }
+    val arr = array_sort(array(dists: _*))
+    val a = col("__arr").getItem(0).getField("d")
+    val b = col("__arr").getItem(1).getField("d")
+    val own = col("__arr").getItem(0).getField("c")
+    val sil = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    base.withColumn("__arr", arr)
+      .select(own.as("cluster"),
+        round(sil * 1e6).cast("long").as("__sm"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("__sm").as("__s"))
+      .select(col("cluster"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double") / 1e6,
+          4).as("silhouette"))
+  }
+
   /** Pairwise cosine similarity between per-label embedding centroids —
     * the label-confusion geometry check (which classes/clusters sit close
     * in embedding space, which sources overlap semantically).

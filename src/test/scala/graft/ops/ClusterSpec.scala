@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
@@ -177,5 +178,54 @@ class ClusterSpec extends SparkSpec {
     val b = Cluster.dbscan(dbscanFixture.repartition(5), "id", "x", "y",
       eps = 1.5, minPts = 3).orderBy("id").collect().toSeq
     assert(a == b)
+  }
+
+  test("simplifiedSilhouette: closed two-centroid geometry") {
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val df = Seq(Seq(0.0f, 1.0f), Seq(10.0f, 1.0f), Seq(5.0f, 0.0f))
+      .map(Tuple1(_)).toDF("v")
+    val got = Cluster.simplifiedSilhouette(df, "v", cents)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getAs[Double]("silhouette")))).toMap
+    // (0,1): a=1, b=sqrt(101) → s=(b−1)/b; the midpoint (5,0) ties
+    // a=b=5 → s=0 and lands in cluster 0 (tie to the lower index)
+    val s01 = (math.sqrt(101.0) - 1.0) / math.sqrt(101.0)
+    val q = math.rint(s01 * 1e6) / 1e6 // micro quantization
+    def rd4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._1 === 2L, "midpoint ties into cluster 0")
+    assert(got(0)._2 === rd4((q + 0.0) / 2))
+    assert(got(1)._1 === 1L && got(1)._2 === rd4(q))
+  }
+
+  test("simplifiedSilhouette: separation orders the score; guard fires") {
+    val rng = new scala.util.Random(3)
+    def blob(cx: Double, cy: Double, n: Int) = (1 to n).map(_ =>
+      Seq((cx + rng.nextGaussian() * 0.1).toFloat,
+        (cy + rng.nextGaussian() * 0.1).toFloat))
+    val tight = (blob(0, 0, 40) ++ blob(50, 0, 40)).map(Tuple1(_)).toDF("v")
+    val loose = (blob(0, 0, 40) ++ blob(1.0, 0, 40)).map(Tuple1(_)).toDF("v")
+    val cT = Array(Array(0.0, 0.0), Array(50.0, 0.0))
+    val cL = Array(Array(0.0, 0.0), Array(1.0, 0.0))
+    val sT = Cluster.simplifiedSilhouette(tight, "v", cT)
+      .agg(avg("silhouette")).head().getDouble(0)
+    val sL = Cluster.simplifiedSilhouette(loose, "v", cL)
+      .agg(avg("silhouette")).head().getDouble(0)
+    assert(sT > 0.9 && sT > sL, s"tight $sT must beat loose $sL")
+    intercept[IllegalArgumentException] {
+      Cluster.simplifiedSilhouette(tight, "v", Array(Array(0.0)))
+    }
+  }
+
+  test("simplifiedSilhouette on the kmeans fit covers every cluster") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val res = Cluster.kmeans(emb, "vec_id", "embedding", k = 4, maxIter = 5)
+    val sil = Cluster.simplifiedSilhouette(emb, "embedding", res.centroids)
+      .collect()
+    assert(sil.map(_.getLong(1)).sum === emb.count())
+    sil.foreach { r =>
+      val v = r.getAs[Double]("silhouette")
+      assert(v >= 0.0 && v <= 1.0, s"cluster ${r.getInt(0)}: $v")
+    }
   }
 }
