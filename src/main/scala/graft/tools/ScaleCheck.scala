@@ -140,7 +140,9 @@ object ScaleCheck {
     "q359_skipgram_pairs", // one doc-keyed window, bounded lead unroll
     "q360_negative_audit", // pairs + vocab CDF + broadcast cell joins
     "q361_rrf_fusion", // two keyed rank windows + a (query,id) collapse
-    "q362_ece") // micro-quantized bin collapse + <= nBins reduce
+    "q362_ece", // micro-quantized bin collapse + <= nBins reduce
+    "q363_eb_shrinkage", // key collapse + one-row moments + broadcast
+    "q364_silhouette") // kmeans rounds + literal-centroid projection
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
