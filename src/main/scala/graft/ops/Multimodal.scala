@@ -150,7 +150,10 @@ object Multimodal {
       StructField("entropy", DoubleType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = RowEncoder.encoderFor(outSchema)
-    media.select("media_id", "payload").mapPartitions { it =>
+    // cast-harden the id: an int media_id from a non-asMedia caller
+    // would otherwise ClassCastException inside the partition iterator
+    media.select(col("media_id").cast("long").as("media_id"),
+        col("payload")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
@@ -238,7 +241,8 @@ object Multimodal {
     require(factor > 0)
     val outSchema = mediaSchema
     val enc = RowEncoder.encoderFor(outSchema)
-    media.select("media_id", "payload", "meta").mapPartitions { it =>
+    media.select(col("media_id").cast("long").as("media_id"),
+        col("payload"), col("meta")).mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](1)
         val meta = r.getStruct(2)
