@@ -4629,6 +4629,14 @@ object SparkEntry {
         maxIter = 10)
       Cluster.simplifiedSilhouette(emb, "embedding", res.centroids)
         .orderBy("cluster")
+    }),
+
+    // unicode-script character profile: the robust wrong-script filter
+    // next to the stopword langid — pure codegen'd regexp arithmetic,
+    // one scan, no explode; both engines count Unicode script classes
+    "q365_script_profile" -> ((s, dir) => {
+      TextOps.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -13548,7 +13556,63 @@ object SparkEntry {
         |SELECT CAST(cluster AS INT) AS cluster,
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(sum(sm) / CAST(count(*) AS DOUBLE) / 1e6, 4) AS silhouette
-        |FROM smf GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM smf GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // identical length-minus-stripped counts over RE2's Unicode script
+    // classes, pinned fraction divisions, first-max-wins dominance
+    "q365_script_profile" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS n,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+        |      length(regexp_replace(text, '[\p{Latin}]', '', 'g')) END
+        |      AS c_latin,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+        |      length(regexp_replace(text, '[\p{Cyrillic}]', '', 'g')) END
+        |      AS c_cyrillic,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+        |      length(regexp_replace(text, '[\p{Han}]', '', 'g')) END
+        |      AS c_han,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+        |      length(regexp_replace(text, '[\p{Arabic}]', '', 'g')) END
+        |      AS c_arabic,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+        |      length(regexp_replace(text, '[0-9]', '', 'g')) END
+        |      AS c_digit,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) -
+        |      length(regexp_replace(text, '[\s]', '', 'g')) END
+        |      AS c_space
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(c_latin AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS latin_frac,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(c_cyrillic AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS cyrillic_frac,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(c_han AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS han_frac,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(c_arabic AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS arabic_frac,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(c_digit AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS digit_frac,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(c_space AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+        |    AS space_frac,
+        |  CASE WHEN n = 0
+        |      OR greatest(c_latin, c_cyrillic, c_han, c_arabic) = 0
+        |    THEN 'none'
+        |    WHEN c_latin >= greatest(c_latin, c_cyrillic, c_han, c_arabic)
+        |    THEN 'latin'
+        |    WHEN c_cyrillic >= greatest(c_latin, c_cyrillic, c_han,
+        |      c_arabic) THEN 'cyrillic'
+        |    WHEN c_han >= greatest(c_latin, c_cyrillic, c_han, c_arabic)
+        |    THEN 'han'
+        |    ELSE 'arabic' END AS dominant_script
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

@@ -76,6 +76,56 @@ object TextOps {
   def wordOccurrences(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === word)).cast("double")
 
+  /** Unicode-script character profile per document — the robust
+    * complement to the stopword [[langId]] at corpus scale (stopword
+    * lists miss scripts entirely; script ratios catch wrong-script and
+    * mixed-script documents no marker list can): per doc, the fraction
+    * of characters in the Latin / Cyrillic / Han / Arabic scripts plus
+    * digits and whitespace, and the dominant script by first-max-wins
+    * over that fixed order (ties to the earlier class).
+    *
+    * Counting is `length(text) − length(regexp_replace(text, cls, ""))`
+    * — pure codegen'd column arithmetic, one scan, no explode. Script
+    * classes are Unicode script properties, so any regex engine with
+    * Unicode scripts (Java here, RE2 in DuckDB) counts identically.
+    *
+    * @return (idCol, n_chars, latin_frac, cyrillic_frac, han_frac,
+    *         arabic_frac, digit_frac, space_frac, dominant_script) —
+    *         fractions on the 6-digit grid; empty/null text reports
+    *         zero counts, null fractions and script 'none'
+    */
+  def scriptProfile(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = when(t.isNull, lit(0)).otherwise(length(t))
+    def cnt(cls: String): Column =
+      when(t.isNull, lit(0))
+        .otherwise(length(t) - length(regexp_replace(t, cls, "")))
+    val classes = Seq(
+      "latin" -> "[\\p{IsLatin}]", "cyrillic" -> "[\\p{IsCyrillic}]",
+      "han" -> "[\\p{IsHan}]", "arabic" -> "[\\p{IsArabic}]",
+      "digit" -> "[0-9]", "space" -> "[\\s]")
+    val counted = df.select(
+      col(idCol) +: n.as("n_chars") +:
+        classes.map { case (nm, cls) => cnt(cls).as(s"__c_$nm") }: _*)
+    val fracs = classes.map { case (nm, _) =>
+      round(when(col("n_chars") > 0,
+        col(s"__c_$nm").cast("double") / col("n_chars").cast("double")),
+        6).as(s"${nm}_frac")
+    }
+    // dominant over the SCRIPT classes only (digit/space excluded);
+    // first-max-wins in declaration order
+    val scripts = Seq("latin", "cyrillic", "han", "arabic")
+    val best = scripts.map(nm => col(s"__c_$nm")).reduceLeft(greatest(_, _))
+    val dom = when(col("n_chars") === 0 || best === 0, lit("none"))
+      .otherwise(scripts.foldRight(lit(scripts.last)) { (nm, acc) =>
+        if (nm == scripts.last) acc
+        else when(col(s"__c_$nm") >= best, lit(nm)).otherwise(acc)
+      })
+    counted.select(col(idCol) +: col("n_chars").cast("long").as("n_chars")
+      +: fracs :+ dom.as("dominant_script"): _*)
+  }
+
   /** Per-language marker score over an already-tokenized array: fraction of
     * tokens that are marker words. Token-array form so the (regex) split
     * runs ONCE per document however many languages are scored.

@@ -408,4 +408,45 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(run(1) === run(5))
   }
+
+  test("scriptProfile: closed mixed-script counts and first-max tie") {
+    // latin 3, cyrillic 3 (tie -> latin), han 2, digits 3, spaces 3
+    val df = Seq((1L, "abc \u0433\u0434\u0435 123 \u4e2d\u6587"))
+      .toDF("doc_id", "text")
+    val r = TextOps.scriptProfile(df, "doc_id", "text").head()
+    assert(r.getLong(1) === 14L)
+    def rd6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("latin_frac") === rd6(3.0 / 14))
+    assert(r.getAs[Double]("cyrillic_frac") === rd6(3.0 / 14))
+    assert(r.getAs[Double]("han_frac") === rd6(2.0 / 14))
+    assert(r.getAs[Double]("arabic_frac") === 0.0)
+    assert(r.getAs[Double]("digit_frac") === rd6(3.0 / 14))
+    assert(r.getAs[Double]("space_frac") === rd6(3.0 / 14))
+    assert(r.getAs[String]("dominant_script") === "latin",
+      "3-3 latin/cyrillic tie must break to the earlier class")
+  }
+
+  test("scriptProfile: arabic dominance, empty and null go 'none'") {
+    val df = Seq((1L, Some("\u0645\u0631\u062d\u0628\u0627 ok")),
+      (2L, Some("12345")), (3L, Some("")), (4L, None))
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[String]("dominant_script")))).toMap
+    assert(got(1L)._2 === "arabic") // 5 arabic > 2 latin
+    assert(got(2L)._2 === "none")   // digits only — no script chars
+    assert(got(3L) === ((0L, "none")))
+    assert(got(4L) === ((0L, "none")))
+    val r4 = TextOps.scriptProfile(df, "doc_id", "text")
+      .filter(col("doc_id") === 4L).head()
+    assert(r4.isNullAt(r4.fieldIndex("latin_frac")))
+  }
+
+  test("scriptProfile is partition-invariant on documents") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val run = (p: Int) => TextOps.scriptProfile(docs.repartition(p),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
