@@ -4637,6 +4637,15 @@ object SparkEntry {
     "q365_script_profile" -> ((s, dir) => {
       TextOps.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // clustering agreement: chance-corrected ARI + NMI between two
+    // labelings — one contingency collapse, exact Decimal pair counts,
+    // three pinned ARI float ops
+    "q366_cluster_agreement" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("a"),
+        col("l_linestatus").as("b"))
+      Contingency.adjustedRandIndex(li, "a", "b")
     })
   )
 
@@ -13612,7 +13621,48 @@ object SparkEntry {
         |    WHEN c_han >= greatest(c_latin, c_cyrillic, c_han, c_arabic)
         |    THEN 'han'
         |    ELSE 'arabic' END AS dominant_script
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // identical contingency collapse, exact hugeint C(x,2) sums, pinned
+    // ARI arithmetic; entropy/MI replay q353's float class
+    "q366_cluster_agreement" ->
+      """WITH obs AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM obs),
+        |idx AS (SELECT count(*) AS n_cells, sum(o) AS n,
+        |    sum(o * (o - 1) // 2) AS sidx FROM obs),
+        |sab AS (SELECT
+        |    (SELECT sum(ra * (ra - 1) // 2) FROM ra) AS sa,
+        |    (SELECT sum(cb * (cb - 1) // 2) FROM cb) AS sb),
+        |ha AS (SELECT -coalesce(sum((CAST(ra AS DOUBLE) / n)
+        |    * ln(CAST(ra AS DOUBLE) / n)), 0) AS h_a
+        |  FROM ra CROSS JOIN tot),
+        |hb AS (SELECT -coalesce(sum((CAST(cb AS DOUBLE) / n)
+        |    * ln(CAST(cb AS DOUBLE) / n)), 0) AS h_b
+        |  FROM cb CROSS JOIN tot),
+        |mi AS (SELECT sum((CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE)
+        |      * n / (CAST(ra.ra AS DOUBLE) * cb.cb))) AS mi
+        |  FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+        |fin AS (SELECT n, n_cells, sidx, sa, sb,
+        |    n * (n - 1) // 2 AS cn2 FROM idx CROSS JOIN sab)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  round(CASE WHEN cn2 > 0 AND (CAST(sa AS DOUBLE)
+        |        + CAST(sb AS DOUBLE)) / 2.0
+        |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+        |          / CAST(cn2 AS DOUBLE) <> 0
+        |    THEN (CAST(sidx AS DOUBLE) - CAST(sa AS DOUBLE)
+        |        * CAST(sb AS DOUBLE) / CAST(cn2 AS DOUBLE))
+        |      / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+        |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+        |          / CAST(cn2 AS DOUBLE)) END, 6) AS ari,
+        |  round(CASE WHEN h_a > 0 AND h_b > 0
+        |    THEN mi / sqrt(h_a * h_b) END, 6) AS nmi
+        |FROM fin CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

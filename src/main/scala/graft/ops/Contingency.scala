@@ -287,6 +287,72 @@ object Contingency {
           .as("u_b_given_a"))
   }
 
+  /** Adjusted Rand Index + normalized mutual information between two
+    * labelings (Hubert & Arabie 1985 / Strehl & Ghosh 2002) — THE
+    * clustering-agreement readouts: compare a new clustering run against
+    * yesterday's, a clustering against ground-truth labels, or two
+    * dedup-component labelings. Chance-corrected (ARI = 0 for random
+    * agreement, 1 for identical partitions; label NAMES never matter):
+    *
+    *   ARI = (Σ_ij C(n_ij,2) − ΣC(a_i,2)·ΣC(b_j,2)/C(n,2)) /
+    *         ((ΣC(a_i,2)+ΣC(b_j,2))/2 − ΣC(a_i,2)·ΣC(b_j,2)/C(n,2)),
+    *   NMI = MI / √(H_a·H_b)
+    *
+    * ONE (a, b) contingency collapse is the only data-sized shuffle;
+    * marginals and reduces ride the cell frame. Every pair count
+    * C(x, 2) = x(x−1)/2 is an exact integer summed in Decimal(38,0) —
+    * 128-bit safe at any scale — so ARI is three pinned float ops; the
+    * MI/entropy sums are the [[theilsU]] cardinality-bounded float
+    * class → 6-digit grid.
+    *
+    * @return one row: (n, n_cells, ari, nmi) — ari null when both
+    *         labelings are single-cluster or both are all-singletons
+    *         (the chance-correction denominator is 0), nmi null when
+    *         either entropy is 0
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def c2(x: Column): Column =
+      (x.cast(dec) * (x - 1).cast(dec) / 2).cast(dec)
+    val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy(aCol).agg(sum("o").as("ra"))
+    val cb = obs.groupBy(bCol).agg(sum("o").as("cb"))
+    val idx = obs.agg(count(lit(1)).as("n_cells"), sum("o").as("n"),
+      sum(c2(col("o"))).as("sidx"))
+    val sa = ra.agg(sum(c2(col("ra"))).as("sa"))
+    val sb = cb.agg(sum(c2(col("cb"))).as("sb"))
+    // entropies + MI on the cell frame (theilsU's float class)
+    val tot = obs.agg(sum("o").as("__n"))
+    def entropy(m: DataFrame, c: String, out: String) = m
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(sum((col(c).cast("double") / col("__n")) *
+        log(col(c).cast("double") / col("__n"))), lit(0.0)).as(out))
+      .select((-col(out)).as(out))
+    val ha = entropy(ra, "ra", "h_a")
+    val hb = entropy(cb, "cb", "h_b")
+    val mi = obs.join(ra, Seq(aCol)).join(cb, Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("o").cast("double") / col("__n")) *
+        log(col("o").cast("double") * col("__n") /
+          (col("ra").cast("double") * col("cb")))).as("mi"))
+    val cn2 = c2(col("n"))
+    val expct = col("sa").cast("double") * col("sb").cast("double") /
+      cn2.cast("double")
+    val maxIdx = (col("sa").cast("double") + col("sb").cast("double")) /
+      lit(2.0)
+    idx.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n").cast("long").as("n"), col("n_cells"),
+        round(when(cn2 > 0 && maxIdx - expct =!= 0.0,
+          (col("sidx").cast("double") - expct) / (maxIdx - expct)), 6)
+          .as("ari"),
+        round(when(col("h_a") > 0.0 && col("h_b") > 0.0,
+          col("mi") / sqrt(col("h_a") * col("h_b"))), 6).as("nmi"))
+  }
+
   /** Cochran–Mantel–Haenszel test + common odds ratio — the STRATIFIED
     * member of the contingency family ([[analyze]] pools everything;
     * CMH conditions on a confounder, the textbook Simpson's-paradox

@@ -270,4 +270,42 @@ class ContingencySpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("FileScan")) === 1,
       plan.take(1500))
   }
+
+  test("adjustedRandIndex: identical partitions score 1/1; sklearn case") {
+    val same = Seq(("x", "p"), ("x", "p"), ("y", "q")).toDF("a", "b")
+    val r1 = Contingency.adjustedRandIndex(same, "a", "b").head()
+    assert(r1.getAs[Double]("ari") === 1.0)
+    assert(r1.getAs[Double]("nmi") === 1.0)
+    // the sklearn docs example: true [0,0,1,1], pred [0,0,1,2] -> 0.571429
+    val df = Seq((0, 0), (0, 0), (1, 1), (1, 2)).toDF("a", "b")
+    val r2 = Contingency.adjustedRandIndex(df, "a", "b").head()
+    assert(r2.getLong(0) === 4L && r2.getLong(1) === 3L)
+    val expect = (1.0 - 1.0 / 3) / (1.5 - 1.0 / 3)
+    assert(r2.getAs[Double]("ari") ===
+      BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("adjustedRandIndex is label-name invariant and null when degenerate") {
+    val df = Seq((0, 0), (0, 0), (1, 1), (1, 2)).toDF("a", "b")
+    val renamed = df.select((col("a") + 100).as("a"),
+      concat(lit("z"), col("b")).as("b"))
+    assert(Contingency.adjustedRandIndex(df, "a", "b").head()
+      .getAs[Double]("ari") ===
+      Contingency.adjustedRandIndex(renamed, "a", "b").head()
+        .getAs[Double]("ari"))
+    // single cluster on both sides: chance correction divides by zero
+    val one = Seq((1, 1), (1, 1)).toDF("a", "b")
+    val r = Contingency.adjustedRandIndex(one, "a", "b").head()
+    assert(r.isNullAt(r.fieldIndex("ari")))
+    assert(r.isNullAt(r.fieldIndex("nmi")))
+  }
+
+  test("adjustedRandIndex is partition-invariant on real labelings") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+    val run = (p: Int) => Contingency.adjustedRandIndex(
+      li.repartition(p), "a", "b").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
