@@ -142,7 +142,9 @@ object ScaleCheck {
     "q361_rrf_fusion", // two keyed rank windows + a (query,id) collapse
     "q362_ece", // micro-quantized bin collapse + <= nBins reduce
     "q363_eb_shrinkage", // key collapse + one-row moments + broadcast
-    "q364_silhouette") // kmeans rounds + literal-centroid projection
+    "q364_silhouette", // kmeans rounds + literal-centroid projection
+    "q365_script_profile", // per-row regexp counts, one scan
+    "q366_cluster_agreement") // one contingency collapse + reduces
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
