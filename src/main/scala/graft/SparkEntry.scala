@@ -4646,6 +4646,18 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").select(col("l_returnflag").as("a"),
         col("l_linestatus").as("b"))
       Contingency.adjustedRandIndex(li, "a", "b")
+    }),
+
+    // Hill tail-index of the token-frequency distribution — the
+    // principled power-law exponent next to q233's Zipf OLS: TakeOrdered
+    // top-(k+1) order statistics, micro-quantized log excesses (exact
+    // long sum in any order), one pinned division
+    "q367_hill_tail" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+      Pareto.hillEstimator(counts, "c", k = 100)
     })
   )
 
@@ -13662,7 +13674,30 @@ object SparkEntry {
         |          / CAST(cn2 AS DOUBLE)) END, 6) AS ari,
         |  round(CASE WHEN h_a > 0 AND h_b > 0
         |    THEN mi / sqrt(h_a * h_b) END, 6) AS nmi
-        |FROM fin CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+        |FROM fin CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // identical top-(k+1) value cut (ties at the boundary are
+    // value-equal, so the value multiset is order-free), micro-quantized
+    // log excesses, pinned division
+    "q367_hill_tail" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY tok),
+        |top AS (SELECT c AS v FROM cnt WHERE c > 0
+        |  ORDER BY c DESC LIMIT 101),
+        |thr AS (SELECT min(v) AS t, count(*) AS m FROM top),
+        |lx AS (SELECT CASE WHEN v > t
+        |    THEN CAST(round(ln(v / t) * 1e6) AS BIGINT) ELSE 0 END AS lx,
+        |    t, m
+        |  FROM top CROSS JOIN thr)
+        |SELECT CAST(100 AS INT) AS k, CAST(m - 1 AS BIGINT) AS n_tail,
+        |  any_value(t) AS threshold,
+        |  round(CASE WHEN m - 1 >= 2 AND sum(lx) > 0
+        |    THEN CAST(m - 1 AS DOUBLE) / (CAST(sum(lx) AS DOUBLE) / 1e6)
+        |    END, 6) AS alpha
+        |FROM lx GROUP BY m""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

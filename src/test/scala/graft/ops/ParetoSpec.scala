@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class ParetoSpec extends SparkSpec {
   import spark.implicits._
@@ -57,5 +58,44 @@ class ParetoSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pareto.abcClassify(df, "k", "v", aPct = 90, bPct = 80)
     }
+  }
+
+  test("hillEstimator: exact Pareto tail recovers the exponent") {
+    // x_(i) = c * (i)^(-1/alpha) is an exact Pareto tail: the Hill sum
+    // telescopes to (1/alpha) * sum ln((k+1)/i) — compute the literal
+    val alphaTrue = 2.0
+    val k = 50
+    val xs = (1 to 200).map(i => 1000.0 * math.pow(i, -1.0 / alphaTrue))
+    val r = Pareto.hillEstimator(xs.toDF("v"), "v", k).head()
+    assert(r.getInt(0) === k && r.getLong(1) === k.toLong)
+    val thr = xs.sorted.reverse(k) // x_(k+1)
+    assert(r.getDouble(2) === thr)
+    val sMicro = xs.sorted.reverse.take(k)
+      .map(x => math.rint(math.log(x / thr) * 1e6).toLong).sum
+    val expect = k.toDouble / (sMicro.toDouble / 1e6)
+    assert(math.abs(r.getAs[Double]("alpha") - expect) < 1e-6)
+    assert(math.abs(expect - alphaTrue) < 0.1, s"hill $expect vs 2.0")
+  }
+
+  test("hillEstimator: constant tail and short data go null; guards") {
+    val const = Seq.fill(10)(5.0).toDF("v")
+    val c = Pareto.hillEstimator(const, "v", 5).head()
+    assert(c.isNullAt(c.fieldIndex("alpha")))
+    val short = Seq(1.0, 2.0).toDF("v")
+    val sh = Pareto.hillEstimator(short, "v", 5).head()
+    assert(sh.getLong(1) === 1L && sh.isNullAt(sh.fieldIndex("alpha")))
+    intercept[IllegalArgumentException] {
+      Pareto.hillEstimator(const, "v", 1)
+    }
+  }
+
+  test("hillEstimator is partition-invariant on token frequencies") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val counts = docs.select(explode(filter(split(col("text"), "\\s+"),
+        t => length(t) > 0)).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    val run = (p: Int) => Pareto.hillEstimator(counts.repartition(p),
+      "c", 50).collect().toSeq
+    assert(run(1) === run(7))
   }
 }
