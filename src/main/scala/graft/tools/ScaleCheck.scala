@@ -144,7 +144,8 @@ object ScaleCheck {
     "q363_eb_shrinkage", // key collapse + one-row moments + broadcast
     "q364_silhouette", // kmeans rounds + literal-centroid projection
     "q365_script_profile", // per-row regexp counts, one scan
-    "q366_cluster_agreement") // one contingency collapse + reduces
+    "q366_cluster_agreement", // one contingency collapse + reduces
+    "q367_hill_tail") // token counts + TakeOrdered top-(k+1) + tiny agg
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
