@@ -4658,6 +4658,14 @@ object SparkEntry {
           t => length(t) > 0)).as("tok"))
         .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
       Pareto.hillEstimator(counts, "c", k = 100)
+    }),
+
+    // two-sample Cramér–von Mises: the whole-distribution ECDF test
+    // next to q102's single-gap KS — integer ECDF gaps floor-divided
+    // onto the micro grid so the squared sum is exact in any order
+    "q368_cvm_test" -> ((s, dir) => {
+      Hypothesis.cramerVonMises(t(s, dir, "lineitem"), "l_extendedprice",
+        "l_returnflag", "R", "A")
     })
   )
 
@@ -13697,7 +13705,38 @@ object SparkEntry {
         |  round(CASE WHEN m - 1 >= 2 AND sum(lx) > 0
         |    THEN CAST(m - 1 AS DOUBLE) / (CAST(sum(lx) AS DOUBLE) / 1e6)
         |    END, 6) AS alpha
-        |FROM lx GROUP BY m""".stripMargin
+        |FROM lx GROUP BY m""".stripMargin,
+
+    // identical value collapse + inclusive cumulatives + floor-divided
+    // micro gaps + the pinned G²·S/(na·nb·N²) chain
+    "q368_cvm_test" ->
+      """WITH byv AS (
+        |  SELECT l_extendedprice AS v,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cb
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |    AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM byv),
+        |q AS (SELECT ca + cb AS c, na, nb,
+        |    greatest(1, (na * nb) // 1000000) AS g,
+        |    abs(cca * nb - ccb * na)
+        |      // greatest(1, (na * nb) // 1000000) AS dq
+        |  FROM c)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CASE WHEN max(na) > 0 AND max(nb) > 0
+        |    THEN CAST(max(g) AS DOUBLE) * CAST(max(g) AS DOUBLE)
+        |      * CAST(sum(c * dq * dq) AS DOUBLE)
+        |      / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))
+        |      / (CAST(max(na) + max(nb) AS DOUBLE)
+        |        * CAST(max(na) + max(nb) AS DOUBLE))
+        |    END, 6) AS t_cvm
+        |FROM q""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

@@ -212,6 +212,59 @@ object Hypothesis {
         col("n_a"), col("n_b"))
   }
 
+  /** Two-sample Cramér–von Mises statistic between groups `a` and `b` —
+    * [[ksTest]]'s whole-distribution sibling (KS reads only the single
+    * largest ECDF gap; CvM integrates EVERY gap, so it sees tail and
+    * shape differences a one-point statistic misses):
+    *
+    *   T = (n_a·n_b / N²) · Σ_{pooled z} (F_a(z) − F_b(z))²
+    *
+    * Same reduction shape as [[ksTest]]: ONE groupBy(value) collapse,
+    * the two-level [[Cumulative]] prefix pass over the distinct-value
+    * frame. The ECDF gap at each value is the exact integer
+    * D = |ca_cum·n_b − cb_cum·n_a|; to keep the squared sum
+    * 128-bit-safe it quantizes to the grid G = max(1, (n_a·n_b) div
+    * 10⁶) by FLOOR division — floor on non-negative integers is
+    * engine-identical, unlike any rounding-mode-sensitive decimal
+    * division — so per-value terms c·dq² are exact integers summed in
+    * Decimal(38,0), and T = G²·Σc·dq² / (n_a·n_b·N²) is one pinned
+    * float chain (a documented ~1e−6 ECDF grid, the policy-value
+    * quantization discipline; n_a·n_b must fit a long — ≤ ~3·10⁹ rows
+    * per side — ANSI overflow is the loud failure past that).
+    *
+    * @return one row: (n_a, n_b, t_cvm) — 6-digit grid; null when
+    *         either group is empty
+    */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val inA = col(groupCol) === a
+    val byV = df.filter(both(groupCol, a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(!inA, 1L).otherwise(0L)).as("cb"))
+    val totals = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    Cumulative.runningSums(byV, "v", Seq("ca", "cb"))
+      .crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"), (col("ca") + col("cb")).as("__c"),
+        abs(col("ca_cum").cast(dec) * col("nb").cast(dec) -
+          col("cb_cum").cast(dec) * col("na").cast(dec)).as("__d"),
+        greatest(lit(1L), expr("(na * nb) div 1000000")).as("__g"))
+      .select(col("na"), col("nb"), col("__c"), col("__g"),
+        expr("CAST(__d div __g AS BIGINT)").as("__dq"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("__g")).as("__gg"),
+        sum((col("__c").cast(dec) * col("__dq").cast(dec) *
+          col("__dq").cast(dec)).cast(dec)).as("__s"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("__gg").cast("double") * col("__gg").cast("double") *
+            col("__s").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) /
+            ((col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double"))), 6).as("t_cvm"))
+  }
+
   /** Mann–Whitney U test (Wilcoxon rank-sum) between groups `a` and `b`,
     * with the tie-corrected normal approximation:
     *

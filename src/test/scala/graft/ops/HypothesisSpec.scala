@@ -570,4 +570,61 @@ class HypothesisSpec extends SparkSpec {
       "ret", "l_quantity").collect().toSeq
     assert(run(1) === run(7))
   }
+
+  test("cramerVonMises: closed separated case T = 0.375; identity 0") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = row1(Hypothesis.cramerVonMises(df, "v", "g", "a", "b"))
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getAs[Double]("t_cvm") === 0.375)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(row1(Hypothesis.cramerVonMises(same, "v", "g", "a", "b"))
+      .getAs[Double]("t_cvm") === 0.0)
+  }
+
+  test("cramerVonMises is a rank statistic: monotone-transform invariant") {
+    val base = Seq(("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 2.0), ("b", 3.0), ("b", 7.0)).toDF("g", "v")
+    val scaled = base.select(col("g"), (col("v") * 1000.0 + 5.0).as("v"))
+    val t1 = row1(Hypothesis.cramerVonMises(base, "v", "g", "a", "b"))
+      .getAs[Double]("t_cvm")
+    val t2 = row1(Hypothesis.cramerVonMises(scaled, "v", "g", "a", "b"))
+      .getAs[Double]("t_cvm")
+    assert(t1 === t2 && t1 > 0.0)
+  }
+
+  test("cramerVonMises: empty side goes null; grid tracks the float form") {
+    val onlyA = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = row1(Hypothesis.cramerVonMises(onlyA, "v", "g", "a", "b"))
+    assert(r.isNullAt(2))
+    // real data: the quantized statistic sits within 1e-4 of the direct
+    // float evaluation (grid G > 1 kicks in at na*nb > 1e6)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val got = row1(Hypothesis.cramerVonMises(li, "l_extendedprice",
+      "l_returnflag", "R", "A"))
+    val rows = li.filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_extendedprice").as("v"), col("l_returnflag").as("g"))
+      .collect().map(r2 => (r2.getDouble(0), r2.getString(1)))
+    val na = rows.count(_._2 == "R").toDouble
+    val nb = rows.count(_._2 == "A").toDouble
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, g) => (g.count(_._2 == "R"), g.count(_._2 == "A")) }
+    var (cca, ccb, sum2) = (0.0, 0.0, 0.0)
+    byV.foreach { case (ca, cb) =>
+      cca += ca; ccb += cb
+      val gap = cca / na - ccb / nb
+      sum2 += (ca + cb) * gap * gap
+    }
+    val direct = na * nb / math.pow(na + nb, 2) * sum2
+    assert(math.abs(got.getAs[Double]("t_cvm") - direct) < 1e-4,
+      s"quantized ${got.getAs[Double]("t_cvm")} vs direct $direct")
+  }
+
+  test("cramerVonMises is partition-invariant") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val run = (p: Int) => Hypothesis.cramerVonMises(li.repartition(p),
+      "l_quantity", "l_returnflag", "R", "A").collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
