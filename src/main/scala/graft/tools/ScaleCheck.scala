@@ -145,7 +145,8 @@ object ScaleCheck {
     "q364_silhouette", // kmeans rounds + literal-centroid projection
     "q365_script_profile", // per-row regexp counts, one scan
     "q366_cluster_agreement", // one contingency collapse + reduces
-    "q367_hill_tail") // token counts + TakeOrdered top-(k+1) + tiny agg
+    "q367_hill_tail", // token counts + TakeOrdered top-(k+1) + tiny agg
+    "q368_cvm_test") // value collapse + cumulative pass + one reduce
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
