@@ -4666,6 +4666,13 @@ object SparkEntry {
     "q368_cvm_test" -> ((s, dir) => {
       Hypothesis.cramerVonMises(t(s, dir, "lineitem"), "l_extendedprice",
         "l_returnflag", "R", "A")
+    }),
+
+    // Rayleigh test of diurnal concentration: circular statistics over
+    // the time-of-day circle — micro-quantized cos/sin make the one
+    // aggregation exact; R-bar/z/p are pinned float expressions
+    "q369_rayleigh" -> ((s, dir) => {
+      EventSeq.rayleighTest(events(s, dir), "ts")
     })
   )
 
@@ -13736,7 +13743,30 @@ object SparkEntry {
         |      / (CAST(max(na) + max(nb) AS DOUBLE)
         |        * CAST(max(na) + max(nb) AS DOUBLE))
         |    END, 6) AS t_cvm
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // identical seconds-of-day angle, micro-quantized cos/sin sums,
+    // pinned R-bar / z / exp chain
+    "q369_rayleigh" ->
+      """WITH q AS (
+        |  SELECT CAST(round(cos(CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+        |      / 86400000000.0 * 6.283185307179586) * 1e6) AS BIGINT) AS c,
+        |    CAST(round(sin(CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+        |      / 86400000000.0 * 6.283185307179586) * 1e6) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT count(*) AS n, sum(c) AS sc, sum(s) AS ss FROM q),
+        |rb AS (SELECT n,
+        |    sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * 1e6) AS r
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n > 0 THEN r END, 6) AS r_bar,
+        |  round(CASE WHEN n > 0 THEN CAST(n AS DOUBLE) * r * r END, 6)
+        |    AS rayleigh_z,
+        |  round(CASE WHEN n > 0
+        |    THEN exp(-(CAST(n AS DOUBLE) * r * r)) END, 6) AS p_approx
+        |FROM rb""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

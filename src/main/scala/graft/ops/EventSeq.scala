@@ -353,6 +353,43 @@ object EventSeq {
       .groupBy("day").agg(count(lit(1)).as("active_users"))
   }
 
+  /** Rayleigh test of diurnal concentration — circular statistics over
+    * the time-of-day circle (Mardia & Jupp 2000): is event timing
+    * CONCENTRATED around some hour, or uniform through the day? The
+    * event-cadence profile's missing direction: [[interArrival]] sees
+    * gaps, this sees phase.
+    *
+    *   θ_i = 2π·(seconds of day)/86400,
+    *   R̄ = |Σ e^{iθ}|/n,  z = n·R̄²,  p ≈ e^{−z} (first-order)
+    *
+    * Per-row cos/sin MICRO-quantize before the sums (the exact-long
+    * discipline: the sums are order-free on any partitioning; a last-ulp
+    * libm difference only matters within 10⁻¹⁰ of a grid boundary), so
+    * the one aggregation is exact and R̄/z/p are pinned float
+    * expressions.
+    *
+    * @return one row: (n, r_bar, rayleigh_z, p_approx) — 6-digit grid;
+    *         r_bar 1 = perfectly phase-locked, 0 = uniform
+    */
+  def rayleighTest(df: DataFrame, tsCol: String): DataFrame = {
+    val sod = (unix_micros(col(tsCol)) % 86400000000L).cast("double")
+    val theta = sod / lit(86400000000.0) * lit(6.283185307179586)
+    val agg = df.filter(col(tsCol).isNotNull)
+      .select(round(cos(theta) * 1e6).cast("long").as("__c"),
+        round(sin(theta) * 1e6).cast("long").as("__s"))
+      .agg(count(lit(1)).as("n"), sum("__c").as("__sc"),
+        sum("__s").as("__ss"))
+    val nD = col("n").cast("double")
+    val rBar = sqrt(col("__sc").cast("double") * col("__sc").cast("double")
+      + col("__ss").cast("double") * col("__ss").cast("double")) /
+      (nD * 1e6)
+    val z = nD * rBar * rBar
+    agg.select(col("n"),
+      round(when(col("n") > 0, rBar), 6).as("r_bar"),
+      round(when(col("n") > 0, z), 6).as("rayleigh_z"),
+      round(when(col("n") > 0, exp(-z)), 6).as("p_approx"))
+  }
+
   /** Multi-touch marketing attribution: credit each conversion's
     * preceding touches under the three standard models at once —
     * first-touch (1 to the earliest touch), last-touch (1 to the latest),

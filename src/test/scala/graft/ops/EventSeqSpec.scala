@@ -391,4 +391,36 @@ class EventSeqSpec extends SparkSpec {
       "t", "eid", Seq("A", "B"), "buy").orderBy("channel").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("rayleighTest: phase-locked events score r_bar 1, uniform 0") {
+    val locked = Seq("2024-01-01 09:30:00", "2024-02-05 09:30:00",
+      "2024-03-09 09:30:00").map(x => Tuple1(ts(x))).toDF("t")
+    val r = EventSeq.rayleighTest(locked, "t").head()
+    assert(r.getLong(0) === 3L)
+    // micro quantization of cos/sin costs the last grid step
+    assert(r.getAs[Double]("r_bar") >= 0.999998)
+    assert(r.getAs[Double]("rayleigh_z") >= 2.999988)
+    // four points at 0/6/12/18h cancel exactly
+    val uniform = Seq("2024-01-01 00:00:00", "2024-01-01 06:00:00",
+      "2024-01-01 12:00:00", "2024-01-01 18:00:00")
+      .map(x => Tuple1(ts(x))).toDF("t")
+    val u = EventSeq.rayleighTest(uniform, "t").head()
+    assert(u.getAs[Double]("r_bar") === 0.0)
+    assert(u.getAs[Double]("p_approx") === 1.0)
+  }
+
+  test("rayleighTest: day boundary wraps (23:59 and 00:01 concentrate)") {
+    val wrap = Seq("2024-01-01 23:59:00", "2024-01-02 00:01:00")
+      .map(x => Tuple1(ts(x))).toDF("t")
+    val r = EventSeq.rayleighTest(wrap, "t").head()
+    assert(r.getAs[Double]("r_bar") > 0.999,
+      "2 minutes apart across midnight is nearly phase-locked")
+  }
+
+  test("rayleighTest is partition-invariant on events") {
+    val ev = graft.Events.read(spark, sfDir)
+    val run = (p: Int) => EventSeq.rayleighTest(ev.repartition(p), "ts")
+      .collect().toSeq
+    assert(run(1) === run(7))
+  }
 }
