@@ -146,7 +146,8 @@ object ScaleCheck {
     "q365_script_profile", // per-row regexp counts, one scan
     "q366_cluster_agreement", // one contingency collapse + reduces
     "q367_hill_tail", // token counts + TakeOrdered top-(k+1) + tiny agg
-    "q368_cvm_test") // value collapse + cumulative pass + one reduce
+    "q368_cvm_test", // value collapse + cumulative pass + one reduce
+    "q369_rayleigh") // one quantized-trig aggregation
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
