@@ -4673,6 +4673,17 @@ object SparkEntry {
     // aggregation exact; R-bar/z/p are pinned float expressions
     "q369_rayleigh" -> ((s, dir) => {
       EventSeq.rayleighTest(events(s, dir), "ts")
+    }),
+
+    // Qini coefficient: the scalar uplift-model readout over q131's
+    // per-tile curve — lag-free trapezoids off ONE descending cumulative
+    // pass, micro-quantized curve values, pinned area/diagonal chain
+    "q370_qini" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_extendedprice").as("score"),
+        (col("l_partkey") % 2 === 0).cast("int").as("treat"),
+        (col("l_returnflag") === "R").cast("int").as("label"))
+      Eval.qiniCoefficient(li, "score", "treat", "label")
     })
   )
 
@@ -13766,7 +13777,51 @@ object SparkEntry {
         |    AS rayleigh_z,
         |  round(CASE WHEN n > 0
         |    THEN exp(-(CAST(n AS DOUBLE) * r * r)) END, 6) AS p_approx
-        |FROM rb""".stripMargin
+        |FROM rb""".stripMargin,
+
+    // identical descending cumulatives, cum-minus-current previous
+    // corner, micro-quantized curve values, pinned area/diagonal
+    "q370_qini" ->
+      """WITH b AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+        |    CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |bys AS (SELECT s, count(*) AS n,
+        |    sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN tr = 1 AND y = 1 THEN 1 ELSE 0 END) AS yt,
+        |    sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN tr = 0 AND y = 1 THEN 1 ELSE 0 END) AS yc
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT s, n, nt, yt, nc, yc,
+        |    sum(nt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS ntc,
+        |    sum(yt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS ytc,
+        |    sum(nc) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS ncc,
+        |    sum(yc) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS ycc
+        |  FROM bys),
+        |q AS (SELECT s, n, nt, nc,
+        |    CAST(round((CAST(ytc AS DOUBLE) - CASE WHEN ncc > 0
+        |      THEN CAST(ycc AS DOUBLE) * CAST(ntc AS DOUBLE)
+        |        / CAST(ncc AS DOUBLE) ELSE 0.0 END) * 1e6) AS BIGINT)
+        |      AS qq,
+        |    CAST(round((CAST(ytc - yt AS DOUBLE) - CASE WHEN ncc - nc > 0
+        |      THEN CAST(ycc - yc AS DOUBLE) * CAST(ntc - nt AS DOUBLE)
+        |        / CAST(ncc - nc AS DOUBLE) ELSE 0.0 END) * 1e6) AS BIGINT)
+        |      AS qp
+        |  FROM c),
+        |a AS (SELECT sum(n) AS n, sum(nt) AS n_treat, sum(nc) AS n_ctrl,
+        |    sum((qp + qq) * n) AS area2, min_by(qq, s) AS qtot FROM q)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |  round(CAST(qtot AS DOUBLE) / 1e6, 6) AS uplift_total,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(area2 AS DOUBLE) / 2.0 / (CAST(n AS DOUBLE) * 1e6)
+        |      - CAST(qtot AS DOUBLE) / 2.0 / 1e6 END, 6) AS qini
+        |FROM a""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

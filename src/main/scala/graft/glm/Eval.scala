@@ -1,6 +1,6 @@
 package graft.glm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -415,6 +415,65 @@ object Eval {
         col("cum_pos_treat").cast("double") -
           col("cum_pos_ctrl").cast("double") * col("cum_n_treat") /
             col("cum_n_ctrl")), 6).as("qini"))
+  }
+
+  /** Qini COEFFICIENT — the scalar area readout over [[upliftByTile]]'s
+    * curve (Radcliffe 2007): trapezoid area between the incremental-
+    * gains curve Q(k) = yT(k) − yC(k)·nT(k)/nC(k) (cutoffs walking down
+    * the score) and the random-targeting diagonal 0 → Q(N). Positive =
+    * the score ranks persuadables ahead of sure things; 0 = no better
+    * than random (a constant score scores exactly 0 by construction
+    * here — the trapezoid convention, unlike the step convention, has
+    * no single-cutoff artifact).
+    *
+    * Lag-free trapezoids: the previous cutoff's curve value is a pure
+    * function of (cum − current-row) counts, so both trapezoid corners
+    * come from ONE descending [[graft.ops.Cumulative]] pass — no global
+    * lag window. Curve values MICRO-quantize before the area sum
+    * (exact Decimal(38,0) terms in any order); the area and the
+    * diagonal are pinned float expressions. Control-free prefixes take
+    * the ncc = 0 convention Q = yT (the correction term 0).
+    *
+    * @return one row: (n, n_treat, n_ctrl, uplift_total, qini) — the
+    *         absolute-count curve scaled per capita (area / N), 6-digit
+    *         grid
+    */
+  def qiniCoefficient(df: DataFrame, scoreCol: String, treatCol: String,
+      labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byS = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(treatCol) === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col(treatCol) === 1 && col(labelCol) === 1, 1L)
+          .otherwise(0L)).as("yt"),
+        sum(when(col(treatCol) === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col(treatCol) === 0 && col(labelCol) === 1, 1L)
+          .otherwise(0L)).as("yc"))
+    val cum = graft.ops.Cumulative.runningSums(byS, "__s",
+      Seq("nt", "yt", "nc", "yc"), descending = true)
+    // micro-quantized curve value at a (ntc, ytc, ncc, ycc) cutoff
+    def qq(ntc: Column, ytc: Column, ncc: Column, ycc: Column): Column =
+      round((ytc.cast("double") -
+        when(ncc > 0, ycc.cast("double") * ntc.cast("double") /
+          ncc.cast("double")).otherwise(lit(0.0))) * 1e6).cast("long")
+    val here = qq(col("nt_cum"), col("yt_cum"), col("nc_cum"),
+      col("yc_cum"))
+    val prev = qq(col("nt_cum") - col("nt"), col("yt_cum") - col("yt"),
+      col("nc_cum") - col("nc"), col("yc_cum") - col("yc"))
+    val agg = cum.select(col("n"), col("nt"), col("nc"),
+        ((prev + here).cast(dec) * col("n").cast(dec)).cast(dec)
+          .as("__a"),
+        here.as("__qq"), col("__s"))
+      .agg(sum("n").as("n"), sum("nt").as("n_treat"),
+        sum("nc").as("n_ctrl"), sum("__a").as("__area2"),
+        min_by(col("__qq"), col("__s")).as("__qtot"))
+    agg.select(col("n"), col("n_treat"), col("n_ctrl"),
+      round(col("__qtot").cast("double") / 1e6, 6).as("uplift_total"),
+      round(when(col("n") > 0,
+        col("__area2").cast("double") / 2.0 /
+          (col("n").cast("double") * 1e6) -
+          col("__qtot").cast("double") / 2.0 / 1e6), 6).as("qini"))
   }
 
   /** Group-fairness audit of a binary classifier: per protected group,

@@ -442,6 +442,39 @@ class EvalSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("qiniCoefficient: closed 4-row curve scores 0.75; reversal -0.375") {
+    // descending cutoffs: Q = 1, 1, 1, 0 -> trapezoid area 0.75, Qtot 0
+    val good = Seq((4.0, 1, 1), (3.0, 0, 0), (2.0, 1, 0), (1.0, 0, 1))
+      .toDF("score", "treat", "label")
+    val g = Eval.qiniCoefficient(good, "score", "treat", "label").head()
+    assert(g.getLong(0) === 4L && g.getLong(1) === 2L && g.getLong(2) === 2L)
+    assert(g.getAs[Double]("uplift_total") === 0.0)
+    assert(g.getAs[Double]("qini") === 0.75)
+    // the same rows ranked WORST-first flip the area's sign
+    val bad = Seq((1.0, 1, 1), (2.0, 0, 0), (3.0, 1, 0), (4.0, 0, 1))
+      .toDF("score", "treat", "label")
+    assert(Eval.qiniCoefficient(bad, "score", "treat", "label").head()
+      .getAs[Double]("qini") === -0.375)
+  }
+
+  test("qiniCoefficient: a constant score is exactly random (qini 0)") {
+    val df = Seq((1.0, 1, 1), (1.0, 0, 0), (1.0, 1, 0), (1.0, 0, 1))
+      .toDF("score", "treat", "label")
+    val r = Eval.qiniCoefficient(df, "score", "treat", "label").head()
+    assert(r.getAs[Double]("qini") === 0.0,
+      "the trapezoid convention has no single-cutoff artifact")
+  }
+
+  test("qiniCoefficient is partition-invariant on lineitem") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_extendedprice").as("score"),
+        (col("l_partkey") % 2 === 0).cast("int").as("treat"),
+        (col("l_returnflag") === "R").cast("int").as("label"))
+    val run = (p: Int) => Eval.qiniCoefficient(li.repartition(p),
+      "score", "treat", "label").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   private def rd6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
