@@ -147,7 +147,8 @@ object ScaleCheck {
     "q366_cluster_agreement", // one contingency collapse + reduces
     "q367_hill_tail", // token counts + TakeOrdered top-(k+1) + tiny agg
     "q368_cvm_test", // value collapse + cumulative pass + one reduce
-    "q369_rayleigh") // one quantized-trig aggregation
+    "q369_rayleigh", // one quantized-trig aggregation
+    "q370_qini") // score collapse + descending cumulative + one reduce
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
