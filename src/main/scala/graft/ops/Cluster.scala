@@ -130,7 +130,14 @@ object Cluster {
     * projections (one pass, no shuffle beyond the per-cluster collapse);
     * per-point scores MICRO-quantize before the mean so the per-cluster
     * sums are exact longs on any partitioning. The (distance, cluster)
-    * sort tiebreak matches [[kmeans]]'s assignment argmin.
+    * sort tiebreak matches [[kmeans]]'s assignment argmin in intent, but
+    * NOT bit-for-bit: distances here add the ||x||² term and a sqrt that
+    * the kmeans argmin omits (both monotone in the true distance, so any
+    * divergence needs a float NEAR-tie where the two roundings order two
+    * centroids differently) — a point within float-epsilon of two
+    * centroids can report a different "own" cluster than its kmeans
+    * assignment. Real-data impact is nil; exact-tie synthetic grids
+    * should assign clusters explicitly.
     *
     * @return per cluster: (cluster, n, silhouette) — the mean simplified
     *         silhouette on a 4-digit grid

@@ -403,7 +403,7 @@ object Hypothesis {
     val guard = (c: Column) => assert_true(c.cast("long").cast("double")
       === c.cast("double"), lit(s"kendallTau needs integral columns; " +
       s"non-integral value in $xCol/$yCol"))
-    val cells = df
+    val cells0 = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"),
@@ -411,7 +411,16 @@ object Hypothesis {
         when(guard(col(xCol)).isNull && guard(col(yCol)).isNull, 1L)
           .as("__one"))
       .groupBy("x", "y").agg(sum("__one").as("c"))
-    val nCells = cells.count()
+    // materialize the cell frame ONCE: the final plan reads it six times
+    // (both pair-join sides, two tie marginals, totals, n_cells), and the
+    // maxCells probe needs its size — applyCounted returns the count the
+    // materialization already computed, so the guard costs no extra scan
+    // and the six consumers read the checkpoint, not a recompute (the
+    // docstring's one-data-sized-shuffle claim no longer leans on
+    // ReuseExchange kicking in)
+    val cp = new graft.Checkpointer(df.sparkSession, None)
+    val (cells, nCells) = cp.applyCounted(cells0)
+    cp.close()
     require(nCells <= maxCells,
       s"kendallTau cell frame has $nCells cells > maxCells=$maxCells — " +
         "bin the domains first (the C^2 pair join is value-domain-bounded " +

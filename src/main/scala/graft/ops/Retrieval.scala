@@ -451,9 +451,15 @@ object Retrieval {
     * (9-digit grid); quantization only matters past rank ~10⁶, far
     * beyond any slate.
     *
-    * Scale shape: one (ranker, query)-partitioned rank window, one
-    * (query, id) collapse, one query-partitioned top-k window — all
-    * keyed, nothing global.
+    * Duplicate (ranker, query, id) rows are DEDUPED to their max score
+    * before ranking — without this, each duplicate would take its own
+    * rank and add another 1/(k+rank) term, silently inflating both
+    * n_rankers and the fused score (every ranker contributes at most
+    * one term per candidate, the RRF contract).
+    *
+    * Scale shape: one (ranker, query, id) dedup collapse, one
+    * (ranker, query)-partitioned rank window, one (query, id) collapse,
+    * one query-partitioned top-k window — all keyed, nothing global.
     *
     * @return per query: (queryCol, rank, idCol, n_rankers, rrf_score)
     */
@@ -464,9 +470,11 @@ object Retrieval {
     require(topK >= 1, s"need topK >= 1, got $topK")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(rankerCol, queryCol)
-      .orderBy(col(scoreCol).desc, col(idCol))
+      .orderBy(col("__score").desc, col(idCol))
     val ranked = df
       .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(rankerCol), col(queryCol), col(idCol))
+      .agg(max(col(scoreCol)).as("__score"))
       .withColumn("__rank", row_number().over(w))
     val fused = ranked.groupBy(col(queryCol), col(idCol))
       .agg(count(lit(1)).as("n_rankers"),

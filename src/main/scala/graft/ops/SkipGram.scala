@@ -91,7 +91,10 @@ object SkipGram {
       .withColumn("hi", sum("w").over(wv))
       .withColumn("lo", col("hi") - col("w"))
     val wTotal = cum.agg(max("hi")).head().getLong(0)
-    require(wTotal > 0 && wTotal <= Long.MaxValue / tableSize,
+    // the ceil expressions peak at hi*tableSize + wTotal - 1 (hi <= wTotal),
+    // so the guard must leave wTotal-1 of headroom beyond wTotal*tableSize
+    require(wTotal > 0 &&
+      wTotal <= (Long.MaxValue - wTotal + 1) / tableSize,
       s"weight total $wTotal overflows the cell arithmetic at " +
         s"tableSize=$tableSize")
     // token owns cells t with lo <= (t*wTotal) div tableSize < hi:

@@ -86,8 +86,12 @@ object TextOps {
     *
     * Counting is `length(text) − length(regexp_replace(text, cls, ""))`
     * — pure codegen'd column arithmetic, one scan, no explode. Script
-    * classes are Unicode script properties, so any regex engine with
-    * Unicode scripts (Java here, RE2 in DuckDB) counts identically.
+    * classes are Unicode script properties; engines agree to the extent
+    * their script tables implement the same Unicode version (Java's
+    * `\p{IsLatin}` and RE2's `\p{Latin}` can diverge on codepoints whose
+    * script assignment changed between Unicode releases — an
+    * estimate-class caveat for exotic codepoints, not a portability
+    * guarantee).
     *
     * @return (idCol, n_chars, latin_frac, cyrillic_frac, han_frac,
     *         arabic_frac, digit_frac, space_frac, dominant_script) —

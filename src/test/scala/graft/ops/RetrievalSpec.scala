@@ -287,6 +287,24 @@ class RetrievalSpec extends SparkSpec {
       .toSeq === Seq(1L -> 2L, 2L -> 1L))
   }
 
+  test("rrfFuse dedupes duplicate (ranker, query, id) rows to max score") {
+    // id 1 appears twice under ranker A — without the dedup it would
+    // take ranks 1 AND 2 (two fused terms, n_rankers inflated to 2);
+    // the contract keeps only its best score, so id 2 ranks second
+    val df = Seq(
+      ("A", 0L, 1L, 5.0), ("A", 0L, 1L, 3.0), ("A", 0L, 2L, 4.0)
+    ).toDF("ranker", "q", "id", "score")
+    val got = Retrieval.rrfFuse(df, "ranker", "q", "id", "score")
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+    assert(got.forall(_.getAs[Long]("n_rankers") === 1L))
+    // identical to the already-unique frame: dedup is a no-op there
+    val uniq = Seq(("A", 0L, 1L, 5.0), ("A", 0L, 2L, 4.0))
+      .toDF("ranker", "q", "id", "score")
+    assert(got.toSeq === Retrieval.rrfFuse(uniq, "ranker", "q", "id",
+      "score").orderBy("rank").collect().toSeq)
+  }
+
   test("rrfFuse is partition-invariant and per-query") {
     val emb = spark.read.parquet(s"$sfDir/supplier.parquet")
     val a = emb.select(lit("x").as("ranker"),
