@@ -95,6 +95,7 @@ final class GLMModel(
   /** Score: μ on the response scale (probability when m = 1). */
   def predict(df: DataFrame, outputCol: String = "prediction",
       mCol: Option[String] = None, offsetCol: Option[String] = None): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val aligned = ModelMatrix.matchCols(featureNames.toSeq, df)
     val m = mCol.map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
     // models fit with an offset score with the scoring data's offset
@@ -117,6 +118,7 @@ final class GLMModel(
     */
   def predictWithSe(df: DataFrame, scale: String = "link",
       mCol: Option[String] = None, offsetCol: Option[String] = None): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(Seq("link", "response").contains(scale),
       s"scale must be link|response, got $scale")
     require(!xtwxInv(0, 0).isNaN,
@@ -160,6 +162,7 @@ final class GLMModel(
   def residuals(df: DataFrame, rtype: String = "deviance",
       mCol: Option[String] = None, offsetCol: Option[String] = None,
       outputCol: String = "residual"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(Seq("response", "pearson", "deviance", "working").contains(rtype),
       s"rtype must be response|pearson|deviance|working, got $rtype")
     val fam = Family(family)

@@ -490,6 +490,7 @@ object GroupedGLM {
       linkName: String = "", intercept: Boolean = true,
       mCol: Option[String] = None, offsetCol: Option[String] = None,
       outputCol: String = "prediction"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val coefCols = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
     val slim = betas.select((keyCols ++ coefCols).map(col): _*)
     val joined = df.join(broadcast(slim), keyCols, "left")
@@ -530,6 +531,7 @@ object GroupedGLM {
       linkName: String = "", intercept: Boolean = true,
       mCol: Option[String] = None, offsetCol: Option[String] = None,
       scale: String = "link"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(Seq("link", "response").contains(scale),
       s"scale must be link|response, got $scale")
     require(betas.columns.contains("kernel"),

@@ -195,10 +195,10 @@ object GroupedLM {
     * frame (one row per group, `fit(..., kernel = true)` output) is
     * broadcast-joined on the group key, and prediction, se_fit and the
     * optional confidence/prediction interval are all column expressions
-    * over the joined coefficients — no UDF on the data path, no driver
-    * state, any number of groups. (The per-group t-quantile DOES use a
-    * scalar UDF, but only over the betas frame — one row per group —
-    * before the broadcast.)
+    * over the joined coefficients — no UDF anywhere, no driver state,
+    * any number of groups. (The per-group t-quantile is the native
+    * codegen'd [[graft.functions.TQuantile]] expression, evaluated over
+    * the betas frame — one row per group — before the broadcast.)
     *
     * Rows of groups absent from `betas` or with NaN/undefined kernels
     * score NaN, marking them unscorable rather than dropping them.
@@ -213,17 +213,16 @@ object GroupedLM {
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
     val coefCols = (if (intercept) Seq("b_intercept") else Nil) ++ xCols.map("b_" + _)
-    // per-group t quantile for the interval: UDF over the one-row-per-group
-    // betas frame only (never the data frame)
-    val qt = udf { (n: Long) =>
-      if (n > pp)
-        new org.apache.commons.math3.distribution.TDistribution((n - pp).toDouble)
-          .inverseCumulativeProbability(1.0 - (1.0 - level) / 2.0)
-      else Double.NaN
-    }
+    // per-group t quantile for the interval: the native t_quantile
+    // expression over the one-row-per-group betas frame only (never the
+    // data frame); df <= 0 (n <= pp) yields NaN, the unscorable marker
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val qt = call_function("t_quantile",
+      (col("n_rows") - pp).cast("double"),
+      lit(1.0 - (1.0 - level) / 2.0))
     val slim = betas.select((keyCols.map(col) ++ coefCols.map(col) ++ Seq(
       col("sigma").as("__sigma"), col("kernel").as("__kernel"),
-      qt(col("n_rows")).as("__tq"))): _*)
+      qt.as("__tq"))): _*)
     val joined = df.join(broadcast(slim), keyCols, "left")
     val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++
       xCols.map(c => col(c).cast("double"))

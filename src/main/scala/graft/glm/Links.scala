@@ -1,6 +1,5 @@
 package graft.glm
 
-import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -14,10 +13,12 @@ import org.apache.spark.sql.functions._
   *   lprime(μ)    = dη/dμ                       (reference: GLM.scala:195-199)
   *
   * Logit and cloglog are pure `log`/`exp` SQL expressions (whole-stage
-  * codegen). Probit needs Φ and Φ⁻¹, which have no SQL builtin — those two
-  * are scalar UDFs over commons-math3 (reference uses the same Gaussian
-  * icdf approach, GLM.scala:207-234); the Gaussian pdf φ IS expressible
-  * natively.
+  * codegen). Probit needs Φ and Φ⁻¹, which have no SQL builtin — those
+  * compose the native codegen'd [[graft.functions.Erfc]]/
+  * [[graft.functions.ErfInv]] expressions (bit-identical to the
+  * commons-math3 NormalDistribution the former scalar UDFs called;
+  * reference uses the same Gaussian icdf approach, GLM.scala:207-234);
+  * the Gaussian pdf φ IS expressible natively.
   */
 sealed trait LinkFn extends Serializable {
   def name: String
@@ -40,22 +41,34 @@ object LinkFn {
     case other      => throw new IllegalArgumentException(s"unknown link: $other")
   }
 
-  /** Φ (standard normal CDF) as a scalar UDF. */
-  val pnorm = udf { (x: Double) =>
-    new NormalDistribution(0.0, 1.0).cumulativeProbability(x)
-  }
+  private val Sqrt2 = math.sqrt(2.0)
 
-  /** Φ⁻¹ (standard normal quantile) as a scalar UDF. */
-  val qnorm = udf { (x: Double) =>
-    new NormalDistribution(0.0, 1.0).inverseCumulativeProbability(x)
-  }
+  /** Φ (standard normal CDF) as a native column expression — replicates
+    * commons-math3 `NormalDistribution(0,1).cumulativeProbability`
+    * BIT-FOR-BIT (the 40σ cutoff, then `0.5 · erfc(−x/√2)` through the
+    * same static `Erf.erfc` the distribution object calls), so this
+    * rewrite of the former scalar UDF changes no fitted value. Requires
+    * the graft function registry ([[graft.plans.GraftExtensions
+    * .ensureRegistered]]) — every GLM fit/score entry point registers it.
+    */
+  def pnorm(x: Column): Column =
+    when(abs(x) > 40.0, when(x < 0.0, lit(0.0)).otherwise(lit(1.0)))
+      .otherwise(lit(0.5) * call_function("erfc", negate(x) / Sqrt2))
+
+  /** Φ⁻¹ (standard normal quantile) as a native column expression —
+    * commons-math3 `inverseCumulativeProbability` is exactly
+    * `√2 · erfInv(2p − 1)`; same static call, bit-identical. Out-of-range
+    * p yields NaN (the UDF threw); probit's μ/m ∈ (0,1) never hits it.
+    */
+  def qnorm(x: Column): Column =
+    lit(Sqrt2) * call_function("erfinv", x * 2.0 - 1.0)
 
   /** φ (standard normal pdf) — native expression, codegen'd. */
   def dnorm(x: Column): Column = exp(x * x * -0.5) / math.sqrt(2.0 * math.Pi)
 
   /** Φ via the Zelen–Severo rational approximation (Abramowitz & Stegun
     * 26.2.17, |ε| < 7.5e-8) as a pure column expression. NOT used by the fit
-    * path (which uses the exact commons-math Φ UDF above); it exists so a
+    * path (which uses the exact native Φ expression above); it exists so a
     * probit-shaped deviance is expressible in plain SQL on BOTH engines of
     * the oracle gate — the identical literal arithmetic evaluates
     * bit-identically in Spark and DuckDB, which no pair of independent

@@ -431,7 +431,10 @@ object Hypothesis {
     val b = cells.select(col("x").as("x2"), col("y").as("y2"),
       col("c").as("c2"))
     val prod = (col("c1") * col("c2")).cast(dec)
-    val pairs = a.join(b, col("x1") < col("x2"))
+    // the checkpointed cell frame is a stats-less LogicalRDD — without a
+    // hint the x1 < x2 join planarizes as a cartesian; it is <= maxCells
+    // rows by the loud contract above, so broadcast NLJ is the right plan
+    val pairs = a.join(broadcast(b), col("x1") < col("x2"))
       .agg(
         coalesce(sum(when(col("y1") < col("y2"), prod)
           .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("nc"),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, LogGamma, PQCodes, PQPartialDists}
+import graft.functions.{ArrayDot, Erf, Erfc, ErfInv, LogGamma, PQCodes, PQPartialDists, TQuantile}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)` on the builder, or
@@ -47,7 +47,11 @@ object GraftExtensions {
 
   private[graft] val descriptors: Seq[Descriptor] = Seq(
     unary("lgamma", classOf[LogGamma], LogGamma.ofAny),
+    unary("erf", classOf[Erf], Erf.ofAny),
+    unary("erfc", classOf[Erfc], Erfc.ofAny),
+    unary("erfinv", classOf[ErfInv], ErfInv.ofAny),
     binary("array_dot", classOf[ArrayDot], ArrayDot.apply),
+    binary("t_quantile", classOf[TQuantile], TQuantile.ofAny),
     binary("pq_codes", classOf[PQCodes], PQCodes.apply),
     binary("pq_partial_dists", classOf[PQPartialDists], PQPartialDists.apply))
 

@@ -257,9 +257,22 @@ class PlanSpec extends SparkSpec {
             .mkString(",").split('/').last.stripSuffix(".parquet")
       }.filterNot(boundedTables)
     val cartesianAllow = Set("q28", "q29", "q30", "q38")
+    // 5. ScalaUDF inventory: the ONLY plans allowed to carry a scala UDF
+    //    are the queries whose operators take array arguments no Catalyst
+    //    built-in can express (MinHash/SimHash signatures, LSH planes,
+    //    z-order interleave) or probe a broadcast filter object (Bloom).
+    //    The repo's scalar MATH is all native expressions (lgamma, erf
+    //    family, t_quantile) — a convenience UDF sneaking onto any other
+    //    plan fails here, the way a codegen fallback fails the strict conf.
+    val udfQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     val problems = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
       val sp = qe.sparkPlan
+      val spStr = sp.toString
+      val hasUdf = sp.exists(_.expressions.exists(_.collectFirst {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      }.nonEmpty))
+      if (hasUdf) udfQueries += n
       val badHint = qe.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(HintBroadcast) &&
           !logicallyReduced(h.child) && unboundedScans(h.child).nonEmpty =>
@@ -267,7 +280,7 @@ class PlanSpec extends SparkSpec {
             unboundedScans(h.child).mkString("/")
       }
       val cart = if (cartesianAllow.exists(n.startsWith)) Nil
-        else if (sp.toString.contains("CartesianProduct"))
+        else if (spStr.contains("CartesianProduct"))
           Seq(s"$n: cartesian product") else Nil
       val globalWin = sp.collect {
         case w: WindowExec if w.partitionSpec.isEmpty &&
@@ -286,5 +299,18 @@ class PlanSpec extends SparkSpec {
       cart ++ globalWin ++ quadFrame ++ badHint
     }
     assert(problems.isEmpty, problems.mkString("; "))
+    val sanctionedUdfQueries = Set(
+      "q25_jaccard_pairs",    // MinHash signature (array<string> -> array)
+      "q26_minhash_pairs",    // MinHash signature
+      "q27_simhash_pairs",    // SimHash signature
+      "q187_cross_dedup",     // MinHash signature (cross-corpus)
+      "q29_ann_lsh",          // LSH plane projection (array<double> -> sig)
+      "q39_cosine_pairs_lsh", // LSH plane projection
+      "q68_ann_ivf",          // IVF assign/probe (array<double> -> list)
+      "q112_bloom_join",      // Bloom-filter probe (broadcast filter object)
+      "q330_modularity")      // MinHash signature (jaccardPairs edges)
+    assert(udfQueries.toSet === sanctionedUdfQueries,
+      s"ScalaUDF inventory drifted — plans with a UDF: " +
+        udfQueries.sorted.mkString(", "))
   }
 }
