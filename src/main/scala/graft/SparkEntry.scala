@@ -930,7 +930,8 @@ object SparkEntry {
     // without ever shuffling the full token key space (the at-scale
     // "most frequent tokens" primitive); oracle = the plain exact top-k
     "q74_heavy_hitters" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      // fan out before the split+explode (one-row-group source = one core)
+      val toks = graft.ops.fanOut(t(s, dir, "documents"))
         .select(explode(split(col("text"), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
       TopK.heavyHitters(toks, "token", 20)
@@ -4684,6 +4685,49 @@ object SparkEntry {
         (col("l_partkey") % 2 === 0).cast("int").as("treat"),
         (col("l_returnflag") === "R").cast("int").as("label"))
       Eval.qiniCoefficient(li, "score", "treat", "label")
+    }),
+
+    // engine-portable byte-FEATURE gate (the q356 discipline applied to
+    // q30's histogram/entropy path): payloads = one 0x00 guard byte (so
+    // the md5 prefix can never collide into a JPEG/PNG magic) + 16
+    // md5-derived bytes (uniform over 0..255 — every histogram bin
+    // populated) + the doc's real UTF-8 text bytes, features extracted
+    // by the REAL Multimodal.extractFeatures. Bin COUNTS are recovered
+    // exactly from the float-normalized histogram (round(feat·n) is
+    // exact while counts < 2^23 — float division is correctly rounded),
+    // so the hash gate pins the binning arithmetic integer-exactly;
+    // entropy rides a 4-digit grid (the oracle micro-quantizes its
+    // per-byte-value terms at 1e12, bounding the cross-engine gap at
+    // ~1e-10 ≪ the grid). q30's own float outputs stay rows-only; THIS
+    // twin is the hash evidence its byte kernels replay.
+    "q371_byte_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("media_id"),
+          concat(unhex(concat(lit("00"), md5(col("doc_id").cast("string")))),
+            encode(coalesce(col("text"), lit("")), "UTF-8")).as("payload"))
+      val f = Multimodal.extractFeatures(media, bins = 16)
+      val cnts = (0 until 16).map(k =>
+        round(element_at(col("features"), k + 1).cast("double") *
+          col("n_bytes")).cast("long").as(f"c$k%02d"))
+      f.select(Seq(col("media_id"), col("n_bytes"),
+          col("format_detected")) ++ cnts :+
+          round(col("entropy"), 4).as("entropy_r4"): _*)
+        .orderBy("media_id")
+    }),
+
+    // Qini sliced by segment (does the uplift ranking hold in EVERY
+    // ship month, or does one segment carry the global number): q370's
+    // exact arithmetic with the cumulative pass as a segment-PARTITIONED
+    // window — keyed, never a global funnel
+    "q372_qini_by_segment" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        month(col("l_shipdate")).as("segment"),
+        col("l_extendedprice").as("score"),
+        (col("l_partkey") % 2 === 0).cast("int").as("treat"),
+        (col("l_returnflag") === "R").cast("int").as("label"))
+      Eval.qiniBySegment(li, "segment", "score", "treat", "label")
+        .orderBy("segment")
     })
   )
 
@@ -13821,7 +13865,88 @@ object SparkEntry {
         |  round(CASE WHEN n > 0
         |    THEN CAST(area2 AS DOUBLE) / 2.0 / (CAST(n AS DOUBLE) * 1e6)
         |      - CAST(qtot AS DOUBLE) / 2.0 / 1e6 END, 6) AS qini
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // identical 0x00+md5+utf8 hex assembly, per-byte hex-pair explode,
+    // high-nibble bins (bin = v div 16 = the first hex digit, so the
+    // bin is readable straight off the pair), exact integer bin counts,
+    // per-byte-VALUE entropy terms micro-quantized at 1e12 then summed
+    // exactly in any order → the 4-digit grid
+    "q371_byte_features" -> {
+      val binSums = (0 until 16).map(k =>
+        f"sum(CASE WHEN strpos('0123456789ABCDEF', substr(hb, 1, 1)) - 1 = $k THEN c ELSE 0 END) AS c$k%02d")
+        .mkString(",\n        |    ")
+      val binOut = (0 until 16).map(k => f"CAST(c$k%02d AS BIGINT) AS c$k%02d")
+        .mkString(",\n        |  ")
+      s"""WITH hx AS (
+        |  SELECT doc_id AS media_id,
+        |    '00' || upper(md5(CAST(doc_id AS VARCHAR))) ||
+        |      hex(encode(coalesce(text, ''))) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |ex AS (SELECT media_id, length(h) // 2 AS n, h,
+        |    unnest(range(0, length(h) // 2)) AS u FROM hx),
+        |byt AS (SELECT media_id, n,
+        |    substr(h, CAST(2 * u + 1 AS INT), 2) AS hb FROM ex),
+        |cnt AS (SELECT media_id, any_value(n) AS n, hb, count(*) AS c
+        |  FROM byt GROUP BY media_id, hb),
+        |agg AS (SELECT media_id, any_value(n) AS n,
+        |    $binSums,
+        |    sum(CAST(round(-(CAST(c AS DOUBLE) / n) *
+        |      ln(CAST(c AS DOUBLE) / n) / ln(2) * 1e12) AS BIGINT)) AS eq
+        |  FROM cnt GROUP BY media_id)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  'unknown' AS format_detected,
+        |  $binOut,
+        |  round(eq / 1e12, 4) AS entropy_r4
+        |FROM agg ORDER BY media_id""".stripMargin
+    },
+
+    // q370's oracle with every cumulative/reduce PARTITIONED/GROUPED by
+    // ship month — identical corners, quantization and pinned chain
+    "q372_qini_by_segment" ->
+      """WITH b AS (
+        |  SELECT CAST(month(l_shipdate) AS INT) AS seg,
+        |    CAST(l_extendedprice AS DOUBLE) AS s,
+        |    CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |bys AS (SELECT seg, s, count(*) AS n,
+        |    sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN tr = 1 AND y = 1 THEN 1 ELSE 0 END) AS yt,
+        |    sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN tr = 0 AND y = 1 THEN 1 ELSE 0 END) AS yc
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT seg, s, n, nt, yt, nc, yc,
+        |    sum(nt) OVER (PARTITION BY seg ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS ntc,
+        |    sum(yt) OVER (PARTITION BY seg ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS ytc,
+        |    sum(nc) OVER (PARTITION BY seg ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS ncc,
+        |    sum(yc) OVER (PARTITION BY seg ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS ycc
+        |  FROM bys),
+        |q AS (SELECT seg, s, n, nt, nc,
+        |    CAST(round((CAST(ytc AS DOUBLE) - CASE WHEN ncc > 0
+        |      THEN CAST(ycc AS DOUBLE) * CAST(ntc AS DOUBLE)
+        |        / CAST(ncc AS DOUBLE) ELSE 0.0 END) * 1e6) AS BIGINT)
+        |      AS qq,
+        |    CAST(round((CAST(ytc - yt AS DOUBLE) - CASE WHEN ncc - nc > 0
+        |      THEN CAST(ycc - yc AS DOUBLE) * CAST(ntc - nt AS DOUBLE)
+        |        / CAST(ncc - nc AS DOUBLE) ELSE 0.0 END) * 1e6) AS BIGINT)
+        |      AS qp
+        |  FROM c),
+        |a AS (SELECT seg, sum(n) AS n, sum(nt) AS n_treat,
+        |    sum(nc) AS n_ctrl, sum((qp + qq) * n) AS area2,
+        |    min_by(qq, s) AS qtot FROM q GROUP BY seg)
+        |SELECT seg AS segment, CAST(n AS BIGINT) AS n,
+        |  CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |  round(CAST(qtot AS DOUBLE) / 1e6, 6) AS uplift_total,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(area2 AS DOUBLE) / 2.0 / (CAST(n AS DOUBLE) * 1e6)
+        |      - CAST(qtot AS DOUBLE) / 2.0 / 1e6 END, 6) AS qini
+        |FROM a ORDER BY segment""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

@@ -476,6 +476,63 @@ object Eval {
           col("__qtot").cast("double") / 2.0 / 1e6), 6).as("qini"))
   }
 
+  /** [[qiniCoefficient]] per SEGMENT — uplift-model quality sliced by a
+    * grouping key (campaign, country, cohort): does the model rank
+    * persuadables well EVERYWHERE, or is the global Qini carried by one
+    * segment? Identical arithmetic to the global readout — micro-quantized
+    * curve corners, lag-free prev = cum − current, exact Decimal(38,0)
+    * area sums — but the cumulative pass is a (segment)-PARTITIONED
+    * window, which scales by keys like any groupBy (the global two-level
+    * Cumulative machinery exists only to avoid an UNPARTITIONED window;
+    * per-segment windows never funnel). One keyed collapse + one keyed
+    * window + one keyed reduce.
+    *
+    * @return per segment: (segCol, n, n_treat, n_ctrl, uplift_total,
+    *         qini) — same conventions as [[qiniCoefficient]]
+    */
+  def qiniBySegment(df: DataFrame, segCol: String, scoreCol: String,
+      treatCol: String, labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byS = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(segCol).as("__seg"),
+        col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(treatCol) === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col(treatCol) === 1 && col(labelCol) === 1, 1L)
+          .otherwise(0L)).as("yt"),
+        sum(when(col(treatCol) === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col(treatCol) === 0 && col(labelCol) === 1, 1L)
+          .otherwise(0L)).as("yc"))
+    val w = Window.partitionBy("__seg").orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Seq("nt", "yt", "nc", "yc").foldLeft(byS) { (d, c) =>
+      d.withColumn(s"${c}_cum", sum(col(c)).over(w))
+    }
+    def qq(ntc: Column, ytc: Column, ncc: Column, ycc: Column): Column =
+      round((ytc.cast("double") -
+        when(ncc > 0, ycc.cast("double") * ntc.cast("double") /
+          ncc.cast("double")).otherwise(lit(0.0))) * 1e6).cast("long")
+    val here = qq(col("nt_cum"), col("yt_cum"), col("nc_cum"),
+      col("yc_cum"))
+    val prev = qq(col("nt_cum") - col("nt"), col("yt_cum") - col("yt"),
+      col("nc_cum") - col("nc"), col("yc_cum") - col("yc"))
+    val agg = cum.select(col("__seg"), col("n"), col("nt"), col("nc"),
+        ((prev + here).cast(dec) * col("n").cast(dec)).cast(dec)
+          .as("__a"),
+        here.as("__qq"), col("__s"))
+      .groupBy("__seg")
+      .agg(sum("n").as("n"), sum("nt").as("n_treat"),
+        sum("nc").as("n_ctrl"), sum("__a").as("__area2"),
+        min_by(col("__qq"), col("__s")).as("__qtot"))
+    agg.select(col("__seg").as(segCol), col("n"), col("n_treat"),
+      col("n_ctrl"),
+      round(col("__qtot").cast("double") / 1e6, 6).as("uplift_total"),
+      round(when(col("n") > 0,
+        col("__area2").cast("double") / 2.0 /
+          (col("n").cast("double") * 1e6) -
+          col("__qtot").cast("double") / 2.0 / 1e6), 6).as("qini"))
+  }
+
   /** Group-fairness audit of a binary classifier: per protected group,
     * selection rate (demographic parity), TPR (equal opportunity) and
     * FPR (equalized odds), each with its ratio to the group-wise MAX

@@ -168,7 +168,8 @@ object Ngram {
     */
   def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val counts = df.select(explode(toks).as("__w"))
+    // fan out before the split+explode (one-row-group source = one core)
+    val counts = fanOut(df).select(explode(toks).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__r"))
     counts.agg(
       count(lit(1)).as("s_obs"),
@@ -196,7 +197,9 @@ object Ngram {
       minCf: Long = 2): DataFrame = {
     require(minCf >= 1, s"need minCf >= 1, got $minCf")
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    df.select(col(idCol).as("__id"), explode(toks).as("token"))
+    // the split+explode is the per-row cost — fan out so a one-row-group
+    // source doesn't put the whole corpus through one core
+    fanOut(df).select(col(idCol).as("__id"), explode(toks).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cf"), countDistinct("__id").as("df"))
       .filter(col("cf") >= minCf)
@@ -207,7 +210,8 @@ object Ngram {
 
   def goodTuring(df: DataFrame, textCol: String): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val counts = df.select(explode(toks).as("__w"))
+    // fan out before the split+explode (one-row-group source = one core)
+    val counts = fanOut(df).select(explode(toks).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__r"))
     val spectrum = counts.groupBy(col("__r").as("r"))
       .agg(count(lit(1)).as("n_r"))

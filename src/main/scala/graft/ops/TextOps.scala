@@ -109,7 +109,11 @@ object TextOps {
       "latin" -> "[\\p{IsLatin}]", "cyrillic" -> "[\\p{IsCyrillic}]",
       "han" -> "[\\p{IsHan}]", "arabic" -> "[\\p{IsArabic}]",
       "digit" -> "[0-9]", "space" -> "[\\s]")
-    val counted = df.select(
+    // per-CHAR regex counting is the expensive per-row kernel of this op
+    // — fan out first so a few-row-group source (the testdata parquet is
+    // ONE row group) doesn't serialize the whole corpus onto one core
+    // (measured: the 100x scale row was ~70x before, scan-bound after)
+    val counted = fanOut(df).select(
       col(idCol) +: n.as("n_chars") +:
         classes.map { case (nm, cls) => cnt(cls).as(s"__c_$nm") }: _*)
     val fracs = classes.map { case (nm, _) =>

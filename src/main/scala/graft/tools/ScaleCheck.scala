@@ -148,7 +148,9 @@ object ScaleCheck {
     "q367_hill_tail", // token counts + TakeOrdered top-(k+1) + tiny agg
     "q368_cvm_test", // value collapse + cumulative pass + one reduce
     "q369_rayleigh", // one quantized-trig aggregation
-    "q370_qini") // score collapse + descending cumulative + one reduce
+    "q370_qini", // score collapse + descending cumulative + one reduce
+    "q371_byte_features", // per-row md5+utf8 byte kernels, fanned-out scan
+    "q372_qini_by_segment") // keyed collapse + keyed window + keyed reduce
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -21,7 +21,12 @@ class EntrySpec extends SparkSpec {
       "q39_cosine_pairs_lsh", "q48_dedup_corpus", "q58_percentiles_approx",
       "q61_distinct_approx", "q68_ann_ivf",
       "q138_calibration_quantile",
-      // r11: byte-level zlib codec — no DuckDB analog (the q30 class)
+      // PERMANENTLY pinned: the zlib deflate ratio is a property of the
+      // compressor build (stream header/window/heuristics), not a
+      // replayable arithmetic chain — no engine-portable twin exists
+      // even in principle (unlike q30, whose byte kernels ARE hash-gated
+      // through the q371 twin; q30 itself stays rows-only for its
+      // float-normalized histogram/entropy outputs)
       "q348_compression_quality"))
   }
 

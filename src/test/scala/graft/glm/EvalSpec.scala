@@ -465,6 +465,50 @@ class EvalSpec extends SparkSpec {
       "the trapezoid convention has no single-cutoff artifact")
   }
 
+  test("qiniBySegment matches the global qini computed per filtered segment") {
+    // the grouped readout must be EXACTLY the global arithmetic per
+    // slice: the closed 0.75 curve and its -0.375 reversal as two
+    // segments of one frame
+    val df = Seq(
+      ("a", 4.0, 1, 1), ("a", 3.0, 0, 0), ("a", 2.0, 1, 0), ("a", 1.0, 0, 1),
+      ("b", 1.0, 1, 1), ("b", 2.0, 0, 0), ("b", 3.0, 1, 0), ("b", 4.0, 0, 1)
+    ).toDF("seg", "score", "treat", "label")
+    val got = Eval.qiniBySegment(df, "seg", "score", "treat", "label")
+      .orderBy("seg").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(got(0).getAs[Double]("qini") === 0.75)
+    assert(got(1).getAs[Double]("qini") === -0.375)
+    // and on real data: per-segment rows equal the global op on the slice
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(month(col("l_shipdate")).as("seg"),
+        col("l_extendedprice").as("score"),
+        (col("l_partkey") % 2 === 0).cast("int").as("treat"),
+        (col("l_returnflag") === "R").cast("int").as("label"))
+    val grouped = Eval.qiniBySegment(li, "seg", "score", "treat", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getAs[Double]("uplift_total"),
+          r.getAs[Double]("qini"))).toMap
+    val modes = grouped.keySet
+    assert(modes.size >= 2)
+    modes.take(2).foreach { m =>
+      val g = Eval.qiniCoefficient(li.filter(col("seg") === m).drop("seg"),
+        "score", "treat", "label").head()
+      assert(grouped(m) === ((g.getLong(0),
+        g.getAs[Double]("uplift_total"), g.getAs[Double]("qini"))), m)
+    }
+  }
+
+  test("qiniBySegment is partition-invariant") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(month(col("l_shipdate")).as("seg"),
+        col("l_extendedprice").as("score"),
+        (col("l_partkey") % 2 === 0).cast("int").as("treat"),
+        (col("l_returnflag") === "R").cast("int").as("label"))
+    val run = (p: Int) => Eval.qiniBySegment(li.repartition(p), "seg",
+      "score", "treat", "label").orderBy("seg").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   test("qiniCoefficient is partition-invariant on lineitem") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_extendedprice").as("score"),

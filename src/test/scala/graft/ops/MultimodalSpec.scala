@@ -178,6 +178,22 @@ class MultimodalSpec extends SparkSpec {
     assert(shape(rs.schema) === shape(Multimodal.mediaSchema))
   }
 
+  test("q371 twin: bin counts recovered from the float histogram are exact") {
+    // round(feat * n_bytes) must reproduce the INTEGER bin counts — the
+    // hash gate's premise; per row the 16 recovered counts sum to n_bytes
+    val q = graft.SparkEntry.queries("q371_byte_features")(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      val total = (0 until 16).map(k => r.getAs[Long](f"c$k%02d")).sum
+      assert(total === n, s"media ${r.get(0)}: counts sum $total != $n")
+      assert(r.getAs[String]("format_detected") === "unknown")
+      val e = r.getAs[Double]("entropy_r4")
+      assert(e > 0.0 && e <= 8.0, s"entropy $e out of range")
+    }
+  }
+
   test("feature vectors feed similarity search end-to-end") {
     val feats = Multimodal.extractFeatures(media)
       .select($"media_id".as("vec_id"), $"features".as("embedding"))
