@@ -4023,7 +4023,8 @@ object SparkEntry {
     // → [UNK] on any unmatched position — a pure projection over named
     // cursor columns, DP once per DISTINCT word (the q305 discipline)
     "q315_wordpiece_segment" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
+      // fan out before the split+explode (one-row-group source = one core)
+      val words = graft.ops.fanOut(t(s, dir, "documents"))
         .select(explode(split(col("text"), "\\s+")).as("w0"))
         .filter(length(col("w0")) > 0)
         .select(substring(col("w0"), 1, 12).as("w")).distinct()

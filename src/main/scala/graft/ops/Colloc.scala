@@ -73,7 +73,9 @@ object Colloc {
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val left = slice(toks, lit(1), size(toks) - 1)
     val right = slice(toks, lit(2), size(toks) - 1)
-    val adj = df
+    // fan out before the split+explode (one-row-group source = one core)
+    val fanned = fanOut(df)
+    val adj = fanned
       .select(explode(zip_with(left, right,
         (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
@@ -81,7 +83,7 @@ object Colloc {
       .union(adj.select(col("b").as("w"), col("a").as("c")))
     val wRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("w"))
-    val vocab = df.select(explode(toks).as("w"))
+    val vocab = fanned.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= topV).select("w")

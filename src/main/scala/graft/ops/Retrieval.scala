@@ -311,7 +311,8 @@ object Retrieval {
     require(mu > 0, s"need mu > 0, got $mu")
     require(topK >= 1, s"need topK >= 1, got $topK")
     val toksC = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val toks = docs.select(col(idCol).as("__id"),
+    // fan out before the split+explode (one-row-group source = one core)
+    val toks = fanOut(docs).select(col(idCol).as("__id"),
       explode(toksC).as("__w"))
     val dlen = toks.groupBy("__id").agg(count(lit(1)).as("__len"))
     val cf = toks.groupBy("__w").agg(count(lit(1)).as("__cf"))

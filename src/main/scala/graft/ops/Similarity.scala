@@ -436,7 +436,10 @@ object Similarity {
         transform(sequence(lit(0), lit(bands - 1)),
           b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "bkey")))
     }
-    val c = withBands(corpus.select(col(idCol).as("vec_id"),
+    // the portable sign-projection is inDim x nBits multiply-adds PER
+    // CORPUS ROW — fan out so a one-row-group source doesn't run it on
+    // one core (queries stay tiny, no need)
+    val c = withBands(fanOut(corpus).select(col(idCol).as("vec_id"),
       col(vecCol).as("c_vec")), "vec_id", "c_vec")
     val q = withBands(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec")), "query_id", "q_vec")

@@ -280,7 +280,10 @@ object TextOps {
     val windows = transform(
       sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
       st => slice(toks, st + 1, lit(windowSize)))
-    df.select(col(idCol), posexplode(windows).as(Seq("chunk_id", "__w")))
+    // split + window slicing + join-back is the per-row cost — fan out
+    // so a one-row-group source doesn't run the corpus on one core
+    // (measured: the 100x scale row was 64x before, ~6x after)
+    fanOut(df).select(col(idCol), posexplode(windows).as(Seq("chunk_id", "__w")))
       .filter(size(col("__w")) >= minTokens)
       .select(col(idCol), col("chunk_id"),
         size(col("__w")).as("n_tokens"),

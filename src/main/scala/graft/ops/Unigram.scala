@@ -44,7 +44,8 @@ object Unigram {
 
   private def words(df: DataFrame, textCol: String,
       maxWordLen: Int): DataFrame =
-    df.select(explode(split(col(textCol), "\\s+")).as("w0"))
+    // fan out before the split+explode (one-row-group source = one core)
+    fanOut(df).select(explode(split(col(textCol), "\\s+")).as("w0"))
       .filter(length(col("w0")) > 0)
       .select(substring(col("w0"), 1, maxWordLen).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -274,7 +275,8 @@ object Unigram {
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,
       scoresMicro: Map[String, Long], maxPieceLen: Int = 3,
       maxWordLen: Int = 8, unkMicro: Long = -20000000L): DataFrame = {
-    val wordsOf = df.select(col(idCol),
+    // fan out before the split+explode (one-row-group source = one core)
+    val wordsOf = fanOut(df).select(col(idCol),
       explode(filter(split(col(textCol), "\\s+"), w => length(w) > 0))
         .as("__w0"))
       .select(col(idCol), substring(col("__w0"), 1, maxWordLen).as("__w"))
