@@ -4729,6 +4729,24 @@ object SparkEntry {
         (col("l_returnflag") === "R").cast("int").as("label"))
       Eval.qiniBySegment(li, "segment", "score", "treat", "label")
         .orderBy("segment")
+    }),
+
+    // RESIDUAL IVF-PQ (Jégou et al. 2011 — the production FAISS layout
+    // q308 approximates): PQ codes quantize x − c_cell, the per-query
+    // LUT is built per probed cell from q − c_cell; same seeded-codebook
+    // replay discipline as q273/q274/q308, with the codebook trained on
+    // the RESIDUAL frame
+    "q373_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = Quantize.trainSeeded(e, "vec_id", "embedding", 64,
+        m = 1, k = 8)
+      val res = Quantize.residualize(e, "embedding", coarse)
+      val cb = Quantize.trainSeeded(res, "vec_id", "__res", 64,
+        m = 8, k = 16)
+      val queries = e.orderBy("vec_id").limit(3)
+      Quantize.topKIvfResidual(e, queries, "vec_id", "embedding", coarse,
+          cb, nProbe = 2, k = 5)
+        .orderBy("query_id", "vec_id")
     })
   )
 
@@ -13947,7 +13965,107 @@ object SparkEntry {
         |  round(CASE WHEN n > 0
         |    THEN CAST(area2 AS DOUBLE) / 2.0 / (CAST(n AS DOUBLE) * 1e6)
         |      - CAST(qtot AS DOUBLE) / 2.0 / 1e6 END, 6) AS qini
-        |FROM a ORDER BY segment""".stripMargin
+        |FROM a ORDER BY segment""".stripMargin,
+
+    // q308's replay with the residual refinement: coarse assign first,
+    // residuals r = v − c_cell per dimension, PQ seeds/codes/LUT all
+    // over r, the LUT per (query, PROBED CELL) from q − c_cell, and
+    // ‖q − c_cell‖² as the constant term
+    "q373_ivfpq_residual" ->
+      """WITH cseeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)),
+        |ccells AS MATERIALIZED (
+        |  SELECT c, j.j AS j, CAST(embedding[j.j + 1] AS DOUBLE) AS w
+        |  FROM cseeds, UNNEST(generate_series(0, 63)) j(j)),
+        |ccn AS MATERIALIZED (
+        |  SELECT c, sum(w * w) AS n2 FROM ccells GROUP BY 1),
+        |cx AS MATERIALIZED (
+        |  SELECT vec_id, j.j AS j, CAST(embedding[j.j + 1] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(0, 63)) j(j)),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, c AS cluster FROM (
+        |    SELECT cx.vec_id, ccells.c, row_number() OVER (
+        |      PARTITION BY cx.vec_id ORDER BY
+        |        -2 * sum(cx.v * ccells.w) + any_value(ccn.n2), ccells.c)
+        |      AS rk
+        |    FROM cx JOIN ccells ON cx.j = ccells.j
+        |    JOIN ccn ON ccells.c = ccn.c
+        |    GROUP BY cx.vec_id, ccells.c)
+        |  WHERE rk = 1),
+        |res AS MATERIALIZED (
+        |  SELECT cx.vec_id, a.cluster, CAST(cx.j // 8 AS INT) AS s,
+        |    cx.j % 8 AS jj, cx.v - ccells.w AS r
+        |  FROM cx JOIN assign a ON cx.vec_id = a.vec_id
+        |  JOIN ccells ON ccells.c = a.cluster AND ccells.j = cx.j),
+        |cells AS MATERIALIZED (
+        |  SELECT res.s, sd.c, res.jj AS j, res.r AS w
+        |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+        |          vec_id
+        |        FROM embeddings WHERE embedding IS NOT NULL
+        |        ORDER BY vec_id LIMIT 16) sd
+        |  JOIN res ON res.vec_id = sd.vec_id),
+        |cn AS MATERIALIZED (
+        |  SELECT s, c, sum(w * w) AS n2 FROM cells GROUP BY 1, 2),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, s, c FROM (
+        |    SELECT res.vec_id, res.s, cells.c, row_number() OVER (
+        |      PARTITION BY res.vec_id, res.s ORDER BY
+        |        -2 * sum(res.r * cells.w) + any_value(cn.n2), cells.c)
+        |      AS rk
+        |    FROM res JOIN cells ON res.s = cells.s AND res.jj = cells.j
+        |    JOIN cn ON cells.s = cn.s AND cells.c = cn.c
+        |    GROUP BY res.vec_id, res.s, cells.c)
+        |  WHERE rk = 1),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 3),
+        |qcx AS MATERIALIZED (
+        |  SELECT query_id, j.j AS j,
+        |    CAST(embedding[j.j + 1] AS DOUBLE) AS v
+        |  FROM q, UNNEST(generate_series(0, 63)) j(j)),
+        |probes AS MATERIALIZED (
+        |  SELECT query_id, c AS cluster FROM (
+        |    SELECT qcx.query_id, ccells.c, row_number() OVER (
+        |      PARTITION BY qcx.query_id ORDER BY
+        |        -2 * sum(qcx.v * ccells.w) + any_value(ccn.n2), ccells.c)
+        |      AS rk
+        |    FROM qcx JOIN ccells ON qcx.j = ccells.j
+        |    JOIN ccn ON ccells.c = ccn.c
+        |    GROUP BY qcx.query_id, ccells.c)
+        |  WHERE rk <= 2),
+        |qres AS MATERIALIZED (
+        |  SELECT p.query_id, p.cluster, CAST(qcx.j // 8 AS INT) AS s,
+        |    qcx.j % 8 AS jj, qcx.v - ccells.w AS r
+        |  FROM probes p JOIN qcx ON qcx.query_id = p.query_id
+        |  JOIN ccells ON ccells.c = p.cluster AND ccells.j = qcx.j),
+        |qqres AS (
+        |  SELECT query_id, cluster, sum(r * r) AS qq
+        |  FROM qres GROUP BY 1, 2),
+        |lut AS MATERIALIZED (
+        |  SELECT qres.query_id, qres.cluster, qres.s, cells.c,
+        |    -2 * sum(qres.r * cells.w) + any_value(cn.n2) AS pd
+        |  FROM qres JOIN cells ON qres.s = cells.s AND qres.jj = cells.j
+        |  JOIN cn ON cells.s = cn.s AND cells.c = cn.c
+        |  GROUP BY qres.query_id, qres.cluster, qres.s, cells.c),
+        |cand AS MATERIALIZED (
+        |  SELECT p.query_id, p.cluster, a.vec_id
+        |  FROM probes p JOIN assign a ON a.cluster = p.cluster),
+        |sc AS (
+        |  SELECT cand.query_id, codes.vec_id,
+        |    round(sum(l.pd) + any_value(qr.qq), 6) + 0.0 AS adist2
+        |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+        |  JOIN lut l ON codes.s = l.s AND codes.c = l.c
+        |    AND l.query_id = cand.query_id AND l.cluster = cand.cluster
+        |  JOIN qqres qr ON qr.query_id = cand.query_id
+        |    AND qr.cluster = cand.cluster
+        |  GROUP BY 1, 2)
+        |SELECT query_id, vec_id, adist2, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adist2, vec_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

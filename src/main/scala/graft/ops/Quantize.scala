@@ -170,6 +170,88 @@ object Quantize {
       joinKeys = Seq("query_id", "s", "c"), k)
   }
 
+  /** Coarse-assign `df` and append the RESIDUAL vector x − c_cell —
+    * the IVF-PQ refinement (Jégou et al. 2011, the FAISS IVFPQ layout):
+    * residuals concentrate near 0 with far less variance than raw
+    * vectors, so the same m·k code budget quantizes them much more
+    * accurately. Pure literal-centroid column arithmetic: the coarse
+    * argmin through the native pq_codes kernel, the subtraction a
+    * zip_with against `element_at` of the centroid-table literal.
+    *
+    * @return df + (`clusterCol` int, `resCol` array<double>)
+    */
+  def residualize(df: DataFrame, vecCol: String, coarse: PQCodebook,
+      clusterCol: String = "__cluster",
+      resCol: String = "__res"): DataFrame = {
+    require(coarse.m == 1, s"coarse quantizer must have m=1, got ${coarse.m}")
+    val centLit = typedLit(coarse.centroids(0).map(_.toSeq).toSeq)
+    encode(df, vecCol, coarse, outCol = "__coarse0")
+      .withColumn(clusterCol, element_at(col("__coarse0"), 1))
+      .drop("__coarse0")
+      .withColumn(resCol, zip_with(col(vecCol).cast("array<double>"),
+        element_at(centLit, col(clusterCol) + 1), (a, b) => a - b))
+  }
+
+  /** [[topKIvf]] with RESIDUAL quantization — the production IVF-PQ:
+    * codes quantize x − c_cell, and the per-query lookup table is built
+    * per PROBED CELL from the query's own residual q − c_cell, since
+    * ‖q − (c_cell + decode)‖² = ‖(q − c_cell) − decode‖². Same scale
+    * shape as [[topKIvf]] — probe list and LUT are model-sized (the LUT
+    * grows by the nProbe factor only), candidates flow through one
+    * broadcast join + one (query, id) aggregation.
+    *
+    * Train `cb` on the residuals ([[residualize]] → [[train]] over
+    * `resCol`), not the raw vectors. The fidelity win needs LLOYD
+    * codebooks: with k-means centroids the residual variance is the
+    * within-cluster variance ≤ total variance (the k-means
+    * decomposition), so residual codes reconstruct tighter at the same
+    * budget (QuantizeSpec measures it); with arbitrary SEEDED centroids
+    * the coarse step can move a structureless vector AWAY from its
+    * cell's seed and the residual is WORSE — seeded codebooks are the
+    * oracle-replay path, not the quality path.
+    */
+  def topKIvfResidual(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarse: PQCodebook, cb: PQCodebook, nProbe: Int,
+      k: Int): DataFrame = {
+    require(coarse.m == 1, s"coarse quantizer must have m=1, got ${coarse.m}")
+    require(nProbe >= 1 && nProbe <= coarse.k,
+      s"need 1 <= nProbe <= ${coarse.k}, got $nProbe")
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val centLit = typedLit(coarse.centroids(0).map(_.toSeq).toSeq)
+    val codes = encode(residualize(df, vecCol, coarse), "__res", cb)
+    // probed cells + the query residual per cell, in one projection
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("__d"), col("__cluster"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__q"))
+      .select(col("query_id"), col("__q"),
+        posexplode(element_at(
+          call_function("pq_partial_dists", col("__q"), cbLit(coarse)), 1))
+          .as(Seq("__cluster", "__d")))
+      .withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= nProbe)
+      .withColumn("__qres", zip_with(col("__q"),
+        element_at(centLit, col("__cluster") + 1), (a, b) => a - b))
+    // per-(query, cell) LUT over the query RESIDUAL; ‖q − c_cell‖²
+    // rides along as the constant term
+    val lut = probes.select(col("query_id"), col("__cluster"),
+        call_function("array_dot", col("__qres"), col("__qres"))
+          .as("__qq"),
+        posexplode(call_function("pq_partial_dists", col("__qres"),
+          cbLit(cb))).as(Seq("s", "__row")))
+      .select(col("query_id"), col("__cluster"), col("__qq"),
+        col("s"), posexplode(col("__row")).as(Seq("c", "__pd")))
+    val long = codes
+      .join(broadcast(probes.select("query_id", "__cluster")),
+        Seq("__cluster"))
+      .select(col("query_id"), col("__cluster"),
+        col(idCol).as("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+    rescore(long, lut,
+      joinKeys = Seq("query_id", "__cluster", "s", "c"), k)
+  }
+
   /** Per-query LUT: pd(s, c) = −2·q_s·ct + ‖ct‖² (+ ‖q‖² restores the
     * true squared distance after the m-term sum).
     */

@@ -150,7 +150,8 @@ object ScaleCheck {
     "q369_rayleigh", // one quantized-trig aggregation
     "q370_qini", // score collapse + descending cumulative + one reduce
     "q371_byte_features", // per-row md5+utf8 byte kernels, fanned-out scan
-    "q372_qini_by_segment") // keyed collapse + keyed window + keyed reduce
+    "q372_qini_by_segment", // keyed collapse + keyed window + keyed reduce
+    "q373_ivfpq_residual") // coarse assign + residual codes + cell-probed rescoring
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
