@@ -73,6 +73,17 @@ private[graft] final class Checkpointer(spark: SparkSession,
   }
   private var pinned: List[RDD[Row]] = Nil
 
+  /** Checkpoint a generation that BACKS the returned result — tracked
+    * nowhere, never freed by [[close]]; like the final [[apply]]
+    * generation it lives until the RDD is garbage-collected. For
+    * algorithms whose RESULT is the union over ALL generations
+    * ([[graft.ops.Graph.randomWalks]]): returning the union of kept
+    * generations instead of re-checkpointing it avoids holding a second
+    * full-output copy in executor storage on top of the generations
+    * themselves — the r13 q338 100× run blew past storage exactly there.
+    */
+  def keep(df: DataFrame): DataFrame = checkpointRdd(df)._1
+
   /** Free pinned generations and restore the caller's checkpoint dir.
     * The last tracked generation stays alive (it backs the result frame).
     * Note `setCheckpointDir` always resolves to a fresh UUID subdirectory,

@@ -45,14 +45,20 @@ object LinkFn {
 
   /** Φ (standard normal CDF) as a native column expression — replicates
     * commons-math3 `NormalDistribution(0,1).cumulativeProbability`
-    * BIT-FOR-BIT (the 40σ cutoff, then `0.5 · erfc(−x/√2)` through the
-    * same static `Erf.erfc` the distribution object calls), so this
-    * rewrite of the former scalar UDF changes no fitted value. Requires
-    * the graft function registry ([[graft.plans.GraftExtensions
-    * .ensureRegistered]]) — every GLM fit/score entry point registers it.
+    * bit-for-bit on every REAL input (the 40σ cutoff, then
+    * `0.5 · erfc(−x/√2)` through the same static `Erf.erfc` the
+    * distribution object calls), so this rewrite of the former scalar
+    * UDF changes no fitted value. NaN needs an explicit guard: Spark's
+    * NaN ordering makes `abs(NaN) > 40` TRUE and `NaN < 0` FALSE, so
+    * without it the cutoff branch would map NaN to 1.0 where
+    * `cumulativeProbability(NaN)` returns NaN — and a silently-finite
+    * probit μ would hide a diverged η. Requires the graft function
+    * registry ([[graft.plans.GraftExtensions.ensureRegistered]]) —
+    * every GLM fit/score entry point registers it.
     */
   def pnorm(x: Column): Column =
-    when(abs(x) > 40.0, when(x < 0.0, lit(0.0)).otherwise(lit(1.0)))
+    when(isnan(x), lit(Double.NaN))
+      .when(abs(x) > 40.0, when(x < 0.0, lit(0.0)).otherwise(lit(1.0)))
       .otherwise(lit(0.5) * call_function("erfc", negate(x) / Sqrt2))
 
   /** Φ⁻¹ (standard normal quantile) as a native column expression —

@@ -579,9 +579,9 @@ object Graph {
     * Scale shape: per step TWO node-keyed equi-joins (degree, then the
     * (node, rank) neighbor pick) over the walk frontier — walk state is
     * one row per live walk, never a path string; steps land as rows.
-    * Frontiers are pinned through the [[graft.Checkpointer]] so the
-    * final union reads materialized generations, not a re-derivation
-    * chain.
+    * Frontiers are materialized through [[graft.Checkpointer.keep]] and
+    * the returned union reads those generations directly — flat lineage
+    * without a second full-corpus checkpoint of the union itself.
     *
     * @param edges symmetrized (u, v) stubs; deduplicated internally so
     *              ranks are well-defined under duplicate stubs
@@ -617,13 +617,20 @@ object Graph {
     val nj = cp.pin(nbrs.join(degsV, col("v") === col("__vd"), "left")
       .select(col("u").as("__nu"), col("__rank").as("__nr"), col("v"),
         col("__vdeg")))
-    var frontier = cp.pin(starts)
+    // generations go through Checkpointer.keep: each frontier is
+    // materialized once and BACKS the returned union directly (walkLen
+    // <= 32 bounds the union width), instead of being pinned AND then
+    // copied wholesale into one final full-output checkpoint. Peak
+    // executor storage drops from 2x the walk corpus (all frontiers +
+    // the union copy) to 1x — the r13 100x q338 run overflowed storage
+    // at exactly that final copy (SCALE.md).
+    var frontier = cp.keep(starts)
     var out = frontier.select(col("walk_id"), lit(0).as("step"),
       col("node"))
     for (t <- 1 until walkLen) {
       val draw = conv(substring(md5(concat(col("walk_id"), lit("#"),
         lit(t))), 1, 15), 16, 10).cast("long")
-      frontier = cp.pin(frontier
+      frontier = cp.keep(frontier
         .select(col("walk_id"),
           pmod(draw, col("__deg")).as("__rank"), col("node"))
         .join(nj, col("node") === col("__nu") &&
@@ -633,9 +640,8 @@ object Graph {
       out = out.unionByName(frontier.select(col("walk_id"),
         lit(t).as("step"), col("node")))
     }
-    val res = cp(out)
     cp.close()
-    res
+    out
   }
 
   /** DeepWalk-as-counts node similarity: PMI of consecutive-step node

@@ -283,7 +283,14 @@ object Unigram {
     val dict = segmentWordsViterbi(wordsOf.select("__w").distinct(), "__w",
       scoresMicro, maxPieceLen, maxWordLen, unkMicro,
       outputCol = "__toks", withScore = true)
-    val per = wordsOf.join(dict, "__w")
+    // the dict side is the DISTINCT maxWordLen-truncated words — vocab-
+    // bounded (it stops growing with the corpus once the language's
+    // truncated-word inventory is seen), while wordsOf is corpus-sized.
+    // Broadcast it so the corpus side never shuffles for this join; its
+    // only shuffle is the per-doc aggregation that follows. Measured at
+    // 100x: 22.9 s -> 8.9 s (ratio 11.4 -> 4.4) — the residual the r13
+    // fanOut fix left behind was exactly this sort-merge shuffle.
+    val per = wordsOf.join(broadcast(dict), "__w")
       .groupBy(idCol).agg(
         count(lit(1)).as("n_words"),
         sum(size(col("__toks"))).as("n_pieces"),
@@ -323,7 +330,9 @@ object Unigram {
     val dict = segmentWordsViterbi(
       exploded.select(col("__w")).distinct(), "__w", scoresMicro,
       maxPieceLen, maxWordLen, outputCol = "__toks")
-    val perText = exploded.join(dict, "__w")
+    // vocab-bounded dict side (see scoreDocs): broadcast so the
+    // distinct-text side only shuffles for its own per-text collapse
+    val perText = exploded.join(broadcast(dict), "__w")
       .groupBy("__txt")
       .agg(flatten(array_sort(collect_list(struct(col("__pos"),
         col("__toks")))).getField("__toks")).as(outputCol))

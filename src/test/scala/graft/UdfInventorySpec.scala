@@ -22,15 +22,25 @@ class UdfInventorySpec extends AnyFunSuite {
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
     // a call site is `udf {` or `udf(` at a word boundary outside line
     // comments (docstrings mentioning "udf(" in prose don't match the
-    // call pattern; `udaf` does not match the boundary)
+    // call pattern; `udaf` does not match the boundary). Comment
+    // stripping is quote-aware: a `//` is only a comment start when an
+    // EVEN number of '"' precedes it on the line, so a URL or path
+    // inside a string literal no longer truncates the rest of the line
+    // (which could have hidden a later `udf(` on the same line). Still a
+    // line heuristic, not a tokenizer — multi-line strings containing
+    // `udf(` or a quote-containing comment before a call site can in
+    // principle still fool it.
     val call = java.util.regex.Pattern.compile("(?<![\\w.])udf\\s*[({]")
+    def stripLineComment(l: String): String = {
+      var i = l.indexOf("//")
+      while (i >= 0 && l.substring(0, i).count(_ == '"') % 2 == 1)
+        i = l.indexOf("//", i + 1)
+      if (i < 0) l else l.substring(0, i)
+    }
     val counts = walk(root).flatMap { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       val n = try src.getLines()
-        .map(l => l.indexOf("//") match {
-          case -1 => l
-          case i  => l.substring(0, i)
-        })
+        .map(stripLineComment)
         .filterNot(_.trim.startsWith("*"))
         .count(l => call.matcher(l).find())
       finally src.close()

@@ -52,6 +52,19 @@ class ErfSpec extends SparkSpec {
     }
   }
 
+  test("pnorm(NaN) is NaN, matching NormalDistribution (not the 40σ branch)") {
+    registered()
+    // Spark's NaN ordering makes abs(NaN) > 40 true: without the isnan
+    // guard the cutoff branch returned 1.0 here, silently hiding a
+    // diverged probit eta
+    val p = Seq(Double.NaN).toDF("x")
+      .select(graft.glm.LinkFn.pnorm(col("x")).as("p")).head().getDouble(0)
+    assert(p.isNaN, s"pnorm(NaN) = $p, want NaN")
+    val std =
+      new org.apache.commons.math3.distribution.NormalDistribution(0.0, 1.0)
+    assert(std.cumulativeProbability(Double.NaN).isNaN)
+  }
+
   test("qnorm column expression is bit-identical to NormalDistribution") {
     registered()
     val std =
