@@ -67,7 +67,7 @@ private[graft] final class Checkpointer(spark: SparkSession,
     * `close()`.
     */
   def pin(df: DataFrame): DataFrame = {
-    val out = checkpointRdd(df)
+    val out = checkpointRdd(df, serialized = true)
     pinned ::= out._2
     out._1
   }
@@ -82,7 +82,7 @@ private[graft] final class Checkpointer(spark: SparkSession,
     * full-output copy in executor storage on top of the generations
     * themselves — the r13 q338 100× run blew past storage exactly there.
     */
-  def keep(df: DataFrame): DataFrame = checkpointRdd(df)._1
+  def keep(df: DataFrame): DataFrame = checkpointRdd(df, serialized = true)._1
 
   /** Free pinned generations and restore the caller's checkpoint dir.
     * The last tracked generation stays alive (it backs the result frame).
@@ -96,9 +96,25 @@ private[graft] final class Checkpointer(spark: SparkSession,
     if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
   }
 
-  private def checkpointRdd(df: DataFrame): (DataFrame, RDD[Row], Long) = {
+  /** `serialized` (long-lived frames: [[pin]]/[[keep]]): persist the
+    * local checkpoint MEMORY_AND_DISK_SER instead of the deserialized
+    * default — `localCheckpoint` keeps an existing level's
+    * (de)serialization flag when adding disk, and serialized rows run
+    * 3-5× smaller, so loop-invariant relations and result-backing
+    * generations stop starving execution memory (the r13→r14 q338 100×
+    * run OOM'd its PMI aggregation against deserialized pinned walk
+    * state). Generation-chain frames ([[apply]]) stay deserialized:
+    * they are short-lived and re-read in the hot loop.
+    */
+  private def checkpointRdd(df: DataFrame,
+      serialized: Boolean = false): (DataFrame, RDD[Row], Long) = {
     val rdd = df.rdd
-    if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+    if (reliable) rdd.checkpoint()
+    else {
+      if (serialized)
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      rdd.localCheckpoint()
+    }
     val n = rdd.count() // materialize now so the predecessor can be freed
     (spark.createDataFrame(rdd, df.schema), rdd, n)
   }

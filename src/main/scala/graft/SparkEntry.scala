@@ -4747,6 +4747,67 @@ object SparkEntry {
       Quantize.topKIvfResidual(e, queries, "vec_id", "embedding", coarse,
           cb, nProbe = 2, k = 5)
         .orderBy("query_id", "vec_id")
+    }),
+
+    // Jaro–Winkler near-duplicate part names through the NATIVE
+    // codegen'd jaro_winkler expression (DuckDB/rapidfuzz semantics —
+    // integer-halved transpositions, 0.7 boost threshold, both-empty=0 —
+    // pinned by fuzzing 3000 pairs against the oracle engine, see
+    // functions/JaroWinklerExpr.scala): blocked on the first name token
+    // like every banded self-join, thresholded on the ROUNDED grid so
+    // membership can't flip per engine
+    "q374_jaro_winkler" -> ((s, dir) => {
+      FuzzyJoin.jaroWinklerPairs(t(s, dir, "part"), "p_partkey", "p_name",
+          substring_index(col("p_name"), " ", 1), minSim = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Page–Hinkley sequential mean-increase monitor per user on the
+    // purchase-value series: per row ONE pinned float op (the
+    // running-mean shortfall) quantized to a 1e-6-cent grid BEFORE the
+    // cumulative sums, so the statistic is exact long arithmetic under
+    // any window-sum association (DuckDB segment trees vs Spark folds)
+    "q375_page_hinkley" -> ((s, dir) => {
+      TimeSeries.pageHinkley(
+          events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value", delta = 0.0, lambda = 100.0)
+        .orderBy("user_id")
+    }),
+
+    // k-truss of q168's co-order part graph: per round one
+    // degree-oriented wedge join (out-neighborhoods O(√m)) + one
+    // edge-keyed support aggregation + a semi-join peel; early-stops at
+    // the fixpoint, and extra rounds are no-ops, so the oracle's
+    // fixed-round unroll replays the result exactly
+    "q376_ktruss" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.join(lp.select(col("o"), col("p").as("p2")), "o")
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v"))
+      Graph.kTruss(edges, k = 4, maxRounds = 3)
+        .orderBy("a", "b")
+    }),
+
+    // Brown double-exponential smoothing forecast on q158's hourly
+    // series: two stacked fixed-order EWMA folds (α = 1/2 — every
+    // weight an exact power of two), level/trend/forecast as single
+    // pinned expressions, rounded only at the end
+    "q377_brown_forecast" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(r(avg("value"), 6).as("v"))
+      TimeSeries.brownForecast(hourly, "event_type", "bucket", "v",
+          alpha = 0.5, lookback = 8, horizon = 3)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("v"), col("s1"), col("s2"), col("level"), col("trend"),
+          col("forecast"))
+        .orderBy("event_type", "hour")
     })
   )
 
@@ -5070,6 +5131,68 @@ object SparkEntry {
        |  UNION ALL SELECT walk_id, 2, node FROM w2
        |  UNION ALL SELECT walk_id, 3, node FROM w3
        |  UNION ALL SELECT walk_id, 4, node FROM w4)""".stripMargin
+  }
+
+  /** q376 oracle: canonical co-order part edges, 3 unrolled
+    * support-peel rounds (triangles enumerated at their id-minimum
+    * vertex — the same SET the engine's degree-ordered wedges produce),
+    * then the final support readout. Extra rounds past the fixpoint are
+    * no-ops, so the fixed unroll replays the engine's early-stopping
+    * loop exactly. */
+  private lazy val ktrussOracleSql: String = {
+    def rnd(r: Int): String =
+      s"""tri$r AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e${r - 1} e1
+         |  JOIN e${r - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e${r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sup$r AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tri$r
+         |    UNION ALL SELECT x, z FROM tri$r
+         |    UNION ALL SELECT y, z FROM tri$r)
+         |  GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN sup$r s ON s.a = e.a AND s.b = e.b AND s.sup >= 2)"""
+        .stripMargin
+    s"""WITH lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_partkey % 3 = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+       |${(1 to 3).map(rnd).mkString(",\n")},
+       |trif AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e3 e1
+       |  JOIN e3 e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN e3 e3x ON e3x.a = e1.b AND e3x.b = e2.b),
+       |supf AS MATERIALIZED (
+       |  SELECT a, b, count(*) AS support FROM (
+       |    SELECT x AS a, y AS b FROM trif
+       |    UNION ALL SELECT x, z FROM trif
+       |    UNION ALL SELECT y, z FROM trif)
+       |  GROUP BY 1, 2)
+       |SELECT e.a, e.b, supf.support
+       |FROM e3 e JOIN supf ON supf.a = e.a AND supf.b = e.b
+       |ORDER BY e.a, e.b""".stripMargin
+  }
+
+  /** q377 oracle helper: the α=1/2, lookback-8 renormalized EWMA fold
+    * over named lag columns — the identical left-associated chain
+    * [[graft.ops.TimeSeries.brownForecast]] builds (powers of two, so
+    * every literal is float-exact in both engines). */
+  private def brownFoldSql(cols: Seq[String]): String = {
+    val ws = Seq("1.0", "0.5", "0.25", "0.125", "0.0625", "0.03125",
+      "0.015625", "0.0078125", "0.00390625")
+    val num = cols.zip(ws).map { case (c, w) =>
+      s"coalesce(CASE WHEN $c IS NOT NULL THEN $c * $w END, 0.0)"
+    }.mkString("\n    + ")
+    val den = cols.zip(ws).map { case (c, w) =>
+      s"coalesce(CASE WHEN $c IS NOT NULL THEN $w END, 0.0)"
+    }.mkString("\n    + ")
+    s"($num)\n   / ($den)"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -14065,7 +14188,93 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY adist2, vec_id) AS rn
         |  FROM sc)
-        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin
+        |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the reference the native
+    // expression replicates (fuzz-pinned); both sides threshold on the
+    // 6-digit-rounded value so grid-edge wobble can't flip membership
+    "q374_jaro_winkler" ->
+      """WITH b AS (
+        |  SELECT p_partkey AS id, p_name AS s,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part),
+        |ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 1000),
+        |bb AS (SELECT b.id, b.s, b.blk FROM b JOIN ok USING (blk))
+        |SELECT x.id AS id_a, y.id AS id_b,
+        |  round(jaro_winkler_similarity(x.s, y.s), 6) AS jw
+        |FROM bb x JOIN bb y ON x.blk = y.blk AND x.id < y.id
+        |WHERE round(jaro_winkler_similarity(x.s, y.s), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the one float op per row (running-mean shortfall) lands on the
+    // 1e-6-cent grid BEFORE any summation; every cumulative below it is
+    // exact long arithmetic — λ = 100 units = 1e10 micro-cents
+    "q375_page_hinkley" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+        |      AS x
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, x, row_number() OVER w AS i, sum(x) OVER w AS sx
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING)),
+        |q AS (
+        |  SELECT user_id, i,
+        |    CAST(round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / i - 0.0)
+        |      * 1e6, 0) AS BIGINT) AS qv
+        |  FROM r),
+        |m AS (
+        |  SELECT user_id, i, sum(qv) OVER w AS mv
+        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING)),
+        |p AS (
+        |  SELECT user_id, i, mv - min(mv) OVER w AS ph
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, max(i) AS n_points,
+        |  round(CAST(arg_max(ph, i) AS DOUBLE) / 1e8, 6) AS ph_end,
+        |  round(CAST(max(ph) AS DOUBLE) / 1e8, 6) AS ph_max,
+        |  min(CASE WHEN ph > 10000000000 THEN i END) AS first_alarm
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q376_ktruss" -> ktrussOracleSql,
+
+    // two stacked α=1/2 EWMA folds; level/trend/forecast mirror the
+    // engine's pinned op order exactly (see brownFoldSql)
+    "q377_brown_forecast" -> {
+      val lag1 = (1 to 8).map(j => s"lag(v, $j) OVER w AS v$j")
+        .mkString(", ")
+      val lag2 = (1 to 8).map(j => s"lag(s1, $j) OVER w AS s1_$j")
+        .mkString(", ")
+      val f1 = brownFoldSql("v" +: (1 to 8).map(j => s"v$j"))
+      val f2 = brownFoldSql("s1" +: (1 to 8).map(j => s"s1_$j"))
+      s"""WITH a AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    round(avg(value), 6) AS v
+         |  FROM events WHERE event_type IN ('purchase', 'signup')
+         |  GROUP BY 1, 2),
+         |l1 AS (
+         |  SELECT event_type, bucket, v, $lag1
+         |  FROM a WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |s1c AS (
+         |  SELECT event_type, bucket, v, $f1 AS s1
+         |  FROM l1),
+         |l2 AS (
+         |  SELECT event_type, bucket, v, s1, $lag2
+         |  FROM s1c WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |f AS (
+         |  SELECT event_type, bucket, v, s1, $f2 AS s2 FROM l2)
+         |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  v, round(s1, 6) AS s1, round(s2, 6) AS s2,
+         |  round(s1 * 2.0 - s2, 6) AS level,
+         |  round((s1 - s2) * 1.0, 6) AS trend,
+         |  round((s1 * 2.0 - s2) + ((s1 - s2) * 1.0) * 3, 6) AS forecast
+         |FROM f ORDER BY event_type, hour""".stripMargin
+    }
   )
 
   // ------- q325/q326 isolation-forest oracle builder -------

@@ -398,6 +398,75 @@ object Graph {
           6).as("clustering_coeff"))
   }
 
+  /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    * every edge closes at least k−2 triangles WITHIN the subgraph.
+    * Iterative peel, the [[kCore]] shape one level up: each round
+    * enumerates the surviving graph's triangles with [[triangleStats]]'s
+    * degree-ordered wedge join (out-neighborhoods bounded O(√m), so the
+    * wedge surface is O(m^1.5), hub-safe), counts per-edge support with
+    * ONE edge-keyed aggregation over the 3-edges-per-triangle explode,
+    * and drops under-supported edges with a semi join. Rounds are
+    * bounded by `maxRounds` and stop early at the fixpoint (the
+    * convergence probe reads the checkpoint's own row count — no extra
+    * job); extra rounds past convergence are no-ops, so a fixed-round
+    * unroll replays the result exactly.
+    *
+    * @param edges (u, v) stubs — duplicates, self-loops, both
+    *              orientations tolerated (normalized to canonical a < b)
+    * @return surviving canonical edges with their final within-truss
+    *         support: (a, b, support), support >= k−2
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 5): DataFrame = {
+    require(k >= 3, s"need k >= 3 (k-truss is triangle-based), got $k")
+    require(maxRounds >= 1, "need at least one round")
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    def support(e: DataFrame): DataFrame = {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      val tri = oriented.select(col("src"), col("dst").as("y"))
+        .join(oriented.select(col("src"), col("dst").as("z")), "src")
+        .filter(col("y") < col("z"))
+        .join(e, col("y") === col("a") && col("z") === col("b"), "left_semi")
+      // each triangle (x, y, z) supports its three canonical edges; the
+      // wedge vertex x = src can sit anywhere in the id order
+      tri.select(least(col("src"), col("y")).as("a"),
+          greatest(col("src"), col("y")).as("b"))
+        .unionAll(tri.select(least(col("src"), col("z")).as("a"),
+          greatest(col("src"), col("z")).as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var (cur, nEdges) = cp.applyCounted(edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct())
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val keep = support(cur).filter(col("support") >= k - 2)
+        .select("a", "b")
+      val (next, nNext) = cp.applyCounted(
+        cur.join(keep, Seq("a", "b"), "left_semi"))
+      converged = nNext == nEdges
+      nEdges = nNext
+      cur = next
+      round += 1
+    }
+    val res = cp(cur.join(support(cur), Seq("a", "b"))
+      .select(col("a"), col("b"), col("support")))
+    cp.close()
+    res
+  }
+
   /** Standard damped PageRank on a DIRECTED edge list `(u, v)` (symmetrize
     * first for undirected graphs). Nodes are the union of sources and
     * sinks; dangling nodes (no outgoing edge) redistribute their rank

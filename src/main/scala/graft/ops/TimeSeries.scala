@@ -507,6 +507,116 @@ object TimeSeries {
         "slope_r", "intercept_r", "sse")
   }
 
+  /** Page–Hinkley sequential drift test, per series (Page 1954; the
+    * streaming-drift monitor in MOA/river) — detects a sustained
+    * INCREASE of the mean: with running mean x̄_i over the first i
+    * points,
+    *
+    *   m_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = m_t − min_{i≤t} m_i,
+    *
+    * and the series alarms at the first t where PH_t > λ.
+    *
+    * Exact-replay discipline: values are carried as integral cents; each
+    * per-row term (x_i − S_i/i − δ) — whose only float op is the ONE
+    * pinned division S_i/i — is quantized to a 1e-6-cent grid BEFORE the
+    * running summation, so the cumulative m is exact long arithmetic and
+    * no engine's window-sum association (DuckDB's segment trees, Spark's
+    * streaming fold) can perturb it.
+    *
+    * Scale shape: one (key, order) collapse (ties summed), then three
+    * key-partitioned window passes on that partitioning, then the final
+    * per-key fold — ONE corpus shuffle on key+order, one key-sized
+    * output.
+    *
+    * @param delta  per-step tolerance, in value units
+    * @param lambda alarm threshold, in value units
+    * @return per key: (key, n_points, ph_end, ph_max, first_alarm) — PH
+    *         values in original units on a 6-digit grid; first_alarm =
+    *         1-based index of the first alarming point, null if never
+    */
+  def pageHinkley(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, delta: Double, lambda: Double): DataFrame = {
+    require(lambda > 0, s"need lambda > 0, got $lambda")
+    val cents = round(col(valueCol).cast("double") * 100, 0).cast("long")
+    val series = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(orderCol))
+      .agg(sum(cents).as("__x"))
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val rn = row_number().over(w)
+    val run = series
+      .withColumn("__i", rn.cast("long"))
+      .withColumn("__s", sum("__x").over(w))
+      // the ONE float op, pinned: running-mean shortfall on the 1e-6-cent
+      // grid, per row — integer thereafter
+      .withColumn("__q", round((col("__x").cast("double") -
+        col("__s").cast("double") / col("__i").cast("double") -
+        lit(delta * 100.0)) * 1e6, 0).cast("long"))
+      .withColumn("__m", sum("__q").over(w))
+      .withColumn("__ph", col("__m") - min("__m").over(w))
+    val lambdaMicroCents = math.round(lambda * 100.0 * 1e6)
+    run.groupBy(keyCol).agg(
+      max("__i").as("n_points"),
+      round(max_by(col("__ph"), col("__i")).cast("double") / 1e8, 6)
+        .as("ph_end"),
+      round(max("__ph").cast("double") / 1e8, 6).as("ph_max"),
+      min(when(col("__ph") > lambdaMicroCents, col("__i")))
+        .as("first_alarm"))
+  }
+
+  /** Brown's double exponential smoothing forecast (linear-trend
+    * exponential smoothing via two stacked EWMAs — Brown 1959; the
+    * "double" member of the Holt family with a single α): with
+    * s1 = EWMA_α(x) and s2 = EWMA_α(s1),
+    *
+    *   level = 2·s1 − s2,  trend = α/(1−α) · (s1 − s2),
+    *   forecast(+h) = level + h · trend.
+    *
+    * Both smoothing passes use the [[ewmaKernel]] discipline: a
+    * lookback-truncated, weight-renormalized, FIXED-ORDER lag chain —
+    * the identical expression tree in any ANSI engine — so the float
+    * result replays exactly; only the FINAL forecast is rounded. Two
+    * window passes on the same (key, order) partitioning: no shuffle
+    * beyond the first.
+    *
+    * @return input key/order rows plus (s1, s2, level, trend, forecast),
+    *         all 6-digit-rounded; rows whose full second-pass lookback
+    *         reaches before the series start still smooth (weights
+    *         renormalize over what exists, exactly like [[ewmaKernel]])
+    */
+  def brownForecast(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double, lookback: Int = 8,
+      horizon: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    require(lookback >= 1 && lookback <= 12,
+      s"need 1 <= lookback <= 12 (the lag chain is O(lookback²) wide), " +
+        s"got $lookback")
+    require(horizon >= 1, s"need horizon >= 1, got $horizon")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    def smooth(x: Column): Column = {
+      val terms = (0 to lookback).map { j =>
+        val wj = math.pow(1.0 - alpha, j)
+        val xj = if (j == 0) x else lag(x, j).over(w)
+        (when(xj.isNotNull, xj * wj), when(xj.isNotNull, lit(wj)))
+      }
+      val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+      val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
+      when(den > 0, num / den)
+    }
+    // s1 lands as a real column first: the second pass lags it, and a
+    // lag whose argument itself contained window functions would be
+    // rejected by the analyzer (nested window expressions)
+    val withS1 = df.withColumn("__s1", smooth(col(valueCol).cast("double")))
+    val s1 = col("__s1")
+    val s2 = smooth(s1)
+    val level = s1 * 2.0 - s2
+    val trend = (s1 - s2) * (alpha / (1.0 - alpha))
+    withS1.select(col(keyCol), col(orderCol), col(valueCol),
+      round(s1, 6).as("s1"), round(s2, 6).as("s2"),
+      round(level, 6).as("level"), round(trend, 6).as("trend"),
+      round(level + trend * horizon, 6).as("forecast"))
+  }
+
   def cusum(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
     val dist = df
       .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)

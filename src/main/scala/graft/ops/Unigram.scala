@@ -288,7 +288,7 @@ object Unigram {
     // truncated-word inventory is seen), while wordsOf is corpus-sized.
     // Broadcast it so the corpus side never shuffles for this join; its
     // only shuffle is the per-doc aggregation that follows. Measured at
-    // 100x: 22.9 s -> 8.9 s (ratio 11.4 -> 4.4) — the residual the r13
+    // 100x: 22.9 s -> 10.4 s (ratio 11.4 -> 2.7) — the residual the r13
     // fanOut fix left behind was exactly this sort-merge shuffle.
     val per = wordsOf.join(broadcast(dict), "__w")
       .groupBy(idCol).agg(

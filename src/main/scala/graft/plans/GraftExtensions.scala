@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, Erf, Erfc, ErfInv, LogGamma, PQCodes, PQPartialDists, TQuantile}
+import graft.functions.{ArrayDot, Erf, Erfc, ErfInv, JaroWinkler, LogGamma, PQCodes, PQPartialDists, TQuantile}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)` on the builder, or
@@ -53,7 +53,8 @@ object GraftExtensions {
     binary("array_dot", classOf[ArrayDot], ArrayDot.apply),
     binary("t_quantile", classOf[TQuantile], TQuantile.ofAny),
     binary("pq_codes", classOf[PQCodes], PQCodes.apply),
-    binary("pq_partial_dists", classOf[PQPartialDists], PQPartialDists.apply))
+    binary("pq_partial_dists", classOf[PQPartialDists], PQPartialDists.apply),
+    binary("jaro_winkler", classOf[JaroWinkler], JaroWinkler.apply))
 
   /** Idempotent per-session registration for sessions not built with
     * `.withExtensions` (e.g. one handed to us by a driver harness).

@@ -249,4 +249,55 @@ class FuzzyJoinSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("postings"))
   }
+
+  test("JaroWinkler kernel matches the DuckDB-pinned reference values") {
+    import graft.functions.JaroWinkler.simStr
+    // values read straight off jaro_winkler_similarity on the oracle
+    // engine (the 3000-pair fuzz in the expression's scaladoc)
+    assert(simStr("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(simStr("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(simStr("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(simStr("CRATE", "TRACE") === 0.7333333333333334)
+    assert(simStr("hello world", "hello wrold") === 0.9818181818181818)
+    // the pinned edge cases: both-empty is 0 (NOT the classical 1),
+    // window 0 makes equal-length transposes score 0
+    assert(simStr("", "") === 0.0)
+    assert(simStr("a", "") === 0.0)
+    assert(simStr("ab", "ba") === 0.0)
+    assert(simStr("abc", "bca") === 0.0)
+    assert(simStr("a", "a") === 1.0)
+  }
+
+  test("jaro_winkler column expression stays in whole-stage codegen") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val df = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")).as("jw"))
+    assert(df.head().getDouble(0) === 0.9611111111111111)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // null-intolerant: null in, null out (typed NULL — the expression
+    // requires STRING children, implicit-cast traits being private)
+    assert(spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x')")
+      .head().isNullAt(0))
+  }
+
+  test("jaroWinklerPairs blocks, caps and thresholds on the rounded grid") {
+    val df = Seq(
+      (1L, "martha stewart"), (2L, "marhta stewart"), (3L, "martin shore"),
+      (4L, "zeta jones"), (5L, "zeta jonse")
+    ).toDF("id", "name")
+    val out = FuzzyJoin.jaroWinklerPairs(df, "id", "name",
+        substring_index(col("name"), " ", 1), minSim = 0.9)
+      .orderBy("id_a", "id_b").collect()
+    // blocks: martha/marhta/martin share no first token — only exact
+    // first-token blocks compare; zeta pair scores high
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((4L, 5L)))
+    assert(out.head.getDouble(2) >= 0.9)
+    // degenerate block capped: 3 same-name rows with maxBlockSize 2
+    val hot = Seq((1L, "x a"), (2L, "x b"), (3L, "x c")).toDF("id", "name")
+    val capped = FuzzyJoin.jaroWinklerPairs(hot, "id", "name",
+      substring_index(col("name"), " ", 1), minSim = 0.1, maxBlockSize = 2)
+    assert(capped.count() === 0L)
+  }
 }

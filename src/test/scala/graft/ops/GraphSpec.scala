@@ -483,4 +483,37 @@ class GraphSpec extends SparkSpec {
       .agg(sum("q_contrib")).head().getDouble(0)
     assert(q > 0.0 && q < 0.375, s"partition with a bridge: got $q")
   }
+
+  test("kTruss: K4 survives the 4-truss, pendant and weak triangles peel") {
+    // K4 on 1..4 (every edge in 2 triangles) + a pendant edge (4,6) and
+    // a triangle {1,2,5} hanging off edge (1,2). Round 1 drops (4,6)
+    // (support 0) and (1,5)/(2,5) (support 1 < k−2=2); the cascade
+    // leaves exactly K4, every edge at support 2.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 6L), (1L, 5L), (2L, 5L)))
+      .toDF("u", "v")
+    val out = Graph.kTruss(edges, k = 4, maxRounds = 3)
+      .orderBy("a", "b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(out.map(_._1).toSeq === k4)
+    assert(out.forall(_._2 === 2L), out.mkString(", "))
+  }
+
+  test("kTruss: k above the densest truss empties the graph") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    assert(Graph.kTruss(k4, k = 5, maxRounds = 3).count() === 0L)
+  }
+
+  test("kTruss normalizes stubs and is partition-invariant") {
+    val und = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (1L, 1L), (1L, 2L))
+    val run = (p: Int) => Graph.kTruss(und.toDF("u", "v").repartition(p),
+      k = 3, maxRounds = 2).orderBy("a", "b").collect().toSeq
+    val r1 = run(1)
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(r1 === run(5))
+  }
 }

@@ -376,4 +376,65 @@ class TimeSeriesSpec extends SparkSpec {
       "x", "y", Seq(10.0, 25.0, 40.0)).collect().toSeq
     assert(run(1) === run(7))
   }
+
+  test("pageHinkley: flat-then-jump series alarms at the jump, flat never") {
+    // key a: 1, 1, 1, 10 — running-mean shortfalls 0, 0, 0, and at t=4
+    // (1000c − 1300c/4) = 675c → PH = 6.75 units; key b decreases, so m
+    // tracks its own min and PH stays 0
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 10.0),
+      ("b", 1L, 10.0), ("b", 2L, 0.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.pageHinkley(df, "k", "t", "v",
+        delta = 0.0, lambda = 5.0)
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getLong(1) === 4L)
+    assert(a.getDouble(2) === 6.75 && a.getDouble(3) === 6.75)
+    assert(a.getLong(4) === 4L, "alarm at the jump point")
+    val b = out(1)
+    assert(b.getDouble(3) === 0.0 && b.isNullAt(4))
+  }
+
+  test("pageHinkley sums order-tied rows and is partition-invariant") {
+    val df = Seq(("a", 1L, 0.4), ("a", 1L, 0.6), ("a", 2L, 1.0))
+      .toDF("k", "t", "v")
+    val r = TimeSeries.pageHinkley(df, "k", "t", "v", 0.0, 1.0).head()
+    assert(r.getLong(1) === 2L, "tied timestamps collapse to one point")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_suppkey").as("k"), col("l_orderkey").as("t"),
+        col("l_extendedprice").as("v"))
+    val run = (p: Int) => TimeSeries.pageHinkley(li.repartition(p),
+      "k", "t", "v", 0.0, 1000.0).orderBy("k").collect().toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("brownForecast: constant series has zero trend, forecast = level") {
+    val df = (1L to 12L).map(i => ("a", i, 5.0)).toDF("k", "t", "v")
+    val out = TimeSeries.brownForecast(df, "k", "t", "v", alpha = 0.5)
+      .orderBy("t").collect()
+    out.foreach { r =>
+      assert(r.getDouble(3) === 5.0 && r.getDouble(4) === 5.0)
+      assert(r.getDouble(5) === 5.0, "level")
+      assert(r.getDouble(6) === 0.0, "trend")
+      assert(r.getDouble(7) === 5.0, "forecast")
+    }
+  }
+
+  test("brownForecast tracks a linear trend and obeys the h-step identity") {
+    val df = (1L to 20L).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val out = TimeSeries.brownForecast(df, "k", "t", "v", alpha = 0.5,
+      lookback = 8, horizon = 3).orderBy("t").collect()
+    val last = out.last
+    assert(last.getDouble(6) > 0.5, s"trend should be near 1, got $last")
+    // forecast = level + 3·trend on the PRE-rounding values: allow the
+    // 6-digit grid one ulp of slack
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(7) - (r.getDouble(5) + 3 * r.getDouble(6)))
+        <= 3e-6)
+    }
+    // s1 lags the series less than s2 (double smoothing): level 2s1−s2
+    // overshoots s1 upward on an increasing series
+    assert(last.getDouble(5) > last.getDouble(3))
+  }
 }
