@@ -328,7 +328,9 @@ object SparkEntry {
 
     // text quality statistics (pure column expressions)
     "q22_text_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // fan out before the per-row stat kernels (r14: measured 37.4x at
+      // 100x on the one-row-group source before this, SCALE.md)
+      val d = graft.ops.fanOut(t(s, dir, "documents"))
       d.select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -348,7 +350,9 @@ object SparkEntry {
 
     // key-collision fingerprint (order/duplication-insensitive signature)
     "q24_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      // fan out before the per-row normalize+sort kernel (r14: 53.7x at
+      // 100x before, SCALE.md)
+      graft.ops.fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
@@ -772,7 +776,7 @@ object SparkEntry {
     // compares UNROUNDED doubles, identical IEEE754 arithmetic on both
     // engines, and an off-grid constant dodges representation boundaries.
     "q62_corpus_curation" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
+      val scored = graft.ops.fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), col("text"),
           TextOps.qualityScore(col("text")).as("q"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -1933,7 +1937,7 @@ object SparkEntry {
     // bounded-memory path (never a full-vocab shuffle); exactness holds
     // because the 20th token frequency far exceeds n/(capacity+1)
     "q148_vocab_topk" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      val toks = graft.ops.fanOut(t(s, dir, "documents"))
         .select(explode(filter(split(col("text"), "\\s+"), x => x =!= ""))
           .as("token"))
       TopK.heavyHitters(toks, "token", k = 20)
@@ -2078,7 +2082,7 @@ object SparkEntry {
     // length in tokens): competition ranks from the two-level Cumulative
     // pass — no unpartitioned data-sized window anywhere
     "q160_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.ops.fanOut(t(s, dir, "documents"))
         .withColumn("n_tokens",
           size(filter(split(col("text"), "\\s+"), x => x =!= ""))
             .cast("long"))
@@ -2091,7 +2095,7 @@ object SparkEntry {
     // token-budget draw per source (the post-mixture materialization
     // step): md5-ordered keep-while-under-budget, crossing row included
     "q161_token_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.ops.fanOut(t(s, dir, "documents"))
         .withColumn("n_tokens",
           size(filter(split(col("text"), "\\s+"), x => x =!= ""))
             .cast("long"))
@@ -2454,7 +2458,7 @@ object SparkEntry {
       val text2 = array_join(transform(sequence(lit(1), ng), g =>
         concat(array_join(slice(toks, (g - 1) * 8 + 1, lit(8)), " "),
           lit("."))), " ")
-      val sentenced = t(s, dir, "documents")
+      val sentenced = graft.ops.fanOut(t(s, dir, "documents"))
         .filter(size(toks) > 0)
         .select(col("doc_id"), text2.as("text2"))
       TextOps.chunkBySentence(sentenced, "doc_id", "text2", maxTokens = 20)
@@ -2609,7 +2613,7 @@ object SparkEntry {
       val text2 = array_join(transform(sequence(lit(1), ng), g =>
         concat(array_join(slice(toks, (g - 1) * 8 + 1, lit(8)), " "),
           lit("."))), " ")
-      val sentenced = t(s, dir, "documents")
+      val sentenced = graft.ops.fanOut(t(s, dir, "documents"))
         .filter(size(toks) > 0)
         .select(col("doc_id"), text2.as("text2"))
       TextOps.readability(sentenced, "text2")
@@ -3246,7 +3250,7 @@ object SparkEntry {
     // one-row corpus card: the dataset-release summary a pipeline
     // publishes next to the data
     "q257_corpus_card" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.ops.fanOut(t(s, dir, "documents"))
       val nTok = size(filter(split(col("text"), "\\s+"), x => x =!= ""))
       val basic = d.agg(count(lit(1)).as("n_docs"),
         sum(nTok.cast("long")).as("n_tokens"),
@@ -3893,7 +3897,7 @@ object SparkEntry {
     // tie-break, OOV single chars at the unk penalty; runs once per
     // DISTINCT word (the dictionary-join tokenization shape)
     "q305_unigram_segment" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
+      val words = graft.ops.fanOut(t(s, dir, "documents"))
         .select(explode(split(col("text"), "\\s+")).as("w0"))
         .filter(length(col("w0")) > 0)
         .select(substring(col("w0"), 1, 8).as("w")).distinct()
@@ -4655,7 +4659,7 @@ object SparkEntry {
     // top-(k+1) order statistics, micro-quantized log excesses (exact
     // long sum in any order), one pinned division
     "q367_hill_tail" -> ((s, dir) => {
-      val counts = t(s, dir, "documents")
+      val counts = graft.ops.fanOut(t(s, dir, "documents"))
         .select(explode(filter(split(col("text"), "\\s+"),
           t => length(t) > 0)).as("tok"))
         .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))

@@ -33,7 +33,8 @@ object Colloc {
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val left = slice(toks, lit(1), size(toks) - 1)
     val right = slice(toks, lit(2), size(toks) - 1)
-    val pairs = df
+    // fan out before the split + zip explode (r13 class)
+    val pairs = fanOut(df)
       .select(explode(zip_with(left, right,
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))

@@ -186,7 +186,8 @@ object Contingency {
   def termClassChi2(df: DataFrame, idCol: String, textCol: String,
       classCol: String, minDocFreq: Long, topK: Int): DataFrame = {
     require(minDocFreq >= 1 && topK >= 1, "minDocFreq and topK must be >= 1")
-    val docTerms = df.select(col(idCol), col(classCol).as("class"),
+    // fan out before the split+explode (r13 class)
+    val docTerms = fanOut(df).select(col(idCol), col(classCol).as("class"),
         explode(array_distinct(
           filter(split(col(textCol), "\\s+"), t => t =!= ""))).as("term"))
     val a = docTerms.groupBy("term", "class").agg(count(lit(1)).as("n_tc"))

@@ -154,7 +154,10 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("__idx"), col("__tok")))),
           s => s.getField("__tok")), " ").as("text_clean"))
-    df.select(col(idCol), size(toksOf).cast("long").as("n_tokens"))
+    // n_tokens reads the already-fanned token frame — recomputing the
+    // split from the raw df would run it at scan parallelism (r13 class)
+    base.select(col("__id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"))
       .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
@@ -744,11 +747,12 @@ object Dedup {
     */
   def containment(corpus: DataFrame, probe: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
-    val probeGrams = probe
+    val probeGrams = fanOut(probe)
       .select(explode(shingleHashExpr(col(textCol), n)).as("g"))
       .distinct()
       .withColumn("hit", lit(1))
-    val exploded = corpus
+    // fan out before the per-row shingle kernel + explode (r13 class)
+    val exploded = fanOut(corpus)
       .select(col(idCol), shingleHashExpr(col(textCol), n).as("gs"))
       .select(col(idCol), size(col("gs")).as("n_grams"),
         explode_outer(col("gs")).as("g"))

@@ -32,7 +32,9 @@ object NBayes {
       labelCol: String, alpha: Double = 1.0,
       scoreDigits: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+    // fan out before the split+explode (r13 class)
+    val base = fanOut(df).select(col(idCol).as("id"),
+      col(labelCol).as("label"),
       filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__t"))
     val tf = base.select(col("id"), col("label"), explode(col("__t")).as("term"))
       .groupBy("id", "label", "term").agg(count(lit(1)).as("tf"))

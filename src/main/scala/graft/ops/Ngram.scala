@@ -21,7 +21,8 @@ object Ngram {
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val left = slice(toks, lit(1), size(toks) - 1)
     val right = slice(toks, lit(2), size(toks) - 1)
-    df.select(explode(zip_with(left, right,
+    // fan out before the split + zip explode (r13 class)
+    fanOut(df).select(explode(zip_with(left, right,
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
@@ -78,7 +79,7 @@ object Ngram {
       val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
       val left = slice(toks, lit(1), size(toks) - 1)
       val right = slice(toks, lit(2), size(toks) - 1)
-      df.select(col(idCol), explode(zip_with(left, right,
+      fanOut(df).select(col(idCol), explode(zip_with(left, right,
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
@@ -109,7 +110,7 @@ object Ngram {
       textCol: String): DataFrame = {
     def counts(df: DataFrame, cnt: String) = {
       val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
-      df.select(explode(toks).as("__w"))
+      fanOut(df).select(explode(toks).as("__w"))
         .groupBy("__w").agg(count(lit(1)).as(cnt))
     }
     val joined = counts(dfA, "__ca")

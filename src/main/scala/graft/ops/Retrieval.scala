@@ -38,7 +38,10 @@ object Retrieval {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
-    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("__t"))
+    // fan out before the split kernels (r14: q154 measured on a
+    // one-row-group source, see SCALE.md)
+    val base = fanOut(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("__t"))
       .withColumn("__len", size(col("__t")).cast("double"))
     // one-row corpus stats: N and average document length
     val stats = base.agg(count(lit(1)).as("__n"), avg("__len").as("__avgdl"))
@@ -69,7 +72,8 @@ object Retrieval {
     * @return (id, n_tokens, surprisal)
     */
   def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("id"),
+    // fan out before the split+explode (r13 class)
+    val tf = fanOut(df).select(col(idCol).as("id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val ctf = tf.groupBy("term").agg(sum("tf").as("ctf"))
@@ -165,8 +169,8 @@ object Retrieval {
       minDf: Long = 1): DataFrame = {
     require(minDf >= 1, s"need minDf >= 1, got $minDf")
     // sort NUMERICALLY first, stringify after — a string sort would order
-    // "10" before "2"
-    df.select(col(idCol).cast("long").as("__doc"),
+    // "10" before "2" (fanned: split+explode is the r13 class)
+    fanOut(df).select(col(idCol).cast("long").as("__doc"),
         explode(array_distinct(
           filter(split(col(textCol), "\\s+"), t => t =!= ""))).as("term"))
       .groupBy("term")

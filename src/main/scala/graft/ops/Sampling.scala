@@ -493,7 +493,8 @@ object Sampling {
       require(math.abs(m.values.sum - 1.0) < 1e-9, "shares must sum to 1")
     }
     val nTok = size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
-    val bySrc = df.groupBy(col(sourceCol))
+    // fan out before the per-row token count (r13 class)
+    val bySrc = fanOut(df).groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
     val tot = bySrc.agg(sum("n_tokens").as("__tot"),
       count(lit(1)).as("__nsrc"))
@@ -547,7 +548,7 @@ object Sampling {
     val bucket = (c: Column) =>
       pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
         lit(buckets.toLong))
-    def bucketCounts(df: DataFrame, cnt: String): DataFrame = df
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame = fanOut(df)
       .select(explode(toks(col(textCol))).as("__t"))
       .select(bucket(col("__t")).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as(cnt))
@@ -568,7 +569,7 @@ object Sampling {
                log(coalesce(col("__cr"), lit(0L)) + lit(1.0)) +
                log(col("__nr") + lit(buckets.toDouble))) * lit(1e6))
           .cast("long").as("__lw"))
-    val perTok = raw
+    val perTok = fanOut(raw)
       .select(col(idCol), explode(toks(col(textCol))).as("__t"))
       .select(col(idCol), bucket(col("__t")).as("__b"))
       .join(broadcast(lam), Seq("__b"))

@@ -34,7 +34,8 @@ object SkipGram {
   def pairs(df: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame = {
     require(window >= 1 && window <= 8, s"need 1 <= window <= 8, got $window")
-    val toks = df.filter(col(textCol).isNotNull)
+    // fan out before the split + position explode (r13 class)
+    val toks = fanOut(df.filter(col(textCol).isNotNull))
       .select(col(idCol).as("doc"),
         posexplode(filter(split(col(textCol), "\\s+"),
           t => length(t) > 0)).as(Seq("pos", "tok")))
@@ -75,7 +76,7 @@ object SkipGram {
       maxVocab: Int = 65536): DataFrame = {
     require(tableSize >= 2 && tableSize <= (1 << 20),
       s"need 2 <= tableSize <= 2^20, got $tableSize")
-    val cnt = df.filter(col(textCol).isNotNull)
+    val cnt = fanOut(df.filter(col(textCol).isNotNull))
       .select(explode(filter(split(col(textCol), "\\s+"),
         t => length(t) > 0)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))

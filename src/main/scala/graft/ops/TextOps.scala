@@ -172,8 +172,10 @@ object TextOps {
   def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val toks = "__langid_toks"
     val sCols = langMarkers.indices.map(i => s"__langid_s$i")
+    // fan out before the per-row split+marker kernels (one-row-group
+    // source = one core; r14 measured q23 at 33.6x before, see SCALE.md)
     val staged = langMarkers.zipWithIndex.foldLeft(
-      df.withColumn(toks, tokens(col(textCol)))) {
+      fanOut(df).withColumn(toks, tokens(col(textCol)))) {
       case (d, ((_, mk), i)) => d.withColumn(sCols(i), langScoreTokens(col(toks), mk))
     }
     val scored = langMarkers.zipWithIndex.map { case ((lang, _), i) => (lang, col(sCols(i))) }
@@ -192,7 +194,9 @@ object TextOps {
     */
   def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = df.count()
-    val terms = df.select(col(idCol).as("id"),
+    // fan out before the split+explode (r14: q41 measured 22.6x on a
+    // one-row-group source before this)
+    val terms = fanOut(df).select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -239,7 +243,8 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), toks.as("__t"))
+    // fan out before the split + per-row gram assembly (r13 class)
+    val base = fanOut(df).select(col(idCol).as("id"), toks.as("__t"))
       .withColumn("n_tokens", size(col("__t")).cast("long"))
       .withColumn("dup_token_frac",
         lit(1.0) - size(array_distinct(col("__t"))).cast("double") /
@@ -304,6 +309,8 @@ object TextOps {
   def chunkBySentence(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, maxTokens: Int): org.apache.spark.sql.DataFrame = {
     require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    // fan out before the per-row sentence-split fold (r13 class)
+    val fanned = fanOut(df)
     val sentences = filter(
       split(col(textCol), "(?<=[.!?])\\s+"), s => s =!= "")
     val acc0 = expr(
@@ -319,7 +326,7 @@ object TextOps {
             (last.getField("n") + t).as("n")))))
         .otherwise(concat(acc, array(struct(sent.as("txt"), t.as("n")))))
     })
-    df.select(col(idCol), posexplode(packed).as(Seq("chunk_id", "ch")))
+    fanned.select(col(idCol), posexplode(packed).as(Seq("chunk_id", "ch")))
       .select(col(idCol), col("chunk_id"),
         col("ch.txt").as("chunk"), col("ch.n").as("n_tokens"))
   }
@@ -345,7 +352,9 @@ object TextOps {
     require(!df.columns.contains(outputCol),
       s"output column '$outputCol' already exists")
     val t = col(textCol)
-    df.withColumn("n_emails", regexp_count(t, lit(emailPattern)))
+    // fan out before the per-row regex kernels (r14: q199 measured on a
+    // one-row-group source, see SCALE.md)
+    fanOut(df).withColumn("n_emails", regexp_count(t, lit(emailPattern)))
       .withColumn("n_phones", regexp_count(t, lit(phonePattern)))
       .withColumn(outputCol,
         regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"),
@@ -367,7 +376,8 @@ object TextOps {
       textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
     require(dim >= 2, s"need dim >= 2, got $dim")
     val tok = explode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
-    df.select(col(idCol), tok.as("__t"))
+    // fan out before the split+explode+md5 kernel (r13 class)
+    fanOut(df).select(col(idCol), tok.as("__t"))
       .select(col(idCol),
         pmod(conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"),
           lit(dim.toLong)).cast("int").as("dim"))
@@ -394,7 +404,8 @@ object TextOps {
       window: Int): org.apache.spark.sql.DataFrame = {
     require(window >= 1, s"need window >= 1, got $window")
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    val pairs = df
+    // fan out before the split + position-window generator (r13 class)
+    val pairs = fanOut(df)
       .select(toks.as("__t"))
       .select(posexplode(col("__t")).as(Seq("__i", "center")),
         col("__t"))
@@ -481,7 +492,8 @@ object TextOps {
     */
   def zipfFit(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = df
+    // fan out before the split+explode (r13 class)
+    val toks = fanOut(df)
       .select(explode(split(col(textCol), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -529,7 +541,8 @@ object TextOps {
     val syl = regexp_count(t, lit("[aeiouyAEIOUY]+"))
     val wps = w.cast("double") / s.cast("double")
     val spw = syl.cast("double") / w.cast("double")
-    df.withColumn("n_words", w)
+    // fan out before the per-row regex-count kernels (r13 class)
+    fanOut(df).withColumn("n_words", w)
       .withColumn("n_sentences", s)
       .withColumn("n_syllables", syl)
       .withColumn("flesch", when(w > 0, round(
@@ -550,7 +563,8 @@ object TextOps {
   def patternCounts(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[(String, String)]): DataFrame = {
     require(patterns.nonEmpty, "need at least one pattern")
-    df.select(col(idCol) +: patterns.map { case (name, re) =>
+    // fan out before the per-row multi-pattern regex counts (r13 class)
+    fanOut(df).select(col(idCol) +: patterns.map { case (name, re) =>
       regexp_count(col(textCol), lit(re)).as(name) }: _*)
   }
 
@@ -574,7 +588,8 @@ object TextOps {
     }
     val total = patterns.map { case (_, re) =>
       regexp_count(col(textCol), lit(re)) }.reduce(_ + _)
-    df.withColumn(outputCol, out).withColumn("n_redacted", total)
+    // fan out before the per-row multi-pattern regex kernels (r13 class)
+    fanOut(df).withColumn(outputCol, out).withColumn("n_redacted", total)
   }
 
   /** Canonical text normalization for dedup keys and training text:
@@ -592,7 +607,8 @@ object TextOps {
       outputCol: String = "norm_text"): DataFrame = {
     val cleaned = trim(regexp_replace(regexp_replace(lower(col(textCol)),
       "[^a-z0-9\\s]", " "), "\\s+", " "))
-    df.withColumn(outputCol, cleaned)
+    // fan out before the per-row regex rewrite (r13 class)
+    fanOut(df).withColumn(outputCol, cleaned)
       .withColumn("norm_len", length(col(outputCol)))
   }
 

@@ -151,7 +151,23 @@ object ScaleCheck {
     "q370_qini", // score collapse + descending cumulative + one reduce
     "q371_byte_features", // per-row md5+utf8 byte kernels, fanned-out scan
     "q372_qini_by_segment", // keyed collapse + keyed window + keyed reduce
-    "q373_ivfpq_residual") // coarse assign + residual codes + cell-probed rescoring
+    "q373_ivfpq_residual", // coarse assign + residual codes + cell-probed rescoring
+    // round-14: representatives of the 41 text fronts the PlanSpec
+    // check-6 net flagged (split/regex kernel directly over the
+    // documents scan), one per kernel shape — measured to decide
+    // fanOut-vs-sanction for the whole class
+    "q22_text_stats", // regex+split stat projection → one agg
+    "q23_lang_hist", // split+explode stopword probe → lang agg
+    "q24_fingerprint", // regexp_replace+split+sort fingerprint per row
+    "q41_tfidf", // split+explode → tf/df aggs + join
+    "q100_decontaminate", // n-gram shingle explode → probe join
+    "q154_bm25", // split+explode tf + df aggs + score join
+    "q199_redact", // regexp_extract_all counts + regexp_replace rewrite
+    "q243_pattern_counts", // multi-pattern regexp_extract_all projection
+    "q374_jaro_winkler", // blocked JW self-join (codegen'd kernel)
+    "q375_page_hinkley", // (key,ts) collapse + 3 keyed window passes
+    "q376_ktruss", // bounded peel rounds x (wedge join + support agg)
+    "q377_brown_forecast") // hourly collapse + two stacked EWMA windows
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

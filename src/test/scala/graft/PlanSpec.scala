@@ -257,6 +257,46 @@ class PlanSpec extends SparkSpec {
             .mkString(",").split('/').last.stripSuffix(".parquet")
       }.filterNot(boundedTables)
     val cartesianAllow = Set("q28", "q29", "q30", "q38")
+    // 6. the r13 fanOut class, pinned as a PROPERTY: a per-row-expensive
+    //    TEXT kernel (split/regexp/rlike/sentences over the corpus table)
+    //    whose plan path down to the documents scan crosses NO
+    //    redistribution (repartition/aggregate/join/window/sort/limit/
+    //    sample) runs at raw scan parallelism — on a few-row-group source
+    //    (this testdata is ONE row group; a skewed 100 TB table
+    //    degenerates the same way) that is ONE core for the whole corpus.
+    //    r12 shipped q365 exactly this way and r13 found ~15 more by
+    //    measuring 100× rows query-by-query; this check makes the class
+    //    un-reintroducible: every such kernel must either ride an
+    //    ops.fanOut (whose Repartition is visible in the optimized plan
+    //    precisely because the testdata scan is narrow) or carry a
+    //    measured justification in the sanctioned map below. Caveat: a
+    //    broadcast-hash join preserves the streamed side's partitioning,
+    //    so treating Join as a barrier can in principle miss a
+    //    kernel-over-broadcast-join shape — none ships today; revisit
+    //    with a measurement if one does.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, RLike,
+      RegExpExtract, RegExpExtractAll, RegExpReplace, Sentences, StringSplit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate => LGenerate,
+      Join => LJoin, Project => LProject, RepartitionOperation,
+      Sort => LSort, Window => LWindow}
+    def heavyKernels(e: Expression): Seq[String] = e.collect {
+      case _: StringSplit => "split"
+      case _: RegExpReplace => "regexp_replace"
+      case _: RegExpExtract => "regexp_extract"
+      case _: RegExpExtractAll => "regexp_extract_all"
+      case _: RLike => "rlike"
+      case _: Sentences => "sentences"
+    }
+    def narrowDocScans(p: LogicalPlan): Seq[String] = p match {
+      case _: RepartitionOperation | _: LAggregate | _: LJoin | _: LWindow |
+           _: LSort | _: LGlobalLimit | _: LLocalLimit | _: LSample => Nil
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val t = lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+          .mkString(",").split('/').last.stripSuffix(".parquet")
+        if (t == "documents") Seq(t) else Nil
+      case other => other.children.flatMap(narrowDocScans)
+    }
+    val fanOutHits = scala.collection.mutable.SortedMap.empty[String, String]
     // 5. ScalaUDF inventory: the ONLY plans allowed to carry a scala UDF
     //    are the queries whose operators take array arguments no Catalyst
     //    built-in can express (MinHash/SimHash signatures, LSH planes,
@@ -273,6 +313,23 @@ class PlanSpec extends SparkSpec {
         case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
       }.nonEmpty))
       if (hasUdf) udfQueries += n
+      // Project/Generate only — Filter nodes are deliberately exempt:
+      // (a) a kernel inside a pure row-pruning filter belongs AT the
+      // scan even on a degenerate one-split source, because the
+      // alternative (fanOut, i.e. shuffling the full text bytes, then
+      // filtering) costs more than the one pruning pass it parallelizes;
+      // (b) InferFiltersFromGenerate re-derives `size(split(..)) > 0`
+      // guards from every fanned explode and predicate-pushdown sinks
+      // them below the Repartition, so including Filter would flag every
+      // CORRECTLY-fanned op too (q154's plan shows exactly this shape).
+      val exposedKernels = qe.optimizedPlan.collect {
+        case p @ (_: LProject | _: LGenerate)
+            if p.expressions.exists(e => heavyKernels(e).nonEmpty) &&
+              p.children.flatMap(narrowDocScans).nonEmpty =>
+          p.expressions.flatMap(heavyKernels).distinct.sorted.mkString("+")
+      }
+      if (exposedKernels.nonEmpty)
+        fanOutHits(n) = exposedKernels.distinct.sorted.mkString(", ")
       val badHint = qe.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(HintBroadcast) &&
           !logicallyReduced(h.child) && unboundedScans(h.child).nonEmpty =>
@@ -312,5 +369,17 @@ class PlanSpec extends SparkSpec {
     assert(udfQueries.toSet === sanctionedUdfQueries,
       s"ScalaUDF inventory drifted — plans with a UDF: " +
         udfQueries.sorted.mkString(", "))
+    // check 6's exact-set pin: every query whose optimized plan runs a
+    // text kernel at raw documents-scan parallelism needs a MEASURED
+    // 100× justification here (SCALE.md), the way new UDFs need one in
+    // the inventory above. An unlisted hit = route it through ops.fanOut
+    // (or measure and justify); a listed non-hit = stale entry, remove.
+    val fanOutSanctioned: Map[String, String] = Map.empty
+    assert(fanOutHits.keySet.toSet === fanOutSanctioned.keySet,
+      "per-row text kernels at raw scan parallelism drifted.\n  found: " +
+        fanOutHits.map { case (k, v) => s"$k ($v)" }.mkString(", ") +
+        "\n  sanctioned: " + fanOutSanctioned.keys.toSeq.sorted
+          .mkString(", ") +
+        "\n(fix: ops.fanOut before the kernel, or add a measured entry)")
   }
 }
