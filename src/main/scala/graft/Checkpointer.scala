@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 
 /** Generational checkpoint manager for iterative DataFrame algorithms
   * (IRLS in [[graft.glm.GroupedGLM]], label propagation in
@@ -37,7 +38,7 @@ private[graft] final class Checkpointer(spark: SparkSession,
   private val prevDir = sc.getCheckpointDir
   checkpointDir.foreach(sc.setCheckpointDir)
   private val reliable = sc.getCheckpointDir.isDefined
-  private var last: RDD[Row] = null
+  private var last: RDD[InternalRow] = null
 
   /** Checkpoint `df` eagerly (materialized before return) and free the
     * previous tracked generation. The returned frame reads from the
@@ -71,7 +72,7 @@ private[graft] final class Checkpointer(spark: SparkSession,
     pinned ::= out._2
     out._1
   }
-  private var pinned: List[RDD[Row]] = Nil
+  private var pinned: List[RDD[InternalRow]] = Nil
 
   /** Checkpoint a generation that BACKS the returned result — tracked
     * nowhere, never freed by [[close]]; like the final [[apply]]
@@ -107,19 +108,27 @@ private[graft] final class Checkpointer(spark: SparkSession,
     * they are short-lived and re-read in the hot loop.
     */
   private def checkpointRdd(df: DataFrame,
-      serialized: Boolean = false): (DataFrame, RDD[Row], Long) = {
-    val rdd = df.rdd
+      serialized: Boolean = false): (DataFrame, RDD[InternalRow], Long) = {
+    // INTERNAL rows end to end (GraftSqlShim): `df.rdd` would decode every
+    // row to an external Row here and re-encode it on every downstream
+    // read — pure per-row overhead for a frame only Spark itself touches.
+    // (Partitioning/ordering preservation was tried and measured a net
+    // loss — see the GraftSqlShim scaladoc; only exact statistics ride
+    // along.)
+    val rdd = GraftSqlShim.toInternalRdd(df)
     if (reliable) rdd.checkpoint()
     else {
       if (serialized)
         rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       rdd.localCheckpoint()
     }
-    val n = rdd.count() // materialize now so the predecessor can be freed
-    (spark.createDataFrame(rdd, df.schema), rdd, n)
+    // materialize now (so the predecessor can be freed), measuring exact
+    // row count + bytes in the same job for truthful planner statistics
+    val (n, bytes) = GraftSqlShim.materializeCounted(rdd, df.schema)
+    (GraftSqlShim.fromInternalRdd(df, rdd, Some((n, bytes))), rdd, n)
   }
 
-  private def clean(r: RDD[Row]): Unit = if (r != null) {
+  private def clean(r: RDD[InternalRow]): Unit = if (r != null) {
     r.getCheckpointFile.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       // best-effort: a failed delete only re-introduces the old leak

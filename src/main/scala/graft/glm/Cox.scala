@@ -78,6 +78,7 @@ object Cox {
       features: Seq[String], tol: Double = 1e-8, maxIter: Int = 25,
       strataCol: Option[String] = None,
       ties: String = "efron"): CoxModel = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(features.nonEmpty, "need at least one covariate")
     require(ties == "breslow" || ties == "efron",
       s"ties must be 'breslow' or 'efron', got '$ties'")
@@ -125,7 +126,7 @@ object Cox {
     var hess: BDM[Double] = null
     while (iter < maxIter && !converged) {
       val eta: Column = (0 until p).map(i =>
-        col(s"__x$i") * lit(beta(i))).reduce(_ + _)
+        col(s"__x$i") * graft.functions.stableLit(beta(i))).reduce(_ + _)
       val w = exp(eta)
       // per-distinct-time collapse: risk-set terms + event terms
       val aggExprs =

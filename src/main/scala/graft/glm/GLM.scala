@@ -87,9 +87,11 @@ final class GLMModel(
   /** η as a literal-coefficient column expression. */
   def linearPredictor: Column = {
     val terms = featureNames.zipWithIndex.map { case (nm, i) =>
-      col(nm).cast(DoubleType) * lit(coefs(if (intercept) i + 1 else i))
+      col(nm).cast(DoubleType) *
+        graft.functions.stableLit(coefs(if (intercept) i + 1 else i))
     }
-    terms.foldLeft(if (intercept) lit(coefs(0)) else lit(0.0))(_ + _)
+    terms.foldLeft(
+      if (intercept) graft.functions.stableLit(coefs(0)) else lit(0.0))(_ + _)
   }
 
   /** Score: μ on the response scale (probability when m = 1). */
@@ -384,7 +386,7 @@ object GLM {
             (link.link(mu0, m) + off, mu0)
           } else {
             val eta = xs.zipWithIndex
-              .map { case (c, i) => c * lit(beta(i)) }
+              .map { case (c, i) => c * graft.functions.stableLit(beta(i)) }
               .reduce(_ + _) + off
             (eta, clamp(link.inverse(eta, m)))
           }
@@ -422,7 +424,9 @@ object GLM {
       }
 
       // Final statistics: μ at the converged β.
-      val etaF = xs.zipWithIndex.map { case (c, i) => c * lit(beta(i)) }.reduce(_ + _) + off
+      val etaF = xs.zipWithIndex
+        .map { case (c, i) => c * graft.functions.stableLit(beta(i)) }
+        .reduce(_ + _) + off
       val muF = clamp(link.inverse(etaF, m))
       val statsRow = work.agg(
         sum(pw * (y - muF) * (y - muF) / fam.variance(muF, m)).as("pearson"),

@@ -112,6 +112,7 @@ object Multinomial {
   def fitSoftmax(df: DataFrame, xCols: Seq[String], targetCol: String,
       intercept: Boolean = true, tol: Double = 1e-9,
       maxIter: Int = 60): SoftmaxModel = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val classes = df.select(col(targetCol).cast("string"))
       .filter(col(targetCol).isNotNull)
       .distinct().collect().map(_.getString(0)).sorted.toSeq
@@ -141,7 +142,7 @@ object Multinomial {
 
     def pass(b: Array[Array[Double]]): (Double, BDV[Double], BDM[Double]) = {
       val es: Seq[Column] = (0 until k - 1).map { c =>
-        (0 until pc).map(j => designCol(j) * lit(b(c)(j))).reduce(_ + _)
+        (0 until pc).map(j => designCol(j) * graft.functions.stableLit(b(c)(j))).reduce(_ + _)
       }
       val mx = greatest((lit(0.0) +: es): _*)
       val den = exp(-mx) + es.map(e => exp(e - mx)).reduce(_ + _)

@@ -64,11 +64,11 @@ object NegBin {
           // explicit products, not pow(): x*x is the same IEEE multiply
           // on every engine, so the oracle mirrors bit-for-bit
           val res = col("__y") - col("__mu")
-          val den = col("__mu") + col("__mu") * col("__mu") / lit(theta)
+          val den = col("__mu") + col("__mu") * col("__mu") / graft.functions.stableLit(theta)
           val row = scored.agg(
             sum(res * res / den).as("s"),
             sum(res * res * col("__mu") * col("__mu") /
-              (lit(theta) * lit(theta) * den * den)).as("sp"),
+              (graft.functions.stableLit(theta) * graft.functions.stableLit(theta) * den * den)).as("sp"),
             count(lit(1)).as("n")).head()
           val f = row.getDouble(0) - (row.getLong(2) - p)
           val fp = row.getDouble(1)

@@ -49,6 +49,7 @@ object Ordinal {
 
   def fit(df: DataFrame, labelCol: String, features: Seq[String],
       tol: Double = 1e-9, maxIter: Int = 60): OrdinalModel = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val p = features.length
     val x = features.map(f => col(f).cast("double"))
     val base0 = df.filter(col(labelCol).isNotNull &&
@@ -78,7 +79,7 @@ object Ordinal {
 
     def pass(th: Array[Double], be: Array[Double]): (Double, BDV[Double], BDM[Double]) = {
       val eta: Column = if (p == 0) lit(0.0)
-        else (0 until p).map(i => col(s"__x$i") * lit(be(i))).reduce(_ + _)
+        else (0 until p).map(i => col(s"__x$i") * graft.functions.stableLit(be(i))).reduce(_ + _)
       def sig(c: Column) = lit(1.0) / (lit(1.0) + exp(-c))
       def pdf(c: Column) = { val s = sig(c); s * (lit(1.0) - s) }
       // F_y, F_{y-1}, f_y, f_{y-1} via CASE ladders over the class index
@@ -91,10 +92,10 @@ object Ordinal {
             else f(idx)
           when(col("__y") === cls, v).otherwise(acc)
         }
-      val fUp = ladder(i => sig(lit(th(i - 1)) - eta), lit(0.0), lit(1.0), 0)
-      val fLo = ladder(i => sig(lit(th(i - 1)) - eta), lit(0.0), lit(1.0), 1)
-      val dUp = ladder(i => pdf(lit(th(i - 1)) - eta), lit(0.0), lit(0.0), 0)
-      val dLo = ladder(i => pdf(lit(th(i - 1)) - eta), lit(0.0), lit(0.0), 1)
+      val fUp = ladder(i => sig(graft.functions.stableLit(th(i - 1)) - eta), lit(0.0), lit(1.0), 0)
+      val fLo = ladder(i => sig(graft.functions.stableLit(th(i - 1)) - eta), lit(0.0), lit(1.0), 1)
+      val dUp = ladder(i => pdf(graft.functions.stableLit(th(i - 1)) - eta), lit(0.0), lit(0.0), 0)
+      val dLo = ladder(i => pdf(graft.functions.stableLit(th(i - 1)) - eta), lit(0.0), lit(0.0), 1)
       val denom = fUp - fLo
       val gCols: Seq[Column] =
         (1 until k).map { t =>

@@ -65,6 +65,7 @@ object QuantReg {
   def fit(df: DataFrame, xCols: Seq[String], yCol: String, tau: Double,
       iters: Int = 6, deltaMin: Double = 1e-6,
       shrink: Double = 0.1): QuantRegModel = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(tau > 0 && tau < 1, s"tau must be in (0, 1), got $tau")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(deltaMin > 0, s"deltaMin must be > 0, got $deltaMin")
@@ -77,7 +78,7 @@ object QuantReg {
       LinAlg.solvePD(g.xtx, g.xty).toArray.map(q8)
     }
     def residual(beta: Array[Double]): Column =
-      y - xs.zip(beta).map { case (c, b) => c * lit(b) }
+      y - xs.zip(beta).map { case (c, b) => c * graft.functions.stableLit(b) }
         .reduce(_ + _)
 
     var beta = solve(lit(1.0)) // OLS start

@@ -44,6 +44,7 @@ object Robust {
       delta: Double = 1.345, intercept: Boolean = true,
       maxIter: Int = 25, tol: Double = 1e-8,
       approxScale: Boolean = false): HuberModel = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(xCols.nonEmpty, "at least one feature column required")
     require(delta > 0 && maxIter >= 1 && tol > 0)
     val xs: Seq[Column] =
@@ -61,7 +62,7 @@ object Robust {
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
-      val resid = y - xs.zipWithIndex.map { case (x, i) => x * beta(i) }
+      val resid = y - xs.zipWithIndex.map { case (x, i) => x * graft.functions.stableLit(beta(i)) }
         .reduce(_ + _)
       // robust scale: 1.4826·MAD about zero of the current residuals
       // (consistency factor for gaussian noise, the Outliers convention)

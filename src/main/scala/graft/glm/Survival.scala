@@ -332,17 +332,17 @@ object Survival {
       var betas: Option[breeze.linalg.DenseVector[Double]] = None
       var model: GLMModel = null
       for (r <- 1 to rounds) {
-        val offs = work.withColumn("__off", col("__lt") * lit(k))
+        val offs = work.withColumn("__off", col("__lt") * graft.functions.stableLit(k))
         model = GLM.fit(offs, xCols, "__ev", family = "poisson",
           offsetCol = Some("__off"), initCoefs = betas,
           computeStats = r == rounds)
         betas = Some(model.coefs)
         val b = model.coefs.toArray
         val eta = xCols.zipWithIndex
-          .map { case (c, i) => col(c).cast("double") * lit(b(i + 1)) }
-          .foldLeft(lit(b(0)): org.apache.spark.sql.Column)(_ + _)
+          .map { case (c, i) => col(c).cast("double") * graft.functions.stableLit(b(i + 1)) }
+          .foldLeft(graft.functions.stableLit(b(0)): org.apache.spark.sql.Column)(_ + _)
         for (_ <- 1 to newtonSteps) {
-          val mu = exp(eta + col("__lt") * lit(k))
+          val mu = exp(eta + col("__lt") * graft.functions.stableLit(k))
           val row = work.agg(
             sum("__ev").as("d"),
             sum(col("__ev") * col("__lt")).as("dlt"),

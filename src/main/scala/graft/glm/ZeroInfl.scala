@@ -62,8 +62,8 @@ object ZeroInfl {
         // E-step with the PREVIOUS (π, β); M-step refreshes both
         val withZ = model.predict(work, "__mu")
           .withColumn("__z", when(col("__y") > 0, lit(0.0))
-            .otherwise(lit(pi) /
-              (lit(pi) + lit(1.0 - pi) * exp(-col("__mu")))))
+            .otherwise(graft.functions.stableLit(pi) /
+              (graft.functions.stableLit(pi) + graft.functions.stableLit(1.0 - pi) * exp(-col("__mu")))))
           .withColumn("__w", lit(1.0) - col("__z"))
         pi = withZ.agg(avg("__z")).head().getDouble(0)
         // warm-start at the previous round's β (same per-round MLE fixed

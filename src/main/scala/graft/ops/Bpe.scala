@@ -40,7 +40,10 @@ object Bpe {
     */
   private def applyMerge(syms: org.apache.spark.sql.Column, a: String,
       b: String) = {
-    val merged = lit(a + b)
+    // merge pair as stable_lits: all merge rounds share one compiled
+    // projection stage (r14)
+    import graft.functions.stableLitS
+    val merged = stableLitS(a + b)
     aggregate(syms,
       expr("CAST(array() AS ARRAY<STRING>)"),
       (acc, s) => {
@@ -48,7 +51,7 @@ object Bpe {
         // throws); null === a is null, so the guard resolves false — the
         // EventSeq.walkSteps pattern
         val prev = try_element_at(acc, lit(-1))
-        when(prev === lit(a) && s === lit(b),
+        when(prev === stableLitS(a) && s === stableLitS(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
           .otherwise(concat(acc, array(s)))
       })
@@ -63,6 +66,7 @@ object Bpe {
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
     val spark = df.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     var v = vocab(df, textCol).persist()
     v.count()
     val merges = scala.collection.mutable.ArrayBuffer

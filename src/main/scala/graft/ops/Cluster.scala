@@ -62,7 +62,7 @@ object Cluster {
       // — it shifts every distance equally)
       def partialDist(c: Array[Double]) =
         lit(-2.0) * call_function("array_dot", col("__x"),
-          typedLit(c.toSeq)) + lit(c.map(v => v * v).sum)
+          typedLit(c.toSeq)) + graft.functions.stableLit(c.map(v => v * v).sum)
       def clusterCol(cs: Array[Array[Double]]) =
         array_min(array(cs.zipWithIndex.map { case (c, j) =>
           struct(partialDist(c).as("d"), lit(j).as("c"))
@@ -75,15 +75,21 @@ object Cluster {
         val assigned = base.withColumn("__best", clusterCol(centroids))
           .select(col("__id"), col("__x"), col("__xx"),
             col("__best.c").as("__c"), col("__best.d").as("__d"))
-        // update: per-(cluster, dim) sums — map-side partials, k×dim rows out
-        val dimSums = assigned
+        // update: per-(cluster, dim) sums — map-side partials, k×dim rows
+        // out — UNIONED with the per-cluster inertia collapse so both
+        // land in ONE collect job per round instead of two (r14; the
+        // arithmetic of each arm is unchanged, dim rows tagged __p >= 0,
+        // inertia rows __p = -1)
+        val dimSumsA = assigned
           .select(col("__c"), posexplode(col("__x")).as(Seq("__p", "__v")))
           .groupBy("__c", "__p").agg(sum("__v").as("__s"), count(lit(1)).as("__n"))
-          .collect()
-        val sizesInertia = assigned.groupBy("__c")
-          .agg(sum(col("__xx") + col("__d")).as("__i"))
-          .collect()
-        inertia = sizesInertia.map(_.getDouble(1)).sum
+        val inertiaA = assigned.groupBy("__c")
+          .agg(sum(col("__xx") + col("__d")).as("__s"))
+          .select(col("__c"), lit(-1).as("__p"), col("__s"), lit(0L).as("__n"))
+        val both = dimSumsA.unionByName(inertiaA).collect()
+        val dimSums = both.filter(_.getInt(1) >= 0)
+        val sizesInertia = both.filter(_.getInt(1) < 0)
+        inertia = sizesInertia.map(_.getDouble(2)).sum
         val next = centroids.zipWithIndex.map { case (old, j) =>
           val dims = dimSums.filter(_.getInt(0) == j)
           if (dims.isEmpty) old // empty cluster keeps its centroid
@@ -153,7 +159,7 @@ object Cluster {
     val dists = centroids.zipWithIndex.map { case (c, j) =>
       struct(sqrt(greatest(col("__xx") +
         lit(-2.0) * call_function("array_dot", col("__x"),
-          typedLit(c.toSeq)) + lit(c.map(v => v * v).sum), lit(0.0)))
+          typedLit(c.toSeq)) + graft.functions.stableLit(c.map(v => v * v).sum), lit(0.0)))
         .as("d"), lit(j).as("c"))
     }
     val arr = array_sort(array(dists: _*))

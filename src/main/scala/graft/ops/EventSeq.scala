@@ -460,15 +460,17 @@ object EventSeq {
     * users with no touches still contribute `__start` → end mass.
     *
     * Execution: ONE keyed collapse builds the transition counts; exact
-    * count ratios give the probabilities; ALL removal variants iterate
-    * TOGETHER — the (variant, src, dst, p) frame is the base chain cross
-    * the (none + channels) variant set, and each of the `rounds` steps is
-    * ONE join + ONE (variant, state) aggregation over state vectors of
-    * ≤ variants·(channels+3) rows. Absorbing states carry self-loops, so
-    * conversion mass accumulates in the vector itself. Masses are
-    * quantized to the 1e-12 grid per round (floor(x·1e12 + 0.5)) so the
-    * fixed-round chain replays across engines. No driver state — the
-    * channel set can be unbounded.
+    * count ratios give the probabilities. The chain itself is
+    * MODEL-SIZED by construction — at most (|touchTypes| + 3)² states ×
+    * (|touchTypes| + 1) removal variants, bounded by the caller's
+    * explicit channel list no matter the corpus size — so the `rounds`
+    * absorbing-chain steps replay on the DRIVER over the collected
+    * matrix (r14; guide §1.2: the data-sized collapse stays distributed,
+    * the ≤ a-few-hundred-doubles iteration stops paying a join + shuffle
+    * + checkpoint per round). Masses are quantized to the 1e-12 grid per
+    * round (floor(x·1e12 + 0.5)), summation in sorted-source order, so
+    * the fixed-round chain replays across engines exactly as the
+    * distributed form did.
     *
     * @return one row per channel: (channel, p_conv — the base chain's
     *         conversion probability, removal_effect, attribution), both
@@ -513,64 +515,63 @@ object EventSeq {
     val trans = counts.join(outTot, "src")
       .select(col("src"), col("dst"),
         (col("n").cast("double") / col("nt")).as("p"))
-    val channels = trans.select(col("src").as("channel"))
-      .unionByName(trans.select(col("dst").as("channel")))
-      .filter(!col("channel").isin("__start", "__conv", "__null"))
-      .distinct()
-    val variants = channels.select(col("channel").as("variant"))
-      .unionByName(spark.range(1).select(lit("__none").as("variant")))
-    val cp = new graft.Checkpointer(spark, None)
-    // knocked-out chain per variant + absorbing self-loops, built once
-    val vt = cp.pin(trans.crossJoin(variants)
-      .filter(col("src") =!= col("variant"))
-      .select(col("variant"), col("src"),
-        when(col("dst") === col("variant"), lit("__null"))
-          .otherwise(col("dst")).as("dst"), col("p"))
-      .unionByName(variants.crossJoin(
-        spark.createDataFrame(Seq(("__conv", "__conv", 1.0),
-          ("__null", "__null", 1.0))).toDF("src", "dst", "p"))
-        .select(col("variant"), col("src"), col("dst"), col("p"))))
-    val q12 = (c: Column) => floor(c * 1e12 + lit(0.5)) / 1e12
-    var vec = cp(variants.select(col("variant"),
-      lit("__start").as("state"), lit(1.0).as("mass")))
-    for (r <- 1 to rounds) {
-      // disjoint aliases on BOTH sides: un-checkpointed rounds derive
-      // from vt, so any df-reference join key is an ambiguous self-join
-      val nxt = vec
-        .select(col("variant").as("__vv"), col("state").as("__vs"),
-          col("mass").as("__vm"))
-        .join(vt.select(col("variant").as("__tv"), col("src").as("__ts"),
-            col("dst").as("__td"), col("p").as("__tp")),
-          col("__vv") === col("__tv") && col("__vs") === col("__ts"))
-        .select(col("__tv").as("variant"), col("__td").as("state"),
-          (col("__vm") * col("__tp")).as("m"))
-        .groupBy("variant", "state")
-        .agg(q12(sum("m")).as("mass"))
-      // materialize every third generation (and the last): one join+agg
-      // per round keeps the un-checkpointed lineage shallow, and skipping
-      // the intermediate materializations saves two jobs in three
-      vec = if (r % 3 == 0 || r == rounds) cp(nxt) else nxt
+    val q12d = (x: Double) => math.floor(x * 1e12 + 0.5) / 1e12
+    // the transition matrix is channel-bounded: collect it and replay the
+    // absorbing-chain rounds on the driver (sorted-key iteration order,
+    // per-round 1e-12 quantization — identical grid landing as the old
+    // distributed join-per-round form, which the oracle replays)
+    val transArr = trans.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    val specials = Set("__start", "__conv", "__null")
+    val channelsArr = transArr.flatMap(t => Seq(t._1, t._2)).distinct
+      .filterNot(specials).sorted
+    val variantsArr = channelsArr :+ "__none"
+    val pConv: Map[String, Option[Double]] = variantsArr.map { variant =>
+      // knocked-out chain: drop rows FROM the removed channel, re-route
+      // rows INTO it to __null; absorbing self-loops on __conv/__null
+      val vt = transArr.iterator
+        .filter(_._1 != variant)
+        .map { case (src, dst, p) =>
+          (src, if (dst == variant) "__null" else dst, p) }
+        .toSeq ++ Seq(("__conv", "__conv", 1.0), ("__null", "__null", 1.0))
+      // (src -> (dst, p)) adjacency, sources and terms in sorted order
+      val bySrc = vt.groupBy(_._1)
+      var mass = Map("__start" -> 1.0)
+      for (_ <- 1 to rounds) {
+        val contrib = scala.collection.mutable.Map.empty[String,
+          List[(String, Double)]]
+        mass.foreach { case (state, m) =>
+          bySrc.getOrElse(state, Nil).foreach { case (_, dst, p) =>
+            contrib(dst) = (state, m * p) :: contrib.getOrElse(dst, Nil)
+          }
+        }
+        mass = contrib.iterator.map { case (dst, terms) =>
+          dst -> q12d(terms.sortBy(_._1).map(_._2).sum)
+        }.toMap
+      }
+      // a __conv entry exists iff mass flowed there — mirrors the old
+      // distributed vec's row existence (an absent row is NOT a 0.0 row:
+      // with no base-chain conversion the whole output is empty, exactly
+      // as the old pConv-filter × crossJoin(base) produced zero rows)
+      variant -> mass.get("__conv")
+    }.toMap
+    import spark.implicits._
+    val rd6 = (v: Double) =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pConv.getOrElse("__none", None) match {
+      case None =>
+        Seq.empty[(String, Double, Double, Double)]
+          .toDF("channel", "p_conv", "removal_effect", "attribution")
+      case Some(p0) =>
+        val removal = channelsArr.map { c =>
+          val re = if (p0 > 0)
+            1.0 - pConv.getOrElse(c, None).getOrElse(0.0) / p0 else 0.0
+          (c, re)
+        }
+        val reTot = removal.map(_._2).sum
+        removal.map { case (c, re) =>
+          (c, rd6(p0), rd6(re), rd6(if (reTot > 0) re / reTot else 0.0))
+        }.toSeq.toDF("channel", "p_conv", "removal_effect", "attribution")
     }
-    val pConv = vec.filter(col("state") === "__conv")
-      .select(col("variant"), col("mass"))
-    val base = pConv.filter(col("variant") === "__none")
-      .select(col("mass").as("p0"))
-    val removal = channels
-      .join(pConv.withColumnRenamed("variant", "channel"),
-        Seq("channel"), "left")
-      .crossJoin(broadcast(base))
-      .select(col("channel"), col("p0"),
-        when(col("p0") > 0,
-          lit(1.0) - coalesce(col("mass"), lit(0.0)) / col("p0"))
-          .otherwise(lit(0.0)).as("re"))
-    val reTot = removal.agg(sum("re").as("ret"))
-    val res = removal.crossJoin(broadcast(reTot))
-      .select(col("channel"), round(col("p0"), 6).as("p_conv"),
-        round(col("re"), 6).as("removal_effect"),
-        round(when(col("ret") > 0, col("re") / col("ret"))
-          .otherwise(lit(0.0)), 6).as("attribution"))
-      .localCheckpoint(true) // materialize before close() frees generations
-    cp.close()
-    res
   }
 }

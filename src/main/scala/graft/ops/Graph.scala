@@ -286,10 +286,15 @@ object Graph {
       val votes = e
         .join(labels.select(col("u").as("v"), col("label")), "v")
         .groupBy("u", "label").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("u")
-        .orderBy(col("n").desc, col("label"))
-      val adopted = votes.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1).select(col("u"), col("label"))
+      // arg-max by (n desc, label asc) as a MIN over (−n, label) structs:
+      // same winner as the old rank-1 window (struct comparison is
+      // lexicographic), but partial-aggregable — the second pass shuffles
+      // one pre-reduced struct per (partition, u) instead of sorting
+      // every vote row under a per-u window (r14, guide §2.3/§2.4)
+      val adopted = votes
+        .groupBy("u").agg(min(struct((-col("n")).as("nn"),
+          col("label"))).as("__best"))
+        .select(col("u"), col("__best.label").as("label"))
       val next = adopted.unionByName(sinkLabels)
       labels =
         if (i == rounds || (checkpointEvery > 0 && i % checkpointEvery == 0))
@@ -663,6 +668,7 @@ object Graph {
       s"need 1 <= walksPerNode <= 64, got $walksPerNode")
     require(walkLen >= 2 && walkLen <= 32,
       s"need 2 <= walkLen <= 32, got $walkLen")
+    graft.plans.GraftExtensions.ensureRegistered(edges.sparkSession)
     val cp = new graft.Checkpointer(edges.sparkSession, None)
     val e = edges.select(col("u"), col("v")).distinct()
     val w = Window.partitionBy("u").orderBy("v")
@@ -697,8 +703,11 @@ object Graph {
     var out = frontier.select(col("walk_id"), lit(0).as("step"),
       col("node"))
     for (t <- 1 until walkLen) {
+      // step index as stable_lit: every step shares ONE compiled stage
+      // set instead of recompiling the md5-draw join per step (r14)
       val draw = conv(substring(md5(concat(col("walk_id"), lit("#"),
-        lit(t))), 1, 15), 16, 10).cast("long")
+        graft.functions.stableLitI(t).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
       frontier = cp.keep(frontier
         .select(col("walk_id"),
           pmod(draw, col("__deg")).as("__rank"), col("node"))
@@ -707,7 +716,7 @@ object Graph {
         .select(col("walk_id"), col("v").as("node"),
           col("__vdeg").as("__deg")))
       out = out.unionByName(frontier.select(col("walk_id"),
-        lit(t).as("step"), col("node")))
+        graft.functions.stableLitI(t).as("step"), col("node")))
     }
     cp.close()
     out
@@ -726,22 +735,29 @@ object Graph {
     */
   def walkPmi(walks: DataFrame, topK: Int): DataFrame = {
     require(topK >= 1, s"need topK >= 1, got $topK")
+    val cp = new graft.Checkpointer(walks.sparkSession, None)
     val w = Window.partitionBy("walk_id").orderBy("step")
     val steps = walks.withColumn("__next", lead("node", 1).over(w))
       .filter(col("__next").isNotNull)
     val pairs = steps.select(col("node").as("a"), col("__next").as("b"))
       .union(steps.select(col("__next").as("a"), col("node").as("b")))
-    val nAB = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    val nA = nAB.groupBy("a").agg(sum("n_ab").as("__na"))
+    // nAB feeds three consumers (nA, tot, the join) and nA two — pin both
+    // once (r14); their exact measured stats let the planner broadcast
+    // the node-bounded nA sides automatically iff they are actually
+    // small, which is the decision that stays right at any graph size
+    val nAB = cp.pin(pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab")))
+    val nA = cp.pin(nAB.groupBy("a").agg(sum("n_ab").as("__na")))
     val tot = nAB.agg(sum("n_ab").as("__n"))
-    nAB.join(nA, Seq("a"))
+    val out = cp(nAB.join(nA, Seq("a"))
       .join(nA.select(col("a").as("b"), col("__na").as("__nb")), Seq("b"))
       .crossJoin(broadcast(tot))
       .select(col("a"), col("b"), col("n_ab"),
         round(log(col("n_ab").cast("double") * col("__n") /
           (col("__na").cast("double") * col("__nb"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("a"), col("b"))
-      .limit(topK)
+      .limit(topK))
+    cp.close()
+    out
   }
 
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {

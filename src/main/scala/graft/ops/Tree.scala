@@ -421,16 +421,33 @@ object Tree {
     require(nTrees >= 1, s"need nTrees >= 1, got $nTrees")
     require(!df.columns.contains("__bagw"),
       "fitForest stages bag weights as column '__bagw' — rename it")
-    val trees = (1 to nTrees).map { b =>
-      val draw = conv(substring(md5(concat(col(idCol).cast("string"),
-        lit("#"), lit(b.toString))), 1, 15), 16, 10).cast("long")
-      val w = Hypothesis.poisson1Cut60.zipWithIndex
-        .foldRight(lit(7L): Column) { case ((cut, k), rest) =>
-          when(draw < cut, lit(k.toLong)).otherwise(rest)
-        }
-      fit(df.withColumn("__bagw", w), features, labelCol, maxDepth,
-        minLeaf, bins, weightCol = Some("__bagw"))
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    // independent trees: run the per-tree fits CONCURRENTLY (guide §2.6 —
+    // each fit is a short chain of agg jobs with idle driver gaps between
+    // them; overlapped jobs back-fill each other's stragglers, FIFO
+    // scheduling keeps earlier trees ahead). The tree seed enters the
+    // md5 draw as a stable_lit so all trees share one compiled stage set
+    // instead of recompiling the 60-arm Poisson CASE per tree (r14).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(nTrees, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = (1 to nTrees).map { b =>
+      scala.concurrent.Future {
+        val draw = conv(substring(md5(concat(col(idCol).cast("string"),
+          lit("#"), graft.functions.stableLitS(b.toString))), 1, 15),
+          16, 10).cast("long")
+        val w = Hypothesis.poisson1Cut60.zipWithIndex
+          .foldRight(lit(7L): Column) { case ((cut, k), rest) =>
+            when(draw < cut, lit(k.toLong)).otherwise(rest)
+          }
+        fit(df.withColumn("__bagw", w), features, labelCol, maxDepth,
+          minLeaf, bins, weightCol = Some("__bagw"))
+      }
     }
+    val trees = try futures.map(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+    finally pool.shutdown()
     ForestModel(trees)
   }
 }

@@ -61,12 +61,16 @@ object WordPiece {
     * the WordPiece continuation-prefix fusion rule).
     */
   private def applyMerge(syms: Column, a: String, b: String): Column = {
-    val merged = lit(a + b.stripPrefix("##"))
+    // the merge pair enters as stable_lits: every merge round shares ONE
+    // compiled projection stage instead of recompiling the higher-order
+    // fold per (a, b) (r14)
+    import graft.functions.stableLitS
+    val merged = stableLitS(a + b.stripPrefix("##"))
     aggregate(syms,
       expr("CAST(array() AS ARRAY<STRING>)"),
       (acc, s) => {
         val prev = try_element_at(acc, lit(-1))
-        when(prev === lit(a) && s === lit(b),
+        when(prev === stableLitS(a) && s === stableLitS(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
           .otherwise(concat(acc, array(s)))
       })
@@ -81,6 +85,7 @@ object WordPiece {
       numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
     val spark = df.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     var v = vocabFrame(df, textCol).persist()
     v.count()
     val merges = scala.collection.mutable.ArrayBuffer

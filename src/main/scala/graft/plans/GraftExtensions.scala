@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, Erf, Erfc, ErfInv, JaroWinkler, LogGamma, PQCodes, PQPartialDists, TQuantile}
+import graft.functions.{ArrayDot, Erf, Erfc, ErfInv, JaroWinkler, LogGamma, PQCodes, PQPartialDists, StableLit, TQuantile}
 
 /** Engine extensions, injected via the public `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)` on the builder, or
@@ -54,7 +54,8 @@ object GraftExtensions {
     binary("t_quantile", classOf[TQuantile], TQuantile.ofAny),
     binary("pq_codes", classOf[PQCodes], PQCodes.apply),
     binary("pq_partial_dists", classOf[PQPartialDists], PQPartialDists.apply),
-    binary("jaro_winkler", classOf[JaroWinkler], JaroWinkler.apply))
+    binary("jaro_winkler", classOf[JaroWinkler], JaroWinkler.apply),
+    unary("stable_lit", classOf[StableLit], StableLit.apply))
 
   /** Idempotent per-session registration for sessions not built with
     * `.withExtensions` (e.g. one handed to us by a driver harness).
