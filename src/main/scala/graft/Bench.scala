@@ -84,6 +84,14 @@ object Bench {
     val control = f"""{"runs":${cr.map(v => f"$v%.3f").mkString("[", ",", "]")},"min":${cr.min}%.3f,"median":$med%.3f,"max":${cr.max}%.3f,"drift_factor":$drift%.2f}"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"control":$control,"sf":"$sfDir","note":"single-shot timings; +/-20pct JVM variance per query - use graft.tools.MicroBench (min-of-3) for before/after comparisons; control = fixed lineitem agg interleaved every 10 queries, drift_factor near 1 = calm host, >>1 = steal storm (distrust single-shot regressions in this run)"}"""
     println(json)
+    // The full line above is ~9 KB (376-key per-query map) and artifact
+    // captures that keep only a short stdout TAIL truncate it mid-map,
+    // leaving no parseable JSON (PERF_r13/r14 lost both rounds' totals to
+    // this). Print a SECOND, compact summary line — same metric/value,
+    // no per-query map — so any tail capture of the last ~1 KB always
+    // contains one complete parseable line. The per-query map lives in
+    // the full line and in bench_full.json.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"control":$control,"sf":"$sfDir","per_query_in":"bench_full.json"}""")
     // BENCH_r*.json artifacts keep only a stdout tail, which truncates the
     // per-query map around q99; persist the complete line so round-over-round
     // comparison covers every query (commit this file each round)

@@ -322,6 +322,13 @@ object GLM {
     *                  point, fewer iterations; the lever that makes
     *                  outer loops re-fitting similar models cheap
     *                  ([[ZeroInfl.fitZip]]'s EM rounds)
+    * @param countCol  replication-count column: each row stands for
+    *                  `countCol` identical observations (deviance,
+    *                  log-likelihood, the Gram, AND n scale accordingly —
+    *                  unlike `weightCol`, which leaves n counting rows).
+    *                  Outer loops that pre-collapse a discrete design to
+    *                  (pattern, count) sufficient statistics pass it so
+    *                  every IRLS pass runs over patterns, not rows
     */
   def fit(
       df: DataFrame,
@@ -337,7 +344,8 @@ object GLM {
       maxIter: Int = 50,
       verbose: Boolean = false,
       initCoefs: Option[BDV[Double]] = None,
-      computeStats: Boolean = true): GLMModel = {
+      computeStats: Boolean = true,
+      countCol: Option[String] = None): GLMModel = {
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val fam = Family(family)
     val link = LinkFn(if (linkName.isEmpty) fam.defaultLink else linkName)
@@ -351,15 +359,37 @@ object GLM {
         col(yCol).cast(DoubleType).as("y"),
         mCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("m"),
         offsetCol.map(col(_).cast(DoubleType)).getOrElse(lit(0.0)).as("off"),
-        weightCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("pw"))
-    // spread the working set across the cluster before persisting: every
-    // IRLS iteration re-scans this frame, and a single-file source would
-    // otherwise pin all iterations to one task
+        weightCol.map(col(_).cast(DoubleType)).getOrElse(lit(1.0)).as("pw")) ++
+      countCol.map(col(_).cast(DoubleType).as("cnt")).toSeq
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val proj0 = df.select(proj: _*)
-    val work = (if (proj0.rdd.getNumPartitions >= math.max(2, parallelism / 2)) proj0
-                else proj0.repartition(parallelism))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Sufficient-statistics collapse when the design is discrete — see
+    // [[SuffStats]] for the class, the adaptive gate and its costs.
+    var cntOpt: Option[Column] = countCol.map(_ => col("cnt"))
+    var collapsed: Option[SuffStats.Collapsed] = None
+    val work: DataFrame =
+      if (countCol.isDefined) {
+        // caller pre-collapsed (rows already carry a replication count):
+        // single-partition view, same rationale as SuffStats
+        proj0.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
+      } else {
+        collapsed = SuffStats.collapse(proj0, "cnt")
+        collapsed match {
+          case Some(c) =>
+            cntOpt = Some(col("cnt"))
+            c.view
+          case None =>
+            // spread the working set across the cluster before persisting:
+            // every IRLS iteration re-scans this frame, and a single-file
+            // source would otherwise pin all iterations to one task
+            (if (proj0.rdd.getNumPartitions >= math.max(2, parallelism / 2)) proj0
+             else proj0.repartition(parallelism))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+    // scale a per-row aggregate term by the replication count (identity
+    // when uncollapsed — expressions stay byte-identical to the r14 path)
+    def wc(c: Column): Column = cntOpt.map(c * _).getOrElse(c)
 
     val xs: Seq[Column] = (if (intercept) Seq(lit(1.0)) else Nil) ++ xsNames.map(col)
     initCoefs.foreach(b => require(b.length == xs.size,
@@ -395,7 +425,8 @@ object GLM {
         val w = pw / (fam.variance(muE, m) * lp * lp)
 
         // ONE distributed pass: weighted normal equations + deviance.
-        val g = Gram.normal(work, xs, z, w, extras = Seq(sum(pw * fam.deviance(y, muE, m))))
+        val g = Gram.normal(work, xs, z, cntOpt.map(w * _).getOrElse(w),
+          extras = Seq(sum(wc(pw * fam.deviance(y, muE, m)))))
         dev = g.extras(0)
         lastGram = g
 
@@ -429,13 +460,17 @@ object GLM {
         .reduce(_ + _) + off
       val muF = clamp(link.inverse(etaF, m))
       val statsRow = work.agg(
-        sum(pw * (y - muF) * (y - muF) / fam.variance(muF, m)).as("pearson"),
-        sum(pw * fam.logLik(y, muF, m)).as("ll"),
-        sum(pw * y).as("y_sum"),
-        sum(pw * m).as("m_sum"),
-        count(lit(1)).as("n"),
-        sum(log(pw)).as("sum_log_w"),
-        sum(pw).as("w_sum")).head()
+        sum(wc(pw * (y - muF) * (y - muF) / fam.variance(muF, m))).as("pearson"),
+        sum(wc(pw * fam.logLik(y, muF, m))).as("ll"),
+        sum(wc(pw * y)).as("y_sum"),
+        sum(wc(pw * m)).as("m_sum"),
+        // n counts OBSERVATIONS: rows, or the replication-count sum when
+        // the frame is collapsed to (pattern, count) sufficient stats
+        cntOpt.map(c => sum(c).cast("long")).getOrElse(count(lit(1))).as("n"),
+        // Σ ln w over observations (NOT ln(w·cnt) — the count replicates
+        // the row, it does not scale its prior weight)
+        sum(wc(log(pw))).as("sum_log_w"),
+        sum(wc(pw)).as("w_sum")).head()
       val pearson = statsRow.getDouble(0)
       val pHat = statsRow.getDouble(2) / statsRow.getDouble(3)
       val n = statsRow.getLong(4)
@@ -465,12 +500,13 @@ object GLM {
       // families (binomial rate and, with m = 1, the Poisson ȳ) — closed
       // form, one small extra pass.
       val muNull = clamp(m * pHat)
-      val nullDev = work.agg(sum(pw * fam.deviance(y, muNull, m))).head().getDouble(0)
+      val nullDev = work.agg(sum(wc(pw * fam.deviance(y, muNull, m)))).head().getDouble(0)
 
       new GLMModel(names, yCol, intercept, fam.name, link, beta, se,
         dev, nullDev, pearson, ll, n, iterations, ixtwx)
     } finally {
       work.unpersist(blocking = false)
+      collapsed.foreach(_.unpersist())
     }
   }
 

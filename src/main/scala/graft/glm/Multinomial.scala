@@ -56,16 +56,27 @@ object Multinomial {
   def fitOneVsRest(df: DataFrame, xCols: Seq[String], targetCol: String,
       linkName: String = "logit", tol: Double = 1e-10,
       maxIter: Int = 50): OvRModel = {
-    val classes = df.select(col(targetCol).cast("string"))
-      .filter(col(targetCol).isNotNull)
+    // ONE sufficient-stats collapse over (x…, class) shared by ALL K
+    // class fits (see [[SuffStats]]): each per-class working tuple
+    // (x…, 1[class = c]) is a function of the shared pattern, so on a
+    // discrete design the K·IRLS full-data passes all run over the same
+    // tiny pattern table; per-class y derives from the pattern's class.
+    val sel = df.select((xCols.map(c => col(c).cast("double").as(c)) :+
+      col(targetCol).cast("string").as("__cls")): _*)
+    val collapsed = SuffStats.collapse(sel, "__cnt")
+    val src = collapsed.map(_.view).getOrElse(sel)
+    val classes = src.select(col("__cls"))
+      .filter(col("__cls").isNotNull)
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     require(classes.size >= 2, s"need >= 2 classes, got ${classes.size}")
     val models = classes.map { c =>
-      val labeled = df.withColumn("__ovr_y",
-        (col(targetCol).cast("string") === c).cast("double"))
+      val labeled = src.withColumn("__ovr_y",
+        (col("__cls") === c).cast("double"))
       GLM.fit(labeled, xCols, "__ovr_y", family = "binomial",
-        linkName = linkName, tol = tol, maxIter = maxIter)
+        linkName = linkName, tol = tol, maxIter = maxIter,
+        countCol = collapsed.map(_ => "__cnt"))
     }
+    collapsed.foreach(_.unpersist())
     OvRModel(classes, models)
   }
 
@@ -107,6 +118,16 @@ object Multinomial {
     * object doc. Baseline = first class in sorted order, as in
     * `nnet::multinom` (which baselines the first factor level).
     *
+    * On a discrete design (verified by [[SuffStats]]' gate) the
+    * (x…, class) contingency table is a complete sufficient statistic
+    * for the softmax likelihood, so it is collected (≤ CollapseMax rows
+    * — model-sized by the verified count, the q300 discipline) and the
+    * whole BHHH alternation replays on the driver with counts as
+    * replication weights: ONE distributed pass total instead of one per
+    * candidate step, at any input scale. The scalar math mirrors the
+    * distributed column expressions term for term; continuous designs
+    * keep the distributed path unchanged.
+    *
     * @param intercept fit a per-class intercept (R default)
     */
   def fitSoftmax(df: DataFrame, xCols: Seq[String], targetCol: String,
@@ -127,12 +148,84 @@ object Multinomial {
     val yIdx = classes.zipWithIndex.foldLeft(lit(-1)) { case (acc, (cv, i)) =>
       when(col(targetCol).cast("string") === cv, lit(i)).otherwise(acc)
     }
-    val base = df
+    val base0 = df
       .filter(col(targetCol).isNotNull &&
         (if (pFeat == 0) lit(true) else x.map(_.isNotNull).reduce(_ && _)))
       .select((yIdx.as("__y") +: x.zipWithIndex.map { case (c, i) =>
         c.as(s"__x$i") }): _*)
-      .persist()
+
+    SuffStats.collapse(base0, "__cnt") match {
+      case Some(cc) =>
+        // one row per (class, x-pattern) with its count — model-sized by
+        // the verified gate; replay BHHH on the driver
+        val pats = cc.view.collect().map { r =>
+          (r.getInt(0), Array.tabulate(pFeat)(i => r.getDouble(1 + i)),
+            r.getDouble(1 + pFeat))
+        }
+        cc.unpersist()
+        val n = pats.map(_._3).sum.toLong
+        // per-pattern design value: intercept (1) then features — the
+        // scalar twin of designCol below
+        def design(xs: Array[Double], j: Int): Double =
+          if (intercept) { if (j == 0) 1.0 else xs(j - 1) } else xs(j)
+        // the scalar twin of the distributed pass: same per-row terms
+        // (η reduce order, max-stabilized log-sum-exp, BHHH outer
+        // products), count-weighted sums
+        def pass(b: Array[Array[Double]]): (Double, BDV[Double], BDM[Double]) = {
+          var ll = 0.0
+          val g = new Array[Double](m)
+          val h = BDM.zeros[Double](m, m)
+          val gRow = new Array[Double](m)
+          pats.foreach { case (y, xs, cnt) =>
+            val es = Array.tabulate(k - 1) { c =>
+              var e = design(xs, 0) * b(c)(0)
+              var j = 1
+              while (j < pc) { e += design(xs, j) * b(c)(j); j += 1 }
+              e
+            }
+            var mx = 0.0
+            es.foreach(e => if (e > mx) mx = e)
+            var den = math.exp(-mx)
+            es.foreach(e => den += math.exp(e - mx))
+            val lse = mx + math.log(den)
+            ll += cnt * ((if (y >= 1) es(y - 1) else 0.0) - lse)
+            var idx = 0
+            var c = 0
+            while (c < k - 1) {
+              val pc0 = math.exp(es(c) - mx) / den
+              var j = 0
+              while (j < pc) {
+                gRow(idx) = ((if (y == c + 1) 1.0 else 0.0) - pc0) * design(xs, j)
+                idx += 1; j += 1
+              }
+              c += 1
+            }
+            var i = 0
+            while (i < m) {
+              g(i) += cnt * gRow(i)
+              var j2 = i
+              while (j2 < m) { h(i, j2) += cnt * (gRow(i) * gRow(j2)); j2 += 1 }
+              i += 1
+            }
+          }
+          var i = 0
+          while (i < m) {
+            var j2 = i + 1
+            while (j2 < m) { h(j2, i) = h(i, j2); j2 += 1 }
+            i += 1
+          }
+          (ll, BDV(g), h)
+        }
+        val (beta, ll, iter) = bhhhLoop(k, pc, tol, maxIter, pass)
+        // null model: ℓ0 = Σ_c n_c ln(n_c/n) from the same pattern table
+        val ll0 = pats.groupBy(_._1).values
+          .map(_.map(_._3).sum.toLong)
+          .toSeq.map(c => c * math.log(c.toDouble / n)).sum
+        return SoftmaxModel(classes, xCols, intercept, beta, ll, ll0, n, iter)
+      case None => // continuous design: distributed BHHH below
+    }
+
+    val base = base0.persist()
     val n = base.count()
 
     // design columns per non-base class: intercept (1) then features
@@ -173,6 +266,23 @@ object Multinomial {
       (ll, g, h)
     }
 
+    val (beta, ll, iter) = bhhhLoop(k, pc, tol, maxIter, pass)
+    // null model: intercept-only softmax has closed-form MLE at the
+    // class frequencies — ℓ0 = Σ_c n_c ln(n_c/n)
+    val counts = base.groupBy("__y").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(1))
+    val ll0 = counts.map(c => c * math.log(c.toDouble / n)).sum
+    base.unpersist(blocking = false)
+    SoftmaxModel(classes, xCols, intercept, beta, ll, ll0, n, iter)
+  }
+
+  /** BHHH Newton alternation with step-halving — the outer loop shared
+    * by the driver-replay and distributed softmax passes (identical
+    * decisions given identical pass values).
+    */
+  private def bhhhLoop(k: Int, pc: Int, tol: Double, maxIter: Int,
+      pass: Array[Array[Double]] => (Double, BDV[Double], BDM[Double]))
+      : (Array[Array[Double]], Double, Int) = {
     var beta = Array.fill(k - 1)(Array.fill(pc)(0.0))
     var (ll, g, h) = pass(beta)
     var lastLl = Double.NegativeInfinity
@@ -194,12 +304,6 @@ object Multinomial {
       if (!accepted) lastLl = ll // stuck: exit on the tol check
       iter += 1
     }
-    // null model: intercept-only softmax has closed-form MLE at the
-    // class frequencies — ℓ0 = Σ_c n_c ln(n_c/n)
-    val counts = base.groupBy("__y").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(1))
-    val ll0 = counts.map(c => c * math.log(c.toDouble / n)).sum
-    base.unpersist(blocking = false)
-    SoftmaxModel(classes, xCols, intercept, beta, ll, ll0, n, iter)
+    (beta, ll, iter)
   }
 }

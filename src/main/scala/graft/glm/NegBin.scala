@@ -48,15 +48,27 @@ object NegBin {
     require(outerIters >= 1 && newtonSteps >= 1, "need >= 1 iteration")
     require(initTheta > 0, s"initTheta must be > 0, got $initTheta")
     import org.apache.spark.storage.StorageLevel
-    val work = df.select((xCols.map(col) :+
+    val work0 = df.select((xCols.map(col) :+
         col(yCol).cast("double").as("__y")): _*)
       .filter(col("__y").isNotNull && col("__y") >= 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Sufficient-stats collapse for the whole alternation: the Newton
+    // sums and the negbin IRLS both depend on the data only through the
+    // (x…, y) pattern, so a discrete design collapses
+    // outerIters·(newtonSteps + IRLS) full-data passes into one grouping
+    // pass. See [[SuffStats]] for the gate.
+    val collapsed = SuffStats.collapse(work0, "__cnt")
+    val cntCol = collapsed.map(_ => "__cnt")
+    val work = collapsed.map(_.view)
+      .getOrElse(work0.persist(StorageLevel.MEMORY_AND_DISK))
+    // per-observation aggregate term (count-weighted when collapsed)
+    def wc(c: org.apache.spark.sql.Column) =
+      cntCol.map(n => c * col(n)).getOrElse(c)
     try {
       var theta = quantize(initTheta)
       def famName = f"negbin($theta%.8f)"
       var model = GLM.fit(work, xCols, "__y", family = famName,
-        intercept = intercept, tol = tol, computeStats = false)
+        intercept = intercept, tol = tol, computeStats = false,
+        countCol = cntCol)
       val p = model.p
       for (r <- 1 to outerIters) {
         val scored = model.predict(work, "__mu")
@@ -66,10 +78,11 @@ object NegBin {
           val res = col("__y") - col("__mu")
           val den = col("__mu") + col("__mu") * col("__mu") / graft.functions.stableLit(theta)
           val row = scored.agg(
-            sum(res * res / den).as("s"),
-            sum(res * res * col("__mu") * col("__mu") /
-              (graft.functions.stableLit(theta) * graft.functions.stableLit(theta) * den * den)).as("sp"),
-            count(lit(1)).as("n")).head()
+            sum(wc(res * res / den)).as("s"),
+            sum(wc(res * res * col("__mu") * col("__mu") /
+              (graft.functions.stableLit(theta) * graft.functions.stableLit(theta) * den * den))).as("sp"),
+            cntCol.map(n => sum(col(n)).cast("long"))
+              .getOrElse(count(lit(1))).as("n")).head()
           val f = row.getDouble(0) - (row.getLong(2) - p)
           val fp = row.getDouble(1)
           // guard: a vanishing derivative (all-zero residuals) leaves θ
@@ -78,9 +91,13 @@ object NegBin {
         }
         model = GLM.fit(work, xCols, "__y", family = famName,
           intercept = intercept, tol = tol,
-          initCoefs = Some(model.coefs), computeStats = r == outerIters)
+          initCoefs = Some(model.coefs), computeStats = r == outerIters,
+          countCol = cntCol)
       }
       NegBinModel(theta, model, outerIters)
-    } finally work.unpersist()
+    } finally {
+      work.unpersist()
+      collapsed.foreach(_.unpersist())
+    }
   }
 }

@@ -47,6 +47,16 @@ object Ordinal {
     }
   }
 
+  /** On a discrete design (verified by [[SuffStats]]' gate) the
+    * (label, x…) contingency table is a complete sufficient statistic
+    * for the cumulative-logit likelihood, so it is collected
+    * (model-sized by the verified count) and the whole BHHH alternation
+    * replays on the driver with counts as replication weights — ONE
+    * distributed pass total instead of one per candidate step, at any
+    * input scale. The scalar math mirrors the distributed column
+    * expressions term for term; continuous designs keep the distributed
+    * path unchanged.
+    */
   def fit(df: DataFrame, labelCol: String, features: Seq[String],
       tol: Double = 1e-9, maxIter: Int = 60): OrdinalModel = {
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
@@ -54,6 +64,86 @@ object Ordinal {
     val x = features.map(f => col(f).cast("double"))
     val base0 = df.filter(col(labelCol).isNotNull &&
       (if (p == 0) lit(true) else x.map(_.isNotNull).reduce(_ && _)))
+
+    val sel0 = base0.select((col(labelCol).cast("int").as("__lbl") +:
+      x.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }): _*)
+    SuffStats.collapse(sel0, "__cnt") match {
+      case Some(cc) =>
+        val raw = cc.view.collect().map { r =>
+          (r.getInt(0), Array.tabulate(p)(i => r.getDouble(1 + i)),
+            r.getDouble(1 + p))
+        }
+        cc.unpersist()
+        val levels = raw.map(_._1).distinct.sorted.toSeq
+        val k = levels.length
+        require(k >= 2, s"need >= 2 ordered classes, got $levels")
+        val lvlIdx = levels.zipWithIndex.toMap
+        // (class 1..K, x pattern, count), like the distributed __y
+        val pats = raw.map { case (lbl, xs, cnt) => (lvlIdx(lbl) + 1, xs, cnt) }
+        val m = (k - 1) + p
+        val counts = Array.tabulate(k) { i =>
+          pats.filter(_._1 == i + 1).map(_._3).sum.toLong
+        }
+        val n = counts.sum
+        val theta0 = Array.tabulate(k - 1) { i =>
+          val cum = counts.take(i + 1).sum.toDouble / n
+          math.log(cum / (1.0 - cum))
+        }
+        // the scalar twin of the distributed pass below: same per-row
+        // terms (σ ladders, BHHH outer products), count-weighted sums
+        def passD(th: Array[Double], be: Array[Double])
+            : (Double, BDV[Double], BDM[Double]) = {
+          @inline def sig(v: Double) = 1.0 / (1.0 + math.exp(-v))
+          @inline def pdf(v: Double) = { val s = sig(v); s * (1.0 - s) }
+          var ll = 0.0
+          val g = new Array[Double](m)
+          val h = BDM.zeros[Double](m, m)
+          val gRow = new Array[Double](m)
+          pats.foreach { case (y, xs, cnt) =>
+            var eta = 0.0
+            if (p > 0) {
+              eta = xs(0) * be(0)
+              var j = 1
+              while (j < p) { eta += xs(j) * be(j); j += 1 }
+            }
+            val fUp = if (y == k) 1.0 else sig(th(y - 1) - eta)
+            val fLo = if (y == 1) 0.0 else sig(th(y - 2) - eta)
+            val dUp = if (y == k) 0.0 else pdf(th(y - 1) - eta)
+            val dLo = if (y == 1) 0.0 else pdf(th(y - 2) - eta)
+            val denom = fUp - fLo
+            ll += cnt * math.log(denom)
+            var t = 0
+            while (t < k - 1) { gRow(t) = 0.0; t += 1 }
+            // g_t = (1[y = t]·dUp − 1[y = t+1]·dLo)/denom, t = 1..k−1
+            if (y <= k - 1) gRow(y - 1) = (dUp - 0.0) / denom
+            if (y >= 2) gRow(y - 2) = (0.0 - dLo) / denom
+            var j = 0
+            while (j < p) {
+              gRow(k - 1 + j) = (-xs(j)) * (dUp - dLo) / denom
+              j += 1
+            }
+            var i = 0
+            while (i < m) {
+              g(i) += cnt * gRow(i)
+              var j2 = i
+              while (j2 < m) { h(i, j2) += cnt * (gRow(i) * gRow(j2)); j2 += 1 }
+              i += 1
+            }
+          }
+          var i = 0
+          while (i < m) {
+            var j2 = i + 1
+            while (j2 < m) { h(j2, i) = h(i, j2); j2 += 1 }
+            i += 1
+          }
+          (ll, BDV(g), h)
+        }
+        val (thetaF, betaF, llF, iterF) =
+          bhhhLoop(k, p, tol, maxIter, theta0, passD)
+        return OrdinalModel(features, levels, thetaF, betaF, llF, n, iterF)
+      case None => // continuous design: distributed BHHH below
+    }
+
     val levels = base0.select(col(labelCol).cast("int").as("y"))
       .distinct().orderBy("y").collect().map(_.getInt(0)).toSeq
     val k = levels.length
@@ -71,11 +161,10 @@ object Ordinal {
       .orderBy("__y").collect().map(r => r.getLong(1))
     val n = counts.sum
     // thresholds at empirical cumulative logits
-    var theta = Array.tabulate(k - 1) { i =>
+    val theta0 = Array.tabulate(k - 1) { i =>
       val cum = counts.take(i + 1).sum.toDouble / n
       math.log(cum / (1.0 - cum))
     }
-    var beta = Array.fill(p)(0.0)
 
     def pass(th: Array[Double], be: Array[Double]): (Double, BDV[Double], BDM[Double]) = {
       val eta: Column = if (p == 0) lit(0.0)
@@ -122,6 +211,21 @@ object Ordinal {
       (ll, g, h)
     }
 
+    val (theta, beta, ll, iter) = bhhhLoop(k, p, tol, maxIter, theta0, pass)
+    base.unpersist(blocking = false)
+    OrdinalModel(features, levels, theta, beta, ll, n, iter)
+  }
+
+  /** BHHH Newton alternation with step-halving and the threshold-order
+    * guard — the outer loop shared by the driver-replay and distributed
+    * passes (identical decisions given identical pass values).
+    */
+  private def bhhhLoop(k: Int, p: Int, tol: Double, maxIter: Int,
+      theta0: Array[Double],
+      pass: (Array[Double], Array[Double]) => (Double, BDV[Double], BDM[Double]))
+      : (Array[Double], Array[Double], Double, Int) = {
+    var theta = theta0
+    var beta = Array.fill(p)(0.0)
     var (ll, g, h) = pass(theta, beta)
     var lastLl = Double.NegativeInfinity
     var iter = 0
@@ -147,7 +251,6 @@ object Ordinal {
       if (!accepted) { lastLl = ll } // stuck: exit on the tol check
       iter += 1
     }
-    base.unpersist(blocking = false)
-    OrdinalModel(features, levels, theta, beta, ll, n, iter)
+    (theta, beta, ll, iter)
   }
 }

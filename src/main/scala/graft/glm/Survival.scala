@@ -316,6 +316,9 @@ object Survival {
   def aftWeibull(df: DataFrame, durationCol: String, eventCol: String,
       xCols: Seq[String], rounds: Int = 6,
       newtonSteps: Int = 2): AftWeibullModel = {
+    // round 1's withColumn uses stable_lit BEFORE the first GLM.fit (which
+    // registers) — analysis would throw on a plain session without this
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     require(xCols.nonEmpty, "need at least one covariate")
     require(rounds >= 1 && newtonSteps >= 1,
       s"need rounds >= 1 and newtonSteps >= 1, got $rounds/$newtonSteps")

@@ -50,14 +50,24 @@ object ZeroInfl {
       tol: Double = 1e-10): ZipModel = {
     require(emIters >= 1, s"need emIters >= 1, got $emIters")
     import org.apache.spark.storage.StorageLevel
-    val work = df.select((xCols.map(col) :+
+    val work0 = df.select((xCols.map(col) :+
         col(yCol).cast("double").as("__y")): _*)
       .filter(col("__y").isNotNull && col("__y") >= 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Sufficient-stats collapse for the WHOLE EM alternation: every EM
+    // quantity — the E-step z (a function of the row's (x, y>0) only),
+    // π (a weighted mean of z), and the weighted Poisson Gram — depends
+    // on the data through the (x…, y) pattern alone, so a discrete
+    // design collapses ~6·(IRLS+2) full-data passes into ONE. See
+    // [[SuffStats]] for the gate.
+    val collapsed = SuffStats.collapse(work0, "__cnt")
+    val cntCol = collapsed.map(_ => "__cnt")
+    val work = collapsed.map(_.view)
+      .getOrElse(work0.persist(StorageLevel.MEMORY_AND_DISK))
     try {
       var pi = 0.25
       var model = GLM.fit(work, xCols, "__y", family = "poisson",
-        intercept = intercept, tol = tol, computeStats = false)
+        intercept = intercept, tol = tol, computeStats = false,
+        countCol = cntCol)
       for (it <- 1 to emIters) {
         // E-step with the PREVIOUS (π, β); M-step refreshes both
         val withZ = model.predict(work, "__mu")
@@ -65,15 +75,25 @@ object ZeroInfl {
             .otherwise(graft.functions.stableLit(pi) /
               (graft.functions.stableLit(pi) + graft.functions.stableLit(1.0 - pi) * exp(-col("__mu")))))
           .withColumn("__w", lit(1.0) - col("__z"))
-        pi = withZ.agg(avg("__z")).head().getDouble(0)
+        // π = mean(z) over OBSERVATIONS (count-weighted when collapsed)
+        pi = cntCol match {
+          case Some(c) =>
+            val r = withZ.agg(sum(col("__z") * col(c)), sum(col(c))).head()
+            r.getDouble(0) / r.getDouble(1)
+          case None => withZ.agg(avg("__z")).head().getDouble(0)
+        }
         // warm-start at the previous round's β (same per-round MLE fixed
         // point, far fewer IRLS passes — β barely moves between rounds)
         // and skip the derived-statistics jobs on all but the last round
         model = GLM.fit(withZ, xCols, "__y", family = "poisson",
           weightCol = Some("__w"), intercept = intercept, tol = tol,
-          initCoefs = Some(model.coefs), computeStats = it == emIters)
+          initCoefs = Some(model.coefs), computeStats = it == emIters,
+          countCol = cntCol)
       }
       ZipModel(pi, model, emIters)
-    } finally work.unpersist()
+    } finally {
+      work.unpersist()
+      collapsed.foreach(_.unpersist())
+    }
   }
 }

@@ -518,8 +518,11 @@ object EventSeq {
     val q12d = (x: Double) => math.floor(x * 1e12 + 0.5) / 1e12
     // the transition matrix is channel-bounded: collect it and replay the
     // absorbing-chain rounds on the driver (sorted-key iteration order,
-    // per-round 1e-12 quantization — identical grid landing as the old
-    // distributed join-per-round form, which the oracle replays)
+    // per-round 1e-12 quantization — matches the oracle's sorted-order
+    // replay, the order the oracle actually defines; the old distributed
+    // groupBy summed in nondeterministic partition order before the same
+    // quantization, so bit-identity with IT was never guaranteed either
+    // way — the 6-decimal output rounding is what absorbs ulp landings)
     val transArr = trans.collect().map(r =>
       (r.getString(0), r.getString(1), r.getDouble(2)))
     val specials = Set("__start", "__conv", "__null")

@@ -447,6 +447,12 @@ object Tree {
     }
     val trees = try futures.map(f => scala.concurrent.Await.result(f,
       scala.concurrent.duration.Duration.Inf))
+    catch { case e: Throwable =>
+      // a failed tree must not leave sibling fits running (and their own
+      // failures unobserved) on non-daemon pool threads after the caller
+      // has seen the error — interrupt outstanding work before rethrowing
+      pool.shutdownNow(); throw e
+    }
     finally pool.shutdown()
     ForestModel(trees)
   }

@@ -42,6 +42,20 @@ object GraftSqlShim {
   def toInternalRdd(df: Dataset[Row]): RDD[InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd.map(_.copy())
 
+  /** Physical output partition count WITHOUT building the deserializer
+    * lineage that `Dataset.rdd` instantiates per call (a per-call driver
+    * cost [[graft.ops.fanOut]] used to pay).
+    */
+  def numOutputPartitions(df: Dataset[Row]): Int =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd.getNumPartitions
+
+  /** The optimizer's size estimate for the frame (for parquet scans:
+    * on-disk file bytes; `defaultSizeInBytes`-huge when unknown).
+    */
+  def estimatedSizeInBytes(df: Dataset[Row]): BigInt =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .optimizedPlan.stats.sizeInBytes
+
   /** Materialize `rdd` (the action that makes a local checkpoint live)
     * while measuring it: returns (rowCount, exactBytes). One job — the
     * byte measurement rides the same pass the old `rdd.count()` was, and
@@ -74,8 +88,16 @@ object GraftSqlShim {
       stats: Option[(Long, Long)] = None): Dataset[Row] = {
     val ds = origin.asInstanceOf[classic.Dataset[Row]]
     val originStats = stats.map { case (n, bytes) =>
+      // The planner compares sizeInBytes directly against
+      // autoBroadcastJoinThreshold, but a broadcast hash relation's real
+      // driver/executor footprint is several times the raw UnsafeRow
+      // payload (hash table, object headers). Inflate the measured bytes
+      // 4x so frames just under the threshold don't flip to broadcast on
+      // exact payload size and pressure memory; genuinely small frames
+      // (the ALS factor / rank-vector cases this exists for) stay far
+      // under the threshold either way. rowCount stays exact.
       catalyst.plans.logical.Statistics(
-        sizeInBytes = BigInt(math.max(bytes, 1L)),
+        sizeInBytes = BigInt(math.max(4L * bytes, 1L)),
         rowCount = Some(BigInt(n)))
     }
     classic.Dataset.ofRows(ds.sparkSession,

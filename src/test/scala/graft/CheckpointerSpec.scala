@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** The r14 internal-row checkpointer: row fidelity across types, and the
-  * partitioning-preservation property (a checkpointed aggregation output
-  * re-consumed on the same key must NOT be re-shuffled — the
-  * one-Exchange-per-iteration saving every iterative fit now relies on).
+  * stats-driven broadcast property (a checkpointed small frame carries
+  * exact measured Statistics, so the planner can auto-broadcast it into a
+  * later join with no hint). Partitioning is deliberately NOT preserved —
+  * the rebuilt frame reports UnknownPartitioning; preserving the layout
+  * was measured as a net loss (full-width generations multiplied
+  * downstream shuffle map work, OPTIMIZATION_r14.md §3) and reverted.
   */
 class CheckpointerSpec extends SparkSpec {
 
