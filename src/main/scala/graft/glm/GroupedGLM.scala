@@ -199,61 +199,154 @@ object GroupedGLM {
       * lastGram-based SEs); ll feeds loglik/AIC; the packed kernel feeds
       * per-row scoring standard errors ([[GroupedGLM.predictWithSe]]).
       */
-    def finish(b: Array[Double]): Seq[Double] = {
-      val n = b(0)
-      val out = new Array[Double](2 * pp + 3 + nUp)
-      out(pp) = b(1)
-      out(pp + 1) = n
-      // gaussian: profile σ̂² = dev/n into the R-convention log-likelihood
-      // (b(2) carries Σ ln w, zero when unweighted); others: Σ per-row ll
-      out(2 * pp + 2) =
-        if (fam == FamGaussian && n > 0)
-          0.5 * (b(2) - n * (math.log(2.0 * math.Pi * b(1) / n) + 1.0))
-        else b(2)
-      if (n < pp || !java.lang.Double.isFinite(b(1))) {
-        java.util.Arrays.fill(out, 0, pp, Double.NaN)
-        java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
-        java.util.Arrays.fill(out, 2 * pp + 3, out.length, Double.NaN)
-        return out.toSeq
-      }
-      val xtx = BDM.zeros[Double](pp, pp)
-      var k = 3 + pp
-      var i = 0
-      while (i < pp) {
-        var j = i
-        while (j < pp) { xtx(i, j) = b(k); xtx(j, i) = b(k); k += 1; j += 1 }
-        i += 1
-      }
-      val xtz = BDV.tabulate(pp)(i => b(3 + i))
-      try {
-        val beta = LinAlg.solvePD(xtx, xtz)
-        val inv = LinAlg.invPD(xtx)
-        i = 0
-        while (i < pp) {
-          out(i) = beta(i)
-          out(pp + 2 + i) = inv(i, i)
-          i += 1
-        }
-        k = 2 * pp + 3
-        i = 0
-        while (i < pp) {
-          var j = i
-          while (j < pp) { out(k) = inv(i, j); k += 1; j += 1 }
-          i += 1
-        }
-      } catch {
-        case _: Exception =>
-          java.util.Arrays.fill(out, 0, pp, Double.NaN)
-          java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
-          java.util.Arrays.fill(out, 2 * pp + 3, out.length, Double.NaN)
-      }
-      out.toSeq
-    }
+    def finish(b: Array[Double]): Seq[Double] = finishBuf(fam, pp, b)
 
     def bufferEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
     def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Per-group solve shared by the UDAF and the native-expression path:
+    * buffer [n, dev, ll | XᵀWz (pp) | upper-tri XᵀWX] → the finish layout
+    * documented on [[GlmGramAgg.finish]]. Runs once per GROUP (post-
+    * aggregation), never per row.
+    */
+  private def finishBuf(fam: Int, pp: Int, b: Array[Double]): Seq[Double] = {
+    val nUp = pp * (pp + 1) / 2
+    val n = b(0)
+    val out = new Array[Double](2 * pp + 3 + nUp)
+    out(pp) = b(1)
+    out(pp + 1) = n
+    // gaussian: profile σ̂² = dev/n into the R-convention log-likelihood
+    // (b(2) carries Σ ln w, zero when unweighted); others: Σ per-row ll
+    out(2 * pp + 2) =
+      if (fam == FamGaussian && n > 0)
+        0.5 * (b(2) - n * (math.log(2.0 * math.Pi * b(1) / n) + 1.0))
+      else b(2)
+    if (n < pp || !java.lang.Double.isFinite(b(1))) {
+      java.util.Arrays.fill(out, 0, pp, Double.NaN)
+      java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
+      java.util.Arrays.fill(out, 2 * pp + 3, out.length, Double.NaN)
+      return out.toSeq
+    }
+    val xtx = BDM.zeros[Double](pp, pp)
+    var k = 3 + pp
+    var i = 0
+    while (i < pp) {
+      var j = i
+      while (j < pp) { xtx(i, j) = b(k); xtx(j, i) = b(k); k += 1; j += 1 }
+      i += 1
+    }
+    val xtz = BDV.tabulate(pp)(i => b(3 + i))
+    try {
+      val beta = LinAlg.solvePD(xtx, xtz)
+      val inv = LinAlg.invPD(xtx)
+      i = 0
+      while (i < pp) {
+        out(i) = beta(i)
+        out(pp + 2 + i) = inv(i, i)
+        i += 1
+      }
+      k = 2 * pp + 3
+      i = 0
+      while (i < pp) {
+        var j = i
+        while (j < pp) { out(k) = inv(i, j); k += 1; j += 1 }
+        i += 1
+      }
+    } catch {
+      case _: Exception =>
+        java.util.Arrays.fill(out, 0, pp, Double.NaN)
+        java.util.Arrays.fill(out, pp + 2, 2 * pp + 2, Double.NaN)
+        java.util.Arrays.fill(out, 2 * pp + 3, out.length, Double.NaN)
+    }
+    out.toSeq
+  }
+
+  /** Native (whole-stage-codegen) per-row Gram expressions for the
+    * grouped IRLS pass — the r15 replacement for the per-row
+    * [[GlmGramAgg]] UDAF on the hot data pass (guide §4: built-in
+    * expressions over UDAF). Produces the SAME buffer layout
+    * [n, dev, ll | XᵀWz (pp) | upper-tri XᵀWX] as the UDAF, term for
+    * term in the same evaluation order, as plain `sum(...)` aggregates
+    * with map-side partial aggregation; the per-GROUP solve stays in
+    * [[finishBuf]] behind a post-aggregation UDF (one call per group,
+    * never per row). None for the links whose μ↔η needs commons-math
+    * Φ/Φ⁻¹ parity (probit, cloglog) or the gamma inverse link — those
+    * keep the UDAF path.
+    */
+  private def nativeBufCols(p: Int, intercept: Boolean, fam: Int, lnk: Int,
+      init: Boolean, cnt: Option[Column] = None): Option[Seq[Column]] = {
+    val supported = (fam, lnk) match {
+      case (FamBinomial, LnkLogit) => true
+      case (FamPoisson, _) => true // poisson is always log link
+      case (FamGamma, LnkLog) => true
+      case (FamGaussian, _) => true // identity link only
+      case _ => false
+    }
+    if (!supported) return None
+    val pp = if (intercept) p + 1 else p
+    val xy = col("xy")
+    // x-vector element i (intercept first), mirroring GlmGramAgg.reduce
+    def xE(i: Int): Column =
+      if (intercept) { if (i == 0) lit(1.0) else element_at(xy, i) }
+      else element_at(xy, i + 1)
+    val y = element_at(xy, p + 1)
+    val m = element_at(xy, p + 2)
+    val off = element_at(xy, p + 3)
+    val pw = element_at(xy, p + 4)
+    def bE(i: Int): Column = element_at(col("beta"), i + 1)
+    // η of the INCOMING beta (unused on the init pass)
+    val etaIn = (0 until pp).foldLeft(off)((acc, i) => acc + xE(i) * bE(i))
+    def lgamma(c: Column): Column = call_function("lgamma", c)
+    def ylog(a: Column, b: Column): Column =
+      when(a > 0, a * log(a / b)).otherwise(lit(0.0))
+    // (w, z, dev, ll) per family — the exact column twins of the UDAF's
+    // per-row arithmetic (same operation order)
+    val (w, z, dev, ll) = fam match {
+      case FamBinomial =>
+        val mu0 =
+          if (init) m * (y + lit(0.5)) / (m + lit(1.0))
+          else m / (lit(1.0) + exp(-etaIn))
+        val mu = greatest(m * lit(Eps), least(m * lit(1.0 - Eps), mu0))
+        val fr = mu / m
+        val eta =
+          if (init) log(fr / (lit(1.0) - fr)) + off else etaIn
+        val lp = m / (mu * (m - mu))
+        val vb = mu * (m - mu) / m
+        (pw / (vb * lp * lp),
+          eta + (y - mu) * lp - off,
+          pw * lit(2.0) * (ylog(y, mu) + ylog(m - y, m - mu)),
+          pw * (lgamma(m + lit(1.0)) - lgamma(y + lit(1.0)) -
+            lgamma(m - y + lit(1.0)) + y * log(fr) + (m - y) * log1p(-fr)))
+      case FamPoisson =>
+        val mu = if (init) y + lit(0.1) else greatest(lit(Eps), exp(etaIn))
+        val eta = if (init) log(mu) + off else etaIn
+        (pw * mu,
+          eta + (y - mu) / mu - off,
+          pw * lit(2.0) * (ylog(y, mu) - (y - mu)),
+          pw * (y * log(mu) - mu - lgamma(y + lit(1.0))))
+      case FamGamma =>
+        val mu = if (init) greatest(y, lit(Eps)) else greatest(lit(Eps), exp(etaIn))
+        val eta = if (init) log(mu) + off else etaIn
+        (pw,
+          eta + (y - mu) / mu - off,
+          pw * lit(2.0) * (-log(y / mu) + (y - mu) / mu),
+          pw * (-log(mu) - y / mu))
+      case _ => // gaussian identity: one-step weighted least squares
+        val eta = if (init) off else etaIn
+        (pw, y - off, pw * (y - eta) * (y - eta), log(pw))
+    }
+    def wx(i: Int): Column = w * xE(i)
+    // per-row terms, replication-count-weighted when the data side is
+    // collapsed to (pattern, count) sufficient statistics
+    def wc(c: Column): Column = cnt.map(c * _).getOrElse(c)
+    Some(Seq(
+      cnt.map(c => sum(c)).getOrElse(count(lit(1)).cast("double")),
+      sum(wc(dev)), sum(wc(ll))) ++
+      (0 until pp).map(i => sum(wc(wx(i) * z))) ++
+      (for (i <- 0 until pp; j <- i until pp) yield sum(wc(wx(i) * xE(j)))))
   }
 
   /** Fit one GLM per group of `keyCols`.
@@ -328,10 +421,14 @@ object GroupedGLM {
           "logit|probit|cloglog; gamma: log|inverse; poisson: log; " +
           "gaussian: identity)")
     }
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val p = xCols.size
     val pp = if (intercept) p + 1 else p
     val agg = udaf(new GlmGramAgg(p, intercept, fam, lnk, init = false))
     val aggInit = udaf(new GlmGramAgg(p, intercept, fam, lnk, init = true))
+    // per-GROUP solve for the native-expression path (post-aggregation;
+    // the data pass itself is pure codegen'd sums)
+    val finishUdf = udf((b: Seq[Double]) => finishBuf(fam, pp, b.toArray))
     // same durability contract as Dedup.connectedComponents: reliable
     // checkpoint() when a dir is configured (long fits on a real cluster
     // must survive executor loss), localCheckpoint as local-mode default.
@@ -339,14 +436,23 @@ object GroupedGLM {
     // one is materialized — files/blocks stay O(betas), not O(iterations).
     val cp = new graft.Checkpointer(df.sparkSession, checkpointDir)
     val keys = keyCols.map(col)
-    val assembled = df.select(keys :+
+    val assembled0 = df.select(keys :+
       array(xCols.map(c => col(c).cast("double")) ++ Seq(
         col(yCol).cast("double"),
         mCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)),
         offsetCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)),
         weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))): _*)
         .as("xy"): _*)
-      .persist()
+    // Sufficient-stats collapse of the DATA side (see [[SuffStats]]):
+    // on a discrete design every per-group IRLS pass — at any scale —
+    // aggregates over (key, pattern) rows with the count as a
+    // replication weight. Only taken on the native-expression path (the
+    // UDAF cannot replicate rows).
+    val nativeOk = nativeBufCols(p, intercept, fam, lnk, init = false).isDefined
+    val collapsed =
+      if (nativeOk) SuffStats.collapse(assembled0, "__cnt") else None
+    val cntOpt = collapsed.map(_ => col("__cnt"))
+    val assembled = collapsed.map(_.view).getOrElse(assembled0.persist())
 
     // Per-group state frame (one row per group, riding the generation
     // chain): beta, previous deviance, last stats, a `frozen` convergence
@@ -375,22 +481,44 @@ object GroupedGLM {
     var remaining = 1L
     while (iter < maxIter && remaining > 0) {
       val active = state.filter(!col("frozen"))
+      // ONE broadcast per iteration: the previous deviance rides along
+      // with the betas (r15 — the r14 shape re-joined a second broadcast
+      // of `active` post-aggregation just to fetch it) and passes through
+      // the group aggregation as first(), so assessment needs no join
       val joined = assembled.join(
-        broadcast(active.select(keys :+ col("beta"): _*)), keyCols)
-      val step = joined.groupBy(keys: _*)
-        .agg((if (iter == 0) aggInit else agg)(concat(col("xy"), col("beta"))).as("buf"))
+        broadcast(active.select(keys ++ Seq(col("beta"),
+          col("dev").as("__prev")): _*)), keyCols)
+      // hot data pass: native codegen'd sums when the family/link is
+      // expressible (the bench families), the UDAF otherwise
+      val stepRaw = nativeBufCols(p, intercept, fam, lnk, init = iter == 0,
+          cnt = cntOpt) match {
+        case Some(cols) =>
+          val named = (cols :+ (first(col("__prev")): Column)).zipWithIndex
+            .map { case (c, i) => c.as(s"__c$i") }
+          joined.groupBy(keys: _*)
+            .agg(named.head, named.tail: _*)
+            .select(keys ++ Seq(finishUdf(
+              array(cols.indices.map(i => col(s"__c$i")): _*)).as("buf"),
+              col(s"__c${cols.size}").as("__prev")): _*)
+        case None =>
+          joined.groupBy(keys: _*)
+            .agg((if (iter == 0) aggInit else agg)(
+              concat(col("xy"), col("beta"))).as("buf"),
+              first(col("__prev")).as("__prev"))
+      }
+      val step = stepRaw
         .select(keys ++ Seq(
           slice(col("buf"), 1, pp).as("beta"),
           element_at(col("buf"), pp + 1).as("dev"),
           element_at(col("buf"), pp + 2).cast("long").as("n"),
           slice(col("buf"), pp + 3, pp).as("vdiag"),
           element_at(col("buf"), 2 * pp + 3).as("ll"),
-          slice(col("buf"), 2 * pp + 4, nUp).as("kernel")): _*)
+          slice(col("buf"), 2 * pp + 4, nUp).as("kernel"),
+          col("__prev")): _*)
       // assess each recomputed group against ITS OWN previous deviance;
       // singular (NaN-beta) groups freeze immediately — they can never
       // converge and must not keep forcing data passes
       val assessed = step
-        .join(broadcast(active.select(keys :+ col("dev").as("__prev"): _*)), keyCols)
         .withColumn("frozen", isnan(element_at(col("beta"), 1)) ||
           abs(col("__prev") - col("dev")) / (abs(col("dev")) + 0.1) < lit(tol))
         .withColumn("n_iter", lit(iter + 1))
@@ -402,6 +530,7 @@ object GroupedGLM {
       iter += 1
     }
     assembled.unpersist(blocking = false)
+    collapsed.foreach(_.unpersist())
     cp.close() // the final generation backs the state frame and stays alive
     val lastFit = state
 

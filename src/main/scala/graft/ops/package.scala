@@ -19,10 +19,11 @@ package object ops {
     * sf0.1 while the kernels themselves took milliseconds. The split
     * size reflects KERNEL cost, not scan cost: the fronts this guards
     * (regex/split/sentences, shingle hashing, per-row DP) process
-    * single-digit MB/s/core, so a few MB per task is already seconds of
+    * ~1–2 MB/s/core (r13 measured 7–64× blowups on a ~58 MB single-
+    * partition corpus), so ~1 MB per task is already ~a second of kernel
     * work — far past the point where the fan-out shuffle amortizes —
-    * while 64 MB-style scan splits would under-parallelize them.
-    * Tunable via `spark.graft.fanout.splitBytes` (default 4 MB) for
+    * while 64 MB-style scan splits would under-parallelize them by 50×.
+    * Tunable via `spark.graft.fanout.splitBytes` (default 1 MB) for
     * clusters whose kernel-throughput/shuffle-cost ratio differs.
     * Unknown sizes (non-scan frames report `defaultSizeInBytes`) keep
     * the full-parallelism target, same as r14.
@@ -33,7 +34,7 @@ package object ops {
     val parallelism = sc.defaultParallelism
     val splitBytes = df.sparkSession.conf
       .getOption("spark.graft.fanout.splitBytes")
-      .map(_.toLong).getOrElse(4L << 20)
+      .map(_.toLong).getOrElse(1L << 20)
     val bytes = GraftSqlShim.estimatedSizeInBytes(df)
     val byBytes =
       if (bytes > BigInt(splitBytes) * parallelism) parallelism
