@@ -17,6 +17,55 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Order-preserving node dictionary (guide §2.3 "narrower types —
+    * shuffle fewer bytes"): string node ids are re-shuffled by EVERY
+    * round of the iterative ops below, paying variable-length payload
+    * bytes plus string hashing/comparison in each exchange and hash
+    * aggregate. A dense long id halves the shuffle payload and makes
+    * the per-round keys fixed-width. Ids are assigned by DISTRIBUTED
+    * sort + zipWithIndex (no single-partition window), so `nid` order ==
+    * string order and min/label-tie semantics survive encoding; the
+    * dict is pinned through the caller's Checkpointer, whose exact
+    * Statistics let the encode/decode joins auto-broadcast when small.
+    * Returns None (op runs unencoded) when the id column is not a
+    * string.
+    *
+    * OFF by default (`spark.graft.graph.longIds=true` enables): measured
+    * at sf0.1/local[32] the dict build (distinct + sort + zipWithIndex)
+    * plus encode/decode joins cost MORE than the narrower per-round
+    * shuffles save (q176 5.85 → 8.29 s, q122 3.65 → 4.85 s min-of-4;
+    * shuffle bytes −25%, 87 → 66 MB). The trade inverts when
+    * iterations × shuffle volume dwarf the one-time dict build — long
+    * production runs over big graphs with fat string ids (URLs, UUIDs)
+    * — so it ships as a production knob, not a local default.
+    * GraphLongIdSpec pins flag-on/off result parity.
+    */
+  private def nodeDict(cp: graft.Checkpointer, edges: DataFrame,
+      cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.StringType
+    if (!edges.sparkSession.conf.getOption("spark.graft.graph.longIds")
+        .exists(_.toBoolean)) return None
+    if (!cols.forall(c => edges.schema(c).dataType == StringType)) return None
+    val nodes = cols.map(c => edges.select(col(c).as("node")))
+      .reduce(_ unionAll _).distinct().orderBy("node")
+    val spark = edges.sparkSession
+    val enc = org.apache.spark.sql.Encoders.STRING
+    val withIds = nodes.select(col("node")).as(enc).rdd
+      .zipWithIndex()
+    import spark.implicits._
+    Some(cp.pin(withIds.toDF("node", "nid")))
+  }
+
+  /** Replace string column `c` of `df` with its dict id (same name). */
+  private def encodeCol(df: DataFrame, dict: DataFrame, c: String): DataFrame =
+    df.join(dict.select(col("node").as(c), col("nid").as(s"__$c")), c)
+      .drop(c).withColumnRenamed(s"__$c", c)
+
+  /** Inverse of [[encodeCol]]. */
+  private def decodeCol(df: DataFrame, dict: DataFrame, c: String): DataFrame =
+    df.join(dict.select(col("nid").as(c), col("node").as(s"__$c")), c)
+      .drop(c).withColumnRenamed(s"__$c", c)
+
   /** k-core decomposition by iterative peeling on an UNDIRECTED graph
     * (edge list `(u, v)`; duplicates, self-loops and both orientations
     * tolerated — canonicalized first). Each round removes every vertex
@@ -269,7 +318,15 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame = {
     require(rounds >= 1, "need at least one round")
     val cp = new graft.Checkpointer(edges.sparkSession, None)
-    val e = cp.pin(edges.select(col("u"), col("v")).distinct())
+    // long node ids for the per-round shuffles (see [[nodeDict]]): the
+    // vote counts are exact integers and nid order == string order, so
+    // the (n desc, label asc) winner is identical under encoding
+    val dictOpt = nodeDict(cp, edges, Seq("u", "v"))
+    val rawE = edges.select(col("u"), col("v")).distinct()
+    val e = cp.pin(dictOpt match {
+      case Some(d) => encodeCol(encodeCol(rawE, d, "u"), d, "v")
+      case None => rawE
+    })
     val nodes = e.select(col("u"))
       .unionAll(e.select(col("v").as("u"))).distinct()
     // a node with no out-edges never updates: its label stays its own id
@@ -301,8 +358,15 @@ object Graph {
           cp(next)
         else next
     }
+    // decode (and materialize) BEFORE close() frees the pinned dict
+    val out = dictOpt match {
+      case Some(d) =>
+        cp(decodeCol(decodeCol(labels, d, "label"), d, "u")
+          .select(col("u"), col("label")))
+      case None => labels
+    }
     cp.close()
-    labels
+    out
   }
 
   /** Degree assortativity of an UNDIRECTED graph: the Pearson
@@ -495,7 +559,12 @@ object Graph {
     // lazy plan (a distinct, a filter over a big fact) — pin it ONCE so
     // all consumers read a materialized frame
     val cp = new graft.Checkpointer(edges.sparkSession, None)
-    val e = cp.pin(edges)
+    // long node ids for the per-iteration shuffles (see [[nodeDict]])
+    val dictOpt = nodeDict(cp, edges, Seq("u", "v"))
+    val e = cp.pin(dictOpt match {
+      case Some(d) => encodeCol(encodeCol(edges, d, "u"), d, "v")
+      case None => edges
+    })
     val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
     // dangling detection: does any edge TARGET a node that never appears
     // as a source? One anti-join probe with a `take(1)` short circuit
@@ -505,7 +574,7 @@ object Graph {
       .join(deg.select(col("u").as("__s")), col("v") === col("__s"),
         "left_anti")
       .isEmpty
-    if (!hasDangling) {
+    val ranksOut = if (!hasDangling) {
       // node universe ≡ source keys; scalar metadata via one count job
       val n = deg.count()
       // closed graph (every node is a source — always true for
@@ -526,7 +595,6 @@ object Graph {
             cp(next)
           else next
       }
-      cp.close()
       ranks
     } else {
       // dangling nodes exist: their rank is redistributed uniformly each
@@ -558,9 +626,17 @@ object Graph {
               (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n)).as("r"))
         ranks = cp(next)
       }
-      cp.close() // the final generation backs `ranks` and stays alive
       ranks
     }
+    // decode (and materialize) BEFORE close() frees the pinned dict;
+    // the final generation backs the result and stays alive
+    val out = dictOpt match {
+      case Some(d) =>
+        cp(decodeCol(ranksOut, d, "u").select(col("u"), col("r")))
+      case None => ranksOut
+    }
+    cp.close()
+    out
   }
 
   /** Personalized PageRank / random walk with restart (Haveliwala 2002) —
