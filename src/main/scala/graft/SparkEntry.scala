@@ -4329,8 +4329,11 @@ object SparkEntry {
     // walk pairs (skip-gram factorizes shifted PMI — this is the
     // exact-arithmetic member of that family), top-50 by (pmi, a, b)
     "q338_deepwalk_pmi" -> ((s, dir) => {
-      Graph.walkPmi(Graph.randomWalks(deepwalkEdges(s, dir), 2, 5),
-          topK = 50)
+      // pairs emitted inside the walk loop (r15): identical counts to the
+      // walkPmi(randomWalks(...)) window form — same draws, same joins —
+      // without the corpus-wide per-walk lead-window sort
+      Graph.walkPmiFromSteps(
+          Graph.randomWalkPairs(deepwalkEdges(s, dir), 2, 5), topK = 50)
         .orderBy(col("pmi").desc, col("a"), col("b"))
     }),
 

@@ -798,6 +798,61 @@ object Graph {
     out
   }
 
+  /** Consecutive-step (node, next) pairs of [[randomWalks]], emitted
+    * INSIDE the generation loop (r15): each step's join output already
+    * holds (node_{t−1}, node_t), so the pair corpus needs NO post-hoc
+    * per-walk lead-window sort over the full walk corpus — that sort was
+    * q338's residual term after r14. Same draws, same joins, same kept
+    * generations as [[randomWalks]] (the walk frames are bit-identical);
+    * walks that end early or start isolated contribute no pair, exactly
+    * as the window form's null lead filter.
+    */
+  private[graft] def randomWalkPairs(edges: DataFrame, walksPerNode: Int,
+      walkLen: Int): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"need 1 <= walksPerNode <= 64, got $walksPerNode")
+    require(walkLen >= 2 && walkLen <= 32,
+      s"need 2 <= walkLen <= 32, got $walkLen")
+    graft.plans.GraftExtensions.ensureRegistered(edges.sparkSession)
+    val cp = new graft.Checkpointer(edges.sparkSession, None)
+    val e = edges.select(col("u"), col("v")).distinct()
+    val w = Window.partitionBy("u").orderBy("v")
+    val nbrs = cp.pin(e.withColumn("__rank",
+      row_number().over(w).cast("long") - 1L))
+    val degs = cp.pin(nbrs.groupBy("u").agg(count(lit(1)).as("__deg")))
+    val starts = degs
+      .select(col("u"), col("__deg"), explode(sequence(lit(0),
+        lit(walksPerNode - 1))).as("__w"))
+      .select(concat(col("u"), lit("#"), col("__w")).as("walk_id"),
+        col("u").as("node"), col("__deg"))
+    val degsV = degs.select(col("u").as("__vd"), col("__deg").as("__vdeg"))
+    val nj = cp.pin(nbrs.join(degsV, col("v") === col("__vd"), "left")
+      .select(col("u").as("__nu"), col("__rank").as("__nr"), col("v"),
+        col("__vdeg")))
+    var frontier = cp.keep(starts)
+    var pairs: DataFrame = null
+    for (t <- 1 until walkLen) {
+      val draw = conv(substring(md5(concat(col("walk_id"), lit("#"),
+        graft.functions.stableLitI(t).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      // keep the JOINED step frame (previous node rides along): the one
+      // materialization feeds both the pair emission and the next frontier
+      val stepped = cp.keep(frontier
+        .select(col("walk_id"),
+          pmod(draw, col("__deg")).as("__rank"), col("node"))
+        .join(nj, col("node") === col("__nu") &&
+          col("__rank") === col("__nr"))
+        .select(col("walk_id"), col("node").as("__prev"),
+          col("v").as("node"), col("__vdeg").as("__deg")))
+      val p = stepped.select(col("__prev").as("node"),
+        col("node").as("__next"))
+      pairs = if (pairs == null) p else pairs.unionByName(p)
+      frontier = stepped.select(col("walk_id"), col("node"), col("__deg"))
+    }
+    cp.close()
+    pairs
+  }
+
   /** DeepWalk-as-counts node similarity: PMI of consecutive-step node
     * pairs over a [[randomWalks]] corpus — the count-based readout of
     * the DeepWalk/node2vec objective (its skip-gram factorizes a
@@ -810,11 +865,20 @@ object Graph {
     *         6-digit grid; counts exact integers
     */
   def walkPmi(walks: DataFrame, topK: Int): DataFrame = {
-    require(topK >= 1, s"need topK >= 1, got $topK")
-    val cp = new graft.Checkpointer(walks.sparkSession, None)
     val w = Window.partitionBy("walk_id").orderBy("step")
     val steps = walks.withColumn("__next", lead("node", 1).over(w))
       .filter(col("__next").isNotNull)
+    walkPmiFromSteps(steps.select(col("node"), col("__next")), topK)
+  }
+
+  /** [[walkPmi]] over pre-built consecutive (node, __next) pairs —
+    * [[randomWalkPairs]]' output — skipping the corpus-wide lead-window
+    * sort the generic entry pays. Counts are exact integers, so the PMI
+    * output is identical to the window form's.
+    */
+  private[graft] def walkPmiFromSteps(steps: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val cp = new graft.Checkpointer(steps.sparkSession, None)
     val pairs = steps.select(col("node").as("a"), col("__next").as("b"))
       .union(steps.select(col("__next").as("a"), col("node").as("b")))
     // nAB feeds three consumers (nA, tot, the join) and nA two — pin both
