@@ -99,11 +99,17 @@ object Cox {
       if (strataCol.isDefined) Seq(col("__st"), col("__t"))
       else Seq(col("__t"))
     // suffix sums over duration within each stratum: the two-level global
-    // pass when unstratified; stratum-partitioned windows otherwise
+    // pass when unstratified; stratum-partitioned windows otherwise.
+    // The range-bucket edges depend only on the distinct-time
+    // distribution, which is LOOP-INVARIANT — computed once here instead
+    // of one approxQuantile data pass per Newton iteration (r15)
+    lazy val timeEdges = Some(graft.ops.Cumulative.bucketEdges(
+      base.select((-col("__t")).as("__ord")).distinct(), "__ord"))
     def suffix(byT: DataFrame, cols: Seq[String]): DataFrame =
       if (strataCol.isEmpty)
         graft.ops.Cumulative.runningSums(
-          byT.withColumn("__ord", -col("__t")), "__ord", cols)
+          byT.withColumn("__ord", -col("__t")), "__ord", cols,
+          edges = timeEdges)
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__st").orderBy(col("__t").desc)
@@ -147,8 +153,12 @@ object Cox {
           (for (j <- 0 until p; k <- j until p) yield
             sum(when(col("__e") === 1, col(s"__x$j") * col(s"__x$k") * w)
               .otherwise(lit(0.0))).as(s"e2_${triIdx(j, k)}")))
+      // the distinct-time frame feeds the in-bucket window pass AND the
+      // bucket-totals pass — persist it so the 14-sum groupBy runs once
+      // per iteration, not once per consumer (r15)
       val byT = base.groupBy(timeKeys: _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
+        .persist()
       val cumCols = Seq("w0") ++ (0 until p).map(i => s"w1_$i") ++
         (0 until p * (p + 1) / 2).map(i => s"w2_$i")
       val cum = suffix(byT, cumCols)
@@ -185,6 +195,7 @@ object Cox {
               (s1l(j) / s0l) * (s1l(k) / s0l)).as(s"h_${triIdx(j, k)}"))
         evtL.agg(finalExprs.head, finalExprs.tail: _*).head()
       }
+      byT.unpersist(blocking = false)
       ll = row.getDouble(0)
       val u = BDV.tabulate(p)(i => row.getDouble(1 + i))
       val h = BDM.zeros[Double](p, p)

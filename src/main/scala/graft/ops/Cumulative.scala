@@ -43,11 +43,8 @@ object Cumulative {
     * (DESC = NULLS LAST), matching the in-bucket window's null placement.
     */
   private def bucketExpr(df: DataFrame, orderCol: String, nPart: Int,
-      descending: Boolean): Column = {
-    val probs = (1 until nPart).map(_.toDouble / nPart).toArray
-    val edges =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.01).distinct.sorted
+      descending: Boolean, preEdges: Option[Array[Double]]): Column = {
+    val edges = preEdges.getOrElse(bucketEdges(df, orderCol, nPart))
     val ladder =
       if (descending)
         edges.foldLeft(lit(0)) { (acc, e) =>
@@ -59,15 +56,31 @@ object Cumulative {
     else ladder
   }
 
+  /** The range-bucket edges [[runningSums]] derives from `orderCol`'s
+    * distribution — exposed so ITERATIVE callers whose order column is
+    * loop-invariant (Cox's distinct event times) can compute them ONCE
+    * and pass them to every round's [[runningSums]] call instead of
+    * paying an approxQuantile data pass per iteration.
+    */
+  def bucketEdges(df: DataFrame, orderCol: String,
+      numPartitions: Int = 0): Array[Double] = {
+    val nPart = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val probs = (1 until nPart).map(_.toDouble / nPart).toArray
+    if (probs.isEmpty) Array.empty[Double]
+    else df.stat.approxQuantile(orderCol, probs, 0.01).distinct.sorted
+  }
+
   private def runningAgg(df: DataFrame, orderCol: String,
       valueCols: Seq[String], descending: Boolean, numPartitions: Int,
       suffix: String, aggFn: String => Column,
-      combine: (Column, Column) => Column): DataFrame = {
+      combine: (Column, Column) => Column,
+      preEdges: Option[Array[Double]]): DataFrame = {
     require(valueCols.nonEmpty, "need at least one value column")
     val nPart = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = df.withColumn("__b",
-      bucketExpr(df, orderCol, nPart, descending))
+      bucketExpr(df, orderCol, nPart, descending, preEdges))
     val sortExpr = if (descending) col(orderCol).desc else col(orderCol).asc
     val wIn = Window.partitionBy("__b").orderBy(sortExpr)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -99,11 +112,13 @@ object Cumulative {
     *                      parallelism
     */
   def runningSums(df: DataFrame, orderCol: String, valueCols: Seq[String],
-      numPartitions: Int = 0, descending: Boolean = false): DataFrame =
+      numPartitions: Int = 0, descending: Boolean = false,
+      edges: Option[Array[Double]] = None): DataFrame =
     runningAgg(df, orderCol, valueCols, descending, numPartitions,
       suffix = "_cum", aggFn = c => sum(c),
       // first bucket's offset is null → contribute 0
-      combine = (l, o) => l + coalesce(o, lit(0L)))
+      combine = (l, o) => l + coalesce(o, lit(0L)),
+      preEdges = edges)
 
   /** Appends `<c>_cummin` (inclusive running MIN ordered by `orderCol`,
     * optionally descending) for each column in `valueCols` — the same
@@ -116,10 +131,12 @@ object Cumulative {
     * Benjamini–Hochberg step-up: q_i = min over all LARGER p of c_j).
     */
   def runningMins(df: DataFrame, orderCol: String, valueCols: Seq[String],
-      descending: Boolean = false, numPartitions: Int = 0): DataFrame =
+      descending: Boolean = false, numPartitions: Int = 0,
+      edges: Option[Array[Double]] = None): DataFrame =
     runningAgg(df, orderCol, valueCols, descending, numPartitions,
       suffix = "_cummin", aggFn = c => min(c),
       // Spark's least skips nulls, so the first bucket's null offset is a
       // no-op rather than poisoning the min
-      combine = (l, o) => least(l, o))
+      combine = (l, o) => least(l, o),
+      preEdges = edges)
 }

@@ -17,14 +17,17 @@ package object ops {
     * `repartition(defaultParallelism)` made a sub-MB input pay a
     * full-width shuffle — ~29 queries carried a 1–2.5 s floor each at
     * sf0.1 while the kernels themselves took milliseconds. The split
-    * size reflects KERNEL cost, not scan cost: the fronts this guards
-    * (regex/split/sentences, shingle hashing, per-row DP) process
-    * ~1–2 MB/s/core (r13 measured 7–64× blowups on a ~58 MB single-
-    * partition corpus), so ~1 MB per task is already ~a second of kernel
-    * work — far past the point where the fan-out shuffle amortizes —
-    * while 64 MB-style scan splits would under-parallelize them by 50×.
-    * Tunable via `spark.graft.fanout.splitBytes` (default 1 MB) for
-    * clusters whose kernel-throughput/shuffle-cost ratio differs.
+    * size reflects KERNEL cost, not scan cost, and was MEASURED at both
+    * scales (r15): the fronts this guards (regex/split/sentences,
+    * shingle hashing, per-row DP) explode each input byte into n-gram /
+    * token work, so even a ~6 MB corpus wants full-width fan (q249 at
+    * 10×: 4.1 s full-fan vs 13.9 s at 6 partitions) while a ~0.6 MB one
+    * wants a narrow one (q24 at sf0.1: 0.7 s at 5 partitions vs 3.15 s
+    * full-width r14 floor). 128 KB/split sits on the measured crossover:
+    * sub-MB inputs fan to ~2–5 partitions (floor gone), low-MB inputs
+    * reach full width (scale win kept). Tunable via
+    * `spark.graft.fanout.splitBytes` for clusters whose
+    * kernel-throughput/shuffle-cost ratio differs.
     * Unknown sizes (non-scan frames report `defaultSizeInBytes`) keep
     * the full-parallelism target, same as r14.
     */
@@ -34,7 +37,7 @@ package object ops {
     val parallelism = sc.defaultParallelism
     val splitBytes = df.sparkSession.conf
       .getOption("spark.graft.fanout.splitBytes")
-      .map(_.toLong).getOrElse(1L << 20)
+      .map(_.toLong).getOrElse(128L << 10)
     val bytes = GraftSqlShim.estimatedSizeInBytes(df)
     val byBytes =
       if (bytes > BigInt(splitBytes) * parallelism) parallelism

@@ -38,14 +38,27 @@ object ProfileBench {
     val gcTimeMs = new AtomicLong(0L)
     val shuffleWriteB = new AtomicLong(0L)
     val shuffleReadB = new AtomicLong(0L)
+    // per-stage task-time attribution: top offenders printed per rep so a
+    // hot query's time maps back to a callsite, not just a global sum
+    val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val graftFrame = s.stageInfo.details.split("\n")
+          .find(l => l.contains("graft.") && !l.contains("tools."))
+          .getOrElse("").trim.take(80)
+        stageName.put(s.stageInfo.stageId,
+          s.stageInfo.name.split("\n").head.take(60) + " | " + graftFrame +
+            s" | ${s.stageInfo.numTasks}t")
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
         if (m != null) {
+          stageTime.computeIfAbsent(t.stageId, _ => new AtomicLong(0))
+            .addAndGet(m.executorRunTime)
           taskTimeMs.addAndGet(m.executorRunTime)
           gcTimeMs.addAndGet(m.jvmGCTime)
           shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -57,6 +70,7 @@ object ProfileBench {
     def reset(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
       gcTimeMs.set(0); shuffleWriteB.set(0); shuffleReadB.set(0)
+      stageTime.clear(); stageName.clear()
     }
 
     var cgCount0 = 0L
@@ -84,6 +98,14 @@ object ProfileBench {
           f"taskTime=${taskTimeMs.get() / 1e3}%7.1fs gc=${gcTimeMs.get() / 1e3}%5.1fs " +
           f"shW=${shuffleWriteB.get() / 1e6}%8.1fMB shR=${shuffleReadB.get() / 1e6}%8.1fMB " +
           f"util=$util%5.2f cgCompiles=$cgN%4d cgMeanMs=${cgHist.getSnapshot.getMean}%6.1f")
+        if (sys.env.contains("SPARK_GRAFT_PROF_STAGES")) {
+          import scala.jdk.CollectionConverters._
+          stageTime.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach {
+            case (sid, tms) =>
+              println(f"[prof-stage]   ${tms.get() / 1e3}%7.1fs stage=$sid%4d " +
+                stageName.getOrDefault(sid, "?"))
+          }
+        }
       }
     }
     spark.stop()

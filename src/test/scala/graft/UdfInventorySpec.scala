@@ -60,7 +60,12 @@ class UdfInventorySpec extends AnyFunSuite {
       "ops/Layout.scala" -> 1,
       // wide-p (p > 16) quadratic form: one closure carrying the p×p
       // kernel keeps the Catalyst tree O(p) instead of O(p²) literals
-      "glm/LinAlg.scala" -> 1)
+      "glm/LinAlg.scala" -> 1,
+      // GroupedGLM per-GROUP p×p solve (breeze solvePD/invPD) applied
+      // POST-aggregation — one call per group, never per row; the r15
+      // native Gram pass moved the per-row math to built-in sums and
+      // this UDF is the matrix solve no Catalyst built-in provides
+      "glm/GroupedGLM.scala" -> 1)
     assert(counts === sanctioned,
       "UDF inventory drifted.\n  found:      " + counts.toSeq.sorted
         .mkString(", ") + "\n  sanctioned: " + sanctioned.toSeq.sorted
